@@ -1,0 +1,431 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2.2): scan/filter/project, joins
+  * (broadcast/shuffle/semi/anti), aggregation (hash, distinct, rollup),
+  * window functions, sort/limit/top-k, set ops, scalar string/date functions.
+  *
+  * Scale notes (100 TB design intent, verified on local[32]):
+  *  - dimension tables (region/nation/customer/supplier/part) are broadcast
+  *    explicitly — no shuffle of the fact side for those joins;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once, and
+  *    AQE coalesces/skew-splits partitions at runtime;
+  *  - all aggregates are partial (map-side combine) by construction — we only
+  *    use algebraic aggregates (sum/count/avg/min/max);
+  *  - filters + column pruning reach the parquet scan (PushedFilters).
+  *
+  * Every double aggregate is rounded to 6 decimals in BOTH the Spark query
+  * and the DuckDB oracle so hash comparison is stable across summation
+  * orders; integer outputs are cast to BIGINT on both sides; dates are
+  * formatted `yyyy-MM-dd` strings on both sides.
+  */
+object Relational {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  // --- q01: full-scan aggregation (TPC-H Q1 pattern) -----------------------
+  // Partial aggregation: 4 grouping values → tiny shuffle regardless of SF.
+  private def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r6(sum(col("l_quantity"))).as("sum_qty"),
+        r6(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        r6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        r6(avg(col("l_quantity"))).as("avg_qty"),
+        r6(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       GROUP BY l_returnflag, l_linestatus"""
+
+  // --- q02: selective filter + projection (pushdown showcase) --------------
+  private def q02(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+
+  private val q02Sql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_quantity, l_extendedprice, l_discount
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0"""
+
+  // --- q03: fact-fact join + broadcast dim + top-k (TPC-H Q3 pattern) ------
+  // customer is broadcast; lineitem ⋈ orders shuffles once on orderkey.
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li   = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(r6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  private val q03Sql =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-03-15'
+         AND l_shipdate > TIMESTAMP '1995-03-15'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+  // --- q04: star join over broadcast dims (region→nation→customer→orders) --
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+    Tables.orders(s, d)
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), r6(sum(col("o_totalprice"))).as("total_price"))
+  }
+
+  private val q04Sql =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 6) AS total_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name"""
+
+  // --- q05: left-semi join (EXISTS) -----------------------------------------
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val ord96 = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+    Tables.customer(s, d)
+      .join(ord96, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  private val q05Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1997-01-01')"""
+
+  // --- q06: left-anti join (NOT EXISTS) --------------------------------------
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+    Tables.customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  private val q06Sql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         AND o_totalprice > 300000.0)"""
+
+  // --- q07: window ranking — top-3 orders per customer ----------------------
+  // Single shuffle on o_custkey; rank inside partitions.
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  private val q07Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+         FROM orders) t WHERE rk <= 3"""
+
+  // --- q08: window running aggregate ----------------------------------------
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 5L)
+      .select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        r6(sum(col("l_quantity")).over(w)).as("running_qty"))
+  }
+
+  private val q08Sql =
+    """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_qty
+       FROM lineitem WHERE l_suppkey <= 5"""
+
+  // --- q09: global sort + limit (TakeOrderedAndProject) ----------------------
+  private def q09(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"))
+      .limit(20)
+
+  private val q09Sql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+       FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20"""
+
+  // --- q10: set operations (INTERSECT / EXCEPT / UNION) ----------------------
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    def custIn(year: Int): DataFrame =
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit(f"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+    custIn(1995).intersect(custIn(1996)).except(custIn(1997))
+      .union(custIn(2001)).distinct()
+  }
+
+  private val q10Sql =
+    """SELECT DISTINCT o_custkey FROM (
+         (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01' AND o_orderdate < TIMESTAMP '2002-01-01'
+       ) t"""
+
+  // --- q11: distinct aggregates ----------------------------------------------
+  private def q11(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+
+  private val q11Sql =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+       FROM lineitem GROUP BY l_returnflag"""
+
+  // --- q12: ROLLUP (grouping sets) --------------------------------------------
+  // NULL grouping keys are coalesced to 'ALL' on both sides so the hash
+  // compare never depends on NULL representation.
+  private def q12(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), r6(sum(col("l_quantity"))).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+
+  private val q12Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+  // --- q13: conditional aggregation (TPC-H Q14 pattern), broadcast part ------
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        r6(sum(when(col("p_type").startsWith("PROMO"),
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0))).as("promo_revenue"),
+        r6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("total_revenue"))
+
+  private val q13Sql =
+    """SELECT
+       round(sum(CASE WHEN p_type LIKE 'PROMO%'
+         THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 6) AS promo_revenue,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS total_revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey"""
+
+  // --- q14: scalar string functions -------------------------------------------
+  private def q14(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_brand"), 7, 10).as("brand_num"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
+
+  private val q14Sql =
+    """SELECT p_partkey, upper(p_name) AS name_upper,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       substring(p_brand, 7, 10) AS brand_num,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+       FROM part"""
+
+  // --- q15: date/time functions ------------------------------------------------
+  private def q15(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        r6(sum(col("o_totalprice"))).as("total"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_day"))
+
+  private val q15Sql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       count(*) AS n_orders, round(sum(o_totalprice), 6) AS total,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
+       FROM orders GROUP BY 1, 2"""
+
+  // --- q16: event-time tumbling window aggregation (batch form) ---------------
+  // The streaming form of the same computation lives in
+  // graft.streaming.EventsStream; this batch query is the oracle-checkable
+  // equivalent (date_trunc = tumbling 1h window).
+  private def q16(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), r6(sum(col("value"))).as("total_value"))
+
+  private val q16Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 6) AS total_value
+       FROM events GROUP BY 1, 2"""
+
+  // --- q17: semi-structured JSON extraction from events.props -----------------
+  // regexp on both sides (deliberately not engine-specific JSON functions, so
+  // the oracle is bit-identical); the Spark side also has a from_json path in
+  // graft.flatten used by q_flatten_props.
+  private def q17(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), r6(avg(col("k"))).as("avg_k"),
+        max(col("k")).as("max_k"))
+
+  private val q17Sql =
+    """SELECT event_type, count(*) AS n,
+       round(avg(k), 6) AS avg_k, max(k) AS max_k FROM (
+         SELECT event_type,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+         FROM events) t GROUP BY event_type"""
+
+  // --- q18: sessionization via window lag + cumulative sum --------------------
+  // Classic gaps-and-islands: a >30-minute silence starts a new session.
+  // One shuffle on user_id; both engines run the identical window spec.
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"), r6(sum(col("value"))).as("sess_value"))
+      .groupBy(col("user_id"))
+      .agg(max(col("sess_id")).as("n_sessions"),
+        r6(avg(col("n_events"))).as("avg_events_per_sess"),
+        r6(sum(col("sess_value"))).as("total_value"))
+  }
+
+  private val q18Sql =
+    """SELECT user_id, max(sess_id) AS n_sessions,
+       round(avg(n_events), 6) AS avg_events_per_sess,
+       round(sum(sess_value), 6) AS total_value
+       FROM (
+         SELECT user_id, sess_id, count(*) AS n_events,
+           round(sum(value), 6) AS sess_value
+         FROM (
+           SELECT user_id, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM (
+             SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                    OR epoch(ts) - epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800.0
+                    THEN 1 ELSE 0 END AS new_sess
+             FROM events) a) b
+         GROUP BY user_id, sess_id) c
+       GROUP BY user_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_fullscan"    -> q01 _,
+    "q02_filter_project"  -> q02 _,
+    "q03_join_topk"       -> q03 _,
+    "q04_star_join"       -> q04 _,
+    "q05_semi_join"       -> q05 _,
+    "q06_anti_join"       -> q06 _,
+    "q07_window_rank"     -> q07 _,
+    "q08_window_running"  -> q08 _,
+    "q09_sort_limit"      -> q09 _,
+    "q10_set_ops"         -> q10 _,
+    "q11_distinct_agg"    -> q11 _,
+    "q12_rollup"          -> q12 _,
+    "q13_case_agg"        -> q13 _,
+    "q14_string_funcs"    -> q14 _,
+    "q15_date_funcs"      -> q15 _,
+    "q16_event_window"    -> q16 _,
+    "q17_json_extract"    -> q17 _,
+    "q18_sessionize"      -> q18 _)
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg_fullscan"    -> q01Sql,
+    "q02_filter_project"  -> q02Sql,
+    "q03_join_topk"       -> q03Sql,
+    "q04_star_join"       -> q04Sql,
+    "q05_semi_join"       -> q05Sql,
+    "q06_anti_join"       -> q06Sql,
+    "q07_window_rank"     -> q07Sql,
+    "q08_window_running"  -> q08Sql,
+    "q09_sort_limit"      -> q09Sql,
+    "q10_set_ops"         -> q10Sql,
+    "q11_distinct_agg"    -> q11Sql,
+    "q12_rollup"          -> q12Sql,
+    "q13_case_agg"        -> q13Sql,
+    "q14_string_funcs"    -> q14Sql,
+    "q15_date_funcs"      -> q15Sql,
+    "q16_event_window"    -> q16Sql,
+    "q17_json_extract"    -> q17Sql,
+    "q18_sessionize"      -> q18Sql)
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the same test tables,
+and compares row sets (columns sorted by name, rows sorted, values
+normalized). Exit code 1 on any mismatch.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / 0.0 and float noise beyond round(_, 6)
+        r = round(v, 9)
+        return 0.0 if r == 0 else r
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def rows_of(cols, table):
+    names = sorted(cols)
+    idx = [cols.index(n) for n in names]
+    out = []
+    for row in table:
+        out.append(tuple(norm(row[i]) for i in idx))
+    return names, sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_tbl = pq.read_table(f"{out_dir}/{name}")
+            got_cols = got_tbl.column_names
+            got_rows = [tuple(r.values()) for r in got_tbl.to_pylist()]
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            continue
+        try:
+            cur = con.execute(sql)
+            exp_cols = [d[0] for d in cur.description]
+            exp_rows = cur.fetchall()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        gn, gr = rows_of(got_cols, got_rows)
+        en, er = rows_of(exp_cols, exp_rows)
+        if gn != en:
+            failed.append(name)
+            print(f"FAIL {name}: columns spark={gn} duckdb={en}")
+            continue
+        if len(gr) != len(er):
+            failed.append(name)
+            print(f"FAIL {name}: rowcount spark={len(gr)} duckdb={len(er)}")
+            continue
+        bad = [(a, b) for a, b in zip(gr, er) if a != b]
+        if bad:
+            failed.append(name)
+            print(f"FAIL {name}: {len(bad)} differing rows; first: spark={bad[0][0]} duckdb={bad[0][1]}")
+            continue
+        print(f"PASS {name}: {len(gr)} rows, cols={gn}")
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} passed")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
