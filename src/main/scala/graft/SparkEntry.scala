@@ -19,8 +19,10 @@ object SparkEntry {
     queries("q03_join_topk")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+    graft.queries.FlattenQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle
+    graft.queries.Relational.oracle ++
+    graft.queries.FlattenQueries.oracle
 }

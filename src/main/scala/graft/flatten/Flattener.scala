@@ -1,0 +1,170 @@
+package graft.flatten
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Complete JSON flattening — the reference's core capability
+  * ([`ElasticSearch ETL.py:37-195`], `README.md:24-70`), rebuilt Spark-first.
+  *
+  * The reference makes two interpreted passes over every document: pass 1
+  * discovers the union of leaf column paths, pass 2 re-splits each path
+  * string and walks the dict per (doc × column) — O(docs × cols × depth)
+  * Python dict probes. Here the "passes" are:
+  *
+  *   1. Spark JSON schema inference (already a union across all records) +
+  *      one [[ArrayStats]] aggregate for batch-max array lengths;
+  *   2. ONE generated `select` of ~N-thousand string expressions, executed
+  *      by whole-stage codegen — the per-row cost is compiled field access,
+  *      not string re-parsing, and it distributes over any number of
+  *      executors.
+  *
+  * Semantics (SURVEY.md §2.3 quirk decisions):
+  *   - Q1  digit map keys: FIXED — `ValueCodes_45` extracts its real value
+  *     (schema-driven access has no index/key ambiguity). The reference
+  *     always returned `''` there.
+  *   - Q2  underscore-bearing keys: FIXED — no path re-split exists.
+  *   - Q3  case-collisions: replicated — sibling keys colliding on one
+  *     Pascal name resolve by the reference's probe order (camel first).
+  *   - Q4  ragged arrays: replicated — unindexed column emitted iff some
+  *     document has the array empty; its value is the full JSON of the
+  *     array (`[]` for the empty ones).
+  *   - Q5  missing/null/empty conflation: replicated — all become `''`.
+  *     One sub-case diverges: a key explicitly `null` in EVERY document is
+  *     indistinguishable from an absent key after JSON parsing, so no
+  *     column is emitted where the reference would emit an all-`''` one.
+  *   - Q9  lexicographic column order (string sort, `_10_` < `_2_`):
+  *     replicated.
+  *   - booleans render `True`/`False` at top level but lowercase inside
+  *     JSON cells; doubles use Python `str(float)` shape ([[PyFormat]]).
+  */
+object Flattener {
+
+  val DefaultMaxDepth = 20
+
+  /** Flatten every row of `df` (one row = one document) into all-string
+    * leaf columns, lexicographically ordered.
+    */
+  def flatten(df: DataFrame, maxDepth: Int = DefaultMaxDepth): DataFrame = {
+    // Sibling keys differing only in case (quirk Q3) are legal JSON; the
+    // generated select addresses fields by their exact schema names, which
+    // requires case-sensitive resolution. Dataset analysis is eager, so the
+    // conf only needs to hold across the select()/agg() calls.
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.caseSensitive")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val stats = ArrayStats.collect(df)
+      val cand = candidates(df.schema, stats, maxDepth)
+      if (cand.isEmpty) return df.sparkSession.emptyDataFrame
+      val present = presentColumns(df, cand)
+      df.select(cand.collect {
+        case (name, _, rendered) if present(name) => rendered.as(name)
+      }: _*)
+    } finally spark.conf.set("spark.sql.caseSensitive", prev)
+  }
+
+  /** Schema inference unions element schemas across all array elements and
+    * documents, but the reference only emits a column where the key is
+    * literally present in that concrete element [`ETL.py:49-74`]. Non-null
+    * observation is the parse-level proxy (explicit JSON `null` — which the
+    * reference WOULD keep as a `''` column — is indistinguishable from
+    * absence after parsing; documented divergence). One boolean-max
+    * aggregate, chunked to keep generated code within JVM method limits.
+    */
+  private def presentColumns(df: DataFrame,
+      cand: Seq[(String, Column, Column)]): Set[String] = {
+    val out = Set.newBuilder[String]
+    cand.grouped(700).foreach { chunk =>
+      val aggs = chunk.map { case (name, raw, _) =>
+        max(raw.isNotNull.cast("int")).as(name)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      chunk.zipWithIndex.foreach { case ((name, _, _), i) =>
+        if (!row.isNullAt(i) && row.getInt(i) > 0) out += name
+      }
+    }
+    out.result()
+  }
+
+  /** The generated select-list: one aliased string Column per flattened
+    * leaf path, sorted by the reference's plain string sort (presence
+    * pruning NOT applied — [[flatten]] applies it).
+    */
+  def selectList(schema: StructType, stats: Map[String, ArrayStats.Stats],
+      maxDepth: Int = DefaultMaxDepth): Seq[Column] =
+    candidates(schema, stats, maxDepth).map {
+      case (name, _, rendered) => rendered.as(name)
+    }
+
+  /** All candidate leaf columns as (pascalPath, rawValue, renderedString),
+    * sorted lexicographically.
+    */
+  def candidates(schema: StructType, stats: Map[String, ArrayStats.Stats],
+      maxDepth: Int = DefaultMaxDepth): Seq[(String, Column, Column)] = {
+    val buf = mutable.ArrayBuffer.empty[(String, Column, Column)]
+
+    // A whole terminal cell (dict/list/truncated subtree): '' for a
+    // missing/null value [`ETL.py:132-133`], json.dumps otherwise.
+    def jsonCell(c: Column, dt: DataType): Column =
+      when(c.isNull, "").otherwise(PyFormat.pyJson(c, dt))
+
+    def emit(c: Column, dt: DataType, pPath: String, rPath: String,
+        depth: Int): Unit = dt match {
+      case st: StructType =>
+        if (depth + 1 > maxDepth) buf += ((pPath, c, jsonCell(c, st)))
+        else walkStruct(st.fields, n => c.getField(n), pPath, rPath, depth + 1)
+      case ArrayType(et: StructType, _) =>
+        val s = stats.getOrElse(rPath, ArrayStats.Stats(0, hasEmpty = false))
+        // quirk Q4: a document with `path: []` adds the unindexed column to
+        // the batch schema; every document then renders its full array there.
+        if (s.hasEmpty || s.maxLen == 0) buf += ((pPath, c, jsonCell(c, dt)))
+        var i = 0
+        while (i < s.maxLen) {
+          // functions.get, not getItem: out-of-range positional access must
+          // yield null ('' downstream) under ANSI mode, matching the
+          // reference's default-on-miss [`ETL.py:99-102`].
+          val elem = get(c, lit(i))
+          val ip = PathNaming.indexed(pPath, i)
+          if (depth + 1 > maxDepth) buf += ((ip, elem, jsonCell(elem, et)))
+          else walkStruct(et.fields, n => elem.getField(n), ip, s"$rPath.$i",
+            depth + 1)
+          i += 1
+        }
+      case at: ArrayType => // primitives / nested arrays: one JSON cell
+        buf += ((pPath, c, jsonCell(c, at)))
+      case other =>
+        buf += ((pPath, c, PyFormat.pyStr(c, other)))
+    }
+
+    def walkStruct(fields: Array[StructField], get: String => Column,
+        pascalParent: String, rawParent: String, depth: Int): Unit = {
+      // quirk Q3: sibling keys colliding on one Pascal name — reference
+      // extraction probes [camel, lower, exact, capitalize]; first wins.
+      fields.groupBy(f => PathNaming.toPascal(f.name)).foreach {
+        case (pascal, group) =>
+          val winner =
+            if (group.length == 1) group(0)
+            else {
+              val w = PathNaming.collisionWinner(pascal,
+                group.map(_.name).toSeq)
+              group.find(_.name == w).getOrElse(group(0))
+            }
+          val pPath = PathNaming.join(pascalParent, pascal)
+          val rPath =
+            if (rawParent.isEmpty) winner.name
+            else s"$rawParent.${winner.name}"
+          emit(get(winner.name), winner.dataType, pPath, rPath, depth)
+      }
+    }
+
+    walkStruct(schema.fields, n => col(s"`$n`"), "", "", depth = 0)
+
+    // final order: reference's plain lexicographic sort of the full path
+    // [`ETL.py:180`]; dedupe pathological cross-branch collisions.
+    val seen = mutable.HashSet.empty[String]
+    buf.sortBy(_._1).filter { case (name, _, _) => seen.add(name) }.toSeq
+  }
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Elasticsearch search-response JSON source (SURVEY.md §2.1 #1/#3).
+  *
+  * The reference detects the `{hits: {hits: [{_source: …}]}}` envelope and
+  * keeps only `_source` payloads, discarding all ES metadata
+  * [`ElasticSearch ETL.py:157-163`]; bare documents pass through as-is.
+  *
+  * Live-cluster pagination (`search_after` loop, [`ETL.py:220-267`]) is a
+  * connector concern out of scope offline (SURVEY.md §7.5); exported
+  * response files are the modeled input. One exploded row per hit — at
+  * scale, responses across many files parallelize by file split, and the
+  * explode is narrow (no shuffle).
+  */
+object EsJson {
+
+  /** True if the inferred schema carries the ES response envelope. */
+  def isEnvelope(schema: StructType): Boolean =
+    schema.fields.find(_.name == "hits").map(_.dataType).exists {
+      case s: StructType =>
+        s.fields.find(_.name == "hits").map(_.dataType).exists {
+          case ArrayType(h: StructType, _) => h.fieldNames.contains("_source")
+          case _ => false
+        }
+      case _ => false
+    }
+
+  /** Unwrap an envelope DataFrame to one row per `_source` document. */
+  def unwrap(df: DataFrame): DataFrame =
+    if (isEnvelope(df.schema))
+      df.select(explode(col("hits.hits")).as("hit")).select("hit._source.*")
+    else df
+
+  /** Read one-or-many exported ES response files (or bare document files)
+    * as one row per document. `multiLine` because exported responses are
+    * pretty-printed single documents, not JSONL.
+    */
+  def read(spark: SparkSession, path: String,
+      multiLine: Boolean = true): DataFrame =
+    unwrap(spark.read
+      .option("multiLine", multiLine)
+      // ISO-8601-looking strings must stay strings — the reference never
+      // parses dates (SURVEY.md §1.2); be explicit even though these
+      // default to false.
+      .option("inferTimestamp", false)
+      .option("inferDate", false)
+      .option("prefersDecimal", false)
+      .json(path))
+}
