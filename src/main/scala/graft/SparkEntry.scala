@@ -20,9 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-    graft.queries.FlattenQueries.queries
+    graft.queries.FlattenQueries.queries ++
+    graft.queries.TrainingData.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-    graft.queries.FlattenQueries.oracle
+    graft.queries.FlattenQueries.oracle ++
+    graft.queries.TrainingData.oracle
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHash, Text}
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup groups on a 128-bit content hash, so the shuffle carries
+  *    (hash, id) pairs — never document bodies;
+  *  - MinHash signatures are computed row-locally with higher-order
+  *    functions (no explode of shingles); only (band, bandHash, id) tuples
+  *    — a few dozen bytes per doc — are exploded and shuffled for LSH
+  *    bucketing. Candidate verification joins the (small) candidate-pair
+  *    set back to the shingle sets, not all-pairs;
+  *  - SimHash is one 64-bit sketch per doc; banding shuffles (band16, id).
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per identical content. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Deterministic MinHash permutation parameters (seeded). Coefficients
+    * stay below 2^31 so `a*x+b` with a 31-bit-reduced shingle hash fits a
+    * long under ANSI overflow checking (a·x + b < 2^62 + 2^31).
+    */
+  private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)(((math.abs(rnd.nextLong()) % Mersenne31) | 1L,
+      math.abs(rnd.nextLong()) % Mersenne31))
+  }
+  private val Mersenne31 = (1L << 31) - 1
+
+  /** MinHash signature over a shingle-array column: array<long> of k
+    * per-permutation minima, all computed row-locally.
+    */
+  def minhashSignature(shingleSets: Column, k: Int = 32,
+      seed: Long = 42L): Column = {
+    val ps = perms(k, seed)
+    array(ps.map { case (a, b) =>
+      coalesce(
+        array_min(transform(shingleSets,
+          s => pmod(pmod(xxhash64(s), lit(Mersenne31)) * a + b,
+            lit(Mersenne31)))),
+        lit(Mersenne31)) // empty shingle set → sentinel
+    }: _*)
+  }
+
+  /** Candidate near-duplicate pairs via banded LSH over the signature, then
+    * exact shingle-Jaccard verification. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b and jaccard >= threshold.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val base = df.select(
+      col(idCol).as("id"),
+      array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN))
+        .as("shingle_set"))
+      .withColumn("sig", minhashSignature(col("shingle_set"), k))
+
+    val banded = base.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+            .as("bh"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    val sets = base.select(col("id"), col("shingle_set"))
+    cand
+      .join(sets.as("sa"), col("id_a") === col("sa.id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sa.shingle_set"), col("sb.shingle_set")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard over two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    when(union === 0, 0.0).otherwise(
+      round(size(array_intersect(a, b)).cast("double") /
+        union.cast("double"), 6))
+  }
+
+  /** SimHash near-duplicates: 4×16-bit-band blocking, Hamming-distance
+    * verification. Returns (id_a, id_b, hamming) with hamming <= maxDist.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sk = df.select(col(idCol).as("id"),
+      SimHash.simhash(Text.tokens(col(textCol))).as("sh"))
+    val banded = sk.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), SimHash.band16(col("sh"), b).as("bv"))
+      ): _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        SimHash.hamming(col("x.sh"), col("y.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** All-pairs n-gram Jaccard within a blocking key (e.g. same source) —
+    * the exact, oracle-checkable member of the dedup family.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
+    val sets = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      array_distinct(Text.shingles(Text.tokens(col(textCol)), n))
+        .as("s"))
+      .filter(size(col("s")) > 0)
+    sets.as("x").join(sets.as("y"),
+        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        jaccard(col("x.s"), col("y.s")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

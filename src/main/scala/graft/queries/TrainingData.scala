@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventsStream
+
+/** Training-data-pipeline operator surface: deduplication (exact / MinHash
+  * LSH / SimHash / n-gram Jaccard), similarity search (brute-force +
+  * LSH-bucketed ANN), text analysis (quality, language-ID, tokenization,
+  * fingerprints), multimodal plumbing, and the Structured-Streaming window
+  * aggregation.
+  *
+  * Queries with `oracle` entries compute expressions replicated exactly in
+  * DuckDB; the sketch-based ops (MinHash/SimHash/LSH-ANN) are not
+  * SQL-expressible and get rows-only driver checks + ScalaTest oracles
+  * against planted duplicates / brute-force ground truth.
+  */
+object TrainingData {
+
+  // --- q20: exact deduplication ---------------------------------------------
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+
+  private val q20Sql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*) AS n_copies FROM documents GROUP BY 1"""
+
+  // --- q21: text quality scoring ---------------------------------------------
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val t = Text.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      round(Text.meanTokenLen(t), 6).as("mean_token_len"),
+      round(Text.stopwordRatio(t), 6).as("stopword_ratio"),
+      Text.qualityScore(col("text")).as("quality"))
+  }
+
+  private val q21Sql =
+    """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6)
+         AS mean_token_len,
+       round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+         / len(w), 6) AS stopword_ratio,
+       CAST(round(
+         (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END) +
+         (CASE WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+               / len(w) > 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) +
+         (CASE WHEN list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+               BETWEEN 2.0 AND 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END), 6) AS DOUBLE) AS quality
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t"""
+
+  // --- q22: language identification (marker heuristic) -----------------------
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), Text.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  private val q22Sql =
+    """SELECT lang, predicted, count(*) AS n FROM (
+         SELECT lang,
+           CASE
+             WHEN s_en > 0 AND s_en = best THEN 'en'
+             WHEN s_es > 0 AND s_es = best THEN 'es'
+             WHEN s_de > 0 AND s_de = best THEN 'de'
+             WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+             WHEN s_zh > 0 AND s_zh = best THEN 'zh'
+             ELSE 'und' END AS predicted
+         FROM (
+           SELECT lang, s_en, s_es, s_de, s_fr, s_zh,
+             greatest(s_en, s_es, s_de, s_fr, s_zh) AS best
+           FROM (
+             SELECT lang,
+               len(list_filter(w, x -> x IN ('the','a','of'))) AS s_en,
+               len(list_filter(w, x -> x IN ('la','el','de'))) AS s_es,
+               len(list_filter(w, x -> x IN ('der','die','und'))) AS s_de,
+               len(list_filter(w, x -> x IN ('le','la','et'))) AS s_fr,
+               len(list_filter(w, x -> x IN ('de5','shi4','le5'))) AS s_zh
+             FROM (SELECT lang, string_split(text, ' ') AS w FROM documents) a
+           ) b) c) e GROUP BY lang, predicted"""
+
+  // --- q23: regex (BPE-ish) tokenization statistics ---------------------------
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val rt = Text.regexTokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("lang"), size(rt).cast("long").as("n_tok"),
+        size(array_distinct(rt)).cast("long").as("n_uniq"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_uniq")).as("total_unique"),
+        round(avg(col("n_tok")), 6).as("avg_tokens"))
+  }
+
+  private val q23Sql =
+    """SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_uniq) AS BIGINT) AS total_unique,
+       round(avg(n_tok), 6) AS avg_tokens FROM (
+         SELECT lang,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tok,
+           len(list_distinct(
+             regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS n_uniq
+         FROM documents) t GROUP BY lang"""
+
+  // --- q24: positional document fingerprint -----------------------------------
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.positionalFingerprint(Text.tokens(col("text"))).as("fingerprint"))
+
+  private val q24Sql =
+    """SELECT doc_id,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+         (x, i) -> i * (31 * length(x) + ascii(x)))) AS BIGINT) % 1000000007
+         AS fingerprint
+       FROM documents"""
+
+  // --- q25: MinHash + LSH near-duplicate candidates (rows-only check) --------
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.1)
+
+  // --- q26: SimHash near-duplicate pairs (rows-only check) --------------------
+  private def q26(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+      maxDist = 8)
+
+  // --- q27: exact n-gram Jaccard within source blocks -------------------------
+  private def q27(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      blockCol = "source", n = 3, minJaccard = 0.05)
+
+  private val q27Sql =
+    """SELECT id_a, id_b, jaccard FROM (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         FROM
+           (SELECT source, doc_id,
+              list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+            FROM (SELECT source, doc_id, string_split(text, ' ') AS w
+                  FROM documents) t0
+            WHERE len(w) >= 3) a
+         JOIN
+           (SELECT source, doc_id,
+              list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+            FROM (SELECT source, doc_id, string_split(text, ' ') AS w
+                  FROM documents) t1
+            WHERE len(w) >= 3) b
+         ON a.source = b.source AND a.doc_id < b.doc_id) p
+       WHERE jaccard >= 0.05"""
+
+  // --- q28: brute-force cosine top-k (the ANN correctness baseline) ----------
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
+  private val q28Sql =
+    """SELECT q_id, id, rank FROM (
+         SELECT q.vec_id AS q_id, c.vec_id AS id,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                             c.embedding::DOUBLE[]) DESC,
+                      c.vec_id ASC) AS BIGINT) AS rank
+         FROM embeddings q, embeddings c
+         WHERE q.vec_id < 10 AND q.vec_id != c.vec_id) t
+       WHERE rank <= 5"""
+
+  // --- q29: LSH-bucketed ANN (rows-only; recall vs q28 in ScalaTest) ----------
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4)
+  }
+
+  // --- q30: multimodal binary plumbing ----------------------------------------
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaTable(Tables.documents(s, d))
+    val feats = Multimodal.extractFeatures(media).toDF()
+    media.join(feats, "id").select(
+      col("id"), col("n_bytes"),
+      substring(hex(col("media")), 1, 16).as("hex_prefix"),
+      col("meta.mime").as("mime"),
+      col("meta.width").cast("long").as("width"),
+      col("meta.height").cast("long").as("height"))
+  }
+
+  private val q30Sql =
+    """SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       hex(encode(text))[1:16] AS hex_prefix,
+       'image/png' AS mime,
+       doc_id % 640 + 32 AS width,
+       doc_id % 480 + 32 AS height
+       FROM documents"""
+
+  // --- q31: Structured Streaming windowed aggregation -------------------------
+  private def q31(s: SparkSession, d: String): DataFrame =
+    EventsStream.windowedAgg(s, d)
+
+  private val q31Sql =
+    """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
+         '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n, round(sum(value), 6) AS total_value
+       FROM events GROUP BY 1, 2"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact"     -> q20 _,
+    "q21_text_quality"    -> q21 _,
+    "q22_lang_id"         -> q22 _,
+    "q23_token_stats"     -> q23 _,
+    "q24_fingerprint"     -> q24 _,
+    "q25_minhash_lsh"     -> q25 _,
+    "q26_simhash_pairs"   -> q26 _,
+    "q27_ngram_jaccard"   -> q27 _,
+    "q28_ann_bruteforce"  -> q28 _,
+    "q29_ann_lsh"         -> q29 _,
+    "q30_multimodal"      -> q30 _,
+    "q31_stream_window"   -> q31 _)
+
+  val oracle: Map[String, String] = Map(
+    "q20_dedup_exact"     -> q20Sql,
+    "q21_text_quality"    -> q21Sql,
+    "q22_lang_id"         -> q22Sql,
+    "q23_token_stats"     -> q23Sql,
+    "q24_fingerprint"     -> q24Sql,
+    "q27_ngram_jaccard"   -> q27Sql,
+    "q28_ann_bruteforce"  -> q28Sql,
+    "q30_multimodal"      -> q30Sql,
+    "q31_stream_window"   -> q31Sql)
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming form of the events pipeline (SURVEY.md §2.1 #13:
+  * the reference's `search_after` micro-batch pull loop is exactly Spark's
+  * incremental-source pattern — here modeled with a file source +
+  * `Trigger.AvailableNow`).
+  *
+  * The batch-equivalent aggregation lives in Relational.q16; this module
+  * runs the REAL streaming machinery (source → watermark → event-time
+  * window → stateful aggregation → sink) so the driver can verify the
+  * streaming path produces byte-identical results to the batch oracle.
+  */
+object EventsStream {
+
+  /** The events parquet schema as the streaming source must declare it:
+    * ts is TIMESTAMP(NANOS) in the file, readable only as int64 nanos.
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** 15-minute tumbling-window counts/sums per event_type, computed by a
+    * streaming query over the events parquet and materialized through a
+    * memory sink. `AvailableNow` processes the whole file then stops —
+    * the finite-input form of a continuous deployment.
+    */
+  def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "events_win_" + UUID.randomUUID().toString.replace("-", "")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      // the file-stream source wants a directory; pathGlobFilter narrows it
+      // to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "30 days")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SimHash, Text}
+
+/** Oracle tests for the sketch-based training-data ops that are not
+  * SQL-expressible (MinHash LSH, SimHash, LSH-ANN): planted near-duplicates
+  * must be found, brute-force ground truth bounds the ANN recall.
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def wordsDoc(seed: Int, n: Int = 60): String = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo")
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+
+  private lazy val planted = {
+    import spark.implicits._
+    val base = wordsDoc(1)
+    val nearDup = {
+      val w = base.split(" "); w(5) = "zulu"; w(40) = "yankee"
+      w.mkString(" ")
+    }
+    val exactDup = base
+    val others = (10 to 29).map(wordsDoc(_))
+    (Seq((1L, base), (2L, nearDup), (3L, exactDup)) ++
+      others.zipWithIndex.map { case (t, i) => ((10 + i).toLong, t) })
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup collapses identical texts to the min id") {
+    val out = Dedup.exact(planted, "doc_id", "text")
+    val dup = out.filter(col("n_copies") > 1).collect()
+    assert(dup.length == 1)
+    assert(dup(0).getAs[Long]("keep_id") == 1L)
+    assert(dup(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds planted near-duplicates, no spurious pairs") {
+    val pairs = Dedup.minhashLsh(planted, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 3L)), s"exact pair missing from $ids")
+    assert(ids.contains((1L, 2L)) && ids.contains((2L, 3L)),
+      s"near-dup pair missing from $ids")
+    // nothing else clears a 0.5 shingle-jaccard bar
+    assert(ids == Set((1L, 2L), (1L, 3L), (2L, 3L)), ids.toString)
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 3L)).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("simhash: identical docs collide, near-dups are close, others far") {
+    import spark.implicits._
+    val sk = planted.select(col("doc_id"),
+        SimHash.simhash(Text.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) == sk(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sk(1L), sk(2L)) <= 12, s"near-dup hamming ${ham(sk(1L), sk(2L))}")
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("LSH-ANN recall vs brute force on the real embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+        dim = 64, k = 5, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"LSH-ANN recall@5 (4 planes, multi-probe hamming<=1): $recall")
+    assert(recall >= 0.2, s"recall $recall below floor")
+    // approximate neighbors must never beat brute force's rank-1 (sanity:
+    // any (q,id) in approx must exist in the full corpus)
+    assert(approx.forall { case (qid, id) => qid != id })
+  }
+
+  test("multimodal fake decoder is deterministic and length-correct") {
+    val media = Multimodal.mediaTable(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 500)
+    val f0 = feats.find(_.id == 0L).get
+    val doc0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    assert(f0.n_bytes == doc0.getBytes("UTF-8").length.toLong)
+    val again = Multimodal.extractFeatures(media).collect()
+      .find(_.id == 0L).get
+    assert(again == f0)
+  }
+
+  test("language-ID heuristic picks marker-matching language") {
+    import spark.implicits._
+    val df = Seq(
+      ("d1", "der hund und die katze und der vogel"),
+      ("e1", "the cat of the house and a dog"),
+      ("u1", "xyzzy plugh quux")).toDF("id", "text")
+    val got = df.select(col("id"), Text.langId(col("text")).as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("d1") == "de")
+    assert(got("e1") == "en")
+    assert(got("u1") == "und")
+  }
+}

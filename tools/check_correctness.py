@@ -22,6 +22,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def norm(v):
     if v is None:
         return None
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
