@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+import graft.CatalystBridge
+
+/** Set algebra over SORTED long arrays via a single codegen'd static call.
+  *
+  * `array_intersect`/`array_union` build a hash set per invocation; on an
+  * all-pairs similarity join that is millions of transient hash sets. A
+  * linear merge over pre-sorted arrays is allocation-free and ~an order of
+  * magnitude faster — the arrays are sorted ONCE per document on the build
+  * side, then every pair comparison is O(|a|+|b|) sequential reads. This is
+  * the difference between the pairwise stage dominating a 100 TB dedup run
+  * and it being bandwidth-bound.
+  */
+object ArrayOps {
+
+  /** Jaccard of two sorted, deduplicated long arrays, rounded to 6 decimals
+    * with the same HALF_UP rule as Spark's `round`. Returns 0.0 for an
+    * empty union.
+    */
+  def jaccardSortedLongs(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0
+    else java.math.BigDecimal.valueOf(inter.toDouble / union)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  def jaccardSorted(a: Column, b: Column): Column = CatalystBridge.column(
+    StaticInvoke(
+      ArrayOps.getClass, DoubleType, "jaccardSortedLongs",
+      Seq(CatalystBridge.expression(a), CatalystBridge.expression(b)),
+      Seq(ArrayType(LongType), ArrayType(LongType)),
+      returnNullable = false))
+
+  /** Sorted, deduplicated 64-bit hashes of a string array — the compact
+    * pair-comparison representation (hash collisions across a document's
+    * shingle set are ~2^-64·n² — negligible against the exact-string
+    * oracle).
+    */
+  def sortedHashSet(strings: Column): Column =
+    array_sort(array_distinct(transform(strings, s => xxhash64(s))))
+
+  /** Sorted, deduplicated 64-bit hashes of the word n-grams of a token
+    * array, computed in one static call. Spark's higher-order functions
+    * (`transform`/`aggregate`) are CodegenFallback — every lambda element
+    * evaluation is interpreted with boxing. Shingling a 100 TB corpus that
+    * way spends more time in the interpreter than in hashing; this loop
+    * hashes each token once (FNV-1a 64) and combines n at a time with no
+    * intermediate strings or boxing.
+    */
+  def ngramHashSet(tokens: ArrayData, n: Int): ArrayData = {
+    val nt = tokens.numElements()
+    if (nt < n) return ArrayData.toArrayData(Array.emptyLongArray)
+    val word = new Array[Long](nt)
+    var i = 0
+    while (i < nt) {
+      word(i) = if (tokens.isNullAt(i)) 0L else fnv(tokens.getUTF8String(i))
+      i += 1
+    }
+    val out = new Array[Long](nt - n + 1)
+    i = 0
+    while (i <= nt - n) {
+      var h = 0xCBF29CE484222325L
+      var j = 0
+      while (j < n) {
+        h = (h ^ word(i + j)) * 0x100000001B3L
+        j += 1
+      }
+      out(i) = mix(h)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // dedupe in place
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(if (w == out.length) out else out.take(w))
+  }
+
+  /** k-permutation MinHash signature of a 64-bit hash set, one tight loop.
+    * Permutation coefficients derive from `seed` via splitmix64 (31-bit
+    * bounded so a·x+b never overflows a long).
+    */
+  def minhashSig(hashes: ArrayData, k: Int, seed: Long): ArrayData = {
+    val m31 = (1L << 31) - 1
+    val out = new Array[Long](k)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < k) {
+      val a = (Math.floorMod(mix(seed + 2L * j), m31)) | 1L
+      val b = Math.floorMod(mix(seed + 2L * j + 1), m31)
+      var mn = m31
+      var i = 0
+      while (i < n) {
+        val x = Math.floorMod(hashes.getLong(i), m31)
+        val v = Math.floorMod(a * x + b, m31)
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(j) = mn
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  private def fnv(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xFFL)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def ngramHashes(tokens: Column, n: Int): Column = CatalystBridge.column(
+    StaticInvoke(
+      ArrayOps.getClass, ArrayType(LongType, containsNull = false),
+      "ngramHashSet",
+      Seq(CatalystBridge.expression(tokens),
+        CatalystBridge.expression(lit(n))),
+      Seq(ArrayType(StringType), IntegerType),
+      returnNullable = false))
+
+  def minhash(hashes: Column, k: Int, seed: Long = 42L): Column =
+    CatalystBridge.column(
+      StaticInvoke(
+        ArrayOps.getClass, ArrayType(LongType, containsNull = false),
+        "minhashSig",
+        Seq(CatalystBridge.expression(hashes),
+          CatalystBridge.expression(lit(k)),
+          CatalystBridge.expression(lit(seed))),
+        Seq(ArrayType(LongType), IntegerType, LongType),
+        returnNullable = false))
+}

@@ -37,23 +37,42 @@ object Dedup {
   private val Mersenne31 = (1L << 31) - 1
 
   /** MinHash signature over a shingle-array column: array<long> of k
-    * per-permutation minima, all computed row-locally.
+    * per-permutation minima, all computed row-locally. The base shingle
+    * hash is computed ONCE (not once per permutation) — permutations are
+    * affine transforms of the 31-bit-reduced base hashes.
     */
   def minhashSignature(shingleSets: Column, k: Int = 32,
+      seed: Long = 42L): Column =
+    minhashFromHashes(baseHashes(shingleSets), k, seed)
+
+  /** 31-bit-reduced base hashes of a shingle set (compute once, feed to
+    * [[minhashFromHashes]] — Catalyst CSE across 32 nested lambdas is not
+    * guaranteed, so callers materialize this as its own column).
+    */
+  def baseHashes(shingleSets: Column): Column =
+    transform(shingleSets, s => pmod(xxhash64(s), lit(Mersenne31)))
+
+  def minhashFromHashes(hashes: Column, k: Int = 32,
       seed: Long = 42L): Column = {
     val ps = perms(k, seed)
     array(ps.map { case (a, b) =>
       coalesce(
-        array_min(transform(shingleSets,
-          s => pmod(pmod(xxhash64(s), lit(Mersenne31)) * a + b,
-            lit(Mersenne31)))),
+        array_min(transform(hashes,
+          h => pmod(h * a + b, lit(Mersenne31)))),
         lit(Mersenne31)) // empty shingle set → sentinel
     }: _*)
   }
 
   /** Candidate near-duplicate pairs via banded LSH over the signature, then
-    * exact shingle-Jaccard verification. Returns (id_a, id_b, jaccard)
-    * with id_a < id_b and jaccard >= threshold.
+    * exact shingle-Jaccard verification (over 64-bit shingle hashes — equal
+    * to string-set Jaccard up to negligible collision probability).
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * The compact per-doc projection (id, sorted hash set, signature) is
+    * persisted (memory-then-disk) because three plan branches reuse it
+    * (band explode + both sides of the verification join); recomputing it
+    * would re-shingle the corpus 4×. At 100 TB this projection is ~1-2% of
+    * corpus bytes and spills cleanly.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
@@ -61,9 +80,10 @@ object Dedup {
     val rowsPerBand = k / bands
     val base = df.select(
       col(idCol).as("id"),
-      array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN))
-        .as("shingle_set"))
-      .withColumn("sig", minhashSignature(col("shingle_set"), k))
+      graft.functions.ArrayOps.ngramHashes(
+        Text.tokens(col(textCol)), shingleN).as("hset"))
+      .withColumn("sig", graft.functions.ArrayOps.minhash(col("hset"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = base.select(
       col("id"),
@@ -80,12 +100,13 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
-    val sets = base.select(col("id"), col("shingle_set"))
+    val sets = base.select(col("id"), col("hset"))
     cand
       .join(sets.as("sa"), col("id_a") === col("sa.id"))
       .join(sets.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sa.shingle_set"), col("sb.shingle_set")).as("jaccard"))
+        graft.functions.ArrayOps.jaccardSorted(
+          col("sa.hset"), col("sb.hset")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -120,17 +141,24 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard within a blocking key (e.g. same source) —
     * the exact, oracle-checkable member of the dedup family.
+    *
+    * Pair comparison runs on sorted 64-bit shingle hashes with a linear
+    * merge ([[graft.functions.ArrayOps]]): shingle strings are hashed and
+    * sorted once per document, the O(pairs) inner loop touches only packed
+    * longs. Results equal exact string-set Jaccard up to 2^-64-probability
+    * hash collisions.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
     val sets = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      array_distinct(Text.shingles(Text.tokens(col(textCol)), n))
+      graft.functions.ArrayOps.ngramHashes(Text.tokens(col(textCol)), n)
         .as("s"))
       .filter(size(col("s")) > 0)
     sets.as("x").join(sets.as("y"),
         col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        jaccard(col("x.s"), col("y.s")).as("jaccard"))
+        graft.functions.ArrayOps.jaccardSorted(col("x.s"), col("y.s"))
+          .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }
