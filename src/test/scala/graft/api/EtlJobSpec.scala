@@ -1,0 +1,59 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class EtlJobSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("etljob").toString
+
+  test("end-to-end job: golden doc -> TSV + SUCCESS audit row") {
+    val out = tmp()
+    val res = EtlJob.run(spark, "/root/reference/ElasticSearch_Document.json",
+      s"$out/tsv", s"$out/audit")
+    assert(res.records == 1L)
+    assert(res.columns == 5028)
+    val tsvFiles = new java.io.File(s"$out/tsv").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(tsvFiles.nonEmpty)
+    val header = scala.io.Source.fromFile(tsvFiles.head).getLines().next()
+    assert(header.split("\t").length == 5028)
+    assert(header.startsWith("AdmissionDate\tAge\t"))
+    val audit = spark.read.parquet(s"$out/audit").collect()
+    assert(audit.length == 1)
+    assert(audit(0).getAs[String]("job_status") == "SUCCESS")
+    assert(audit(0).getAs[Long]("record_count_loaded") == 1L)
+  }
+
+  test("failure path writes a FAILED audit row and rethrows") {
+    val out = tmp()
+    intercept[Throwable] {
+      EtlJob.run(spark, s"$out/does-not-exist.json", s"$out/tsv",
+        s"$out/audit")
+    }
+    val audit = spark.read.parquet(s"$out/audit").collect()
+    assert(audit.length == 1)
+    assert(audit(0).getAs[String]("job_status") == "FAILED")
+    assert(audit(0).getAs[String]("error_desc") != null)
+  }
+
+  test("interactive column search and transpose preview") {
+    val flat = graft.flatten.Flattener.flatten(
+      graft.sources.EsJson.read(spark,
+        "/root/reference/ElasticSearch_Document.json"))
+    val price = EtlJob.searchColumns(flat, "Price")
+    assert(price.columns.nonEmpty)
+    assert(price.columns.forall(_.contains("Price")))
+    val prev = EtlJob.transposePreview(flat, maxCols = 40).collect()
+    assert(prev.length == 40)
+    assert(prev.map(_.getString(0)).toSeq ==
+      flat.columns.take(40).toSeq)
+  }
+}
