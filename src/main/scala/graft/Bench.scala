@@ -1,5 +1,15 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query wall-clock over the
+  * SPARK_GRAFT_SF_DIR tables, plus the reference workload's own unit of
+  * work — documents/second flattened to ~5,000 columns (BASELINE.md: the
+  * reference sustains ~8 docs/s single-threaded at 1,000 docs; our target
+  * is matching that per core, distributed).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,7 +32,41 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val flat = flattenBench(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","flatten_docs":${flat._1},"flatten_sec":${flat._2},"flatten_docs_per_s":${flat._3},"flatten_docs_per_s_warm":${flat._4}}""")
     spark.stop()
   }
+
+  /** Flatten N copies of the reference's golden document (claim ids varied
+    * so rows are distinct) through the full pipeline including the TSV
+    * write — the workload BASELINE.md prices at ~2 min for 1,000 docs.
+    * Cold = includes schema inference and the one-time Janino compilation
+    * of the ~5k-column projection; warm = steady-state rate once compiled
+    * (what a long-running 100 TB job actually sustains).
+    */
+  private def flattenBench(spark: SparkSession,
+      n: Int = 1000): (Int, Double, Double, Double) =
+    try {
+      val golden = "/root/reference/ElasticSearch_Document.json"
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(new java.io.File(golden))
+      val src = root.get("hits").get("hits").get(0).get("_source")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val sb = new StringBuilder
+      (0 until n).foreach { i =>
+        src.put("claimRequestId", 3590021L + i)
+        sb.append(mapper.writeValueAsString(src)).append('\n')
+      }
+      val in = Files.createTempDirectory("flatbench")
+      Files.writeString(in.resolve("docs.jsonl"), sb.toString)
+      val t0 = System.nanoTime()
+      val df = spark.read.json(in.resolve("docs.jsonl").toString)
+      val flat = graft.flatten.Flattener.flatten(df)
+      graft.sinks.Tsv.write(flat, in.resolve("tsv").toString)
+      val cold = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.sinks.Tsv.write(flat, in.resolve("tsv2").toString)
+      val warm = (System.nanoTime() - t1) / 1e9
+      (n, cold, n / cold, n / warm)
+    } catch { case _: Throwable => (0, 0.0, 0.0, 0.0) }
 }

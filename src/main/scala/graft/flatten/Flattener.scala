@@ -47,7 +47,15 @@ object Flattener {
   /** Flatten every row of `df` (one row = one document) into all-string
     * leaf columns, lexicographically ordered.
     */
-  def flatten(df: DataFrame, maxDepth: Int = DefaultMaxDepth): DataFrame = {
+  /** @param persistInput cache the parsed input across the internal jobs.
+    *   Flattening needs several passes (array stats per nesting level,
+    *   presence pruning, final projection); over a JSON source each pass
+    *   would otherwise re-parse every document — the difference between 1
+    *   and ~10+ full-corpus parses. Off only when the caller manages its
+    *   own staging (e.g. input already parquet or externally cached).
+    */
+  def flatten(df: DataFrame, maxDepth: Int = DefaultMaxDepth,
+      persistInput: Boolean = true): DataFrame = {
     // Sibling keys differing only in case (quirk Q3) are legal JSON; the
     // generated select addresses fields by their exact schema names, which
     // requires case-sensitive resolution. Dataset analysis is eager, so the
@@ -56,37 +64,21 @@ object Flattener {
     val prev = spark.conf.get("spark.sql.caseSensitive")
     spark.conf.set("spark.sql.caseSensitive", "true")
     try {
-      val stats = ArrayStats.collect(df)
-      val cand = candidates(df.schema, stats, maxDepth)
-      if (cand.isEmpty) return df.sparkSession.emptyDataFrame
-      val present = presentColumns(df, cand)
-      df.select(cand.collect {
-        case (name, _, rendered) if present(name) => rendered.as(name)
+      val input =
+        if (persistInput && df.storageLevel ==
+            org.apache.spark.storage.StorageLevel.NONE)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else df
+      // ONE distributed pass for array widths + presence (StatsPass); the
+      // only other pass over the input is the final projection itself.
+      val batch = StatsPass.collect(input)
+      val cand = candidates(input.schema, batch.arrays, maxDepth)
+      if (cand.isEmpty) return spark.emptyDataFrame
+      input.select(cand.collect {
+        case (name, rawPath, rendered) if batch.present(rawPath) =>
+          rendered.as(name)
       }: _*)
     } finally spark.conf.set("spark.sql.caseSensitive", prev)
-  }
-
-  /** Schema inference unions element schemas across all array elements and
-    * documents, but the reference only emits a column where the key is
-    * literally present in that concrete element [`ETL.py:49-74`]. Non-null
-    * observation is the parse-level proxy (explicit JSON `null` — which the
-    * reference WOULD keep as a `''` column — is indistinguishable from
-    * absence after parsing; documented divergence). One boolean-max
-    * aggregate, chunked to keep generated code within JVM method limits.
-    */
-  private def presentColumns(df: DataFrame,
-      cand: Seq[(String, Column, Column)]): Set[String] = {
-    val out = Set.newBuilder[String]
-    cand.grouped(700).foreach { chunk =>
-      val aggs = chunk.map { case (name, raw, _) =>
-        max(raw.isNotNull.cast("int")).as(name)
-      }
-      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-      chunk.zipWithIndex.foreach { case ((name, _, _), i) =>
-        if (!row.isNullAt(i) && row.getInt(i) > 0) out += name
-      }
-    }
-    out.result()
   }
 
   /** The generated select-list: one aliased string Column per flattened
@@ -99,12 +91,14 @@ object Flattener {
       case (name, _, rendered) => rendered.as(name)
     }
 
-  /** All candidate leaf columns as (pascalPath, rawValue, renderedString),
-    * sorted lexicographically.
+  /** All candidate leaf columns as (pascalPath, rawDotPath, renderedString),
+    * sorted lexicographically. The raw dotted path (numeric segments for
+    * bound array indices) is the presence-lookup key into
+    * [[StatsPass.Batch.present]].
     */
   def candidates(schema: StructType, stats: Map[String, ArrayStats.Stats],
-      maxDepth: Int = DefaultMaxDepth): Seq[(String, Column, Column)] = {
-    val buf = mutable.ArrayBuffer.empty[(String, Column, Column)]
+      maxDepth: Int = DefaultMaxDepth): Seq[(String, String, Column)] = {
+    val buf = mutable.ArrayBuffer.empty[(String, String, Column)]
 
     // A whole terminal cell (dict/list/truncated subtree): '' for a
     // missing/null value [`ETL.py:132-133`], json.dumps otherwise.
@@ -114,13 +108,13 @@ object Flattener {
     def emit(c: Column, dt: DataType, pPath: String, rPath: String,
         depth: Int): Unit = dt match {
       case st: StructType =>
-        if (depth + 1 > maxDepth) buf += ((pPath, c, jsonCell(c, st)))
+        if (depth + 1 > maxDepth) buf += ((pPath, rPath, jsonCell(c, st)))
         else walkStruct(st.fields, n => c.getField(n), pPath, rPath, depth + 1)
       case ArrayType(et: StructType, _) =>
         val s = stats.getOrElse(rPath, ArrayStats.Stats(0, hasEmpty = false))
         // quirk Q4: a document with `path: []` adds the unindexed column to
         // the batch schema; every document then renders its full array there.
-        if (s.hasEmpty || s.maxLen == 0) buf += ((pPath, c, jsonCell(c, dt)))
+        if (s.hasEmpty || s.maxLen == 0) buf += ((pPath, rPath, jsonCell(c, dt)))
         var i = 0
         while (i < s.maxLen) {
           // functions.get, not getItem: out-of-range positional access must
@@ -128,15 +122,15 @@ object Flattener {
           // reference's default-on-miss [`ETL.py:99-102`].
           val elem = get(c, lit(i))
           val ip = PathNaming.indexed(pPath, i)
-          if (depth + 1 > maxDepth) buf += ((ip, elem, jsonCell(elem, et)))
+          if (depth + 1 > maxDepth) buf += ((ip, s"$rPath.$i", jsonCell(elem, et)))
           else walkStruct(et.fields, n => elem.getField(n), ip, s"$rPath.$i",
             depth + 1)
           i += 1
         }
       case at: ArrayType => // primitives / nested arrays: one JSON cell
-        buf += ((pPath, c, jsonCell(c, at)))
+        buf += ((pPath, rPath, jsonCell(c, at)))
       case other =>
-        buf += ((pPath, c, PyFormat.pyStr(c, other)))
+        buf += ((pPath, rPath, PyFormat.pyStr(c, other)))
     }
 
     def walkStruct(fields: Array[StructField], get: String => Column,

@@ -212,6 +212,25 @@ object TrainingData {
        event_type, count(*) AS n, round(sum(value), 6) AS total_value
        FROM events GROUP BY 1, 2"""
 
+  // --- q32: stateful streaming sessionization (flatMapGroupsWithState) --------
+  private def q32(s: SparkSession, d: String): DataFrame =
+    graft.streaming.SessionStream.sessions(s, d, gapMinutes = 30)
+
+  private val q32Sql =
+    """SELECT user_id, sess_id, count(*) AS n_events,
+       round(sum(value), 6) AS sess_value
+       FROM (
+         SELECT user_id, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         FROM (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  OR epoch(ts) - epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800.0
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events) a) b
+       GROUP BY user_id, sess_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -224,7 +243,8 @@ object TrainingData {
     "q28_ann_bruteforce"  -> q28 _,
     "q29_ann_lsh"         -> q29 _,
     "q30_multimodal"      -> q30 _,
-    "q31_stream_window"   -> q31 _)
+    "q31_stream_window"   -> q31 _,
+    "q32_stream_sessions" -> q32 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -235,5 +255,6 @@ object TrainingData {
     "q27_ngram_jaccard"   -> q27Sql,
     "q28_ann_bruteforce"  -> q28Sql,
     "q30_multimodal"      -> q30Sql,
-    "q31_stream_window"   -> q31Sql)
+    "q31_stream_window"   -> q31Sql,
+    "q32_stream_sessions" -> q32Sql)
 }

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Stateful streaming sessionization: `flatMapGroupsWithState` over
+  * per-user event groups — the custom-state member of the streaming
+  * surface (the windowed-aggregation member is [[EventsStream]]).
+  *
+  * A session closes after `gapMinutes` of silence; each emitted row is one
+  * closed session. State per key is one open session (id, last-seen, count,
+  * sum) — constant-size, so 10^9 users cost ~decades of bytes each in the
+  * state store, not event history.
+  */
+object SessionStream {
+
+  final case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
+  final case class Sess(user_id: Long, sess_id: Long, n_events: Long,
+      sess_value: Double)
+  final case class Open(sessId: Long, lastTs: Long, n: Long, sum: Double)
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Session assembly for one user's new events (sorted here — state-store
+    * group iterators carry no ordering guarantee).
+    */
+  def advance(userId: Long, events: Iterator[Ev], state: GroupState[Open],
+      gapMicros: Long): Iterator[Sess] = {
+    val sorted = events.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
+    var open = state.getOption.getOrElse(Open(0L, Long.MinValue, 0L, 0.0))
+    val closed = IndexedSeq.newBuilder[Sess]
+    sorted.foreach { e =>
+      if (open.n == 0L) {
+        open = Open(open.sessId + 1, e.ts, 1L, e.value)
+      } else if (e.ts - open.lastTs > gapMicros) {
+        closed += Sess(userId, open.sessId, open.n, open.sum)
+        open = Open(open.sessId + 1, e.ts, 1L, e.value)
+      } else {
+        open = Open(open.sessId, e.ts, open.n + 1, open.sum + e.value)
+      }
+    }
+    if (open.n > 0) state.update(open)
+    closed.result().iterator
+  }
+
+  /** Run sessionization over the events table as a stream; emits BOTH the
+    * sessions closed by a gap and, once input is exhausted, the still-open
+    * final session per user (flushed via iterator end — single
+    * AvailableNow batch), so the result equals batch sessionization.
+    */
+  def sessions(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val name = "sessions_" + UUID.randomUUID().toString.replace("-", "")
+    val evs = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("event_id"), expr("ts div 1000").as("ts"),
+        col("user_id"), col("value"))
+      .as[Ev]
+    val out = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[Ev], st: GroupState[Open]) => {
+          val closedNow = advance(uid, it, st, gapMicros).toIndexedSeq
+          // finite AvailableNow input arrives as one batch: flush the open
+          // session so results match the batch semantics exactly
+          val tail = st.getOption.filter(_.n > 0)
+            .map(o => Sess(uid, o.sessId, o.n, o.sum)).toSeq
+          st.remove()
+          (closedNow ++ tail).iterator
+        })
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("user_id"), col("sess_id"), col("n_events"),
+        round(col("sess_value"), 6).as("sess_value"))
+  }
+}

