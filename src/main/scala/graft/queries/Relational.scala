@@ -389,6 +389,44 @@ object Relational {
          GROUP BY user_id, sess_id) c
        GROUP BY user_id"""
 
+  // --- q33: CUBE grouping sets -------------------------------------------------
+  private def q33(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), r6(avg(col("l_extendedprice"))).as("avg_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("avg_price"))
+
+  private val q33Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n, round(avg(l_extendedprice), 6) AS avg_price
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+  // --- q34: SQL front-end — CTE + join + correlated EXISTS ----------------------
+  // The engine's spark.sql surface over registered views; the oracle is the
+  // very same ANSI text, so this doubles as a dialect-compatibility check.
+  private val q34Text =
+    """WITH spend AS (
+         SELECT o_custkey, count(*) AS n_orders,
+                sum(o_totalprice) AS total_spend
+         FROM orders GROUP BY o_custkey)
+       SELECT c.c_mktsegment, count(*) AS n_cust,
+              round(avg(s.total_spend), 6) AS avg_spend
+       FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+       GROUP BY c.c_mktsegment"""
+
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(q34Text)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -407,7 +445,9 @@ object Relational {
     "q15_date_funcs"      -> q15 _,
     "q16_event_window"    -> q16 _,
     "q17_json_extract"    -> q17 _,
-    "q18_sessionize"      -> q18 _)
+    "q18_sessionize"      -> q18 _,
+    "q33_cube"            -> q33 _,
+    "q34_sql_cte_exists"  -> q34 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -427,5 +467,7 @@ object Relational {
     "q15_date_funcs"      -> q15Sql,
     "q16_event_window"    -> q16Sql,
     "q17_json_extract"    -> q17Sql,
-    "q18_sessionize"      -> q18Sql)
+    "q18_sessionize"      -> q18Sql,
+    "q33_cube"            -> q33Sql,
+    "q34_sql_cte_exists"  -> q34Text)
 }

@@ -10,11 +10,18 @@ import org.apache.spark.sql.DataFrame
   */
 object Tsv {
 
-  /** Distributed write: one part-file per partition (the scale path). */
+  /** Distributed write: one part-file per partition (the scale path).
+    * Options pin the reference's TSV conventions (pandas to_csv): standard
+    * doubled-quote escaping (Spark defaults to backslash), and whitespace
+    * preserved verbatim (Spark trims trailing whitespace by default).
+    */
   def write(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite")
       .option("sep", "\t").option("header", "true")
       .option("emptyValue", "")
+      .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(dir)
 
   /** Single-file write with a reference-style batch file name
@@ -26,6 +33,9 @@ object Tsv {
     df.coalesce(1).write.mode("overwrite")
       .option("sep", "\t").option("header", "true")
       .option("emptyValue", "")
+      .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(tmp)
     val part = Files.list(Paths.get(tmp)).toArray
       .map(_.asInstanceOf[java.nio.file.Path])
