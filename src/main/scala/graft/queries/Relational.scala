@@ -27,6 +27,20 @@ object Relational {
 
   private def r6(c: Column): Column = round(c, 6)
 
+  // Money aggregates run in DECIMAL, not DOUBLE: at large scale factors a
+  // billion-scale double sum differs between engines in the last ulp
+  // (summation order), and round(_,6) cannot mask ulp noise at 16
+  // significant digits. The inputs are 2-decimal money / rate values, so
+  // casting to decimal is exact and the whole aggregate is
+  // order-independent; the final value is rounded and cast back to DOUBLE
+  // identically on the DuckDB side.
+  private def money(c: Column): Column = c.cast("decimal(14,2)")
+  private def rate1m(c: Column): Column =
+    lit(java.math.BigDecimal.ONE).cast("decimal(3,2)") - c.cast("decimal(4,2)")
+  private def rate1p(c: Column): Column =
+    lit(java.math.BigDecimal.ONE).cast("decimal(3,2)") + c.cast("decimal(4,2)")
+  private def dsum(c: Column): Column = round(sum(c), 6).cast("double")
+
   // --- q01: full-scan aggregation (TPC-H Q1 pattern) -----------------------
   // Partial aggregation: 4 grouping values → tiny shuffle regardless of SF.
   private def q01(s: SparkSession, d: String): DataFrame =
@@ -34,22 +48,22 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        r6(sum(col("l_quantity"))).as("sum_qty"),
-        r6(sum(col("l_extendedprice"))).as("sum_base_price"),
-        r6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
-        r6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
-        r6(avg(col("l_quantity"))).as("avg_qty"),
-        r6(avg(col("l_discount"))).as("avg_disc"),
+        dsum(money(col("l_quantity"))).as("sum_qty"),
+        dsum(money(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(money(col("l_extendedprice")) * rate1m(col("l_discount"))).as("sum_disc_price"),
+        dsum(money(col("l_extendedprice")) * rate1m(col("l_discount")) * rate1p(col("l_tax"))).as("sum_charge"),
+        r6(sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        r6(sum(col("l_discount").cast("decimal(4,2)")).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS sum_disc_price,
-       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(14,2))), 6) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 6) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 6) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 6) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
        count(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
        GROUP BY l_returnflag, l_linestatus"""
@@ -82,7 +96,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(r6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .agg(dsum(money(col("l_extendedprice")) * rate1m(col("l_discount"))).as("revenue"))
       .select(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"), col("revenue"))
@@ -93,7 +107,7 @@ object Relational {
   private val q03Sql =
     """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 6) AS DOUBLE) AS revenue
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey
        WHERE c_mktsegment = 'BUILDING'
@@ -110,12 +124,13 @@ object Relational {
     Tables.orders(s, d)
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_orders"), r6(sum(col("o_totalprice"))).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(money(col("o_totalprice"))).as("total_price"))
   }
 
   private val q04Sql =
     """SELECT r_name, n_name, count(*) AS n_orders,
-       round(sum(o_totalprice), 6) AS total_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 6) AS DOUBLE) AS total_price
        FROM orders JOIN customer ON o_custkey = c_custkey
        JOIN nation ON c_nationkey = n_nationkey
        JOIN region ON n_regionkey = r_regionkey
@@ -260,15 +275,19 @@ object Relational {
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .agg(
-        r6(sum(when(col("p_type").startsWith("PROMO"),
-          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0))).as("promo_revenue"),
-        r6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("total_revenue"))
+        dsum(when(col("p_type").startsWith("PROMO"),
+          money(col("l_extendedprice")) * rate1m(col("l_discount")))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,4)")))
+          .as("promo_revenue"),
+        dsum(money(col("l_extendedprice")) * rate1m(col("l_discount")))
+          .as("total_revenue"))
 
   private val q13Sql =
     """SELECT
-       round(sum(CASE WHEN p_type LIKE 'PROMO%'
-         THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 6) AS promo_revenue,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS total_revenue
+       CAST(round(sum(CASE WHEN p_type LIKE 'PROMO%'
+         THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+         ELSE CAST(0 AS DECIMAL(18,4)) END), 6) AS DOUBLE) AS promo_revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 6) AS DOUBLE) AS total_revenue
        FROM lineitem JOIN part ON l_partkey = p_partkey"""
 
   // --- q14: scalar string functions -------------------------------------------
@@ -300,14 +319,15 @@ object Relational {
         quarter(col("o_orderdate")).cast("long").as("qtr"))
       .agg(
         count(lit(1)).as("n_orders"),
-        r6(sum(col("o_totalprice"))).as("total"),
+        dsum(money(col("o_totalprice"))).as("total"),
         date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
         date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_day"))
 
   private val q15Sql =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
        CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
-       count(*) AS n_orders, round(sum(o_totalprice), 6) AS total,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 6) AS DOUBLE) AS total,
        strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
        strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
        FROM orders GROUP BY 1, 2"""
