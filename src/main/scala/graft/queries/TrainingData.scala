@@ -231,6 +231,38 @@ object TrainingData {
            FROM events) a) b
        GROUP BY user_id, sess_id"""
 
+  // --- q35: salted two-phase aggregation over a heavy-hitter key --------------
+  // events has only 5 event_type values — the pathological skew shape for a
+  // plain groupBy at scale. Result must equal the naive GROUP BY exactly
+  // (decimal sum → order-independent).
+  private def q35(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedCountSum(
+      Tables.events(s, d), col("event_type"), "event_type",
+      col("value").cast("decimal(14,2)"), salts = 16)
+      .select(col("event_type"), col("n"),
+        round(col("total"), 6).cast("double").as("total"))
+
+  private val q35Sql =
+    """SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(14,2))), 6) AS DOUBLE) AS total
+       FROM events GROUP BY event_type"""
+
+  // --- q36: exact interpolated percentiles ------------------------------------
+  private def q36(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("med"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
+
+  private val q36Sql =
+    """SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS med,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+       FROM orders GROUP BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -244,7 +276,9 @@ object TrainingData {
     "q29_ann_lsh"         -> q29 _,
     "q30_multimodal"      -> q30 _,
     "q31_stream_window"   -> q31 _,
-    "q32_stream_sessions" -> q32 _)
+    "q32_stream_sessions" -> q32 _,
+    "q35_salted_agg"      -> q35 _,
+    "q36_percentiles"     -> q36 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -256,5 +290,7 @@ object TrainingData {
     "q28_ann_bruteforce"  -> q28Sql,
     "q30_multimodal"      -> q30Sql,
     "q31_stream_window"   -> q31Sql,
-    "q32_stream_sessions" -> q32Sql)
+    "q32_stream_sessions" -> q32Sql,
+    "q35_salted_agg"      -> q35Sql,
+    "q36_percentiles"     -> q36Sql)
 }
