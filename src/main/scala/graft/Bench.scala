@@ -61,11 +61,10 @@ object Bench {
       Files.writeString(in.resolve("docs.jsonl"), sb.toString)
       val t0 = System.nanoTime()
       val df = spark.read.json(in.resolve("docs.jsonl").toString)
-      val flat = graft.flatten.Flattener.flatten(df)
-      graft.sinks.Tsv.write(flat, in.resolve("tsv").toString)
+      graft.flatten.Flattener.flattenToTsv(df, in.resolve("tsv").toString)
       val cold = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      graft.sinks.Tsv.write(flat, in.resolve("tsv2").toString)
+      graft.flatten.Flattener.flattenToTsv(df, in.resolve("tsv2").toString)
       val warm = (System.nanoTime() - t1) / 1e9
       (n, cold, n / cold, n / warm)
     } catch { case _: Throwable => (0, 0.0, 0.0, 0.0) }

@@ -57,12 +57,14 @@ object EtlJob {
     try {
       val docs = EsJson.read(spark, inputPath)
       val total = docs.count() // the reference's ES.count sizing step
-      val flat = Flattener.flatten(docs, maxDepth)
-      Tsv.write(flat, outputDir)
+      // fast row-walk renderer straight to TSV lines: byte-identical cells
+      // to the expression path (FlattenerEquivalenceSpec), none of its
+      // per-schema Janino cost
+      val cols = Flattener.flattenToTsv(docs, outputDir, maxDepth)
       logAudit(spark, auditPath, AuditRecord(
         jobName, 8L, start, new Timestamp(System.currentTimeMillis()),
         "SUCCESS", "spark_etl_export", null, batchId, tableName, total))
-      Result(total, flat.columns.length, outputDir)
+      Result(total, cols.length, outputDir)
     } catch {
       case e: Throwable =>
         logAudit(spark, auditPath, AuditRecord(

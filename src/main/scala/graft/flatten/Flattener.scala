@@ -81,6 +81,58 @@ object Flattener {
     } finally spark.conf.set("spark.sql.caseSensitive", prev)
   }
 
+  /** Fast path: same contract and byte-identical output as [[flatten]],
+    * but the projection is a single direct row-walk ([[RenderPass]])
+    * instead of a generated ~N-thousand-expression select — no Janino
+    * compilation of a giant projection class, no interpreted higher-order
+    * functions in JSON cells. Preferred for production flatten jobs with
+    * wide dynamic schemas; [[flatten]] remains the reference expression
+    * path (and the two are pinned equal by FlattenerEquivalenceSpec).
+    */
+  def flattenFast(df: DataFrame, maxDepth: Int = DefaultMaxDepth,
+      persistInput: Boolean = true): DataFrame = {
+    val input =
+      if (persistInput && df.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val batch = StatsPass.collect(input)
+    val cand = candidates(input.schema, batch.arrays, maxDepth)
+    val cols = cand.collect {
+      case (name, rawPath, _) if batch.present(rawPath) => name
+    }
+    if (cols.isEmpty) return df.sparkSession.emptyDataFrame
+    RenderPass.render(input, batch.arrays, cols, maxDepth)
+  }
+
+  /** End-to-end fast TSV export: stats pass + direct row-walk rendering of
+    * quoted TSV lines, written as text with a header per part-file (the
+    * same layout Spark's CSV writer produces). Returns the column list.
+    * `singleFile` coalesces to one part for reference-style one-file
+    * batches.
+    */
+  def flattenToTsv(df: DataFrame, dir: String,
+      maxDepth: Int = DefaultMaxDepth,
+      singleFile: Boolean = false): Seq[String] = {
+    val spark = df.sparkSession
+    val input =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val batch = StatsPass.collect(input)
+    val cand = candidates(input.schema, batch.arrays, maxDepth)
+    val cols = cand.collect {
+      case (name, rawPath, _) if batch.present(rawPath) => name
+    }
+    val header = RenderPass.tsvLine(cols.toArray)
+    val lines0 = RenderPass.renderTsvLines(input, batch.arrays, cols, maxDepth)
+    val lines = if (singleFile) lines0.coalesce(1) else lines0
+    val withHeader = lines.mapPartitions(it => Iterator(header) ++ it)
+    import spark.implicits._
+    spark.createDataset(withHeader).write.mode("overwrite").text(dir)
+    cols
+  }
+
   /** The generated select-list: one aliased string Column per flattened
     * leaf path, sorted by the reference's plain string sort (presence
     * pruning NOT applied — [[flatten]] applies it).

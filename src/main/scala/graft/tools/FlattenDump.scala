@@ -17,7 +17,14 @@ object FlattenDump {
     val df = spark.read
       .option("inferTimestamp", false).option("inferDate", false)
       .json(in)
-    graft.sinks.Tsv.writeSingleFile(graft.flatten.Flattener.flatten(df), out)
+    // fast path end-to-end, so the differential test covers the renderer
+    val tmp = out + ".dir"
+    graft.flatten.Flattener.flattenToTsv(df, tmp, singleFile = true)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.startsWith("part-")).get
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(out),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.stop()
   }
 }
