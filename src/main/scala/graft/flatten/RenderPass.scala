@@ -4,21 +4,26 @@ import java.io.StringWriter
 
 import com.fasterxml.jackson.core.JsonFactory
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 
 /** Direct row-walk renderer for the flatten projection — the fast path of
-  * [[Flattener.flattenFast]].
+  * [[Flattener.flattenFast]]/[[Flattener.flattenToTsv]].
   *
   * The expression path (one generated select of ~N-thousand string
   * expressions) is idiomatic and codegen'd, but for a 5k-column dynamic
   * schema it pays (a) tens of seconds of Janino compilation per distinct
   * schema and (b) interpreted higher-order-function evaluation inside the
-  * JSON-array cells. This renderer walks each document row ONCE, depth-
-  * first, filling the output slots directly — O(nodes) per row with zero
-  * codegen — and must produce byte-identical output to the expression path
-  * (pinned by FlattenerEquivalenceSpec on the golden doc and generated
-  * batches).
+  * JSON-array cells. This renderer walks each document's Tungsten row ONCE
+  * (`queryExecution.toRdd`; external-Row conversion alone costs seconds
+  * per pass at this width), depth-first, filling the output slots directly
+  * — O(nodes) per row with zero codegen — and must produce byte-identical
+  * output to the expression path (pinned by FlattenerEquivalenceSpec on
+  * the golden doc and generated batches).
   *
   * Cell semantics replicated exactly: '' for missing/null, [[PyFormat]]
   * scalar/array rendering (json.dumps `", "` separators, lowercase JSON
@@ -31,8 +36,9 @@ object RenderPass {
   // ---- render plan ----------------------------------------------------------
 
   private sealed trait Node extends Serializable
-  /** Walk a struct value: (field ordinal, child). */
-  private final case class StructWalk(fields: Array[(Int, Node)]) extends Node
+  /** Walk a struct value with `numFields` fields: (field ordinal, child). */
+  private final case class StructWalk(numFields: Int,
+      fields: Array[(Int, Node)]) extends Node
   /** Positionally-expanded array of structs. */
   private final case class ArrayWalk(unindexedSlot: Int,
       elems: Array[Node], elemType: StructType) extends Node
@@ -48,10 +54,10 @@ object RenderPass {
     * `slots` maps pascal path → output column position.
     */
   private def compile(schema: StructType, stats: Map[String, ArrayStats.Stats],
-      slots: Map[String, Int], maxDepth: Int): Node = {
+      slots: Map[String, Int], maxDepth: Int): StructWalk = {
 
     def struct(st: StructType, pascalParent: String, rawParent: String,
-        depth: Int): Node = {
+        depth: Int): StructWalk = {
       val children = st.fields.zipWithIndex.groupBy {
         case (f, _) => PathNaming.toPascal(f.name)
       }.toSeq.flatMap { case (pascal, group) =>
@@ -66,19 +72,22 @@ object RenderPass {
         val rPath =
           if (rawParent.isEmpty) winner.name
           else s"$rawParent.${winner.name}"
-        emit(winner.dataType, pPath, rPath, depth, ord) match {
+        emit(winner.dataType, pPath, rPath, depth) match {
           case Skip => None
           case n => Some((ord, n))
         }
       }
-      if (children.isEmpty) Skip else StructWalk(children.toArray)
+      StructWalk(st.length, children.toArray)
     }
 
-    def emit(dt: DataType, pPath: String, rPath: String, depth: Int,
-        ord: Int): Node = dt match {
+    def emit(dt: DataType, pPath: String, rPath: String,
+        depth: Int): Node = dt match {
       case st: StructType =>
         if (depth + 1 > maxDepth) slotOf(pPath, st)
-        else struct(st, pPath, rPath, depth + 1)
+        else {
+          val sw = struct(st, pPath, rPath, depth + 1)
+          if (sw.fields.isEmpty) Skip else sw
+        }
       case ArrayType(et: StructType, _) =>
         val s = stats.getOrElse(rPath, ArrayStats.Stats(0, hasEmpty = false))
         val unindexed =
@@ -86,7 +95,10 @@ object RenderPass {
         val elems = (0 until s.maxLen).map { i =>
           val ip = PathNaming.indexed(pPath, i)
           if (depth + 1 > maxDepth) slotOf(ip, et)
-          else struct(et, ip, s"$rPath.$i", depth + 1)
+          else {
+            val sw = struct(et, ip, s"$rPath.$i", depth + 1)
+            if (sw.fields.isEmpty) Skip else sw
+          }
         }.toArray
         if (unindexed < 0 && elems.forall(_ == Skip)) Skip
         else ArrayWalk(unindexed, elems, et)
@@ -109,76 +121,96 @@ object RenderPass {
 
   // ---- row evaluation ---------------------------------------------------------
 
-  private def eval(node: Node, v: Any, out: Array[String]): Unit = {
-    if (v == null) return
+  /** Evaluate the field `ord` of container `c` (InternalRow or ArrayData —
+    * both are SpecializedGetters with a positional API).
+    */
+  private def evalField(node: Node, c: SpecializedGetters, ord: Int,
+      out: Array[String]): Unit = {
+    if (node == Skip || c.isNullAt(ord)) return
     node match {
-      case StructWalk(fields) =>
-        val r = v.asInstanceOf[Row]
+      case StructWalk(numFields, fields) =>
+        val r = c.getStruct(ord, numFields)
         var i = 0
         while (i < fields.length) {
-          eval(fields(i)._2, r.get(fields(i)._1), out)
+          evalField(fields(i)._2, r, fields(i)._1, out)
           i += 1
         }
       case ArrayWalk(unindexedSlot, elems, et) =>
-        val xs = v.asInstanceOf[scala.collection.Seq[Any]]
+        val xs = c.getArray(ord)
         if (unindexedSlot >= 0)
-          out(unindexedSlot) = pyJson(v, ArrayType(et))
+          out(unindexedSlot) = pyJsonArrayOfStruct(xs, et)
         var i = 0
-        val n = math.min(xs.length, elems.length)
+        val n = math.min(xs.numElements(), elems.length)
         while (i < n) {
-          eval(elems(i), xs(i), out)
+          evalField(elems(i), xs, i, out)
           i += 1
         }
-      case Leaf(slot, dt) => out(slot) = pyScalar(v, dt)
-      case JsonCell(slot, dt) => out(slot) = pyJson(v, dt)
+      case Leaf(slot, dt) => out(slot) = pyScalar(c, ord, dt)
+      case JsonCell(slot, dt) => out(slot) = pyJson(c, ord, dt)
       case Skip => ()
     }
   }
 
   /** Python str(v) — must mirror [[PyFormat.pyStr]]. */
-  private def pyScalar(v: Any, dt: DataType): String = dt match {
-    case BooleanType => if (v.asInstanceOf[Boolean]) "True" else "False"
-    case DoubleType => PyFormat.pyRepr(v.asInstanceOf[Double])
-    case FloatType => PyFormat.pyRepr(v.asInstanceOf[Float].toDouble)
-    case _ => String.valueOf(v)
-  }
+  private def pyScalar(c: SpecializedGetters, ord: Int, dt: DataType): String =
+    dt match {
+      case BooleanType => if (c.getBoolean(ord)) "True" else "False"
+      case DoubleType => PyFormat.pyRepr(c.getDouble(ord))
+      case FloatType => PyFormat.pyRepr(c.getFloat(ord).toDouble)
+      case LongType => java.lang.Long.toString(c.getLong(ord))
+      case IntegerType => java.lang.Integer.toString(c.getInt(ord))
+      case StringType => c.getUTF8String(ord).toString
+      case other => String.valueOf(c.get(ord, other))
+    }
 
   /** json.dumps-style cell — must mirror [[PyFormat.pyJson]]:
     * arrays with ", " separators and lowercase literals; structs via a
     * Jackson generator exactly like Spark's to_json (compact, schema
     * order, nulls dropped).
     */
-  private def pyJson(v: Any, dt: DataType): String = {
-    if (v == null) return "null"
+  private def pyJson(c: SpecializedGetters, ord: Int, dt: DataType): String =
     dt match {
       case ArrayType(et, _) =>
-        val xs = v.asInstanceOf[scala.collection.Seq[Any]]
+        val xs = c.getArray(ord)
         val sb = new java.lang.StringBuilder("[")
         var i = 0
-        while (i < xs.length) {
+        while (i < xs.numElements()) {
           if (i > 0) sb.append(", ")
-          sb.append(pyJson(xs(i), et))
+          if (xs.isNullAt(i)) sb.append("null")
+          else sb.append(pyJson(xs, i, et))
           i += 1
         }
         sb.append("]").toString
-      case st: StructType => jacksonStruct(v.asInstanceOf[Row], st)
-      case BooleanType =>
-        if (v.asInstanceOf[Boolean]) "true" else "false"
-      case DoubleType => PyFormat.pyRepr(v.asInstanceOf[Double])
-      case FloatType => PyFormat.pyRepr(v.asInstanceOf[Float].toDouble)
+      case st: StructType => jacksonStruct(c.getStruct(ord, st.length), st)
+      case BooleanType => if (c.getBoolean(ord)) "true" else "false"
+      case DoubleType => PyFormat.pyRepr(c.getDouble(ord))
+      case FloatType => PyFormat.pyRepr(c.getFloat(ord).toDouble)
+      case LongType => java.lang.Long.toString(c.getLong(ord))
+      case IntegerType => java.lang.Integer.toString(c.getInt(ord))
       case StringType =>
         // mirror PyFormat.jsonEscape (backslash, quote, \n \r \t)
-        val s = v.toString
+        val s = c.getUTF8String(ord).toString
           .replace("\\", "\\\\").replace("\"", "\\\"")
           .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
         "\"" + s + "\""
-      case _ => String.valueOf(v)
+      case other => String.valueOf(c.get(ord, other))
     }
+
+  private def pyJsonArrayOfStruct(xs: ArrayData, et: StructType): String = {
+    val sb = new java.lang.StringBuilder("[")
+    var i = 0
+    while (i < xs.numElements()) {
+      if (i > 0) sb.append(", ")
+      if (xs.isNullAt(i)) sb.append("null")
+      else sb.append(jacksonStruct(xs.getStruct(i, et.length), et))
+      i += 1
+    }
+    sb.append("]").toString
   }
 
   private val jsonFactory = new JsonFactory()
 
-  private def jacksonStruct(row: Row, st: StructType): String = {
+  private def jacksonStruct(row: InternalRow, st: StructType): String = {
     val w = new StringWriter()
     val g = jsonFactory.createGenerator(w)
     writeStruct(g, row, st)
@@ -187,14 +219,13 @@ object RenderPass {
   }
 
   private def writeStruct(g: com.fasterxml.jackson.core.JsonGenerator,
-      row: Row, st: StructType): Unit = {
+      row: InternalRow, st: StructType): Unit = {
     g.writeStartObject()
     var i = 0
     while (i < st.fields.length) {
-      val v = row.get(i)
-      if (v != null) { // to_json drops null fields (ignoreNullFields)
+      if (!row.isNullAt(i)) { // to_json drops null fields (ignoreNullFields)
         g.writeFieldName(st.fields(i).name)
-        writeValue(g, v, st.fields(i).dataType)
+        writeValue(g, row, i, st.fields(i).dataType)
       }
       i += 1
     }
@@ -202,23 +233,48 @@ object RenderPass {
   }
 
   private def writeValue(g: com.fasterxml.jackson.core.JsonGenerator,
-      v: Any, dt: DataType): Unit = dt match {
-    case st: StructType => writeStruct(g, v.asInstanceOf[Row], st)
+      c: SpecializedGetters, ord: Int, dt: DataType): Unit = dt match {
+    case st: StructType => writeStruct(g, c.getStruct(ord, st.length), st)
     case ArrayType(et, _) =>
       g.writeStartArray()
-      v.asInstanceOf[scala.collection.Seq[Any]].foreach { x =>
-        if (x == null) g.writeNull() else writeValue(g, x, et)
+      val xs = c.getArray(ord)
+      var i = 0
+      while (i < xs.numElements()) {
+        if (xs.isNullAt(i)) g.writeNull() else writeValue(g, xs, i, et)
+        i += 1
       }
       g.writeEndArray()
-    case BooleanType => g.writeBoolean(v.asInstanceOf[Boolean])
-    case DoubleType => g.writeNumber(v.asInstanceOf[Double])
-    case FloatType => g.writeNumber(v.asInstanceOf[Float])
-    case LongType => g.writeNumber(v.asInstanceOf[Long])
-    case IntegerType => g.writeNumber(v.asInstanceOf[Int])
-    case _ => g.writeString(String.valueOf(v))
+    case BooleanType => g.writeBoolean(c.getBoolean(ord))
+    case DoubleType => g.writeNumber(c.getDouble(ord))
+    case FloatType => g.writeNumber(c.getFloat(ord))
+    case LongType => g.writeNumber(c.getLong(ord))
+    case IntegerType => g.writeNumber(c.getInt(ord))
+    case StringType => g.writeString(c.getUTF8String(ord).toString)
+    case other => g.writeString(String.valueOf(c.get(ord, other)))
   }
 
   // ---- public entry -------------------------------------------------------------
+
+  private def renderedRows(df: DataFrame,
+      stats: Map[String, ArrayStats.Stats], columns: Seq[String],
+      maxDepth: Int): RDD[Array[String]] = {
+    val schema = df.schema
+    val slots = columns.zipWithIndex.toMap
+    val plan = compile(schema, stats, slots, maxDepth)
+    val n = columns.length
+    df.queryExecution.toRdd.mapPartitions { it =>
+      it.map { row =>
+        val out = new Array[String](n)
+        java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], "")
+        var i = 0
+        while (i < plan.fields.length) {
+          evalField(plan.fields(i)._2, row, plan.fields(i)._1, out)
+          i += 1
+        }
+        out
+      }
+    }
+  }
 
   /** Render straight to TSV lines (reference sink conventions: minimal
     * quoting, doubled quotes, empty cells unquoted). Skips the
@@ -227,20 +283,8 @@ object RenderPass {
     * that a sink-bound job never needs.
     */
   def renderTsvLines(df: DataFrame, stats: Map[String, ArrayStats.Stats],
-      columns: Seq[String], maxDepth: Int): org.apache.spark.rdd.RDD[String] = {
-    val schema = df.schema
-    val slots = columns.zipWithIndex.toMap
-    val plan = compile(schema, stats, slots, maxDepth)
-    val n = columns.length
-    df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val out = new Array[String](n)
-        java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], "")
-        eval(plan, row, out)
-        tsvLine(out)
-      }
-    }
-  }
+      columns: Seq[String], maxDepth: Int): RDD[String] =
+    renderedRows(df, stats, columns, maxDepth).map(tsvLine)
 
   /** One TSV line with pandas/Spark-CSV minimal quoting: quote only when a
     * cell contains tab/quote/newline; inner quotes double.
@@ -266,18 +310,8 @@ object RenderPass {
   def render(df: DataFrame, stats: Map[String, ArrayStats.Stats],
       columns: Seq[String], maxDepth: Int): DataFrame = {
     val spark: SparkSession = df.sparkSession
-    val schema = df.schema
-    val slots = columns.zipWithIndex.toMap
-    val plan = compile(schema, stats, slots, maxDepth)
-    val n = columns.length
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val out = new Array[String](n)
-        java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], "")
-        eval(plan, row, out)
-        Row.fromSeq(out.toIndexedSeq)
-      }
-    }
+    val rdd = renderedRows(df, stats, columns, maxDepth)
+      .map(a => Row.fromSeq(a.toIndexedSeq))
     spark.createDataFrame(rdd,
       StructType(columns.map(c => StructField(c, StringType, nullable = false))))
   }

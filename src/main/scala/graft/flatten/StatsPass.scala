@@ -1,19 +1,22 @@
 package graft.flatten
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 import org.apache.spark.sql.types._
 
 /** Single-pass batch statistics for the flattener: per-indexed-path array
   * widths + empties AND per-path presence, computed in ONE distributed
-  * `mapPartitions` over the input.
+  * pass over the input.
   *
   * The expression-based alternative ([[ArrayStats]] + a wide boolean-max
   * aggregate) is semantically identical but pays Janino compilation for
   * thousands of generated expressions per job — tens of seconds of fixed
   * cost per flatten call, dominating small-to-medium batches. This pass is
-  * plain JVM code walking rows once: no codegen, no shuffle (per-partition
-  * partial stats reduce to the driver as one small map), and it subsumes
-  * what the reference computes in its discovery pass
+  * plain JVM code walking Tungsten rows once (`queryExecution.toRdd` —
+  * external-Row conversion via `df.rdd` costs seconds per pass on
+  * 5k-leaf documents): no codegen, no shuffle (per-partition partial stats
+  * reduce to the driver as one small map), and it subsumes what the
+  * reference computes in its discovery pass
   * [`ElasticSearch ETL.py:171-181`] — but distributed.
   */
 object StatsPass {
@@ -37,30 +40,32 @@ object StatsPass {
     }
   }
 
-  /** Walk one row; `path` is the raw dotted path with numeric segments for
-    * bound array indices (the same keys [[Flattener.candidates]] uses).
+  /** Walk one field/element of `c` (an InternalRow or ArrayData — both are
+    * SpecializedGetters with the same positional API); `path` is the raw
+    * dotted path with numeric segments for bound array indices (the same
+    * keys [[Flattener.candidates]] uses).
     */
-  private def walkValue(v: Any, dt: DataType, path: String, acc: Acc): Unit = {
-    if (v == null) return
+  private def walkField(c: SpecializedGetters, ord: Int, dt: DataType,
+      path: String, acc: Acc): Unit = {
+    if (c.isNullAt(ord)) return
     acc.present += path
     dt match {
       case st: StructType =>
-        val r = v.asInstanceOf[Row]
+        val r = c.getStruct(ord, st.length)
         var i = 0
         val fields = st.fields
         while (i < fields.length) {
-          walkValue(r.get(i), fields(i).dataType,
-            s"$path.${fields(i).name}", acc)
+          walkField(r, i, fields(i).dataType, s"$path.${fields(i).name}", acc)
           i += 1
         }
       case ArrayType(et: StructType, _) =>
-        val xs = v.asInstanceOf[scala.collection.Seq[Any]]
-        val n = xs.length
+        val xs = c.getArray(ord)
+        val n = xs.numElements()
         if (n == 0) acc.hasEmpty += path
         if (n > acc.maxLen.getOrElse(path, 0)) acc.maxLen.update(path, n)
         var i = 0
         while (i < n) {
-          walkValue(xs(i), et, s"$path.$i", acc)
+          walkField(xs, i, et, s"$path.$i", acc)
           i += 1
         }
       case _ => () // primitive / primitive-array / nested-array cell
@@ -69,13 +74,13 @@ object StatsPass {
 
   def collect(df: DataFrame): Batch = {
     val schema = df.schema
-    val partials = df.rdd.mapPartitions { it =>
+    val partials = df.queryExecution.toRdd.mapPartitions { it =>
       val acc = new Acc
+      val fields = schema.fields
       it.foreach { row =>
         var i = 0
-        val fields = schema.fields
         while (i < fields.length) {
-          walkValue(row.get(i), fields(i).dataType, fields(i).name, acc)
+          walkField(row, i, fields(i).dataType, fields(i).name, acc)
           i += 1
         }
       }
