@@ -139,6 +139,66 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Embedding-cosine near-duplicates: hyperplane-LSH blocking (corpus
+    * bucketed once), pairwise cosine only within a bucket, keep pairs with
+    * similarity >= threshold. Multi-probe is unnecessary for DEDUP (unlike
+    * top-k search): true near-duplicates have cosine ≈ 1, so their sign
+    * bits agree on almost every plane and same-bucket blocking retains
+    * them with high probability.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.9, nPlanes: Int = 8): DataFrame = {
+    import graft.functions.Vectors
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", Vectors.hyperplaneBucket(col("vec"), nPlanes, dim))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(Vectors.cosine(col("x.vec"), col("y.vec")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Collapse near-duplicate pairs into clusters (connected components)
+    * and pick one survivor (min id) per cluster. The pair set is orders of
+    * magnitude smaller than the corpus (it only contains near-duplicates),
+    * so a driver-side union-find is the right tool at any corpus scale —
+    * the corpus itself is never collected. Returns (id, survivor_id).
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent(c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    members.map(m => (m, find(m))).toSeq.toDF("id", "survivor_id")
+  }
+
+  /** The end deliverable: the corpus with near-duplicates collapsed to one
+    * survivor per cluster (broadcast anti-join against the small loser
+    * set — the corpus is filtered in place, never shuffled).
+    */
+  def dedupedCorpus(df: DataFrame, idCol: String,
+      pairClusters: DataFrame): DataFrame = {
+    val losers = pairClusters
+      .filter(col("id") =!= col("survivor_id")).select(col("id"))
+    df.join(broadcast(losers), df(idCol) === losers("id"), "left_anti")
+  }
+
   /** All-pairs n-gram Jaccard within a blocking key (e.g. same source) —
     * the exact, oracle-checkable member of the dedup family.
     *

@@ -231,6 +231,23 @@ object TrainingData {
            FROM events) a) b
        GROUP BY user_id, sess_id"""
 
+  // --- q37: embedding-cosine near-duplicate pairs (rows-only check) ----------
+  private def q37(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+      dim = 64, threshold = 0.2, nPlanes = 6)
+
+  // --- q38: full dedup pipeline — pairs → clusters → collapsed corpus --------
+  // MinHash-LSH pairs feed connected-components clustering; the output is
+  // the deduplicated documents table (rows-only check; TrainingOpsSpec
+  // pins the planted-duplicate behavior).
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.8)
+    val cl = Dedup.clusters(pairs)
+    Dedup.dedupedCorpus(docs, "doc_id", cl)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   // --- q35: salted two-phase aggregation over a heavy-hitter key --------------
   // events has only 5 event_type values — the pathological skew shape for a
   // plain groupBy at scale. Result must equal the naive GROUP BY exactly
@@ -278,7 +295,9 @@ object TrainingData {
     "q31_stream_window"   -> q31 _,
     "q32_stream_sessions" -> q32 _,
     "q35_salted_agg"      -> q35 _,
-    "q36_percentiles"     -> q36 _)
+    "q36_percentiles"     -> q36 _,
+    "q37_embed_neardup"   -> q37 _,
+    "q38_dedup_pipeline"  -> q38 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,

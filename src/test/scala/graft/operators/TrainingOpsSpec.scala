@@ -105,6 +105,31 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(again == f0)
   }
 
+  test("dedup pipeline: pairs -> clusters -> collapsed corpus") {
+    val pairs = Dedup.minhashLsh(planted, "doc_id", "text", threshold = 0.5)
+    val cl = Dedup.clusters(pairs)
+    val byId = cl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1,2,3 form one cluster with survivor 1
+    assert(byId(1L) == 1L && byId(2L) == 1L && byId(3L) == 1L)
+    val kept = Dedup.dedupedCorpus(planted, "doc_id", cl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L))
+    assert(kept.size == planted.count() - 2)
+  }
+
+  test("embedding near-dup blocking keeps identical vectors together") {
+    import spark.implicits._
+    val base = (0 until 64).map(i => (i % 7).toFloat / 7f).toArray
+    val near = base.clone(); near(0) = near(0) + 0.001f
+    val far = (0 until 64).map(i => ((i * 31) % 13).toFloat / 13f - 0.5f).toArray
+    val df = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+      dim = 64, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("language-ID heuristic picks marker-matching language") {
     import spark.implicits._
     val df = Seq(
