@@ -143,6 +143,77 @@ object ArrayOps {
     x ^ (x >>> 31)
   }
 
+  /** Cosine similarity of two float vectors, accumulated in double in
+    * index order — the exact same arithmetic as the
+    * `zip_with`+`aggregate` expression form (and DuckDB's
+    * `list_cosine_similarity` over `::DOUBLE[]`), minus the interpreted
+    * lambda evaluation per element.
+    */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineF(a: Column, b: Column): Column = CatalystBridge.column(
+    StaticInvoke(
+      ArrayOps.getClass, DoubleType, "cosineFloat",
+      Seq(CatalystBridge.expression(a), CatalystBridge.expression(b)),
+      Seq(ArrayType(FloatType), ArrayType(FloatType)),
+      returnNullable = false))
+
+  /** Random-hyperplane bucket id over a float vector — the static twin of
+    * [[Vectors.hyperplaneBucket]] (identical ±1 weights derived from
+    * splitmix64(seed + plane·1000003 + dim)), one call per row instead of
+    * planes×dim interpreted lambda steps.
+    */
+  def hyperplaneBucketFloat(v: ArrayData, nPlanes: Int, seed: Long): Long = {
+    val dim = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < dim) {
+        val w = if (mixPub(seed + p * 1000003L + i) < 0) -1.0 else 1.0
+        proj += v.getFloat(i).toDouble * w
+        i += 1
+      }
+      if (proj >= 0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def hyperplaneBucketF(v: Column, nPlanes: Int,
+      seed: Long = 42L): Column = CatalystBridge.column(
+    StaticInvoke(
+      ArrayOps.getClass, LongType, "hyperplaneBucketFloat",
+      Seq(CatalystBridge.expression(v),
+        CatalystBridge.expression(lit(nPlanes)),
+        CatalystBridge.expression(lit(seed))),
+      Seq(ArrayType(FloatType), IntegerType, LongType),
+      returnNullable = false))
+
+  /** splitmix64 (shared with the hyperplane weights in [[Vectors]]). */
+  def mixPub(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
   def ngramHashes(tokens: Column, n: Int): Column = CatalystBridge.column(
     StaticInvoke(
       ArrayOps.getClass, ArrayType(LongType, containsNull = false),

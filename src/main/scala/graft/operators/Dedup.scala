@@ -148,13 +148,13 @@ object Dedup {
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.9, nPlanes: Int = 8): DataFrame = {
-    import graft.functions.Vectors
+    import graft.functions.ArrayOps
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", Vectors.hyperplaneBucket(col("vec"), nPlanes, dim))
+      .withColumn("bucket", ArrayOps.hyperplaneBucketF(col("vec"), nPlanes))
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        round(Vectors.cosine(col("x.vec"), col("y.vec")), 6).as("cosine"))
+        round(ArrayOps.cosineF(col("x.vec"), col("y.vec")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Vectors
+import graft.functions.{ArrayOps, Vectors}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -30,7 +30,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
-        Vectors.cosine(col("q_vec"), col("vec")).as("sim"))
+        ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -47,10 +47,10 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int = 5, nPlanes: Int = 4): DataFrame = {
-    val bucket = Vectors.hyperplaneBucket(col("vec"), nPlanes, dim)
+    val bucket = ArrayOps.hyperplaneBucketF(col("vec"), nPlanes)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("bucket0",
-        Vectors.hyperplaneBucket(col("q_vec"), nPlanes, dim))
+        ArrayOps.hyperplaneBucketF(col("q_vec"), nPlanes))
       .withColumn("bucket", explode(array(
         (col("bucket0") +: (0 until nPlanes).map(p =>
           col("bucket0").bitwiseXOR(lit(1L << p)))): _*)))
@@ -60,7 +60,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
-        Vectors.cosine(col("q_vec"), col("vec")).as("sim"))
+        ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
       .groupBy(col("q_id"), col("id")).agg(max(col("sim")).as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("id").asc)
