@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-batch schema semantics (quirk Q6): each export file becomes one
+  * micro-batch with its OWN column union — different files may produce
+  * TSVs with different widths, exactly like the reference's per-page
+  * flattening. (The batch EtlJob computes one global schema instead.)
+  */
+class ExportStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("one TSV per export file, per-batch column union, batch naming") {
+    val in = Files.createTempDirectory("exports").toString
+    val out = Files.createTempDirectory("tsvs").toString
+    Files.writeString(Paths.get(s"$in/page1.jsonl"),
+      """{"claimRequestId": 1, "alpha": "x"}
+        |{"claimRequestId": 2, "alpha": "y", "beta": 5}
+        |""".stripMargin)
+    Files.writeString(Paths.get(s"$in/page2.jsonl"),
+      """{"claimRequestId": 3, "gamma": [1.5, 2.5]}
+        |""".stripMargin)
+
+    val res = ExportStream.run(spark, in, out, filePrefix = "claims")
+    assert(res.length == 2)
+    assert(res.map(_.rows).sum == 3)
+    val headers = res.map { r =>
+      assert(r.file.contains("claims_"))
+      scala.io.Source.fromFile(r.file).getLines().next().split("\t").toSet
+    }
+    // per-batch schemas differ: one page has Alpha/Beta, the other Gamma
+    val all = headers.flatten.toSet
+    assert(all == Set("ClaimRequestId", "Alpha", "Beta", "Gamma"))
+    assert(headers.exists(h => h == Set("ClaimRequestId", "Alpha", "Beta")))
+    assert(headers.exists(h => h == Set("ClaimRequestId", "Gamma")))
+  }
+}
