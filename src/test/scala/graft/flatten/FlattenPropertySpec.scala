@@ -204,6 +204,19 @@ class FlattenPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fast renderer == expression path on generated batches") {
+    import spark.implicits._
+    samples(docsGen, 8).foreach { docs =>
+      val df = spark.read.json(docs.map(renderJson).toDS)
+      val slow = Flattener.flatten(df)
+      val fast = Flattener.flattenFast(df)
+      assert(slow.columns.toSeq == fast.columns.toSeq)
+      val s = slow.collect().map(_.toSeq).toSet
+      val f = fast.collect().map(_.toSeq).toSet
+      assert(s == f, s"cell mismatch: ${(s -- f).headOption} vs ${(f -- s).headOption}")
+    }
+  }
+
   test("missing fields extract to ''") {
     samples(docsGen, 10).foreach { docs =>
       val (cols, rows) = flattenBatch(docs)
