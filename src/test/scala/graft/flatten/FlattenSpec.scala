@@ -162,6 +162,22 @@ class FlattenSpec extends AnyFunSuite {
     assert(lines.tail.toSet == Set("1\tx", "2\t"))
   }
 
+  test("EsJson reads a directory of envelope files as one document set") {
+    val dir = java.nio.file.Files.createTempDirectory("envs")
+    val env1 = """{"took":1,"hits":{"total":{"value":1},"hits":[
+        {"_id":"a","_source":{"claimRequestId":1,"x":"one"}}]}}"""
+    val env2 = """{"took":2,"hits":{"total":{"value":1},"hits":[
+        {"_id":"b","_source":{"claimRequestId":2,"y":7}}]}}"""
+    java.nio.file.Files.writeString(dir.resolve("r1.json"), env1)
+    java.nio.file.Files.writeString(dir.resolve("r2.json"), env2)
+    val docs = graft.sources.EsJson.read(spark, dir.toString)
+    assert(docs.count() == 2)
+    val flat = Flattener.flatten(docs)
+    assert(flat.columns.toSeq == Seq("ClaimRequestId", "X", "Y"))
+    val rows = flat.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows("1") == ("one", "") && rows("2") == ("", "7"))
+  }
+
   test("schema-union across documents: missing fields default to ''") {
     val rows = flattenAll(Seq(
       """{"id": 1, "x": "only-in-1"}""",
