@@ -70,4 +70,65 @@ object Multimodal {
       it.map(decoder.features)
     }
   }
+
+  /** Resize contract: decode → scale → re-encode, implementations pure.
+    * [[FakeResizer]] is the deterministic stand-in (byte resampling in
+    * place of pixel resampling): output length scales with the target
+    * area, metadata carries the new dimensions — the schema/partitioning
+    * shape a real codec plugs into.
+    */
+  trait MediaResizer extends Serializable {
+    def resize(row: MediaRow, w: Int, h: Int): MediaRow
+  }
+
+  object FakeResizer extends MediaResizer {
+    def resize(row: MediaRow, w: Int, h: Int): MediaRow = {
+      val srcArea = math.max(1, row.meta.width * row.meta.height)
+      val outLen = math.max(1,
+        (row.media.length.toLong * (w.toLong * h) / srcArea).toInt)
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) {
+        // nearest-neighbor byte resampling: deterministic, content-derived
+        out(i) = row.media(((i.toLong * row.media.length) / outLen).toInt)
+        i += 1
+      }
+      MediaRow(row.id, out, MediaMeta(row.meta.mime, w, h))
+    }
+  }
+
+  def resizeAll(media: DataFrame, w: Int, h: Int,
+      resizer: MediaResizer = FakeResizer): Dataset[MediaRow] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(r => resizer.resize(r, w, h)))
+  }
+
+  final case class Frame(id: Long, frame_no: Int, phash: Long)
+
+  /** Frame sampling for video-shaped payloads: every `stride`-th fixed-size
+    * chunk of the payload stands in for a decoded frame; each sampled
+    * frame gets a content hash. One row in → N frame rows out
+    * (flatMap-shaped, so a 2-hour video never materializes as one task's
+    * memory: chunks stream through the iterator).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64,
+      stride: Int = 4): Dataset[Frame] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { row =>
+      val nFrames = math.max(1, row.media.length / frameBytes)
+      (0 until nFrames by stride).iterator.map { f =>
+        var h = 0xCBF29CE484222325L
+        val start = f * frameBytes
+        val end = math.min(start + frameBytes, row.media.length)
+        var i = start
+        while (i < end) {
+          h = (h ^ (row.media(i) & 0xFFL)) * 0x100000001B3L
+          i += 1
+        }
+        Frame(row.id, f, h)
+      }
+    }
+  }
 }

@@ -130,6 +130,27 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
 
+  test("multimodal resize and frame sampling: deterministic shapes") {
+    val media = Multimodal.mediaTable(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val resized = Multimodal.resizeAll(media, 64, 64).collect()
+    assert(resized.length == 500)
+    assert(resized.forall(r => r.meta.width == 64 && r.meta.height == 64))
+    assert(resized.forall(_.media.nonEmpty))
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resizeAll(media, 64, 64).collect()
+      .map(r => r.id -> r.media.toSeq).toMap
+    assert(resized.forall(r => again(r.id) == r.media.toSeq))
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    // one media row fans out to ceil(len/32)/2-ish frames, strided
+    val f0 = frames.filter(_.id == 0L).map(_.frame_no).sorted
+    assert(f0.headOption.contains(0))
+    assert(f0.forall(_ % 2 == 0))
+  }
+
   test("language-ID heuristic picks marker-matching language") {
     import spark.implicits._
     val df = Seq(
