@@ -447,6 +447,19 @@ object Relational {
     s.sql(q34Text)
   }
 
+  // --- q39: approximate distinct counting (HLL++ sketch) ----------------------
+  // No cross-engine oracle (sketch estimates are engine-specific); the
+  // rows-only driver check applies, and ApproxSpec bounds the relative
+  // error against exact countDistinct. At 100 TB this is the operator that
+  // turns an unshuffleable high-cardinality distinct into a mergeable
+  // fixed-size sketch.
+  private def q39(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -467,7 +480,8 @@ object Relational {
     "q17_json_extract"    -> q17 _,
     "q18_sessionize"      -> q18 _,
     "q33_cube"            -> q33 _,
-    "q34_sql_cte_exists"  -> q34 _)
+    "q34_sql_cte_exists"  -> q34 _,
+    "q39_approx_distinct" -> q39 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,

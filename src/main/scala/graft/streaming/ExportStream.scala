@@ -28,11 +28,19 @@ object ExportStream {
   final case class BatchResult(batchId: Long, rows: Long, columns: Int,
       file: String)
 
+  /** @param checkpointDir source-progress checkpoint. Reusing the same
+    *   directory across invocations gives exactly-once file processing:
+    *   a restarted job skips every export file already committed — the
+    *   durable version of the reference's client-held `search_after`
+    *   cursor. Default: a fresh temp dir (process everything).
+    */
   def run(spark: SparkSession, inputDir: String, outputDir: String,
       filePrefix: String = "rta_claim_headers",
-      maxDepth: Int = 20): Seq[BatchResult] = {
+      maxDepth: Int = 20, checkpointDir: String = null): Seq[BatchResult] = {
     Files.createDirectories(Paths.get(outputDir))
-    val checkpoint = Files.createTempDirectory("export_ckpt").toString
+    val checkpoint =
+      if (checkpointDir != null) checkpointDir
+      else Files.createTempDirectory("export_ckpt").toString
     val results = collection.mutable.ArrayBuffer.empty[BatchResult]
 
     // schema-of-strings source: each line is one exported response/doc;

@@ -42,4 +42,20 @@ class ExportStreamSpec extends AnyFunSuite {
     assert(headers.exists(h => h == Set("ClaimRequestId", "Alpha", "Beta")))
     assert(headers.exists(h => h == Set("ClaimRequestId", "Gamma")))
   }
+
+  test("checkpoint restart: already-committed pages are not reprocessed") {
+    val in = Files.createTempDirectory("exports2").toString
+    val out = Files.createTempDirectory("tsvs2").toString
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+    Files.writeString(Paths.get(s"$in/page1.jsonl"),
+      "{\"claimRequestId\": 1}\n")
+    val first = ExportStream.run(spark, in, out, checkpointDir = ckpt)
+    assert(first.map(_.rows).sum == 1)
+    // new page arrives; restart with the SAME checkpoint
+    Files.writeString(Paths.get(s"$in/page2.jsonl"),
+      "{\"claimRequestId\": 2}\n{\"claimRequestId\": 3}\n")
+    val second = ExportStream.run(spark, in, out, checkpointDir = ckpt)
+    // only the new file is processed
+    assert(second.map(_.rows).sum == 2, second.toString)
+  }
 }
