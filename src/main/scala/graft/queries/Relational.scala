@@ -447,6 +447,63 @@ object Relational {
     s.sql(q34Text)
   }
 
+  // --- q40: FULL OUTER join with unmatched-side null handling -----------------
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val bigCust = Tables.customer(s, d).filter(col("c_acctbal") > 9000.0)
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+    bigCust.join(urgent, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_name"), lit("NO_CUSTOMER")).as("name"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"))
+  }
+
+  private val q40Sql =
+    """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       coalesce(c_name, 'NO_CUSTOMER') AS name,
+       coalesce(n_urgent, 0) AS n_urgent
+       FROM (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
+       FULL OUTER JOIN (
+         SELECT o_custkey, count(*) AS n_urgent FROM orders
+         WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) o
+       ON c_custkey = o_custkey"""
+
+  // --- q41: cross join (dimension grid) ---------------------------------------
+  private def q41(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select(col("r_name"), col("n_name"))
+
+  private val q41Sql =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+  // --- q42: math + null-handling scalar functions ------------------------------
+  private def q42(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      round(sqrt(col("p_retailprice")), 6).as("sqrt_price"),
+      round(pow(col("p_size").cast("double"), 2.0), 6).as("size_sq"),
+      round(log(col("p_retailprice") + 1.0), 6).as("log_price"),
+      abs(col("p_size") - 25).cast("long").as("size_dev"),
+      ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+      floor(col("p_retailprice")).cast("long").as("price_floor"),
+      nullif(col("p_brand"), lit("Brand#13")).as("brand_or_null"),
+      coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("SUPPRESSED"))
+        .as("brand_disp"))
+
+  private val q42Sql =
+    """SELECT p_partkey,
+       round(sqrt(p_retailprice), 6) AS sqrt_price,
+       round(pow(CAST(p_size AS DOUBLE), 2.0), 6) AS size_sq,
+       round(ln(p_retailprice + 1.0), 6) AS log_price,
+       CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       nullif(p_brand, 'Brand#13') AS brand_or_null,
+       coalesce(nullif(p_brand, 'Brand#13'), 'SUPPRESSED') AS brand_disp
+       FROM part"""
+
   // --- q39: approximate distinct counting (HLL++ sketch) ----------------------
   // No cross-engine oracle (sketch estimates are engine-specific); the
   // rows-only driver check applies, and ApproxSpec bounds the relative
@@ -481,7 +538,10 @@ object Relational {
     "q18_sessionize"      -> q18 _,
     "q33_cube"            -> q33 _,
     "q34_sql_cte_exists"  -> q34 _,
-    "q39_approx_distinct" -> q39 _)
+    "q39_approx_distinct" -> q39 _,
+    "q40_full_outer_join" -> q40 _,
+    "q41_cross_join"      -> q41 _,
+    "q42_math_null_funcs" -> q42 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -503,5 +563,8 @@ object Relational {
     "q17_json_extract"    -> q17Sql,
     "q18_sessionize"      -> q18Sql,
     "q33_cube"            -> q33Sql,
-    "q34_sql_cte_exists"  -> q34Text)
+    "q34_sql_cte_exists"  -> q34Text,
+    "q40_full_outer_join" -> q40Sql,
+    "q41_cross_join"      -> q41Sql,
+    "q42_math_null_funcs" -> q42Sql)
 }
