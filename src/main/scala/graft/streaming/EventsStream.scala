@@ -37,6 +37,12 @@ object EventsStream {
     */
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // streaming state cost scales with state-store instances (= shuffle
+    // partitions at query start); this aggregation state is tiny, so a
+    // handful of partitions beats the batch-tuned default. Restored after
+    // the (synchronous, finite) run.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val name = "events_win_" + UUID.randomUUID().toString.replace("-", "")
     val stream = spark.readStream
       .schema(rawSchema)
@@ -59,7 +65,10 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     try q.processAllAvailable()
-    finally q.stop()
+    finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(name)
   }
 }

@@ -63,6 +63,8 @@ object SessionStream {
       gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val gapMicros = gapMinutes * 60L * 1000000L
     val name = "sessions_" + UUID.randomUUID().toString.replace("-", "")
     val evs = spark.readStream
@@ -91,7 +93,10 @@ object SessionStream {
       .trigger(Trigger.AvailableNow())
       .start()
     try q.processAllAvailable()
-    finally q.stop()
+    finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(name)
       .select(col("user_id"), col("sess_id"), col("n_events"),
         round(col("sess_value"), 6).as("sess_value"))
