@@ -24,17 +24,47 @@ object Bench {
     // and shuffle machinery once, so per-query timings measure the queries.
     try SparkEntry.queries("q04_star_join")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failing query must fail the bench LOUDLY: its error goes to stderr,
+    // the JSON carries a nonzero "failed" count + per-query error text, and
+    // the process exits 1 — a broken query can never hide behind a -1.
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: $e")
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .takeWhile(_ != '\n').take(200))
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      dropCaches(spark) // queries must not inherit (or starve on) each
+      (name, sec, err)  // other's persisted intermediates
+    }
+    val qs = runs.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = runs.filter(_._3.isDefined)
+    val errs = failed.map { case (k, _, e) =>
+      "\"" + k + "\":\"" + e.get.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = runs.filter(_._3.isEmpty).map(_._2).sum
     val flat = flattenBench(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","flatten_docs":${flat._1},"flatten_sec":${flat._2},"flatten_docs_per_s":${flat._3},"flatten_docs_per_s_warm":${flat._4}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_sec":${flat.coldSec},"flatten_docs_per_s":${flat.coldRate},"flatten_docs_per_s_warm":${flat.warmRate},"flatten_sec_schema_reuse":${flat.schemaReuseSec},"flatten_docs_per_s_schema_reuse":${flat.schemaReuseRate}}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  final case class FlattenBench(docs: Int, coldSec: Double, coldRate: Double,
+      warmRate: Double, schemaReuseSec: Double, schemaReuseRate: Double)
+
+  /** Release every cached/persisted dataset AND directly-persisted RDDs
+    * (operator-internal persists + iterative-loop caches) so measurements
+    * are independent.
+    */
+  private def dropCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** Flatten N copies of the reference's golden document (claim ids varied
@@ -42,10 +72,13 @@ object Bench {
     * write — the workload BASELINE.md prices at ~2 min for 1,000 docs.
     * Cold = includes schema inference and the one-time Janino compilation
     * of the ~5k-column projection; warm = steady-state rate once compiled
-    * (what a long-running 100 TB job actually sustains).
+    * (what a long-running 100 TB job actually sustains); schemaReuse =
+    * a fresh end-to-end run over a fresh file with the schema passed in
+    * (the ExportStream batch-N-plus-1 shape: parse + flatten + write, no
+    * inference pass).
     */
   private def flattenBench(spark: SparkSession,
-      n: Int = 1000): (Int, Double, Double, Double) =
+      n: Int = 1000): FlattenBench =
     try {
       val golden = "/root/reference/ElasticSearch_Document.json"
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -70,6 +103,20 @@ object Bench {
         graft.flatten.Flattener.flattenToTsv(df, in.resolve(s"tsv$i").toString)
         (System.nanoTime() - t1) / 1e9
       }.min
-      (n, cold, n / cold, n / warm)
-    } catch { case _: Throwable => (0, 0.0, 0.0, 0.0) }
+      // schema-reuse: a SEPARATE copy of the input (distinct path, so the
+      // cached first read cannot serve it) parsed with the known schema —
+      // no inference pass, everything else end-to-end
+      val in2 = Files.createTempDirectory("flatbench2")
+      Files.writeString(in2.resolve("docs.jsonl"), sb.toString)
+      val t2 = System.nanoTime()
+      val df2 = spark.read.schema(df.schema)
+        .json(in2.resolve("docs.jsonl").toString)
+      graft.flatten.Flattener.flattenToTsv(df2, in2.resolve("tsv").toString)
+      val reuse = (System.nanoTime() - t2) / 1e9
+      FlattenBench(n, cold, n / cold, n / warm, reuse, n / reuse)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"BENCH FAIL flatten: $e")
+        FlattenBench(0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    }
 }

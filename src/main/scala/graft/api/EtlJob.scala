@@ -44,6 +44,20 @@ object EtlJob {
     Seq(rec).toDF().write.mode(SaveMode.Append).parquet(auditPath)
   }
 
+  /** JDBC form of the audit append — the reference's actual sink
+    * (`utils.log_to_sql_db`, [`ElasticSearch ETL.py:271-299`]). Identical
+    * record shape to [[logAudit]]; `url` is any JDBC database (the audit
+    * table is created on first append). One row per run — driver-side
+    * size by construction, so a single-partition JDBC write is correct.
+    */
+  def logAuditJdbc(spark: SparkSession, url: String, table: String,
+      rec: AuditRecord,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    import spark.implicits._
+    Seq(rec).toDF().coalesce(1)
+      .write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
   /** Full job: flatten every document under `inputPath` to TSV part-files
     * in `outputDir`, audit to `auditPath`. Mirrors the reference's
     * try/success/except/failure audit contract.

@@ -82,6 +82,10 @@ object Dedup {
       col(idCol).as("id"),
       graft.functions.ArrayOps.ngramHashes(
         Text.tokens(col(textCol)), shingleN).as("hset"))
+      // shingle-less docs (< n tokens) can never clear a Jaccard threshold
+      // (empty union → 0.0), but they all share the sentinel signature and
+      // would band-collide into one quadratic bucket — drop them up front
+      .filter(size(col("hset")) > 0)
       .withColumn("sig", graft.functions.ArrayOps.minhash(col("hset"), k))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -159,33 +163,87 @@ object Dedup {
   }
 
   /** Collapse near-duplicate pairs into clusters (connected components)
-    * and pick one survivor (min id) per cluster. The pair set is orders of
-    * magnitude smaller than the corpus (it only contains near-duplicates),
-    * so a driver-side union-find is the right tool at any corpus scale —
-    * the corpus itself is never collected. Returns (id, survivor_id).
+    * and pick one survivor (min id) per cluster. Returns (id, survivor_id)
+    * for every node that appears in the pair set (roots map to themselves).
+    *
+    * Fully distributed: alternating large-star / small-star min-label
+    * propagation over the pair DataFrame (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — converges in
+    * O(log n) rounds to a star forest rooted at each component's minimum
+    * id. Nothing is ever collected to the driver, so a near-dup-heavy
+    * 100 TB crawl (pair sets of O(corpus) edges) streams through shuffles
+    * instead of OOM-ing the driver the way a collect()-based union-find
+    * would. Each round is two groupBy-min + join stages keyed on node id;
+    * `localCheckpoint` truncates the iterative lineage.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b"): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) {
-        val nxt = parent(c); parent(c) = r; c = nxt
-      }
-      r
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // canonical directed edges: larger id -> smaller id, deduped. The
+    // iteration itself runs on an RDD (the GraphX-style idiom for
+    // fixpoint graph loops): a single HashPartitioner is reused across
+    // every round's reduceByKey/join so co-partitioned stages stay
+    // narrow, each round is ONE action, and the previous round's cache
+    // is explicitly dropped — a DataFrame loop reshuffles per round and
+    // can neither pin the partitioning nor release checkpoint storage.
+    val raw = pairs.select(
+        greatest(col(idA).cast("long"), col(idB).cast("long")).as("u"),
+        least(col(idA).cast("long"), col(idB).cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .as[(Long, Long)].rdd
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(raw.getNumPartitions, 1))
+    var edges = raw.persist(lvl)
+    // multiset fingerprint (size, xor of mixed pair-hashes): one action
+    // materializes the round AND decides convergence; xor is
+    // order/partition-independent and the sets are distinct by
+    // construction, so equal fingerprints mean equal edge sets (whp)
+    def fingerprint(e: org.apache.spark.rdd.RDD[(Long, Long)]): (Long, Long) =
+      e.map { case (u, v) =>
+        (1L, graft.functions.ArrayOps.mixPub(u * 0x9E3779B97F4A7C15L + v))
+      }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 ^ b._2))
+    var fp = fingerprint(edges)
+    var round = 0
+    while (fp._1 != 0L && round < 64) {
+      // large-star: connect every strictly-larger neighbor of each node
+      // to the minimum of its closed neighborhood
+      val sym = edges.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      val closedMin = sym.reduceByKey(part, math.min(_: Long, _: Long))
+        .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
+          preservesPartitioning = true)
+      val large = sym.join(closedMin, part)
+        .flatMap { case (u, (v, m)) =>
+          if (v > u && v != m) Iterator((v, m)) else Iterator.empty
+        }
+        .distinct(part.numPartitions)
+      // small-star: all edges now point large -> small; re-hang each
+      // node's smaller neighbors (and the node itself) off the
+      // neighborhood min
+      val hubMin = large.reduceByKey(part, math.min(_: Long, _: Long))
+      val next = large.join(hubMin, part)
+        .flatMap { case (u, (v, m)) =>
+          val self = Iterator.single((u, m))
+          if (v != m) Iterator((v, m)) ++ self else self
+        }
+        .filter { case (a, b) => a != b }
+        .distinct(part.numPartitions)
+        .persist(lvl)
+      val fpNext = fingerprint(next) // materializes next
+      edges.unpersist(blocking = false)
+      val done = fpNext == fp
+      edges = next
+      fp = fpNext
+      round += 1
+      if (done) round = 64
     }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
-    members.map(m => (m, find(m))).toSeq.toDF("id", "survivor_id")
+    // fixpoint is a star forest rooted at each component's min: emit every
+    // member -> root, plus root -> itself
+    edges.flatMap { case (u, v) => Iterator((u, v), (v, v)) }
+      .distinct(part.numPartitions)
+      .toDF("id", "survivor_id")
   }
 
   /** The end deliverable: the corpus with near-duplicates collapsed to one
@@ -207,18 +265,69 @@ object Dedup {
     * sorted once per document, the O(pairs) inner loop touches only packed
     * longs. Results equal exact string-set Jaccard up to 2^-64-probability
     * hash collisions.
+    *
+    * Hot-block guard: the within-block self-join is O(|block|²), which one
+    * skewed block (a crawl where half the corpus shares a source) turns
+    * into the whole job. Blocks with more than `maxBlockSize` documents
+    * are therefore routed through banded MinHash-LSH candidate generation
+    * (still block-scoped, still verified with the same exact Jaccard
+    * kernel) instead of all-pairs — exact results for bounded blocks,
+    * bounded cost with high-recall approximation for pathological ones.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
-    val sets = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      blockCol: String, n: Int = 3, minJaccard: Double = 0.05,
+      maxBlockSize: Int = 10000): DataFrame = {
+    val rawSets = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       graft.functions.ArrayOps.ngramHashes(Text.tokens(col(textCol)), n)
         .as("s"))
       .filter(size(col("s")) > 0)
-    sets.as("x").join(sets.as("y"),
+    // block cardinalities are tiny relative to the corpus ((blk, count)
+    // rows); the join below shuffles on blk — the same key the pair join
+    // needs anyway
+    val counts = rawSets.groupBy(col("blk"))
+      .agg(count(lit(1)).as("blk_n"))
+    val sets = rawSets.join(counts, "blk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val small = sets.filter(col("blk_n") <= maxBlockSize)
+    val exact = small.as("x").join(small.as("y"),
         col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         graft.functions.ArrayOps.jaccardSorted(col("x.s"), col("y.s"))
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+
+    // oversized blocks: LSH-banded candidates within (blk, band, bandHash)
+    // buckets, then the identical exact-Jaccard verification
+    val big = sets.filter(col("blk_n") > maxBlockSize)
+    val k = 32
+    val bands = 16 // 2-row bands: high recall down to modest thresholds
+    val rowsPerBand = k / bands
+    val sig = big.withColumn("sig",
+      graft.functions.ArrayOps.minhash(col("s"), k))
+    val banded = sig.select(col("blk"), col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("blk"), col("id"), col("bb.band"), col("bb.bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.blk") === col("y.blk") && col("x.band") === col("y.band") &&
+        col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+      .select(col("x.blk").as("blk"), col("x.id").as("id_a"),
+        col("y.id").as("id_b"))
+      .distinct()
+    val bigSets = big.select(col("blk"), col("id"), col("s"))
+    val approx = cand
+      .join(bigSets.as("sa"),
+        cand("blk") === col("sa.blk") && cand("id_a") === col("sa.id"))
+      .join(bigSets.as("sb"),
+        cand("blk") === col("sb.blk") && cand("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ArrayOps.jaccardSorted(col("sa.s"), col("sb.s"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+
+    exact.union(approx)
   }
 }

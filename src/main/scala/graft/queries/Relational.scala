@@ -382,20 +382,24 @@ object Relational {
       .withColumn("sess_id", sum(col("new_sess")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sess_id"))
-      .agg(count(lit(1)).as("n_events"), r6(sum(col("value"))).as("sess_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).as("sess_value"))
       .groupBy(col("user_id"))
       .agg(max(col("sess_id")).as("n_sessions"),
         r6(avg(col("n_events"))).as("avg_events_per_sess"),
-        r6(sum(col("sess_value"))).as("total_value"))
+        // decimal all the way to the final sum: double summation order
+        // differs between Spark partial aggregation and DuckDB, and
+        // round(_,6) cannot mask ulp noise at a rounding boundary
+        round(sum(col("sess_value")), 6).cast("double").as("total_value"))
   }
 
   private val q18Sql =
     """SELECT user_id, max(sess_id) AS n_sessions,
        round(avg(n_events), 6) AS avg_events_per_sess,
-       round(sum(sess_value), 6) AS total_value
+       CAST(round(sum(sess_value), 6) AS DOUBLE) AS total_value
        FROM (
          SELECT user_id, sess_id, count(*) AS n_events,
-           round(sum(value), 6) AS sess_value
+           sum(CAST(value AS DECIMAL(14,2))) AS sess_value
          FROM (
            SELECT user_id, value,
              sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

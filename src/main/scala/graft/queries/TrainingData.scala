@@ -218,7 +218,7 @@ object TrainingData {
 
   private val q32Sql =
     """SELECT user_id, sess_id, count(*) AS n_events,
-       round(sum(value), 6) AS sess_value
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sess_value
        FROM (
          SELECT user_id, value,
            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
@@ -247,6 +247,101 @@ object TrainingData {
     Dedup.dedupedCorpus(docs, "doc_id", cl)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
+
+  // The documents table ships with no exact duplicates, which would make
+  // the threshold-1.0 oracles vacuously-empty checks. Both engines
+  // therefore run over the same AUGMENTED corpus: documents plus clones
+  // of doc_id < 20 re-keyed to doc_id + 1000000 — 20 planted exact-dup
+  // pairs with known ids.
+  private def clonedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(docs.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  private val clonedDocsSql =
+    """(SELECT * FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id < 20)"""
+
+  // --- q43: MinHash-LSH at threshold 1.0 — the FULL-oracle member of the
+  // sketch family. Identical shingle sets produce identical signatures, so
+  // every band collides and LSH recall is exactly 100%; verification keeps
+  // jaccard == 1.0 only for identical sets. The result is therefore
+  // SQL-expressible: pairs of documents with set-equal 3-gram shingles —
+  // a hard driver check that the shingle → signature → band → verify
+  // pipeline is sound end to end (nonempty by construction: 20 planted
+  // clone pairs).
+  private def q43(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(clonedDocs(s, d), "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, threshold = 1.0)
+      .select(col("id_a"), col("id_b"))
+
+  private val q43Sql =
+    s"""WITH sh AS (
+         SELECT doc_id,
+           list_sort(list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS w
+               FROM $clonedDocsSql docs) t
+         WHERE len(w) >= 3)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"""
+
+  // --- q44: exact embedding near-dup pairs on a bounded id range — the
+  // full-oracle baseline for q37's LSH-blocked variant (same cosine
+  // kernel, no blocking), DuckDB list_cosine_similarity parity.
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ArrayOps
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    emb.as("x").join(emb.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(ArrayOps.cosineF(col("x.vec"), col("y.vec")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.2)
+  }
+
+  private val q44Sql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+       FROM embeddings a JOIN embeddings b
+         ON a.vec_id < b.vec_id AND b.vec_id < 300
+       WHERE a.vec_id < 300
+         AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) >= 0.2"""
+
+  // --- q45: exact-dup dedup PIPELINE with a full oracle: LSH pairs at
+  // threshold 1.0 (100% recall, see q43) → distributed connected
+  // components → collapsed corpus. SQL twin: keep each doc iff it has the
+  // min doc_id of its identical-shingle-set group (docs with no shingles
+  // are never paired, so they all survive). Runs over the augmented
+  // corpus, so the 20 planted clones MUST be collapsed away.
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val docs = clonedDocs(s, d)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 1.0)
+    val cl = Dedup.clusters(pairs)
+    Dedup.dedupedCorpus(docs, "doc_id", cl)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  private val q45Sql =
+    s"""WITH docs AS (SELECT * FROM $clonedDocsSql t0),
+       sh AS (
+         SELECT doc_id,
+           list_sort(list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s,
+           len(w) AS nw
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs) t),
+       keep AS (
+         SELECT doc_id,
+           CASE WHEN nw >= 3 THEN min(doc_id) OVER (PARTITION BY s)
+                ELSE doc_id END AS k
+         FROM sh)
+       SELECT d.doc_id, d.lang, d.source, d.n_chars
+       FROM docs d JOIN keep ON d.doc_id = keep.doc_id
+       WHERE d.doc_id = keep.k"""
 
   // --- q35: salted two-phase aggregation over a heavy-hitter key --------------
   // events has only 5 event_type values — the pathological skew shape for a
@@ -297,7 +392,10 @@ object TrainingData {
     "q35_salted_agg"      -> q35 _,
     "q36_percentiles"     -> q36 _,
     "q37_embed_neardup"   -> q37 _,
-    "q38_dedup_pipeline"  -> q38 _)
+    "q38_dedup_pipeline"  -> q38 _,
+    "q43_minhash_exactdup" -> q43 _,
+    "q44_embed_neardup_exact" -> q44 _,
+    "q45_dedup_exactdup_pipeline" -> q45 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -311,5 +409,8 @@ object TrainingData {
     "q31_stream_window"   -> q31Sql,
     "q32_stream_sessions" -> q32Sql,
     "q35_salted_agg"      -> q35Sql,
-    "q36_percentiles"     -> q36Sql)
+    "q36_percentiles"     -> q36Sql,
+    "q43_minhash_exactdup" -> q43Sql,
+    "q44_embed_neardup_exact" -> q44Sql,
+    "q45_dedup_exactdup_pipeline" -> q45Sql)
 }

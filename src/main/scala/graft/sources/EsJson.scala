@@ -50,4 +50,18 @@ object EsJson {
       .option("inferDate", false)
       .option("prefersDecimal", false)
       .json(path))
+
+  /** Schema-reuse read: parse with a KNOWN schema, skipping the inference
+    * scan entirely. JSON inference is a full extra pass over the input —
+    * the dominant cost of a cold flatten (BENCH r01: ~17.5 s/1k docs cold
+    * vs sub-second warm). Batches of exported pages share one layout, so
+    * infer once (`read(...).schema`), then feed that schema to every
+    * subsequent batch.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType,
+      multiLine: Boolean): DataFrame =
+    unwrap(spark.read
+      .option("multiLine", multiLine)
+      .schema(schema)
+      .json(path))
 }

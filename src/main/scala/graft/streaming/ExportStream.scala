@@ -15,8 +15,10 @@ import graft.sources.EsJson
   * uses ONE global schema (the better default); this job reproduces the
   * faithful per-batch behavior by treating each exported response file as
   * one micro-batch: file stream source → `foreachBatch` → flatten THAT
-  * batch → one TSV named `{prefix}_{batchId}_{utc}.tsv`
-  * (the reference's file-naming shape [`ETL.py:247-257`]).
+  * batch → one TSV named `{prefix}_{lastClaimId}_{utc}.tsv`
+  * (the reference's file-naming shape [`ETL.py:247-257`]: the tag is the
+  * page's last — i.e. max, under the reference's claim-id sort — claim
+  * id; falls back to the batch id when the page has no claim-id column).
   *
   * `maxFilesPerTrigger=1` maps one export file to one batch, mirroring
   * one `search_after` page per loop iteration; checkpointing gives the
@@ -34,9 +36,17 @@ object ExportStream {
     *   durable version of the reference's client-held `search_after`
     *   cursor. Default: a fresh temp dir (process everything).
     */
+  /** @param docSchema optional known document schema. When set, per-batch
+    *   JSON inference (a full extra pass per page) is skipped and every
+    *   batch parses with this schema — the high-throughput mode for runs
+    *   whose pages share one layout. Default null keeps the reference's
+    *   faithful per-batch schema-union semantics (quirk Q6).
+    */
   def run(spark: SparkSession, inputDir: String, outputDir: String,
       filePrefix: String = "rta_claim_headers",
-      maxDepth: Int = 20, checkpointDir: String = null): Seq[BatchResult] = {
+      maxDepth: Int = 20, checkpointDir: String = null,
+      claimIdCol: String = "claimRequestId",
+      docSchema: org.apache.spark.sql.types.StructType = null): Seq[BatchResult] = {
     Files.createDirectories(Paths.get(outputDir))
     val checkpoint =
       if (checkpointDir != null) checkpointDir
@@ -58,21 +68,34 @@ object ExportStream {
         val lines = batch.select("value").as(
           org.apache.spark.sql.Encoders.STRING)
         if (!lines.isEmpty) {
+          val reader = spark.read
+            .option("inferTimestamp", false).option("inferDate", false)
           val docs = EsJson.unwrap(
-            spark.read
-              .option("inferTimestamp", false).option("inferDate", false)
+            (if (docSchema != null) reader.schema(docSchema) else reader)
               .json(lines))
           val ts = java.time.format.DateTimeFormatter
             .ofPattern("yyyyMMdd_HHmmss")
             .withZone(java.time.ZoneOffset.UTC)
             .format(java.time.Instant.now())
-          val file = s"$outputDir/${filePrefix}_${batchId}_$ts.tsv"
+          // reference tag: the page's last claim id (ETL.py:247-257);
+          // pages arrive sorted by claim id, so last = max
+          val tag = docs.columns
+            .find(_.equalsIgnoreCase(claimIdCol))
+            .flatMap { c =>
+              Option(docs.agg(org.apache.spark.sql.functions
+                .max(org.apache.spark.sql.functions.col(s"`$c`"))).head.get(0))
+            }
+            .map(_.toString)
+            .getOrElse(batchId.toString)
+          val file = s"$outputDir/${filePrefix}_${tag}_$ts.tsv"
           val tmp = file + ".dir"
           val cols = Flattener.flattenToTsv(docs, tmp, maxDepth,
             singleFile = true)
-          val part = Files.list(Paths.get(tmp)).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
-            .find(_.getFileName.toString.startsWith("part-")).get
+          val listing = Files.list(Paths.get(tmp))
+          val part =
+            try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+              .find(_.getFileName.toString.startsWith("part-")).get
+            finally listing.close()
           Files.move(part, Paths.get(file),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           results.synchronized {

@@ -19,10 +19,15 @@ import org.apache.spark.sql.types._
   */
 object SessionStream {
 
-  final case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
+  /** `cents` is value scaled to an exact long (×100 after a decimal(14,2)
+    * cast) — state accumulates integers, so the session sum is
+    * order-independent and bit-identical to a decimal SQL oracle, with no
+    * double summation-order noise.
+    */
+  final case class Ev(event_id: Long, ts: Long, user_id: Long, cents: Long)
   final case class Sess(user_id: Long, sess_id: Long, n_events: Long,
-      sess_value: Double)
-  final case class Open(sessId: Long, lastTs: Long, n: Long, sum: Double)
+      sess_cents: Long)
+  final case class Open(sessId: Long, lastTs: Long, n: Long, sumCents: Long)
 
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -38,16 +43,16 @@ object SessionStream {
   def advance(userId: Long, events: Iterator[Ev], state: GroupState[Open],
       gapMicros: Long): Iterator[Sess] = {
     val sorted = events.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
-    var open = state.getOption.getOrElse(Open(0L, Long.MinValue, 0L, 0.0))
+    var open = state.getOption.getOrElse(Open(0L, Long.MinValue, 0L, 0L))
     val closed = IndexedSeq.newBuilder[Sess]
     sorted.foreach { e =>
       if (open.n == 0L) {
-        open = Open(open.sessId + 1, e.ts, 1L, e.value)
+        open = Open(open.sessId + 1, e.ts, 1L, e.cents)
       } else if (e.ts - open.lastTs > gapMicros) {
-        closed += Sess(userId, open.sessId, open.n, open.sum)
-        open = Open(open.sessId + 1, e.ts, 1L, e.value)
+        closed += Sess(userId, open.sessId, open.n, open.sumCents)
+        open = Open(open.sessId + 1, e.ts, 1L, e.cents)
       } else {
-        open = Open(open.sessId, e.ts, open.n + 1, open.sum + e.value)
+        open = Open(open.sessId, e.ts, open.n + 1, open.sumCents + e.cents)
       }
     }
     if (open.n > 0) state.update(open)
@@ -72,7 +77,8 @@ object SessionStream {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .select(col("event_id"), expr("ts div 1000").as("ts"),
-        col("user_id"), col("value"))
+        col("user_id"),
+        (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
       .as[Ev]
     val out = evs.groupByKey(_.user_id)
       .flatMapGroupsWithState(
@@ -82,7 +88,7 @@ object SessionStream {
           // finite AvailableNow input arrives as one batch: flush the open
           // session so results match the batch semantics exactly
           val tail = st.getOption.filter(_.n > 0)
-            .map(o => Sess(uid, o.sessId, o.n, o.sum)).toSeq
+            .map(o => Sess(uid, o.sessId, o.n, o.sumCents)).toSeq
           st.remove()
           (closedNow ++ tail).iterator
         })
@@ -99,6 +105,6 @@ object SessionStream {
     }
     spark.table(name)
       .select(col("user_id"), col("sess_id"), col("n_events"),
-        round(col("sess_value"), 6).as("sess_value"))
+        (col("sess_cents") / 100.0).as("sess_value"))
   }
 }

@@ -44,6 +44,30 @@ class EtlJobSpec extends AnyFunSuite {
     assert(audit(0).getAs[String]("error_desc") != null)
   }
 
+  test("jdbc audit sink round-trips the reference's column set (Derby)") {
+    // embedded in-memory Derby: the same df.write.jdbc path a live SQL DB
+    // target uses (ElasticSearch ETL.py:271-299), no network needed
+    val url = "jdbc:derby:memory:auditdb;create=true"
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val t1 = new java.sql.Timestamp(1700000060000L)
+    val rec = EtlJob.AuditRecord("Initial_load_from_export", 8L, t0, t1,
+      "SUCCESS", "spark_etl_export", null, "20240101120000", "documents", 42L)
+    EtlJob.logAuditJdbc(spark, url, "job_audit", rec)
+    val back = spark.read.jdbc(url, "job_audit", new java.util.Properties())
+    assert(back.columns.toSet == Set("job_name", "job_id", "start_ts",
+      "end_ts", "job_status", "executable_cmd", "error_desc", "batch_id",
+      "table_name", "record_count_loaded"))
+    val row = back.collect()(0)
+    assert(row.getAs[String]("job_status") == "SUCCESS")
+    assert(row.getAs[Long]("record_count_loaded") == 42L)
+    assert(row.getAs[java.sql.Timestamp]("start_ts") == t0)
+    // append semantics: a second run adds a row, never truncates
+    EtlJob.logAuditJdbc(spark, url, "job_audit",
+      rec.copy(job_status = "FAILED", error_desc = "boom",
+        record_count_loaded = 0L))
+    assert(back.count() == 2)
+  }
+
   test("interactive column search and transpose preview") {
     val flat = graft.flatten.Flattener.flatten(
       graft.sources.EsJson.read(spark,

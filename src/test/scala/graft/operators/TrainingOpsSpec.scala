@@ -117,6 +117,92 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(kept.size == planted.count() - 2)
   }
 
+  test("simhash pairs on real documents: reported hamming is exact, dups never missed") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // plant one exact duplicate (id 900000 copies doc 3): identical texts
+    // have identical sketches -> every band collides -> can never be missed
+    val clone = real.filter(col("doc_id") === 3L)
+      .withColumn("doc_id", lit(900000L))
+    val docs = real.unionByName(clone)
+    val reported = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(reported.nonEmpty)
+    val sk = docs.select(col("doc_id"),
+        SimHash.simhash(Text.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reported.foreach { case (a, b, h) =>
+      val exact = java.lang.Long.bitCount(sk(a) ^ sk(b))
+      assert(h == exact && h <= 8, s"pair ($a,$b): reported $h actual $exact")
+    }
+    val ids = reported.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((3L, 900000L)), s"planted exact-dup pair missed: $ids")
+  }
+
+  test("minhash pairs on real documents: jaccard matches an independent kernel") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val reported = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(reported.nonEmpty)
+    // independent second layer: string shingles + Spark's own
+    // array_intersect/array_union, no ArrayOps code shared
+    val shingled = docs.filter("size(split(text, ' ')) >= 3")
+      .selectExpr("doc_id",
+        """array_distinct(transform(
+             sequence(0, size(split(text, ' ')) - 3),
+             i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))) AS sh""")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    reported.foreach { case (a, b, j) =>
+      val (sa, sb) = (shingled(a), shingled(b))
+      val exact = BigDecimal((sa & sb).size.toDouble / (sa | sb).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j == exact && j >= 0.1, s"pair ($a,$b): reported $j exact $exact")
+    }
+  }
+
+  test("clusters: 10^5-edge planted chains converge distributed (no collect)") {
+    import spark.implicits._
+    // 1000 chains of 100 edges each: node ids chain*1000 + pos, so every
+    // component's min (= survivor) is chain*1000. Chains maximize the
+    // path-halving rounds the large-star/small-star loop must run.
+    val edges = spark.range(100000L).select(
+      ((col("id") / 100).cast("long") * 1000 + col("id") % 100).as("id_a"),
+      ((col("id") / 100).cast("long") * 1000 + col("id") % 100 + 1).as("id_b"))
+    val cl = Dedup.clusters(edges)
+    val got = cl.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 101000) // 1000 chains x 101 nodes
+    assert(got.forall { case (id, surv) => surv == id - (id % 1000) },
+      got.find { case (id, surv) => surv != id - (id % 1000) }.toString)
+  }
+
+  test("clusters: empty pair set yields empty mapping") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusters(none).count() == 0)
+  }
+
+  test("ngram jaccard hot-block guard routes oversized blocks through LSH") {
+    import spark.implicits._
+    // one oversized block (60 docs incl. an exact-dup pair) + one small
+    // block; cap at 20 forces the big block onto the banded-LSH path
+    val bigBlock = (0 until 60).map(i =>
+      (i.toLong, if (i == 59) wordsDoc(107) else wordsDoc(100 + i), "big"))
+    val smallBlock = Seq(
+      (200L, wordsDoc(7), "small"), (201L, wordsDoc(7), "small"),
+      (202L, wordsDoc(500), "small"))
+    val df = (bigBlock ++ smallBlock).toDF("doc_id", "text", "source")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source",
+        n = 3, minJaccard = 0.9, maxBlockSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = out.map(p => (p._1, p._2)).toSet
+    // exact path (small block): planted identical pair
+    assert(ids.contains((200L, 201L)), ids.toString)
+    // LSH path (big block): identical docs share every band -> always found
+    assert(ids.contains((7L, 59L)), ids.toString)
+    assert(out.forall(_._3 >= 0.9), out.mkString(","))
+    // guard must not invent sub-threshold pairs
+    assert(ids == Set((200L, 201L), (7L, 59L)), ids.toString)
+  }
+
   test("embedding near-dup blocking keeps identical vectors together") {
     import spark.implicits._
     val base = (0 until 64).map(i => (i % 7).toFloat / 7f).toArray

@@ -32,8 +32,16 @@ class ExportStreamSpec extends AnyFunSuite {
     val res = ExportStream.run(spark, in, out, filePrefix = "claims")
     assert(res.length == 2)
     assert(res.map(_.rows).sum == 3)
+    // reference naming parity: {prefix}_{lastClaimId}_{utcTimestamp}.tsv
+    val nameRe = """claims_(\d+)_\d{8}_\d{6}\.tsv""".r
+    val tags = res.map { r =>
+      val n = Paths.get(r.file).getFileName.toString
+      nameRe.findFirstMatchIn(n)
+        .getOrElse(fail(s"file name $n does not match reference shape"))
+        .group(1).toLong
+    }
+    assert(tags.toSet == Set(2L, 3L), tags.toString) // per-page max claim id
     val headers = res.map { r =>
-      assert(r.file.contains("claims_"))
       scala.io.Source.fromFile(r.file).getLines().next().split("\t").toSet
     }
     // per-batch schemas differ: one page has Alpha/Beta, the other Gamma
