@@ -92,6 +92,9 @@ object Bench {
       }
       val in = Files.createTempDirectory("flatbench")
       Files.writeString(in.resolve("docs.jsonl"), sb.toString)
+      // one big JSONL file + default 128m maxPartitionBytes = 1-2 parse
+      // tasks; small splits let every core parse/infer
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
       val t0 = System.nanoTime()
       val df = spark.read.json(in.resolve("docs.jsonl").toString)
       graft.flatten.Flattener.flattenToTsv(df, in.resolve("tsv").toString)

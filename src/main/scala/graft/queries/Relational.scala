@@ -521,6 +521,69 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
+  // --- q46: AS-OF join (purchase -> latest prior click per user) --------------
+  // The range-join-free as-of: union + one window pass
+  // (operators/TemporalJoin.asOf), one shuffle on user_id. Times compared
+  // at millisecond precision on both engines (events ts is TIMESTAMP(NANOS)
+  // in the file; Spark reads micros, DuckDB nanos — ms is the shared grid).
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ms", expr("unix_micros(ts) div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ms"), col("event_id").as("click_id"), col("user_id"))
+    graft.operators.TemporalJoin
+      .asOf(purchases, clicks, "user_id", "ms", Seq("ms", "click_id"))
+      .select(col("event_id"), col("user_id"),
+        col("asof.click_id").as("click_id"),
+        col("asof.ms").as("click_ms"))
+  }
+
+  private val q46Sql =
+    """SELECT p.event_id, p.user_id, x.click_id, x.click_ms
+       FROM events p LEFT JOIN (
+         SELECT p2.event_id AS pid,
+           arg_max(c.event_id, epoch_ms(c.ts) * 1000000 + c.event_id)
+             AS click_id,
+           max(epoch_ms(c.ts)) AS click_ms
+         FROM events p2 JOIN events c
+           ON c.user_id = p2.user_id AND c.event_type = 'click'
+          AND epoch_ms(c.ts) <= epoch_ms(p2.ts)
+         WHERE p2.event_type = 'purchase'
+         GROUP BY p2.event_id) x ON p.event_id = x.pid
+       WHERE p.event_type = 'purchase'"""
+
+  // --- q47: range join (event pairs per user within one hour) -----------------
+  // Bin-bucketed equi-join (operators/TemporalJoin.withinWindow): every
+  // candidate pair meets in exactly one (user, bin) bucket — no
+  // nested-loop range join anywhere in the plan.
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ms", expr("unix_micros(ts) div 1000"))
+    graft.operators.TemporalJoin
+      .withinWindow(ev, "user_id", "ms", "event_id", 3600000L)
+      .select(col("k").as("user_id"), col("id_a"), col("id_b"),
+        col("gap").as("gap_ms"))
+  }
+
+  private val q47Sql =
+    """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+       FROM events a JOIN events b ON a.user_id = b.user_id
+        AND epoch_ms(b.ts) > epoch_ms(a.ts)
+        AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 3600000"""
+
+  // --- q48: streaming exact dedup (at-least-once feed -> exactly-once agg) ----
+  private def q48(s: SparkSession, d: String): DataFrame =
+    graft.streaming.DedupStream.dedupCounts(s, d)
+
+  private val q48Sql =
+    """SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(14,2))), 6) AS DOUBLE)
+         AS total_value
+       FROM events GROUP BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -545,7 +608,10 @@ object Relational {
     "q39_approx_distinct" -> q39 _,
     "q40_full_outer_join" -> q40 _,
     "q41_cross_join"      -> q41 _,
-    "q42_math_null_funcs" -> q42 _)
+    "q42_math_null_funcs" -> q42 _,
+    "q46_asof_join"       -> q46 _,
+    "q47_range_join"      -> q47 _,
+    "q48_stream_dedup"    -> q48 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -570,5 +636,8 @@ object Relational {
     "q34_sql_cte_exists"  -> q34Text,
     "q40_full_outer_join" -> q40Sql,
     "q41_cross_join"      -> q41Sql,
-    "q42_math_null_funcs" -> q42Sql)
+    "q42_math_null_funcs" -> q42Sql,
+    "q46_asof_join"       -> q46Sql,
+    "q47_range_join"      -> q47Sql,
+    "q48_stream_dedup"    -> q48Sql)
 }

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming exact deduplication — `dropDuplicates` keyed on the event id
+  * over a stream that intentionally delivers every event TWICE (the
+  * at-least-once shape of real ingestion: replayed pages, redelivered
+  * messages). State per key is just the key, so a watermark bounds it in a
+  * continuous deployment; the finite `AvailableNow` run here keeps full
+  * state and must reproduce the batch `GROUP BY` exactly — which is what
+  * the driver oracle checks.
+  */
+object DedupStream {
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Per-type counts/sums AFTER dedup of a doubled events stream. The
+    * duplicate feed is two file-stream reads of the same parquet unioned —
+    * two independent sources, so every event id arrives exactly twice.
+    */
+  def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = "dedup_stream_" + UUID.randomUUID().toString.replace("-", "")
+    def src() = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(14,2)")).as("value"))
+    val deduped = src().unionByName(src())
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 6).cast("double").as("total_value"))
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(name)
+  }
+}

@@ -20,6 +20,9 @@ object FlattenProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one big JSONL file + default 128m maxPartitionBytes = 1-2 parse
+    // tasks; small splits let all cores parse/infer
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
 
     val golden = "/root/reference/ElasticSearch_Document.json"
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
