@@ -343,6 +343,26 @@ object TrainingData {
        FROM docs d JOIN keep ON d.doc_id = keep.doc_id
        WHERE d.doc_id = keep.k"""
 
+  // --- q49: corpus token-frequency top-k (the vocabulary-head / BPE-seed
+  // shape: explode regex tokens → partial-agg counts → TakeOrdered top-50,
+  // total tie-break on the token string so both engines agree exactly).
+  private def q49(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(Text.regexTokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(50)
+
+  private val q49Sql =
+    """SELECT token, freq FROM (
+         SELECT token, count(*) AS freq FROM (
+           SELECT unnest(regexp_extract_all(text,
+             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS token
+           FROM documents) t
+         GROUP BY token)
+       ORDER BY freq DESC, token ASC LIMIT 50"""
+
   // --- q35: salted two-phase aggregation over a heavy-hitter key --------------
   // events has only 5 event_type values — the pathological skew shape for a
   // plain groupBy at scale. Result must equal the naive GROUP BY exactly
@@ -395,7 +415,8 @@ object TrainingData {
     "q38_dedup_pipeline"  -> q38 _,
     "q43_minhash_exactdup" -> q43 _,
     "q44_embed_neardup_exact" -> q44 _,
-    "q45_dedup_exactdup_pipeline" -> q45 _)
+    "q45_dedup_exactdup_pipeline" -> q45 _,
+    "q49_token_topk"      -> q49 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -412,5 +433,6 @@ object TrainingData {
     "q36_percentiles"     -> q36Sql,
     "q43_minhash_exactdup" -> q43Sql,
     "q44_embed_neardup_exact" -> q44Sql,
-    "q45_dedup_exactdup_pipeline" -> q45Sql)
+    "q45_dedup_exactdup_pipeline" -> q45Sql,
+    "q49_token_topk"      -> q49Sql)
 }

@@ -57,4 +57,74 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q05_semi_join").contains("LeftSemi"))
     assert(plan("q06_anti_join").contains("LeftAnti"))
   }
+
+  test("q46: as-of join is ONE exchange + window — no range join anywhere") {
+    val p = plan("q46_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "as-of fell into NLJ")
+    assert(!p.contains("CartesianProduct"), "as-of fell into cartesian")
+    // exactly one shuffle: the window partitioning on the key (tree nodes
+    // print as "Exchange (n)"; details print "(n) Exchange" — count trees)
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle exchange, plan:\n$p")
+  }
+
+  test("q47: range join executes as an equi-join on (key, bin)") {
+    val p = plan("q47_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range join fell into NLJ")
+    assert(!p.contains("CartesianProduct"), "range join fell into cartesian")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), s"no hash/merge join in plan:\n$p")
+  }
+
+  test("bucketed co-located join: no shuffle exchange on either side") {
+    // the 100 TB pattern: pre-bucket both fact tables on the join key ->
+    // repeated joins are exchange-free (only broadcast of tiny dims would
+    // appear; here neither side shuffles at all)
+    val s2 = spark.newSession()
+    // at sf0.001 every table broadcasts; disable that so the plan shows
+    // what matters at 100 TB — the bucket-aligned sort-merge join
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.sql("DROP TABLE IF EXISTS orders_b")
+    s2.sql("DROP TABLE IF EXISTS customer_b")
+    // stale dirs from an aborted run survive a fresh catalog
+    Seq("orders_b", "customer_b").foreach { t =>
+      val dir = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    graft.Tables.orders(s2, sf)
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    graft.Tables.customer(s2, sf)
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+    val joined = s2.table("orders_b").join(s2.table("customer_b"),
+      org.apache.spark.sql.functions.col("o_custkey") ===
+        org.apache.spark.sql.functions.col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .count()
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val shuffleBeforeAgg = p.split("HashAggregate").head
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!shuffleBeforeAgg.contains("Exchange hashpartitioning(o_custkey") &&
+      !shuffleBeforeAgg.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join still shuffles:\n$p")
+    // result parity with the unbucketed join
+    val expect = graft.Tables.orders(s2, sf).join(
+        graft.Tables.customer(s2, sf),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    s2.sql("DROP TABLE IF EXISTS orders_b")
+    s2.sql("DROP TABLE IF EXISTS customer_b")
+  }
 }

@@ -51,6 +51,27 @@ class ExportStreamSpec extends AnyFunSuite {
     assert(headers.exists(h => h == Set("ClaimRequestId", "Gamma")))
   }
 
+  test("known-schema mode: same rows, no per-batch inference") {
+    val in = Files.createTempDirectory("exports3").toString
+    val out = Files.createTempDirectory("tsvs3").toString
+    Files.writeString(Paths.get(s"$in/page1.jsonl"),
+      """{"claimRequestId": 5, "alpha": "x"}
+        |{"claimRequestId": 6, "alpha": "y"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("claimRequestId",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("alpha",
+        org.apache.spark.sql.types.StringType)))
+    val res = ExportStream.run(spark, in, out, filePrefix = "claims",
+      docSchema = schema)
+    assert(res.length == 1 && res.head.rows == 2)
+    val header = scala.io.Source.fromFile(res.head.file)
+      .getLines().next().split("\t").toSet
+    assert(header == Set("ClaimRequestId", "Alpha"))
+    assert(res.head.file.contains("claims_6_")) // claim-id tag still applies
+  }
+
   test("checkpoint restart: already-committed pages are not reprocessed") {
     val in = Files.createTempDirectory("exports2").toString
     val out = Files.createTempDirectory("tsvs2").toString
