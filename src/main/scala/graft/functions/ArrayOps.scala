@@ -206,6 +206,91 @@ object ArrayOps {
       Seq(ArrayType(FloatType), IntegerType, LongType),
       returnNullable = false))
 
+  /** Cosine of `v` against every centroid of a flat row-major centroid
+    * matrix; returns the index of the best (ties → lowest index). One
+    * static call per row keeps the nCells×dim loop inside codegen.
+    */
+  def nearestCentroid(v: ArrayData, centroids: ArrayData, dim: Int): Long = {
+    val n = centroids.numElements() / dim
+    var best = 0L
+    var bestCos = Double.MinValue
+    var c = 0
+    while (c < n) {
+      val cos = centroidCos(v, centroids, c * dim, dim)
+      if (cos > bestCos) { bestCos = cos; best = c.toLong }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nProbe` centroid indices nearest to `v`, best first (ties →
+    * lower index first) — the query-side cell fan-out of IVF search.
+    */
+  def topCentroids(v: ArrayData, centroids: ArrayData, dim: Int,
+      nProbe: Int): ArrayData = {
+    val n = centroids.numElements() / dim
+    val cos = new Array[Double](n)
+    var c = 0
+    while (c < n) { cos(c) = centroidCos(v, centroids, c * dim, dim); c += 1 }
+    val idx = Array.tabulate(n)(identity)
+    val out = new Array[Long](math.min(nProbe, n))
+    var i = 0
+    while (i < out.length) {
+      var best = -1
+      var j = 0
+      while (j < n) {
+        if (idx(j) >= 0 && (best < 0 || cos(j) > cos(best))) best = j
+        j += 1
+      }
+      out(i) = best.toLong
+      idx(best) = -1
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  private def centroidCos(v: ArrayData, centroids: ArrayData, off: Int,
+      dim: Int): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = v.getFloat(i).toDouble
+      val y = centroids.getFloat(off + i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -1.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def nearestCentroidF(v: Column, centroids: Column, dim: Int): Column =
+    CatalystBridge.column(
+      StaticInvoke(
+        ArrayOps.getClass, LongType, "nearestCentroid",
+        Seq(CatalystBridge.expression(v),
+          CatalystBridge.expression(centroids),
+          CatalystBridge.expression(lit(dim))),
+        Seq(ArrayType(FloatType), ArrayType(FloatType), IntegerType),
+        returnNullable = false))
+
+  def topCentroidsF(v: Column, centroids: Column, dim: Int,
+      nProbe: Int): Column =
+    CatalystBridge.column(
+      StaticInvoke(
+        ArrayOps.getClass, ArrayType(LongType, containsNull = false),
+        "topCentroids",
+        Seq(CatalystBridge.expression(v),
+          CatalystBridge.expression(centroids),
+          CatalystBridge.expression(lit(dim)),
+          CatalystBridge.expression(lit(nProbe))),
+        Seq(ArrayType(FloatType), ArrayType(FloatType), IntegerType,
+          IntegerType),
+        returnNullable = false))
+
   /** splitmix64 (shared with the hyperplane weights in [[Vectors]]). */
   def mixPub(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L

@@ -8,16 +8,21 @@ import graft.functions.{ArrayOps, Vectors}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two members:
+  * Three members:
   *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
   *    The (small) query set is broadcast against the corpus, so the corpus
   *    is scanned once with no shuffle of the embedding column; ranking
   *    shuffles only (q_id, id, sim) triples.
-  *  - [[lshTopK]]: the scale path — random-hyperplane bucketing on both
-  *    sides; candidates are scored only within a bucket. At 1000×
-  *    the corpus this turns O(|Q|·|C|) scoring into O(|Q|·|C|/2^planes·ε)
-  *    with a recall knob (`nPlanes`); buckets are deterministic so the
-  *    result is stable run to run.
+  *  - [[lshTopK]]: data-independent scale path — random-hyperplane
+  *    bucketing on both sides; candidates are scored only within a
+  *    bucket. At 1000× the corpus this turns O(|Q|·|C|) scoring into
+  *    O(|Q|·|C|/2^planes·ε) with a recall knob (`nPlanes`); buckets are
+  *    deterministic so the result is stable run to run.
+  *  - [[ivfTopK]]: data-ADAPTIVE scale path — spherical-k-means cells
+  *    trained on a bounded sample, corpus assigned once, queries probe
+  *    their `nProbe` closest cells. Adapts cell shapes to the embedding
+  *    distribution (clustered corpora defeat fixed hyperplanes), at the
+  *    cost of a small training step.
   */
 object Similarity {
 
@@ -67,5 +72,94 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF (inverted-file) ANN: spherical k-means cells + nProbe search.
+    *
+    * Training collects only a bounded, deterministic sample (`sampleN`
+    * lowest-id vectors — sampleN×dim floats on the driver, independent of
+    * corpus size; the exact pattern faiss uses for IVF training). The
+    * corpus is then assigned to cells in ONE distributed pass via a
+    * codegen'd static ([[ArrayOps.nearestCentroidF]]) with the centroid
+    * matrix inlined as a literal (broadcast-equivalent); only the tiny
+    * query side fans out ×nProbe. Scoring happens strictly in-cell, and
+    * the corpus embedding column is shuffled nowhere.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int = 5, nCells: Int = 32,
+      nProbe: Int = 8, sampleN: Int = 2048, iters: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val centroids = trainSphericalKMeans(sample, nCells, dim, iters, seed)
+    val centLit = typedLit(centroids)
+
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(
+        graft.functions.ArrayOps.topCentroidsF(col("q_vec"), centLit, dim,
+          nProbe)))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
+      .groupBy(col("q_id"), col("id")).agg(max(col("sim")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic spherical k-means (Lloyd's on the unit sphere) over an
+    * in-memory sample; returns the flat row-major centroid matrix.
+    * Empty cells keep their previous centroid.
+    */
+  private[operators] def trainSphericalKMeans(points: Array[Array[Float]],
+      k: Int, dim: Int, iters: Int, seed: Long): Array[Float] = {
+    require(points.nonEmpty, "IVF training sample is empty")
+    def normalize(v: Array[Float]): Array[Float] = {
+      var n = 0.0
+      var i = 0
+      while (i < dim) { n += v(i).toDouble * v(i); i += 1 }
+      val s = math.sqrt(n)
+      if (s == 0.0) v.clone()
+      else Array.tabulate(dim)(i => (v(i) / s).toFloat)
+    }
+    val pts = points.map(normalize)
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(pts.indices.toVector).take(math.min(k, pts.length))
+    var cent = Array.tabulate(k)(i =>
+      if (i < init.length) pts(init(i)).clone() else pts(i % pts.length).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0
+        var bestDot = Double.MinValue
+        var c = 0
+        while (c < k) {
+          var dot = 0.0
+          var i = 0
+          while (i < dim) { dot += p(i).toDouble * cent(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cent = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cent(c)
+        else normalize(Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat))
+      }
+      it += 1
+    }
+    cent.flatten
   }
 }

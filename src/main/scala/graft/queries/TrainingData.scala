@@ -181,6 +181,13 @@ object TrainingData {
       "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4)
   }
 
+  // --- q50: IVF ANN (rows-only; recall vs q28 pinned in TrainingOpsSpec) ------
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", dim = 64, k = 5, nCells = 32, nProbe = 8)
+  }
+
   // --- q30: multimodal binary plumbing ----------------------------------------
   private def q30(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.mediaTable(Tables.documents(s, d))
@@ -416,7 +423,8 @@ object TrainingData {
     "q43_minhash_exactdup" -> q43 _,
     "q44_embed_neardup_exact" -> q44 _,
     "q45_dedup_exactdup_pipeline" -> q45 _,
-    "q49_token_topk"      -> q49 _)
+    "q49_token_topk"      -> q49 _,
+    "q50_ann_ivf"         -> q50 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,

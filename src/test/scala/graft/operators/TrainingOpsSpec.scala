@@ -91,6 +91,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(approx.forall { case (qid, id) => qid != id })
   }
 
+  test("IVF-ANN recall vs brute force beats the floor, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        dim = 64, k = 5, nCells = 32, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = run()
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF-ANN recall@5 (32 cells, 8 probes): $recall")
+    assert(recall >= 0.3, s"recall $recall below floor")
+    assert(approx.forall { case (qid, id) => qid != id })
+    assert(run() == approx, "IVF result not deterministic")
+  }
+
   test("multimodal fake decoder is deterministic and length-correct") {
     val media = Multimodal.mediaTable(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
