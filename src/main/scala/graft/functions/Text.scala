@@ -100,4 +100,26 @@ object Text {
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Canonical text normalization for dedup/quality pipelines: lowercase,
+    * strip everything but letters/digits/spaces, collapse whitespace
+    * runs, trim. Regexes use only class syntax shared by Java and RE2-ish
+    * engines, so the exact transform is reproducible in SQL oracles.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+
+  /** PII scrubbing: masks email addresses, then long digit runs (7+ —
+    * phone/account numbers), in that order so the email's local part
+    * doesn't survive as digits. Patterns are deliberately simple and
+    * engine-portable; a production scrubber would add locale-specific
+    * passes on top of the same projection shape.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
 }

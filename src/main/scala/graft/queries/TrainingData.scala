@@ -370,6 +370,58 @@ object TrainingData {
          GROUP BY token)
        ORDER BY freq DESC, token ASC LIMIT 50"""
 
+  // --- q51: deterministic stratified quota sample (balanced training mix) -----
+  // Exactly 50 docs per language, chosen by the engine-portable
+  // pseudo-random order md5(doc_id) — the reproducible mixture cut.
+  private def q51(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.stratifiedQuota(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      "lang", "doc_id", quota = 50)
+
+  private val q51Sql =
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+         FROM documents) t
+       WHERE rn <= 50"""
+
+  // --- q52: canonical text normalization (lowercase / strip / collapse) -------
+  private def q52(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.normalize(col("text")).as("norm_text"),
+      length(Text.normalize(col("text"))).cast("long").as("norm_len"))
+
+  private val q52Sql =
+    """SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+       FROM documents"""
+
+  // --- q53: PII scrubbing (emails + long digit runs masked) -------------------
+  // The corpus carries no PII, so each engine plants an identical
+  // synthetic email + account number per doc, then masks it — the check
+  // is that masking transforms the text identically.
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val withPii = concat(col("text"), lit(" contact u"),
+      col("doc_id").cast("string"), lit("@example.com call "),
+      lpad(col("doc_id").cast("string"), 8, "0"))
+    Tables.documents(s, d).select(
+      col("doc_id"), Text.scrubPii(withPii).as("scrubbed"))
+  }
+
+  private val q53Sql =
+    """SELECT doc_id,
+       regexp_replace(regexp_replace(
+         text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+           '@example.com call ' || lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+       FROM documents"""
+
   // --- q35: salted two-phase aggregation over a heavy-hitter key --------------
   // events has only 5 event_type values — the pathological skew shape for a
   // plain groupBy at scale. Result must equal the naive GROUP BY exactly
@@ -424,7 +476,10 @@ object TrainingData {
     "q44_embed_neardup_exact" -> q44 _,
     "q45_dedup_exactdup_pipeline" -> q45 _,
     "q49_token_topk"      -> q49 _,
-    "q50_ann_ivf"         -> q50 _)
+    "q50_ann_ivf"         -> q50 _,
+    "q51_stratified_quota" -> q51 _,
+    "q52_text_normalize"  -> q52 _,
+    "q53_pii_scrub"       -> q53 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -442,5 +497,8 @@ object TrainingData {
     "q43_minhash_exactdup" -> q43Sql,
     "q44_embed_neardup_exact" -> q44Sql,
     "q45_dedup_exactdup_pipeline" -> q45Sql,
-    "q49_token_topk"      -> q49Sql)
+    "q49_token_topk"      -> q49Sql,
+    "q51_stratified_quota" -> q51Sql,
+    "q52_text_normalize"  -> q52Sql,
+    "q53_pii_scrub"       -> q53Sql)
 }

@@ -253,6 +253,39 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(f0.forall(_ % 2 == 0))
   }
 
+  test("stratified quota: exact per-stratum counts, deterministic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    def run() = Sampling.stratifiedQuota(docs, "lang", "doc_id", 30)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = run()
+    val perLang = got.groupBy(_._2).map { case (l, s) => l -> s.size }
+    assert(perLang.values.forall(_ == 30), perLang.toString)
+    assert(got == run(), "quota sample not deterministic")
+    // quota above the stratum size returns the whole stratum
+    val all = Sampling.stratifiedQuota(docs, "lang", "doc_id", 100000)
+    assert(all.count() == docs.count())
+    // fraction sampler: sane size, per-stratum
+    val frac = Sampling.stratifiedFraction(docs, "lang", 0.2, seed = 7L)
+    assert(frac.count() > 0 && frac.count() < docs.count())
+  }
+
+  test("normalize and scrubPii transform as specified") {
+    import spark.implicits._
+    val df = Seq(
+      ("Hello, World!!  Mixed-CASE  42x", "a@b.co and 12345678 end",
+        1L)).toDF("t1", "t2", "id")
+    val out = df.select(
+      Text.normalize(col("t1")).as("n"),
+      Text.scrubPii(col("t2")).as("s")).collect()(0)
+    assert(out.getString(0) == "hello world mixed case 42x", out.getString(0))
+    assert(out.getString(1) == "<EMAIL> and <NUM> end", out.getString(1))
+    // short digit runs (< 7) survive scrubbing
+    val keep = df.select(Text.scrubPii(lit("order 123456 ok")).as("s"))
+      .collect()(0).getString(0)
+    assert(keep == "order 123456 ok")
+  }
+
   test("language-ID heuristic picks marker-matching language") {
     import spark.implicits._
     val df = Seq(
