@@ -422,6 +422,42 @@ object TrainingData {
          '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
        FROM documents"""
 
+  // --- q54: Misra-Gries heavy hitters over corpus tokens ----------------------
+  // The sketch survivors intersected with an exact `freq*k > n` filter:
+  // by the MG guarantee every true heavy hitter survives the sketch, so
+  // this equals the plain-SQL heavy-hitter set — a full oracle that
+  // FAILS (missing rows) if the sketch or its merge ever drops a true
+  // heavy hitter.
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    // skewed token stream: every event_type (5 values, each far above the
+    // n/k bar) plus a long tail of unique event-id tokens (10% of events)
+    // that forces constant counter eviction in the sketch
+    val ev = Tables.events(s, d)
+    val toks = ev.select(col("event_type").as("token"))
+      .unionByName(ev.filter(col("event_id") % 10 === 0)
+        .select(col("event_id").cast("string").as("token")))
+    val sketch = toks
+      .agg(graft.functions.HeavyHitters.misraGries(k)(col("token")).as("mg"))
+      .select(explode(map_keys(col("mg"))).as("token"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    exact.join(sketch, "token")
+      .crossJoin(tot)
+      .filter(col("freq") * k > col("n_total"))
+      .select(col("token"), col("freq"))
+  }
+
+  private val q54Sql =
+    """WITH toks AS (
+         SELECT event_type AS token FROM events
+         UNION ALL
+         SELECT CAST(event_id AS VARCHAR) AS token FROM events
+         WHERE event_id % 10 = 0)
+       SELECT token, freq FROM (
+         SELECT token, count(*) AS freq FROM toks GROUP BY token) c
+       WHERE freq * 16 > (SELECT count(*) FROM toks)"""
+
   // --- q35: salted two-phase aggregation over a heavy-hitter key --------------
   // events has only 5 event_type values — the pathological skew shape for a
   // plain groupBy at scale. Result must equal the naive GROUP BY exactly
@@ -479,7 +515,8 @@ object TrainingData {
     "q50_ann_ivf"         -> q50 _,
     "q51_stratified_quota" -> q51 _,
     "q52_text_normalize"  -> q52 _,
-    "q53_pii_scrub"       -> q53 _)
+    "q53_pii_scrub"       -> q53 _,
+    "q54_heavy_hitters"   -> q54 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -500,5 +537,6 @@ object TrainingData {
     "q49_token_topk"      -> q49Sql,
     "q51_stratified_quota" -> q51Sql,
     "q52_text_normalize"  -> q52Sql,
-    "q53_pii_scrub"       -> q53Sql)
+    "q53_pii_scrub"       -> q53Sql,
+    "q54_heavy_hitters"   -> q54Sql)
 }
