@@ -238,6 +238,53 @@ object TrainingData {
            FROM events) a) b
        GROUP BY user_id, sess_id"""
 
+  // --- q55: stream-static enrichment join (broadcast dim into the stream) ----
+  private def q55(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EnrichStream.enrichedCounts(s, d)
+
+  private val q55Sql =
+    """SELECT c_mktsegment, event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(14,2))), 6) AS DOUBLE)
+         AS total_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY c_mktsegment, event_type"""
+
+  // --- q56: native session_window sessionization (the built-in member of
+  // the session family: q18 = gaps-and-islands windows, q32 = custom
+  // streaming state, q56 = Spark's session_window operator). Timestamps
+  // are truncated to ms on both engines; session_window splits at gap >=
+  // 30 min (merge condition is strictly-less-than the session end).
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("tsm", timestamp_millis(expr("unix_micros(ts) div 1000")))
+    ev.groupBy(col("user_id"),
+        session_window(col("tsm"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).as("sv"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("sess_start_ms"),
+        col("n_events"),
+        round(col("sv"), 6).cast("double").as("sess_value"))
+  }
+
+  private val q56Sql =
+    """SELECT user_id, min(ms) AS sess_start_ms, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(14,2))), 6) AS DOUBLE)
+         AS sess_value
+       FROM (
+         SELECT user_id, ms, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM (
+           SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+             CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                    ORDER BY epoch_ms(ts), event_id) IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY
+                    user_id ORDER BY epoch_ms(ts), event_id) >= 1800000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events) a) b
+       GROUP BY user_id, sid"""
+
   // --- q37: embedding-cosine near-duplicate pairs (rows-only check) ----------
   private def q37(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -516,7 +563,9 @@ object TrainingData {
     "q51_stratified_quota" -> q51 _,
     "q52_text_normalize"  -> q52 _,
     "q53_pii_scrub"       -> q53 _,
-    "q54_heavy_hitters"   -> q54 _)
+    "q54_heavy_hitters"   -> q54 _,
+    "q55_stream_enrich"   -> q55 _,
+    "q56_session_window"  -> q56 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -538,5 +587,7 @@ object TrainingData {
     "q51_stratified_quota" -> q51Sql,
     "q52_text_normalize"  -> q52Sql,
     "q53_pii_scrub"       -> q53Sql,
-    "q54_heavy_hitters"   -> q54Sql)
+    "q54_heavy_hitters"   -> q54Sql,
+    "q55_stream_enrich"   -> q55Sql,
+    "q56_session_window"  -> q56Sql)
 }
