@@ -584,6 +584,43 @@ object Relational {
          AS total_value
        FROM events GROUP BY event_type"""
 
+  // --- q57: pivot (long -> wide reshaping with a fixed column spine) ----------
+  // Explicit pivot values keep the plan a single pass (no distinct-scan
+  // to discover columns) — the form that scales.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def q57(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy((col("user_id") % 15).as("bucket"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("bucket") +:
+        EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+
+  private val q57Sql =
+    """SELECT user_id % 15 AS bucket,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+       FROM events GROUP BY 1"""
+
+  // --- q58: unpivot (wide -> long melt) ---------------------------------------
+  private def q58(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "metric", "val")
+
+  private val q58Sql =
+    """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+       FROM part
+       UNION ALL
+       SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+       FROM part"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -611,7 +648,9 @@ object Relational {
     "q42_math_null_funcs" -> q42 _,
     "q46_asof_join"       -> q46 _,
     "q47_range_join"      -> q47 _,
-    "q48_stream_dedup"    -> q48 _)
+    "q48_stream_dedup"    -> q48 _,
+    "q57_pivot"           -> q57 _,
+    "q58_unpivot"         -> q58 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -639,5 +678,7 @@ object Relational {
     "q42_math_null_funcs" -> q42Sql,
     "q46_asof_join"       -> q46Sql,
     "q47_range_join"      -> q47Sql,
-    "q48_stream_dedup"    -> q48Sql)
+    "q48_stream_dedup"    -> q48Sql,
+    "q57_pivot"           -> q57Sql,
+    "q58_unpivot"         -> q58Sql)
 }
