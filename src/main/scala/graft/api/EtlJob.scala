@@ -64,17 +64,41 @@ object EtlJob {
     */
   def run(spark: SparkSession, inputPath: String, outputDir: String,
       auditPath: String, jobName: String = "Initial_load_from_export",
+      tableName: String = "documents", maxDepth: Int = 20): Result =
+    runDocs(spark, EsJson.read(spark, inputPath), outputDir, auditPath,
+      jobName, tableName, maxDepth)
+
+  /** The same full job against a LIVE Elasticsearch index through
+    * [[graft.sources.EsLive]] — the end-to-end shape of the reference's
+    * `fetch_and_export_documents` [`ElasticSearch ETL.py:201-267`] with
+    * the connector replacing the client-side page loop. Failure (e.g. no
+    * connector on the classpath, unreachable cluster) writes the same
+    * FAILED audit row the reference's except-path does.
+    */
+  def runLive(spark: SparkSession, cfg: graft.sources.EsLive.EsConfig,
+      outputDir: String, auditPath: String,
+      jobName: String = "Initial_load_from_live",
+      tableName: String = "documents", maxDepth: Int = 20): Result =
+    runDocs(spark, graft.sources.EsLive.read(spark, cfg), outputDir,
+      auditPath, jobName, tableName, maxDepth)
+
+  /** Source-agnostic core: any document DataFrame (offline export, live
+    * index, test fixture) → count → flatten → TSV → audit. `docs` is
+    * by-name so source-construction failures are audited too.
+    */
+  def runDocs(spark: SparkSession, docs: => DataFrame, outputDir: String,
+      auditPath: String, jobName: String = "Initial_load_from_export",
       tableName: String = "documents", maxDepth: Int = 20): Result = {
     val start = new Timestamp(System.currentTimeMillis())
     val batchId = new java.text.SimpleDateFormat("yyyyMMddHHmmss")
       .format(start)
     try {
-      val docs = EsJson.read(spark, inputPath)
-      val total = docs.count() // the reference's ES.count sizing step
+      val ds = docs
+      val total = ds.count() // the reference's ES.count sizing step
       // fast row-walk renderer straight to TSV lines: byte-identical cells
       // to the expression path (FlattenerEquivalenceSpec), none of its
       // per-schema Janino cost
-      val cols = Flattener.flattenToTsv(docs, outputDir, maxDepth)
+      val cols = Flattener.flattenToTsv(ds, outputDir, maxDepth)
       logAudit(spark, auditPath, AuditRecord(
         jobName, 8L, start, new Timestamp(System.currentTimeMillis()),
         "SUCCESS", "spark_etl_export", null, batchId, tableName, total))

@@ -44,6 +44,32 @@ class EtlJobSpec extends AnyFunSuite {
     assert(audit(0).getAs[String]("error_desc") != null)
   }
 
+  test("runDocs: any document DataFrame flows through the same pipeline") {
+    import spark.implicits._
+    val out = tmp()
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("claimRequestId", "alpha")
+    val res = EtlJob.runDocs(spark, docs, s"$out/tsv", s"$out/audit")
+    assert(res.records == 2L)
+    val header = scala.io.Source.fromFile(
+      new java.io.File(s"$out/tsv").listFiles()
+        .filter(_.getName.startsWith("part-")).head)
+      .getLines().next()
+    assert(header.split("\t").toSet == Set("ClaimRequestId", "Alpha"))
+  }
+
+  test("runLive without a connector fails fast AND audits the failure") {
+    val out = tmp()
+    intercept[Throwable] {
+      EtlJob.runLive(spark,
+        graft.sources.EsLive.EsConfig("localhost:9200", "idx"),
+        s"$out/tsv", s"$out/audit")
+    }
+    val audit = spark.read.parquet(s"$out/audit").collect()
+    assert(audit.length == 1)
+    assert(audit(0).getAs[String]("job_status") == "FAILED")
+    assert(audit(0).getAs[String]("job_name") == "Initial_load_from_live")
+  }
+
   test("jdbc audit sink round-trips the reference's column set (Derby)") {
     // embedded in-memory Derby: the same df.write.jdbc path a live SQL DB
     // target uses (ElasticSearch ETL.py:271-299), no network needed
