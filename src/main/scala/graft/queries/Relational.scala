@@ -370,14 +370,21 @@ object Relational {
   // --- q18: sessionization via window lag + cumulative sum --------------------
   // Classic gaps-and-islands: a >30-minute silence starts a new session.
   // One shuffle on user_id; both engines run the identical window spec.
+  // Gap comparison (and the window ordering feeding it) runs on a
+  // MILLISECOND grid in both engines — the q46/q56 recipe. events.ts is
+  // TIMESTAMP(NANOS) in the file; Spark reads micros, DuckDB nanos, so a
+  // gap of exactly 1800s at one precision can exceed it at the other and
+  // silently shift session membership. `unix_micros(ts) div 1000` here ==
+  // `epoch_ms(ts)` in the oracle; the boundary convention is strict `>`.
   private def q18(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+      .orderBy(col("ms").asc, col("event_id").asc)
     Tables.events(s, d)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("ms", expr("unix_micros(ts) div 1000"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev_ts").isNull ||
-             col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1L)
+        when(col("prev_ms").isNull ||
+             col("ms") - col("prev_ms") > 1800000L, 1L)
           .otherwise(0L))
       .withColumn("sess_id", sum(col("new_sess")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -402,14 +409,15 @@ object Relational {
            sum(CAST(value AS DECIMAL(14,2))) AS sess_value
          FROM (
            SELECT user_id, value,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
            FROM (
-             SELECT user_id, ts, event_id, value,
-               CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
-                    OR epoch(ts) - epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800.0
+             SELECT user_id, ms, event_id, value,
+               CASE WHEN lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) IS NULL
+                    OR ms - lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) > 1800000
                     THEN 1 ELSE 0 END AS new_sess
-             FROM events) a) b
+             FROM (SELECT user_id, event_id, value, epoch_ms(ts) AS ms
+                   FROM events) e0) a) b
          GROUP BY user_id, sess_id) c
        GROUP BY user_id"""
 

@@ -223,19 +223,23 @@ object TrainingData {
   private def q32(s: SparkSession, d: String): DataFrame =
     graft.streaming.SessionStream.sessions(s, d, gapMinutes = 30)
 
+  // Session gaps compared on the MILLISECOND grid in both engines (see
+  // q18/q46/q56: events.ts is TIMESTAMP(NANOS); Spark truncates to micros,
+  // DuckDB keeps nanos, so ms is the shared precision). Strict `>` gap.
   private val q32Sql =
     """SELECT user_id, sess_id, count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sess_value
        FROM (
          SELECT user_id, value,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
          FROM (
-           SELECT user_id, ts, event_id, value,
-             CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
-                  OR epoch(ts) - epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800.0
+           SELECT user_id, ms, event_id, value,
+             CASE WHEN lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) IS NULL
+                  OR ms - lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) > 1800000
                   THEN 1 ELSE 0 END AS new_sess
-           FROM events) a) b
+           FROM (SELECT user_id, event_id, value, epoch_ms(ts) AS ms
+                 FROM events) e0) a) b
        GROUP BY user_id, sess_id"""
 
   // --- q55: stream-static enrichment join (broadcast dim into the stream) ----

@@ -38,17 +38,18 @@ object SessionStream {
     StructField("props", StringType)))
 
   /** Session assembly for one user's new events (sorted here — state-store
-    * group iterators carry no ordering guarantee).
+    * group iterators carry no ordering guarantee). `e.ts` and `gapMillis`
+    * are on the millisecond grid (strict `>` boundary).
     */
   def advance(userId: Long, events: Iterator[Ev], state: GroupState[Open],
-      gapMicros: Long): Iterator[Sess] = {
+      gapMillis: Long): Iterator[Sess] = {
     val sorted = events.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
     var open = state.getOption.getOrElse(Open(0L, Long.MinValue, 0L, 0L))
     val closed = IndexedSeq.newBuilder[Sess]
     sorted.foreach { e =>
       if (open.n == 0L) {
         open = Open(open.sessId + 1, e.ts, 1L, e.cents)
-      } else if (e.ts - open.lastTs > gapMicros) {
+      } else if (e.ts - open.lastTs > gapMillis) {
         closed += Sess(userId, open.sessId, open.n, open.sumCents)
         open = Open(open.sessId + 1, e.ts, 1L, e.cents)
       } else {
@@ -67,16 +68,19 @@ object SessionStream {
   def sessions(spark: SparkSession, sfDir: String,
       gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val gapMicros = gapMinutes * 60L * 1000000L
+    // gap test runs on the MILLISECOND grid (nanos div 1e6) — the shared
+    // precision with the DuckDB oracle's epoch_ms(ts); see q18/q46/q56.
+    val gapMillis = gapMinutes * 60L * 1000L
     val name = "sessions_" + UUID.randomUUID().toString.replace("-", "")
     val evs = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .select(col("event_id"), expr("ts div 1000").as("ts"),
+      .select(col("event_id"), expr("ts div 1000000").as("ts"),
         col("user_id"),
         (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
       .as[Ev]
@@ -84,7 +88,7 @@ object SessionStream {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[Ev], st: GroupState[Open]) => {
-          val closedNow = advance(uid, it, st, gapMicros).toIndexedSeq
+          val closedNow = advance(uid, it, st, gapMillis).toIndexedSeq
           // finite AvailableNow input arrives as one batch: flush the open
           // session so results match the batch semantics exactly
           val tail = st.getOption.filter(_.n > 0)
@@ -102,6 +106,10 @@ object SessionStream {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     }
     spark.table(name)
       .select(col("user_id"), col("sess_id"), col("n_events"),

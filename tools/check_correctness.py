@@ -28,9 +28,11 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / 0.0 and float noise beyond round(_, 6)
-        r = round(v, 9)
-        return 0.0 if r == 0 else r
+        # collapse -0.0 / 0.0 but compare floats EXACTLY — the driver's
+        # hash check is bit-strict, and the old round(_, 9) here is how a
+        # locally-"green" q18/q32 shipped red in CORRECTNESS_r02. Queries
+        # must produce identical doubles, not close ones.
+        return 0.0 if v == 0 else v
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
     return v
