@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.{Literal, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.util.ArrayData
 
@@ -205,6 +206,19 @@ object ArrayOps {
         CatalystBridge.expression(lit(seed))),
       Seq(ArrayType(FloatType), IntegerType, LongType),
       returnNullable = false))
+
+  /** A float-array literal backed by [[UnsafeArrayData]]: element reads
+    * compile to primitive `Platform.getFloat` offsets. `typedLit` encodes
+    * the same array as a GenericArrayData of BOXED floats, so a per-row
+    * kernel like [[nearestCentroid]] would unbox nCells×dim
+    * `java.lang.Float`s per input row — at 100 TB that is billions of
+    * allocations-worth of pointer chasing in the hottest loop. The packed
+    * literal ships with the plan exactly like any literal (broadcast to
+    * every executor once), no driver-side static state involved.
+    */
+  def packedFloatLit(values: Array[Float]): Column = CatalystBridge.column(
+    Literal(UnsafeArrayData.fromPrimitiveArray(values),
+      ArrayType(FloatType, containsNull = false)))
 
   /** Cosine of `v` against every centroid of a flat row-major centroid
     * matrix; returns the index of the best (ties → lowest index). One

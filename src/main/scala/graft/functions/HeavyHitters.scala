@@ -1,8 +1,10 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.{Encoder, Encoders}
 
 /** Misra-Gries heavy-hitters sketch as a typed [[Aggregator]] — the
   * custom-aggregate member of the engine's extension surface (partial
@@ -17,6 +19,13 @@ import org.apache.spark.sql.Encoder
   * fixed-size buffer per partition and a shuffle of one small map per
   * partition — where an exact groupBy would shuffle every distinct key.
   *
+  * The buffer is a MUTABLE HashMap updated in place: Spark's typed-
+  * aggregate path keeps the live buffer object per group and serializes
+  * it only at partition boundaries, so per-row `reduce` must not allocate
+  * — the previous immutable-`Map.updated` version rebuilt the map every
+  * row and spent its runtime in GC. Immutable conversion happens once, in
+  * `finish`.
+  *
   * Survivor sets depend on partition merge order (only the true heavy
   * hitters are ORDER-INDEPENDENT members); deterministic driver checks
   * should intersect survivors with an exact count filter — see
@@ -25,43 +34,48 @@ import org.apache.spark.sql.Encoder
 object HeavyHitters {
 
   final class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+      extends Aggregator[String, mutable.HashMap[String, Long],
+        Map[String, Long]] {
     require(k >= 2, "k must be at least 2")
 
-    override def zero: Map[String, Long] = Map.empty
+    override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-    override def reduce(b: Map[String, Long],
-        item: String): Map[String, Long] =
-      b.get(item) match {
-        case Some(c) => b.updated(item, c + 1)
-        case None if b.size < k - 1 => b.updated(item, 1L)
-        case None =>
-          // all counters (and the implicit new one) decrement by 1
-          b.flatMap { case (t, c) =>
-            if (c > 1) Some(t -> (c - 1)) else None
-          }
-      }
-
-    override def merge(x: Map[String, Long],
-        y: Map[String, Long]): Map[String, Long] = {
-      val sum = y.foldLeft(x) { case (acc, (t, c)) =>
-        acc.updated(t, acc.getOrElse(t, 0L) + c)
-      }
-      if (sum.size <= k - 1) sum
+    override def reduce(b: mutable.HashMap[String, Long],
+        item: String): mutable.HashMap[String, Long] = {
+      val cur = b.getOrElse(item, Long.MinValue)
+      if (cur != Long.MinValue) b.update(item, cur + 1)
+      else if (b.size < k - 1) b.update(item, 1L)
       else {
-        // subtract the k-th largest count, drop non-positive (Agarwal et
-        // al. merge: keeps the n/k error bound additive across merges)
-        val kth = sum.values.toSeq.sortBy(-_).apply(k - 1)
-        sum.flatMap { case (t, c) =>
-          if (c - kth > 0) Some(t -> (c - kth)) else None
-        }
+        // all counters (and the implicit new one) decrement by 1, in place
+        b.mapValuesInPlace((_, c) => c - 1)
+        b.filterInPlace((_, c) => c > 0)
       }
+      b
     }
 
-    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def merge(x: mutable.HashMap[String, Long],
+        y: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      y.foreach { case (t, c) => x.update(t, x.getOrElse(t, 0L) + c) }
+      if (x.size > k - 1) {
+        // subtract the k-th largest count, drop non-positive (Agarwal et
+        // al. merge: keeps the n/k error bound additive across merges)
+        val counts = x.values.toArray
+        java.util.Arrays.sort(counts)
+        val kth = counts(counts.length - k)
+        x.mapValuesInPlace((_, c) => c - kth)
+        x.filterInPlace((_, c) => c > 0)
+      }
+      x
+    }
 
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder[Map[String, Long]]()
+    override def finish(b: mutable.HashMap[String, Long]): Map[String, Long] =
+      b.toMap
+
+    // buffers cross JVM boundaries only at shuffle/spill (a handful per
+    // partition), so plain Java serialization of the HashMap is fine; the
+    // OUTPUT is a catalyst map so SQL can explode it.
+    override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.javaSerialization[mutable.HashMap[String, Long]]
     override def outputEncoder: Encoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
   }

@@ -94,7 +94,9 @@ object Similarity {
       .orderBy(col("id")).limit(sampleN)
       .collect().map(_.getSeq[Float](1).toArray)
     val centroids = trainSphericalKMeans(sample, nCells, dim, iters, seed)
-    val centLit = typedLit(centroids)
+    // packed UnsafeArrayData literal: primitive getFloat in the per-row
+    // assignment loop (typedLit would box every element read)
+    val centLit = ArrayOps.packedFloatLit(centroids)
 
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell",
@@ -119,7 +121,7 @@ object Similarity {
     * in-memory sample; returns the flat row-major centroid matrix.
     * Empty cells keep their previous centroid.
     */
-  private[operators] def trainSphericalKMeans(points: Array[Array[Float]],
+  private[graft] def trainSphericalKMeans(points: Array[Array[Float]],
       k: Int, dim: Int, iters: Int, seed: Long): Array[Float] = {
     require(points.nonEmpty, "IVF training sample is empty")
     def normalize(v: Array[Float]): Array[Float] = {
