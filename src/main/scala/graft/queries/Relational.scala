@@ -517,17 +517,34 @@ object Relational {
        FROM part"""
 
   // --- q39: approximate distinct counting (HLL++ sketch) ----------------------
-  // No cross-engine oracle (sketch estimates are engine-specific); the
-  // rows-only driver check applies, and ApproxSpec bounds the relative
-  // error against exact countDistinct. At 100 TB this is the operator that
-  // turns an unshuffleable high-cardinality distinct into a mergeable
-  // fixed-size sketch.
+  // Sketch estimates are engine-specific, but the CONTRACT is not: the
+  // estimate must sit within the configured error of the exact count. The
+  // query emits the exact distinct counts (which DuckDB recomputes) plus
+  // within-2%-bound booleans for the HLL++ estimates (rsd 0.02; measures
+  // <=0.95% on this data, deterministic for a fixed dataset + sketch
+  // implementation). The exact twin lives only in the audit — at 100 TB
+  // you'd ship the mergeable sketch alone; ApproxSpec keeps the bound
+  // pinned in CI as well.
   private def q39(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.02).as("parts_within_2pct"),
+        (abs(col("ao") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= 0.02).as("orders_within_2pct"))
+
+  private val q39Sql =
+    """SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       true AS parts_within_2pct, true AS orders_within_2pct
+       FROM lineitem GROUP BY l_returnflag"""
 
   // --- q46: AS-OF join (purchase -> latest prior click per user) --------------
   // The range-join-free as-of: union + one window pass
@@ -681,6 +698,7 @@ object Relational {
     "q18_sessionize"      -> q18Sql,
     "q33_cube"            -> q33Sql,
     "q34_sql_cte_exists"  -> q34Text,
+    "q39_approx_distinct" -> q39Sql,
     "q40_full_outer_join" -> q40Sql,
     "q41_cross_join"      -> q41Sql,
     "q42_math_null_funcs" -> q42Sql,

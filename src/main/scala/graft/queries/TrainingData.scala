@@ -119,15 +119,51 @@ object TrainingData {
          AS fingerprint
        FROM documents"""
 
-  // --- q25: MinHash + LSH near-duplicate candidates (rows-only check) --------
+  // --- q25: MinHash + LSH near-duplicate candidates — FULL oracle -------------
+  // The corpus's planted near-dups all sit at jaccard >= 0.9, where banded
+  // recall (k=32, b=8, r=4) is ~1-2e-4 per pair — and with the seeded
+  // signatures the outcome is fully deterministic: on this corpus the LSH
+  // candidate set, after exact verification, EQUALS the exact all-pairs
+  // jaccard >= 0.1 set. The oracle is therefore the exact set itself — a
+  // hard end-to-end check of shingle → signature → band → verify. (Both
+  // sides filter on round(j, 6) >= threshold so the boundary agrees.)
   private def q25(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
       shingleN = 3, k = 32, bands = 8, threshold = 0.1)
 
-  // --- q26: SimHash near-duplicate pairs (rows-only check) --------------------
+  private val q25Sql =
+    """WITH sh AS (
+         SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+         WHERE len(w) >= 3)
+       SELECT id_a, id_b, jaccard FROM (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+             len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+       WHERE jaccard >= 0.1"""
+
+  // --- q26: SimHash near-duplicate pairs — planted-pair audit oracle ----------
+  // SimHash itself is not SQL-expressible, but two of its guarantees are:
+  // identical text MUST produce identical sketches (hamming 0), and the
+  // 16-bit-band blocking MUST surface every hamming-0 pair. Run over the
+  // augmented corpus and project the reported pairs onto the 20 planted
+  // clones: a missing row = broken determinism or blocking; a hamming != 0
+  // = broken sketch. (Soundness — reported hamming <= maxDist — holds by
+  // construction: the operator filters on the exactly recomputed distance.
+  // The full pair surface stays pinned in TrainingOpsSpec.)
   private def q26(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+    Dedup.simhashPairs(clonedDocs(s, d), "doc_id", "text",
       maxDist = 8)
+      .filter(col("id_a") < 20 && col("id_b") === col("id_a") + 1000000L)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+
+  private val q26Sql =
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+       CAST(0 AS BIGINT) AS hamming
+       FROM documents WHERE doc_id < 20"""
 
   // --- q27: exact n-gram Jaccard within source blocks -------------------------
   private def q27(s: SparkSession, d: String): DataFrame =
@@ -174,19 +210,61 @@ object TrainingData {
          WHERE q.vec_id < 10 AND q.vec_id != c.vec_id) t
        WHERE rank <= 5"""
 
-  // --- q29: LSH-bucketed ANN (rows-only; recall vs q28 in ScalaTest) ----------
+  // --- q29: LSH-bucketed ANN — recall-invariant oracle -------------------------
+  // An ANN result set is approximate by design, so the driver-visible
+  // contract is its RECALL against the exact top-k (q28 proves the exact
+  // side equals SQL). One audit row: every query answered, a full top-5
+  // per query, and aggregate recall@5 over the brute-force ground truth
+  // above the pinned floor (measures 0.52 at sf0.01; floor 0.2 matches
+  // TrainingOpsSpec). Any regression in bucketing, probing, or ranking
+  // flips a value and fails the hash compare.
   private def q29(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-      "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4)
+    val qs = emb.filter(col("vec_id") < 10)
+    annRecallAudit(
+      Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = 5, nPlanes = 4),
+      Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5),
+      floor = 0.2)
   }
 
-  // --- q50: IVF ANN (rows-only; recall vs q28 pinned in TrainingOpsSpec) ------
+  // --- q50: IVF ANN — same recall-invariant oracle (floor 0.3; measures
+  // 0.46 at sf0.01). The operator itself stays the nProbe=8 approximate
+  // path the bench prices; only the audit joins it against brute force.
   private def q50(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-      "vec_id", "embedding", dim = 64, k = 5, nCells = 32, nProbe = 8)
+    val qs = emb.filter(col("vec_id") < 10)
+    annRecallAudit(
+      Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = 5, nCells = 32, nProbe = 8),
+      Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5),
+      floor = 0.3)
   }
+
+  /** One-row ANN audit: (n_queries, n_results, recall_ge_floor) of an
+    * approximate top-k result against the exact one. SQL-checkable because
+    * n_queries/n_results are data-derivable and the floor test is pinned
+    * true for the deterministic seeded operators.
+    */
+  private def annRecallAudit(approx: DataFrame, exact: DataFrame,
+      floor: Double): DataFrame = {
+    val stats = approx.agg(
+      count_distinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_results"))
+    val hits = approx.join(exact, Seq("q_id", "id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    stats.crossJoin(hits).crossJoin(nExact)
+      .select(col("n_queries"), col("n_results"),
+        (col("n_hit").cast("double") / col("n_exact") >= floor)
+          .as("recall_ge_floor"))
+  }
+
+  private val annAuditSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(5 * count(*) AS BIGINT) AS n_results,
+       true AS recall_ge_floor
+       FROM embeddings WHERE vec_id < 10"""
 
   // --- q30: multimodal binary plumbing ----------------------------------------
   private def q30(s: SparkSession, d: String): DataFrame = {
@@ -289,22 +367,58 @@ object TrainingData {
            FROM events) a) b
        GROUP BY user_id, sid"""
 
-  // --- q37: embedding-cosine near-duplicate pairs (rows-only check) ----------
-  private def q37(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+  // --- q37: embedding-cosine near-duplicates — planted-pair audit oracle ------
+  // Hyperplane blocking is probabilistic for mid-similarity pairs but
+  // DETERMINISTIC for exact duplicates: identical vectors share every sign
+  // bit, land in the same bucket, and verify at cosine 1.0. Augment the
+  // embeddings with 20 cloned vectors and project the reported pairs onto
+  // them — the oracle recomputes each planted pair's cosine with DuckDB's
+  // list_cosine_similarity. (Soundness of the full output holds by
+  // construction — pairs are kept only after the exact in-bucket cosine
+  // test; q44 is the unblocked exact twin over a bounded id range.)
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cloned = emb.unionByName(emb.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 1000000L))
+    Dedup.embeddingNearDups(cloned, "vec_id", "embedding",
       dim = 64, threshold = 0.2, nPlanes = 6)
+      .filter(col("id_a") < 20 && col("id_b") === col("id_a") + 1000000L)
+  }
 
-  // --- q38: full dedup pipeline — pairs → clusters → collapsed corpus --------
-  // MinHash-LSH pairs feed connected-components clustering; the output is
-  // the deduplicated documents table (rows-only check; TrainingOpsSpec
-  // pins the planted-duplicate behavior).
+  private val q37Sql =
+    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]), 6) AS cosine
+       FROM embeddings WHERE vec_id < 20"""
+
+  // --- q38: full dedup pipeline — invariant-audit oracle ----------------------
+  // MinHash-LSH pairs at threshold 0.8 feed connected-components
+  // clustering; which mid-similarity docs collapse is sketch-dependent,
+  // but two outcomes are provable and SQL-checkable: (1) every planted
+  // exact clone is collapsed away (identical sigs always band-collide,
+  // jaccard 1.0 >= 0.8, and the clone can never be its cluster's min id),
+  // and (2) the output carries no two documents with identical text. The
+  // query emits those two counters; the oracle pins them to zero. The
+  // full collapsed-corpus surface has its exact-dup twin in q45 and its
+  // behavior spec in TrainingOpsSpec.
   private def q38(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = clonedDocs(s, d)
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.8)
     val cl = Dedup.clusters(pairs)
-    Dedup.dedupedCorpus(docs, "doc_id", cl)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val out = Dedup.dedupedCorpus(docs, "doc_id", cl)
+      .select(col("doc_id"), col("text"))
+      .persist()
+    val planted = out.filter(col("doc_id") >= 1000000L)
+      .agg(count(lit(1)).as("planted_surviving"))
+    val dups = out.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(count(lit(1)).as("exact_dup_groups_in_output"))
+    planted.crossJoin(dups)
   }
+
+  private val q38Sql =
+    """SELECT CAST(0 AS BIGINT) AS planted_surviving,
+       CAST(0 AS BIGINT) AS exact_dup_groups_in_output"""
 
   // The documents table ships with no exact duplicates, which would make
   // the threshold-1.0 oracles vacuously-empty checks. Both engines
@@ -577,7 +691,13 @@ object TrainingData {
     "q22_lang_id"         -> q22Sql,
     "q23_token_stats"     -> q23Sql,
     "q24_fingerprint"     -> q24Sql,
+    "q25_minhash_lsh"     -> q25Sql,
+    "q26_simhash_pairs"   -> q26Sql,
     "q27_ngram_jaccard"   -> q27Sql,
+    "q29_ann_lsh"         -> annAuditSql,
+    "q37_embed_neardup"   -> q37Sql,
+    "q38_dedup_pipeline"  -> q38Sql,
+    "q50_ann_ivf"         -> annAuditSql,
     "q28_ann_bruteforce"  -> q28Sql,
     "q30_multimodal"      -> q30Sql,
     "q31_stream_window"   -> q31Sql,
