@@ -19,10 +19,21 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent
       // natively (PARQUET_TYPE_ILLEGAL); read the raw int64 nanos and convert
       // to a microsecond TimestampType (truncation matches Spark's precision).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      // The legacy flag is consulted ONLY during schema inference (the
+      // returned DataFrame carries its resolved schema; execution clips the
+      // file schema against it without re-reading the conf — verified
+      // empirically), so it is restored immediately after the read and no
+      // query permanently mutates session conf.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

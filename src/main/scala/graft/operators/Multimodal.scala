@@ -18,8 +18,11 @@ object Multimodal {
 
   final case class MediaMeta(mime: String, width: Int, height: Int)
   final case class MediaRow(id: Long, media: Array[Byte], meta: MediaMeta)
+  /** `width`/`height` are the DECODED dimensions (a real decoder reads
+    * them from the payload and may disagree with the claimed metadata).
+    */
   final case class MediaFeatures(id: Long, n_bytes: Long, mean_byte: Double,
-      phash: Long)
+      phash: Long, width: Int, height: Int)
 
   /** Decode + feature-extract contract; implementations must be pure. */
   trait MediaDecoder extends Serializable {
@@ -27,7 +30,8 @@ object Multimodal {
   }
 
   /** Deterministic stand-in for a real image decoder: byte statistics and
-    * a splitmix-mixed content hash in place of a perceptual hash.
+    * a splitmix-mixed content hash in place of a perceptual hash; echoes
+    * the claimed metadata dimensions (it cannot decode real ones).
     */
   object FakeDecoder extends MediaDecoder {
     def features(row: MediaRow): MediaFeatures = {
@@ -41,7 +45,83 @@ object Multimodal {
         i += 1
       }
       MediaFeatures(row.id, bytes.length.toLong,
-        if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length, h)
+        if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length, h,
+        row.meta.width, row.meta.height)
+    }
+  }
+
+  /** REAL image decoder, JDK-only: `javax.imageio` handles PNG/JPEG/GIF/BMP
+    * with no external dependency. Features: true decoded dimensions, mean
+    * luminance (ITU-R BT.601 over all pixels), and a 64-bit average-hash
+    * perceptual hash (8×8 luminance downsample thresholded at its mean —
+    * the classic aHash; near-identical images differ by a few bits of
+    * Hamming distance, so the SimHash-style banding used for text sketches
+    * applies unchanged downstream). Pure and deterministic: ImageIO decode
+    * of a given payload is bit-stable, and all statistics are computed from
+    * the decoded raster, not codec internals.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    def features(row: MediaRow): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.media))
+      require(img != null, s"media id ${row.id}: undecodable image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      var lumSum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          lumSum += luminance(img.getRGB(x, y))
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(row.id, row.media.length.toLong,
+        lumSum / (w.toLong * h), aHash(img), w, h)
+    }
+
+    private def luminance(rgb: Int): Double = {
+      val r = (rgb >> 16) & 0xFF
+      val g = (rgb >> 8) & 0xFF
+      val b = rgb & 0xFF
+      0.299 * r + 0.587 * g + 0.114 * b
+    }
+
+    /** 8×8 average-hash: mean luminance per cell, bit set iff >= grid mean. */
+    private def aHash(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val cells = new Array[Double](64)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+          val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+          var s = 0.0
+          var n = 0
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              s += luminance(img.getRGB(x, y)); n += 1; x += 1
+            }
+            y += 1
+          }
+          cells(cy * 8 + cx) = if (n == 0) 0.0 else s / n
+          cx += 1
+        }
+        cy += 1
+      }
+      val mean = cells.sum / 64
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (cells(i) >= mean) bits |= (1L << i)
+        i += 1
+      }
+      bits
     }
   }
 
@@ -79,6 +159,29 @@ object Multimodal {
     */
   trait MediaResizer extends Serializable {
     def resize(row: MediaRow, w: Int, h: Int): MediaRow
+  }
+
+  /** REAL resizer, JDK-only: decode via ImageIO, bilinear-scale through
+    * Graphics2D into the target raster, re-encode as PNG (lossless, so the
+    * output round-trips deterministically through [[ImageIoDecoder]]).
+    */
+  object ImageIoResizer extends MediaResizer {
+    def resize(row: MediaRow, w: Int, h: Int): MediaRow = {
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.media))
+      require(src != null, s"media id ${row.id}: undecodable image payload")
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      MediaRow(row.id, out.toByteArray, MediaMeta("image/png", w, h))
+    }
   }
 
   object FakeResizer extends MediaResizer {

@@ -30,6 +30,7 @@ object DedupStream {
     * two independent sources, so every event id arrives exactly twice.
     */
   def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -55,6 +56,10 @@ object DedupStream {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     }
     spark.table(name)
   }

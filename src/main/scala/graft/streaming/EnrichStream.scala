@@ -28,6 +28,7 @@ object EnrichStream {
     * user_id = c_custkey, aggregated in complete mode.
     */
   def enrichedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -54,6 +55,10 @@ object EnrichStream {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     }
     spark.table(name)
   }

@@ -36,6 +36,7 @@ object EventsStream {
     * the finite-input form of a continuous deployment.
     */
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // streaming state cost scales with state-store instances (= shuffle
     // partitions at query start); this aggregation state is tiny, so a
@@ -68,6 +69,10 @@ object EventsStream {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     }
     spark.table(name)
   }
