@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -655,6 +656,125 @@ object TrainingData {
        round(quantile_cont(o_totalprice, 0.99), 6) AS p99
        FROM orders GROUP BY o_orderstatus"""
 
+  // --- q59: TF-IDF top-terms per document -------------------------------------
+  // The classic retrieval/quality-weighting primitive: tf = in-doc term
+  // count, idf = ln(N/df), top-3 terms per doc ranked on the ROUNDED score
+  // (both engines rank the same 6-decimal value, so cross-libm ulp noise
+  // in ln cannot flip a rank) with the term as total tie-break. Scale
+  // shape: explode → two partial-agged groupBys; the (term, df) side is
+  // vocabulary-sized and joins back on term; the doc-count scalar is a
+  // broadcast cross join, not a driver collect.
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("term"))
+    // tf feeds BOTH the score and the document-frequency rollup; Catalyst
+    // does not CSE across a self-referencing join, so without the persist
+    // the corpus would be exploded and shuffled twice
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  private val q59Sql =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       tf AS (
+         SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dfreq AS (
+         SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents)
+       SELECT doc_id, term, score, rank FROM (
+         SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 6) AS score,
+           CAST(row_number() OVER (PARTITION BY tf.doc_id
+             ORDER BY round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 6) DESC,
+                      tf.term ASC) AS BIGINT) AS rank
+         FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) t
+       WHERE rank <= 3"""
+
+  // --- q60: per-user training sequences (ordered event-type paths) ------------
+  // The sequence-modeling export shape: each user's first 10 events (ms
+  // grid + event_id total order, see q18) joined into one "a->b->c" path
+  // string. One shuffle on user_id; the collect_list is bounded by the
+  // rank filter so no group materializes unbounded history.
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ms", expr("unix_micros(ts) div 1000"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            e => e.getField("event_type")),
+          "->").as("path"))
+  }
+
+  private val q60Sql =
+    """SELECT user_id, count(*) AS n_events,
+       string_agg(event_type, '->' ORDER BY ms, event_id) AS path
+       FROM (
+         SELECT user_id, event_type, ms, event_id,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ms, event_id) AS rn
+         FROM (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+               FROM events) e0) t
+       WHERE rn <= 10
+       GROUP BY user_id"""
+
+  // --- q61: out-of-vocabulary rate against the corpus vocabulary head ---------
+  // Tokenizer-coverage audit: vocab = top-1000 tokens by corpus frequency
+  // (token-asc tie-break makes the cut deterministic), per-language OOV
+  // occurrence rate. Scale shape: the vocabulary head is tiny and
+  // BROADCAST back against the exploded token stream — the corpus tokens
+  // are never shuffled for the membership test; only (token, count)
+  // partial aggregates move for the vocab build.
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("lang"),
+      explode(Text.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc).limit(1000)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+  }
+
+  private val q61Sql =
+    """WITH toks AS (
+         SELECT lang, unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       vocab AS (
+         SELECT token FROM (
+           SELECT token, count(*) AS freq FROM toks GROUP BY 1)
+         ORDER BY freq DESC, token ASC LIMIT 1000)
+       SELECT lang, count(*) AS n_tokens,
+         CAST(count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+           AS BIGINT) AS n_oov,
+         round(count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+           ::DOUBLE / count(*), 6) AS oov_rate
+       FROM toks GROUP BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -683,7 +803,10 @@ object TrainingData {
     "q53_pii_scrub"       -> q53 _,
     "q54_heavy_hitters"   -> q54 _,
     "q55_stream_enrich"   -> q55 _,
-    "q56_session_window"  -> q56 _)
+    "q56_session_window"  -> q56 _,
+    "q59_tfidf"           -> q59 _,
+    "q60_event_sequences" -> q60 _,
+    "q61_oov_rate"        -> q61 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -713,5 +836,8 @@ object TrainingData {
     "q53_pii_scrub"       -> q53Sql,
     "q54_heavy_hitters"   -> q54Sql,
     "q55_stream_enrich"   -> q55Sql,
-    "q56_session_window"  -> q56Sql)
+    "q56_session_window"  -> q56Sql,
+    "q59_tfidf"           -> q59Sql,
+    "q60_event_sequences" -> q60Sql,
+    "q61_oov_rate"        -> q61Sql)
 }

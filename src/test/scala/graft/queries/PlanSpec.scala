@@ -77,6 +77,31 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), s"no hash/merge join in plan:\n$p")
   }
 
+  test("q60: sequence export is ONE shuffle; rank<=10 prunes BEFORE it") {
+    val p = plan("q60_event_sequences")
+    // WindowGroupLimit below the exchange = each task keeps only its local
+    // top-10 per user before anything moves — the property that makes a
+    // per-user sequence export survive a 100 TB event log
+    val exchangeIdx = p.indexOf("Exchange (")
+    val firstLimitIdx = p.indexOf("WindowGroupLimit")
+    assert(exchangeIdx >= 0 && firstLimitIdx >= 0, p)
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$p")
+    // the groupBy(user_id) after the window reuses the window partitioning
+    assert(p.contains("WindowGroupLimit"), "no partial group-limit pushdown")
+  }
+
+  test("q61: vocab head broadcasts; the token stream is never shuffled for membership") {
+    val p = plan("q61_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab cut should be TakeOrderedAndProject, not a global sort")
+    assert(p.contains("BroadcastHashJoin"), "vocab membership join not broadcast")
+    // shuffles: ONE for the vocab build's partial agg, ONE for the final
+    // per-lang agg — none for the exploded token stream itself
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 shuffles (vocab agg + lang agg):\n$p")
+  }
+
   test("bucketed co-located join: no shuffle exchange on either side") {
     // the 100 TB pattern: pre-bucket both fact tables on the join key ->
     // repeated joins are exchange-free (only broadcast of tiny dims would
