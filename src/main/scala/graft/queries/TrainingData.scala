@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -775,6 +775,75 @@ object TrainingData {
            ::DOUBLE / count(*), 6) AS oov_rate
        FROM toks GROUP BY lang"""
 
+  // --- q62: approximate quantiles (mergeable rank sketch) ---------------------
+  // The third mergeable-sketch family member (q39 HLL distinct, q54
+  // Misra-Gries frequency, q62 rank/quantile): approx_percentile's
+  // Greenwald-Khanna summary with rank error eps = 1/accuracy = 0.01.
+  // The audit emits the exact interpolated percentiles (DuckDB recomputes
+  // them — the q36 parity machinery) plus booleans pinning each sketch
+  // estimate inside the exact [p-2eps, p+2eps] value bracket. At 100 TB
+  // the sketch is what you can afford (fixed-size partial per partition);
+  // the exact twin exists only inside this audit.
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val eps2 = 0.02
+    def bracket(p: Double): (Column, Column) = (
+      expr(s"percentile(o_totalprice, ${math.max(p - eps2, 0.0)})"),
+      expr(s"percentile(o_totalprice, ${math.min(p + eps2, 1.0)})"))
+    val (lo50, hi50) = bracket(0.5)
+    val (lo90, hi90) = bracket(0.9)
+    val (lo99, hi99) = bracket(0.99)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 100)").as("a50"),
+        expr("approx_percentile(o_totalprice, 0.9, 100)").as("a90"),
+        expr("approx_percentile(o_totalprice, 0.99, 100)").as("a99"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("med"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"),
+        lo50.as("lo50"), hi50.as("hi50"), lo90.as("lo90"), hi90.as("hi90"),
+        lo99.as("lo99"), hi99.as("hi99"))
+      .select(col("o_orderstatus"), col("med"), col("p90"), col("p99"),
+        col("a50").between(col("lo50"), col("hi50")).as("a50_in_bracket"),
+        col("a90").between(col("lo90"), col("hi90")).as("a90_in_bracket"),
+        col("a99").between(col("lo99"), col("hi99")).as("a99_in_bracket"))
+  }
+
+  private val q62Sql =
+    """SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS med,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+       true AS a50_in_bracket, true AS a90_in_bracket,
+       true AS a99_in_bracket
+       FROM orders GROUP BY o_orderstatus"""
+
+  // --- q63: hive-partitioned lake export round-trip ---------------------------
+  // The training-corpus delivery format: write documents partitioned by
+  // language (sinks/Lake), read the lake back, and aggregate per
+  // partition. The oracle recomputes the per-language stats from the
+  // source table, so a lost row, a partition-value corruption, or a
+  // mis-typed recovered partition column all fail the hash compare.
+  // PlanSpec separately pins that a lang filter on the read side becomes
+  // a PartitionFilter (pruning, not scanning).
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("lake_q63")
+      .resolve("documents_by_lang").toString
+    graft.sinks.Lake.writePartitioned(
+      Tables.documents(s, d), dir, "lang")
+    graft.sinks.Lake.read(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        count_distinct(col("source")).as("n_sources"))
+  }
+
+  private val q63Sql =
+    """SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT source) AS n_sources
+       FROM documents GROUP BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -806,7 +875,9 @@ object TrainingData {
     "q56_session_window"  -> q56 _,
     "q59_tfidf"           -> q59 _,
     "q60_event_sequences" -> q60 _,
-    "q61_oov_rate"        -> q61 _)
+    "q61_oov_rate"        -> q61 _,
+    "q62_approx_quantiles" -> q62 _,
+    "q63_lake_roundtrip"  -> q63 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -839,5 +910,7 @@ object TrainingData {
     "q56_session_window"  -> q56Sql,
     "q59_tfidf"           -> q59Sql,
     "q60_event_sequences" -> q60Sql,
-    "q61_oov_rate"        -> q61Sql)
+    "q61_oov_rate"        -> q61Sql,
+    "q62_approx_quantiles" -> q62Sql,
+    "q63_lake_roundtrip"  -> q63Sql)
 }

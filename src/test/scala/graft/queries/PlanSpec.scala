@@ -102,6 +102,23 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 shuffles (vocab agg + lang agg):\n$p")
   }
 
+  test("lake export: a partition-column filter prunes, not scans") {
+    val dir = java.nio.file.Files.createTempDirectory("lake_planspec")
+      .resolve("docs").toString
+    graft.sinks.Lake.writePartitioned(
+      graft.Tables.documents(spark, sf), dir, "lang")
+    val filtered = graft.sinks.Lake.read(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val p = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters: [isnotnull(lang") ||
+      p.contains("PartitionFilters: [(lang"),
+      s"lang filter did not become a partition filter:\n$p")
+    // and the filter is NOT a post-scan data filter on a read column
+    assert(!p.contains("PushedFilters: [IsNotNull(lang"),
+      "lang treated as a data column, not a partition column")
+  }
+
   test("bucketed co-located join: no shuffle exchange on either side") {
     // the 100 TB pattern: pre-bucket both fact tables on the join key ->
     // repeated joins are exchange-free (only broadcast of tiny dims would
