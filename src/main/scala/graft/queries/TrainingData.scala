@@ -830,8 +830,13 @@ object TrainingData {
   // PlanSpec separately pins that a lang filter on the read side becomes
   // a PartitionFilter (pruning, not scanning).
   private def q63(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("lake_q63")
-      .resolve("documents_by_lang").toString
+    // fixed per-sfDir location + overwrite mode: repeated bench/verify
+    // invocations rewrite the same lake instead of leaking a fresh corpus
+    // copy into /tmp per run
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_lake_" + Integer.toHexString(d.hashCode),
+      "documents_by_lang").toString
     graft.sinks.Lake.writePartitioned(
       Tables.documents(s, d), dir, "lang")
     graft.sinks.Lake.read(s, dir)

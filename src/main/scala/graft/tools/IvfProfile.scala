@@ -40,8 +40,9 @@ object IvfProfile {
     val centroids = time("kmeans train") {
       Similarity.trainSphericalKMeans(sample, 32, 64, 10, 42L)
     }
-    // stage 3: corpus cell assignment only
-    val centLit = typedLit(centroids)
+    // stage 3: corpus cell assignment only (same packed literal as the
+    // shipped operator, so stage times reconcile with full ivfTopK)
+    val centLit = graft.functions.ArrayOps.packedFloatLit(centroids)
     time("cell assign count") {
       emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
         .withColumn("cell",

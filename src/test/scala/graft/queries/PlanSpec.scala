@@ -79,16 +79,17 @@ class PlanSpec extends AnyFunSuite {
 
   test("q60: sequence export is ONE shuffle; rank<=10 prunes BEFORE it") {
     val p = plan("q60_event_sequences")
-    // WindowGroupLimit below the exchange = each task keeps only its local
+    // WindowGroupLimit BELOW the exchange = each task keeps only its local
     // top-10 per user before anything moves — the property that makes a
-    // per-user sequence export survive a 100 TB event log
-    val exchangeIdx = p.indexOf("Exchange (")
-    val firstLimitIdx = p.indexOf("WindowGroupLimit")
-    assert(exchangeIdx >= 0 && firstLimitIdx >= 0, p)
-    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$p")
-    // the groupBy(user_id) after the window reuses the window partitioning
-    assert(p.contains("WindowGroupLimit"), "no partial group-limit pushdown")
+    // per-user sequence export survive a 100 TB event log. The tree
+    // renders children below parents, so the partial (pre-shuffle)
+    // WindowGroupLimit must appear at a LARGER index than the Exchange.
+    val exchange = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllMatchIn(p).toSeq
+    assert(exchange.length == 1, s"expected 1 shuffle, plan:\n$p")
+    val limits = "WindowGroupLimit".r.findAllMatchIn(p).toSeq
+    assert(limits.exists(_.start > exchange.head.start),
+      s"no WindowGroupLimit below (before) the exchange — rank<=10 no " +
+        s"longer prunes pre-shuffle:\n$p")
   }
 
   test("q61: vocab head broadcasts; the token stream is never shuffled for membership") {
