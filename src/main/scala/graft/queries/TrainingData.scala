@@ -852,6 +852,51 @@ object TrainingData {
        count(DISTINCT source) AS n_sources
        FROM documents GROUP BY lang"""
 
+  // --- q64: benchmark decontamination (train/eval n-gram overlap) -------------
+  // The pretraining hygiene step: flag every corpus document sharing at
+  // least one word-8-gram with the (modeled) evaluation set — here the
+  // doc_id < 50 documents stand in for a benchmark. Scale shape: the
+  // corpus side is a shuffle-free flatMap (doc_id, gramHash) explode
+  // semi-joined against the BROADCAST benchmark gram set (eval sets are
+  // small by nature); only matching (doc, gram) rows reach the final
+  // per-doc count. Gram hashing reuses the FNV shingle kernel — equal to
+  // string 8-grams up to negligible collision probability (the q27/q43
+  // precedent).
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ArrayOps
+    val docs = Tables.documents(s, d)
+    val n = 8
+    val benchGrams = docs.filter(col("doc_id") < 50)
+      .select(explode(
+        ArrayOps.ngramHashes(Text.tokens(col("text")), n)).as("g"))
+      .distinct()
+    val corpusGrams = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), explode(
+        ArrayOps.ngramHashes(Text.tokens(col("text")), n)).as("g"))
+    corpusGrams.join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_8grams"))
+  }
+
+  private val q64Sql =
+    """WITH bg AS (
+         SELECT DISTINCT unnest(list_transform(range(1, len(w) - 6),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] ||
+                ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+                w[i+7])) AS g
+         FROM (SELECT string_split(text, ' ') AS w FROM documents
+               WHERE doc_id < 50) t),
+       cg AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - 6),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] ||
+                ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+                w[i+7]))) AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE doc_id >= 50) t)
+       SELECT doc_id, count(*) AS n_shared_8grams
+       FROM cg JOIN bg USING (g) GROUP BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -885,7 +930,8 @@ object TrainingData {
     "q60_event_sequences" -> q60 _,
     "q61_oov_rate"        -> q61 _,
     "q62_approx_quantiles" -> q62 _,
-    "q63_lake_roundtrip"  -> q63 _)
+    "q63_lake_roundtrip"  -> q63 _,
+    "q64_decontaminate"   -> q64 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -920,5 +966,6 @@ object TrainingData {
     "q60_event_sequences" -> q60Sql,
     "q61_oov_rate"        -> q61Sql,
     "q62_approx_quantiles" -> q62Sql,
-    "q63_lake_roundtrip"  -> q63Sql)
+    "q63_lake_roundtrip"  -> q63Sql,
+    "q64_decontaminate"   -> q64Sql)
 }
