@@ -897,6 +897,81 @@ object TrainingData {
        SELECT doc_id, count(*) AS n_shared_8grams
        FROM cg JOIN bg USING (g) GROUP BY doc_id"""
 
+  // --- q65: intra-document repetition filter (Gopher-style quality rule) ------
+  // Per-document duplicate-3-gram mass: 1 - distinct/total word 3-grams.
+  // Boilerplate and crawler loops show up as high repetition; the flag at
+  // > 0.2 is the drop rule a curation pipeline applies. Pure column
+  // expressions per row — no shuffle at all (the cheapest kind of 100 TB
+  // pass: read, score, write).
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val w = Text.tokens(col("text"))
+    val grams = expr(
+      "transform(sequence(0, size(tokens) - 3), " +
+      "i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))")
+    Tables.documents(s, d)
+      .select(col("doc_id"), w.as("tokens"))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_uniq"))
+      .select(col("doc_id"), col("n_grams"), col("n_uniq"),
+        round(lit(1.0) - col("n_uniq").cast("double") / col("n_grams"), 6)
+          .as("rep_frac"),
+        (lit(1.0) - col("n_uniq").cast("double") / col("n_grams") > 0.2)
+          .as("flagged"))
+  }
+
+  private val q65Sql =
+    """SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_uniq,
+       round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6) AS rep_frac,
+       (1.0 - len(list_distinct(g))::DOUBLE / len(g)) > 0.2 AS flagged
+       FROM (
+         SELECT doc_id, list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+         WHERE len(w) >= 3) s"""
+
+  // --- q66: temperature-weighted mixture sampling (training-mix cut) ----------
+  // Data mixing: per-language sampling quotas proportional to n^alpha
+  // (alpha = 0.5 — upweight low-resource languages), selection by the
+  // engine-portable md5 order q51 established. Quotas are derived from a
+  // 5-row aggregate (broadcast), the corpus pays one window shuffle on
+  // lang. Shares are rounded to 6 decimals BEFORE flooring so cross-engine
+  // summation-order ulp noise cannot flip a quota boundary.
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val m = 200
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val sq = docs.groupBy(col("lang")).agg(sqrt(count(lit(1))).as("sq"))
+    val tot = sq.agg(sum(col("sq")).as("sq_total"))
+    val q = sq.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        greatest(lit(1L),
+          floor(round(lit(m) * col("sq") / col("sq_total"), 6)).cast("long"))
+          .as("quota"))
+    val rn = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs.withColumn("rn", row_number().over(rn))
+      .join(broadcast(q), "lang")
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  private val q66Sql =
+    """WITH sq AS (
+         SELECT lang, sqrt(count(*)) AS sq FROM documents GROUP BY lang),
+       q AS (
+         SELECT lang, greatest(1, CAST(floor(round(
+           200 * sq / (SELECT sum(sq) FROM sq), 6)) AS BIGINT)) AS quota
+         FROM sq)
+       SELECT doc_id, lang FROM (
+         SELECT d.doc_id, d.lang, q.quota,
+           row_number() OVER (PARTITION BY d.lang
+             ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC) AS rn
+         FROM documents d JOIN q ON d.lang = q.lang) t
+       WHERE rn <= quota"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -931,7 +1006,9 @@ object TrainingData {
     "q61_oov_rate"        -> q61 _,
     "q62_approx_quantiles" -> q62 _,
     "q63_lake_roundtrip"  -> q63 _,
-    "q64_decontaminate"   -> q64 _)
+    "q64_decontaminate"   -> q64 _,
+    "q65_repetition"      -> q65 _,
+    "q66_temperature_mix" -> q66 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -967,5 +1044,7 @@ object TrainingData {
     "q61_oov_rate"        -> q61Sql,
     "q62_approx_quantiles" -> q62Sql,
     "q63_lake_roundtrip"  -> q63Sql,
-    "q64_decontaminate"   -> q64Sql)
+    "q64_decontaminate"   -> q64Sql,
+    "q65_repetition"      -> q65Sql,
+    "q66_temperature_mix" -> q66Sql)
 }
