@@ -10,15 +10,22 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.streaming.EventsStream
 
 /** Training-data-pipeline operator surface: deduplication (exact / MinHash
-  * LSH / SimHash / n-gram Jaccard), similarity search (brute-force +
-  * LSH-bucketed ANN), text analysis (quality, language-ID, tokenization,
-  * fingerprints), multimodal plumbing, and the Structured-Streaming window
-  * aggregation.
+  * LSH / SimHash / n-gram Jaccard / embedding-cosine + clustering),
+  * similarity search (brute-force / LSH / IVF ANN), text analysis
+  * (quality, language-ID, tokenization, fingerprints, TF-IDF, OOV,
+  * repetition), curation (decontamination, stratified + temperature
+  * sampling, lake export), multimodal plumbing, and the
+  * Structured-Streaming members.
   *
-  * Queries with `oracle` entries compute expressions replicated exactly in
-  * DuckDB; the sketch-based ops (MinHash/SimHash/LSH-ANN) are not
-  * SQL-expressible and get rows-only driver checks + ScalaTest oracles
-  * against planted duplicates / brute-force ground truth.
+  * EVERY query has an `oracle` entry the driver runs in DuckDB. Exact ops
+  * replicate the computation SQL-for-SQL; the sketch/ANN ops, whose
+  * internals are not SQL-expressible, instead emit driver-checkable
+  * INVARIANTS as their output — full set equality where the sketch is
+  * provably exact on this data (q25, q43, q45), planted-clone audits
+  * (q26, q37, q38), and recall/bound audits against SQL-proved ground
+  * truth (q29, q50, and q39/q62 in their modules). ScalaTest adds the
+  * data-independent guarantees (planted duplicates, recall floors,
+  * determinism).
   */
 object TrainingData {
 
