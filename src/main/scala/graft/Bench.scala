@@ -11,7 +11,31 @@ import org.apache.spark.sql.SparkSession
   * is matching that per core, distributed).
   */
 object Bench {
+
+  /** Best-effort removal of prior-run scratch dirs (flatten-bench inputs,
+    * pre-fix random-suffix lake exports, old verify dumps) so repeated
+    * bench/verify runs don't accumulate tens of GB in /tmp. Only paths
+    * with our own prefixes are touched; `keep` protects the active run.
+    */
+  def cleanStaleTmp(keep: Set[String] = Set.empty): Unit =
+    try {
+      val tmp = new java.io.File("/tmp")
+      val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
+        val n = f.getName
+        (n.startsWith("flatbench") || n.startsWith("graft_lake_") ||
+          n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath)
+      }
+      stale.foreach(deleteRec)
+    } catch { case _: Throwable => () }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
+    cleanStaleTmp()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -51,22 +75,39 @@ object Bench {
       // a second, independent measurement and report the min — but only
       // a SUCCESSFUL re-run may replace the first time (a flaky second
       // run must not report its fast failure as the measurement).
-      val sec =
+      val (sec, rerunFailed) =
         if (err.isEmpty && sec1 > 3.0) {
           val (sec2, err2) = timeOne(name, fn)
-          if (err2.isEmpty) math.min(sec1, sec2) else sec1
-        } else sec1
-      (name, sec, err)
+          // a failed re-run may not replace the measurement, but it must
+          // reach the JSON (not just stderr) — a ~50%-flaky query would
+          // otherwise always report green with its one good timing
+          if (err2.isEmpty) (math.min(sec1, sec2), false) else (sec1, true)
+        } else (sec1, false)
+      (name, sec, err, rerunFailed)
     }
-    val qs = runs.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = runs.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = runs.filter(_._3.isDefined)
-    val errs = failed.map { case (k, _, e) =>
+    val errs = failed.map { case (k, _, e, _) =>
       "\"" + k + "\":\"" + e.get.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
+    val rerunFails = runs.filter(_._4).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
     val total = runs.filter(_._3.isEmpty).map(_._2).sum
     val flat = flattenBench(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_sec":${flat.coldSec},"flatten_docs_per_s":${flat.coldRate},"flatten_docs_per_s_warm":${flat.warmRate},"flatten_sec_schema_reuse":${flat.schemaReuseSec},"flatten_docs_per_s_schema_reuse":${flat.schemaReuseRate}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_sec":${flat.coldSec},"flatten_docs_per_s":${flat.coldRate},"flatten_docs_per_s_warm":${flat.warmRate},"flatten_sec_schema_reuse":${flat.schemaReuseSec},"flatten_docs_per_s_schema_reuse":${flat.schemaReuseRate}}""")
+    // The driver records the TAIL of stdout, which truncated the verbose
+    // line above from the front in r3 (q01-q12 timings lost, parsed:null).
+    // Re-emit everything as a COMPACT single line — short query keys
+    // (unique qNN prefix), millisecond-rounded seconds — as the very LAST
+    // stdout line so a bounded tail capture always contains valid,
+    // complete JSON.
+    def r3d(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsShort = runs.map { case (k, v, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3d(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_sec":${r3d(flat.coldSec)},"flatten_docs_per_s":${r3d(flat.coldRate)},"flatten_docs_per_s_warm":${r3d(flat.warmRate)},"flatten_sec_schema_reuse":${r3d(flat.schemaReuseSec)},"flatten_docs_per_s_schema_reuse":${r3d(flat.schemaReuseRate)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -151,5 +192,5 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"BENCH FAIL flatten: $e")
         FlattenBench(0, 0.0, 0.0, 0.0, 0.0, 0.0)
-    }
+    } finally cleanStaleTmp() // this run's flatbench* dirs (~60 MB each)
 }

@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // drop prior-run scratch (stale lake exports, old verify dumps) but
+    // never the dump dir this run is about to write
+    Bench.cleanStaleTmp(keep =
+      Set(new java.io.File(outDir).getAbsolutePath))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

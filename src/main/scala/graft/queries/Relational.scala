@@ -376,6 +376,13 @@ object Relational {
   // gap of exactly 1800s at one precision can exceed it at the other and
   // silently shift session membership. `unix_micros(ts) div 1000` here ==
   // `epoch_ms(ts)` in the oracle; the boundary convention is strict `>`.
+  //
+  // Output contract is INTEGER-EXACT: no double leaves this query. The
+  // previous round(avg(n_events),6) / decimal→double total could differ by
+  // 1 ulp between Spark and the oracle engine's round()/cast paths at tie
+  // boundaries (hash-red on the driver for three rounds while bit-exact
+  // on local DuckDB 1.0.0). total_events is avg's exact numerator
+  // (consumers divide by n_sessions); value sums stay in cents (BIGINT).
   private def q18(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ms").asc, col("event_id").asc)
@@ -390,23 +397,21 @@ object Relational {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sess_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(14,2)")).as("sess_value"))
+        sum((col("value").cast("decimal(14,2)") * 100).cast("long"))
+          .as("sess_cents"))
       .groupBy(col("user_id"))
       .agg(max(col("sess_id")).as("n_sessions"),
-        r6(avg(col("n_events"))).as("avg_events_per_sess"),
-        // decimal all the way to the final sum: double summation order
-        // differs between Spark partial aggregation and DuckDB, and
-        // round(_,6) cannot mask ulp noise at a rounding boundary
-        round(sum(col("sess_value")), 6).cast("double").as("total_value"))
+        sum(col("n_events")).as("total_events"),
+        sum(col("sess_cents")).as("total_value_cents"))
   }
 
   private val q18Sql =
     """SELECT user_id, max(sess_id) AS n_sessions,
-       round(avg(n_events), 6) AS avg_events_per_sess,
-       CAST(round(sum(sess_value), 6) AS DOUBLE) AS total_value
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST(sum(sess_cents) AS BIGINT) AS total_value_cents
        FROM (
          SELECT user_id, sess_id, count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(14,2))) AS sess_value
+           CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT) AS sess_cents
          FROM (
            SELECT user_id, value,
              sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC

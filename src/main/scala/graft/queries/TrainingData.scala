@@ -315,9 +315,12 @@ object TrainingData {
   // Session gaps compared on the MILLISECOND grid in both engines (see
   // q18/q46/q56: events.ts is TIMESTAMP(NANOS); Spark truncates to micros,
   // DuckDB keeps nanos, so ms is the shared precision). Strict `>` gap.
+  // Integer-exact contract: session value leaves as cents (BIGINT) — a
+  // DECIMAL→DOUBLE cast here differs by 1 ulp across DuckDB versions on
+  // non-terminating binary fractions (driver hash-red r1-r3).
   private val q32Sql =
     """SELECT user_id, sess_id, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sess_value
+       CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT) AS sess_cents
        FROM (
          SELECT user_id, value,
            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC

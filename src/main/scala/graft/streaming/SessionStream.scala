@@ -111,8 +111,12 @@ object SessionStream {
         case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
     }
+    // Output contract is INTEGER-EXACT: the session sum leaves as cents
+    // (BIGINT), never divided back to a double — `x/100.0` here vs the
+    // oracle's DECIMAL→DOUBLE cast can differ by 1 ulp across engine
+    // versions on non-terminating binary fractions. Consumers divide.
     spark.table(name)
       .select(col("user_id"), col("sess_id"), col("n_events"),
-        (col("sess_cents") / 100.0).as("sess_value"))
+        col("sess_cents"))
   }
 }
