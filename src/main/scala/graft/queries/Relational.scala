@@ -32,14 +32,27 @@ object Relational {
   // (summation order), and round(_,6) cannot mask ulp noise at 16
   // significant digits. The inputs are 2-decimal money / rate values, so
   // casting to decimal is exact and the whole aggregate is
-  // order-independent; the final value is rounded and cast back to DOUBLE
-  // identically on the DuckDB side.
+  // order-independent. Money LEAVES each query as a scaled BIGINT
+  // (cents / 1e-4 / 1e-6 units), never as a double: the final
+  // DECIMAL→DOUBLE conversion is the one step whose result can differ by
+  // 1 ulp across oracle-engine versions (it cost q18/q32 three driver-red
+  // rounds), and integer hashes cannot diverge by construction.
   private def money(c: Column): Column = c.cast("decimal(14,2)")
   private def rate1m(c: Column): Column =
     lit(java.math.BigDecimal.ONE).cast("decimal(3,2)") - c.cast("decimal(4,2)")
   private def rate1p(c: Column): Column =
     lit(java.math.BigDecimal.ONE).cast("decimal(3,2)") + c.cast("decimal(4,2)")
-  private def dsum(c: Column): Column = round(sum(c), 6).cast("double")
+  /** Sum of an exact decimal expression as a scaled BIGINT: the per-row
+    * decimal (scale ≤ digits) is multiplied to an exact integer and summed
+    * as longs — identical per-row values and an order-free sum on both
+    * engines.
+    */
+  private def isum(c: Column, scale: Long): Column =
+    // narrow literal type: a LongType literal would promote to
+    // decimal(20,0) and push the product past precision 38 (where Spark's
+    // precision-loss adjustment kicks in); decimal(7,0) keeps every
+    // product ≤ (38,6) exactly
+    sum((c * lit(scale).cast("decimal(7,0)")).cast("long"))
 
   // --- q01: full-scan aggregation (TPC-H Q1 pattern) -----------------------
   // Partial aggregation: 4 grouping values → tiny shuffle regardless of SF.
@@ -48,22 +61,27 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(money(col("l_quantity"))).as("sum_qty"),
-        dsum(money(col("l_extendedprice"))).as("sum_base_price"),
-        dsum(money(col("l_extendedprice")) * rate1m(col("l_discount"))).as("sum_disc_price"),
-        dsum(money(col("l_extendedprice")) * rate1m(col("l_discount")) * rate1p(col("l_tax"))).as("sum_charge"),
-        r6(sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-        r6(sum(col("l_discount").cast("decimal(4,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+        // l_quantity is integer-valued: a plain BIGINT sum is exact, and
+        // avg over integer-valued doubles is one IEEE-exact division —
+        // deterministic across engines with no round() needed
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        isum(money(col("l_extendedprice")), 100L).as("sum_base_price_cents"),
+        isum(money(col("l_extendedprice")) * rate1m(col("l_discount")),
+          10000L).as("sum_disc_price_e4"),
+        isum(money(col("l_extendedprice")) * rate1m(col("l_discount")) *
+          rate1p(col("l_tax")), 1000000L).as("sum_charge_e6"),
+        avg(col("l_quantity")).as("avg_qty"),
+        isum(col("l_discount").cast("decimal(4,2)"), 100L).as("sum_disc_e2"),
         count(lit(1)).as("count_order"))
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-       CAST(round(sum(CAST(l_quantity AS DECIMAL(14,2))), 6) AS DOUBLE) AS sum_qty,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 6) AS DOUBLE) AS sum_base_price,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 6) AS DOUBLE) AS sum_disc_price,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 6) AS DOUBLE) AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))) * 1000000 AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+       avg(l_quantity) AS avg_qty,
+       CAST(sum(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_disc_e2,
        count(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
        GROUP BY l_returnflag, l_linestatus"""
@@ -96,25 +114,26 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(dsum(money(col("l_extendedprice")) * rate1m(col("l_discount"))).as("revenue"))
+      .agg(isum(money(col("l_extendedprice")) * rate1m(col("l_discount")),
+        10000L).as("revenue_e4"))
       .select(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-        col("o_orderpriority"), col("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        col("o_orderpriority"), col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey").asc)
       .limit(10)
   }
 
   private val q03Sql =
     """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 6) AS DOUBLE) AS revenue
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey
        WHERE c_mktsegment = 'BUILDING'
          AND o_orderdate < TIMESTAMP '1998-03-15'
          AND l_shipdate > TIMESTAMP '1995-03-15'
        GROUP BY l_orderkey, o_orderdate, o_orderpriority
-       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+       ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10"""
 
   // --- q04: star join over broadcast dims (region→nation→customer→orders) --
   private def q04(s: SparkSession, d: String): DataFrame = {
@@ -125,12 +144,12 @@ object Relational {
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
-        dsum(money(col("o_totalprice"))).as("total_price"))
+        isum(money(col("o_totalprice")), 100L).as("total_price_cents"))
   }
 
   private val q04Sql =
     """SELECT r_name, n_name, count(*) AS n_orders,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 6) AS DOUBLE) AS total_price
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS total_price_cents
        FROM orders JOIN customer ON o_custkey = c_custkey
        JOIN nation ON c_nationkey = n_nationkey
        JOIN region ON n_regionkey = r_regionkey
@@ -275,19 +294,19 @@ object Relational {
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .agg(
-        dsum(when(col("p_type").startsWith("PROMO"),
+        isum(when(col("p_type").startsWith("PROMO"),
           money(col("l_extendedprice")) * rate1m(col("l_discount")))
-          .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,4)")))
-          .as("promo_revenue"),
-        dsum(money(col("l_extendedprice")) * rate1m(col("l_discount")))
-          .as("total_revenue"))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,4)")),
+          10000L).as("promo_revenue_e4"),
+        isum(money(col("l_extendedprice")) * rate1m(col("l_discount")),
+          10000L).as("total_revenue_e4"))
 
   private val q13Sql =
     """SELECT
-       CAST(round(sum(CASE WHEN p_type LIKE 'PROMO%'
+       CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
          THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-         ELSE CAST(0 AS DECIMAL(18,4)) END), 6) AS DOUBLE) AS promo_revenue,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 6) AS DOUBLE) AS total_revenue
+         ELSE CAST(0 AS DECIMAL(18,4)) END * 10000 AS BIGINT)) AS BIGINT) AS promo_revenue_e4,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) AS total_revenue_e4
        FROM lineitem JOIN part ON l_partkey = p_partkey"""
 
   // --- q14: scalar string functions -------------------------------------------
@@ -319,7 +338,7 @@ object Relational {
         quarter(col("o_orderdate")).cast("long").as("qtr"))
       .agg(
         count(lit(1)).as("n_orders"),
-        dsum(money(col("o_totalprice"))).as("total"),
+        isum(money(col("o_totalprice")), 100L).as("total_cents"),
         date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
         date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_day"))
 
@@ -327,7 +346,7 @@ object Relational {
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
        CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
        count(*) AS n_orders,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 6) AS DOUBLE) AS total,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
        strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
        strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
        FROM orders GROUP BY 1, 2"""
@@ -341,11 +360,15 @@ object Relational {
       .groupBy(
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), r6(sum(col("value"))).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        // raw-double sums are ORDER-DEPENDENT (Spark partial aggregation
+        // vs the oracle's scan order) — exact cents only
+        isum(money(col("value")), 100L).as("total_value_cents"))
 
   private val q16Sql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-       event_type, count(*) AS n, round(sum(value), 6) AS total_value
+       event_type, count(*) AS n,
+       CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
        FROM events GROUP BY 1, 2"""
 
   // --- q17: semi-structured JSON extraction from events.props -----------------
@@ -357,12 +380,15 @@ object Relational {
       .select(col("event_type"),
         regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), r6(avg(col("k"))).as("avg_k"),
+      // avg over integers: exact sum + one IEEE-exact division —
+      // deterministic across engines; round() would ADD a divergence
+      // surface (engine round() differs at representation boundaries)
+      .agg(count(lit(1)).as("n"), avg(col("k")).as("avg_k"),
         max(col("k")).as("max_k"))
 
   private val q17Sql =
     """SELECT event_type, count(*) AS n,
-       round(avg(k), 6) AS avg_k, max(k) AS max_k FROM (
+       avg(k) AS avg_k, max(k) AS max_k FROM (
          SELECT event_type,
            CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
          FROM events) t GROUP BY event_type"""
@@ -430,28 +456,37 @@ object Relational {
   private def q33(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), r6(avg(col("l_extendedprice"))).as("avg_price"))
+      // fractional-money avg = order-dependent double sum: emit the exact
+      // integer numerator (cents) with n instead; consumers divide
+      .agg(count(lit(1)).as("n"),
+        isum(money(col("l_extendedprice")), 100L).as("sum_price_cents"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
-        col("n"), col("avg_price"))
+        col("n"), col("sum_price_cents"))
 
   private val q33Sql =
     """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
-       count(*) AS n, round(avg(l_extendedprice), 6) AS avg_price
+       count(*) AS n,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_cents
        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
 
   // --- q34: SQL front-end — CTE + join + correlated EXISTS ----------------------
   // The engine's spark.sql surface over registered views; the oracle is the
   // very same ANSI text, so this doubles as a dialect-compatibility check.
+  // integer-exact contract: per-customer spend is summed in cents and the
+  // outer aggregate emits the exact numerator (total_spend_cents) with
+  // n_cust — the same ANSI text runs on both engines, so every cell is a
+  // BIGINT that cannot diverge
   private val q34Text =
     """WITH spend AS (
          SELECT o_custkey, count(*) AS n_orders,
-                sum(o_totalprice) AS total_spend
+                sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS spend_cents
          FROM orders GROUP BY o_custkey)
        SELECT c.c_mktsegment, count(*) AS n_cust,
-              round(avg(s.total_spend), 6) AS avg_spend
+              CAST(sum(s.spend_cents) AS BIGINT) AS total_spend_cents
        FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
        WHERE EXISTS (SELECT 1 FROM orders o
                      WHERE o.o_custkey = c.c_custkey
@@ -610,8 +645,8 @@ object Relational {
 
   private val q48Sql =
     """SELECT event_type, count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(14,2))), 6) AS DOUBLE)
-         AS total_value
+       CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS total_value_cents
        FROM events GROUP BY event_type"""
 
   // --- q57: pivot (long -> wide reshaping with a fixed column spine) ----------

@@ -43,17 +43,20 @@ object TrainingData {
     Tables.documents(s, d).select(
       col("doc_id"),
       size(t).cast("long").as("n_tokens"),
-      round(Text.meanTokenLen(t), 6).as("mean_token_len"),
-      round(Text.stopwordRatio(t), 6).as("stopword_ratio"),
+      // integer-ratio columns carry NO round(): int/int division is
+      // IEEE-exact and identical across engines, while round() itself
+      // differs at representation boundaries (the q18 lesson)
+      Text.meanTokenLen(t).as("mean_token_len"),
+      Text.stopwordRatio(t).as("stopword_ratio"),
       Text.qualityScore(col("text")).as("quality"))
   }
 
   private val q21Sql =
     """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-       round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6)
+       list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
          AS mean_token_len,
-       round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
-         / len(w), 6) AS stopword_ratio,
+       len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+         / len(w) AS stopword_ratio,
        CAST(round(
          (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END) +
          (CASE WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
@@ -101,13 +104,15 @@ object TrainingData {
       .groupBy(col("lang"))
       .agg(sum(col("n_tok")).as("total_tokens"),
         sum(col("n_uniq")).as("total_unique"),
-        round(avg(col("n_tok")), 6).as("avg_tokens"))
+        // avg over integers is an exact sum + one IEEE-exact division —
+        // deterministic without round() (round is the divergence surface)
+        avg(col("n_tok")).as("avg_tokens"))
   }
 
   private val q23Sql =
     """SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
        CAST(sum(n_uniq) AS BIGINT) AS total_unique,
-       round(avg(n_tok), 6) AS avg_tokens FROM (
+       avg(n_tok) AS avg_tokens FROM (
          SELECT lang,
            len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tok,
            len(list_distinct(
@@ -305,7 +310,9 @@ object TrainingData {
   private val q31Sql =
     """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
          '%Y-%m-%d %H:%M:%S') AS win_start,
-       event_type, count(*) AS n, round(sum(value), 6) AS total_value
+       event_type, count(*) AS n,
+       CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS total_value_cents
        FROM events GROUP BY 1, 2"""
 
   // --- q32: stateful streaming sessionization (flatMapGroupsWithState) --------
@@ -340,8 +347,8 @@ object TrainingData {
 
   private val q55Sql =
     """SELECT c_mktsegment, event_type, count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(14,2))), 6) AS DOUBLE)
-         AS total_value
+       CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS total_value_cents
        FROM events e JOIN customer c ON e.user_id = c.c_custkey
        GROUP BY c_mktsegment, event_type"""
 
@@ -356,17 +363,19 @@ object TrainingData {
     ev.groupBy(col("user_id"),
         session_window(col("tsm"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(14,2)")).as("sv"))
+        // integer-exact: cents summed as longs, never divided back to a
+        // double (q18/q32's three-round driver-red lesson)
+        sum((col("value").cast("decimal(14,2)") * lit(100).cast("decimal(3,0)"))
+          .cast("long")).as("sess_cents"))
       .select(col("user_id"),
         unix_millis(col("w.start")).as("sess_start_ms"),
-        col("n_events"),
-        round(col("sv"), 6).cast("double").as("sess_value"))
+        col("n_events"), col("sess_cents"))
   }
 
   private val q56Sql =
     """SELECT user_id, min(ms) AS sess_start_ms, count(*) AS n_events,
-       CAST(round(sum(CAST(value AS DECIMAL(14,2))), 6) AS DOUBLE)
-         AS sess_value
+       CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sess_cents
        FROM (
          SELECT user_id, ms, value,
            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
@@ -646,11 +655,14 @@ object TrainingData {
       Tables.events(s, d), col("event_type"), "event_type",
       col("value").cast("decimal(14,2)"), salts = 16)
       .select(col("event_type"), col("n"),
-        round(col("total"), 6).cast("double").as("total"))
+        // decimal sum is exact; ×100 → BIGINT cents so no decimal→double
+        // cast can 1-ulp-diverge between engine versions
+        (col("total") * lit(100).cast("decimal(3,0)")).cast("long")
+          .as("total_cents"))
 
   private val q35Sql =
     """SELECT event_type, count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(14,2))), 6) AS DOUBLE) AS total
+       CAST(sum(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) AS total_cents
        FROM events GROUP BY event_type"""
 
   // --- q36: exact interpolated percentiles ------------------------------------
@@ -769,8 +781,8 @@ object TrainingData {
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("in_vocab").isNull, 1)).as("n_oov"))
       .select(col("lang"), col("n_tokens"), col("n_oov"),
-        round(col("n_oov").cast("double") / col("n_tokens"), 6)
-          .as("oov_rate"))
+        // exact int/int division, no round(): deterministic across engines
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
   }
 
   private val q61Sql =
@@ -784,8 +796,8 @@ object TrainingData {
        SELECT lang, count(*) AS n_tokens,
          CAST(count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
            AS BIGINT) AS n_oov,
-         round(count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
-           ::DOUBLE / count(*), 6) AS oov_rate
+         count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+           ::DOUBLE / count(*) AS oov_rate
        FROM toks GROUP BY lang"""
 
   // --- q62: approximate quantiles (mergeable rank sketch) ---------------------
@@ -926,7 +938,8 @@ object TrainingData {
         size(col("g")).cast("long").as("n_grams"),
         size(array_distinct(col("g"))).cast("long").as("n_uniq"))
       .select(col("doc_id"), col("n_grams"), col("n_uniq"),
-        round(lit(1.0) - col("n_uniq").cast("double") / col("n_grams"), 6)
+        // 1.0 - exact-division is deterministic both engines; no round()
+        (lit(1.0) - col("n_uniq").cast("double") / col("n_grams"))
           .as("rep_frac"),
         (lit(1.0) - col("n_uniq").cast("double") / col("n_grams") > 0.2)
           .as("flagged"))
@@ -935,7 +948,7 @@ object TrainingData {
   private val q65Sql =
     """SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
        CAST(len(list_distinct(g)) AS BIGINT) AS n_uniq,
-       round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6) AS rep_frac,
+       1.0 - len(list_distinct(g))::DOUBLE / len(g) AS rep_frac,
        (1.0 - len(list_distinct(g))::DOUBLE / len(g)) > 0.2 AS flagged
        FROM (
          SELECT doc_id, list_transform(range(1, len(w) - 1),

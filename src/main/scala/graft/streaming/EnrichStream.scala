@@ -44,7 +44,10 @@ object EnrichStream {
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 6).cast("double").as("total_value"))
+        // integer-exact output: decimal cents summed as longs (see q18/q32
+        // — doubles formed by engine arithmetic are not hash-portable)
+        sum((col("value") * lit(100).cast("decimal(3,0)")).cast("long"))
+          .as("total_value_cents"))
     val q = out.writeStream
       .format("memory")
       .queryName(name)

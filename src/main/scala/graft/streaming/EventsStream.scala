@@ -54,11 +54,15 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "30 days")
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        // integer-exact output: raw-double sums are order-dependent and
+        // doubles formed by engine arithmetic are not hash-portable
+        sum((col("value").cast("decimal(14,2)") * lit(100).cast("decimal(3,0)"))
+          .cast("long")).as("total_value_cents"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("win_start"),
-        col("event_type"), col("n"), col("total_value"))
+        col("event_type"), col("n"), col("total_value_cents"))
     val q = stream.writeStream
       .format("memory")
       .queryName(name)

@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard for the `Tables.events` session-conf hygiene pattern:
+  * the `spark.sql.legacy.parquet.nanosAsLong` flag is set for the
+  * nanosecond-timestamp parquet read and restored in a `finally` BEFORE
+  * the returned DataFrame is ever materialized. That is safe on the
+  * pinned Spark version because the flag is consulted only during schema
+  * inference — but upstream `ParquetFileFormat.buildReaderWithPartitionValues`
+  * copies session conf into the scan's hadoopConf at first-action time in
+  * some Spark lineages, so a version bump could silently reintroduce
+  * PARQUET_TYPE_ILLEGAL at action time. This spec materializes an events
+  * DataFrame strictly AFTER the loader returned (conf already restored),
+  * so any such regression fails loudly here instead of inside a query.
+  */
+class TablesConfSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("events DataFrame materializes after the nanos conf is restored") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val df = graft.Tables.events(spark, sf)
+    // the loader must not leak the flag into session conf
+    assert(spark.conf.getOption(key) === before)
+    // first action runs strictly after the finally restored the conf —
+    // this is the call that would throw PARQUET_TYPE_ILLEGAL if execution
+    // re-read the (restored) session conf
+    assert(df.count() > 0)
+    val maxTs = df.selectExpr("max(ts)").collect().head.get(0)
+    assert(maxTs != null)
+  }
+}
