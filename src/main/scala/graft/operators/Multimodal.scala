@@ -80,49 +80,52 @@ object Multimodal {
       MediaFeatures(row.id, row.media.length.toLong,
         lumSum / (w.toLong * h), aHash(img), w, h)
     }
+  }
 
-    private def luminance(rgb: Int): Double = {
-      val r = (rgb >> 16) & 0xFF
-      val g = (rgb >> 8) & 0xFF
-      val b = rgb & 0xFF
-      0.299 * r + 0.587 * g + 0.114 * b
-    }
+  private[operators] def luminance(rgb: Int): Double = {
+    val r = (rgb >> 16) & 0xFF
+    val g = (rgb >> 8) & 0xFF
+    val b = rgb & 0xFF
+    0.299 * r + 0.587 * g + 0.114 * b
+  }
 
-    /** 8×8 average-hash: mean luminance per cell, bit set iff >= grid mean. */
-    private def aHash(img: java.awt.image.BufferedImage): Long = {
-      val w = img.getWidth
-      val h = img.getHeight
-      val cells = new Array[Double](64)
-      var cy = 0
-      while (cy < 8) {
-        var cx = 0
-        while (cx < 8) {
-          val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
-          val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
-          var s = 0.0
-          var n = 0
-          var y = y0
-          while (y < math.min(y1, h)) {
-            var x = x0
-            while (x < math.min(x1, w)) {
-              s += luminance(img.getRGB(x, y)); n += 1; x += 1
-            }
-            y += 1
+  /** 8×8 average-hash: mean luminance per cell, bit set iff >= grid mean.
+    * Shared by the still-image decoder and the GIF frame sampler so one
+    * frame and its single-image re-encode hash identically.
+    */
+  private[operators] def aHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cells = new Array[Double](64)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+        val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+        var s = 0.0
+        var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            s += luminance(img.getRGB(x, y)); n += 1; x += 1
           }
-          cells(cy * 8 + cx) = if (n == 0) 0.0 else s / n
-          cx += 1
+          y += 1
         }
-        cy += 1
+        cells(cy * 8 + cx) = if (n == 0) 0.0 else s / n
+        cx += 1
       }
-      val mean = cells.sum / 64
-      var bits = 0L
-      var i = 0
-      while (i < 64) {
-        if (cells(i) >= mean) bits |= (1L << i)
-        i += 1
-      }
-      bits
+      cy += 1
     }
+    val mean = cells.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) >= mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
   }
 
   /** Build a media table from the documents table (text bytes standing in
@@ -209,29 +212,65 @@ object Multimodal {
 
   final case class Frame(id: Long, frame_no: Int, phash: Long)
 
-  /** Frame sampling for video-shaped payloads: every `stride`-th fixed-size
-    * chunk of the payload stands in for a decoded frame; each sampled
-    * frame gets a content hash. One row in → N frame rows out
-    * (flatMap-shaped, so a 2-hour video never materializes as one task's
-    * memory: chunks stream through the iterator).
+  /** Frame sampling for video-shaped payloads. Multi-frame GIF payloads
+    * (the one animated container the JDK decodes natively) get REAL frame
+    * decoding: `ImageReader.getNumImages(true)` + `read(i)` per sampled
+    * frame, each hashed with the same 8×8 aHash as still images — so a
+    * GIF frame and its standalone re-encode carry the same perceptual
+    * hash. Opaque payloads (codecs the JVM lacks) keep the byte-chunk
+    * model: every `stride`-th fixed-size chunk stands in for a frame with
+    * a content hash. One row in → N frame rows out (flatMap-shaped, so a
+    * 2-hour video never materializes as one task's memory: opaque chunks
+    * stream through the iterator; GIF frame counts are bounded by the
+    * container format itself).
     */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64,
       stride: Int = 4): Dataset[Frame] = {
     val spark: SparkSession = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].flatMap { row =>
-      val nFrames = math.max(1, row.media.length / frameBytes)
-      (0 until nFrames by stride).iterator.map { f =>
-        var h = 0xCBF29CE484222325L
-        val start = f * frameBytes
-        val end = math.min(start + frameBytes, row.media.length)
-        var i = start
-        while (i < end) {
-          h = (h ^ (row.media(i) & 0xFFL)) * 0x100000001B3L
-          i += 1
-        }
-        Frame(row.id, f, h)
+      if (isGif(row.media)) gifFrames(row, stride)
+      else byteChunkFrames(row, frameBytes, stride)
+    }
+  }
+
+  /** GIF87a/GIF89a magic. */
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length > 6 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte && b(3) == '8'.toByte
+
+  private def gifFrames(row: MediaRow, stride: Int): Iterator[Frame] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(row.media))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"media id ${row.id}: no GIF reader")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        // materialized (not lazy): the reader must be disposed before
+        // return, and GIF frame counts are small by construction
+        (0 until n by math.max(1, stride)).map { i =>
+          Frame(row.id, i, aHash(reader.read(i)))
+        }.iterator
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  private def byteChunkFrames(row: MediaRow, frameBytes: Int,
+      stride: Int): Iterator[Frame] = {
+    val nFrames = math.max(1, row.media.length / frameBytes)
+    (0 until nFrames by stride).iterator.map { f =>
+      var h = 0xCBF29CE484222325L
+      val start = f * frameBytes
+      val end = math.min(start + frameBytes, row.media.length)
+      var i = start
+      while (i < end) {
+        h = (h ^ (row.media(i) & 0xFFL)) * 0x100000001B3L
+        i += 1
       }
+      Frame(row.id, f, h)
     }
   }
 }

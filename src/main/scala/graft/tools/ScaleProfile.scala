@@ -1,0 +1,144 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence runner for the dedup/cluster/ANN family (VERDICT r3 #3):
+  * self-replicates the sf0.1 documents/embeddings tables to ~10^5 and
+  * ~10^6 rows and times `minhashLsh → clusters → dedupedCorpus` and
+  * `ivfTopK` at each size, printing wall seconds, result cardinalities,
+  * and total shuffle bytes so the ~linear scaling claim in PLANS.md is a
+  * measurement, not a plan-shape argument.
+  *
+  * Replication is NOT naive copying: identical copies would all land in
+  * the same LSH buckets and manufacture quadratic candidate blocks that
+  * no real corpus has. Every replica r of doc i swaps each 7th token for
+  * a family-unique salt (distinct families stay far below the Jaccard
+  * threshold, sibling replicas of one family land ~0.1 on the Jaccard
+  * scale — plausible crawl noise), while each ODD replica differs from
+  * its even predecessor by exactly one extra token — a planted near-dup
+  * pair per (i, even r), so the detected-duplicate fraction stays ~50%
+  * at every scale and the verify/cluster stages do real work.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ScaleProfile"
+  */
+object ScaleProfile {
+
+  private final class ShuffleBytes extends SparkListener {
+    val read = new AtomicLong(0L)
+    val written = new AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
+        written.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+      }
+    }
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** ×`reps` the documents table with salted ids and perturbed text. */
+  private def replicateDocs(spark: SparkSession, sf: String,
+      reps: Int): DataFrame = {
+    val base = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    spark.range(reps.toLong).withColumnRenamed("id", "r")
+      .join(broadcast(base))
+      .select(
+        (col("doc_id") * reps + col("r")).as("doc_id"),
+        expr(
+          // family salt keyed by (doc_id, r - r%2): even/odd siblings
+          // share salts; the odd sibling then appends one extra token
+          """concat(
+               array_join(transform(split(text, ' '), (x, i) ->
+                 CASE WHEN i % 7 = 0
+                   THEN concat('s', doc_id, '_', r - r % 2)
+                   ELSE x END), ' '),
+               CASE WHEN r % 2 = 1 THEN concat(' d', r) ELSE '' END)"""
+        ).as("text"))
+  }
+
+  /** ×`reps` the embeddings table with per-replica vector perturbation. */
+  private def replicateVecs(spark: SparkSession, sf: String,
+      reps: Int): DataFrame = {
+    val base = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    spark.range(reps.toLong).withColumnRenamed("id", "r")
+      .join(broadcast(base))
+      .select(
+        (col("vec_id") * reps + col("r")).as("vec_id"),
+        expr(
+          """transform(embedding, (x, i) ->
+               CAST(x + CAST(pmod(hash(vec_id, r, i), 1000) AS FLOAT)
+                 / 50000.0 AS FLOAT))""").as("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docReps = args.headOption.map(_.split(",").map(_.toInt))
+      .getOrElse(Array(20, 200)) // 5k docs ×20 = 1e5, ×200 = 1e6
+    val vecReps = if (args.length > 1) args(1).split(",").map(_.toInt)
+      else Array(50, 500)        // 2k vecs ×50 = 1e5, ×500 = 1e6
+
+    docReps.foreach { reps =>
+      val sb = new ShuffleBytes
+      spark.sparkContext.addSparkListener(sb)
+      val docs = replicateDocs(spark, sf, reps)
+      val (n, _) = time(docs.count())
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pairs = graft.operators.Dedup.minhashLsh(
+        docs, "doc_id", "text", threshold = 0.5).persist(lvl)
+      val (nPairs, tPairs) = time(pairs.count())
+      val cl = graft.operators.Dedup.clusters(pairs)
+      val (nClustered, tCl) = time { cl.persist(lvl); cl.count() }
+      val (nKept, tDedup) = time(
+        graft.operators.Dedup.dedupedCorpus(docs, "doc_id", cl).count())
+      println(f"SCALE docs n=$n%d pairs=$nPairs%d clustered=$nClustered%d " +
+        f"kept=$nKept%d lsh_s=$tPairs%.1f cluster_s=$tCl%.1f " +
+        f"dedup_s=$tDedup%.1f shuffle_read_mb=${sb.read.get / 1e6}%.0f " +
+        f"shuffle_write_mb=${sb.written.get / 1e6}%.0f")
+      spark.sparkContext.removeSparkListener(sb)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    vecReps.foreach { reps =>
+      val sb = new ShuffleBytes
+      spark.sparkContext.addSparkListener(sb)
+      val vecs = replicateVecs(spark, sf, reps)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = vecs.count()
+      val queries = graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding")).limit(50)
+      val dim = graft.Tables.embeddings(spark, sf)
+        .selectExpr("size(embedding)").first().getInt(0)
+      val (nHits, tIvf) = time(
+        graft.operators.Similarity.ivfTopK(
+          vecs, queries, "vec_id", "embedding", dim = dim, k = 5).count())
+      println(f"SCALE ivf n=$n%d hits=$nHits%d ivf_s=$tIvf%.1f " +
+        f"shuffle_read_mb=${sb.read.get / 1e6}%.0f " +
+        f"shuffle_write_mb=${sb.written.get / 1e6}%.0f")
+      spark.sparkContext.removeSparkListener(sb)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}
