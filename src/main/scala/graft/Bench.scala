@@ -15,15 +15,21 @@ object Bench {
   /** Best-effort removal of prior-run scratch dirs (flatten-bench inputs,
     * pre-fix random-suffix lake exports, old verify dumps) so repeated
     * bench/verify runs don't accumulate tens of GB in /tmp. Only paths
-    * with our own prefixes are touched; `keep` protects the active run.
+    * with our own prefixes are touched; `keep` protects the active run,
+    * and only entries untouched for `maxAgeMs` (default 1 h) are deleted
+    * so a CONCURRENT run's scratch — e.g. a verify dump the driver has
+    * not read yet — can never be destroyed by a racing bench.
     */
-  def cleanStaleTmp(keep: Set[String] = Set.empty): Unit =
+  def cleanStaleTmp(keep: Set[String] = Set.empty,
+      maxAgeMs: Long = 3600000L): Unit =
     try {
+      val cutoff = System.currentTimeMillis() - maxAgeMs
       val tmp = new java.io.File("/tmp")
       val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
         val n = f.getName
         (n.startsWith("flatbench") || n.startsWith("graft_lake_") ||
-          n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath)
+          n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
+          f.lastModified() < cutoff
       }
       stale.foreach(deleteRec)
     } catch { case _: Throwable => () }
@@ -95,7 +101,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = runs.filter(_._3.isEmpty).map(_._2).sum
     val flat = flattenBench(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_sec":${flat.coldSec},"flatten_docs_per_s":${flat.coldRate},"flatten_docs_per_s_warm":${flat.warmRate},"flatten_sec_schema_reuse":${flat.schemaReuseSec},"flatten_docs_per_s_schema_reuse":${flat.schemaReuseRate}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_samples":${flat.samples},"flatten_sec":${flat.coldSec},"flatten_sec_median":${flat.coldSecMedian},"flatten_docs_per_s":${flat.coldRate},"flatten_docs_per_s_warm":${flat.warmRate},"flatten_docs_per_s_warm_median":${flat.warmRateMedian},"flatten_sec_schema_reuse":${flat.schemaReuseSec},"flatten_sec_schema_reuse_median":${flat.schemaReuseSecMedian},"flatten_docs_per_s_schema_reuse":${flat.schemaReuseRate}}""")
     // The driver records the TAIL of stdout, which truncated the verbose
     // line above from the front in r3 (q01-q12 timings lost, parsed:null).
     // Re-emit everything as a COMPACT single line — short query keys
@@ -107,13 +113,27 @@ object Bench {
     val qsShort = runs.map { case (k, v, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3d(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_sec":${r3d(flat.coldSec)},"flatten_docs_per_s":${r3d(flat.coldRate)},"flatten_docs_per_s_warm":${r3d(flat.warmRate)},"flatten_sec_schema_reuse":${r3d(flat.schemaReuseSec)},"flatten_docs_per_s_schema_reuse":${r3d(flat.schemaReuseRate)}}""")
+    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_samples":${flat.samples},"flatten_sec":${r3d(flat.coldSec)},"flatten_sec_median":${r3d(flat.coldSecMedian)},"flatten_docs_per_s":${r3d(flat.coldRate)},"flatten_docs_per_s_warm":${r3d(flat.warmRate)},"flatten_docs_per_s_warm_median":${r3d(flat.warmRateMedian)},"flatten_sec_schema_reuse":${r3d(flat.schemaReuseSec)},"flatten_sec_schema_reuse_median":${r3d(flat.schemaReuseSecMedian)},"flatten_docs_per_s_schema_reuse":${r3d(flat.schemaReuseRate)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
 
-  final case class FlattenBench(docs: Int, coldSec: Double, coldRate: Double,
-      warmRate: Double, schemaReuseSec: Double, schemaReuseRate: Double)
+  /** Per-mode flatten timings: best AND median of `n` samples, so one
+    * contended sample (r4 recorded warm 27 docs/s vs cold 643 on this
+    * noisy host) reads as spread, not regression.
+    */
+  final case class FlattenBench(docs: Int, samples: Int,
+      coldSec: Double, coldSecMedian: Double, coldRate: Double,
+      warmRate: Double, warmRateMedian: Double,
+      schemaReuseSec: Double, schemaReuseSecMedian: Double,
+      schemaReuseRate: Double)
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
 
   /** Release every cached/persisted dataset AND directly-persisted RDDs
     * (operator-internal persists + iterative-loop caches) so measurements
@@ -136,7 +156,17 @@ object Bench {
     * inference pass).
     */
   private def flattenBench(spark: SparkSession,
-      n: Int = 1000): FlattenBench =
+      n: Int = 1000): FlattenBench = {
+    // this run's own scratch (~60 MB per sample) — tracked explicitly and
+    // deleted in the finally; cleanStaleTmp's 1 h age threshold means it
+    // would no longer catch dirs this fresh (by design: a racing run's
+    // fresh scratch must survive)
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def tmpDir(prefix: String): java.nio.file.Path = {
+      val d = Files.createTempDirectory(prefix)
+      scratch += d
+      d
+    }
     try {
       val golden = "/root/reference/ElasticSearch_Document.json"
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -151,46 +181,52 @@ object Bench {
       // one big JSONL file + default 128m maxPartitionBytes = 1-2 parse
       // tasks; small splits let every core parse/infer
       spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-      // ALL paths are best-of-3: this host's wall-clock swings several-fold
-      // under VM contention (BENCH_r01 cold 17.5 s vs BENCH_r02 197 s for
-      // identical code), so a single sample is noise, not a measurement.
-      // Each cold run gets a FRESH directory + file so neither the file
-      // cache key nor the inferred-schema cache can serve it.
+      // ALL modes take 3 samples and report BEST + MEDIAN: this host's
+      // wall-clock swings several-fold under VM contention (BENCH_r01 cold
+      // 17.5 s vs BENCH_r02 197 s for identical code; BENCH_r04 warm 24×
+      // slower than cold), so a single sample is noise, and best-without-
+      // spread can misread contention as regression. Each cold run gets a
+      // FRESH directory + file so neither the file cache key nor the
+      // inferred-schema cache can serve it.
       var lastDf: org.apache.spark.sql.DataFrame = null
       val cold = (1 to 3).map { _ =>
-        val in = Files.createTempDirectory("flatbench")
+        val in = tmpDir("flatbench")
         Files.writeString(in.resolve("docs.jsonl"), sb.toString)
         val t0 = System.nanoTime()
         val df = spark.read.json(in.resolve("docs.jsonl").toString)
         graft.flatten.Flattener.flattenToTsv(df, in.resolve("tsv").toString)
         lastDf = df
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
       // warm rate: same parsed df re-flattened (steady-state of a long job)
-      val warmIn = Files.createTempDirectory("flatbenchw")
+      val warmIn = tmpDir("flatbenchw")
       val warm = (1 to 3).map { i =>
         val t1 = System.nanoTime()
         graft.flatten.Flattener.flattenToTsv(lastDf,
           warmIn.resolve(s"tsv$i").toString)
         (System.nanoTime() - t1) / 1e9
-      }.min
+      }
       // schema-reuse: a SEPARATE copy of the input (distinct path, so the
       // cached first read cannot serve it) parsed with the known schema —
       // no inference pass, everything else end-to-end
       val schema = lastDf.schema
       val reuse = (1 to 3).map { _ =>
-        val in2 = Files.createTempDirectory("flatbench2")
+        val in2 = tmpDir("flatbench2")
         Files.writeString(in2.resolve("docs.jsonl"), sb.toString)
         val t2 = System.nanoTime()
         val df2 = spark.read.schema(schema)
           .json(in2.resolve("docs.jsonl").toString)
         graft.flatten.Flattener.flattenToTsv(df2, in2.resolve("tsv").toString)
         (System.nanoTime() - t2) / 1e9
-      }.min
-      FlattenBench(n, cold, n / cold, n / warm, reuse, n / reuse)
+      }
+      FlattenBench(n, 3,
+        cold.min, median(cold), n / cold.min,
+        n / warm.min, n / median(warm),
+        reuse.min, median(reuse), n / reuse.min)
     } catch {
       case e: Throwable =>
         System.err.println(s"BENCH FAIL flatten: $e")
-        FlattenBench(0, 0.0, 0.0, 0.0, 0.0, 0.0)
-    } finally cleanStaleTmp() // this run's flatbench* dirs (~60 MB each)
+        FlattenBench(0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    } finally scratch.foreach(p => deleteRec(p.toFile))
+  }
 }

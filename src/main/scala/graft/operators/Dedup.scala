@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SimHash, Text}
@@ -73,10 +74,26 @@ object Dedup {
     * (band explode + both sides of the verification join); recomputing it
     * would re-shingle the corpus 4×. At 100 TB this projection is ~1-2% of
     * corpus bytes and spills cleanly.
+    *
+    * Hot-bucket guard: a real crawl's template spam can land millions of
+    * near-identical docs in ONE (band, bandHash) bucket, and the bucket
+    * self-join then emits O(B²) candidates — the one scale-killer in a
+    * banded LSH join. Buckets larger than `maxBucketSize` therefore emit
+    * STAR candidates (bucket-min id, other) instead of all pairs: for
+    * dedup the candidates feed [[clusters]] (connectivity, not all-pairs
+    * enumeration), and a star rooted at the bucket minimum keeps every
+    * member reachable while cutting candidates to O(B). Buckets at or
+    * below the cap keep exact all-pairs semantics, so the verified pair
+    * set on non-adversarial corpora is unchanged. Trade-off (documented):
+    * if an oversized bucket mixes several distinct near-dup families
+    * (band collision), star pairs rooted outside a family fail Jaccard
+    * verification and that family's edges are lost for this band — each
+    * of the other `bands-1` bands still gets an independent shot, which
+    * is the standard recall argument banding already rests on.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 4096): DataFrame = {
     val rowsPerBand = k / bands
     val base = df.select(
       col(idCol).as("id"),
@@ -98,11 +115,23 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
 
-    val cand = banded.as("x").join(banded.as("y"),
+    // bucket size + bucket-min in ONE window pass over the same
+    // (band, bh) partitioning the self-join shuffles on anyway
+    val w = Window.partitionBy(col("band"), col("bh"))
+    val sized = banded
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("mid", min(col("id")).over(w))
+
+    val smallB = sized.filter(col("bn") <= maxBucketSize)
+    val allPairs = smallB.as("x").join(smallB.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    // oversized buckets: O(B) star edges rooted at the bucket minimum
+    val starPairs = sized
+      .filter(col("bn") > maxBucketSize && col("id") =!= col("mid"))
+      .select(col("mid").as("id_a"), col("id").as("id_b"))
+    val cand = allPairs.union(starPairs).distinct()
 
     val sets = base.select(col("id"), col("hset"))
     cand
@@ -124,9 +153,16 @@ object Dedup {
 
   /** SimHash near-duplicates: 4×16-bit-band blocking, Hamming-distance
     * verification. Returns (id_a, id_b, hamming) with hamming <= maxDist.
+    *
+    * Carries the same hot-bucket guard as [[minhashLsh]]: a 16-bit band
+    * bucket holding more than `maxBucketSize` sketches (template spam —
+    * near-identical docs share all four bands) emits star candidates
+    * rooted at the bucket-min doc instead of O(B²) all-pairs; the min
+    * doc's sketch rides along via min_by so Hamming verification stays
+    * a pure column expression.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
     val sk = df.select(col(idCol).as("id"),
       SimHash.simhash(Text.tokens(col(textCol))).as("sh"))
     val banded = sk.select(col("id"), col("sh"),
@@ -134,11 +170,23 @@ object Dedup {
         struct(lit(b).as("band"), SimHash.band16(col("sh"), b).as("bv"))
       ): _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band"), col("bb.bv"))
-    banded.as("x").join(banded.as("y"),
+    val w = Window.partitionBy(col("band"), col("bv"))
+    val sized = banded
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("mid", min(col("id")).over(w))
+      .withColumn("msh", min_by(col("sh"), col("id")).over(w))
+
+    val smallB = sized.filter(col("bn") <= maxBucketSize)
+    val allPairs = smallB.as("x").join(smallB.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         SimHash.hamming(col("x.sh"), col("y.sh")).as("hamming"))
+    val starPairs = sized
+      .filter(col("bn") > maxBucketSize && col("id") =!= col("mid"))
+      .select(col("mid").as("id_a"), col("id").as("id_b"),
+        SimHash.hamming(col("msh"), col("sh")).as("hamming"))
+    allPairs.union(starPairs)
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -229,7 +229,17 @@ object Multimodal {
     val spark: SparkSession = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].flatMap { row =>
-      if (isGif(row.media)) gifFrames(row, stride)
+      // a 'GIF8'-magic payload the JDK cannot decode (truncated/corrupt
+      // crawl data, exotic encoder) degrades to chunk hashing instead of
+      // killing the whole job — one bad document must never fail a
+      // corpus-scale pass (gifFrames materializes its frames eagerly, so
+      // every decode error surfaces inside this try)
+      if (isGif(row.media))
+        try gifFrames(row, stride)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            byteChunkFrames(row, frameBytes, stride)
+        }
       else byteChunkFrames(row, frameBytes, stride)
     }
   }
@@ -249,6 +259,10 @@ object Multimodal {
       try {
         reader.setInput(iis)
         val n = reader.getNumImages(true)
+        // a decodable GIF has >= 1 frame; 0/-1 means the reader bailed on
+        // garbage without throwing — surface it so the caller's fallback
+        // (byte-chunk frames) takes over
+        require(n > 0, s"media id ${row.id}: unreadable GIF ($n frames)")
         // materialized (not lazy): the reader must be disposed before
         // return, and GIF frame counts are small by construction
         (0 until n by math.max(1, stride)).map { i =>

@@ -409,6 +409,12 @@ object Relational {
   // boundaries (hash-red on the driver for three rounds while bit-exact
   // on local DuckDB 1.0.0). total_events is avg's exact numerator
   // (consumers divide by n_sessions); value sums stay in cents (BIGINT).
+  //
+  // Oracle TYPE contract: DuckDB widens `sum(INTEGER) OVER (...)` to
+  // HUGEINT (int128) and max() preserves it, so `max(sess_id)` must be
+  // CAST AS BIGINT or a type-sensitive result hash diverges from Spark's
+  // int64 on identical values (the r1-r4 q18 driver redness). Rule: every
+  // integer oracle output column is explicitly CAST(... AS BIGINT).
   private def q18(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ms").asc, col("event_id").asc)
@@ -432,7 +438,7 @@ object Relational {
   }
 
   private val q18Sql =
-    """SELECT user_id, max(sess_id) AS n_sessions,
+    """SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
        CAST(sum(n_events) AS BIGINT) AS total_events,
        CAST(sum(sess_cents) AS BIGINT) AS total_value_cents
        FROM (
@@ -544,6 +550,10 @@ object Relational {
       coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("SUPPRESSED"))
         .as("brand_disp"))
 
+  // log_price is one of the suite's two ACCEPTED ln residuals (with q59
+  // score): libm ln may skew <=1 ulp between engines; round(_,6) masks it
+  // except on a measure-zero boundary set. Documented in COVERAGE.md's
+  // portability audit — do not re-derive.
   private val q42Sql =
     """SELECT p_partkey,
        round(sqrt(p_retailprice), 6) AS sqrt_price,

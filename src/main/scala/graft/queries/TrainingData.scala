@@ -325,8 +325,11 @@ object TrainingData {
   // Integer-exact contract: session value leaves as cents (BIGINT) — a
   // DECIMAL→DOUBLE cast here differs by 1 ulp across DuckDB versions on
   // non-terminating binary fractions (driver hash-red r1-r3).
+  // Oracle TYPE contract: `sum(new_sess) OVER` is HUGEINT in DuckDB, so
+  // the projected sess_id must be CAST AS BIGINT to match Spark's int64
+  // under a type-sensitive result hash (the r1-r4 q32 driver redness).
   private val q32Sql =
-    """SELECT user_id, sess_id, count(*) AS n_events,
+    """SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT) AS sess_cents
        FROM (
          SELECT user_id, value,
@@ -713,6 +716,11 @@ object TrainingData {
         col("rank").cast("long").as("rank"))
   }
 
+  // score is the suite's other ACCEPTED ln residual (with q42 log_price):
+  // libm ln may skew <=1 ulp between engines; round(_,6) masks it except
+  // on a measure-zero boundary set, and both engines rank on the rounded
+  // value so top-k membership cannot split from cells. Documented in
+  // COVERAGE.md's portability audit — do not re-derive.
   private val q59Sql =
     """WITH toks AS (
          SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -89,6 +89,28 @@ class MultimodalGifSpec extends AnyFunSuite {
     assert(got.map(_.frame_no).toSeq == Seq(0, 2))
   }
 
+  test("corrupt GIF payload degrades to byte chunks instead of failing the job") {
+    import spark.implicits._
+    // 'GIF8' magic followed by garbage: ImageIO either finds no reader or
+    // throws mid-decode; the row must fall back to chunk hashing, and
+    // healthy rows in the same pass must still decode for real
+    val corrupt = ("GIF89a".getBytes("US-ASCII") ++
+      Array.tabulate(250)(i => (i * 17 + 3).toByte))
+    val healthy = animatedGif(Seq(frame(0), frame(1)))
+    val media = Seq(
+      MediaRow(10L, corrupt, MediaMeta("image/gif", 0, 0)),
+      MediaRow(11L, healthy, MediaMeta("image/gif", 32, 32))).toDF()
+    val got = Multimodal.sampleFrames(media, frameBytes = 64, stride = 1)
+      .collect().groupBy(_.id)
+    // corrupt: 256 bytes / 64 per chunk = 4 chunk-frames
+    assert(got(10L).map(_.frame_no).sorted.toSeq == Seq(0, 1, 2, 3),
+      got(10L).mkString(","))
+    // healthy: both real frames, hashed as stills
+    assert(got(11L).map(_.frame_no).sorted.toSeq == Seq(0, 1))
+    assert(got(11L).sortBy(_.frame_no).map(_.phash).toSeq ==
+      Seq(Multimodal.aHash(frame(0)), Multimodal.aHash(frame(1))))
+  }
+
   test("opaque payloads keep the byte-chunk frame model") {
     import spark.implicits._
     val blob = Array.tabulate(256)(i => (i * 31).toByte) // not a GIF

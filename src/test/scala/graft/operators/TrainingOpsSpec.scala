@@ -219,6 +219,41 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(ids == Set((200L, 201L), (7L, 59L)), ids.toString)
   }
 
+  test("hot-bucket guard: 10^5 identical docs complete via star edges, dedup output intact") {
+    import spark.implicits._
+    // template-spam corpus: 100k docs with IDENTICAL text land every band
+    // in ONE (band, hash) bucket. All-pairs would emit ~5*10^9 candidates
+    // (the job would not finish); the star guard emits exactly n-1.
+    val template = wordsDoc(1)
+    val spam = spark.range(100000L).select(
+      col("id").as("doc_id"), lit(template).as("text"))
+    val uniques = (0 until 5).map(i => (200000L + i, wordsDoc(300 + i)))
+      .toDF("doc_id", "text")
+    val corpus = spam.unionByName(uniques)
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 4096)
+    // exactly the n-1 star edges rooted at the bucket-min (doc 0), all
+    // verified at jaccard 1.0 — NOT the quadratic all-pairs set
+    assert(pairs.count() == 99999L)
+    val cl = Dedup.clusters(pairs)
+    val kept = Dedup.dedupedCorpus(corpus, "doc_id", cl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"minhash hot-bucket pipeline on 10^5 spam docs: $secs%.1f s")
+    // one survivor for the spam family + the 5 uniques, bit-identical to
+    // what all-pairs would collapse to
+    assert(kept == (Set(0L) ++ (0 until 5).map(i => 200000L + i)), kept.toString)
+    assert(secs < 300, f"hot-bucket path too slow: $secs%.1f s")
+
+    // simhash path: identical sketches collide on all 4 bands; star guard
+    // caps candidates at n-1 with hamming 0
+    val sp = Dedup.simhashPairs(corpus, "doc_id", "text",
+      maxDist = 3, maxBucketSize = 4096)
+    assert(sp.count() == 99999L)
+    assert(sp.filter(col("hamming") =!= 0).count() == 0L)
+  }
+
   test("embedding near-dup blocking keeps identical vectors together") {
     import spark.implicits._
     val base = (0 until 64).map(i => (i % 7).toFloat / 7f).toArray

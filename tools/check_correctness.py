@@ -18,6 +18,37 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# Type-strict whitelist: the driver's hash is TYPE-sensitive (Arrow/pandas
+# conversion), so a DuckDB result type that isn't the exact Spark parquet
+# type is a failure even when every value matches — that is precisely how
+# q18/q32 stayed driver-red for four rounds while value-green here (DuckDB
+# widens sum(INTEGER) OVER (...) to HUGEINT). Rule (COVERAGE.md): every
+# integer oracle output column must be explicitly CAST(... AS BIGINT);
+# bare sum()/window-sum()/HUGEINT/DECIMAL/INTEGER outputs are errors.
+DUCK_TO_ARROW = {
+    "BIGINT": {"int64"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string", "large_string"},
+    "BOOLEAN": {"bool"},
+    "DATE": {"date32[day]"},
+    "BLOB": {"binary", "large_binary"},
+}
+
+
+def type_ok(duck_type, arrow_type):
+    """True iff the DuckDB result type maps exactly onto the Arrow type."""
+    d = duck_type.strip().upper()
+    if d.endswith("[]"):
+        import pyarrow as pa
+        if not pa.types.is_list(arrow_type) and not pa.types.is_large_list(arrow_type):
+            return False
+        return type_ok(d[:-2], arrow_type.value_type)
+    if d.startswith("TIMESTAMP"):
+        return str(arrow_type).startswith("timestamp")
+    allowed = DUCK_TO_ARROW.get(d)
+    return allowed is not None and str(arrow_type) in allowed
+
 
 def norm(v):
     if v is None:
@@ -70,6 +101,27 @@ def main():
         except Exception as e:
             failed.append(name)
             print(f"FAIL {name}: oracle error: {e}")
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+            duck_types = {d[0]: d[1] for d in desc}
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: DESCRIBE error: {e}")
+            continue
+        spark_types = {f.name: f.type for f in got_tbl.schema}
+        type_bad = [
+            (c, duck_types.get(c), spark_types.get(c))
+            for c in sorted(set(duck_types) | set(spark_types))
+            if c not in duck_types or c not in spark_types
+            or not type_ok(duck_types[c], spark_types[c])
+        ]
+        if type_bad:
+            failed.append(name)
+            c, dt, st = type_bad[0]
+            print(f"FAIL {name}: oracle TYPE mismatch ({len(type_bad)} cols); "
+                  f"first: col={c} duckdb={dt} spark={st} "
+                  f"(integer outputs must be CAST AS BIGINT)")
             continue
         gn, gr = rows_of(got_cols, got_rows)
         en, er = rows_of(exp_cols, exp_rows)
