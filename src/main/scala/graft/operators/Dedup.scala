@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SimHash, Text}
@@ -115,21 +114,26 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
 
-    // bucket size + bucket-min in ONE window pass over the same
-    // (band, bh) partitioning the self-join shuffles on anyway
-    val w = Window.partitionBy(col("band"), col("bh"))
-    val sized = banded
-      .withColumn("bn", count(lit(1)).over(w))
-      .withColumn("mid", min(col("id")).over(w))
+    // Hot-bucket detection via a map-side-combined aggregate, NOT a
+    // window: the partial aggregation compresses the shuffle to ~one row
+    // per distinct bucket, and after the size filter only the hot buckets
+    // survive — bounded by n·bands/maxBucketSize rows (a normal corpus
+    // has zero), so it broadcasts. A window over (band, bh) would instead
+    // shuffle AND sort the full banded set once per consuming branch.
+    val hot = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn"), min(col("id")).as("mid"))
+      .filter(col("bn") > maxBucketSize)
 
-    val smallB = sized.filter(col("bn") <= maxBucketSize)
+    val smallB = banded.join(broadcast(hot.select(col("band"), col("bh"))),
+      Seq("band", "bh"), "left_anti")
     val allPairs = smallB.as("x").join(smallB.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     // oversized buckets: O(B) star edges rooted at the bucket minimum
-    val starPairs = sized
-      .filter(col("bn") > maxBucketSize && col("id") =!= col("mid"))
+    val starPairs = banded
+      .join(broadcast(hot), Seq("band", "bh"))
+      .filter(col("id") =!= col("mid"))
       .select(col("mid").as("id_a"), col("id").as("id_b"))
     val cand = allPairs.union(starPairs).distinct()
 
@@ -140,6 +144,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         graft.functions.ArrayOps.jaccardSorted(
           col("sa.hset"), col("sb.hset")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental ingestion dedup: near-duplicate pairs BETWEEN a small
+    * new batch (`delta`) and the existing corpus — the 100 TB ingestion
+    * shape. Re-running all-pairs LSH over corpus ∪ delta for every daily
+    * crawl would re-shuffle petabytes that cannot have produced new pairs;
+    * here the delta's banded signature keys are BROADCAST and the banded
+    * corpus streams against them, so the corpus is scanned but NEVER
+    * shuffled — the candidate set and both verification joins are
+    * delta-sized. Returns (corpus_id, delta_id, jaccard) with
+    * jaccard >= threshold. Corpus and delta are expected disjoint on
+    * `idCol` (identical ids are dropped defensively); delta-internal
+    * duplicates are [[minhashLsh]] over the delta alone.
+    */
+  def incrementalNearDups(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def prep(df: DataFrame, side: String): DataFrame = df.select(
+        col(idCol).as(s"${side}_id"),
+        graft.functions.ArrayOps.ngramHashes(
+          Text.tokens(col(textCol)), shingleN).as(s"${side}_hset"))
+      .filter(size(col(s"${side}_hset")) > 0) // see minhashLsh: shingle-less
+      .withColumn(s"${side}_sig",             // docs never clear a threshold
+        graft.functions.ArrayOps.minhash(col(s"${side}_hset"), k))
+    def band(df: DataFrame, side: String): DataFrame = df.select(
+        col(s"${side}_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            hash(slice(col(s"${side}_sig"), b * rowsPerBand + 1, rowsPerBand))
+              .as("bh"))
+        }: _*)).as("bb"))
+      .select(col(s"${side}_id"), col("bb.band"), col("bb.bh"))
+
+    // the delta projection feeds its band explode AND the verification
+    // join; the corpus projection feeds its banding scan AND the
+    // verification scan (same ~1-2%-of-corpus persist rationale as
+    // minhashLsh — re-shingling the corpus twice costs more)
+    val d = prep(delta, "delta").persist(lvl)
+    val c = prep(corpus, "corpus").persist(lvl)
+
+    val cand = band(c, "corpus")
+      .join(broadcast(band(d, "delta")), Seq("band", "bh"))
+      .filter(col("corpus_id") =!= col("delta_id"))
+      .select(col("corpus_id"), col("delta_id"))
+      .distinct()
+
+    c.select(col("corpus_id"), col("corpus_hset"))
+      .join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(d.select(col("delta_id"), col("delta_hset"))),
+        Seq("delta_id"))
+      .select(col("corpus_id"), col("delta_id"),
+        graft.functions.ArrayOps.jaccardSorted(
+          col("corpus_hset"), col("delta_hset")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -163,27 +223,38 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+    // 9 bytes/doc (id + one 64-bit sketch): persisted because the banded
+    // set now feeds four plan branches (hot-bucket aggregate, both sides
+    // of the self-join, star join) — without it each branch re-tokenizes
+    // and re-sketches the corpus
     val sk = df.select(col(idCol).as("id"),
       SimHash.simhash(Text.tokens(col(textCol))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sk.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), SimHash.band16(col("sh"), b).as("bv"))
       ): _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band"), col("bb.bv"))
-    val w = Window.partitionBy(col("band"), col("bv"))
-    val sized = banded
-      .withColumn("bn", count(lit(1)).over(w))
-      .withColumn("mid", min(col("id")).over(w))
-      .withColumn("msh", min_by(col("sh"), col("id")).over(w))
+    // hot buckets via map-side-combined aggregate (see minhashLsh); the
+    // bucket-min doc's sketch rides along via min_by so the star pairs'
+    // Hamming verification stays a pure column expression
+    val hot = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bn"),
+        min_by(struct(col("id"), col("sh")), col("id")).as("m"))
+      .filter(col("bn") > maxBucketSize)
+      .select(col("band"), col("bv"),
+        col("m.id").as("mid"), col("m.sh").as("msh"))
 
-    val smallB = sized.filter(col("bn") <= maxBucketSize)
+    val smallB = banded.join(broadcast(hot.select(col("band"), col("bv"))),
+      Seq("band", "bv"), "left_anti")
     val allPairs = smallB.as("x").join(smallB.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         SimHash.hamming(col("x.sh"), col("y.sh")).as("hamming"))
-    val starPairs = sized
-      .filter(col("bn") > maxBucketSize && col("id") =!= col("mid"))
+    val starPairs = banded
+      .join(broadcast(hot), Seq("band", "bv"))
+      .filter(col("id") =!= col("mid"))
       .select(col("mid").as("id_a"), col("id").as("id_b"),
         SimHash.hamming(col("msh"), col("sh")).as("hamming"))
     allPairs.union(starPairs)

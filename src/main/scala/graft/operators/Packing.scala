@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget sequence packing: assign every document to a fixed-budget
+  * training shard ("pack") — the export shape LLM pre-training consumes,
+  * where a loader concatenates each pack's documents into one ~budget-token
+  * sequence. (Beyond-reference training-data operator; the reference's only
+  * export shape is the flat TSV, `ElasticSearch ETL.py:247-257`.)
+  */
+object Packing {
+
+  /** Lay documents out in ascending `idCol` order within each `partCol`
+    * stratum and assign pack k to the document whose PRECEDING cumulative
+    * token count has consumed k full budgets (cumulative-quotient packing:
+    * a document straddling a boundary belongs to the pack its first token
+    * falls in). Pure integer window arithmetic over a total order —
+    * deterministic and engine-portable, so an interrupted export re-run
+    * reproduces identical shards.
+    *
+    * Scale: ONE shuffle (on partCol). At 100 TB pass a composite stratum
+    * (e.g. lang + hash(id) % 1024) so no single window partition
+    * serializes — packing is intra-stratum by construction, so sharding
+    * strata changes pack boundaries, never validity.
+    */
+  def packByBudget(df: DataFrame, idCol: String, textCol: String,
+      partCol: String, budget: Long = 2048L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(partCol),
+        size(graft.functions.Text.tokens(col(textCol)))
+          .cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer `div`, not double /: exact past 2^53 cumulative tokens
+      .select(col(idCol), col(partCol), col("n_tokens"),
+        expr(s"cum_before div ${budget}L").as("pack_id"))
+  }
+}

@@ -1003,6 +1003,55 @@ object TrainingData {
          FROM documents d JOIN q ON d.lang = q.lang) t
        WHERE rn <= quota"""
 
+  // --- q68: token-budget sequence packing -------------------------------------
+  // The pre-training export shape: documents laid out per language in
+  // doc_id order, each assigned to the 2048-token pack its first token
+  // falls in (cumulative-quotient packing — pure integer window math, so
+  // both engines agree exactly). Oracle TYPE note: the window sum is
+  // HUGEINT in DuckDB — cast BEFORE the integer division.
+  private def q68(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.packByBudget(
+      Tables.documents(s, d), "doc_id", "text", "lang", budget = 2048L)
+
+  private val q68Sql =
+    """SELECT doc_id, lang, n_tokens,
+       COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang
+         ORDER BY doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         // 2048 AS pack_id
+       FROM (SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents) t"""
+
+  // --- q69: incremental ingestion dedup (delta vs corpus) ---------------------
+  // New-batch-vs-corpus near-dup detection: doc_id % 20 == 0 models the
+  // freshly crawled delta, the rest the standing corpus. The corpus side
+  // streams against BROADCAST delta bands — scanned, never shuffled. The
+  // oracle is the exact cross-set all-pairs Jaccard (same full-recall
+  // argument as q25: 8 bands × 4 rows at threshold 0.5).
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", threshold = 0.5)
+  }
+
+  private val q69Sql =
+    """WITH sh AS (
+         SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+         WHERE len(w) >= 3)
+       SELECT corpus_id, delta_id, jaccard FROM (
+         SELECT c.doc_id AS corpus_id, d.doc_id AS delta_id,
+           round(len(list_intersect(c.s, d.s))::DOUBLE /
+             len(list_distinct(list_concat(c.s, d.s))), 6) AS jaccard
+         FROM sh c JOIN sh d
+           ON c.doc_id % 20 <> 0 AND d.doc_id % 20 = 0) p
+       WHERE jaccard >= 0.5"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1039,7 +1088,9 @@ object TrainingData {
     "q63_lake_roundtrip"  -> q63 _,
     "q64_decontaminate"   -> q64 _,
     "q65_repetition"      -> q65 _,
-    "q66_temperature_mix" -> q66 _)
+    "q66_temperature_mix" -> q66 _,
+    "q68_pack_sequences"  -> q68 _,
+    "q69_incremental_dedup" -> q69 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -1077,5 +1128,7 @@ object TrainingData {
     "q63_lake_roundtrip"  -> q63Sql,
     "q64_decontaminate"   -> q64Sql,
     "q65_repetition"      -> q65Sql,
-    "q66_temperature_mix" -> q66Sql)
+    "q66_temperature_mix" -> q66Sql,
+    "q68_pack_sequences"  -> q68Sql,
+    "q69_incremental_dedup" -> q69Sql)
 }

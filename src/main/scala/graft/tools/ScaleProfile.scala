@@ -90,15 +90,19 @@ object ScaleProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docReps = args.headOption.map(_.split(",").map(_.toInt))
-      .getOrElse(Array(20, 200)) // 5k docs ×20 = 1e5, ×200 = 1e6
-    val vecReps = if (args.length > 1) args(1).split(",").map(_.toInt)
-      else Array(50, 500)        // 2k vecs ×50 = 1e5, ×500 = 1e6
+    def parseList(i: Int, dflt: Array[Int]): Array[Int] =
+      if (args.length > i) {
+        if (args(i).trim.isEmpty) Array.empty else args(i).split(",").map(_.toInt)
+      } else dflt
+    val docReps = parseList(0, Array(20, 200)) // 5k docs ×20=1e5, ×200=1e6
+    val vecReps = parseList(1, Array(50, 500)) // 2k vecs ×50=1e5, ×500=1e6
+    // adversarial-skew phase: "normalReps,spamCopies" — spamCopies
+    // IDENTICAL docs planted on top of a replicated normal corpus
+    val spamSpec = parseList(2, Array(180, 100000))
 
-    docReps.foreach { reps =>
+    def profileDedup(label: String, docs: DataFrame, extra: String): Unit = {
       val sb = new ShuffleBytes
       spark.sparkContext.addSparkListener(sb)
-      val docs = replicateDocs(spark, sf, reps)
       val (n, _) = time(docs.count())
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val pairs = graft.operators.Dedup.minhashLsh(
@@ -108,14 +112,34 @@ object ScaleProfile {
       val (nClustered, tCl) = time { cl.persist(lvl); cl.count() }
       val (nKept, tDedup) = time(
         graft.operators.Dedup.dedupedCorpus(docs, "doc_id", cl).count())
-      println(f"SCALE docs n=$n%d pairs=$nPairs%d clustered=$nClustered%d " +
+      println(f"SCALE $label%s n=$n%d pairs=$nPairs%d clustered=$nClustered%d " +
         f"kept=$nKept%d lsh_s=$tPairs%.1f cluster_s=$tCl%.1f " +
         f"dedup_s=$tDedup%.1f shuffle_read_mb=${sb.read.get / 1e6}%.0f " +
-        f"shuffle_write_mb=${sb.written.get / 1e6}%.0f")
+        f"shuffle_write_mb=${sb.written.get / 1e6}%.0f$extra%s")
       spark.sparkContext.removeSparkListener(sb)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+    }
+
+    docReps.foreach { reps =>
+      profileDedup("docs", replicateDocs(spark, sf, reps), "")
+    }
+
+    // Template-spam corpus: the adversarial shape for banded LSH — a
+    // mega-family of byte-identical docs shares every band bucket, so an
+    // uncapped self-join would emit O(family²) candidates (10^5 copies →
+    // 4×10^10; the job would not finish). The hot-bucket star guard must
+    // keep candidates ~O(corpus + family) and the collapsed output must
+    // still drop every spam copy but one.
+    spamSpec.grouped(2).filter(_.length == 2).foreach { case Array(reps, spamN) =>
+      val template = graft.Tables.documents(spark, sf)
+        .filter(col("doc_id") === 3L).select(col("text"))
+        .first().getString(0)
+      val spam = spark.range(spamN.toLong).select(
+        (col("id") + 2000000000L).as("doc_id"), lit(template).as("text"))
+      val corpus = replicateDocs(spark, sf, reps).unionByName(spam)
+      profileDedup("spam", corpus, f" spam_family=$spamN%d")
     }
 
     vecReps.foreach { reps =>

@@ -254,6 +254,45 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(sp.filter(col("hamming") =!= 0).count() == 0L)
   }
 
+  test("packByBudget: cumulative-quotient packs, exact and deterministic") {
+    import spark.implicits._
+    // lang a: token counts 3,4,5,2 with budget 6 -> cum_before 0,3,7,12
+    // -> packs 0,0,1,2; lang b independent
+    val df = Seq(
+      (1L, "a", "w w w"), (2L, "a", "w w w w"), (3L, "a", "w w w w w"),
+      (4L, "a", "w w"), (10L, "b", "w w w w w w w")).toDF("doc_id", "lang", "text")
+    val got = Packing.packByBudget(df, "doc_id", "text", "lang", budget = 6L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 3L, 0L), (2L, "a", 4L, 0L),
+      (3L, "a", 5L, 1L), (4L, "a", 2L, 2L), (10L, "b", 7L, 0L)), got.toString)
+    // packs never skip: every pack id up to the max is inhabited per lang
+    val packsA = got.filter(_._2 == "a").map(_._4).distinct.sorted
+    assert(packsA == (0L to packsA.max).toSeq)
+  }
+
+  test("incremental dedup finds delta-vs-corpus pairs only, corpus never self-paired") {
+    import spark.implicits._
+    val corpusDocs = (10 to 29).map(i => (i.toLong, wordsDoc(i)))
+    // delta: one exact clone of corpus doc 12, one near-dup of corpus doc
+    // 15 (2 token edits), one fresh doc; corpus also contains an internal
+    // exact pair (28 == 29's text) that must NOT be reported
+    val near15 = { val w = wordsDoc(15).split(" "); w(3) = "zulu"; w(50) = "yankee"; w.mkString(" ") }
+    val corpus = (corpusDocs :+ ((29L, wordsDoc(28)))).toDF("doc_id", "text")
+    val delta = Seq((100L, wordsDoc(12)), (101L, near15), (102L, wordsDoc(999)))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(corpus, delta, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = got.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((12L, 100L)), s"exact clone missed: $ids")
+    assert(ids.contains((15L, 101L)), s"near-dup missed: $ids")
+    assert(got.find(p => (p._1, p._2) == (12L, 100L)).get._3 == 1.0)
+    // every reported pair is (corpus, delta): corpus-internal dup invisible
+    assert(got.forall(p => p._1 < 100L && p._2 >= 100L), got.mkString(","))
+    assert(!ids.exists(p => p._2 == 102L), "fresh delta doc must match nothing")
+  }
+
   test("embedding near-dup blocking keeps identical vectors together") {
     import spark.implicits._
     val base = (0 until 64).map(i => (i % 7).toFloat / 7f).toArray

@@ -103,6 +103,23 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 shuffles (vocab agg + lang agg):\n$p")
   }
 
+  test("q68: packing is ONE shuffle (the stratum window)") {
+    val p = plan("q68_pack_sequences")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle exchange, plan:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q69: incremental dedup never shuffles the corpus") {
+    val p = plan("q69_incremental_dedup")
+    // the corpus side must reach every join by broadcast: the only
+    // allowed shuffle exchange is the delta-sized candidate distinct()
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"corpus-scale shuffle crept into incremental dedup:\n$p")
+  }
+
   test("lake export: a partition-column filter prunes, not scans") {
     val dir = java.nio.file.Files.createTempDirectory("lake_planspec")
       .resolve("docs").toString
