@@ -268,16 +268,35 @@ object Dedup {
     * top-k search): true near-duplicates have cosine ≈ 1, so their sign
     * bits agree on almost every plane and same-bucket blocking retains
     * them with high probability.
+    *
+    * Same hot-bucket star guard as [[minhashLsh]]: embedding-level
+    * template spam (one asset re-embedded millions of times) lands every
+    * copy in ONE hyperplane bucket — buckets over `maxBucketSize` emit
+    * star candidates rooted at the bucket-min vector instead of O(B²)
+    * all-pairs.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.9, nPlanes: Int = 8): DataFrame = {
+      dim: Int, threshold: Double = 0.9, nPlanes: Int = 8,
+      maxBucketSize: Int = 4096): DataFrame = {
     import graft.functions.ArrayOps
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", ArrayOps.hyperplaneBucketF(col("vec"), nPlanes))
-    b.as("x").join(b.as("y"),
+    val hot = b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"),
+        min_by(struct(col("id"), col("vec")), col("id")).as("m"))
+      .filter(col("bn") > maxBucketSize)
+      .select(col("bucket"), col("m.id").as("mid"), col("m.vec").as("mvec"))
+    val small = b.join(broadcast(hot.select(col("bucket"))),
+      Seq("bucket"), "left_anti")
+    val allPairs = small.as("x").join(small.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         round(ArrayOps.cosineF(col("x.vec"), col("y.vec")), 6).as("cosine"))
+    val starPairs = b.join(broadcast(hot), Seq("bucket"))
+      .filter(col("id") =!= col("mid"))
+      .select(col("mid").as("id_a"), col("id").as("id_b"),
+        round(ArrayOps.cosineF(col("mvec"), col("vec")), 6).as("cosine"))
+    allPairs.union(starPairs)
       .filter(col("cosine") >= threshold)
   }
 
@@ -430,12 +449,24 @@ object Dedup {
           hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
       }: _*)).as("bb"))
       .select(col("blk"), col("id"), col("bb.band"), col("bb.bh"))
-    val cand = banded.as("x").join(banded.as("y"),
+    // the routed block is itself > maxBlockSize docs, so an all-identical
+    // block puts its whole size in one (blk, band, bh) bucket — the same
+    // O(B²) exposure minhashLsh guards; star edges cap it the same way
+    val hotB = banded.groupBy(col("blk"), col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn"), min(col("id")).as("mid"))
+      .filter(col("bn") > maxBlockSize)
+    val coldBanded = banded.join(
+      broadcast(hotB.select(col("blk"), col("band"), col("bh"))),
+      Seq("blk", "band", "bh"), "left_anti")
+    val allCand = coldBanded.as("x").join(coldBanded.as("y"),
         col("x.blk") === col("y.blk") && col("x.band") === col("y.band") &&
         col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
       .select(col("x.blk").as("blk"), col("x.id").as("id_a"),
         col("y.id").as("id_b"))
-      .distinct()
+    val starCand = banded.join(broadcast(hotB), Seq("blk", "band", "bh"))
+      .filter(col("id") =!= col("mid"))
+      .select(col("blk"), col("mid").as("id_a"), col("id").as("id_b"))
+    val cand = allCand.union(starCand).distinct()
     val bigSets = big.select(col("blk"), col("id"), col("s"))
     val approx = cand
       .join(bigSets.as("sa"),

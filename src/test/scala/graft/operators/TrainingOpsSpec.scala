@@ -252,6 +252,16 @@ class TrainingOpsSpec extends AnyFunSuite {
       maxDist = 3, maxBucketSize = 4096)
     assert(sp.count() == 99999L)
     assert(sp.filter(col("hamming") =!= 0).count() == 0L)
+
+    // embedding path: 50k IDENTICAL vectors share one hyperplane bucket;
+    // star guard emits exactly n-1 pairs at cosine 1.0
+    val vec = (0 until 16).map(i => 0.1f * (i % 5 + 1)).toArray
+    val spamVecs = spark.range(50000L).select(
+      col("id").as("vec_id"),
+      typedLit(vec).as("embedding"))
+    val ep = Dedup.embeddingNearDups(spamVecs, "vec_id", "embedding",
+      dim = 16, threshold = 0.99, maxBucketSize = 4096)
+    assert(ep.count() == 49999L)
   }
 
   test("packByBudget: cumulative-quotient packs, exact and deterministic") {
