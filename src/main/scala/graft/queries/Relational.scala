@@ -696,6 +696,56 @@ object Relational {
        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
        FROM part"""
 
+  // --- q75: robust outlier stats (median / MAD) -------------------------------
+  // Per-status price median, median-absolute-deviation, and the count of
+  // |x − med| > 3·MAD outliers — the robust alternative to μ±kσ that a
+  // skewed corpus needs. Runs on exact DECIMAL cents (the suite's money
+  // contract), so both engines' 0.5-quantile interpolation lands on exact
+  // .0/.5 doubles and every comparison is bit-deterministic — no ulp
+  // tolerance anywhere. Scale: two map-side-combined aggregations over
+  // the same shuffle key plus broadcast joins of 3-row stats — the
+  // orders table is scanned twice but never shuffled beyond its key.
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+        .as("cents"))
+    val med = o.groupBy(col("o_orderstatus"))
+      .agg(median(col("cents")).as("med_cents"))
+    val dev = o.join(broadcast(med), "o_orderstatus")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = dev.groupBy(col("o_orderstatus"))
+      .agg(median(col("dev")).as("mad_cents"))
+    dev.join(broadcast(mad), "o_orderstatus")
+      .groupBy(col("o_orderstatus"))
+      .agg(min(col("med_cents")).as("med_cents"),
+        min(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(3) * col("mad_cents"), 1L)
+          .otherwise(0L)).cast("long").as("n_outliers"))
+  }
+
+  private val q75Sql =
+    """WITH o AS (
+         SELECT o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders),
+       med AS (
+         SELECT o_orderstatus, median(cents) AS med_cents
+         FROM o GROUP BY 1),
+       dev AS (
+         SELECT o.o_orderstatus, abs(o.cents - m.med_cents) AS dev,
+                m.med_cents
+         FROM o JOIN med m USING (o_orderstatus)),
+       mad AS (
+         SELECT o_orderstatus, median(dev) AS mad_cents
+         FROM dev GROUP BY 1)
+       SELECT o_orderstatus, min(d.med_cents) AS med_cents,
+         min(a.mad_cents) AS mad_cents,
+         CAST(sum(CASE WHEN d.dev > 3 * a.mad_cents THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_outliers
+       FROM dev d JOIN mad a USING (o_orderstatus)
+       GROUP BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -725,7 +775,8 @@ object Relational {
     "q47_range_join"      -> q47 _,
     "q48_stream_dedup"    -> q48 _,
     "q57_pivot"           -> q57 _,
-    "q58_unpivot"         -> q58 _)
+    "q58_unpivot"         -> q58 _,
+    "q75_mad_outliers"    -> q75 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -756,5 +807,6 @@ object Relational {
     "q47_range_join"      -> q47Sql,
     "q48_stream_dedup"    -> q48Sql,
     "q57_pivot"           -> q57Sql,
-    "q58_unpivot"         -> q58Sql)
+    "q58_unpivot"         -> q58Sql,
+    "q75_mad_outliers"    -> q75Sql)
 }

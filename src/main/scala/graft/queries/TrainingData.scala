@@ -1052,6 +1052,208 @@ object TrainingData {
            ON c.doc_id % 20 <> 0 AND d.doc_id % 20 = 0) p
        WHERE jaccard >= 0.5"""
 
+  // --- q70: Count-Min sketch point frequencies --------------------------------
+  // Token frequency estimates from a d×w counter sketch (functions/
+  // CountMin) probed for four corpus-hot tokens plus one absent control.
+  // The md5-prefix bucket hash is bit-identical in DuckDB, so the oracle
+  // reproduces the ESTIMATES exactly — the sketch is hash-verified, not
+  // tolerance-verified. Scale: the corpus shuffles ≤ d·w counter rows per
+  // partition (map-side combined); probing broadcasts the ≤1,024-row
+  // sketch.
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CountMin
+    val toks = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+    val sketch = CountMin.sketch(toks, "token")
+    val probes = s.range(1).select(explode(array(
+      lit("join"), lit("hash"), lit("row"), lit("scan"),
+      lit("zzz_absent"))).as("token"))
+    CountMin.estimate(sketch, probes, "token")
+  }
+
+  private val q70Sql =
+    """WITH tok AS (
+         SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       sk AS (
+         SELECT r, substr(md5(r::VARCHAR || ':' || token), 1, 2) AS b,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM tok CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+       probes(token) AS (VALUES ('join'), ('hash'), ('row'), ('scan'),
+         ('zzz_absent')),
+       pb AS (
+         SELECT token, r,
+                substr(md5(r::VARCHAR || ':' || token), 1, 2) AS b
+         FROM probes CROSS JOIN range(4) t(r))
+       SELECT token, CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+       FROM pb LEFT JOIN sk USING (r, b) GROUP BY token"""
+
+  // --- q71: Bloom-prefiltered decontamination ---------------------------------
+  // q64's semantics on q64's data, through the SCALE path: the benchmark
+  // gram set is compressed to a 64 Kbit Bloom broadcast (functions/Bloom
+  // — ~10 bits/gram vs 8+ bytes exact, the only option when the eval set
+  // has 10⁹ grams), corpus grams stream through the codegen'd membership
+  // test, and only the tiny surviving candidate set is exact-verified, so
+  // false positives are removed and the OUTPUT equals the exact join
+  // byte-for-byte. The oracle is therefore the exact SQL — the bloom is
+  // an invisible plan optimization, which is the point.
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{ArrayOps, Bloom}
+    val docs = Tables.documents(s, d)
+    val n = 8
+    val benchGrams = docs.filter(col("doc_id") < 50)
+      .select(explode(
+        ArrayOps.ngramHashes(Text.tokens(col("text")), n)).as("g"))
+      .distinct()
+    val bloom = Bloom.build(benchGrams, "g")
+    val candidates = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), explode(
+        ArrayOps.ngramHashes(Text.tokens(col("text")), n)).as("g"))
+      .filter(Bloom.mightContain(bloom, col("g")))
+    candidates.join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_8grams"))
+  }
+
+  private val q71Sql = q64Sql
+
+  // --- q72: CDC changelog application (SCD-1 upsert/delete merge) -------------
+  // events replayed as a changelog onto the customer snapshot: per key the
+  // LATEST event wins ('error' ⇒ delete, anything else ⇒ upsert of the
+  // event's payload); keys are shifted (+1450) so the delta exercises
+  // update, delete, AND insert-new-key paths. operators/Cdc compacts the
+  // delta with one max_by aggregation, then touches the snapshot with a
+  // single anti-join — the snapshot is never shuffled when the compacted
+  // delta broadcasts. Ordering ties break on event_id; money goes through
+  // the suite's DECIMAL cents contract.
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val snap = Tables.customer(s, d).select(
+      col("c_custkey").as("cust_id"),
+      (col("c_acctbal").cast("decimal(14,2)") * 100).cast("long")
+        .as("acctbal_cents"),
+      col("c_mktsegment").as("segment"))
+    val changes = Tables.events(s, d).select(
+      (col("user_id") + 1450).as("cust_id"),
+      col("ts"), col("event_id"),
+      when(col("event_type") === "error", lit("delete"))
+        .otherwise(lit("upsert")).as("op"),
+      (col("value").cast("decimal(14,2)") * 100).cast("long")
+        .as("acctbal_cents"),
+      lit("EVENT").as("segment"))
+    graft.operators.Cdc.applyChangelog(
+      snap, changes, "cust_id", Seq("ts", "event_id"), "op")
+  }
+
+  // DuckDB orders the raw nanosecond ts; Spark's events table is
+  // microsecond-truncated (Tables.events) — the oracle truncates too so
+  // the within-key "latest" is decided on the same grid both sides.
+  private val q72Sql =
+    """WITH snap AS (
+         SELECT c_custkey AS cust_id,
+           CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT)
+             AS acctbal_cents,
+           c_mktsegment AS segment
+         FROM customer),
+       latest AS (
+         SELECT * FROM (
+           SELECT user_id + 1450 AS cust_id,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS acctbal_cents,
+             'EVENT' AS segment,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+           FROM events) t
+         WHERE rn = 1)
+       SELECT cust_id, acctbal_cents, segment FROM snap
+       WHERE cust_id NOT IN (SELECT cust_id FROM latest)
+       UNION ALL
+       SELECT cust_id, acctbal_cents, segment FROM latest
+       WHERE op <> 'delete'"""
+
+  // --- q73: funnel analysis (ordered-subsequence pattern match) ---------------
+  // Which users did view → click → purchase, in order, with arbitrary
+  // interleaving? operators/Funnel: one shuffle of (user, ts, event_id,
+  // type) tuples, per-key order restored by a LOCAL array_sort after the
+  // unordered collect_list aggregation (no window sort), subsequence
+  // tested by one regex over the joined step string.
+  private def q73(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.converted(
+      Tables.events(s, d), "user_id", "event_type",
+      orderCols = Seq("ts", "event_id"),
+      steps = Seq("view", "click", "purchase"))
+
+  private val q73Sql =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       regexp_matches(
+         string_agg(event_type, ' '
+           ORDER BY epoch_ns(ts) // 1000, event_id),
+         'view.*click.*purchase') AS converted
+       FROM events GROUP BY user_id"""
+
+  // --- q74: Z-order (Morton) clustering for lake layout -----------------------
+  // operators/Layout interleaves (user_id, event_id mod 2¹⁶) bit-by-bit —
+  // the data-skipping layout that lets footer min/max pruning serve
+  // filters on EITHER column. The query pins the z arithmetic itself
+  // (top-100 by z; the oracle is the same 16-term shift/mask sum in SQL);
+  // the file-layout effect (disjoint per-file z ranges, both-column
+  // pruning) is pinned by LayoutSpec on real written files.
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Layout
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        Layout.zValue(col("user_id"), pmod(col("event_id"), lit(65536L)),
+          bits = 16).cast("long").as("z"))
+      .orderBy(col("z").asc, col("event_id").asc)
+      .limit(100)
+  }
+
+  private val q74Sql = {
+    val z = graft.operators.Layout.zValueSql("user_id", "(event_id % 65536)")
+    s"""SELECT event_id, user_id, CAST($z AS BIGINT) AS z
+       FROM events ORDER BY z ASC, event_id ASC LIMIT 100"""
+  }
+
+  // --- q77: context-window chunking (overlapping token windows) ---------------
+  // operators/Chunking: every document fanned out into size-32/stride-16
+  // token windows — the retrieval-index/training-loader export shape.
+  // Zero shuffles (row-local tokenize → integer chunk grid → explode);
+  // the chunk count arithmetic is pure integer math shared with the
+  // oracle, so the grids agree exactly, including the one-chunk floor
+  // for short documents.
+  private def q77(s: SparkSession, d: String): DataFrame =
+    graft.operators.Chunking.chunkByTokens(
+      Tables.documents(s, d), "doc_id", "text",
+      chunkSize = 32, stride = 16)
+
+  private val q77Sql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       n AS (
+         SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t),
+       c AS (
+         SELECT doc_id, w, n,
+           unnest(range(0, greatest(1, (n - 32 + 16 - 1) // 16 + 1)))
+             AS chunk_id
+         FROM n)
+       SELECT doc_id, chunk_id,
+         CAST(least(32, n - chunk_id * 16) AS BIGINT) AS n_chunk_tokens,
+         array_to_string(w[chunk_id * 16 + 1 : chunk_id * 16 + 32], ' ')
+           AS chunk
+       FROM c"""
+
+  // --- q76: watermarked stream-stream join (view→purchase attribution) --------
+  private def q76(s: SparkSession, d: String): DataFrame =
+    graft.streaming.JoinStream.viewPurchase(s, d, windowMinutes = 30)
+
+  // Batch self-join oracle on the same microsecond grid the stream uses.
+  private val q76Sql =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+       FROM events v JOIN events p ON v.user_id = p.user_id
+       WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+         AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+         AND epoch_ns(p.ts) // 1000 <= epoch_ns(v.ts) // 1000 + 1800000000"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1090,7 +1292,14 @@ object TrainingData {
     "q65_repetition"      -> q65 _,
     "q66_temperature_mix" -> q66 _,
     "q68_pack_sequences"  -> q68 _,
-    "q69_incremental_dedup" -> q69 _)
+    "q69_incremental_dedup" -> q69 _,
+    "q70_countmin"        -> q70 _,
+    "q71_bloom_decontaminate" -> q71 _,
+    "q72_cdc_upsert"      -> q72 _,
+    "q73_funnel"          -> q73 _,
+    "q74_zorder"          -> q74 _,
+    "q76_stream_stream_join" -> q76 _,
+    "q77_chunking"        -> q77 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -1130,5 +1339,12 @@ object TrainingData {
     "q65_repetition"      -> q65Sql,
     "q66_temperature_mix" -> q66Sql,
     "q68_pack_sequences"  -> q68Sql,
-    "q69_incremental_dedup" -> q69Sql)
+    "q69_incremental_dedup" -> q69Sql,
+    "q70_countmin"        -> q70Sql,
+    "q71_bloom_decontaminate" -> q71Sql,
+    "q72_cdc_upsert"      -> q72Sql,
+    "q73_funnel"          -> q73Sql,
+    "q74_zorder"          -> q74Sql,
+    "q76_stream_stream_join" -> q76Sql,
+    "q77_chunking"        -> q77Sql)
 }

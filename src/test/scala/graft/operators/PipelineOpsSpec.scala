@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Bloom, CountMin}
+
+/** Unit laws for the round-5 pipeline operators: Count-Min (over-estimate
+  * + merge laws), Bloom (no false negatives, bounded false positives),
+  * CDC changelog semantics, funnel subsequence matching, Z-order layout.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // --- CountMin ---------------------------------------------------------------
+
+  test("count-min: estimate >= exact for every key; exact when collision-free") {
+    import spark.implicits._
+    val items = (0 until 1000).map(i => s"k${i % 37}").toDF("item")
+    val sk = CountMin.sketch(items, "item")
+    val probes = (0 until 37).map(i => s"k$i").toDF("item")
+    val est = CountMin.estimate(sk, probes, "item")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = items.groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"$k: CMS ${est(k)} underestimates exact $c")
+    }
+    // d=4 rows of 256 buckets on 37 keys: some row is collision-free for
+    // every key with overwhelming probability, making the min exact
+    assert(est == exact, "37 keys in 4x256 sketch should estimate exactly")
+  }
+
+  test("count-min: merge of split sketches == sketch of union; absent key -> 0") {
+    import spark.implicits._
+    val a = (0 until 400).map(i => s"k${i % 19}").toDF("item")
+    val b = (0 until 600).map(i => s"k${i % 23}").toDF("item")
+    val merged = CountMin.merge(
+      CountMin.sketch(a, "item"), CountMin.sketch(b, "item"))
+    val whole = CountMin.sketch(a.unionAll(b), "item")
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merge law violated")
+    val zero = CountMin.estimate(whole, Seq("nope").toDF("item"), "item")
+      .collect().head.getLong(1)
+    assert(zero == 0L, s"absent key estimated $zero, want 0")
+  }
+
+  // --- Bloom ------------------------------------------------------------------
+
+  test("bloom: zero false negatives, false-positive rate within bound") {
+    import spark.implicits._
+    val inserted = (0 until 4000).map(i => s"in$i").toDF("item")
+    val bits = Bloom.build(inserted, "item")
+    val fn = inserted.filter(!Bloom.mightContain(bits, col("item"))).count()
+    assert(fn == 0L, s"$fn false negatives — Bloom contract broken")
+    // disjoint probe set: fp rate ~ (1 - e^{-kn/m})^k ≈ 0.7% here; 5%
+    // leaves ~10 sigma of headroom without flaking
+    val probes = (0 until 4000).map(i => s"out$i").toDF("item")
+    val fp = probes.filter(Bloom.mightContain(bits, col("item"))).count()
+    assert(fp < 200, s"$fp/4000 false positives — rate far above design")
+  }
+
+  // --- Cdc --------------------------------------------------------------------
+
+  test("cdc: latest-wins upsert, delete, insert, delete-of-absent, order ties") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "name", "bal")
+    val changes = Seq(
+      // id 1: upsert then (later) delete -> gone
+      (1L, 1L, 1L, "upsert", "a2", 11L),
+      (1L, 2L, 1L, "delete", "", 0L),
+      // id 2: delete then (later seq within same ts) upsert -> updated
+      (2L, 5L, 1L, "delete", "", 0L),
+      (2L, 5L, 2L, "upsert", "b2", 22L),
+      // id 9: insert of a key absent from the snapshot
+      (9L, 7L, 1L, "upsert", "new", 99L),
+      // id 8: delete of a key that never existed -> no-op
+      (8L, 8L, 1L, "delete", "", 0L))
+      .toDF("id", "ts", "seq", "op", "name", "bal")
+    val out = Cdc.applyChangelog(snap, changes, "id",
+        Seq("ts", "seq"), "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out == Set((2L, "b2", 22L), (3L, "c", 30L), (9L, "new", 99L)),
+      s"got $out")
+  }
+
+  // --- Funnel -----------------------------------------------------------------
+
+  test("funnel: subsequence matches with interleaving, order matters") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: a .. b .. c with noise -> converted
+      (1L, 1L, "a"), (1L, 2L, "x"), (1L, 3L, "b"), (1L, 4L, "x"),
+      (1L, 5L, "c"),
+      // user 2: all steps present but out of order -> not converted
+      (2L, 1L, "c"), (2L, 2L, "b"), (2L, 3L, "a"),
+      // user 3: missing middle step -> not converted
+      (3L, 1L, "a"), (3L, 2L, "c"))
+      .toDF("u", "t", "s")
+    val out = Funnel.converted(ev, "u", "s", Seq("t"), Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == (5L, true) && out(2L) == (3L, false) &&
+      out(3L) == (2L, false), s"got $out")
+  }
+
+  test("funnel: rejects steps that are substrings of each other") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, "view")).toDF("u", "t", "s")
+    assertThrows[IllegalArgumentException] {
+      Funnel.converted(ev, "u", "s", Seq("t"), Seq("view", "view_item"))
+    }
+  }
+
+  // --- Chunking ---------------------------------------------------------------
+
+  test("chunking: strided windows cover the doc; short docs yield one chunk") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "x y")).toDF("id", "text")
+    val out = Chunking.chunkByTokens(docs, "id", "text",
+        chunkSize = 3, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),
+      (2L, 0L, 2L, "x y")), s"got $out")
+  }
+
+  // --- Layout -----------------------------------------------------------------
+
+  test("z-order: known interleavings and file-level clustering") {
+    import spark.implicits._
+    // x=3 (bits 0,1 -> z bits 0,2 = 5), y=5 (bits 0,2 -> z bits 1,5 = 34)
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).cast("long")).head.getLong(0)
+    assert(z == 39L, s"z(3,5) = $z, want 39")
+    val zs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs == Seq(0L, 1L, 2L, 3L), s"unit square order $zs")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    Layout.writeZOrdered(df, "x", "y", dir, numFiles = 8)
+    // per-file z ranges must not overlap: range partitioning by z makes
+    // every file a contiguous z slice = a tight (x,y) rectangle
+    val perFile = spark.read.parquet(dir)
+      .select(input_file_name().as("f"),
+        Layout.zValue(col("x"), col("y")).cast("long").as("z"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length > 1, "expected multiple files")
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file z ranges overlap: $perFile")
+      case _ =>
+    }
+  }
+}

@@ -120,6 +120,50 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-scale shuffle crept into incremental dedup:\n$p")
   }
 
+  test("q70: count-min sketch aggregates partially and broadcasts to probes") {
+    val p = plan("q70_countmin")
+    // corpus -> sketch is a partial+final HashAggregate pair (map-side
+    // combine bounds the shuffle at d*w rows per partition)...
+    val firstAgg = p.indexOf("HashAggregate")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(firstAgg >= 0 && lastAgg > firstAgg, p)
+    // ...and probing never shuffles the sketch
+    assert(p.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$p")
+  }
+
+  test("q71: bloom prefilter runs corpus-side before any join or shuffle") {
+    val p = plan("q71_bloom_decontaminate")
+    // the membership test is a plain Filter over the exploded gram stream
+    // (codegen'd shift/mask over a literal array — no UDF, no shuffle)
+    assert(p.contains("BroadcastHashJoin"), s"verify join not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython"), "python udf in plan")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    // allowed shuffles: bench-gram distinct + final per-doc count — the
+    // corpus gram stream itself must not appear in an exchange
+    assert(exchanges <= 2, s"corpus gram shuffle crept in:\n$p")
+  }
+
+  test("q72: cdc compacts the delta with ONE shuffle; snapshot is never shuffled") {
+    val p = plan("q72_cdc_upsert")
+    // delta compaction = partial+final max_by pair; snapshot reaches the
+    // anti-join by broadcast of the compacted (tiny) delta key set
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"snapshot join not broadcast:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges <= 2, s"snapshot-scale shuffle in CDC apply:\n$p")
+  }
+
+  test("q73: funnel is ONE shuffle (unordered collect_list, no window sort)") {
+    val p = plan("q73_funnel")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly the groupBy shuffle:\n$p")
+    assert(!p.contains("Window"), "funnel must not pay a window sort")
+  }
+
+  test("q74: z-order top-k plans as TakeOrderedAndProject") {
+    assert(plan("q74_zorder").contains("TakeOrderedAndProject"))
+  }
+
   test("lake export: a partition-column filter prunes, not scans") {
     val dir = java.nio.file.Files.createTempDirectory("lake_planspec")
       .resolve("docs").toString
