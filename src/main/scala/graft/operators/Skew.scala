@@ -44,4 +44,26 @@ object Skew {
       ("n", count(lit(1)), (p: String) => sum(col(p))),
       ("total", sum(value), (p: String) => sum(col(p)))),
       salts)
+
+  /** Salted INNER equi-join for hot join keys AQE can't save (e.g. the
+    * skewed side is the output of an aggregation, or runtime skew stats
+    * miss a mid-stage explosion): every `large` row takes one of `salts`
+    * salt values, `small` is replicated `salts`× so each (key, salt)
+    * slice holds a full copy — a hot key's rows land on `salts` reducers
+    * instead of one. Result == the unsalted inner join (each row pair
+    * meets in exactly one salt slice); the cost is `salts`× the small
+    * side's shuffle volume, the win is no straggler task. Inner joins
+    * only: outer semantics would need null-extension once per key, not
+    * per slice.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val saltedLarge = large.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(salts)).cast("long"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit((salts - 1).toLong))))
+    saltedLarge.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -746,6 +746,80 @@ object Relational {
        FROM dev d JOIN mad a USING (o_orderstatus)
        GROUP BY o_orderstatus"""
 
+  // --- q78: salted fact-fact join (hot-key spread) ----------------------------
+  // lineitem ⋈ orders through Skew.saltedJoin: each lineitem row takes one
+  // of 16 salts, orders replicates 16× so a hot orderkey's rows land on 16
+  // reducers instead of one straggler — the rewrite for skew AQE's runtime
+  // stats miss. The result is provably the plain inner join (each row pair
+  // meets in exactly one salt slice), so the oracle is the unsalted SQL;
+  // the aggregation keeps the driver output 3 rows.
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"),
+      (col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
+        .as("cents"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    graft.operators.Skew.saltedJoin(li, o, "l_orderkey", salts = 16)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total_cents"))
+  }
+
+  private val q78Sql =
+    """SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+         AS BIGINT)) AS BIGINT) AS total_cents
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderstatus"""
+
+  // --- q79: RANGE-frame window (rolling event-time aggregate) -----------------
+  // Per-user rolling 1-hour spend: a RANGE BETWEEN frame over microsecond
+  // event time — the value-based frame q08's ROWS frame cannot express
+  // (peers at the same timestamp enter together; gaps shrink the window).
+  // Integer micros + integer cents keep both engines bit-identical; rows
+  // with equal (user, us) are frame PEERS in both, so ordering ties
+  // cannot matter.
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    e.select(col("user_id"), col("event_id"),
+      sum(col("cents")).over(w).as("rolling_hour_cents"))
+  }
+
+  private val q79Sql =
+    """SELECT user_id, event_id,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY us
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rolling_hour_cents
+       FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+               CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+             FROM events) t"""
+
+  // --- q80: GROUPING SETS (the general grouped-aggregate form) ----------------
+  // Explicit grouping-set list with grouping() indicators — the form
+  // ROLLUP (q12) and CUBE (q33) desugar to; identical ANSI text runs on
+  // both engines (the q34 shared-SQL pattern).
+  private val q80Text =
+    """SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+         AS BIGINT) AS total_cents,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         (o_orderstatus), (o_orderpriority), ())"""
+
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(q80Text)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -776,7 +850,10 @@ object Relational {
     "q48_stream_dedup"    -> q48 _,
     "q57_pivot"           -> q57 _,
     "q58_unpivot"         -> q58 _,
-    "q75_mad_outliers"    -> q75 _)
+    "q75_mad_outliers"    -> q75 _,
+    "q78_salted_join"     -> q78 _,
+    "q79_range_frame"     -> q79 _,
+    "q80_grouping_sets"   -> q80 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -808,5 +885,8 @@ object Relational {
     "q48_stream_dedup"    -> q48Sql,
     "q57_pivot"           -> q57Sql,
     "q58_unpivot"         -> q58Sql,
-    "q75_mad_outliers"    -> q75Sql)
+    "q75_mad_outliers"    -> q75Sql,
+    "q78_salted_join"     -> q78Sql,
+    "q79_range_frame"     -> q79Sql,
+    "q80_grouping_sets"   -> q80Text)
 }

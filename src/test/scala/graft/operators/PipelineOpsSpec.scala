@@ -120,6 +120,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  // --- Skew.saltedJoin --------------------------------------------------------
+
+  test("salted join == plain inner join, including duplicate and missing keys") {
+    import spark.implicits._
+    val large = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (1L, "e"))
+      .toDF("k", "lv")
+    val small = Seq((1L, "X"), (1L, "Y"), (2L, "Z"), (9L, "W"))
+      .toDF("k", "sv")
+    val salted = Skew.saltedJoin(large, small, "k", salts = 4)
+      .select("k", "lv", "sv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val plain = large.join(small, Seq("k"))
+      .select("k", "lv", "sv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(salted.sameElements(plain),
+      s"salted ${salted.toSeq} != plain ${plain.toSeq}")
+  }
+
   // --- Chunking ---------------------------------------------------------------
 
   test("chunking: strided windows cover the doc; short docs yield one chunk") {

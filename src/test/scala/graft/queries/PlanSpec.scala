@@ -164,6 +164,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q74_zorder").contains("TakeOrderedAndProject"))
   }
 
+  test("q78: salted join actually partitions on (key, salt)") {
+    val p = plan("q78_salted_join")
+    assert(p.contains("__salt"),
+      s"salt column absent — hot keys would still funnel to one task:\n$p")
+  }
+
+  test("q80: grouping sets plan through Expand (one scan, no self-union)") {
+    val p = plan("q80_grouping_sets")
+    assert(p.contains("Expand"), s"expected Expand-based grouping sets:\n$p")
+    // formatted explain lists each node twice (tree + details): one scan = 2
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"grouping sets should scan orders once, saw $scans/2")
+  }
+
   test("lake export: a partition-column filter prunes, not scans") {
     val dir = java.nio.file.Files.createTempDirectory("lake_planspec")
       .resolve("docs").toString
