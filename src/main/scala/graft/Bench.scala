@@ -48,6 +48,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the engine's own extension surface (custom SQL functions + the
+      // levenshtein length-prefilter optimizer rule) is part of the
+      // product — benchmarks run with it on, like a user would
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: initialize codegen compiler, parquet reader paths, broadcast

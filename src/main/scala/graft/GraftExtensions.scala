@@ -59,6 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Rule[LogicalPlan] tier: bounded levenshtein predicates get an O(1)
+    // length-difference prefilter conjunct (graft.plans.LevenshteinPrefilter)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
     ext.injectFunction((FunctionIdentifier("morton_code"),
       info("morton_code",
         "morton_code(x, y[, bits]) - Z-order bit interleave of two longs"),

@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names (fast local iteration
+    // on a subset; the driver always runs the full surface)
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.lift(2).map(_.split(',').toSet)
     // drop prior-run scratch (stale lake exports, old verify dumps) but
     // never the dump dir this run is about to write
     Bench.cleanStaleTmp(keep =
@@ -16,10 +19,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // run with the engine's extensions on (custom SQL functions + the
+      // levenshtein length-prefilter rule) — results must be invariant
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -210,6 +210,111 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.map(r => resizer.resize(r, w, h)))
   }
 
+  // --- audio: WAV/RIFF PCM codec (JDK-only, no external deps) ---------------
+
+  final case class AudioRow(id: Long, media: Array[Byte])
+  /** `sum_sq`/`peak` are exact integers over the decoded int16 samples —
+    * energy statistics without float summation-order sensitivity, so a
+    * DuckDB oracle can recompute them bit-for-bit.
+    */
+  final case class AudioFeatures(id: Long, sample_rate: Long,
+      n_channels: Long, n_samples: Long, duration_ms: Long,
+      sum_sq: Long, peak: Long)
+
+  /** Encode one channel of int16 PCM as a canonical 44-byte-header WAV
+    * (RIFF → fmt [PCM, mono] → data, little-endian throughout).
+    */
+  def wavEncode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** REAL WAV decoder: walks the RIFF chunk list (not a fixed 44-byte
+    * offset — real-world WAVs carry LIST/fact chunks before data), reads
+    * the fmt sample rate / channel count, and streams the int16 PCM data
+    * chunk into exact integer energy statistics.
+    */
+  def wavDecode(id: Long, bytes: Array[Byte]): AudioFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF" && { buf.getInt; tag() == "WAVE" },
+      s"audio id $id: not a RIFF/WAVE payload")
+    var rate = 0L; var channels = 0L; var bits = 0
+    var sumSq = 0L; var peak = 0L; var nSamples = 0L
+    while (buf.remaining() >= 8) {
+      val chunk = tag()
+      val len = buf.getInt
+      val next = buf.position() + len + (len & 1) // chunks are word-aligned
+      chunk match {
+        case "fmt " =>
+          val fmt = buf.getShort
+          require(fmt == 1, s"audio id $id: non-PCM WAV (fmt $fmt)")
+          channels = buf.getShort.toLong
+          rate = buf.getInt.toLong
+          buf.getInt // byte rate
+          buf.getShort // block align
+          bits = buf.getShort.toInt
+          require(bits == 16, s"audio id $id: only int16 PCM ($bits-bit)")
+        case "data" =>
+          require(rate > 0, s"audio id $id: data chunk before fmt")
+          var i = 0
+          while (i + 1 < len) {
+            val x = buf.getShort.toLong
+            sumSq += x * x
+            val a = math.abs(x)
+            if (a > peak) peak = a
+            nSamples += 1
+            i += 2
+          }
+        case _ => // LIST/fact/cue — skip
+      }
+      buf.position(math.min(next, buf.capacity()))
+    }
+    val frames = if (channels > 0) nSamples / channels else 0L
+    AudioFeatures(id, rate, channels, nSamples,
+      if (rate > 0) frames * 1000L / rate else 0L, sumSq, peak)
+  }
+
+  /** Deterministic synthetic audio table: per doc, a mono 8 kHz WAV whose
+    * int16 samples follow the integer recurrence
+    * `((id*31 + i*7) mod 65536) - 32768` — pure integer math an oracle
+    * can replay exactly, through a REAL RIFF encode/decode round trip.
+    */
+  def audioTable(docs: DataFrame): Dataset[AudioRow] = {
+    val spark: SparkSession = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").as("id")).as[Long].map { id =>
+      val n = (800 + id % 100).toInt
+      val samples = Array.tabulate(n) { i =>
+        (((id * 31 + i.toLong * 7) % 65536) - 32768).toShort
+      }
+      AudioRow(id, wavEncode(samples, 8000))
+    }
+  }
+
+  /** Partition-local audio decode (same shape as [[extractFeatures]]). */
+  def audioFeatures(audio: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    val spark: SparkSession = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions(_.map(r => wavDecode(r.id, r.media)))
+  }
+
   final case class Frame(id: Long, frame_no: Int, phash: Long)
 
   /** Frame sampling for video-shaped payloads. Multi-frame GIF payloads

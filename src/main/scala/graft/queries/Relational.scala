@@ -820,6 +820,304 @@ object Relational {
     s.sql(q80Text)
   }
 
+  // --- q81: bucketed co-located fact-fact join --------------------------------
+  // The zero-shuffle join layout: lineitem and orders written once as
+  // parquet tables bucketed (and sorted) 8-ways on the join key, then
+  // joined bucket-to-bucket. At 100 TB this is THE amortization play —
+  // the layout pays one shuffle at write time and every subsequent join
+  // on that key shuffles nothing (FileSourceScan reports the bucket
+  // HashPartitioning, so Exchange is elided; one file per bucket also
+  // carries the sortBy order, eliding the SMJ Sort). PlanSpec pins the
+  // exchange-free shape. The oracle is the plain join (q78Sql) — layout
+  // must never change results.
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val loc = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_bucketed_" + Integer.toHexString(d.hashCode)).toString
+    val nb = 8
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"),
+      (money(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    def save(df: DataFrame, name: String, key: String): Unit =
+      // repartition(nb, key) → exactly one file per bucket, so the read
+      // side exposes both the bucket partitioning AND the sortBy order
+      df.repartition(nb, col(key))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nb, key).sortBy(key)
+        .option("path", s"$loc/$name").saveAsTable(name)
+    save(li, "graft_li_bkt", "l_orderkey")
+    save(o, "graft_o_bkt", "o_orderkey")
+    s.table("graft_li_bkt")
+      .join(s.table("graft_o_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+  }
+
+  // layout is invisible to semantics: the bucketed join must equal the
+  // plain join byte-for-byte
+  private val q81Sql = q78Sql
+
+  // --- q83: fuzzy record linkage (blocked edit-distance join) -----------------
+  // Entity resolution over the part catalog: candidate pairs meet inside
+  // (p_brand, p_size) blocks only — an equi-join, so no cartesian blowup;
+  // matches are pairs within levenshtein ≤ 3 (typo distance; 0 = exact
+  // duplicate listings). Scale: the blocked self-join shuffles on the
+  // block key once; block sizes are bounded by the key's cardinality
+  // design (route oversized blocks through the Dedup star guard if a
+  // real catalog skews). levenshtein is classic DP edit distance in both
+  // engines — identical by definition.
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "p_size"))
+      .filter(col("key_a") < col("key_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 3)
+      .select(col("key_a"), col("key_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("lev"))
+  }
+
+  private val q83Sql =
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+       FROM part a JOIN part b
+         ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        AND a.p_partkey < b.p_partkey
+       WHERE levenshtein(a.p_name, b.p_name) <= 3"""
+
+  // --- q86: correlation / regression from exact integer moments ---------------
+  // Pearson correlation and OLS slope of (quantity, price-cents) per
+  // returnflag — computed from EXACT integer moment sums (decimal(38,0)
+  // in Spark, HUGEINT in DuckDB), then one fixed double expression. The
+  // built-in corr()/regr_slope() stream doubles in engine-specific order
+  // (ulp-unstable cross-engine); exact moments make the only double ops a
+  // shared expression tree over identical integers — bit-identical by
+  // IEEE determinism. Moments are algebraic → map-side combined; one
+  // 3-group shuffle.
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      (money(col("l_extendedprice")) * 100).cast("long").as("y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x") * col("x"))).as("sxx"),
+      sum(dec(col("y") * col("y"))).as("syy"),
+      sum(dec(col("x") * col("y"))).as("sxy"))
+    val n = col("n_rows").cast("double")
+    val Seq(sx, sy, sxx, syy, sxy) =
+      Seq("sx", "sy", "sxx", "syy", "sxy").map(col(_).cast("double"))
+    m.select(col("l_returnflag"), col("n_rows"),
+      r6((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+        .as("corr_qty_price"),
+      r6((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        .as("slope_cents_per_qty"))
+  }
+
+  private val q86Sql =
+    """WITH li AS (
+         SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+           CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS y
+         FROM lineitem),
+       m AS (
+         SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x*x) AS DOUBLE) AS sxx,
+           CAST(sum(y*y) AS DOUBLE) AS syy,
+           CAST(sum(x*y) AS DOUBLE) AS sxy
+         FROM li GROUP BY 1)
+       SELECT l_returnflag, n_rows,
+         round((CAST(n_rows AS DOUBLE)*sxy - sx*sy) /
+           (sqrt(CAST(n_rows AS DOUBLE)*sxx - sx*sx) *
+            sqrt(CAST(n_rows AS DOUBLE)*syy - sy*sy)), 6)
+           AS corr_qty_price,
+         round((CAST(n_rows AS DOUBLE)*sxy - sx*sy) /
+           (CAST(n_rows AS DOUBLE)*sxx - sx*sx), 6)
+           AS slope_cents_per_qty
+       FROM m"""
+
+  // --- q88: mergeable HLL sketches (DataSketches union workflow) --------------
+  // The 100 TB distinct-count workflow q39's scalar estimate can't
+  // express: build one HllSketch PER SEGMENT (per returnflag — at scale,
+  // per partition/day), persist the binary sketches, answer the global
+  // question later by UNIONING them without rescanning. The audit pins
+  // both estimator paths within the lgK=12 error envelope (rsd ≈ 1.6%,
+  // 3σ < 5%; measured ≤ 2.2% at sf0.1): the merged union AND the
+  // one-shot whole-table sketch each land within 5% of the exact count.
+  // (Union and one-shot are NOT bit-equal — the union accumulates in a
+  // different internal representation — so accuracy, not identity, is
+  // the contract.) Oracle = exact count + hard-coded invariant booleans
+  // (the q39/q29/q50 audit pattern).
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"))
+    val per = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+    val merged = per.agg(
+      count(lit(1)).as("n_segments"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+    val full = li.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("est_full"),
+      countDistinct(col("l_orderkey")).as("exact_all"))
+    merged.crossJoin(full).select(
+      col("n_segments"), col("exact_all"),
+      (abs(col("est_union") - col("exact_all")).cast("double") /
+        col("exact_all") <= 0.05).as("union_within_5pct"),
+      (abs(col("est_full") - col("exact_all")).cast("double") /
+        col("exact_all") <= 0.05).as("full_within_5pct"))
+  }
+
+  private val q88Sql =
+    """SELECT CAST(3 AS BIGINT) AS n_segments,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_all,
+       true AS union_within_5pct, true AS full_within_5pct
+       FROM lineitem"""
+
+  // --- q89: SCD-2 point-in-time join (versioned-dimension lookup) -------------
+  // The warehouse PIT pattern: each lineitem shipment is enriched with
+  // the order version of ITS CUSTOMER that was valid at ship time —
+  // dimension history as versions (valid_from = o_orderdate, next
+  // version's date implicitly closing each), facts matched to the
+  // version in force. Runs through TemporalJoin.asOf (union + ONE window
+  // shuffle on the customer key — no range join, no interval explode),
+  // which is exactly the SCD-2 lookup when version intervals partition
+  // time; LEFT semantics (a shipment before the customer's first version
+  // carries a null version — the synthetic dates are not TPC-H-faithful,
+  // so that branch is real here). Ship/version times compared on the
+  // shared millisecond grid; same-day versions tie-break on the greatest
+  // version key in both engines (payload struct order = window ORDER BY
+  // v.vms, v.ver_key). Facts are DISTINCT (orderkey, linenumber, ms) —
+  // the synthetic lineitem duplicates (orderkey, linenumber), and the
+  // oracle's one-row-per-fact window needs a real key.
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val versions = ord.select(
+      col("o_custkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000")
+        .as("ms"),
+      col("o_orderkey").as("ver_key"),
+      col("o_orderpriority").as("ver_priority"))
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 1000")
+          .as("ms"))
+      .distinct()
+      .join(ord.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("ms"))
+    graft.operators.TemporalJoin
+      .asOf(fact, versions, "o_custkey", "ms",
+        Seq("ver_key", "ver_priority"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("ms").as("ship_ms"),
+        col("asof.ver_key").as("ver_key"),
+        col("asof.ver_priority").as("ver_priority"))
+  }
+
+  private val q89Sql =
+    """WITH f AS (
+         SELECT DISTINCT l.l_orderkey,
+           CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+           o.o_custkey, epoch_ms(l.l_shipdate) AS ms
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       v AS (
+         SELECT o_custkey, epoch_ms(o_orderdate) AS vms,
+           o_orderkey AS ver_key, o_orderpriority AS ver_priority
+         FROM orders)
+       SELECT l_orderkey, l_linenumber, ship_ms, ver_key, ver_priority
+       FROM (
+         SELECT f.l_orderkey, f.l_linenumber, f.ms AS ship_ms,
+           v.ver_key, v.ver_priority,
+           row_number() OVER (
+             PARTITION BY f.l_orderkey, f.l_linenumber, f.ms
+             ORDER BY v.vms DESC NULLS LAST, v.ver_key DESC NULLS LAST)
+             AS rn
+         FROM f LEFT JOIN v
+           ON v.o_custkey = f.o_custkey AND v.vms <= f.ms) t
+       WHERE rn = 1"""
+
+  // --- q90: column profiling (the data-quality scan) ---------------------------
+  // Per-column profile of orders in ONE scan: row/distinct counts,
+  // lexicographic min/max, and the mode with its count (ties break on
+  // the smaller value — deterministic both engines). Columns are melted
+  // to (col_name, value) rows via stack() over a PRE-STRINGIFIED
+  // projection (ints as digits, dates as yyyy-MM-dd, money as cents —
+  // the suite's portability contract, because raw double→string repr is
+  // engine-specific); the (col, value) aggregate is map-side combined,
+  // so the 6× melt fan-out compresses before the shuffle. At 100 TB
+  // you'd swap exact distinct/mode for the sketch family (q39 HLL, q54
+  // Misra-Gries, q70 CMS) — exact is chosen here for the byte-exact
+  // oracle.
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").cast("string").as("o_orderkey"),
+      col("o_custkey").cast("string").as("o_custkey"),
+      col("o_orderstatus"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+      (money(col("o_totalprice")) * 100).cast("long").cast("string")
+        .as("o_totalprice_cents"),
+      col("o_orderpriority"))
+    val cols = o.columns
+    val melted = o.select(expr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', `$c`").mkString(", ") +
+        ") as (col_name, value)"))
+    val vc = melted.groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("col_name"))
+      .orderBy(col("cnt").desc, col("value").asc)
+    vc.withColumn("rk", row_number().over(w))
+      .groupBy(col("col_name"))
+      .agg(sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        max(when(col("rk") === 1, col("value"))).as("top_value"),
+        max(when(col("rk") === 1, col("cnt"))).cast("long")
+          .as("top_count"))
+  }
+
+  private val q90Sql =
+    """WITH o AS (
+         SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+           CAST(o_custkey AS VARCHAR) AS o_custkey, o_orderstatus,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             AS VARCHAR) AS o_totalprice_cents,
+           o_orderpriority
+         FROM orders),
+       m AS (
+         SELECT 'o_orderkey' AS col_name, o_orderkey AS value FROM o
+         UNION ALL SELECT 'o_custkey', o_custkey FROM o
+         UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM o
+         UNION ALL SELECT 'o_orderdate', o_orderdate FROM o
+         UNION ALL SELECT 'o_totalprice_cents', o_totalprice_cents FROM o
+         UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM o),
+       vc AS (
+         SELECT col_name, value, count(*) AS cnt FROM m GROUP BY 1, 2),
+       rk AS (
+         SELECT col_name, value, cnt, row_number() OVER (
+           PARTITION BY col_name ORDER BY cnt DESC, value ASC) AS rn
+         FROM vc)
+       SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         min(value) AS min_value, max(value) AS max_value,
+         max(CASE WHEN rn = 1 THEN value END) AS top_value,
+         CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_count
+       FROM rk GROUP BY col_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -853,7 +1151,13 @@ object Relational {
     "q75_mad_outliers"    -> q75 _,
     "q78_salted_join"     -> q78 _,
     "q79_range_frame"     -> q79 _,
-    "q80_grouping_sets"   -> q80 _)
+    "q80_grouping_sets"   -> q80 _,
+    "q81_bucketed_join"   -> q81 _,
+    "q83_fuzzy_link"      -> q83 _,
+    "q86_corr_stats"      -> q86 _,
+    "q88_hll_union"       -> q88 _,
+    "q89_scd2_pit_join"   -> q89 _,
+    "q90_profile"         -> q90 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -888,5 +1192,11 @@ object Relational {
     "q75_mad_outliers"    -> q75Sql,
     "q78_salted_join"     -> q78Sql,
     "q79_range_frame"     -> q79Sql,
-    "q80_grouping_sets"   -> q80Text)
+    "q80_grouping_sets"   -> q80Text,
+    "q81_bucketed_join"   -> q81Sql,
+    "q83_fuzzy_link"      -> q83Sql,
+    "q86_corr_stats"      -> q86Sql,
+    "q88_hll_union"       -> q88Sql,
+    "q89_scd2_pit_join"   -> q89Sql,
+    "q90_profile"         -> q90Sql)
 }

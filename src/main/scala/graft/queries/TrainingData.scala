@@ -1254,6 +1254,165 @@ object TrainingData {
          AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
          AND epoch_ns(p.ts) // 1000 <= epoch_ns(v.ts) // 1000 + 1800000000"""
 
+  // --- q82: inverted index (term → posting list) -------------------------------
+  // The retrieval-side export: per bigram term, document frequency plus
+  // the doc_id posting list (sorted, comma-joined — the engine-portable
+  // string shape q60 established). Bigrams, not unigrams: the synthetic
+  // corpus has a ~31-word vocabulary where every unigram is a stopword;
+  // word pairs are the discriminative unit (df 11–50 here). Per-document
+  // term dedup is ROW-LOCAL (array_distinct before explode — no distinct
+  // shuffle); document frequency is computed FIRST and only qualifying
+  // terms (2 ≤ df ≤ 100) reach the collect, so a stopword-pair's
+  // corpus-wide posting list is never materialized — the guard that
+  // matters at 100 TB, where "of the" has a billion postings. Real
+  // indexes chunk posting lists; the df cap is that rule's query-shaped
+  // stand-in.
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val bigrams = expr(
+      "transform(sequence(0, size(w) - 2), " +
+      "i -> concat_ws(' ', w[i], w[i+1]))")
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(array_distinct(bigrams)).as("token"))
+    val qualifying = postings.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 100))
+    postings.join(qualifying, "token")
+      .groupBy(col("token"), col("df"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("postings"))
+      .select(col("token"), col("df"), col("postings"))
+  }
+
+  private val q82Sql =
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS token
+         FROM (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents) t
+         WHERE len(w) >= 2),
+       q AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS df
+         FROM tok GROUP BY 1 HAVING count(*) BETWEEN 2 AND 100)
+       SELECT token, df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+       FROM tok JOIN q USING (token)
+       GROUP BY token, df"""
+
+  // --- q84: exact-substring span dedup (shared 8-gram runs, self-join) --------
+  // The span-level complement to document-level MinHash: doc pairs that
+  // share ≥ 3 distinct word-8-gram spans — near-verbatim partial copies
+  // (quote farms, mirrored paragraphs) that whole-document Jaccard can
+  // miss. Spans shared by > 50 docs are dropped FIRST (boilerplate taglines
+  // carry no copy signal and would fan out quadratically — the df cap is
+  // the dedup-literature "ubiquitous shingle" rule and the scale guard in
+  // one); the surviving rare-span self-join is bounded by df² per span.
+  // Gram hashing reuses the FNV shingle kernel (q27/q43/q64 precedent:
+  // equal to string 8-grams up to negligible collision probability).
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ArrayOps
+    val n = 8
+    val maxDf = 50
+    val spans = Tables.documents(s, d).select(
+      col("doc_id"),
+      explode(ArrayOps.ngramHashes(Text.tokens(col("text")), n)).as("g"))
+    val rare = spans.groupBy(col("g"))
+      .agg(count(lit(1)).as("span_df"))
+      .filter(col("span_df") <= maxDf)
+    val keyed = spans.join(rare, "g")
+    keyed.select(col("g"), col("doc_id").as("id_a"))
+      .join(keyed.select(col("g"), col("doc_id").as("id_b")), "g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .filter(col("n_shared_spans") >= 3)
+  }
+
+  private val q84Sql =
+    """WITH sp AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - 6),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] ||
+                ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+                w[i+7]))) AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+         WHERE len(w) >= 8),
+       rare AS (
+         SELECT g FROM sp GROUP BY g HAVING count(*) <= 50),
+       k AS (SELECT doc_id, g FROM sp JOIN rare USING (g))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared_spans
+       FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 3"""
+
+  // --- q85: multi-format round-trip (ORC / CSV / JSON sinks + sources) --------
+  // The format surface beyond parquet/TSV: orders written to ORC, CSV,
+  // and JSON, read back (CSV/JSON with the writer's explicit schema — a
+  // lake contract, not re-inference), and aggregated per format. The
+  // oracle computes the same aggregate 3× from the source of truth, so a
+  // row lost, a value mangled, or a type coerced by ANY of the three
+  // round trips fails the hash. Money crosses the text formats as integer
+  // cents — the suite's portability contract applied to sinks.
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_formats_" + Integer.toHexString(d.hashCode)).toString
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+        .as("cents"))
+    val perFormat = Seq("orc", "csv", "json").map { f =>
+      val path = s"$base/$f"
+      val w = o.write.mode("overwrite").format(f)
+      (if (f == "csv") w.option("header", "true") else w).save(path)
+      val r = s.read.format(f).schema(o.schema)
+      (if (f == "csv") r.option("header", "true") else r).load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .select(lit(f).as("format"), col("o_orderstatus"), col("n"),
+          col("total_cents"))
+    }
+    perFormat.reduce(_.unionAll(_))
+  }
+
+  private val q85Sql =
+    """SELECT f.format, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+         AS BIGINT) AS total_cents
+       FROM orders CROSS JOIN (VALUES ('orc'), ('csv'), ('json'))
+         f(format)
+       GROUP BY f.format, o_orderstatus"""
+
+  // --- q87: audio decode / feature extraction (WAV PCM energy stats) ----------
+  // The audio leg of the multimodal family: per document a REAL mono
+  // 8 kHz int16 WAV payload (RIFF encode → chunk-walking decode — q30's
+  // plumbing argument, but through an actual byte-level codec), reduced
+  // to exact integer energy statistics (Σx², peak) that a SQL oracle
+  // replays bit-for-bit from the synthesis recurrence. Decode is
+  // partition-local (mapPartitions) — the same batch shape a JNI/ffmpeg
+  // binding would plug into; no floats anywhere, so no summation-order
+  // sensitivity.
+  private def q87(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFeatures(
+      Multimodal.audioTable(Tables.documents(s, d))).toDF()
+
+  private val q87Sql =
+    """WITH s AS (
+         SELECT doc_id AS id, 800 + doc_id % 100 AS n FROM documents),
+       v AS (
+         SELECT id, n, ((id * 31 + i * 7) % 65536) - 32768 AS x
+         FROM (SELECT id, n, unnest(range(0, n)) AS i FROM s) t)
+       SELECT id, CAST(8000 AS BIGINT) AS sample_rate,
+         CAST(1 AS BIGINT) AS n_channels, CAST(n AS BIGINT) AS n_samples,
+         CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+         CAST(sum(x * x) AS BIGINT) AS sum_sq,
+         CAST(max(abs(x)) AS BIGINT) AS peak
+       FROM v GROUP BY id, n"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1299,7 +1458,11 @@ object TrainingData {
     "q73_funnel"          -> q73 _,
     "q74_zorder"          -> q74 _,
     "q76_stream_stream_join" -> q76 _,
-    "q77_chunking"        -> q77 _)
+    "q77_chunking"        -> q77 _,
+    "q82_inverted_index"  -> q82 _,
+    "q84_span_selfdup"    -> q84 _,
+    "q85_format_roundtrip" -> q85 _,
+    "q87_audio_features"  -> q87 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -1346,5 +1509,9 @@ object TrainingData {
     "q73_funnel"          -> q73Sql,
     "q74_zorder"          -> q74Sql,
     "q76_stream_stream_join" -> q76Sql,
-    "q77_chunking"        -> q77Sql)
+    "q77_chunking"        -> q77Sql,
+    "q82_inverted_index"  -> q82Sql,
+    "q84_span_selfdup"    -> q84Sql,
+    "q85_format_roundtrip" -> q85Sql,
+    "q87_audio_features"  -> q87Sql)
 }

@@ -51,6 +51,44 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 0.5, s"jaccard ${r.getDouble(1)} != 0.5")
   }
 
+  test("levenshtein prefilter rule: guard injected, results unchanged, idempotent") {
+    import spark.implicits._
+    // RDD-backed (LogicalRDD): a LocalRelation would be constant-folded
+    // by ConvertToLocalRelation before the plan could show the guard
+    val df = spark.sparkContext.parallelize(Seq(
+        ("ab", "abc"), ("kitten", "sitting"), ("a", "zzzzzzzzzz"),
+        ("same", "same"), (null, "x")))
+      .toDF("a", "b")
+    val q = df.filter(expr("levenshtein(a, b) <= 3"))
+    val optimized = q.queryExecution.optimizedPlan
+    // the O(1) length guard is a conjunct of the optimized filter
+    assert(optimized.toString.contains("abs((length(a") ||
+      optimized.toString.toLowerCase.contains("abs((length("),
+      s"no length guard in:\n$optimized")
+    // semantics: identical rows with the rule on (extensions session) and
+    // off (base builder session has no extensions)
+    val expect = Set(("ab", "abc"), ("kitten", "sitting"), ("same", "same"))
+    val got = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expect, got.toString)
+    // idempotent: re-applying the rule to the optimized plan is a no-op
+    val again = graft.plans.LevenshteinPrefilter(optimized)
+    assert(again.fastEquals(optimized), s"rule not idempotent:\n$again")
+  }
+
+  test("levenshtein prefilter leaves >, >= and 3-arg threshold forms alone") {
+    import spark.implicits._
+    val df = spark.sparkContext.parallelize(Seq(("ab", "zzzz")))
+      .toDF("a", "b")
+    Seq("levenshtein(a, b) > 2", "levenshtein(a, b) >= 2",
+      "levenshtein(a, b, 5) <= 3").foreach { pred =>
+      val p = df.filter(expr(pred)).queryExecution.optimizedPlan
+      assert(!p.toString.toLowerCase.contains("abs((length("),
+        s"guard wrongly injected for `$pred`:\n$p")
+    }
+    // the unguardable > form still returns correct rows
+    assert(df.filter(expr("levenshtein(a, b) > 2")).count() == 1L)
+  }
+
   test("native MortonCode == compositional z sum on a random grid") {
     import spark.implicits._
     val df = spark.range(2000).select(

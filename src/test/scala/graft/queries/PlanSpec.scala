@@ -195,6 +195,27 @@ class PlanSpec extends AnyFunSuite {
       "lang treated as a data column, not a partition column")
   }
 
+  test("q81: bucketed join's only exchange is the final 3-group agg") {
+    val s2 = spark.newSession()
+    // disable broadcast so the plan shows the 100 TB shape: the bucket
+    // layout, not AQE's small-SF broadcast, must make the join local
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val p = SparkEntry.queries("q81_bucketed_join")(s2, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed q81 join still shuffles a fact side:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected only the o_orderstatus agg exchange:\n$p")
+    // (the per-side Sorts stay: Spark 3+ scans don't propagate bucket sort
+    // order by default — they're bucket-LOCAL, no exchange, cheap; the
+    // property that matters at 100 TB is the absent join shuffle above)
+  }
+
   test("bucketed co-located join: no shuffle exchange on either side") {
     // the 100 TB pattern: pre-bucket both fact tables on the join key ->
     // repeated joins are exchange-free (only broadcast of tiny dims would
