@@ -1118,6 +1118,100 @@ object Relational {
          CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_count
        FROM rk GROUP BY col_name"""
 
+  // --- q91: time-series resample + forward fill (gap filling) -----------------
+  // Per-user daily spend resampled onto a dense day grid between that
+  // user's first and last event, empty days forward-filled with the last
+  // observed value — the time-series regularization every downstream
+  // model expects. Day grid = integer epoch-day math (engine-portable);
+  // grid generation is sequence()+explode off a 2-column bounds
+  // aggregate, so the dense grid never shuffles document-scale data: one
+  // shuffle for the per-day aggregate, one broadcast-sized bounds agg,
+  // one window for the fill. Forward fill = last(_, ignoreNulls) over
+  // the day order — identical IGNORE NULLS semantics in DuckDB.
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("user_id"),
+      (expr("unix_micros(ts) div 1000") / lit(86400000L)).cast("long")
+        .as("day"),
+      (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+    val perDay = e.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
+    val bounds = perDay.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perDay, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_cents"), ignoreNulls = true).over(w)
+          .as("filled_cents"))
+  }
+
+  private val q91Sql =
+    """WITH e AS (
+         SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+           CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+         FROM events),
+       pd AS (
+         SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS day_cents
+         FROM e GROUP BY 1, 2),
+       b AS (
+         SELECT user_id, min(day) AS d0, max(day) AS d1
+         FROM pd GROUP BY 1),
+       g AS (
+         SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM b)
+       SELECT g.user_id, g.day,
+         COALESCE(pd.n_events, 0) AS n_events,
+         last_value(pd.day_cents IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS filled_cents
+       FROM g LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day"""
+
+  // --- q92: incremental aggregate maintenance (materialized-view refresh) -----
+  // The incremental-ETL contract: yesterday's materialized per-status
+  // aggregate (orders before 1999) is refreshed with ONLY the delta scan
+  // (1999+) by merging algebraic partial states — counts and sums add,
+  // derived averages recompute from the merged state; the base table is
+  // never rescanned. The oracle recomputes from the full table, so any
+  // drift between "incrementally maintained" and "recomputed from
+  // scratch" fails the hash — the exact invariant an MV refresh must
+  // keep. (Deletes/updates need the q72 CDC path; min/max stay mergeable
+  // under inserts only.)
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderstatus"),
+      col("o_orderdate"),
+      (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val cut = lit("1999-01-01").cast("date")
+    def state(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+    val base = state(o.filter(col("o_orderdate") < cut))   // the stored MV
+    val delta = state(o.filter(col("o_orderdate") >= cut)) // today's scan
+    base.select(col("o_orderstatus"), col("n"), col("total_cents"))
+      .unionByName(delta)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("total_cents")).cast("long").as("total_cents"))
+      .select(col("o_orderstatus"), col("n"), col("total_cents"),
+        // ONE double division over exact integers — bit-identical both
+        // engines (the q86 moment argument)
+        r6(col("total_cents").cast("double") / col("n").cast("double"))
+          .as("avg_cents"))
+  }
+
+  private val q92Sql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+         AS BIGINT) AS total_cents,
+       round(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+           AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS avg_cents
+       FROM orders GROUP BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -1157,7 +1251,9 @@ object Relational {
     "q86_corr_stats"      -> q86 _,
     "q88_hll_union"       -> q88 _,
     "q89_scd2_pit_join"   -> q89 _,
-    "q90_profile"         -> q90 _)
+    "q90_profile"         -> q90 _,
+    "q91_resample_ffill"  -> q91 _,
+    "q92_incremental_agg" -> q92 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -1198,5 +1294,7 @@ object Relational {
     "q86_corr_stats"      -> q86Sql,
     "q88_hll_union"       -> q88Sql,
     "q89_scd2_pit_join"   -> q89Sql,
-    "q90_profile"         -> q90Sql)
+    "q90_profile"         -> q90Sql,
+    "q91_resample_ffill"  -> q91Sql,
+    "q92_incremental_agg" -> q92Sql)
 }

@@ -1413,6 +1413,46 @@ object TrainingData {
          CAST(max(abs(x)) AS BIGINT) AS peak
        FROM v GROUP BY id, n"""
 
+  // --- q93: unigram-LM quality proxy (exact log2-frequency buckets) -----------
+  // The perplexity-flavored quality signal without a model: per document,
+  // the mean corpus-frequency BUCKET of its tokens (rare-token-heavy docs
+  // score low, boilerplate scores high). The bucket is floor(log2 cnt)+1
+  // computed as length(bin(cnt)) — pure integer bit math, so unlike a
+  // sum of libm ln() calls (whose summation-order ulp drift is exactly
+  // what the float-portability audit forbids) every intermediate is
+  // engine-exact; the single double division at the end is the q86/q92
+  // one-op argument. Scale: the frequency table is vocabulary-sized and
+  // BROADCAST — the token stream pays the one frequency-agg shuffle and
+  // is never shuffled for the lookup.
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val buckets = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("token"),
+        length(bin(col("cnt"))).cast("long").as("bucket"))
+    tok.join(broadcast(buckets), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bucket")).as("sum_bucket"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bucket"),
+        round(col("sum_bucket").cast("double") /
+          col("n_tokens").cast("double"), 6).as("avg_bucket"))
+  }
+
+  private val q93Sql =
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       b AS (
+         SELECT token, CAST(length(bin(count(*))) AS BIGINT) AS bucket
+         FROM tok GROUP BY token)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(bucket) AS BIGINT) AS sum_bucket,
+         round(CAST(sum(bucket) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS avg_bucket
+       FROM tok JOIN b USING (token) GROUP BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1462,7 +1502,8 @@ object TrainingData {
     "q82_inverted_index"  -> q82 _,
     "q84_span_selfdup"    -> q84 _,
     "q85_format_roundtrip" -> q85 _,
-    "q87_audio_features"  -> q87 _)
+    "q87_audio_features"  -> q87 _,
+    "q93_lm_quality"      -> q93 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -1513,5 +1554,6 @@ object TrainingData {
     "q82_inverted_index"  -> q82Sql,
     "q84_span_selfdup"    -> q84Sql,
     "q85_format_roundtrip" -> q85Sql,
-    "q87_audio_features"  -> q87Sql)
+    "q87_audio_features"  -> q87Sql,
+    "q93_lm_quality"      -> q93Sql)
 }
