@@ -62,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Rule[LogicalPlan] tier: bounded levenshtein predicates get an O(1)
     // length-difference prefilter conjunct (graft.plans.LevenshteinPrefilter)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+    // whole-operator tier: native AS-OF join (custom LogicalPlan +
+    // SparkStrategy + SparkPlan — graft.plans.AsOfJoinPlan)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((FunctionIdentifier("morton_code"),
       info("morton_code",
         "morton_code(x, y[, bits]) - Z-order bit interleave of two longs"),

@@ -480,4 +480,33 @@ object Dedup {
 
     exact.union(approx)
   }
+
+  /** Exact-substring span dedup: document pairs sharing at least
+    * `minShared` distinct word-n-gram spans — near-verbatim partial
+    * copies (quote farms, mirrored paragraphs) that whole-document
+    * Jaccard can miss. Spans shared by more than `maxDf` documents are
+    * dropped FIRST: boilerplate taglines carry no copy signal and would
+    * fan the self-join out quadratically — the dedup-literature
+    * "ubiquitous shingle" rule and the scale guard in one. The surviving
+    * rare-span self-join is bounded by df² ≤ maxDf² per span. Gram
+    * hashing reuses the FNV shingle kernel (equal to string n-grams up
+    * to negligible collision probability — the q27/q43/q64 precedent).
+    */
+  def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = 50, minShared: Int = 3): DataFrame = {
+    val spans = df.select(
+      col(idCol).as("id"),
+      explode(graft.functions.ArrayOps.ngramHashes(
+        Text.tokens(col(textCol)), n)).as("g"))
+    val rare = spans.groupBy(col("g"))
+      .agg(count(lit(1)).as("span_df"))
+      .filter(col("span_df") <= maxDf)
+    val keyed = spans.join(rare, "g")
+    keyed.select(col("g"), col("id").as("id_a"))
+      .join(keyed.select(col("g"), col("id").as("id_b")), "g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .filter(col("n_shared_spans") >= minShared)
+  }
 }

@@ -308,11 +308,29 @@ object Multimodal {
     }
   }
 
-  /** Partition-local audio decode (same shape as [[extractFeatures]]). */
+  /** Partition-local audio decode (same shape as [[extractFeatures]]).
+    * Strict: an undecodable payload fails loudly, naming the id — the
+    * right mode when the payloads are produced by a known encoder (q87).
+    */
   def audioFeatures(audio: Dataset[AudioRow]): Dataset[AudioFeatures] = {
     val spark: SparkSession = audio.sparkSession
     import spark.implicits._
     audio.mapPartitions(_.map(r => wavDecode(r.id, r.media)))
+  }
+
+  /** Crawl-tolerant variant: undecodable payloads (truncated RIFF, non-PCM
+    * codecs, arbitrary bytes) are DROPPED instead of failing the pass —
+    * one bad document must never kill a corpus-scale job (the same
+    * degradation contract as [[sampleFrames]]'s GIF fallback). Use the
+    * strict [[audioFeatures]] when the source encoder is known.
+    */
+  def audioFeaturesLenient(audio: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    val spark: SparkSession = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions(_.flatMap { r =>
+      try Iterator.single(wavDecode(r.id, r.media))
+      catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+    })
   }
 
   final case class Frame(id: Long, frame_no: Int, phash: Long)

@@ -1212,6 +1212,70 @@ object Relational {
          AS avg_cents
        FROM orders GROUP BY o_orderstatus"""
 
+  // --- q94: ANSI null semantics (the classic trap matrix) ---------------------
+  // One grouped scan pinning every null behavior an engine must get
+  // right: grouping ON a nullable key (the NULL group is a real group),
+  // count(*) vs count(col) (the latter skips nulls), count(DISTINCT)
+  // skipping nulls, `=` null-poisoning (never TRUE), and null-safe
+  // equality (`<=>` / IS NOT DISTINCT FROM — NULL matches NULL). All
+  // counts are integers; nulls are MANUFACTURED portably via nullif over
+  // integer/text columns, so both engines see identical null patterns.
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+      expr("nullif(c_custkey % 5, 0)").as("k"),
+      expr("nullif(c_custkey % 3, 0)").as("k2"))
+    c.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("k")).as("n_k_nonnull"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_k_null"),
+        countDistinct(col("k")).as("n_k_distinct"),
+        sum(when(col("k") === col("k2"), 1L).otherwise(0L)).cast("long")
+          .as("n_eq"),
+        sum(when(col("k") <=> col("k2"), 1L).otherwise(0L)).cast("long")
+          .as("n_nullsafe_eq"))
+  }
+
+  private val q94Sql =
+    """WITH c AS (
+         SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+           nullif(c_custkey % 5, 0) AS k,
+           nullif(c_custkey % 3, 0) AS k2
+         FROM customer)
+       SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(k) AS BIGINT) AS n_k_nonnull,
+         CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_k_null,
+         CAST(count(DISTINCT k) AS BIGINT) AS n_k_distinct,
+         CAST(sum(CASE WHEN k = k2 THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
+         CAST(sum(CASE WHEN k IS NOT DISTINCT FROM k2 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_nullsafe_eq
+       FROM c GROUP BY seg"""
+
+  // --- q95: native AS-OF join (custom LogicalPlan/Strategy/SparkPlan) ---------
+  // q46's exact semantics through the whole-operator extension tier
+  // (plans/AsOfJoinPlan): a forward-only sorted merge holding ONE
+  // retained right row per partition, instead of the union+window form's
+  // full window sort + running last(). Same oracle as q46 — the two
+  // implementations AND DuckDB must agree row-for-row (the native op's
+  // differential twin contract).
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ms", expr("unix_micros(ts) div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ms"),
+        col("ms").as("click_ms"), col("event_id").as("click_id"))
+    graft.plans.AsOfJoinNative
+      .asOf(purchases, clicks, "user_id", "ms", Seq("click_ms", "click_id"))
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        col("click_ms"))
+  }
+
+  private val q95Sql = q46Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -1253,7 +1317,9 @@ object Relational {
     "q89_scd2_pit_join"   -> q89 _,
     "q90_profile"         -> q90 _,
     "q91_resample_ffill"  -> q91 _,
-    "q92_incremental_agg" -> q92 _)
+    "q92_incremental_agg" -> q92 _,
+    "q94_null_semantics"  -> q94 _,
+    "q95_asof_native"     -> q95 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -1296,5 +1362,7 @@ object Relational {
     "q89_scd2_pit_join"   -> q89Sql,
     "q90_profile"         -> q90Sql,
     "q91_resample_ffill"  -> q91Sql,
-    "q92_incremental_agg" -> q92Sql)
+    "q92_incremental_agg" -> q92Sql,
+    "q94_null_semantics"  -> q94Sql,
+    "q95_asof_native"     -> q95Sql)
 }

@@ -1313,24 +1313,9 @@ object TrainingData {
   // one); the surviving rare-span self-join is bounded by df² per span.
   // Gram hashing reuses the FNV shingle kernel (q27/q43/q64 precedent:
   // equal to string 8-grams up to negligible collision probability).
-  private def q84(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.ArrayOps
-    val n = 8
-    val maxDf = 50
-    val spans = Tables.documents(s, d).select(
-      col("doc_id"),
-      explode(ArrayOps.ngramHashes(Text.tokens(col("text")), n)).as("g"))
-    val rare = spans.groupBy(col("g"))
-      .agg(count(lit(1)).as("span_df"))
-      .filter(col("span_df") <= maxDf)
-    val keyed = spans.join(rare, "g")
-    keyed.select(col("g"), col("doc_id").as("id_a"))
-      .join(keyed.select(col("g"), col("doc_id").as("id_b")), "g")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared_spans"))
-      .filter(col("n_shared_spans") >= 3)
-  }
+  private def q84(s: SparkSession, d: String): DataFrame =
+    Dedup.sharedSpanPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 8, maxDf = 50, minShared = 3)
 
   private val q84Sql =
     """WITH sp AS (

@@ -92,7 +92,12 @@ object ScaleProfile {
     spark.sparkContext.setLogLevel("WARN")
     def parseList(i: Int, dflt: Array[Int]): Array[Int] =
       if (args.length > i) {
-        if (args(i).trim.isEmpty) Array.empty else args(i).split(",").map(_.toInt)
+        // "-" (or empty) skips the phase — sbt runMain cannot pass a
+        // literally empty quoted arg through its own tokenizer
+        val a = args(i).trim
+        if (a.isEmpty || a == "-" || a == "''")
+          Array.empty
+        else a.split(",").map(_.toInt)
       } else dflt
     val docReps = parseList(0, Array(20, 200)) // 5k docs ×20=1e5, ×200=1e6
     val vecReps = parseList(1, Array(50, 500)) // 2k vecs ×50=1e5, ×500=1e6
@@ -140,6 +145,31 @@ object ScaleProfile {
         (col("id") + 2000000000L).as("doc_id"), lit(template).as("text"))
       val corpus = replicateDocs(spark, sf, reps).unionByName(spam)
       profileDedup("spam", corpus, f" spam_family=$spamN%d")
+    }
+
+    // Shared-span dedup (q84 family): the replicated corpus's family
+    // salts keep most 8-gram spans family-local (df = 2 siblings), while
+    // the unsalted runs between salt positions repeat across ALL
+    // replicas of a base doc — exactly the "ubiquitous span" population
+    // the df cap must drop for the self-join to stay sub-quadratic.
+    // 4th arg: comma list of reps (default 20,200 → 10^5/10^6 docs).
+    val spanReps = parseList(3, Array(20, 200))
+    spanReps.foreach { reps =>
+      val sb = new ShuffleBytes
+      spark.sparkContext.addSparkListener(sb)
+      val docs = replicateDocs(spark, sf, reps)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = docs.count()
+      val (nPairs, tSpan) = time(
+        graft.operators.Dedup.sharedSpanPairs(
+          docs, "doc_id", "text", n = 8, maxDf = 50, minShared = 3).count())
+      println(f"SCALE spans n=$n%d pairs=$nPairs%d span_s=$tSpan%.1f " +
+        f"shuffle_read_mb=${sb.read.get / 1e6}%.0f " +
+        f"shuffle_write_mb=${sb.written.get / 1e6}%.0f")
+      spark.sparkContext.removeSparkListener(sb)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
 
     vecReps.foreach { reps =>

@@ -68,6 +68,22 @@ class MultimodalAudioSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("non-PCM"))
   }
 
+  test("lenient decode drops corrupt payloads, keeps valid ones") {
+    import spark.implicits._
+    val good = Multimodal.wavEncode(Array[Short](3, -4), 8000)
+    val truncated = good.take(30) // cut mid-fmt
+    val garbage = "definitely not audio".getBytes
+    val rows = Seq(AudioRow(1L, good), AudioRow(2L, truncated),
+      AudioRow(3L, garbage)).toDS()
+    val out = Multimodal.audioFeaturesLenient(rows).collect()
+    assert(out.map(_.id).toSeq == Seq(1L), out.mkString(","))
+    assert(out.head.sum_sq == 25L)
+    // and the strict variant fails loudly on the same corpus
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFeatures(rows).collect()
+    }
+  }
+
   test("audioTable -> audioFeatures runs distributed and matches the recurrence") {
     import spark.implicits._
     val docs = Seq((0L, "a"), (3L, "b"), (42L, "c"))

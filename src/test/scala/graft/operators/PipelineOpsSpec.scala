@@ -184,4 +184,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  // --- shared-span dedup ------------------------------------------------------
+
+  test("span dedup: ubiquitous-span guard drops boilerplate, keeps real copies") {
+    import spark.implicits._
+    // 10 docs all carry the same boilerplate 3-gram; docs 1 and 2
+    // additionally share a real copied span ("copy one two three four"
+    // -> three shared 3-grams). Unique u{i}* filler keeps boundary grams
+    // per-doc.
+    val docs = (1 to 10).map { i =>
+      val base = s"alpha beta gamma u${i}a u${i}b u${i}c"
+      (i.toLong, if (i <= 2) s"$base copy one two three four" else base)
+    }.toDF("doc_id", "text")
+    // guard ON (maxDf=5 < 10): boilerplate span is dropped, only the
+    // genuine copy pair survives, with exactly its 3 shared spans
+    val guarded = Dedup.sharedSpanPairs(docs, "doc_id", "text",
+        n = 3, maxDf = 5, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(guarded.toSeq == Seq((1L, 2L, 3L)), guarded.mkString(","))
+    // guard OFF (maxDf >= corpus): boilerplate makes every pair a
+    // candidate — the quadratic fan-out the df cap exists to stop
+    val unguarded = Dedup.sharedSpanPairs(docs, "doc_id", "text",
+      n = 3, maxDf = 100, minShared = 1).count()
+    assert(unguarded == 45L, s"expected all C(10,2) pairs, got $unguarded")
+  }
 }
