@@ -1276,6 +1276,92 @@ object Relational {
 
   private val q95Sql = q46Sql
 
+  // --- q96: equal-width histogram (distributed binning) -----------------------
+  // Per-status 20-bin histogram of order totals over the GLOBAL
+  // [min, max] cents range: the 1-row range aggregate broadcasts, each
+  // row derives its bin with pure integer arithmetic
+  // ((cents−lo)·20 div (hi−lo+1) — provably in [0,19], exact in both
+  // engines; built-in width_bucket divides doubles, whose boundary
+  // rounding the portability audit forbids), then one map-side-combined
+  // grouped count. Two tiny shuffles regardless of SF.
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderstatus"),
+      (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val mm = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    o.crossJoin(broadcast(mm))
+      .select(col("o_orderstatus"),
+        expr("((cents - lo) * 20L) div (hi - lo + 1L)").as("bin"))
+      .groupBy(col("o_orderstatus"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val q96Sql =
+    """WITH o AS (
+         SELECT o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders),
+       mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o)
+       SELECT o_orderstatus, (cents - lo) * 20 // (hi - lo + 1) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+       FROM o CROSS JOIN mm GROUP BY 1, 2"""
+
+  // --- q98: FILTER-clause aggregation (shared ANSI text) ----------------------
+  // Conditional aggregation the standard way — `agg(...) FILTER (WHERE
+  // ...)` instead of q13's CASE-inside-agg — one identical SQL text runs
+  // on both engines (the q34/q80 pattern). Counts are BIGINT-cast per
+  // the type contract; the FILTERed sums stay on exact integer cents.
+  private val q98Text =
+    """SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_all,
+       CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+           AS BIGINT)) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+         AS disc_cents,
+       CAST(count(DISTINCT l_partkey) FILTER (WHERE l_tax = 0.0)
+         AS BIGINT) AS tax_free_parts
+       FROM lineitem GROUP BY l_returnflag"""
+
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(q98Text)
+  }
+
+  // --- q100: recursive CTE (iterative query surface, new in Spark 4) ----------
+  // WITH RECURSIVE over a synthetic binary-tree hierarchy (parent =
+  // custkey div 2): per customer under 64, the depth to the root and the
+  // ancestor-path node count. The recursion is the engine feature under
+  // test — Spark 4's recursive CTE executes as an iterative union, the
+  // same shape as Dedup.clusters' driver loop but planned by the engine.
+  // Texts differ only in the integer-division spelling (Spark `div`,
+  // DuckDB `//`) — `/` is float division in both and CAST-of-.5 rounds
+  // differently, the exact cross-engine trap the suite's integer-math
+  // rule exists for.
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql("""WITH RECURSIVE anc AS (
+      SELECT c_custkey AS custkey, c_custkey AS anc_key, 0 AS depth
+      FROM customer WHERE c_custkey < 64
+      UNION ALL
+      SELECT custkey, anc_key div 2, depth + 1
+      FROM anc WHERE anc_key > 0)
+      SELECT custkey, CAST(max(depth) AS BIGINT) AS depth_to_root,
+        CAST(count(*) AS BIGINT) AS n_path_nodes
+      FROM anc GROUP BY custkey""")
+  }
+
+  private val q100Sql =
+    """WITH RECURSIVE anc AS (
+       SELECT c_custkey AS custkey, c_custkey AS anc_key, 0 AS depth
+       FROM customer WHERE c_custkey < 64
+       UNION ALL
+       SELECT custkey, anc_key // 2, depth + 1
+       FROM anc WHERE anc_key > 0)
+       SELECT custkey, CAST(max(depth) AS BIGINT) AS depth_to_root,
+         CAST(count(*) AS BIGINT) AS n_path_nodes
+       FROM anc GROUP BY custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -1319,7 +1405,10 @@ object Relational {
     "q91_resample_ffill"  -> q91 _,
     "q92_incremental_agg" -> q92 _,
     "q94_null_semantics"  -> q94 _,
-    "q95_asof_native"     -> q95 _)
+    "q95_asof_native"     -> q95 _,
+    "q96_histogram"       -> q96 _,
+    "q98_filter_agg"      -> q98 _,
+    "q100_recursive_cte"  -> q100 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -1364,5 +1453,8 @@ object Relational {
     "q91_resample_ffill"  -> q91Sql,
     "q92_incremental_agg" -> q92Sql,
     "q94_null_semantics"  -> q94Sql,
-    "q95_asof_native"     -> q95Sql)
+    "q95_asof_native"     -> q95Sql,
+    "q96_histogram"       -> q96Sql,
+    "q98_filter_agg"      -> q98Text,
+    "q100_recursive_cte"  -> q100Sql)
 }

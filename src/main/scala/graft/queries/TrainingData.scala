@@ -1438,6 +1438,66 @@ object TrainingData {
            AS avg_bucket
        FROM tok JOIN b USING (token) GROUP BY doc_id"""
 
+  // --- q97: array higher-order functions (transform/filter/aggregate) ---------
+  // The lambda surface over token arrays, all row-local (zero shuffles,
+  // whole output stays per-document): filter (long tokens),
+  // transform+aggregate (total characters via a fold — integer
+  // accumulator, fold order irrelevant), exists (any numeric token,
+  // mirrored in DuckDB as a non-empty regex filter).
+  private def q97(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(expr("filter(w, x -> length(x) > 4)")).cast("long")
+          .as("n_long_tokens"),
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
+          .as("total_chars"),
+        expr("exists(w, x -> x rlike '^[0-9]+$')").as("has_numeric"))
+
+  private val q97Sql =
+    """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT)
+         AS n_long_tokens,
+       CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+         AS total_chars,
+       len(list_filter(w, x -> regexp_matches(x, '^[0-9]+$'))) > 0
+         AS has_numeric
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t"""
+
+  // --- q99: map-typed columns (map build / values / filter) -------------------
+  // MapType surface: per doc a token→count map built row-locally
+  // (map_from_arrays over the distinct tokens), consumed by size /
+  // map_values / map_filter. Every output is ORDER-FREE (map iteration
+  // order differs between engines by design, so nothing positional may
+  // leak): distinct count, max multiplicity, hapax count (tokens
+  // appearing exactly once — map_filter on the value). The DuckDB
+  // oracle recomputes the same values from list ops — the map is the
+  // Spark-side representation under test, not the exchange format.
+  private def q99(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), expr(
+        "map_from_arrays(array_distinct(w), " +
+        "transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
+        .as("m"))
+      .select(col("doc_id"),
+        size(col("m")).cast("long").as("n_distinct_tokens"),
+        expr("array_max(map_values(m))").cast("long")
+          .as("max_token_count"),
+        expr("size(map_filter(m, (k, v) -> v = 1))").cast("long")
+          .as("n_hapax"))
+
+  private val q99Sql =
+    """SELECT doc_id,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+       CAST(list_max(list_transform(list_distinct(w),
+         t -> len(list_filter(w, x -> x = t)))) AS BIGINT)
+         AS max_token_count,
+       CAST(len(list_filter(list_distinct(w),
+         t -> len(list_filter(w, x -> x = t)) = 1)) AS BIGINT) AS n_hapax
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1488,7 +1548,9 @@ object TrainingData {
     "q84_span_selfdup"    -> q84 _,
     "q85_format_roundtrip" -> q85 _,
     "q87_audio_features"  -> q87 _,
-    "q93_lm_quality"      -> q93 _)
+    "q93_lm_quality"      -> q93 _,
+    "q97_array_hof"       -> q97 _,
+    "q99_map_funcs"       -> q99 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -1540,5 +1602,7 @@ object TrainingData {
     "q84_span_selfdup"    -> q84Sql,
     "q85_format_roundtrip" -> q85Sql,
     "q87_audio_features"  -> q87Sql,
-    "q93_lm_quality"      -> q93Sql)
+    "q93_lm_quality"      -> q93Sql,
+    "q97_array_hof"       -> q97Sql,
+    "q99_map_funcs"       -> q99Sql)
 }

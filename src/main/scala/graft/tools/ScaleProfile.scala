@@ -172,6 +172,40 @@ object ScaleProfile {
         .foreach(_.unpersist(blocking = false))
     }
 
+    // Native AS-OF exec vs the union+window twin at scale: synthetic
+    // (key, time) streams — left 10× the right side, ~10^3 rows per key —
+    // timed over identical inputs. The native merge holds ONE retained
+    // row per partition where the window form sorts and scans frames;
+    // both pay the same co-partitioning shuffle. 5th arg: comma list of
+    // left-row counts (default 1e6,1e7).
+    val asofSizes = parseList(4, Array(1000000, 10000000))
+    asofSizes.foreach { n =>
+      val keys = math.max(1, n / 1000)
+      val left = spark.range(n.toLong).select(
+        (col("id") % keys).as("k"), (col("id") * 7L % 1000000L).as("t"),
+        col("id").as("fact_id"))
+      val right = spark.range(n.toLong / 10).select(
+        (col("id") % keys).as("k"), (col("id") * 13L % 1000000L).as("t"),
+        (col("id") + 5000000000L).as("ver"))
+      val sb1 = new ShuffleBytes
+      spark.sparkContext.addSparkListener(sb1)
+      val (nNative, tNative) = time(
+        graft.plans.AsOfJoinNative.asOf(left, right, "k", "t", Seq("ver"))
+          .filter(col("ver").isNotNull).count())
+      spark.sparkContext.removeSparkListener(sb1)
+      val sb2 = new ShuffleBytes
+      spark.sparkContext.addSparkListener(sb2)
+      val (nWindow, tWindow) = time(
+        graft.operators.TemporalJoin.asOf(left, right, "k", "t", Seq("ver"))
+          .filter(col("asof.ver").isNotNull).count())
+      spark.sparkContext.removeSparkListener(sb2)
+      require(nNative == nWindow,
+        s"native/window row mismatch: $nNative vs $nWindow")
+      println(f"SCALE asof n=$n%d matched=$nNative%d native_s=$tNative%.1f " +
+        f"window_s=$tWindow%.1f native_shuffle_mb=${sb1.read.get / 1e6}%.0f " +
+        f"window_shuffle_mb=${sb2.read.get / 1e6}%.0f")
+    }
+
     vecReps.foreach { reps =>
       val sb = new ShuffleBytes
       spark.sparkContext.addSparkListener(sb)
