@@ -74,7 +74,11 @@ object FlattenQueries {
 
   private def q67(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val flat = Flattener.flatten(graft.sources.EsJson.read(s, GoldenDoc))
+    // fast path (RenderPass row-walk): byte-identical to the expression
+    // path by FlattenerEquivalenceSpec, without Janino-compiling a
+    // 5,028-expression projection for one document — the expression path
+    // stays pinned by FlattenSpec's golden test
+    val flat = Flattener.flattenFast(graft.sources.EsJson.read(s, GoldenDoc))
     // exactly one golden document: a single bounded row crosses the
     // driver, never the corpus (the distributed path is flattenToTsv)
     val r = flat.first()
