@@ -28,6 +28,7 @@ object Bench {
       val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
         val n = f.getName
         (n.startsWith("flatbench") || n.startsWith("graft_lake_") ||
+          n.startsWith("graft_bucketed_") || n.startsWith("graft_formats_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }

@@ -178,6 +178,23 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 2, s"grouping sets should scan orders once, saw $scans/2")
   }
 
+  test("q93: bucket table broadcasts; the token stream is never shuffled for the lookup") {
+    val p = plan("q93_lm_quality")
+    assert(p.contains("BroadcastHashJoin"),
+      s"frequency-bucket lookup not broadcast:\n$p")
+    // ONE shuffle for the vocabulary frequency agg, ONE for the per-doc
+    // agg — the exploded token stream itself never moves
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges <= 2, s"token-stream shuffle crept in:\n$p")
+  }
+
+  test("q89: SCD-2 point-in-time join stays window-shaped (no range join)") {
+    val p = plan("q89_scd2_pit_join")
+    assert(p.contains("Window"), s"as-of window missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "PIT fell into NLJ")
+    assert(!p.contains("CartesianProduct"), "PIT fell into cartesian")
+  }
+
   test("lake export: a partition-column filter prunes, not scans") {
     val dir = java.nio.file.Files.createTempDirectory("lake_planspec")
       .resolve("docs").toString
