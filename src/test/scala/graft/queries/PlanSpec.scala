@@ -195,6 +195,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "PIT fell into cartesian")
   }
 
+  test("AQE skew join: a planted hot key is split at runtime (skew=true)") {
+    // the runtime complement to q78's manual salting: when stats ARE
+    // visible to AQE (storage-level skew, not mid-stage explosions), the
+    // engine itself must split the straggler partition
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // 200k rows on ONE key + a uniform tail; right side is tiny per key
+    val left = s2.range(220000).select(
+      when(col("id") < 200000, lit(1L)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val right = s2.range(20000).select(col("id").as("k"),
+      (col("id") * 2).as("w"))
+    val joined = left.join(right, "k")
+    // k=1 matches its single right row 200k times; tail keys ≥ 200000
+    // have no right match. Drive THIS queryExecution (count() would plan
+    // a separate one and leave this AQE plan un-finalized)
+    assert(joined.queryExecution.toRdd.count() == 200000L,
+      "unexpected join cardinality")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"AQE did not mark the hot partition as skewed:\n${p.take(2000)}")
+  }
+
   test("lake export: a partition-column filter prunes, not scans") {
     val dir = java.nio.file.Files.createTempDirectory("lake_planspec")
       .resolve("docs").toString
