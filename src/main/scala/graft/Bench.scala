@@ -29,6 +29,7 @@ object Bench {
         val n = f.getName
         (n.startsWith("flatbench") || n.startsWith("graft_lake_") ||
           n.startsWith("graft_bucketed_") || n.startsWith("graft_formats_") ||
+          n.startsWith("graft_media_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }

@@ -1498,6 +1498,94 @@ object TrainingData {
          t -> len(list_filter(w, x -> x = t)) = 1)) AS BIGINT) AS n_hapax
        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t"""
 
+  // --- q101: XML source/sink round-trip (built-in Spark 4 XML) ----------------
+  // q85's lossless-round-trip contract for the XML format Spark 4 folded
+  // into core: orders written as <order> rows, read back with the
+  // writer's explicit schema, aggregate hashed against the source of
+  // truth. Money crosses XML as integer cents (the text-format
+  // portability contract).
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_formats_" + Integer.toHexString(d.hashCode), "xml").toString
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+        .as("cents"))
+    o.write.mode("overwrite").format("xml")
+      .option("rootTag", "orders").option("rowTag", "order").save(path)
+    s.read.format("xml").option("rowTag", "order").schema(o.schema)
+      .load(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+  }
+
+  private val q101Sql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+         AS BIGINT) AS total_cents
+       FROM orders GROUP BY o_orderstatus"""
+
+  // --- q102: media-lake ingestion (binaryFile source → partition decode) ------
+  // The real multimodal input path at 100 TB: opaque media FILES on a
+  // lake, read through Spark's `binaryFile` source (path, length,
+  // content), ids recovered from file names, payloads decoded
+  // partition-locally. Files are the q87 WAVs (deterministic recurrence)
+  // for doc_id < 200, so the oracle replays the identical integer
+  // synthesis — a lost file, a truncated payload, or a path-parse slip
+  // all fail the hash. File WRITE is executor-side (mapPartitions +
+  // java.nio on the shared FS — the lake-writer shape), bounded to 200
+  // files per sfDir.
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_media_" + Integer.toHexString(d.hashCode))
+    // overwrite semantics: clear, then executor-side write
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(dir)
+    val dirStr = dir.toString
+    Multimodal.audioTable(
+        Tables.documents(s, d).filter(col("doc_id") < 200))
+      .mapPartitions { it =>
+        it.map { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dirStr, f"audio_${r.id}%05d.wav"),
+            r.media)
+          r.id
+        }
+      }.count(): Unit
+    val files = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dirStr)
+    val decoded = files.select(
+        regexp_extract(col("path"), "audio_(\\d+)\\.wav$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        Multimodal.wavDecode(id, bytes)
+      })
+    decoded.toDF()
+  }
+
+  private val q102Sql =
+    """WITH s AS (
+         SELECT doc_id AS id, 800 + doc_id % 100 AS n FROM documents
+         WHERE doc_id < 200),
+       v AS (
+         SELECT id, n, ((id * 31 + i * 7) % 65536) - 32768 AS x
+         FROM (SELECT id, n, unnest(range(0, n)) AS i FROM s) t)
+       SELECT id, CAST(8000 AS BIGINT) AS sample_rate,
+         CAST(1 AS BIGINT) AS n_channels, CAST(n AS BIGINT) AS n_samples,
+         CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+         CAST(sum(x * x) AS BIGINT) AS sum_sq,
+         CAST(max(abs(x)) AS BIGINT) AS peak
+       FROM v GROUP BY id, n"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1550,7 +1638,9 @@ object TrainingData {
     "q87_audio_features"  -> q87 _,
     "q93_lm_quality"      -> q93 _,
     "q97_array_hof"       -> q97 _,
-    "q99_map_funcs"       -> q99 _)
+    "q99_map_funcs"       -> q99 _,
+    "q101_xml_roundtrip"  -> q101 _,
+    "q102_media_ingest"   -> q102 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -1604,5 +1694,7 @@ object TrainingData {
     "q87_audio_features"  -> q87Sql,
     "q93_lm_quality"      -> q93Sql,
     "q97_array_hof"       -> q97Sql,
-    "q99_map_funcs"       -> q99Sql)
+    "q99_map_funcs"       -> q99Sql,
+    "q101_xml_roundtrip"  -> q101Sql,
+    "q102_media_ingest"   -> q102Sql)
 }
