@@ -1362,6 +1362,49 @@ object Relational {
          CAST(count(*) AS BIGINT) AS n_path_nodes
        FROM anc GROUP BY custkey"""
 
+  // --- q103: ranking-function matrix (rank/dense/row_number/pct/cume) ---------
+  // All five ranking forms over ONE window in one pass, on a tie-heavy
+  // order key (integer quantity): rank and dense_rank give peers equal
+  // values, row_number is made output-deterministic by extending the
+  // order to every output column (fully-duplicate rows then swap
+  // assignments invisibly — the result SET is identical), percent_rank
+  // and cume_dist come out as single divisions over exact integer
+  // ranks/counts (bit-identical cross-engine; rounded 6 for the
+  // contract).
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"), col("l_orderkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"),
+      col("l_quantity").cast("long").as("qty"))
+    val peers = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("qty").asc)
+    val total = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("qty").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+      col("qty"),
+      rank().over(peers).cast("long").as("rnk"),
+      dense_rank().over(peers).cast("long").as("drnk"),
+      row_number().over(total).cast("long").as("rn"),
+      r6(percent_rank().over(peers)).as("pct_rank"),
+      r6(cume_dist().over(peers)).as("cume"))
+  }
+
+  private val q103Sql =
+    """SELECT l_returnflag, l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(l_quantity AS BIGINT) AS qty,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(row_number() OVER (PARTITION BY l_returnflag
+         ORDER BY CAST(l_quantity AS BIGINT), l_orderkey,
+           CAST(l_linenumber AS BIGINT)) AS BIGINT) AS rn,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+       FROM lineitem
+       WINDOW w AS (PARTITION BY l_returnflag
+         ORDER BY CAST(l_quantity AS BIGINT))"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -1408,7 +1451,8 @@ object Relational {
     "q95_asof_native"     -> q95 _,
     "q96_histogram"       -> q96 _,
     "q98_filter_agg"      -> q98 _,
-    "q100_recursive_cte"  -> q100 _)
+    "q100_recursive_cte"  -> q100 _,
+    "q103_rank_matrix"    -> q103 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -1456,5 +1500,6 @@ object Relational {
     "q95_asof_native"     -> q95Sql,
     "q96_histogram"       -> q96Sql,
     "q98_filter_agg"      -> q98Text,
-    "q100_recursive_cte"  -> q100Sql)
+    "q100_recursive_cte"  -> q100Sql,
+    "q103_rank_matrix"    -> q103Sql)
 }
