@@ -1405,6 +1405,54 @@ object Relational {
        WINDOW w AS (PARTITION BY l_returnflag
          ORDER BY CAST(l_quantity AS BIGINT))"""
 
+  // --- q104: analytic-function matrix (lag/lead/first/last/nth_value) ---------
+  // q103's complement: the positional analytic functions over ONE fully
+  // deterministic order (every output column participates, so the
+  // ordered sequence of row contents — and therefore any positional
+  // function of it — is engine-independent even with duplicate rows).
+  // first_value runs on the growing frame; last_value/nth_value use the
+  // whole-partition frame (on the default running frame last_value is
+  // just the current row). Edge rows carry real nulls (lag/lead/nth past
+  // the partition) — the null-transport contract q94 pins, exercised
+  // through windows.
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"), col("l_orderkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"),
+      col("l_quantity").cast("long").as("qty"))
+    val o = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("qty").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val full = o.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+      col("qty"),
+      lag(col("qty"), 1).over(o).as("prev_qty"),
+      lead(col("qty"), 1).over(o).as("next_qty"),
+      first(col("qty")).over(o).as("first_qty"),
+      last(col("qty")).over(full).as("last_qty"),
+      nth_value(col("qty"), 3).over(full).as("third_qty"))
+  }
+
+  private val q104Sql =
+    """SELECT l_returnflag, l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(l_quantity AS BIGINT) AS qty,
+       lag(CAST(l_quantity AS BIGINT), 1) OVER o AS prev_qty,
+       lead(CAST(l_quantity AS BIGINT), 1) OVER o AS next_qty,
+       first_value(CAST(l_quantity AS BIGINT)) OVER o AS first_qty,
+       last_value(CAST(l_quantity AS BIGINT)) OVER f AS last_qty,
+       nth_value(CAST(l_quantity AS BIGINT), 3) OVER f AS third_qty
+       FROM lineitem
+       WINDOW o AS (PARTITION BY l_returnflag
+         ORDER BY CAST(l_quantity AS BIGINT), l_orderkey,
+           CAST(l_linenumber AS BIGINT)),
+       f AS (PARTITION BY l_returnflag
+         ORDER BY CAST(l_quantity AS BIGINT), l_orderkey,
+           CAST(l_linenumber AS BIGINT)
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       """
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -1452,7 +1500,8 @@ object Relational {
     "q96_histogram"       -> q96 _,
     "q98_filter_agg"      -> q98 _,
     "q100_recursive_cte"  -> q100 _,
-    "q103_rank_matrix"    -> q103 _)
+    "q103_rank_matrix"    -> q103 _,
+    "q104_analytic_matrix" -> q104 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -1501,5 +1550,6 @@ object Relational {
     "q96_histogram"       -> q96Sql,
     "q98_filter_agg"      -> q98Text,
     "q100_recursive_cte"  -> q100Sql,
-    "q103_rank_matrix"    -> q103Sql)
+    "q103_rank_matrix"    -> q103Sql,
+    "q104_analytic_matrix" -> q104Sql)
 }
