@@ -38,6 +38,17 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
 
+  /** Collision-resistant scratch key for a dataset dir: SHA-256 of the
+    * path, first 16 hex chars. Queries that materialize per-dataset
+    * scratch dirs or catalog tables (q81/q85/q101/q102) key them by this
+    * — the previous truncated 32-bit `String.hashCode` could collide two
+    * different datasets onto one scratch location.
+    */
+  def scratchKey(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

@@ -93,8 +93,7 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucketSize: Int = 4096): DataFrame = {
-    val rowsPerBand = k / bands
-    val base = df.select(
+    val sets = df.select(
       col(idCol).as("id"),
       graft.functions.ArrayOps.ngramHashes(
         Text.tokens(col(textCol)), shingleN).as("hset"))
@@ -102,6 +101,19 @@ object Dedup {
       // (empty union → 0.0), but they all share the sentinel signature and
       // would band-collide into one quadratic bucket — drop them up front
       .filter(size(col("hset")) > 0)
+
+    // threshold >= 1.0 asks for EXACT duplicates only (Jaccard 1.0 ⇔
+    // set-equal shingles): banded LSH is overkill — every qualifying pair
+    // shares the whole signature, so grouping on the shingle set itself
+    // finds all groups in ONE shuffle with no self-join, no banding, no
+    // hot-bucket machinery. Grouping on the full hset (not a re-hash of
+    // it) adds zero collision exposure beyond the 64-bit shingle kernel
+    // the fractional path already rests on. Oversized groups (template
+    // spam) emit the same O(B) star edges as the banded path's guard.
+    if (threshold >= 1.0) return minhashExactDups(sets, maxBucketSize)
+
+    val rowsPerBand = k / bands
+    val base = sets
       .withColumn("sig", graft.functions.ArrayOps.minhash(col("hset"), k))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -123,28 +135,69 @@ object Dedup {
     val hot = banded.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bn"), min(col("id")).as("mid"))
       .filter(col("bn") > maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val smallB = banded.join(broadcast(hot.select(col("band"), col("bh"))),
-      Seq("band", "bh"), "left_anti")
-    val allPairs = smallB.as("x").join(smallB.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    // oversized buckets: O(B) star edges rooted at the bucket minimum
-    val starPairs = banded
-      .join(broadcast(hot), Seq("band", "bh"))
-      .filter(col("id") =!= col("mid"))
-      .select(col("mid").as("id_a"), col("id").as("id_b"))
-    val cand = allPairs.union(starPairs).distinct()
+    // guard short-circuit: the hot-bucket aggregate is computed either
+    // way, so ONE cheap action decides whether the corpus is adversarial;
+    // the common zero-hot-bucket case then pays neither the broadcast
+    // anti-join nor the star union — the guard costs its aggregate and
+    // nothing else
+    def pairsWithin(b: DataFrame): DataFrame =
+      b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val cand = (if (hot.isEmpty) pairsWithin(banded)
+    else {
+      val smallB = banded.join(
+        broadcast(hot.select(col("band"), col("bh"))),
+        Seq("band", "bh"), "left_anti")
+      // oversized buckets: O(B) star edges rooted at the bucket minimum
+      val starPairs = banded
+        .join(broadcast(hot), Seq("band", "bh"))
+        .filter(col("id") =!= col("mid"))
+        .select(col("mid").as("id_a"), col("id").as("id_b"))
+      pairsWithin(smallB).union(starPairs)
+    }).distinct()
 
-    val sets = base.select(col("id"), col("hset"))
+    val proj = base.select(col("id"), col("hset"))
     cand
-      .join(sets.as("sa"), col("id_a") === col("sa.id"))
-      .join(sets.as("sb"), col("id_b") === col("sb.id"))
+      .join(proj.as("sa"), col("id_a") === col("sa.id"))
+      .join(proj.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
         graft.functions.ArrayOps.jaccardSorted(
           col("sa.hset"), col("sb.hset")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact-duplicate (Jaccard 1.0) pairs in one shuffle: group on the
+    * shingle-hash set itself — all pairs within groups of at most
+    * `maxBucketSize` docs (row-local expansion, no self-join), star edges
+    * rooted at the group minimum above it (the same template-spam cap as
+    * the banded guard). Semantically identical to the banded path at
+    * threshold 1.0 (identical sets collide in EVERY band and verify at
+    * exactly 1.0) at a fraction of its cost; grouping on the full hset —
+    * not a re-hash of it — adds zero collision exposure beyond the
+    * 64-bit shingle kernel.
+    */
+  private def minhashExactDups(sets: DataFrame,
+      maxBucketSize: Int): DataFrame = {
+    val groups = sets.groupBy(col("hset"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"))
+    val small = groups.filter(size(col("ids")) <= maxBucketSize)
+    val allPairs = small
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    val big = groups.filter(size(col("ids")) > maxBucketSize)
+    val starPairs = big
+      .select(element_at(col("ids"), 1).as("id_a"),
+        explode(col("ids")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    allPairs.union(starPairs)
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
   }
 
   /** Incremental ingestion dedup: near-duplicate pairs BETWEEN a small
@@ -244,20 +297,30 @@ object Dedup {
       .filter(col("bn") > maxBucketSize)
       .select(col("band"), col("bv"),
         col("m.id").as("mid"), col("m.sh").as("msh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val smallB = banded.join(broadcast(hot.select(col("band"), col("bv"))),
-      Seq("band", "bv"), "left_anti")
-    val allPairs = smallB.as("x").join(smallB.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        SimHash.hamming(col("x.sh"), col("y.sh")).as("hamming"))
-    val starPairs = banded
-      .join(broadcast(hot), Seq("band", "bv"))
-      .filter(col("id") =!= col("mid"))
-      .select(col("mid").as("id_a"), col("id").as("id_b"),
-        SimHash.hamming(col("msh"), col("sh")).as("hamming"))
-    allPairs.union(starPairs)
+    // same guard short-circuit as minhashLsh: one cheap action over the
+    // persisted sketches skips the anti-join + star union when no bucket
+    // is hot (the common case)
+    def pairsWithin(b: DataFrame): DataFrame =
+      b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          SimHash.hamming(col("x.sh"), col("y.sh")).as("hamming"))
+    val pairs = if (hot.isEmpty) pairsWithin(banded)
+    else {
+      val smallB = banded.join(
+        broadcast(hot.select(col("band"), col("bv"))),
+        Seq("band", "bv"), "left_anti")
+      val starPairs = banded
+        .join(broadcast(hot), Seq("band", "bv"))
+        .filter(col("id") =!= col("mid"))
+        .select(col("mid").as("id_a"), col("id").as("id_b"),
+          SimHash.hamming(col("msh"), col("sh")).as("hamming"))
+      pairsWithin(smallB).union(starPairs)
+    }
+    pairs
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
@@ -286,18 +349,25 @@ object Dedup {
         min_by(struct(col("id"), col("vec")), col("id")).as("m"))
       .filter(col("bn") > maxBucketSize)
       .select(col("bucket"), col("m.id").as("mid"), col("m.vec").as("mvec"))
-    val small = b.join(broadcast(hot.select(col("bucket"))),
-      Seq("bucket"), "left_anti")
-    val allPairs = small.as("x").join(small.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        round(ArrayOps.cosineF(col("x.vec"), col("y.vec")), 6).as("cosine"))
-    val starPairs = b.join(broadcast(hot), Seq("bucket"))
-      .filter(col("id") =!= col("mid"))
-      .select(col("mid").as("id_a"), col("id").as("id_b"),
-        round(ArrayOps.cosineF(col("mvec"), col("vec")), 6).as("cosine"))
-    allPairs.union(starPairs)
-      .filter(col("cosine") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same guard short-circuit as minhashLsh: one cheap action skips the
+    // anti-join + star union when no bucket is hot (the common case)
+    def pairsWithin(s: DataFrame): DataFrame =
+      s.as("x").join(s.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          round(ArrayOps.cosineF(col("x.vec"), col("y.vec")), 6).as("cosine"))
+    val pairs = if (hot.isEmpty) pairsWithin(b)
+    else {
+      val small = b.join(broadcast(hot.select(col("bucket"))),
+        Seq("bucket"), "left_anti")
+      val starPairs = b.join(broadcast(hot), Seq("bucket"))
+        .filter(col("id") =!= col("mid"))
+        .select(col("mid").as("id_a"), col("id").as("id_b"),
+          round(ArrayOps.cosineF(col("mvec"), col("vec")), 6).as("cosine"))
+      pairsWithin(small).union(starPairs)
+    }
+    pairs.filter(col("cosine") >= threshold)
   }
 
   /** Collapse near-duplicate pairs into clusters (connected components)

@@ -260,6 +260,11 @@ object Multimodal {
     while (buf.remaining() >= 8) {
       val chunk = tag()
       val len = buf.getInt
+      // A negative declared length (crafted/corrupt high-bit chunk size)
+      // would move the cursor BACKWARDS and spin the walk forever; treat
+      // it as undecodable so strict mode fails loudly and the lenient
+      // wrapper drops the row instead of hanging the task.
+      require(len >= 0, s"audio id $id: negative chunk length $len ('$chunk')")
       val next = buf.position() + len + (len & 1) // chunks are word-aligned
       chunk match {
         case "fmt " =>

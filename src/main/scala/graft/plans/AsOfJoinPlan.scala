@@ -99,12 +99,28 @@ case class AsOfJoinExec(leftKey: Attribute, leftTime: Attribute,
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullPayload = new GenericInternalRow(payload.length)
       val joined = new JoinedRow
-      var rRow: InternalRow = if (rIt.hasNext) rIt.next() else null
+      // enforce the v1 non-null contract at each row-fetch site:
+      // InternalRow.getLong on a null field silently reads 0, so an
+      // unchecked null key/time would join as key/epoch 0 and produce
+      // silently wrong output instead of an error
+      def nextRight(): InternalRow =
+        if (!rIt.hasNext) null
+        else {
+          val r = rIt.next()
+          if (r.isNullAt(rkOrd) || r.isNullAt(rtOrd)) throw new IllegalStateException(
+            "as-of v1 contract violated: null right-side key/time " +
+              "(would silently join as key/epoch 0)")
+          r
+        }
+      var rRow: InternalRow = nextRight()
       var matchKey = 0L
       var haveMatch = false
       var lastPayload: InternalRow = nullPayload
 
       lIt.map { l =>
+        if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) throw new IllegalStateException(
+          "as-of v1 contract violated: null left-side key/time " +
+            "(would silently join as key/epoch 0)")
         val k = l.getLong(lkOrd)
         val t = l.getLong(ltOrd)
         // forward-only: consume right rows with (rk, rt) <= (k, t),
@@ -119,7 +135,7 @@ case class AsOfJoinExec(leftKey: Attribute, leftTime: Attribute,
               haveMatch = true
               matchKey = k
             }
-            rRow = if (rIt.hasNext) rIt.next() else null
+            rRow = nextRight()
           } else scanning = false
         }
         if (haveMatch && matchKey == k) resultProj(joined(l, lastPayload))

@@ -831,9 +831,14 @@ object Relational {
   // exchange-free shape. The oracle is the plain join (q78Sql) — layout
   // must never change results.
   private def q81(s: SparkSession, d: String): DataFrame = {
+    // catalog table names carry the same collision-resistant dataset key
+    // as the backing path: fixed names would rebind (and race) when two
+    // datasets run through one session/metastore
+    val dk = Tables.scratchKey(d)
     val loc = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_bucketed_" + Integer.toHexString(d.hashCode)).toString
+      System.getProperty("java.io.tmpdir"), s"graft_bucketed_$dk").toString
+    val liName = s"graft_li_bkt_$dk"
+    val oName = s"graft_o_bkt_$dk"
     val nb = 8
     val li = Tables.lineitem(s, d).select(
       col("l_orderkey"),
@@ -847,10 +852,10 @@ object Relational {
         .write.mode("overwrite").format("parquet")
         .bucketBy(nb, key).sortBy(key)
         .option("path", s"$loc/$name").saveAsTable(name)
-    save(li, "graft_li_bkt", "l_orderkey")
-    save(o, "graft_o_bkt", "o_orderkey")
-    s.table("graft_li_bkt")
-      .join(s.table("graft_o_bkt"),
+    save(li, liName, "l_orderkey")
+    save(o, oName, "o_orderkey")
+    s.table(liName)
+      .join(s.table(oName),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
@@ -1131,8 +1136,11 @@ object Relational {
   private def q91(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).select(
       col("user_id"),
-      (expr("unix_micros(ts) div 1000") / lit(86400000L)).cast("long")
-        .as("day"),
+      // integral division end-to-end (Spark `div` == DuckDB `//`, both
+      // floor): `/`-then-cast truncates toward zero and would diverge on
+      // pre-1970 timestamps, and the suite's rule is integer math on the
+      // ms grid (see q89).
+      expr("unix_micros(ts) div 1000 div 86400000").as("day"),
       (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
     val perDay = e.groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))

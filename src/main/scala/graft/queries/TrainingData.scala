@@ -865,7 +865,7 @@ object TrainingData {
     // copy into /tmp per run
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_lake_" + Integer.toHexString(d.hashCode),
+      "graft_lake_" + Tables.scratchKey(d),
       "documents_by_lang").toString
     graft.sinks.Lake.writePartitioned(
       Tables.documents(s, d), dir, "lang")
@@ -1345,7 +1345,7 @@ object TrainingData {
   private def q85(s: SparkSession, d: String): DataFrame = {
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_formats_" + Integer.toHexString(d.hashCode)).toString
+      "graft_formats_" + Tables.scratchKey(d)).toString
     val o = Tables.orders(s, d).select(
       col("o_orderkey"), col("o_orderstatus"),
       (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
@@ -1507,7 +1507,7 @@ object TrainingData {
   private def q101(s: SparkSession, d: String): DataFrame = {
     val path = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_formats_" + Integer.toHexString(d.hashCode), "xml").toString
+      "graft_formats_" + Tables.scratchKey(d), "xml").toString
     val o = Tables.orders(s, d).select(
       col("o_orderkey"), col("o_orderstatus"),
       (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
@@ -1540,7 +1540,7 @@ object TrainingData {
     import s.implicits._
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_media_" + Integer.toHexString(d.hashCode))
+      "graft_media_" + Tables.scratchKey(d))
     // overwrite semantics: clear, then executor-side write
     if (java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._

@@ -68,6 +68,29 @@ class MultimodalAudioSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("non-PCM"))
   }
 
+  test("a negative chunk length is rejected, not an infinite loop") {
+    // craft a WAV whose post-fmt chunk declares a high-bit (negative int)
+    // size: an unguarded walk would move the cursor BACKWARDS and spin
+    // forever; the decoder must treat it as undecodable instead.
+    val base = Multimodal.wavEncode(Array[Short](1, 2), 8000)
+    val fmtEnd = 12 + 8 + 16
+    val buf = java.nio.ByteBuffer.allocate(fmtEnd + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(base, 0, fmtEnd)
+    buf.put("junk".getBytes("US-ASCII")).putInt(0x80000004) // len < 0
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.wavDecode(9L, buf.array())
+    }
+    assert(e.getMessage.contains("negative chunk length"))
+    assert(e.getMessage.contains("9"))
+    // and the lenient pass DROPS the row (the degradation contract) —
+    // before the guard this hung the task instead
+    import spark.implicits._
+    val rows = Seq(AudioRow(1L, base), AudioRow(9L, buf.array())).toDS()
+    val out = Multimodal.audioFeaturesLenient(rows).collect()
+    assert(out.map(_.id).toSeq.sorted == Seq(1L))
+  }
+
   test("lenient decode drops corrupt payloads, keeps valid ones") {
     import spark.implicits._
     val good = Multimodal.wavEncode(Array[Short](3, -4), 8000)

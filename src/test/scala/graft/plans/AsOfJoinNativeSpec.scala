@@ -49,6 +49,32 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(p.contains("AsOfJoin"), s"native exec missing from plan:\n$p")
   }
 
+  test("null key/time rows fail loudly instead of joining as key/epoch 0") {
+    import spark.implicits._
+    // getLong on a null InternalRow field silently reads 0 — before the
+    // fetch-site guards, a null key row joined as key 0 and produced
+    // silently wrong output; the v1 contract must be enforced at runtime.
+    val right = Seq((0L, 5L, 900L), (1L, 10L, 100L)).toDF("k", "t", "v")
+    val nullKeyLeft = spark.sql(
+      "SELECT * FROM VALUES (CAST(NULL AS BIGINT), 20L, 'bad'), " +
+        "(1L, 20L, 'ok') AS t(k, t, tag)")
+    val e1 = intercept[Exception] {
+      AsOfJoinNative.asOf(nullKeyLeft, right, "k", "t", Seq("v")).collect()
+    }
+    assert(e1.toString.contains("as-of v1 contract") ||
+      Option(e1.getCause).exists(_.toString.contains("as-of v1 contract")),
+      e1.toString)
+    val nullTimeRight = spark.sql(
+      "SELECT * FROM VALUES (1L, CAST(NULL AS BIGINT), 7L) AS t(k, t, v)")
+    val left = Seq((1L, 20L, "ok")).toDF("k", "t", "tag")
+    val e2 = intercept[Exception] {
+      AsOfJoinNative.asOf(left, nullTimeRight, "k", "t", Seq("v")).collect()
+    }
+    assert(e2.toString.contains("as-of v1 contract") ||
+      Option(e2.getCause).exists(_.toString.contains("as-of v1 contract")),
+      e2.toString)
+  }
+
   test("differential vs TemporalJoin.asOf on the real events table") {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(spark, sf)
