@@ -31,12 +31,42 @@ object JoinStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def sourceStream(spark: SparkSession, sfDir: String): DataFrame =
+  private def sourceStream(spark: SparkSession, sfDir: String,
+      glob: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** The UNSTARTED view→purchase join: exposed so tests can drive their
+    * own micro-batches (file-by-file) and inspect state-store metrics —
+    * the eviction contract ("state holds only the last `windowMinutes`
+    * per key") is pinned by JoinStreamEvictionSpec feeding two batches
+    * under a tight `watermarkDelay` and asserting late-row drops plus a
+    * bounded state-row count. `viewPurchase` wraps this with the
+    * batch-parity defaults.
+    */
+  def viewPurchaseJoined(spark: SparkSession, sfDir: String,
+      windowMinutes: Int = 30, watermarkDelay: String = "30 days",
+      glob: String = "events.parquet"): DataFrame = {
+    val views = sourceStream(spark, sfDir, glob)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermarkDelay)
+    val purchases = sourceStream(spark, sfDir, glob)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    views.join(purchases,
+      expr(s"""v_user = p_user AND
+               p_ts >= v_ts AND
+               p_ts <= v_ts + interval $windowMinutes minutes"""))
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"))
+  }
 
   /** view→purchase attribution: every (view, purchase) pair of the same
     * user with the purchase inside [view_ts, view_ts + windowMinutes].
@@ -50,22 +80,7 @@ object JoinStream {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val name = "vp_join_" + UUID.randomUUID().toString.replace("-", "")
-    val views = sourceStream(spark, sfDir)
-      .filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
-        col("ts").as("v_ts"))
-      .withWatermark("v_ts", "30 days")
-    val purchases = sourceStream(spark, sfDir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "30 days")
-    val joined = views.join(purchases,
-      expr(s"""v_user = p_user AND
-               p_ts >= v_ts AND
-               p_ts <= v_ts + interval $windowMinutes minutes"""))
-      .select(col("v_user").as("user_id"), col("view_id"),
-        col("purchase_id"))
+    val joined = viewPurchaseJoined(spark, sfDir, windowMinutes)
     val q = joined.writeStream
       .format("memory")
       .queryName(name)
