@@ -1586,6 +1586,110 @@ object TrainingData {
          CAST(max(abs(x)) AS BIGINT) AS peak
        FROM v GROUP BY id, n"""
 
+  // --- q105: the COMPOSITE curation pipeline, end to end ----------------------
+  // Every operator above is individually oracled; this is the query that
+  // proves they COMPOSE — the shape a real training-data user actually
+  // runs as one job: normalize (q52 kernel) → exact dedup on the
+  // normalized body (q20) → MinHash dedup at threshold 1.0 + distributed
+  // cluster collapse (q43/q45) → repetition/length quality filter (q65
+  // rule) → token-budget packing (q68) → hive-partitioned lake write +
+  // read-back aggregate (q63). The oracle replays the identical pipeline
+  // in SQL over the same parquet, so a slip at ANY stage boundary —
+  // survivor identity, filter edge, pack assignment, a row lost in the
+  // lake round trip — fails the hash. Scale: each stage keeps its own
+  // audited shape (losers broadcast-anti-joined, ONE window shuffle for
+  // packing, partition-pruned lake); composing them adds no new shuffle
+  // beyond the stages' own.
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Dedup, Packing}
+    // stage 1: canonical normalization
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), Text.normalize(col("text")).as("nt"))
+    // stage 2a: exact dedup — one survivor (min id) per byte-identical
+    // normalized body; the semi join shuffles (id, hash) pairs only
+    val exactKeep = Dedup.exact(docs, "doc_id", "nt")
+      .select(col("keep_id").as("doc_id"))
+    val s1 = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+    // stage 2b: shingle-set dedup (threshold 1.0 = the one-shuffle exact
+    // fast path) → connected components → collapsed corpus
+    val cl = Dedup.clusters(Dedup.minhashLsh(s1, "doc_id", "nt",
+      threshold = 1.0))
+    val s2 = Dedup.dedupedCorpus(s1, "doc_id", cl)
+    // stage 3: quality filter — minimum length + Gopher-style repetition
+    // (duplicate-3-gram mass > 0.2 drops the doc); nw >= 5 makes the
+    // 3-gram expression well-defined
+    val scored = s2.select(col("doc_id"), col("lang"),
+        col("nt"), Text.tokens(col("nt")).as("tokens"))
+      .withColumn("nw", size(col("tokens")).cast("long"))
+    val grams = expr(
+      "transform(sequence(0, size(tokens) - 3), " +
+      "i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))")
+    val filtered = scored.filter(col("nw") >= 5)
+      .withColumn("g", grams)
+      .filter(!(lit(1.0) -
+        size(array_distinct(col("g"))).cast("double") / size(col("g"))
+        > lit(0.2)))
+      .select(col("doc_id"), col("lang"), col("nt"))
+    // stage 4: token-budget packing (ONE window shuffle on lang)
+    val packed = Packing.packByBudget(filtered, "doc_id", "nt", "lang",
+      budget = 2048L)
+    // stage 5: partitioned lake write + read-back aggregate — the export
+    // round trip is part of the pipeline, so a row lost or retyped in
+    // the lake fails the oracle hash
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_lake_" + Tables.scratchKey(d), "pipeline_packs").toString
+    graft.sinks.Lake.writePartitioned(packed, dir, "lang")
+    graft.sinks.Lake.read(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("pack_id")).as("n_packs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        max(col("pack_id")).cast("long").as("max_pack"))
+  }
+
+  private val q105Sql =
+    """WITH n AS (
+         SELECT doc_id, lang,
+           trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+         FROM documents),
+       ex AS (
+         SELECT *, min(doc_id) OVER (PARTITION BY nt) AS ka FROM n),
+       s1 AS (SELECT doc_id, lang, nt FROM ex WHERE doc_id = ka),
+       sh AS (
+         SELECT doc_id, lang, nt, string_split(nt, ' ') AS w FROM s1),
+       g AS (
+         SELECT doc_id, lang, nt, len(w) AS nw,
+           list_sort(list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s,
+           list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+         FROM sh),
+       k AS (
+         SELECT doc_id, lang, nt, nw, grams,
+           CASE WHEN nw >= 3 THEN min(doc_id) OVER (PARTITION BY s)
+                ELSE doc_id END AS kb
+         FROM g),
+       f AS (
+         SELECT doc_id, lang, CAST(nw AS BIGINT) AS n_tokens
+         FROM k
+         WHERE doc_id = kb AND nw >= 5
+           AND NOT (1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+                    > 0.2)),
+       p AS (
+         SELECT doc_id, lang, n_tokens,
+           COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang
+             ORDER BY doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+             // 2048 AS pack_id
+         FROM f)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(max(pack_id) AS BIGINT) AS max_pack
+       FROM p GROUP BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1640,7 +1744,8 @@ object TrainingData {
     "q97_array_hof"       -> q97 _,
     "q99_map_funcs"       -> q99 _,
     "q101_xml_roundtrip"  -> q101 _,
-    "q102_media_ingest"   -> q102 _)
+    "q102_media_ingest"   -> q102 _,
+    "q105_curation_pipeline" -> q105 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -1696,5 +1801,6 @@ object TrainingData {
     "q97_array_hof"       -> q97Sql,
     "q99_map_funcs"       -> q99Sql,
     "q101_xml_roundtrip"  -> q101Sql,
-    "q102_media_ingest"   -> q102Sql)
+    "q102_media_ingest"   -> q102Sql,
+    "q105_curation_pipeline" -> q105Sql)
 }
