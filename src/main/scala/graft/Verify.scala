@@ -14,7 +14,7 @@ object Verify {
     Bench.cleanStaleTmp(keep =
       Set(new java.io.File(outDir).getAbsolutePath))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -22,7 +22,12 @@ object Verify {
       // run with the engine's extensions on (custom SQL functions + the
       // levenshtein length-prefilter rule) — results must be invariant
       .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // SPARK_GRAFT_AQE=false runs the parity sweep proving correctness
+    // never leans on adaptive execution (plan shapes are pinned with AQE
+    // on; results must be invariant with it off)
+    sys.env.get("SPARK_GRAFT_AQE")
+      .foreach(v => builder.config("spark.sql.adaptive.enabled", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

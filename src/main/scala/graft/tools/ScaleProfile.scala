@@ -30,11 +30,18 @@ object ScaleProfile {
   private final class ShuffleBytes extends SparkListener {
     val read = new AtomicLong(0L)
     val written = new AtomicLong(0L)
+    // spill evidence: when execution memory is scarce the aggregates /
+    // sorts must degrade to disk (graceful), not OOM — these two counters
+    // are the proof a constrained run actually exercised that path
+    val memSpilled = new AtomicLong(0L)
+    val diskSpilled = new AtomicLong(0L)
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
         written.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        memSpilled.addAndGet(m.memoryBytesSpilled): Unit
+        diskSpilled.addAndGet(m.diskBytesSpilled): Unit
       }
     }
   }
@@ -84,11 +91,17 @@ object ScaleProfile {
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // spill-pressure mode: SPARK_GRAFT_MEMORY_FRACTION shrinks the
+    // unified memory region (pair with a small driver -Xmx) so the dedup
+    // family can be shown degrading to disk spill instead of OOM — the
+    // scarce-memory half of the 100 TB story
+    val memFraction = sys.env.get("SPARK_GRAFT_MEMORY_FRACTION")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    memFraction.foreach(f => builder.config("spark.memory.fraction", f))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def parseList(i: Int, dflt: Array[Int]): Array[Int] =
       if (args.length > i) {
@@ -120,7 +133,9 @@ object ScaleProfile {
       println(f"SCALE $label%s n=$n%d pairs=$nPairs%d clustered=$nClustered%d " +
         f"kept=$nKept%d lsh_s=$tPairs%.1f cluster_s=$tCl%.1f " +
         f"dedup_s=$tDedup%.1f shuffle_read_mb=${sb.read.get / 1e6}%.0f " +
-        f"shuffle_write_mb=${sb.written.get / 1e6}%.0f$extra%s")
+        f"shuffle_write_mb=${sb.written.get / 1e6}%.0f " +
+        f"mem_spill_mb=${sb.memSpilled.get / 1e6}%.0f " +
+        f"disk_spill_mb=${sb.diskSpilled.get / 1e6}%.0f$extra%s")
       spark.sparkContext.removeSparkListener(sb)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
