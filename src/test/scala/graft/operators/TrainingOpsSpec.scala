@@ -219,6 +219,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(ids == Set((200L, 201L), (7L, 59L)), ids.toString)
   }
 
+  test("threshold-1.0 fast path: all pairs per group, zero joins, star cap above the bucket bound") {
+    import spark.implicits._
+    // groups: {1,3,5} identical, {7,8} identical, {9} unique — the fast
+    // path must emit ALL within-group pairs (q43's oracle is all-pairs),
+    // every pair at exactly jaccard 1.0
+    val docs = Seq(
+      (1L, wordsDoc(10)), (5L, wordsDoc(10)), (3L, wordsDoc(10)),
+      (7L, wordsDoc(20)), (8L, wordsDoc(20)),
+      (9L, wordsDoc(30))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 1.0)
+    val got = pairs.select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (1L, 5L), (3L, 5L), (7L, 8L)), got.toString)
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0L)
+    // the whole point of the short-cut: ONE groupBy shuffle, NO self-join,
+    // no banding — the physical plan must contain no join operator at all
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"threshold-1.0 path planned a join:\n$plan")
+
+    // oversized identical group: same star-edge cap as the banded guard —
+    // exactly n-1 edges, all rooted at the group minimum
+    val spam = spark.range(5000L).select(
+      col("id").as("doc_id"), lit(wordsDoc(1)).as("text"))
+    val star = Dedup.minhashLsh(spam, "doc_id", "text",
+      threshold = 1.0, maxBucketSize = 4096)
+    assert(star.count() == 4999L)
+    assert(star.filter(col("id_a") =!= 0L).count() == 0L)
+  }
+
   test("hot-bucket guard: 10^5 identical docs complete via star edges, dedup output intact") {
     import spark.implicits._
     // template-spam corpus: 100k docs with IDENTICAL text land every band
