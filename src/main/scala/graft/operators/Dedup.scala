@@ -181,24 +181,23 @@ object Dedup {
     * 64-bit shingle kernel.
     */
   private def minhashExactDups(sets: DataFrame,
-      maxBucketSize: Int): DataFrame = {
-    val groups = sets.groupBy(col("hset"))
+      maxBucketSize: Int): DataFrame =
+    sets.groupBy(col("hset"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(col("ids"))
-    val small = groups.filter(size(col("ids")) <= maxBucketSize)
-    val allPairs = small
-      .select(explode(col("ids")).as("id_a"), col("ids"))
+      // ONE plan branch for both regimes (a small/big split-and-union
+      // would rescan and reshuffle the corpus once per branch): every
+      // root pairs with every strictly-greater member, and the root set
+      // is the whole group (→ all pairs) at or below the cap, just the
+      // group minimum (→ n−1 star edges) above it. Expansion is two
+      // streamed explodes — never a materialized B² array per row.
+      .select(when(size(col("ids")) <= maxBucketSize, col("ids"))
+          .otherwise(slice(col("ids"), 1, 1)).as("roots"),
+        col("ids"))
+      .select(explode(col("roots")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-    val big = groups.filter(size(col("ids")) > maxBucketSize)
-    val starPairs = big
-      .select(element_at(col("ids"), 1).as("id_a"),
-        explode(col("ids")).as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-    allPairs.union(starPairs)
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-  }
 
   /** Incremental ingestion dedup: near-duplicate pairs BETWEEN a small
     * new batch (`delta`) and the existing corpus — the 100 TB ingestion
