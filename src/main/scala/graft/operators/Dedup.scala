@@ -341,8 +341,14 @@ object Dedup {
       dim: Int, threshold: Double = 0.9, nPlanes: Int = 8,
       maxBucketSize: Int = 4096): DataFrame = {
     import graft.functions.ArrayOps
+    // persisted for the same reason as minhashLsh's base / simhashPairs'
+    // sketches: the bucketed projection feeds the hot-bucket aggregate
+    // (materialized by the guard's isEmpty action), both sides of the
+    // self-join, and the star join — without it each branch re-buckets
+    // the corpus
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", ArrayOps.hyperplaneBucketF(col("vec"), nPlanes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = b.groupBy(col("bucket"))
       .agg(count(lit(1)).as("bn"),
         min_by(struct(col("id"), col("vec")), col("id")).as("m"))
