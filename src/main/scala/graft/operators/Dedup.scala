@@ -181,23 +181,40 @@ object Dedup {
     * 64-bit shingle kernel.
     */
   private def minhashExactDups(sets: DataFrame,
-      maxBucketSize: Int): DataFrame =
-    sets.groupBy(col("hset"))
+      maxBucketSize: Int): DataFrame = {
+    // group sizes and minima come from a WINDOW over the shingle set, not
+    // a collect_list aggregate: window partition buffers SPILL to disk
+    // (ExternalAppendOnlyUnsafeRowArray), while a single aggregation
+    // group's buffer must fit in memory — an uncapped collect_list would
+    // reintroduce exactly the unbounded-family exposure the banded
+    // guard's star edges exist to prevent (a 10^8-copy spam family is an
+    // ~800 MB single buffer). After the window, every row knows its
+    // group's size and minimum in O(1) payload.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("hset"))
+    val marked = sets
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("mn", min(col("id")).over(w))
+      .filter(col("bn") > 1)
+      // normal corpora leave only the duplicated docs here (tiny); an
+      // adversarial family is disk-backed — persisted so the two regime
+      // branches below don't re-shuffle and re-window the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // oversized groups: each member row emits its own star edge — the
+    // family never materializes in one buffer anywhere
+    val star = marked.filter(col("bn") > maxBucketSize)
+      .filter(col("id") =!= col("mn"))
+      .select(col("mn").as("id_a"), col("id").as("id_b"))
+    // bounded groups: collect_list is capped by construction (bn filter
+    // precedes it), then two streamed explodes expand all pairs
+    val allPairs = marked.filter(col("bn") <= maxBucketSize)
+      .groupBy(col("hset"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      // ONE plan branch for both regimes (a small/big split-and-union
-      // would rescan and reshuffle the corpus once per branch): every
-      // root pairs with every strictly-greater member, and the root set
-      // is the whole group (→ all pairs) at or below the cap, just the
-      // group minimum (→ n−1 star edges) above it. Expansion is two
-      // streamed explodes — never a materialized B² array per row.
-      .select(when(size(col("ids")) <= maxBucketSize, col("ids"))
-          .otherwise(slice(col("ids"), 1, 1)).as("roots"),
-        col("ids"))
-      .select(explode(col("roots")).as("id_a"), col("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
+    allPairs.union(star)
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+  }
 
   /** Incremental ingestion dedup: near-duplicate pairs BETWEEN a small
     * new batch (`delta`) and the existing corpus — the 100 TB ingestion
