@@ -221,6 +221,36 @@ object ScaleProfile {
         f"window_shuffle_mb=${sb2.read.get / 1e6}%.0f")
     }
 
+    // Threshold-1.0 exact-dup fast path (round 6): the window-marked
+    // one-shuffle shape, profiled on a replicated corpus carrying a
+    // byte-identical spam family — star edges must keep pairs O(corpus +
+    // family) and the window partition buffer must absorb the family
+    // without an aggregation-buffer blowup. 6th arg: "reps,spamCopies".
+    val exactSpec = parseList(5, Array(200, 100000))
+    exactSpec.grouped(2).filter(_.length == 2).foreach { case Array(reps, spamN) =>
+      val sb = new ShuffleBytes
+      spark.sparkContext.addSparkListener(sb)
+      val template = graft.Tables.documents(spark, sf)
+        .filter(col("doc_id") === 3L).select(col("text"))
+        .first().getString(0)
+      val spam = spark.range(spamN.toLong).select(
+        (col("id") + 2000000000L).as("doc_id"), lit(template).as("text"))
+      val corpus = replicateDocs(spark, sf, reps).unionByName(spam)
+      val (n, _) = time(corpus.count())
+      val (nPairs, tExact) = time(
+        graft.operators.Dedup.minhashLsh(corpus, "doc_id", "text",
+          threshold = 1.0).count())
+      println(f"SCALE exact1 n=$n%d pairs=$nPairs%d exact_s=$tExact%.1f " +
+        f"shuffle_read_mb=${sb.read.get / 1e6}%.0f " +
+        f"shuffle_write_mb=${sb.written.get / 1e6}%.0f " +
+        f"mem_spill_mb=${sb.memSpilled.get / 1e6}%.0f " +
+        f"disk_spill_mb=${sb.diskSpilled.get / 1e6}%.0f spam_family=$spamN%d")
+      spark.sparkContext.removeSparkListener(sb)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     vecReps.foreach { reps =>
       val sb = new ShuffleBytes
       spark.sparkContext.addSparkListener(sb)
