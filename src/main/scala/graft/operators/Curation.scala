@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** The composite training-data curation pipeline as ONE user-facing
+  * operator — the job shape a corpus owner actually runs (q105 is its
+  * driver-oracled instance): normalize → exact dedup on the normalized
+  * body → shingle-set dedup (threshold-1.0 fast path) + distributed
+  * cluster collapse → length/repetition quality filter → token-budget
+  * packing.
+  *
+  * Scale design: every stage keeps its audited shape — exact-dup and
+  * shingle-dedup shuffle (id, hash/set) projections, losers are
+  * broadcast-anti-joined so the corpus is filtered in place, the quality
+  * scores are reduced to per-doc ints inside a projection and PERSISTED
+  * before the filter (a predicate over the computed gram arrays would be
+  * alias-substituted down through the tokens/normalize projections by
+  * pushdown, re-evaluating two regex passes per lambda index access —
+  * measured 30+ s per stage at sf0.1), and packing pays its single
+  * window shuffle. Composing the stages adds no shuffle beyond their
+  * own.
+  */
+object Curation {
+
+  /** Curated survivors: `(doc_id, lang, nt)` — normalized text of every
+    * document that survives exact dedup, near(exact-shingle) dedup, and
+    * the quality filter. Survivor identity is deterministic: the minimum
+    * id of each duplicate group.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, minTokens: Int = 5,
+      maxRepetition: Double = 0.2): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      Text.normalize(col(textCol)).as("nt"))
+    // exact dedup — one survivor (min id) per byte-identical normalized
+    // body; the semi join shuffles (id, hash) pairs only
+    val exactKeep = Dedup.exact(base, "doc_id", "nt")
+      .select(col("keep_id").as("doc_id"))
+    val s1 = base.join(exactKeep, Seq("doc_id"), "left_semi")
+    // shingle-set dedup (threshold 1.0 = the one-shuffle window-marked
+    // fast path) → connected components → collapsed corpus
+    val cl = Dedup.clusters(Dedup.minhashLsh(s1, "doc_id", "nt",
+      threshold = 1.0))
+    val s2 = Dedup.dedupedCorpus(s1, "doc_id", cl)
+    // quality filter: minimum length + Gopher-style repetition
+    // (duplicate-3-gram mass > maxRepetition drops the doc)
+    val grams = expr(
+      "transform(sequence(0, size(tokens) - 3), " +
+      "i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))")
+    val scored = s2.select(col("doc_id"), col("lang"),
+        col("nt"), Text.tokens(col("nt")).as("tokens"))
+      .withColumn("nw", size(col("tokens")).cast("long"))
+      .filter(col("nw") >= minTokens)
+      .withColumn("g", grams)
+      .select(col("doc_id"), col("lang"), col("nt"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_uniq"))
+      // pushdown barrier — see the object Scaladoc
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored
+      .filter(!(lit(1.0) -
+        col("n_uniq").cast("double") / col("n_grams") > lit(maxRepetition)))
+      .select(col("doc_id"), col("lang"), col("nt"))
+  }
+
+  /** [[curate]] then token-budget packing: `(doc_id, lang, n_tokens,
+    * pack_id)` — the pre-training export layout.
+    */
+  def curateAndPack(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, budget: Long = 2048L, minTokens: Int = 5,
+      maxRepetition: Double = 0.2): DataFrame =
+    Packing.packByBudget(
+      curate(docs, idCol, textCol, langCol, minTokens, maxRepetition),
+      "doc_id", "nt", "lang", budget)
+}

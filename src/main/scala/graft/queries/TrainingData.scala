@@ -1601,51 +1601,12 @@ object TrainingData {
   // packing, partition-pruned lake); composing them adds no new shuffle
   // beyond the stages' own.
   private def q105(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.{Dedup, Packing}
-    // stage 1: canonical normalization
-    val docs = Tables.documents(s, d).select(
-      col("doc_id"), col("lang"), Text.normalize(col("text")).as("nt"))
-    // stage 2a: exact dedup — one survivor (min id) per byte-identical
-    // normalized body; the semi join shuffles (id, hash) pairs only
-    val exactKeep = Dedup.exact(docs, "doc_id", "nt")
-      .select(col("keep_id").as("doc_id"))
-    val s1 = docs.join(exactKeep, Seq("doc_id"), "left_semi")
-    // stage 2b: shingle-set dedup (threshold 1.0 = the one-shuffle exact
-    // fast path) → connected components → collapsed corpus
-    val cl = Dedup.clusters(Dedup.minhashLsh(s1, "doc_id", "nt",
-      threshold = 1.0))
-    val s2 = Dedup.dedupedCorpus(s1, "doc_id", cl)
-    // stage 3: quality filter — minimum length + Gopher-style repetition
-    // (duplicate-3-gram mass > 0.2 drops the doc); nw >= 5 makes the
-    // 3-gram expression well-defined. The gram arrays are reduced to two
-    // cheap per-doc counts INSIDE a projection and the row is persisted
-    // BEFORE the predicate: a filter written directly over the computed
-    // arrays gets alias-substituted down through the tokens/nt
-    // projections by predicate pushdown, re-evaluating split+normalize
-    // (two regex passes) for every lambda index access — ~3·n_tokens
-    // regex evaluations per row, measured 32 s/stage at sf0.1 vs <1 s
-    // for this shape. The persisted projection is also what the packing
-    // window and the lake write re-read, so the dedup stages run once,
-    // not once per downstream action.
-    val grams = expr(
-      "transform(sequence(0, size(tokens) - 3), " +
-      "i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))")
-    val scored = s2.select(col("doc_id"), col("lang"),
-        col("nt"), Text.tokens(col("nt")).as("tokens"))
-      .withColumn("nw", size(col("tokens")).cast("long"))
-      .filter(col("nw") >= 5)
-      .withColumn("g", grams)
-      .select(col("doc_id"), col("lang"), col("nt"),
-        size(col("g")).cast("long").as("n_grams"),
-        size(array_distinct(col("g"))).cast("long").as("n_uniq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val filtered = scored
-      .filter(!(lit(1.0) -
-        col("n_uniq").cast("double") / col("n_grams") > lit(0.2)))
-      .select(col("doc_id"), col("lang"), col("nt"))
-    // stage 4: token-budget packing (ONE window shuffle on lang)
-    val packed = Packing.packByBudget(filtered, "doc_id", "nt", "lang",
-      budget = 2048L)
+    // stages 1-4 are the public operator (operators/Curation — planted
+    // per-stage drop reasons pinned by CurationSpec; the sf corpora
+    // carry few natural dups, so the spec, not the data, exercises the
+    // dedup stages)
+    val packed = graft.operators.Curation.curateAndPack(
+      Tables.documents(s, d), "doc_id", "text", "lang", budget = 2048L)
     // stage 5: partitioned lake write + read-back aggregate — the export
     // round trip is part of the pipeline, so a row lost or retyped in
     // the lake fails the oracle hash

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted per-stage drop reasons for the composite curation pipeline
+  * (q105's operator). The sf corpora carry few natural duplicates — at
+  * sf0.1, eight exact pairs and ZERO shingle-set groups survive stage 1
+  * — so the driver oracle alone under-exercises the dedup stages; this
+  * spec plants one representative per drop reason and pins exactly who
+  * survives and why.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("each stage drops its own case; survivors and packs are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      // A/B: byte-identical AFTER normalization (punctuation/case only)
+      (10L, "en", "The quick brown fox jumps over the lazy dog today"),
+      (11L, "en", "the QUICK, brown fox; jumps over the lazy dog today!"),
+      // C/D: different strings with EQUAL 3-gram shingle SETS (cyclic
+      // repeats of one cycle share exactly the cycle's rotations):
+      // both = {cat dog emu, dog emu cat, emu cat dog}
+      (20L, "en", "cat dog emu cat dog emu cat dog"),
+      (21L, "en", "cat dog emu cat dog"),
+      // E: repetitive boilerplate — 12 grams, 3 distinct, rep 0.75 > 0.6
+      (30L, "en", "buy now pay buy now pay buy now pay buy now pay buy now"),
+      // F: too short (3 tokens < 5) → dropped
+      (40L, "en", "too short doc"),
+      // G: clean singleton → survives
+      (50L, "de", "ein guter langer text mit sieben verschiedenen tokens"))
+      .toDF("doc_id", "lang", "text")
+
+    // maxRepetition = 0.6: shingle-set-equal docs are cyclic (rep 0.5 for
+    // doc 20) by construction, so a tighter bar would let the quality
+    // stage mask the dedup stage this test exists to exercise
+    val survivors = Curation.curate(docs, "doc_id", "text", "lang",
+        maxRepetition = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    // exact-dup group {10,11} → 10; shingle-set group {20,21} → 20;
+    // 30 repetition-dropped; 40 length-dropped; 50 survives
+    assert(survivors == Set(10L, 20L, 50L), survivors.toString)
+
+    val packed = Curation.curateAndPack(docs, "doc_id", "text", "lang",
+        budget = 8L, maxRepetition = 0.6)
+      .select("doc_id", "lang", "n_tokens", "pack_id")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // en stratum in doc_id order: doc 10 (10 tokens, cum_before 0 →
+    // pack 0), doc 20 (8 tokens, cum_before 10 → 10 div 8 = pack 1);
+    // de: doc 50 (8 tokens → pack 0)
+    assert(packed == Set(
+      (10L, "en", 10L, 0L),
+      (20L, "en", 8L, 1L),
+      (50L, "de", 8L, 0L)), packed.toString)
+  }
+
+  test("survivor identity is the group minimum regardless of row order") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "en", "same words in this exact duplicate sentence here"),
+      (3L, "en", "same words in this exact duplicate sentence here"),
+      (5L, "en", "same words in this exact duplicate sentence here"))
+      .toDF("doc_id", "lang", "text")
+    val survivors = Curation.curate(docs, "doc_id", "text", "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(3L), survivors.toString)
+  }
+}
