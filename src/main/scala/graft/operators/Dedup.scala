@@ -231,14 +231,27 @@ object Dedup {
   def incrementalNearDups(corpus: DataFrame, delta: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 32,
       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = k / bands
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def prep(df: DataFrame, side: String): DataFrame = df.select(
+    def sets(df: DataFrame, side: String): DataFrame = df.select(
         col(idCol).as(s"${side}_id"),
         graft.functions.ArrayOps.ngramHashes(
           Text.tokens(col(textCol)), shingleN).as(s"${side}_hset"))
       .filter(size(col(s"${side}_hset")) > 0) // see minhashLsh: shingle-less
-      .withColumn(s"${side}_sig",             // docs never clear a threshold
+                                              // docs never clear a threshold
+    // threshold >= 1.0 asks for exact cross-set duplicates only: one
+    // broadcast equality join on the shingle sets themselves — no
+    // signatures, no banding, the corpus still never shuffled (the same
+    // fast-path rationale as minhashLsh's, in the delta-vs-corpus shape)
+    if (threshold >= 1.0)
+      return sets(corpus, "corpus")
+        .join(broadcast(sets(delta, "delta")),
+          col("corpus_hset") === col("delta_hset"))
+        .filter(col("corpus_id") =!= col("delta_id"))
+        .select(col("corpus_id"), col("delta_id"), lit(1.0).as("jaccard"))
+
+    val rowsPerBand = k / bands
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def prep(df: DataFrame, side: String): DataFrame = sets(df, side)
+      .withColumn(s"${side}_sig",
         graft.functions.ArrayOps.minhash(col(s"${side}_hset"), k))
     def band(df: DataFrame, side: String): DataFrame = df.select(
         col(s"${side}_id"),

@@ -330,6 +330,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     // every reported pair is (corpus, delta): corpus-internal dup invisible
     assert(got.forall(p => p._1 < 100L && p._2 >= 100L), got.mkString(","))
     assert(!ids.exists(p => p._2 == 102L), "fresh delta doc must match nothing")
+
+    // threshold 1.0 fast path (broadcast hset-equality join, no banding):
+    // only the EXACT clone qualifies; the near-dup and fresh docs do not,
+    // corpus-internal dups stay invisible, and no join appears for the
+    // delta bands because there are none — the plan is one broadcast join
+    val exact = Dedup.incrementalNearDups(corpus, delta, "doc_id", "text",
+      threshold = 1.0)
+    val exactGot = exact.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSet
+    assert(exactGot == Set((12L, 100L, 1.0)), exactGot.toString)
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("embedding near-dup blocking keeps identical vectors together") {
