@@ -33,13 +33,25 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, minTokens: Int = 5,
       maxRepetition: Double = 0.2): DataFrame = {
+    // the 3-gram expression below indexes tokens[i+2] for every position
+    // the length filter admits — a smaller minTokens would index past the
+    // array (ANSI: INVALID_ARRAY_INDEX) or fabricate short grams
+    require(minTokens >= 3, s"minTokens must be >= 3, got $minTokens")
+    // narrow (id, lang, normalized-text) projection, persisted: four
+    // downstream consumers (exact-dup aggregate, its semi join, the
+    // dedup stages via s1, the quality scorer) would otherwise each
+    // re-run the two-regex normalize over the full corpus
     val base = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
-      Text.normalize(col(textCol)).as("nt"))
+        Text.normalize(col(textCol)).as("nt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact dedup — one survivor (min id) per byte-identical normalized
     // body; the semi join shuffles (id, hash) pairs only
     val exactKeep = Dedup.exact(base, "doc_id", "nt")
       .select(col("keep_id").as("doc_id"))
+    // persisted too: the shingle dedup, the anti-join, and the scorer all
+    // consume the survivors — the semi join runs once, not per consumer
     val s1 = base.join(exactKeep, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingle-set dedup (threshold 1.0 = the one-shuffle window-marked
     // fast path) → connected components → collapsed corpus
     val cl = Dedup.clusters(Dedup.minhashLsh(s1, "doc_id", "nt",

@@ -89,6 +89,16 @@ object Dedup {
     * verification and that family's edges are lost for this band — each
     * of the other `bands-1` bands still gets an independent shot, which
     * is the standard recall argument banding already rests on.
+    *
+    * NOTE (contract): the guard probes the hot-bucket aggregate with ONE
+    * eager action while BUILDING the returned DataFrame (so the common
+    * zero-hot-bucket case pays neither the anti-join nor the star
+    * union), which means (a) calling this function runs the shingle +
+    * banding scan, and (b) the guard-on/guard-off decision binds to the
+    * data as of the call — build the frame and execute it in the same
+    * breath (as every caller here does), don't cache the unexecuted
+    * frame across corpus growth. The same contract applies to
+    * [[simhashPairs]] and [[embeddingNearDups]].
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,

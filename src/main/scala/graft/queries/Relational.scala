@@ -1136,10 +1136,11 @@ object Relational {
   private def q91(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).select(
       col("user_id"),
-      // integral division end-to-end (Spark `div` == DuckDB `//`, both
-      // floor): `/`-then-cast truncates toward zero and would diverge on
-      // pre-1970 timestamps, and the suite's rule is integer math on the
-      // ms grid (see q89).
+      // integral division end-to-end: Spark `div` and DuckDB `//` share
+      // ONE semantic (truncation toward zero — verified empirically:
+      // -5 div 2 == -5 // 2 == -2 in both engines), whereas the previous
+      // double-`/`-then-cast route mixed a float intermediate into the
+      // ms grid; the suite's rule is integer math on the grid (see q89).
       expr("unix_micros(ts) div 1000 div 86400000").as("day"),
       (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
     val perDay = e.groupBy(col("user_id"), col("day"))

@@ -60,6 +60,15 @@ class CurationSpec extends AnyFunSuite {
       (50L, "de", 8L, 0L)), packed.toString)
   }
 
+  test("minTokens below the 3-gram floor is rejected, not silently wrong") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "two tokens")).toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.curate(docs, "doc_id", "text", "lang", minTokens = 2)
+    }
+    assert(e.getMessage.contains("minTokens"))
+  }
+
   test("survivor identity is the group minimum regardless of row order") {
     import spark.implicits._
     val docs = Seq(
