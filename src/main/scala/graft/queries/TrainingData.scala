@@ -1664,6 +1664,35 @@ object TrainingData {
          CAST(max(pack_id) AS BIGINT) AS max_pack
        FROM p GROUP BY lang"""
 
+  // --- q106: lake small-file compaction (content-invariance oracle) ----------
+  // The lake-maintenance pass incremental ingestion makes necessary:
+  // a deliberately fragmented partitioned export (16 shuffle slices ×
+  // every lang directory) is compacted to its byte-derived target file
+  // count, then read back and aggregated. The oracle replays the same
+  // aggregate from the SOURCE table, so a row lost, duplicated, or
+  // retyped anywhere in fragment → compact → swap → read fails the
+  // hash; LakeCompactionSpec separately pins that the file census
+  // actually shrinks and the swap is all-or-nothing.
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_lake_" + Tables.scratchKey(d), "frag_docs").toString
+    graft.sinks.Lake.writePartitioned(
+      Tables.documents(s, d).repartition(16), dir, "lang")
+    graft.sinks.Lake.compact(s, dir, "lang")
+    graft.sinks.Lake.read(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        count_distinct(col("doc_id")).as("n_distinct_ids"))
+  }
+
+  private val q106Sql =
+    """SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT doc_id) AS n_distinct_ids
+       FROM documents GROUP BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1719,7 +1748,8 @@ object TrainingData {
     "q99_map_funcs"       -> q99 _,
     "q101_xml_roundtrip"  -> q101 _,
     "q102_media_ingest"   -> q102 _,
-    "q105_curation_pipeline" -> q105 _)
+    "q105_curation_pipeline" -> q105 _,
+    "q106_lake_compaction" -> q106 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -1776,5 +1806,6 @@ object TrainingData {
     "q99_map_funcs"       -> q99Sql,
     "q101_xml_roundtrip"  -> q101Sql,
     "q102_media_ingest"   -> q102Sql,
-    "q105_curation_pipeline" -> q105Sql)
+    "q105_curation_pipeline" -> q105Sql,
+    "q106_lake_compaction" -> q106Sql)
 }
