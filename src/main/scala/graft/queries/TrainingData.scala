@@ -1693,6 +1693,49 @@ object TrainingData {
        count(DISTINCT doc_id) AS n_distinct_ids
        FROM documents GROUP BY lang"""
 
+  // --- q107: lake schema evolution (mergeSchema across writer versions) -------
+  // The long-lived-corpus reality: batches written by different pipeline
+  // versions carry different columns (v2 adds a quality score). The
+  // reader must union the schemas — old rows surface the new column as
+  // NULL — and aggregates must see every row of both vintages. The
+  // oracle replays both vintages from the source table (old batch:
+  // quality NULL; new batch: the same deterministic integer expression),
+  // so a dropped vintage, a misaligned column, or a non-null default
+  // fails the hash.
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_lake_" + Tables.scratchKey(d), "evolving_docs").toString
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$root/batch_v1")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars") % 100).cast("long").as("quality"))
+      .write.mode("overwrite").parquet(s"$root/batch_v2")
+    s.read
+      .option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
+      .parquet(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        count(col("quality")).as("n_with_quality"),
+        sum(col("quality")).cast("long").as("sum_quality"))
+  }
+
+  private val q107Sql =
+    """WITH u AS (
+         SELECT lang, n_chars, CAST(NULL AS BIGINT) AS quality
+         FROM documents
+         UNION ALL
+         SELECT lang, n_chars, CAST(n_chars % 100 AS BIGINT) AS quality
+         FROM documents)
+       SELECT lang, count(*) AS n_rows,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         count(quality) AS n_with_quality,
+         CAST(sum(quality) AS BIGINT) AS sum_quality
+       FROM u GROUP BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1749,7 +1792,8 @@ object TrainingData {
     "q101_xml_roundtrip"  -> q101 _,
     "q102_media_ingest"   -> q102 _,
     "q105_curation_pipeline" -> q105 _,
-    "q106_lake_compaction" -> q106 _)
+    "q106_lake_compaction" -> q106 _,
+    "q107_schema_evolution" -> q107 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -1807,5 +1851,6 @@ object TrainingData {
     "q101_xml_roundtrip"  -> q101Sql,
     "q102_media_ingest"   -> q102Sql,
     "q105_curation_pipeline" -> q105Sql,
-    "q106_lake_compaction" -> q106Sql)
+    "q106_lake_compaction" -> q106Sql,
+    "q107_schema_evolution" -> q107Sql)
 }
