@@ -1,6 +1,8 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Hive-partitioned parquet lake export — the layout a training-data
   * corpus actually ships in: one directory per partition value, so
@@ -30,7 +32,7 @@ object Lake {
     * on the local FS here and on HDFS/object stores on a cluster).
     */
   def fileStats(spark: SparkSession, dir: String): (Long, Long) = {
-    val path = new org.apache.hadoop.fs.Path(dir)
+    val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var files = 0L
     var bytes = 0L
@@ -44,35 +46,144 @@ object Lake {
     (files, bytes)
   }
 
+  /** Parquet bytes per top-level `partCol=value` directory, keyed by the
+    * UNESCAPED partition value (hive escapes specials as %XX in dir
+    * names). One map entry per distinct partition value — the same small
+    * cardinality the hive layout itself already commits to.
+    */
+  private def partitionBytes(fs: FileSystem, path: Path,
+      partCol: String): Map[String, Long] = {
+    val prefix = partCol + "="
+    fs.listStatus(path).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map { s =>
+        var bytes = 0L
+        val it = fs.listFiles(s.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+        }
+        unescapePathName(s.getPath.getName.drop(prefix.length)) -> bytes
+      }.toMap
+  }
+
+  /** Inverse of hive's %XX path escaping (space, '/', ':' … in partition
+    * values), so census keys compare equal to the column values Spark
+    * reconstructs on read.
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Small-file compaction — the lake-maintenance pass every long-lived
     * training corpus needs: incremental ingestion (one micro-batch or
     * CDC merge per arrival) strews thousands of KB-sized parquet files
     * per partition, and at 100 TB the resulting file-listing and
     * per-file open costs dominate reads long before the bytes do.
-    * Rewrites the lake so each output task holds one `partCol` hash
-    * slice (`targetFileBytes` per file target, derived from the current
-    * census), then atomically swaps directories — readers see either the
-    * old layout or the new, never a mix. Content is byte-invariant: the
-    * q106 oracle replays the aggregate from the source table, so a row
-    * lost or duplicated by the rewrite fails the hash.
+    *
+    * Parallelism is derived from the per-partition byte census, not the
+    * partition-value cardinality: each `partCol` value gets
+    * `ceil(partitionBytes / targetFileBytes)` hash slices and rows are
+    * repartitioned on `(partCol, slice)`, so a HOT partition (most
+    * corpora are majority-one-language) compacts in parallel across its
+    * slices into ~`targetFileBytes` files instead of serializing through
+    * one straggler task that writes one oversized file. Slice→task
+    * assignment is by hash, so an output task can carry a small number
+    * of slices (file sizes are ~targetFileBytes up to a small constant),
+    * which is the right trade at scale: the alternative, range
+    * repartitioning, buys exact slice placement at the cost of a second
+    * full read of the lake for boundary sampling.
+    *
+    * The directory swap uses RENAMES ONLY — live → `.compact_backup`,
+    * tmp → live, then the backup is deleted — so a crash or rename
+    * failure at ANY step leaves a complete copy of the data on disk
+    * (readable at `dir`, or recoverable at `dir + ".compact_backup"`);
+    * nothing is deleted until the new layout is live. What this does NOT
+    * give is atomic visibility: between the two renames a reader can
+    * observe a missing directory for an instant (rename itself is atomic
+    * on HDFS/local posix FS, but no filesystem makes two renames one
+    * transaction, and object stores implement rename as copy — a
+    * production object-store lake wants a manifest/table format for
+    * that). Content is byte-invariant through the rewrite: the q106
+    * oracle replays the aggregate from the source table, so a row lost
+    * or duplicated by the rewrite fails the hash.
     *
     * Returns (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, dir: String, partCol: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
-    val (before, bytes) = fileStats(spark, dir)
-    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    val tmp = dir + ".compact_tmp"
-    read(spark, dir)
-      .repartition(n.toInt, org.apache.spark.sql.functions.col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
-    require(fs.rename(tmpPath, path), s"compaction swap failed for $dir")
+    val (before, _) = fileStats(spark, dir)
+    val slices: Map[String, Int] = partitionBytes(fs, path, partCol)
+      .map { case (v, b) =>
+        v -> math.max(1L, (b + targetFileBytes - 1) / targetFileBytes).toInt
+      }
+    val nTasks = math.max(1L, slices.values.map(_.toLong).sum)
+      .min(Int.MaxValue).toInt
+    val src = read(spark, dir)
+    val dataCols = src.columns.filterNot(_ == partCol).map(col).toSeq
+    // deterministic row salt in [0, slices(partValue)): partition values
+    // absent from the census (concurrent writer, null partition) fall
+    // back to one slice
+    val salt = pmod(
+      if (dataCols.nonEmpty) hash(dataCols: _*) else lit(0),
+      coalesce(element_at(typedLit(slices), col(partCol).cast("string")),
+        lit(1)))
+    val tmp = dir + ".compact_tmp"
+    src.withColumn("__slice", salt)
+      .repartition(nTasks, col(partCol), col("__slice"))
+      .drop("__slice")
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    val tmpPath = new Path(tmp)
+    try swapDirs(fs, path, tmpPath, new Path(dir + ".compact_backup"))
+    catch { case e: Throwable => fs.delete(tmpPath, true); throw e }
     val (after, _) = fileStats(spark, dir)
     (before, after)
   }
+
+  /** Rename-only directory swap: live → backup, tmp → live, delete
+    * backup. Invariant: a complete copy of the original data survives
+    * every single-step failure — the original is never deleted until the
+    * replacement is live. On a failed second rename the original is
+    * restored from the backup before throwing; if even the restore
+    * rename fails, the data still exists intact at `backup` (the error
+    * says so).
+    */
+  private[sinks] def swapDirs(fs: FileSystem, live: Path, tmp: Path,
+      backup: Path): Unit = {
+    fs.delete(backup, true) // stale backup from a prior crashed run
+    require(renameQuiet(fs, live, backup),
+      s"compaction swap aborted: could not move $live aside; lake untouched")
+    if (!renameQuiet(fs, tmp, live)) {
+      val restored = renameQuiet(fs, backup, live)
+      throw new IllegalStateException(
+        if (restored)
+          s"compaction swap failed: $tmp -> $live; original restored"
+        else
+          s"compaction swap failed AND restore failed: original data " +
+            s"intact at $backup")
+    }
+    fs.delete(backup, true): Unit
+  }
+
+  /** `FileSystem.rename` signals failure as `false` or as an IOException
+    * depending on the implementation — fold both into `false` so the
+    * swap's restore logic sees every failure mode.
+    */
+  private def renameQuiet(fs: FileSystem, src: Path, dst: Path): Boolean =
+    try fs.rename(src, dst)
+    catch { case _: java.io.IOException => false }
 }
