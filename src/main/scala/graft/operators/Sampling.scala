@@ -22,11 +22,26 @@ object Sampling {
 
   /** Per-stratum Bernoulli sample at `fraction` (same fraction for every
     * stratum; use `df.stat.sampleBy` directly for per-stratum rates).
+    *
+    * `sampleBy` needs the driver-side stratum→fraction map, so the
+    * distinct strata are collected — which is only safe for a LOW-
+    * cardinality stratum (language, source, shard). A caller passing a
+    * doc-id-like column would OOM the driver, so the collect is bounded:
+    * more than `maxStrata` distinct values fails fast with a clear
+    * message instead of dying in block transfer. The count costs one
+    * map-side-combined aggregate over the stratum column only.
     */
   def stratifiedFraction(df: DataFrame, strataCol: String,
-      fraction: Double, seed: Long = 42L): DataFrame = {
+      fraction: Double, seed: Long = 42L,
+      maxStrata: Int = 100000): DataFrame = {
+    // limit(maxStrata + 1) bounds the collect itself: the guard never
+    // pulls more than one row over the limit, whatever the cardinality
     val strata = df.select(col(strataCol)).distinct()
-      .collect().map(_.get(0))
+      .limit(maxStrata + 1).collect().map(_.get(0))
+    require(strata.length <= maxStrata,
+      s"stratifiedFraction: over $maxStrata distinct values in " +
+        s"'$strataCol' — not a stratum column; use stratifiedQuota or " +
+        "sample() for high-cardinality keys")
     df.stat.sampleBy(strataCol,
       strata.map(s => s -> fraction).toMap, seed)
   }

@@ -1601,12 +1601,12 @@ object TrainingData {
   // packing, partition-pruned lake); composing them adds no new shuffle
   // beyond the stages' own.
   private def q105(s: SparkSession, d: String): DataFrame = {
-    // stages 1-4 are the public operator (operators/Curation — planted
-    // per-stage drop reasons pinned by CurationSpec; the sf corpora
-    // carry few natural dups, so the spec, not the data, exercises the
-    // dedup stages)
+    // stages 1-4 are the public operator (operators/Curation); the input
+    // is the sf corpus AUGMENTED with planted duplicate families (see
+    // curationCorpus) so the dedup stages do VISIBLE, driver-hashed work
+    // in this oracle — not just in CurationSpec's local planted corpus
     val packed = graft.operators.Curation.curateAndPack(
-      Tables.documents(s, d), "doc_id", "text", "lang", budget = 2048L)
+      curationCorpus(s, d), "doc_id", "text", "lang", budget = 2048L)
     // stage 5: partitioned lake write + read-back aggregate — the export
     // round trip is part of the pipeline, so a row lost or retyped in
     // the lake fails the oracle hash
@@ -1622,12 +1622,67 @@ object TrainingData {
         max(col("pack_id")).cast("long").as("max_pack"))
   }
 
+  /** q105's corpus: sf documents plus two planted duplicate families,
+    * so both dedup stages have work the driver oracle can SEE.
+    *
+    *  - EXACT clones: `doc_id < 30` re-keyed to `+2000000` with
+    *    byte-identical text. The exact stage collapses each to the
+    *    original; if the whole dedup layer were disabled, 60 extra rows
+    *    would survive into every lang's counts. (At threshold 1.0 the
+    *    shingle stage strictly subsumes the exact stage on >= 3-token
+    *    docs — identical text ⇒ equal gram sets — so disabling the
+    *    exact stage ALONE is output-invariant by construction; its
+    *    distinct contribution in the pipeline is cost, and its own
+    *    correctness is oracled by q20/q45.)
+    *  - SHINGLE-SET twins (lang 'xx'): pairs whose normalized texts
+    *    DIFFER — exact dedup cannot pair them — but whose 3-gram
+    *    shingle SETS are equal: two Eulerian traversals of the same
+    *    gram graph, "a b C a b D a b end" vs "a b D a b C a b end"
+    *    (same 7 grams, different order). ONLY the shingle stage can
+    *    collapse these, every gram is distinct so the survivors pass
+    *    the repetition filter, and the 'xx' output group's counts
+    *    change if that stage is disabled.
+    */
+  private def curationCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val clones = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    def twin(i: Int, loop1: String, loop2: String): String =
+      s"alpha$i beta$i $loop1$i alpha$i beta$i $loop2$i alpha$i beta$i end$i"
+    val twins = (0 until 4).flatMap { i =>
+      Seq((3000000L + i, "xx", twin(i, "cycle", "delta")),
+        (3500000L + i, "xx", twin(i, "delta", "cycle")))
+    }.toDF("doc_id", "lang", "text")
+    docs.unionByName(clones).unionByName(twins)
+  }
+
   private val q105Sql =
-    """WITH n AS (
+    """WITH aug AS (
+         SELECT doc_id, lang, text FROM documents
+         UNION ALL
+         SELECT doc_id + 2000000 AS doc_id, lang, text
+         FROM documents WHERE doc_id < 30
+         UNION ALL
+         SELECT 3000000 + i AS doc_id, 'xx' AS lang,
+           concat_ws(' ', 'alpha'||i::VARCHAR, 'beta'||i::VARCHAR,
+             'cycle'||i::VARCHAR, 'alpha'||i::VARCHAR, 'beta'||i::VARCHAR,
+             'delta'||i::VARCHAR, 'alpha'||i::VARCHAR, 'beta'||i::VARCHAR,
+             'end'||i::VARCHAR) AS text
+         FROM range(4) t(i)
+         UNION ALL
+         SELECT 3500000 + i AS doc_id, 'xx' AS lang,
+           concat_ws(' ', 'alpha'||i::VARCHAR, 'beta'||i::VARCHAR,
+             'delta'||i::VARCHAR, 'alpha'||i::VARCHAR, 'beta'||i::VARCHAR,
+             'cycle'||i::VARCHAR, 'alpha'||i::VARCHAR, 'beta'||i::VARCHAR,
+             'end'||i::VARCHAR) AS text
+         FROM range(4) t(i)),
+       n AS (
          SELECT doc_id, lang,
            trim(regexp_replace(regexp_replace(lower(text),
              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
-         FROM documents),
+         FROM aug),
        ex AS (
          SELECT *, min(doc_id) OVER (PARTITION BY nt) AS ka FROM n),
        s1 AS (SELECT doc_id, lang, nt FROM ex WHERE doc_id = ka),

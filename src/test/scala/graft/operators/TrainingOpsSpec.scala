@@ -393,6 +393,12 @@ class TrainingOpsSpec extends AnyFunSuite {
     // fraction sampler: sane size, per-stratum
     val frac = Sampling.stratifiedFraction(docs, "lang", 0.2, seed = 7L)
     assert(frac.count() > 0 && frac.count() < docs.count())
+    // cardinality guard: a doc-id-like stratum column must fail fast
+    // (bounded collect), not OOM the driver building the sampleBy map
+    val err = intercept[IllegalArgumentException] {
+      Sampling.stratifiedFraction(docs, "doc_id", 0.2, maxStrata = 100)
+    }
+    assert(err.getMessage.contains("not a stratum column"), err.getMessage)
   }
 
   test("normalize and scrubPii transform as specified") {
