@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Quantization, Similarity}
 import graft.streaming.EventsStream
 
 /** Training-data-pipeline operator surface: deduplication (exact / MinHash
@@ -1791,6 +1791,39 @@ object TrainingData {
          CAST(sum(quality) AS BIGINT) AS sum_quality
        FROM u GROUP BY lang"""
 
+  // --- q108: int8 embedding quantization audit -------------------------------
+  // Symmetric per-vector int8 (scale = maxabs/127, clamp ±127) over the
+  // embeddings table; emits exact integer invariants of the quantized
+  // vector (sum_q, n_zero — any rounding divergence between engines
+  // flips them) plus the max/mean dequantization error at 6 decimals.
+  // Both engines compute the identical double-precision quotient chain
+  // (float→double cast, maxabs/127, x/scale), and both round halves
+  // away from zero, so the int8 codes are bit-equal cross-engine.
+  private def q108(s: SparkSession, d: String): DataFrame =
+    Quantization.int8Stats(
+      Tables.embeddings(s, d), "vec_id", "embedding")
+
+  private val q108Sql =
+    """WITH s AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+             / 127.0 AS scale
+         FROM embeddings),
+       q AS (
+         SELECT vec_id, scale, e,
+           list_transform(e, x ->
+             greatest(least(round(x / scale), 127.0), -127.0)) AS qv
+         FROM s WHERE scale > 0)
+       SELECT vec_id,
+         round(scale, 6) AS scale6,
+         CAST(list_sum(qv) AS BIGINT) AS sum_q,
+         CAST(len(list_filter(qv, x -> x = 0)) AS BIGINT) AS n_zero,
+         round(list_max(list_transform(range(1, len(e) + 1),
+           i -> abs(e[i] - qv[i] * scale))), 6) AS max_err6,
+         round(list_sum(list_transform(range(1, len(e) + 1),
+           i -> abs(e[i] - qv[i] * scale))) / len(e), 6) AS mean_err6
+       FROM q"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1848,7 +1881,8 @@ object TrainingData {
     "q102_media_ingest"   -> q102 _,
     "q105_curation_pipeline" -> q105 _,
     "q106_lake_compaction" -> q106 _,
-    "q107_schema_evolution" -> q107 _)
+    "q107_schema_evolution" -> q107 _,
+    "q108_quantize_int8"  -> q108 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -1907,5 +1941,6 @@ object TrainingData {
     "q102_media_ingest"   -> q102Sql,
     "q105_curation_pipeline" -> q105Sql,
     "q106_lake_compaction" -> q106Sql,
-    "q107_schema_evolution" -> q107Sql)
+    "q107_schema_evolution" -> q107Sql,
+    "q108_quantize_int8"  -> q108Sql)
 }
