@@ -1824,6 +1824,45 @@ object TrainingData {
            i -> abs(e[i] - qv[i] * scale))) / len(e), 6) AS mean_err6
        FROM q"""
 
+  // --- q109: top-k over the int8 codes — the compressed-scan ANN path --------
+  // Unlike q29/q50 (recall audits), this has an EXACT oracle: the
+  // integer dot/norms are exact in both engines (≤ 64·127² per vector,
+  // far below 2^53), sqrt/division are correctly-rounded IEEE on
+  // bit-identical inputs, so sims — and the (sim DESC, id ASC) ranking
+  // — replay exactly in SQL. Measures sim agreement with the float
+  // ranking implicitly: rank flips vs q28 are the quantization cost.
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
+  private val q109Sql =
+    """WITH s AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+             / 127.0 AS scale
+         FROM embeddings),
+       q AS (
+         SELECT vec_id,
+           list_transform(e, x ->
+             greatest(least(round(x / scale), 127.0), -127.0)) AS qv
+         FROM s WHERE scale > 0),
+       p AS (
+         SELECT a.vec_id AS q_id, b.vec_id AS id,
+           list_sum(list_transform(range(1, len(a.qv) + 1),
+             i -> a.qv[i] * b.qv[i]))
+           / (sqrt(list_sum(list_transform(a.qv, x -> x * x))) *
+              sqrt(list_sum(list_transform(b.qv, x -> x * x)))) AS sim
+         FROM q a, q b
+         WHERE a.vec_id < 10 AND a.vec_id != b.vec_id)
+       SELECT q_id, id, sim6, rank FROM (
+         SELECT q_id, id, round(sim, 6) AS sim6,
+           CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY sim DESC, id ASC) AS BIGINT) AS rank
+         FROM p) t
+       WHERE rank <= 5"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1882,7 +1921,8 @@ object TrainingData {
     "q105_curation_pipeline" -> q105 _,
     "q106_lake_compaction" -> q106 _,
     "q107_schema_evolution" -> q107 _,
-    "q108_quantize_int8"  -> q108 _)
+    "q108_quantize_int8"  -> q108 _,
+    "q109_ann_quantized"  -> q109 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -1942,5 +1982,6 @@ object TrainingData {
     "q105_curation_pipeline" -> q105Sql,
     "q106_lake_compaction" -> q106Sql,
     "q107_schema_evolution" -> q107Sql,
-    "q108_quantize_int8"  -> q108Sql)
+    "q108_quantize_int8"  -> q108Sql,
+    "q109_ann_quantized"  -> q109Sql)
 }

@@ -52,6 +52,60 @@ class QuantizationSpec extends AnyFunSuite {
     assert(stats.filter(col("max_err6") > col("bound")).count() == 0)
   }
 
+  test("quantized top-k preserves cluster structure vs float top-k") {
+    // three tight clusters around orthogonal-ish directions: int8
+    // rounding (max relative error ~0.4% per coordinate) cannot jump
+    // a result ACROSS clusters, so every quantized neighbor must be
+    // in the query's cluster; WITHIN a cluster siblings sit ~1e-4
+    // apart in cosine, where rounding may legitimately swap the last
+    // rank — so recall@5 is bounded, not pinned to 1.0
+    val rnd = new scala.util.Random(13)
+    def around(base: Array[Float], id: Long) =
+      (id, base.toSeq.map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f))
+    val b1 = Array.tabulate(16)(i => if (i < 6) 1f else 0.05f)
+    val b2 = Array.tabulate(16)(i => if (i >= 6 && i < 11) 1f else 0.05f)
+    val b3 = Array.tabulate(16)(i => if (i >= 11) 1f else 0.05f)
+    val corpus = df(
+      (Seq(b1, b2, b3).zipWithIndex.flatMap { case (b, ci) =>
+        (0 until 8).map(j => around(b, ci * 100L + j))
+      }): _*)
+    val queries = corpus.filter(col("id").isin(0L, 100L, 200L))
+    val qk = Similarity.quantizedTopK(corpus, queries, "id", "vec", k = 5)
+      .select("q_id", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fk = Similarity.bruteForceTopK(corpus, queries, "id", "vec", k = 5)
+      .select("q_id", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(qk.length == 15)
+    qk.foreach { case (q, id) =>
+      assert(q / 100 == id / 100, s"cross-cluster neighbor: ($q, $id)")
+    }
+    Seq(0L, 100L, 200L).foreach { q =>
+      val hits = qk.filter(_._1 == q).count(fk.contains)
+      assert(hits >= 4, s"recall@5 for query $q: $hits/5")
+    }
+  }
+
+  test("cosineInt8 matches a driver-side integer recomputation") {
+    import graft.functions.ArrayOps
+    val rnd = new scala.util.Random(17)
+    val a = Seq.fill(32)((rnd.nextFloat() - 0.5f) * 3f)
+    val b = Seq.fill(32)((rnd.nextFloat() - 0.5f) * 3f)
+    val d = Quantization.int8(df((1L, a), (2L, b)), "vec")
+      .select("id", "q_vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1).map(_.toLong))).toMap
+    val (qa, qb) = (d(1L), d(2L))
+    val expect = qa.zip(qb).map { case (x, y) => x * y }.sum.toDouble /
+      (math.sqrt(qa.map(x => x * x).sum.toDouble) *
+        math.sqrt(qb.map(x => x * x).sum.toDouble))
+    val t = Quantization.int8(df((1L, a), (2L, b)), "vec")
+      .select(col("id"), col("q_vec"))
+    val got = t.as("x").join(t.as("y"), col("x.id") < col("y.id"))
+      .select(ArrayOps.cosineInt8(col("x.q_vec"), col("y.q_vec")))
+      .head().getDouble(0)
+    assert(math.abs(got - expect) < 1e-12 || got == expect,
+      s"$got vs $expect")
+  }
+
   test("integer invariants match a driver-side recomputation") {
     val rnd = new scala.util.Random(11)
     val rows = (1L to 20L).map(i =>
