@@ -367,4 +367,141 @@ object ArrayOps {
           CatalystBridge.expression(lit(seed))),
         Seq(ArrayType(LongType), IntegerType, LongType),
         returnNullable = false))
+
+  // --- product quantization (PQ) kernels ------------------------------------
+  // Codebook layout everywhere: flat row-major floats, subspace j's
+  // centroid c starting at (j*ksub + c)*subDim. The vector is
+  // L2-NORMALIZED once per call (cosine metric → inner-product PQ), so
+  // callers hand in raw embeddings and the codebooks are trained on
+  // normalized subvectors.
+
+  /** PQ encode: per subspace, the index (ties → lowest) of the nearest
+    * codebook centroid by squared L2 over the normalized subvector —
+    * m bytes per vector (ksub ≤ 128). A zero vector normalizes to zero
+    * and encodes deterministically like any other point.
+    */
+  def pqEncode(v: ArrayData, codebooks: ArrayData, m: Int, ksub: Int,
+      subDim: Int): ArrayData = {
+    val dim = m * subDim
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = v.getFloat(i).toDouble; n2 += x * x; i += 1
+    }
+    val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val off = (j * ksub + c) * subDim
+        var d = 0.0
+        var t = 0
+        while (t < subDim) {
+          val e = v.getFloat(j * subDim + t).toDouble * inv -
+            codebooks.getFloat(off + t).toDouble
+          d += e * e
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Query-side ADC lookup table: inner products of the normalized
+    * query's subvector j against every centroid of subspace j — m·ksub
+    * doubles. `Σ_j lut[j·ksub + code_j]` then approximates
+    * cosine(query, corpus vector) without touching the corpus floats.
+    */
+  def pqLut(v: ArrayData, codebooks: ArrayData, m: Int, ksub: Int,
+      subDim: Int): ArrayData = {
+    val dim = m * subDim
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = v.getFloat(i).toDouble; n2 += x * x; i += 1
+    }
+    val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+    val lut = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val off = (j * ksub + c) * subDim
+        var dot = 0.0
+        var t = 0
+        while (t < subDim) {
+          dot += v.getFloat(j * subDim + t).toDouble * inv *
+            codebooks.getFloat(off + t).toDouble
+          t += 1
+        }
+        lut(j * ksub + c) = dot
+        c += 1
+      }
+      j += 1
+    }
+    ArrayData.toArrayData(lut)
+  }
+
+  /** ADC score: `Σ_j lut[j·ksub + codes[j]]` — m additions + m table
+    * reads per candidate, never the floats. This is the PQ scan kernel:
+    * at 100 TB the candidate stage reads m bytes/vector (32× less than
+    * float32 at m=8, dim=64) and the LUT rides in cache.
+    */
+  def pqAdc(lut: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += lut.getDouble(j * ksub + codes.getByte(j))
+      j += 1
+    }
+    s
+  }
+
+  def pqEncodeF(v: Column, codebooks: Column, m: Int, ksub: Int,
+      subDim: Int): Column =
+    CatalystBridge.column(
+      StaticInvoke(
+        ArrayOps.getClass, ArrayType(ByteType, containsNull = false),
+        "pqEncode",
+        Seq(CatalystBridge.expression(v),
+          CatalystBridge.expression(codebooks),
+          CatalystBridge.expression(lit(m)),
+          CatalystBridge.expression(lit(ksub)),
+          CatalystBridge.expression(lit(subDim))),
+        Seq(ArrayType(FloatType), ArrayType(FloatType), IntegerType,
+          IntegerType, IntegerType),
+        returnNullable = false))
+
+  def pqLutF(v: Column, codebooks: Column, m: Int, ksub: Int,
+      subDim: Int): Column =
+    CatalystBridge.column(
+      StaticInvoke(
+        ArrayOps.getClass, ArrayType(DoubleType, containsNull = false),
+        "pqLut",
+        Seq(CatalystBridge.expression(v),
+          CatalystBridge.expression(codebooks),
+          CatalystBridge.expression(lit(m)),
+          CatalystBridge.expression(lit(ksub)),
+          CatalystBridge.expression(lit(subDim))),
+        Seq(ArrayType(FloatType), ArrayType(FloatType), IntegerType,
+          IntegerType, IntegerType),
+        returnNullable = false))
+
+  def pqAdcF(lut: Column, codes: Column, ksub: Int): Column =
+    CatalystBridge.column(
+      StaticInvoke(
+        ArrayOps.getClass, DoubleType, "pqAdc",
+        Seq(CatalystBridge.expression(lut),
+          CatalystBridge.expression(codes),
+          CatalystBridge.expression(lit(ksub))),
+        Seq(ArrayType(DoubleType), ArrayType(ByteType), IntegerType),
+        returnNullable = false))
 }

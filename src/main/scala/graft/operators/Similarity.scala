@@ -195,4 +195,139 @@ object Similarity {
     }
     cent.flatten
   }
+
+  /** Product-quantization ADC top-k — the compressed-scan ANN tier past
+    * int8 ([[quantizedTopK]]): the corpus is encoded to `m` byte codes
+    * per vector (m=8 on 64-dim = 32× less than float32), each query
+    * precomputes an m×ksub inner-product lookup table against the
+    * codebooks, and candidate scoring is `m` table adds — no float
+    * vector is ever read again after encoding. This is the faiss
+    * IndexPQ search shape re-expressed as a Spark plan: bounded
+    * deterministic driver-side training (sampleN×dim floats, like
+    * [[ivfTopK]]), ONE distributed encode pass with the codebooks
+    * inlined as a packed literal, queries broadcast, corpus never
+    * shuffled; the only shuffle carries (q_id, id, sim) triples into
+    * the per-query top-k window. Cosine metric: vectors are
+    * L2-normalized inside the kernels, codebooks are trained on
+    * normalized subvectors, so ADC sums approximate cosine directly.
+    *
+    * `refine` is the faiss IndexRefineFlat pattern: the ADC pass keeps
+    * a shortlist of `refine·k` candidates per query, which is then
+    * re-ranked EXACTLY on the float vectors. The shortlist is tiny
+    * (|Q|·refine·k ids), so the re-rank is a broadcast semi-join
+    * against the corpus — at 100 TB a parquet lake sorted/bloom-indexed
+    * on id prunes that second scan to the touched row groups, while
+    * the full scan happened once over m-byte codes. Quantization error
+    * then only costs candidates dropped from the shortlist, not final
+    * ordering. `refine = 1` disables re-ranking (pure ADC).
+    * Output: (q_id, id, rank) — approximate, audited by recall against
+    * [[bruteForceTopK]] (q110).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int = 5, m: Int = 8, ksub: Int = 16,
+      refine: Int = 4, sampleN: Int = 2048, iters: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(ksub > 0 && ksub <= 128, s"ksub=$ksub must fit a signed byte")
+    require(refine >= 1, s"refine=$refine must be >= 1")
+    val subDim = dim / m
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val codebooks = trainPqCodebooks(sample, m, ksub, subDim, iters, seed)
+    val cbLit = ArrayOps.packedFloatLit(codebooks)
+
+    val c = corpus.select(col(idCol).as("id"),
+      ArrayOps.pqEncodeF(col(vecCol), cbLit, m, ksub, subDim).as("codes"))
+    val q = queries.select(col(idCol).as("q_id"),
+      ArrayOps.pqLutF(col(vecCol), cbLit, m, ksub, subDim).as("lut"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        ArrayOps.pqAdcF(col("lut"), col("codes"), ksub).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    val shortlist = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * refine)
+    if (refine == 1)
+      shortlist.select(col("q_id"), col("id"),
+        col("rank").cast("long").as("rank"))
+    else {
+      val qf = queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"))
+      val reranked = corpus
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .join(broadcast(shortlist.select(col("q_id"), col("id"))), Seq("id"))
+        .join(broadcast(qf), Seq("q_id"))
+        .select(col("q_id"), col("id"),
+          ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
+      reranked.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("id"), col("rank").cast("long").as("rank"))
+    }
+  }
+
+  /** Per-subspace Lloyd's k-means (L2) over the L2-NORMALIZED sample —
+    * standard PQ training. Deterministic: seeded init (same shuffle
+    * pattern as [[trainSphericalKMeans]]), fixed iteration order, empty
+    * cells keep their previous centroid. Returns the flat codebook
+    * matrix in [[ArrayOps.pqEncode]]'s layout:
+    * `(j*ksub + c)*subDim + t`.
+    */
+  private[graft] def trainPqCodebooks(points: Array[Array[Float]], m: Int,
+      ksub: Int, subDim: Int, iters: Int, seed: Long): Array[Float] = {
+    require(points.nonEmpty, "PQ training sample is empty")
+    val dim = m * subDim
+    val normed = points.map { v =>
+      var n2 = 0.0
+      var i = 0
+      while (i < dim) { n2 += v(i).toDouble * v(i); i += 1 }
+      val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+      Array.tabulate(dim)(i => (v(i) * inv).toFloat)
+    }
+    val out = new Array[Float](m * ksub * subDim)
+    var j = 0
+    while (j < m) {
+      val sub = normed.map(v => java.util.Arrays.copyOfRange(v,
+        j * subDim, (j + 1) * subDim))
+      val rnd = new scala.util.Random(seed + j)
+      val init = rnd.shuffle(sub.indices.toVector)
+        .take(math.min(ksub, sub.length))
+      var cent = Array.tabulate(ksub)(c =>
+        if (c < init.length) sub(init(c)).clone() else sub(c % sub.length).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](subDim))
+        val counts = new Array[Int](ksub)
+        sub.foreach { p =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0
+            var t = 0
+            while (t < subDim) {
+              val e = p(t).toDouble - cent(c)(t); d += e * e; t += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var t = 0
+          while (t < subDim) { sums(best)(t) += p(t); t += 1 }
+          counts(best) += 1
+        }
+        cent = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cent(c)
+          else Array.tabulate(subDim)(t => (sums(c)(t) / counts(c)).toFloat))
+        it += 1
+      }
+      var c = 0
+      while (c < ksub) {
+        System.arraycopy(cent(c), 0, out, (j * ksub + c) * subDim, subDim)
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
 }

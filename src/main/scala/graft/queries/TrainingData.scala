@@ -1863,6 +1863,27 @@ object TrainingData {
          FROM p) t
        WHERE rank <= 5"""
 
+  // --- q110: PQ-ADC ANN — same recall-invariant oracle as q29/q50 ------------
+  // Product quantization completes the compression ladder (float →
+  // int8 → m-byte PQ codes, 16× at m=16/dim=64): the full scan reads
+  // only m code bytes per vector and scores them with m lookup-table
+  // adds; a refine·k shortlist is then re-ranked exactly on floats
+  // (the faiss refine pattern — the second, shortlist-pruned scan).
+  // Approximate by design → the driver-visible contract is recall@5
+  // against exact brute force. Measured at sf0.01 (synthetic near-
+  // random embeddings, the PQ-hostile case — no cluster structure):
+  // pure ADC 0.46, with refine=4 exact re-rank 0.86; floor 0.5 leaves
+  // seeded-training slack.
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    annRecallAudit(
+      Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = 5, m = 16, ksub = 16, refine = 4),
+      Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5),
+      floor = 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1922,7 +1943,8 @@ object TrainingData {
     "q106_lake_compaction" -> q106 _,
     "q107_schema_evolution" -> q107 _,
     "q108_quantize_int8"  -> q108 _,
-    "q109_ann_quantized"  -> q109 _)
+    "q109_ann_quantized"  -> q109 _,
+    "q110_ann_pq"         -> q110 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -1983,5 +2005,6 @@ object TrainingData {
     "q106_lake_compaction" -> q106Sql,
     "q107_schema_evolution" -> q107Sql,
     "q108_quantize_int8"  -> q108Sql,
-    "q109_ann_quantized"  -> q109Sql)
+    "q109_ann_quantized"  -> q109Sql,
+    "q110_ann_pq"         -> annAuditSql)
 }
