@@ -1462,6 +1462,32 @@ object Relational {
          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
        """
 
+  // --- q111: bloom semi-join reduction ---------------------------------------
+  // "Huge fact ⋈ selective build" where the build side (4% of orders)
+  // is too big to assume broadcastable at 100 TB but its key set fits
+  // 64 Kbit of bloom: the fact side is pre-filtered AT THE SCAN, so the
+  // join shuffle carries only the ~matching 4% (+ <1% false positives)
+  // instead of every lineitem. FULL equality oracle — the bloom has no
+  // false negatives and the join kills the false positives, so the
+  // result is exactly the plain inner join DuckDB computes.
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 480000.0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    graft.operators.JoinReduction.bloomReducedJoin(
+        Tables.lineitem(s, d), "l_orderkey", bigOrders, "o_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        isum(money(col("l_extendedprice")), 100L).as("rev_cents"))
+  }
+
+  private val q111Sql =
+    """SELECT o_orderstatus, count(*) AS n_items,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_totalprice > 480000.0
+       GROUP BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -1510,7 +1536,8 @@ object Relational {
     "q98_filter_agg"      -> q98 _,
     "q100_recursive_cte"  -> q100 _,
     "q103_rank_matrix"    -> q103 _,
-    "q104_analytic_matrix" -> q104 _)
+    "q104_analytic_matrix" -> q104 _,
+    "q111_bloom_join"     -> q111 _)
 
   val oracle: Map[String, String] = Map(
     "q01_agg_fullscan"    -> q01Sql,
@@ -1560,5 +1587,6 @@ object Relational {
     "q98_filter_agg"      -> q98Text,
     "q100_recursive_cte"  -> q100Sql,
     "q103_rank_matrix"    -> q103Sql,
-    "q104_analytic_matrix" -> q104Sql)
+    "q104_analytic_matrix" -> q104Sql,
+    "q111_bloom_join"     -> q111Sql)
 }
