@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Quantization, Similarity}
+import graft.operators.{Dedup, Layout, Multimodal, Quantization, Similarity}
 import graft.streaming.EventsStream
 
 /** Training-data-pipeline operator surface: deduplication (exact / MinHash
@@ -1884,6 +1884,36 @@ object TrainingData {
       floor = 0.5)
   }
 
+  // --- q112: deterministic training shuffle — FULL per-row oracle ------------
+  // The lake layout that IS the training order: shard and in-shard
+  // position derive from doc_id via an engine-portable
+  // affine→square→affine mixer mod 1e9+7 (Layout.shuffleHash — the
+  // squaring round breaks the consecutive-id stride an affine chain
+  // leaks), so the whole permutation — every (doc_id, shard, pos)
+  // row — replays exactly in DuckDB. Reproducible across reruns,
+  // cluster sizes, and input order; ONE window shuffle, no global
+  // sort, no RNG state.
+  private def q112(s: SparkSession, d: String): DataFrame =
+    Layout.trainingShuffle(
+      Tables.documents(s, d).select(col("doc_id")), "doc_id", 16, 2026L)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  private val q112Sql =
+    """WITH h AS (
+         SELECT doc_id,
+           ((doc_id % 1000000007) * 2654435761 + 2026) % 1000000007 AS h1
+         FROM documents),
+       hq AS (
+         SELECT doc_id, (h1 * h1) % 1000000007 AS h2 FROM h),
+       hh AS (
+         SELECT doc_id,
+           (h2 * 2246822519 + 40503) % 1000000007 AS h3
+         FROM hq)
+       SELECT doc_id, CAST(h3 % 16 AS BIGINT) AS shard,
+         CAST(row_number() OVER (PARTITION BY h3 % 16
+           ORDER BY h3, doc_id) AS BIGINT) AS pos
+       FROM hh"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1944,7 +1974,8 @@ object TrainingData {
     "q107_schema_evolution" -> q107 _,
     "q108_quantize_int8"  -> q108 _,
     "q109_ann_quantized"  -> q109 _,
-    "q110_ann_pq"         -> q110 _)
+    "q110_ann_pq"         -> q110 _,
+    "q112_training_shuffle" -> q112 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2006,5 +2037,6 @@ object TrainingData {
     "q107_schema_evolution" -> q107Sql,
     "q108_quantize_int8"  -> q108Sql,
     "q109_ann_quantized"  -> q109Sql,
-    "q110_ann_pq"         -> annAuditSql)
+    "q110_ann_pq"         -> annAuditSql,
+    "q112_training_shuffle" -> q112Sql)
 }
