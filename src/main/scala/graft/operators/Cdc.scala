@@ -50,4 +50,35 @@ object Cdc {
     snapshot.join(latest.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(upserts)
   }
+
+  /** Out-of-order-safe VERSIONED merge — the cross-batch form of
+    * [[applyChangelog]] for incremental application (streaming
+    * `foreachBatch`) where batch boundaries are arbitrary: state and
+    * delta BOTH carry (`seqCols`, `opCol`), per key the max-seq row
+    * wins no matter which side (or which batch) it arrived in, and
+    * delete TOMBSTONES are retained in the output so a stale upsert in
+    * a later batch cannot resurrect a deleted key. Readers filter
+    * `opCol != deleteOp`. Replay-idempotent (re-merging an applied
+    * batch is a no-op), so it composes with at-least-once delivery.
+    *
+    * One max_by shuffle per merge, no window sort; with AQE the
+    * (small) delta broadcasts nowhere — both sides group on the key —
+    * but partial aggregation keeps the map-side combine, and at 100 TB
+    * the state side would be bucketed on the key so successive merges
+    * reuse the partitioning.
+    */
+  def mergeVersioned(state: DataFrame, delta: DataFrame, keyCol: String,
+      seqCols: Seq[String], opCol: String): DataFrame = {
+    require(seqCols.nonEmpty, "seqCols must order changes within a key")
+    require(state.columns.sorted.sameElements(delta.columns.sorted),
+      s"state/delta schemas differ: ${state.columns.mkString(",")} vs " +
+        delta.columns.mkString(","))
+    val payload = state.columns.filterNot(_ == keyCol)
+    val seq = struct(seqCols.map(col): _*)
+    val packed = struct(payload.map(col): _*)
+    state.unionByName(delta)
+      .groupBy(col(keyCol))
+      .agg(max_by(packed, seq).as("w"))
+      .select(col(keyCol) +: payload.map(c => col(s"w.$c").as(c)): _*)
+  }
 }

@@ -1914,6 +1914,18 @@ object TrainingData {
            ORDER BY h3, doc_id) AS BIGINT) AS pos
        FROM hh"""
 
+  // --- q113: streaming CDC ingestion — cross-paradigm equality oracle --------
+  // The foreachBatch maintenance loop: the event stream is folded
+  // batch-by-batch into a versioned lake snapshot via the seq-aware,
+  // tombstone-retaining Cdc.mergeVersioned, so the result is
+  // independent of batch boundaries and idempotent under redelivery.
+  // The final snapshot must equal the BATCH CDC merge — the oracle is
+  // q72's SQL verbatim (CdcStreamSpec forces multi-batch splits and
+  // out-of-order arrival; the driver query proves stream == batch ==
+  // DuckDB end-to-end).
+  private def q113(s: SparkSession, d: String): DataFrame =
+    graft.streaming.CdcStream.mergedSnapshot(s, d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1975,7 +1987,8 @@ object TrainingData {
     "q108_quantize_int8"  -> q108 _,
     "q109_ann_quantized"  -> q109 _,
     "q110_ann_pq"         -> q110 _,
-    "q112_training_shuffle" -> q112 _)
+    "q112_training_shuffle" -> q112 _,
+    "q113_cdc_stream"     -> q113 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2038,5 +2051,6 @@ object TrainingData {
     "q108_quantize_int8"  -> q108Sql,
     "q109_ann_quantized"  -> q109Sql,
     "q110_ann_pq"         -> annAuditSql,
-    "q112_training_shuffle" -> q112Sql)
+    "q112_training_shuffle" -> q112Sql,
+    "q113_cdc_stream"     -> q72Sql)
 }
