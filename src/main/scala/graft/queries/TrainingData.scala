@@ -1926,6 +1926,24 @@ object TrainingData {
   private def q113(s: SparkSession, d: String): DataFrame =
     graft.streaming.CdcStream.mergedSnapshot(s, d)
 
+  // --- q114: sliding-window streaming aggregation ----------------------------
+  // The overlapping-window form q31's tumbling matrix lacks: 15-min
+  // width sliding by 5 min, every event in exactly 3 windows. The
+  // DuckDB replay expands each event to its 3 candidate window starts
+  // (cross join k in {0,1,2}) — window membership, counts, and exact
+  // cent sums must all agree.
+  private def q114(s: SparkSession, d: String): DataFrame =
+    EventsStream.slidingAgg(s, d)
+
+  private val q114Sql =
+    """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts)
+           - k * INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS total_value_cents
+       FROM events CROSS JOIN (VALUES (0), (1), (2)) g(k)
+       GROUP BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -1988,7 +2006,8 @@ object TrainingData {
     "q109_ann_quantized"  -> q109 _,
     "q110_ann_pq"         -> q110 _,
     "q112_training_shuffle" -> q112 _,
-    "q113_cdc_stream"     -> q113 _)
+    "q113_cdc_stream"     -> q113 _,
+    "q114_sliding_window" -> q114 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2052,5 +2071,6 @@ object TrainingData {
     "q109_ann_quantized"  -> q109Sql,
     "q110_ann_pq"         -> annAuditSql,
     "q112_training_shuffle" -> q112Sql,
-    "q113_cdc_stream"     -> q72Sql)
+    "q113_cdc_stream"     -> q72Sql,
+    "q114_sliding_window" -> q114Sql)
 }

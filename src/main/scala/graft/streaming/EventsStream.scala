@@ -80,4 +80,51 @@ object EventsStream {
     }
     spark.table(name)
   }
+
+  /** SLIDING (hopping) windows — 15-minute width, 5-minute slide: every
+    * event contributes to width/slide = 3 overlapping windows. Same
+    * source → watermark → stateful-agg → memory-sink machinery as
+    * [[windowedAgg]]; state holds ~3× the tumbling window count (the
+    * overlap factor), still bounded by the watermark. The batch/DuckDB
+    * replay is the 3-offset bucket expansion (each event cross-joined
+    * to its k ∈ {0,1,2} candidate window starts) — q114 pins equality.
+    */
+  def slidingAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = "events_slide_" + UUID.randomUUID().toString.replace("-", "")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "30 days")
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(14,2)") * lit(100).cast("decimal(3,0)"))
+          .cast("long")).as("total_value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("n"), col("total_value_cents"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
+    spark.table(name)
+  }
 }
