@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed k-means over an embedding column, and the
+  * SemDeDup-style semantic dedup built on top of it.
+  *
+  * The scale problem this solves is REPRODUCIBILITY, not speed: naive
+  * distributed k-means sums float coordinates in shuffle-arrival order,
+  * so centroids (and therefore assignments, and therefore which
+  * documents a semantic dedup DROPS from a training set) differ run to
+  * run and cluster layout to cluster layout. Here every arithmetic step
+  * is exact 64-bit integer math on fixed-point coordinates:
+  *
+  *  - quantize once: `q[i] = round(v[i] * scale)` (half-away-from-zero,
+  *    identical in Spark and any IEEE replay),
+  *  - distances are exact integer L2² (≤ dim·(2·scale)² « 2⁶³),
+  *  - centroid updates are exact integer sums (order-independent)
+  *    divided with truncating integer division.
+  *
+  * The result is bit-identical under any partitioning, AQE decision, or
+  * executor count — proven by [[graft.ClusteringSpec]] re-running under
+  * adversarial repartitioning — and exactly replayable in ANSI SQL,
+  * which is what the q115/q116 oracles do.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - the corpus is never shuffled for assignment — centroids travel to
+  *    the data as broadcast literals, assignment is a map-only pass;
+  *  - the centroid update is a map-side-combined aggregation producing
+  *    k·(dim+1) longs; the driver only ever holds k·dim values;
+  *  - one corpus scan per iteration, `iters` is a small constant.
+  *
+  * Reference scope: the reference engine has no clustering; this is part
+  * of the training-data extension surface (SemDeDup: Abbas et al. 2023,
+  * arXiv:2303.09540 — semantic duplicates are found within k-means
+  * clusters so the pair search is k · (n/k)² instead of n²).
+  */
+object Clustering {
+
+  /** Fixed-point quantization of a float-array column: one BIGINT per
+    * coordinate, `round(v[i] * scale)` half-away-from-zero.
+    */
+  def quantizeF(vec: Column, scale: Long): Column =
+    transform(vec, x => round(x.cast("double") * lit(scale.toDouble)).cast("long"))
+
+  /** Exact integer squared-L2 distance between a quantized column and a
+    * quantized centroid literal.
+    */
+  private def distSq(qv: Column, centroid: Seq[Long]): Column =
+    aggregate(
+      zip_with(qv, typedLit(centroid), (a, b) => { val d = a - b; d * d }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** One assignment pass: each row gets the (cluster, dist) of its
+    * nearest centroid, ties broken toward the smaller cluster id —
+    * `least` over (dist, cluster) structs compares lexicographically,
+    * mirroring the oracle's `ORDER BY d, cl`.
+    */
+  private def assign(qdf: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame = {
+    val best = least(centroids.map { case (cl, c) =>
+      struct(distSq(col("qv"), c).as("d"), lit(cl).as("cl"))
+    }: _*)
+    qdf.withColumn("best", best)
+      .select(col("id"), col("best.cl").as("cluster"),
+        col("best.d").as("dist"), col("qv"))
+  }
+
+  /** k-means with deterministic seeding (the k smallest ids, labelled
+    * 0..k-1 in id order) and `iters` assignment rounds. Returns one row
+    * per input row: (id, cluster, dist, qv). Clusters that lose every
+    * member simply drop out of later rounds (their label is retired,
+    * the rest keep theirs) — same behavior as the SQL replay's GROUP BY.
+    */
+  def fixedPointKMeans(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k=$k iters=$iters must be >= 1")
+    val qdf = df.select(col(idCol).as("id"),
+      quantizeF(col(vecCol), scale).as("qv"))
+
+    // Deterministic init: bounded collect of exactly k rows.
+    var centroids: Seq[(Long, Seq[Long])] =
+      qdf.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
+        case (r, j) => (j.toLong, r.getSeq[Long](r.fieldIndex("qv")))
+      }.toSeq
+    val dim = centroids.head._2.length
+
+    var assigned = assign(qdf, centroids)
+    for (_ <- 1 until iters) {
+      // Exact integer mean per surviving cluster: map-side-combined sums
+      // of each coordinate (k·(dim+1) longs total), truncating division
+      // on the driver — Long division truncates toward zero, exactly the
+      // semantics of Spark's `div` and the oracle's `//`.
+      val sums = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(element_at(col("qv"), i + 1)).as(s"s$i")): _*)
+        .collect()
+      centroids = sums.map { r =>
+        val n = r.getAs[Long]("n")
+        (r.getAs[Long]("cluster"),
+          (0 until dim).map(i => r.getAs[Long](s"s$i") / n))
+      }.sortBy(_._1).toSeq
+      assigned = assign(qdf, centroids)
+    }
+    assigned
+  }
+
+  /** SemDeDup: within each k-means cluster, a row is dropped when ANY
+    * smaller-id row of the same cluster is within exact quantized L2²
+    * `threshold` of it — so the smallest id of every near-dup set always
+    * survives, with no iterative union-find (one join, SQL-replayable).
+    * Output: (id, cluster, kept) for every input row.
+    *
+    * The pair search joins on `cluster`, so its cost is
+    * Σ_c |c|² ≈ n²/k — the SemDeDup contract is that k grows with the
+    * corpus (k ≈ n/E[cluster size]) so per-cluster work stays bounded;
+    * the hot-cluster failure mode is a skewed centroid, which the
+    * caller controls via k, not a data-dependent explosion.
+    */
+  def semanticDedup(assigned: DataFrame, threshold: Long): DataFrame = {
+    val a = assigned.select(col("id"), col("cluster"), col("qv"))
+    val b = a.select(col("id").as("b_id"), col("cluster").as("b_cluster"),
+      col("qv").as("b_qv"))
+    val dupIds = a.join(b,
+        col("cluster") === col("b_cluster") && col("b_id") < col("id"))
+      .filter(aggregate(
+        zip_with(col("qv"), col("b_qv"), (x, y) => { val d = x - y; d * d }),
+        lit(0L), (acc, x) => acc + x) <= lit(threshold))
+      .select(col("id")).distinct()
+    assigned.join(dupIds.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        col("is_dup").isNull.as("kept"))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Layout, Multimodal, Quantization, Similarity}
+import graft.operators.{Clustering, Dedup, Layout, Multimodal, Quantization, Similarity}
 import graft.streaming.EventsStream
 
 /** Training-data-pipeline operator surface: deduplication (exact / MinHash
@@ -1944,6 +1944,124 @@ object TrainingData {
        FROM events CROSS JOIN (VALUES (0), (1), (2)) g(k)
        GROUP BY 1, 2"""
 
+  // --- q115: deterministic fixed-point k-means -------------------------------
+  // Distributed k-means whose every arithmetic step is exact 64-bit
+  // integer math (quantize → integer L2² → integer-sum centroids with
+  // truncating division), so centroids and assignments are bit-identical
+  // under any partitioning AND exactly replayable in SQL: the oracle
+  // unrolls both Lloyd rounds (init = 8 smallest vec_ids, argmin with
+  // (dist, cluster) tie-break, element-wise integer mean) and the final
+  // (vec_id, cluster, dist) must hash-match end to end.
+  private def q115(s: SparkSession, d: String): DataFrame =
+    Clustering.fixedPointKMeans(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("id").as("vec_id"), col("cluster"), col("dist"))
+
+  private val q115Sql =
+    """WITH q AS (
+         SELECT vec_id, list_transform(embedding::DOUBLE[],
+           x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+         FROM embeddings),
+       c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+           qv AS c
+         FROM q ORDER BY vec_id LIMIT 8),
+       a1 AS (
+         SELECT vec_id, qv, cl FROM (
+           SELECT q.vec_id, q.qv, c0.cl,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+               i -> (q.qv[i] - c0.c[i]) * (q.qv[i] - c0.c[i]))) AS d,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY d, c0.cl) AS rn
+           FROM q CROSS JOIN c0) t WHERE rn = 1),
+       c1 AS (
+         SELECT cl, list(s ORDER BY i) AS c FROM (
+           SELECT cl, i, CAST(sum(v) AS BIGINT) // count(*) AS s
+           FROM (SELECT cl, generate_subscripts(qv, 1) AS i,
+                   unnest(qv) AS v FROM a1) e
+           GROUP BY cl, i) u
+         GROUP BY cl),
+       a2 AS (
+         SELECT vec_id, cl, d FROM (
+           SELECT q.vec_id, c1.cl,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+               i -> (q.qv[i] - c1.c[i]) * (q.qv[i] - c1.c[i]))) AS d,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY d, c1.cl) AS rn
+           FROM q CROSS JOIN c1) t WHERE rn = 1)
+       SELECT vec_id, CAST(cl AS BIGINT) AS cluster,
+         CAST(d AS BIGINT) AS dist
+       FROM a2"""
+
+  // --- q116: SemDeDup semantic dedup over the k-means clusters ---------------
+  // Plants 20 near-clones (each coordinate shifted by 5e-7, i.e. at most
+  // ±1 fixed-point unit after quantization) into the corpus, re-runs the
+  // deterministic k-means over the union, then drops every row that has
+  // a smaller-id in-cluster neighbor within integer L2² 256. The oracle
+  // replays the whole pipeline — clones must land beside their
+  // originals and be the rows dropped; every natural row survives.
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("embedding"))
+    val clones = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(5.0e-7)).as("embedding"))
+    val assigned = Clustering.fixedPointKMeans(base.unionByName(clones),
+      "vec_id", "embedding", k = 8, iters = 2)
+    Clustering.semanticDedup(assigned, threshold = 256L)
+      .select(col("id").as("vec_id"), col("cluster"), col("kept"))
+  }
+
+  private val q116Sql =
+    """WITH base AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       src AS (
+         SELECT vec_id, e FROM base
+         UNION ALL
+         SELECT vec_id + 100000, list_transform(e, x -> x + 0.0000005)
+         FROM base WHERE vec_id < 20),
+       q AS (
+         SELECT vec_id, list_transform(e,
+           x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+         FROM src),
+       c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+           qv AS c
+         FROM q ORDER BY vec_id LIMIT 8),
+       a1 AS (
+         SELECT vec_id, qv, cl FROM (
+           SELECT q.vec_id, q.qv, c0.cl,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+               i -> (q.qv[i] - c0.c[i]) * (q.qv[i] - c0.c[i]))) AS d,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY d, c0.cl) AS rn
+           FROM q CROSS JOIN c0) t WHERE rn = 1),
+       c1 AS (
+         SELECT cl, list(s ORDER BY i) AS c FROM (
+           SELECT cl, i, CAST(sum(v) AS BIGINT) // count(*) AS s
+           FROM (SELECT cl, generate_subscripts(qv, 1) AS i,
+                   unnest(qv) AS v FROM a1) e
+           GROUP BY cl, i) u
+         GROUP BY cl),
+       a2 AS (
+         SELECT vec_id, qv, cl FROM (
+           SELECT q.vec_id, q.qv, c1.cl,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+               i -> (q.qv[i] - c1.c[i]) * (q.qv[i] - c1.c[i]))) AS d,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY d, c1.cl) AS rn
+           FROM q CROSS JOIN c1) t WHERE rn = 1),
+       dups AS (
+         SELECT a.vec_id AS id
+         FROM a2 a JOIN a2 b
+           ON a.cl = b.cl AND b.vec_id < a.vec_id
+         WHERE list_sum(list_transform(range(1, len(a.qv) + 1),
+           i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) <= 256
+         GROUP BY a.vec_id)
+       SELECT a.vec_id, CAST(a.cl AS BIGINT) AS cluster,
+         p.id IS NULL AS kept
+       FROM a2 a LEFT JOIN dups p ON p.id = a.vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -2007,7 +2125,9 @@ object TrainingData {
     "q110_ann_pq"         -> q110 _,
     "q112_training_shuffle" -> q112 _,
     "q113_cdc_stream"     -> q113 _,
-    "q114_sliding_window" -> q114 _)
+    "q114_sliding_window" -> q114 _,
+    "q115_kmeans_fixedpoint" -> q115 _,
+    "q116_semantic_dedup" -> q116 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2072,5 +2192,7 @@ object TrainingData {
     "q110_ann_pq"         -> annAuditSql,
     "q112_training_shuffle" -> q112Sql,
     "q113_cdc_stream"     -> q72Sql,
-    "q114_sliding_window" -> q114Sql)
+    "q114_sliding_window" -> q114Sql,
+    "q115_kmeans_fixedpoint" -> q115Sql,
+    "q116_semantic_dedup" -> q116Sql)
 }
