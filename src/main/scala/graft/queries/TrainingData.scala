@@ -2062,6 +2062,53 @@ object TrainingData {
          p.id IS NULL AS kept
        FROM a2 a LEFT JOIN dups p ON p.id = a.vec_id"""
 
+  // --- q117: integer-mass PageRank over the customer↔supplier graph ----------
+  // Graph centrality via join iteration: the symmetric trade graph
+  // (customer→supplier and back, node ids disambiguated even/odd) is
+  // ranked with 3 exact integer PageRank rounds — every shipped share
+  // is `(pr·85 div 100) div outdeg`, so the oracle can unroll the same
+  // three rounds in SQL and the final (node, pr) must hash-match bit
+  // for bit. The web-crawl curation prior, made reproducible.
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = pairs
+      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+    graft.operators.Graph.pageRank(edges, iters = 3)
+  }
+
+  private val q117Sql =
+    """WITH pairs AS (
+         SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       edges AS (
+         SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+         UNION ALL
+         SELECT sk * 2 + 1, ck * 2 FROM pairs),
+       deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+       r1 AS (
+         SELECT e.dst AS node,
+           CAST(150000000 + sum((r.pr * 85 // 100) // d.od) AS BIGINT) AS pr
+         FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
+         GROUP BY e.dst),
+       r2 AS (
+         SELECT e.dst AS node,
+           CAST(150000000 + sum((r.pr * 85 // 100) // d.od) AS BIGINT) AS pr
+         FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
+         GROUP BY e.dst),
+       r3 AS (
+         SELECT e.dst AS node,
+           CAST(150000000 + sum((r.pr * 85 // 100) // d.od) AS BIGINT) AS pr
+         FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
+         GROUP BY e.dst)
+       SELECT node, pr FROM r3"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -2127,7 +2174,8 @@ object TrainingData {
     "q113_cdc_stream"     -> q113 _,
     "q114_sliding_window" -> q114 _,
     "q115_kmeans_fixedpoint" -> q115 _,
-    "q116_semantic_dedup" -> q116 _)
+    "q116_semantic_dedup" -> q116 _,
+    "q117_pagerank"       -> q117 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2194,5 +2242,6 @@ object TrainingData {
     "q113_cdc_stream"     -> q72Sql,
     "q114_sliding_window" -> q114Sql,
     "q115_kmeans_fixedpoint" -> q115Sql,
-    "q116_semantic_dedup" -> q116Sql)
+    "q116_semantic_dedup" -> q116Sql,
+    "q117_pagerank"       -> q117Sql)
 }
