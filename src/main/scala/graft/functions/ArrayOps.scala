@@ -340,6 +340,49 @@ object ArrayOps {
           IntegerType),
         returnNullable = false))
 
+  def packedLongLit(values: Array[Long]): Column = CatalystBridge.column(
+    Literal(UnsafeArrayData.fromPrimitiveArray(values),
+      ArrayType(LongType, containsNull = false)))
+
+  /** Exact integer L2² of a quantized vector against every row of a flat
+    * row-major centroid matrix; returns [bestIndex, bestDist] with ties
+    * going to the lowest index. One static call per row keeps the k×dim
+    * loop on primitive longs — the fixed-point k-means assignment kernel
+    * (the composed zip_with/aggregate form allocates a zipped array per
+    * centroid per row; this allocates nothing but the 2-long result).
+    */
+  def nearestCentroidL2(v: ArrayData, centroids: ArrayData,
+      dim: Int): ArrayData = {
+    val n = centroids.numElements() / dim
+    var best = 0L
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < n) {
+      val off = c * dim
+      var d = 0L
+      var i = 0
+      while (i < dim) {
+        val t = v.getLong(i) - centroids.getLong(off + i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c.toLong }
+      c += 1
+    }
+    ArrayData.toArrayData(Array(best, bestD))
+  }
+
+  def nearestCentroidL2F(v: Column, centroids: Column, dim: Int): Column =
+    CatalystBridge.column(
+      StaticInvoke(
+        ArrayOps.getClass, ArrayType(LongType, containsNull = false),
+        "nearestCentroidL2",
+        Seq(CatalystBridge.expression(v),
+          CatalystBridge.expression(centroids),
+          CatalystBridge.expression(lit(dim))),
+        Seq(ArrayType(LongType), ArrayType(LongType), IntegerType),
+        returnNullable = false))
+
   /** splitmix64 (shared with the hyperplane weights in [[Vectors]]). */
   def mixPub(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L

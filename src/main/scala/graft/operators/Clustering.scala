@@ -44,26 +44,23 @@ object Clustering {
   def quantizeF(vec: Column, scale: Long): Column =
     transform(vec, x => round(x.cast("double") * lit(scale.toDouble)).cast("long"))
 
-  /** Exact integer squared-L2 distance between a quantized column and a
-    * quantized centroid literal.
-    */
-  private def distSq(qv: Column, centroid: Seq[Long]): Column =
-    aggregate(
-      zip_with(qv, typedLit(centroid), (a, b) => { val d = a - b; d * d }),
-      lit(0L), (acc, x) => acc + x)
-
   /** One assignment pass: each row gets the (cluster, dist) of its
-    * nearest centroid, ties broken toward the smaller cluster id —
-    * `least` over (dist, cluster) structs compares lexicographically,
-    * mirroring the oracle's `ORDER BY d, cl`.
+    * nearest centroid via [[graft.functions.ArrayOps.nearestCentroidL2F]]
+    * — one static call walking a packed k×dim long matrix, no per-row
+    * allocation. Centroids are sorted by label, so the kernel's
+    * ties-to-lowest-index rule is exactly the oracle's `ORDER BY d, cl`.
     */
   private def assign(qdf: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame = {
-    val best = least(centroids.map { case (cl, c) =>
-      struct(distSq(col("qv"), c).as("d"), lit(cl).as("cl"))
-    }: _*)
+    val labels = centroids.map(_._1).toArray
+    val flat = centroids.flatMap(_._2).toArray
+    val best = graft.functions.ArrayOps.nearestCentroidL2F(
+      col("qv"), graft.functions.ArrayOps.packedLongLit(flat),
+      centroids.head._2.length)
     qdf.withColumn("best", best)
-      .select(col("id"), col("best.cl").as("cluster"),
-        col("best.d").as("dist"), col("qv"))
+      .select(col("id"),
+        element_at(typedLit(labels), (col("best")(0) + 1).cast("int"))
+          .as("cluster"),
+        col("best")(1).as("dist"), col("qv"))
   }
 
   /** k-means with deterministic seeding (the k smallest ids, labelled
