@@ -63,4 +63,41 @@ object Graph {
     nodes.unpersist(blocking = false)
     out
   }
+
+  /** Bounded-round minimum-label propagation: every node starts labelled
+    * with its own id; each round a node's label becomes the minimum of
+    * its own and its in-neighbors' labels. After `rounds`, a node's
+    * label is the smallest id reachable within `rounds` reverse hops —
+    * a well-defined (and therefore SQL-replayable, q118) output whether
+    * or not the graph has converged; on a symmetric graph with
+    * `rounds` ≥ diameter it IS connected components. This is the
+    * bounded building block of the large/small-star CC fixpoint used
+    * inside [[Dedup]]'s cluster collapse, exposed as a public operator.
+    *
+    * Scale shape: identical to [[pageRank]] — edges laid out once by
+    * `dst`, each round shuffles only the O(nodes) label table, min() is
+    * map-side combined. Returns (node, label), persisted.
+    */
+  def minLabelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+      .repartition(col("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("label").as("nbr"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+    }
+    val out = labels.persist()
+    out.count(): Unit
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
 }

@@ -2109,6 +2109,85 @@ object TrainingData {
          GROUP BY e.dst)
        SELECT node, pr FROM r3"""
 
+  // --- q118: bounded-round min-label propagation -----------------------------
+  // The public building block of distributed connected components: 3
+  // rounds of label = min(own, in-neighbors) over the symmetric trade
+  // graph. The output is defined as the exactly-3-round labels (the
+  // smallest id within 3 hops), so the oracle unrolls the same three
+  // rounds in SQL and must match bit for bit — converged or not.
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = pairs
+      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+    graft.operators.Graph.minLabelPropagation(edges, rounds = 3)
+  }
+
+  private val q118Sql =
+    """WITH pairs AS (
+         SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       edges AS (
+         SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+         UNION ALL
+         SELECT sk * 2 + 1, ck * 2 FROM pairs),
+       l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       l1 AS (
+         SELECT n.node, min(least(n.label, coalesce(l.label, n.label))) AS label
+         FROM l0 n LEFT JOIN edges e ON e.dst = n.node
+           LEFT JOIN l0 l ON l.node = e.src
+         GROUP BY n.node),
+       l2 AS (
+         SELECT n.node, min(least(n.label, coalesce(l.label, n.label))) AS label
+         FROM l1 n LEFT JOIN edges e ON e.dst = n.node
+           LEFT JOIN l1 l ON l.node = e.src
+         GROUP BY n.node),
+       l3 AS (
+         SELECT n.node, min(least(n.label, coalesce(l.label, n.label))) AS label
+         FROM l2 n LEFT JOIN edges e ON e.dst = n.node
+           LEFT JOIN l2 l ON l.node = e.src
+         GROUP BY n.node)
+       SELECT node, label FROM l3"""
+
+  // --- q119: per-group top-k via a native heap aggregate ---------------------
+  // graft.functions.TopK.TopKPairs (TypedImperativeAggregate): the k
+  // best (ord DESC, key ASC) pairs per group through map-side-combined
+  // bounded heaps — O(n log k), at most k pairs per group per mapper in
+  // the shuffle — where the window form sorts every group's full row
+  // set. The oracle IS that window form: top-3 lineitems by exact cent
+  // price per supplier, `row_number` replayed in SQL; any heap
+  // ordering, merge, or tie-break slip breaks the hash.
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    l.select(col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(14,2)") *
+          lit(100).cast("decimal(3,0)")).cast("long").as("cents"),
+        col("l_orderkey"))
+      .groupBy("l_suppkey")
+      .agg(graft.functions.TopK.topKPairs(
+        col("cents"), col("l_orderkey"), 3).as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")))
+      .select(col("l_suppkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("l_orderkey"), col("col.ord").as("cents"))
+  }
+
+  private val q119Sql =
+    """SELECT l_suppkey, CAST(rn AS BIGINT) AS rank, l_orderkey, cents
+       FROM (
+         SELECT l_suppkey, l_orderkey,
+           CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             AS cents,
+           row_number() OVER (PARTITION BY l_suppkey
+             ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+               AS BIGINT) DESC, l_orderkey ASC) AS rn
+         FROM lineitem) t
+       WHERE rn <= 3"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -2175,7 +2254,9 @@ object TrainingData {
     "q114_sliding_window" -> q114 _,
     "q115_kmeans_fixedpoint" -> q115 _,
     "q116_semantic_dedup" -> q116 _,
-    "q117_pagerank"       -> q117 _)
+    "q117_pagerank"       -> q117 _,
+    "q118_label_prop"     -> q118 _,
+    "q119_topk_agg"       -> q119 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2243,5 +2324,7 @@ object TrainingData {
     "q114_sliding_window" -> q114Sql,
     "q115_kmeans_fixedpoint" -> q115Sql,
     "q116_semantic_dedup" -> q116Sql,
-    "q117_pagerank"       -> q117Sql)
+    "q117_pagerank"       -> q117Sql,
+    "q118_label_prop"     -> q118Sql,
+    "q119_topk_agg"       -> q119Sql)
 }

@@ -40,6 +40,27 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1000000000L, 2L -> 1000000000L), s"got $out")
   }
 
+  test("label propagation: hand-computed bounded rounds on a chain") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.minLabelPropagation(edges, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // Labels flow one hop per round: node 3 reaches 1 in two hops,
+    // node 4 only reaches 2 — NOT converged, and that's the contract.
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L), s"got $out")
+  }
+
+  test("label propagation equals connected components once rounds cover the diameter") {
+    import spark.implicits._
+    val undirected = Seq((1L, 2L), (2L, 5L), (5L, 9L), // component min 1
+      (3L, 7L), (7L, 8L))                              // component min 3
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val out = Graph.minLabelPropagation(edges, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L,
+      3L -> 3L, 7L -> 3L, 8L -> 3L), s"got $out")
+  }
+
   test("ranks are bit-identical across adversarial partitionings") {
     val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val l = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
