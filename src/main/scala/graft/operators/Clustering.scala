@@ -80,6 +80,7 @@ object Clustering {
       qdf.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
         case (r, j) => (j.toLong, r.getSeq[Long](r.fieldIndex("qv")))
       }.toSeq
+    require(centroids.nonEmpty, "fixedPointKMeans needs a non-empty input")
     val dim = centroids.head._2.length
 
     var assigned = assign(qdf, centroids)
@@ -116,7 +117,11 @@ object Clustering {
     * caller controls via k, not a data-dependent explosion.
     */
   def semanticDedup(assigned: DataFrame, threshold: Long): DataFrame = {
-    val a = assigned.select(col("id"), col("cluster"), col("qv"))
+    // The assignment plan is consumed three times (both self-join sides
+    // + the final output join); persist it so the Lloyd chain behind it
+    // runs once, then release the cache once the (small) result is
+    // materialized — the Graph.pageRank lifecycle.
+    val a = assigned.select(col("id"), col("cluster"), col("qv")).persist()
     val b = a.select(col("id").as("b_id"), col("cluster").as("b_cluster"),
       col("qv").as("b_qv"))
     val dupIds = a.join(b,
@@ -125,8 +130,12 @@ object Clustering {
         zip_with(col("qv"), col("b_qv"), (x, y) => { val d = x - y; d * d }),
         lit(0L), (acc, x) => acc + x) <= lit(threshold))
       .select(col("id")).distinct()
-    assigned.join(dupIds.withColumn("is_dup", lit(true)), Seq("id"), "left")
+    val out = a.join(dupIds.withColumn("is_dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"),
         col("is_dup").isNull.as("kept"))
+      .persist()
+    out.count(): Unit
+    a.unpersist(blocking = false)
+    out
   }
 }

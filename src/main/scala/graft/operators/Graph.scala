@@ -75,14 +75,15 @@ object Graph {
     * inside [[Dedup]]'s cluster collapse, exposed as a public operator.
     *
     * Scale shape: identical to [[pageRank]] — edges laid out once by
-    * `dst`, each round shuffles only the O(nodes) label table, min() is
-    * map-side combined. Returns (node, label), persisted.
+    * `src` (the per-round join key), each round shuffles only the
+    * O(nodes) label table, min() is map-side combined. Returns
+    * (node, label), persisted.
     */
   def minLabelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-      .repartition(col("dst")).persist()
+      .repartition(col("src")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
