@@ -312,4 +312,34 @@ class PlanSpec extends AnyFunSuite {
     s2.sql("DROP TABLE IF EXISTS orders_b")
     s2.sql("DROP TABLE IF EXISTS customer_b")
   }
+
+  test("q115: k-means assignment is a map-only pass (no exchange, native kernel)") {
+    // the corpus is never shuffled for assignment: centroids travel to the
+    // data as a packed broadcast literal, and the per-row argmin is ONE
+    // static-invoke kernel call — at 100 TB the only cost is the scan
+    val p = plan("q115_kmeans_fixedpoint")
+    assert(!p.contains("Exchange"),
+      s"k-means assignment shuffled the corpus:\n$p")
+    assert(!p.contains("Window") && !p.contains("Sort ("),
+      s"k-means assignment sorts:\n$p")
+    assert(p.contains("nearestCentroidL2"),
+      s"assignment is not the packed-matrix kernel:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 2, // tree + detail entry
+      s"expected exactly one corpus scan:\n$p")
+  }
+
+  test("q119: top-k heap aggregate combines map-side (partial before the exchange)") {
+    // the shuffle carries at most k pairs per (group, mapper), not the
+    // row set — the window form this replaces sorts EVERY group's full
+    // rows through the exchange
+    val p = plan("q119_topk_agg")
+    assert(p.contains("partial_topk_pairs"),
+      s"heap aggregate is not map-side combined:\n$p")
+    assert(!p.contains("Window"),
+      s"q119 fell back to a window sort:\n$p")
+    val partialAt = p.indexOf("partial_topk_pairs")
+    val exchangeAt = p.indexOf("hashpartitioning(l_suppkey")
+    assert(partialAt >= 0 && exchangeAt >= 0 && partialAt < exchangeAt,
+      s"partial heap does not precede the l_suppkey exchange:\n$p")
+  }
 }
