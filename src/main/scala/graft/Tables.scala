@@ -16,23 +16,34 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent
-      // natively (PARQUET_TYPE_ILLEGAL); read the raw int64 nanos and convert
-      // to a microsecond TimestampType (truncation matches Spark's precision).
-      // The legacy flag is consulted ONLY during schema inference (the
-      // returned DataFrame carries its resolved schema; execution clips the
-      // file schema against it without re-reading the conf — verified
-      // empirically), so it is restored immediately after the read and no
-      // query permanently mutates session conf.
+      // events.ts has shipped in two driver vintages: parquet
+      // TIMESTAMP(NANOS) — which Spark cannot represent natively
+      // (PARQUET_TYPE_ILLEGAL) — and plain TIMESTAMP(MICROS). Infer under
+      // the legacy nanos-as-long flag (a no-op for micros files), then
+      // branch on the inferred type so both vintages come out as the same
+      // microsecond TimestampType. The legacy flag is consulted ONLY
+      // during schema inference (the returned DataFrame carries its
+      // resolved schema; execution clips the file schema against it
+      // without re-reading the conf — verified empirically), so it is
+      // restored immediately after the read and no query permanently
+      // mutates session conf.
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
-      try spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+      val raw =
+        try spark.read.parquet(s"$sfDir/$name.parquet")
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      raw.schema("ts").dataType match {
+        case LongType => // nanos vintage: raw int64 nanos → micros
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => // micros vintage: identity under UTC session tz
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
       }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")

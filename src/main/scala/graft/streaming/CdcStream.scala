@@ -28,21 +28,14 @@ import graft.operators.Cdc
   */
 object CdcStream {
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private val stateCols = Seq("cust_id", "acctbal_cents", "segment",
     "seq_ts", "seq_event", "op")
 
   /** Raw event rows → versioned changelog rows (q72's mapping plus the
     * explicit seq columns): error events delete, everything else
-    * upserts; seq = (microsecond ts, event_id) — the nanosecond long is
-    * floored to the microsecond grid both engines share (q72/q91 rule).
+    * upserts; seq = (microsecond ts, event_id) — [[EventsSource]] already
+    * normalizes ts to the microsecond grid both engines share (q72/q91
+    * rule), so seq_ts is just its epoch-micros value.
     */
   private def toChangelog(raw: DataFrame): DataFrame =
     raw.select(
@@ -50,7 +43,7 @@ object CdcStream {
       (col("value").cast("decimal(14,2)") * 100).cast("long")
         .as("acctbal_cents"),
       lit("EVENT").as("segment"),
-      expr("ts div 1000").cast("long").as("seq_ts"),
+      expr("unix_micros(ts)").as("seq_ts"),
       col("event_id").as("seq_event"),
       when(col("event_type") === "error", lit("delete"))
         .otherwise(lit("upsert")).as("op"))
@@ -68,8 +61,6 @@ object CdcStream {
   def mergedSnapshot(spark: SparkSession, sfDir: String,
       sourceGlob: String = "events.parquet",
       maxFilesPerTrigger: Int = 0): DataFrame = {
-    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val root = java.nio.file.Paths.get(
@@ -92,12 +83,8 @@ object CdcStream {
       .write.parquet(s"$root/v0")
     @volatile var cur = s"$root/v0"
 
-    val reader = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", sourceGlob)
-    if (maxFilesPerTrigger > 0)
-      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-    val q = toChangelog(reader.parquet(sfDir))
+    val q = toChangelog(EventsSource.stream(spark, sfDir, sourceGlob,
+        maxFilesPerTrigger))
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val state = spark.read.parquet(cur)
@@ -114,10 +101,6 @@ object CdcStream {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevNanos match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
     }
     spark.read.parquet(cur)
       .filter(col("op") =!= "delete")

@@ -17,28 +17,15 @@ import org.apache.spark.sql.types._
   */
 object DedupStream {
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Per-type counts/sums AFTER dedup of a doubled events stream. The
     * duplicate feed is two file-stream reads of the same parquet unioned —
     * two independent sources, so every event id arrives exactly twice.
     */
   def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val name = "dedup_stream_" + UUID.randomUUID().toString.replace("-", "")
-    def src() = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    def src() = EventsSource.stream(spark, sfDir)
       .select(col("event_id"), col("event_type"),
         (col("value").cast("decimal(14,2)")).as("value"))
     val deduped = src().unionByName(src())
@@ -59,10 +46,6 @@ object DedupStream {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevNanos match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
     }
     spark.table(name)
   }

@@ -15,30 +15,17 @@ import org.apache.spark.sql.types._
   */
 object EnrichStream {
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Count + decimal-exact value sum per (market segment, event_type):
     * stream events enriched with the customer dimension on
     * user_id = c_custkey, aggregated in complete mode.
     */
   def enrichedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val name = "enrich_stream_" + UUID.randomUUID().toString.replace("-", "")
     val dim = graft.Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val out = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val out = EventsSource.stream(spark, sfDir)
       .select(col("user_id"), col("event_type"),
         col("value").cast("decimal(14,2)").as("value"))
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
@@ -58,10 +45,6 @@ object EnrichStream {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevNanos match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
     }
     spark.table(name)
   }

@@ -5,7 +5,6 @@ import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types._
 
 /** Structured-Streaming form of the events pipeline (SURVEY.md §2.1 #13:
   * the reference's `search_after` micro-batch pull loop is exactly Spark's
@@ -16,19 +15,10 @@ import org.apache.spark.sql.types._
   * runs the REAL streaming machinery (source → watermark → event-time
   * window → stateful aggregation → sink) so the driver can verify the
   * streaming path produces byte-identical results to the batch oracle.
+  * The source (and its ts physical-vintage handling) is the shared
+  * [[EventsSource]].
   */
 object EventsStream {
-
-  /** The events parquet schema as the streaming source must declare it:
-    * ts is TIMESTAMP(NANOS) in the file, readable only as int64 nanos.
-    */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
 
   /** 15-minute tumbling-window counts/sums per event_type, computed by a
     * streaming query over the events parquet and materialized through a
@@ -36,8 +26,6 @@ object EventsStream {
     * the finite-input form of a continuous deployment.
     */
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // streaming state cost scales with state-store instances (= shuffle
     // partitions at query start); this aggregation state is tiny, so a
     // handful of partitions beats the batch-tuned default. Restored after
@@ -45,13 +33,7 @@ object EventsStream {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val name = "events_win_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      // the file-stream source wants a directory; pathGlobFilter narrows it
-      // to the events table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventsSource.stream(spark, sfDir)
       .withWatermark("ts", "30 days")
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -73,10 +55,6 @@ object EventsStream {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevNanos match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
     }
     spark.table(name)
   }
@@ -90,16 +68,10 @@ object EventsStream {
     * to its k ∈ {0,1,2} candidate window starts) — q114 pins equality.
     */
   def slidingAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val name = "events_slide_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventsSource.stream(spark, sfDir)
       .withWatermark("ts", "30 days")
       .groupBy(window(col("ts"), "15 minutes", "5 minutes"),
         col("event_type"))
@@ -120,10 +92,6 @@ object EventsStream {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevNanos match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
     }
     spark.table(name)
   }

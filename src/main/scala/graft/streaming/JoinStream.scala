@@ -23,21 +23,9 @@ import org.apache.spark.sql.types._
   */
 object JoinStream {
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private def sourceStream(spark: SparkSession, sfDir: String,
       glob: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventsSource.stream(spark, sfDir, glob)
 
   /** The UNSTARTED view→purchase join: exposed so tests can drive their
     * own micro-batches (file-by-file) and inspect state-store metrics —
@@ -75,8 +63,6 @@ object JoinStream {
     */
   def viewPurchase(spark: SparkSession, sfDir: String,
       windowMinutes: Int = 30): DataFrame = {
-    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val name = "vp_join_" + UUID.randomUUID().toString.replace("-", "")
@@ -91,10 +77,6 @@ object JoinStream {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevNanos match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
     }
     spark.table(name)
   }

@@ -29,14 +29,6 @@ object SessionStream {
       sess_cents: Long)
   final case class Open(sessId: Long, lastTs: Long, n: Long, sumCents: Long)
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Session assembly for one user's new events (sorted here — state-store
     * group iterators carry no ordering guarantee). `e.ts` and `gapMillis`
     * are on the millisecond grid (strict `>` boundary).
@@ -68,19 +60,15 @@ object SessionStream {
   def sessions(spark: SparkSession, sfDir: String,
       gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    // gap test runs on the MILLISECOND grid (nanos div 1e6) — the shared
-    // precision with the DuckDB oracle's epoch_ms(ts); see q18/q46/q56.
+    // gap test runs on the MILLISECOND grid — the shared precision with
+    // the DuckDB oracle's epoch_ms(ts); see q18/q46/q56. EventsSource
+    // normalizes ts to micros TimestampType, so ms = unix_micros div 1e3.
     val gapMillis = gapMinutes * 60L * 1000L
     val name = "sessions_" + UUID.randomUUID().toString.replace("-", "")
-    val evs = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .select(col("event_id"), expr("ts div 1000000").as("ts"),
+    val evs = EventsSource.stream(spark, sfDir)
+      .select(col("event_id"), expr("unix_micros(ts) div 1000").as("ts"),
         col("user_id"),
         (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
       .as[Ev]
@@ -106,10 +94,6 @@ object SessionStream {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevNanos match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
     }
     // Output contract is INTEGER-EXACT: the session sum leaves as cents
     // (BIGINT), never divided back to a double — `x/100.0` here vs the
