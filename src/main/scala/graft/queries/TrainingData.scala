@@ -2188,6 +2188,79 @@ object TrainingData {
          FROM lineitem) t
        WHERE rn <= 3"""
 
+  // --- q120: DataSourceV2 connector scan (es-export) -------------------------
+  // The full connector loop on real data: documents materialized as
+  // exported ES search-response pages (one envelope file per 100 docs,
+  // executor-side writes — the reference's export shape,
+  // `ElasticSearch ETL.py:220-267`), then read back through the
+  // DataSourceV2 source (`sources/EsExportV2`) with a projection + two
+  // filters that must push INTO the token-level reader (In on lang,
+  // GreaterThanOrEqual on n_chars — no residual Filter node), and
+  // aggregated. The oracle replays the identical predicate over the
+  // original parquet, so a lost page, an envelope-navigation slip, a
+  // mis-evaluated pushed filter, or a pruning bug that drops a parsed
+  // column all fail the hash.
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_esv2_" + Tables.scratchKey(d))
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(dir)
+    val dirStr = dir.toString
+    import s.implicits._
+    // page = doc_id div 100; docs sorted within the page (collect_list
+    // order is nondeterministic; sort_array on array<struct> orders by
+    // doc_id, the leading field) so page bytes are deterministic
+    Tables.documents(s, d)
+      .groupBy((col("doc_id") / 100).cast("long").as("page"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")))).as("docs"))
+      .select(col("page"), expr(
+        """to_json(named_struct(
+             'took', 1, 'timed_out', false,
+             'hits', named_struct(
+               'total', named_struct('value', size(docs), 'relation', 'eq'),
+               'max_score', cast(null as double),
+               'hits', transform(docs, x -> named_struct(
+                 '_index', 'documents',
+                 '_id', cast(x.doc_id as string),
+                 '_source', x)))))""").as("body"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (page, body) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dirStr, f"page-$page%05d.json"),
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        page
+      }).count(): Unit
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    s.read.format("es-export").schema(docSchema).load(dirStr)
+      .filter(col("lang").isin("en", "de") && col("n_chars") >= 50L)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
+  private val q120Sql =
+    """SELECT lang, source, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_doc
+       FROM documents
+       WHERE lang IN ('en', 'de') AND n_chars >= 50
+       GROUP BY lang, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -2256,7 +2329,8 @@ object TrainingData {
     "q116_semantic_dedup" -> q116 _,
     "q117_pagerank"       -> q117 _,
     "q118_label_prop"     -> q118 _,
-    "q119_topk_agg"       -> q119 _)
+    "q119_topk_agg"       -> q119 _,
+    "q120_es_dsv2"        -> q120 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2326,5 +2400,6 @@ object TrainingData {
     "q116_semantic_dedup" -> q116Sql,
     "q117_pagerank"       -> q117Sql,
     "q118_label_prop"     -> q118Sql,
-    "q119_topk_agg"       -> q119Sql)
+    "q119_topk_agg"       -> q119Sql,
+    "q120_es_dsv2"        -> q120Sql)
 }

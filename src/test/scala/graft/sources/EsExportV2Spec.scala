@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataSourceV2 connector contract: envelope navigation, partition
+  * planning (one task per page file), token-level column pruning, and
+  * exact filter pushdown with Spark null semantics.
+  */
+class EsExportV2Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType),
+    StructField("meta", StructType(Seq(
+      StructField("author", StringType),
+      StructField("tags", ArrayType(StringType))))),
+    StructField("scores", ArrayType(DoubleType))))
+
+  /** Three exported pages in the reference's response shape, including
+    * the ES metadata the reader must skip and trailing envelope fields
+    * after the hits array (the drain path).
+    */
+  private def mkPages(dir: Path): Unit = {
+    def hit(id: Long, src: String): String =
+      s"""{"_index":"docs","_id":"$id","_score":null,"sort":[$id],"_source":$src}"""
+    def page(n: Int, hits: Seq[String], trailer: String = ""): Unit =
+      Files.writeString(dir.resolve(f"page-$n%04d.json"),
+        s"""{
+           |  "took": $n,
+           |  "timed_out": false,
+           |  "_shards": {"total": 5, "successful": 5, "failed": 0},
+           |  "hits": {
+           |    "total": {"value": ${hits.size}, "relation": "eq"},
+           |    "max_score": null,
+           |    "hits": [${hits.mkString(",\n")}]$trailer
+           |  },
+           |  "terminated_early": false
+           |}""".stripMargin)
+    page(1, Seq(
+      hit(1, """{"doc_id":1,"text":"hello world","lang":"en","n_chars":11,
+               |"meta":{"author":"ada","tags":["a","b"]},"scores":[0.5,1.5],
+               |"extra_ignored":{"deep":{"x":1}}}""".stripMargin),
+      hit(2, """{"doc_id":2,"text":"bonjour","lang":"fr","n_chars":7}""")),
+      trailer = ",\n    \"after_hits_junk\": {\"k\": [1,2,3]}")
+    page(2, Seq(
+      hit(3, """{"doc_id":3,"text":"hola","lang":"es","n_chars":4,
+               |"meta":{"author":null,"tags":[]},"scores":[]}""".stripMargin),
+      hit(4, """{"doc_id":4,"text":"ciao","lang":"it"}"""))) // n_chars missing
+    page(3, Seq(
+      hit(5, """{"doc_id":5,"text":"servus","lang":"de","n_chars":6,
+               |"meta":{"author":"eva","tags":["x"]},"scores":[2.0]}"""
+        .stripMargin)))
+  }
+
+  private lazy val pagesDir: String = {
+    val dir = Files.createTempDirectory("es_export_v2_")
+    mkPages(dir)
+    dir.toString
+  }
+
+  private def readV2() = spark.read.format("es-export")
+    .schema(docSchema).load(pagesDir)
+
+  test("envelope docs roundtrip with nested values; one partition per page") {
+    val rows = readV2().orderBy("doc_id").collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    val r1 = rows(0)
+    assert(r1.getString(1) === "hello world")
+    assert(r1.getStruct(4).getString(0) === "ada")
+    assert(r1.getStruct(4).getSeq[String](1) === Seq("a", "b"))
+    assert(r1.getSeq[Double](5) === Seq(0.5, 1.5))
+    val r4 = rows(3) // doc 4: n_chars/meta/scores absent → null
+    assert(r4.isNullAt(3) && r4.isNullAt(4) && r4.isNullAt(5))
+    assert(readV2().rdd.getNumPartitions === 3)
+  }
+
+  test("matches the DataFrame-level EsJson twin, schema inference included") {
+    val v2 = spark.read.format("es-export").load(pagesDir)
+    val v1 = EsJson.read(spark, pagesDir)
+    assert(v2.schema === v1.schema)
+    val key = v1.schema.fieldNames.filter(_ != "extra_ignored")
+    assert(v2.select(key.map(col).toIndexedSeq: _*).collect().toSet ===
+      v1.select(key.map(col).toIndexedSeq: _*).collect().toSet)
+  }
+
+  test("column pruning reaches the scan (token-level ReadSchema)") {
+    val df = readV2().select("lang", "doc_id")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.length === 1)
+    val d = scans.head.scan.description()
+    assert(d.contains("lang:string") && d.contains("doc_id:bigint"), d)
+    assert(!d.contains("text"), s"text not pruned: $d")
+    assert(df.collect().length === 5)
+  }
+
+  test("filters are fully pushed (no residual) and evaluated exactly") {
+    val df = readV2()
+      .filter(col("n_chars") > 5L && col("lang") =!= "fr")
+      .select("doc_id")
+    val exec = df.queryExecution.executedPlan
+    val scans = exec.collect { case b: BatchScanExec => b }
+    val d = scans.head.scan.description()
+    assert(d.contains("GreaterThan(n_chars,5)"), d)
+    // n_chars is a filter-only column: pruned from output, still parsed
+    assert(d.contains("ReadSchema: struct<doc_id:bigint>"), d)
+    assert(!d.contains("n_chars:"), d)
+    assert(df.collect().map(_.getLong(0)).toSet === Set(1L, 5L))
+    // doc 4 has NO n_chars: a pushed comparison on null must drop it
+    val le = readV2().filter(col("n_chars") <= 1000L).count()
+    assert(le === 4) // docs 1,2,3,5 — never doc 4
+    val isNull = readV2().filter(col("n_chars").isNull).count()
+    assert(isNull === 1)
+  }
+
+  test("IN / startsWith / OR push and evaluate") {
+    val df = readV2().filter(
+      col("lang").isin("en", "de") || col("text").startsWith("hol"))
+    assert(df.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L, 5L))
+    val d = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head.scan.description()
+    assert(d.contains("Or("), d)
+  }
+
+  test("bare documents, concatenated responses, and top-level arrays") {
+    val dir = Files.createTempDirectory("es_export_shapes_")
+    // JSONL of bare docs
+    Files.writeString(dir.resolve("bare.json"),
+      """{"doc_id":10,"text":"a","lang":"en","n_chars":1}
+        |{"doc_id":11,"text":"b","lang":"en","n_chars":1}
+        |""".stripMargin)
+    // two concatenated envelopes in ONE file
+    def env(id: Long): String =
+      s"""{"took":1,"hits":{"total":{"value":1},"hits":[
+         |{"_id":"$id","_source":{"doc_id":$id,"text":"c","lang":"de","n_chars":1}}
+         |]}}""".stripMargin
+    Files.writeString(dir.resolve("concat.json"), env(12) + "\n" + env(13))
+    // top-level array of docs
+    Files.writeString(dir.resolve("array.json"),
+      """[{"doc_id":14,"text":"d","lang":"fr","n_chars":1},
+        | {"doc_id":15,"text":"e","lang":"fr","n_chars":1}]""".stripMargin)
+    val df = spark.read.format("es-export").schema(docSchema)
+      .load(dir.toString)
+    assert(df.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      (10L to 15L).toSet)
+  }
+}
