@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, TopK}
+
+/** BM25 top-k retrieval over a document corpus — the ranking half of the
+  * decontamination/retrieval surface (the inverted index q82 exports is
+  * the storage half; this is the scoring loop that runs against it).
+  * In an LLM data pipeline this is how eval-set queries find their
+  * near-matches in the training corpus when n-gram overlap (q64) is too
+  * strict and embedding cosine (q28/q116) too loose.
+  *
+  * Okapi BM25 with Lucene's non-negative idf:
+  * {{{
+  *   score(q, d) = Σ_t  ln(1 + (N - df + 0.5)/(df + 0.5))
+  *                      · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  * }}}
+  *
+  * Scale design (100 TB corpus, a handful of queries):
+  *   - the query-term table broadcasts; the corpus postings are pruned
+  *     by that broadcast join BEFORE anything shuffles — only postings
+  *     of queried terms ever leave the scan (a few thousand rows per
+  *     term, not the corpus).
+  *   - df / (N, avgdl) are one small broadcast and one 1-row frame; the
+  *     corpus is scanned, never collected.
+  *   - per-term contributions are rounded to integer MICRO-units before
+  *     the per-(query, doc) sum, so the score is an order-independent
+  *     integer — reproducible under any partitioning, and exactly
+  *     replayable in SQL (the q105/q119 portability rule; double sums
+  *     are summation-order-dependent).
+  *   - top-k per query runs through the native bounded-heap aggregate
+  *     ([[graft.functions.TopK.TopKPairs]]): O(n log k) map-side, ≤ k
+  *     pairs per query per mapper in the shuffle — no global sort.
+  *
+  * Returns (query_id, rank, doc_id, score_micro), rank 1..k by
+  * (score_micro DESC, doc_id ASC).
+  */
+object Retrieval {
+
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && k > 0, "bm25TopK needs queries and k > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val base = docs.select(col(idCol).as("doc_id"),
+      Text.tokens(col(textCol)).as("w"))
+    // one token pass: (doc_id, dl, term, tf)
+    val tf = base
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    val qdf = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    // corpus scalars as a 1-row broadcast frame (never collected)
+    val stats = base.agg(count(lit(1)).as("n"),
+      avg(size(col("w"))).as("avgdl"))
+    // document frequency of QUERIED terms only (tf rows are one per
+    // (doc, term), so count(*) = containing docs)
+    val dfx = tf.join(broadcast(qdf.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+    val contrib: Column =
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) +
+          lit(b) * col("dl") / col("avgdl"))) * lit(1e6)
+
+    val scored = tf
+      .join(broadcast(qdf), "term") // prunes the corpus to queried terms
+      .join(broadcast(dfx), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_micro", round(contrib).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_micro")).as("score_micro"))
+
+    scored.groupBy(col("query_id"))
+      .agg(TopK.topKPairs(col("score_micro"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("doc_id"), col("col.ord").as("score_micro"))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Clustering, Dedup, Layout, Multimodal, Quantization, Similarity}
+import graft.operators.{Clustering, Dedup, Layout, Multimodal, Quantization, Retrieval, Similarity}
 import graft.streaming.EventsStream
 
 /** Training-data-pipeline operator surface: deduplication (exact / MinHash
@@ -2261,6 +2261,51 @@ object TrainingData {
        WHERE lang IN ('en', 'de') AND n_chars >= 50
        GROUP BY lang, source"""
 
+  // --- q121: BM25 top-k retrieval ---------------------------------------------
+  // operators/Retrieval.bm25TopK: Okapi BM25 (Lucene non-negative idf)
+  // over whitespace tokens, three fixed queries (one includes the rare
+  // term 'dup', df≈26 — high idf, so it dominates its query's ranking),
+  // top-10 per query through the native bounded-heap aggregate (q119's
+  // TopKPairs). Integer-portable by the per-term micro-rounding rule:
+  // contributions round to BIGINT micro-units BEFORE the per-(query,doc)
+  // sum, so the score is summation-order-independent and the oracle
+  // replays the identical expression tree term-by-term in SQL.
+  private def q121(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      queries = Seq(
+        1L -> Seq("hash", "join", "dup"),
+        2L -> Seq("window", "stream", "agg"),
+        3L -> Seq("vector", "scan", "filter", "sort")),
+      k = 10)
+
+  private val q121Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+       tf AS (SELECT doc_id, dl, term, count(*) AS tf
+              FROM tok GROUP BY 1, 2, 3),
+       q(query_id, term) AS (VALUES
+         (1, 'hash'), (1, 'join'), (1, 'dup'),
+         (2, 'window'), (2, 'stream'), (2, 'agg'),
+         (3, 'vector'), (3, 'scan'), (3, 'filter'), (3, 'sort')),
+       stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM w),
+       dfx AS (SELECT term, count(*) AS df FROM tf
+               WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+       sc AS (SELECT q.query_id, tf.doc_id,
+           CAST(sum(CAST(round(
+             ln(1 + (n - df + 0.5) / (df + 0.5)) *
+             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+             AS BIGINT)) AS BIGINT) AS score_micro
+         FROM tf JOIN q USING (term) JOIN dfx USING (term)
+         CROSS JOIN stats
+         GROUP BY 1, 2),
+       r AS (SELECT query_id, doc_id, score_micro,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, doc_id) AS rn
+         FROM sc)
+       SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(rn AS BIGINT) AS rank, doc_id, score_micro
+       FROM r WHERE rn <= 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -2330,7 +2375,8 @@ object TrainingData {
     "q117_pagerank"       -> q117 _,
     "q118_label_prop"     -> q118 _,
     "q119_topk_agg"       -> q119 _,
-    "q120_es_dsv2"        -> q120 _)
+    "q120_es_dsv2"        -> q120 _,
+    "q121_bm25"           -> q121 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2401,5 +2447,6 @@ object TrainingData {
     "q117_pagerank"       -> q117Sql,
     "q118_label_prop"     -> q118Sql,
     "q119_topk_agg"       -> q119Sql,
-    "q120_es_dsv2"        -> q120Sql)
+    "q120_es_dsv2"        -> q120Sql,
+    "q121_bm25"           -> q121Sql)
 }
