@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
@@ -91,7 +92,8 @@ private[sources] class EsExportTable(tableSchema: StructType,
   override def name(): String = s"es-export(${options.get("path")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new EsExportScanBuilder(tableSchema, options.get("path"))
@@ -179,10 +181,12 @@ private[sources] class EsExportScan(fullSchema: StructType,
     s"EsExportScan PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
-  /** One partition per exported page file: driver-side LISTING only —
-    * file contents are never touched at planning time.
+  /** Driver-side LISTING only — file contents are never touched at
+    * planning time. Sorted by path: export pages are written in
+    * `search_after` order, so the sorted listing IS the pagination
+    * order (the contract the streaming offset leans on).
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private[sources] def listFiles(): Array[EsFilePartition] = {
     val hconf = SparkSession.active.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
@@ -196,8 +200,18 @@ private[sources] class EsExportScan(fullSchema: StructType,
       !n.startsWith("_") && !n.startsWith(".")
     }
     files.sortBy(_.getPath.toString)
-      .map(st => EsFilePartition(st.getPath.toString, st.getLen): InputPartition)
+      .map(st => EsFilePartition(st.getPath.toString, st.getLen))
   }
+
+  /** One partition per exported page file. */
+  override def planInputPartitions(): Array[InputPartition] =
+    listFiles().map(p => p: InputPartition)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new EsExportMicroBatchStream(this)
+
+  private[sources] def readerFactory(): PartitionReaderFactory =
+    createReaderFactory()
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // scan schema = required ∪ filter-referenced top-level fields: a
