@@ -227,6 +227,70 @@ private[sources] class EsExportScan(fullSchema: StructType,
   }
 }
 
+/** Streaming offset for the export connector: the number of files of the
+  * sorted export listing already processed. Export pages are written in
+  * `search_after` order with monotonically increasing names
+  * (`listFiles()`'s contract), so new pages only ever APPEND to the
+  * sorted listing and a plain prefix count is a complete, restartable
+  * cursor — the durable twin of the reference's client-held
+  * `search_after` state (`ElasticSearch ETL.py:220-267`).
+  */
+private[sources] case class EsFileIndexOffset(index: Int) extends Offset {
+  override def json(): String = index.toString
+}
+
+/** Micro-batch stream over an export directory: each trigger picks up
+  * every page file that appeared since the last committed offset, one
+  * `InputPartition` (= one task) per file, reusing the batch scan's
+  * token-level pruned/filtered reader untouched. An EMPTY page file
+  * (zero hits — the reference's loop-termination hazard, quirk Q7)
+  * still advances the offset: progress is counted in files, not
+  * documents, so an empty page can never wedge the stream.
+  *
+  * All state lives in the engine's checkpoint (the serialized offset);
+  * this object only caches the directory listing. Restart semantics:
+  * the engine replays from the last committed offset, `known` is
+  * re-listed on demand, and files below the offset are never re-read —
+  * exactly-once file accounting without a driver-side log.
+  */
+private[sources] class EsExportMicroBatchStream(scan: EsExportScan)
+    extends MicroBatchStream {
+
+  /** Cached sorted listing; only ever replaced by a longer one (the
+    * append-only contract), so offsets stay valid across refreshes.
+    */
+  @volatile private var known: Array[EsFilePartition] = scan.listFiles()
+
+  override def initialOffset(): Offset = EsFileIndexOffset(0)
+
+  override def latestOffset(): Offset = {
+    val latest = scan.listFiles()
+    if (latest.length > known.length) known = latest
+    EsFileIndexOffset(known.length)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    EsFileIndexOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EsFileIndexOffset].index
+    val e = end.asInstanceOf[EsFileIndexOffset].index
+    if (e > known.length) known = scan.listFiles() // restart: re-list
+    require(e <= known.length,
+      s"checkpointed offset $e exceeds the ${known.length}-file export " +
+        "listing — export pages must never be deleted under a live stream")
+    known.slice(s, e).map(p => p: InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.readerFactory()
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
 private[sources] class EsExportReaderFactory(parseSchema: StructType,
     required: StructType, pushed: Array[Filter],
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
