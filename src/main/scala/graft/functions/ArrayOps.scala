@@ -547,4 +547,36 @@ object ArrayOps {
           CatalystBridge.expression(lit(ksub))),
         Seq(ArrayType(DoubleType), ArrayType(ByteType), IntegerType),
         returnNullable = false))
+
+  /** Order-preserving bijection double → signed long, so a DOUBLE
+    * ordering key can ride the long-typed [[TopK.TopKPairs]] heap:
+    * `sortableDoubleBits(a) < sortableDoubleBits(b)` iff `a < b` under
+    * IEEE total order. `-0.0` is normalized to `0.0` first, so the two
+    * zeros map to ONE long and can't invert a (sim DESC, id ASC)
+    * tie-break that double comparison would call a tie. The map is its
+    * own inverse modulo the sign trick — [[bitsToDouble]] restores the
+    * exact double (similarity scores survive the heap round-trip
+    * bit-for-bit). NaN never reaches it on the ANN paths (zero vectors
+    * are filtered / absent by construction).
+    */
+  def sortableDoubleBits(d: Double): Long = {
+    val n = if (d == 0.0) 0.0 else d
+    val b = java.lang.Double.doubleToLongBits(n)
+    b ^ ((b >> 63) & Long.MaxValue)
+  }
+
+  def bitsToDouble(s: Long): Double =
+    java.lang.Double.longBitsToDouble(s ^ ((s >> 63) & Long.MaxValue))
+
+  def sortableDoubleBitsF(d: Column): Column = CatalystBridge.column(
+    StaticInvoke(
+      ArrayOps.getClass, LongType, "sortableDoubleBits",
+      Seq(CatalystBridge.expression(d)), Seq(DoubleType),
+      returnNullable = false))
+
+  def bitsToDoubleF(s: Column): Column = CatalystBridge.column(
+    StaticInvoke(
+      ArrayOps.getClass, DoubleType, "bitsToDouble",
+      Seq(CatalystBridge.expression(s)), Seq(LongType),
+      returnNullable = false))
 }

@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ArrayOps, Vectors}
+import graft.functions.{ArrayOps, TopK, Vectors}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -26,6 +25,31 @@ import graft.functions.{ArrayOps, Vectors}
   */
 object Similarity {
 
+  /** Per-query top-k of a scored (q_id, id, sim) frame through the
+    * native bounded-heap aggregate ([[TopK.TopKPairs]]) instead of
+    * `row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id ASC)`.
+    * Identical output to the window form (the heap's (ord DESC, key ASC)
+    * order IS row_number's, with sim riding as its order-preserving
+    * long image — [[ArrayOps.sortableDoubleBits]]), but the execution
+    * shape is the one that survives 100×: map-side partial aggregation
+    * keeps one k-heap per query per task, the shuffle carries at most
+    * k pairs per (query, mapper) instead of EVERY scored candidate,
+    * and no task ever sorts a query's full candidate list. For the
+    * compressed full-scan paths (int8/PQ) the candidate set per query
+    * is the whole corpus — the window plan funnels |corpus| rows into
+    * one task per query; this funnels k. Requires integral ids (cast
+    * to long — exact for the int/long id columns all call sites use).
+    * Output: (q_id, id, rank 1..k, sim) with sim bit-exact.
+    */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(TopK.topKPairs(ArrayOps.sortableDoubleBitsF(col("sim")),
+        col("id").cast("long"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.key").as("id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        ArrayOps.bitsToDoubleF(col("col.ord")).as("sim"))
+
   /** Exact top-k cosine neighbors for each row of `queries` (excluding
     * self-matches on id). Output: (q_id, id, rank).
     */
@@ -36,11 +60,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
         ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("id"), col("rank").cast("long").as("rank"))
+    heapTopK(scored, k).select("q_id", "id", "rank")
   }
 
   /** LSH-bucketed ANN with multi-probe: the corpus is bucketed once by
@@ -67,11 +87,7 @@ object Similarity {
       .select(col("q_id"), col("id"),
         ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
       .groupBy(col("q_id"), col("id")).agg(max(col("sim")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("id"), col("rank").cast("long").as("rank"))
+    heapTopK(scored, k).select("q_id", "id", "rank")
   }
 
   /** IVF (inverted-file) ANN: spherical k-means cells + nProbe search.
@@ -110,11 +126,7 @@ object Similarity {
       .select(col("q_id"), col("id"),
         ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
       .groupBy(col("q_id"), col("id")).agg(max(col("sim")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("id"), col("rank").cast("long").as("rank"))
+    heapTopK(scored, k).select("q_id", "id", "rank")
   }
 
   /** Exact top-k over INT8-QUANTIZED codes ([[Quantization.int8]]) —
@@ -140,12 +152,9 @@ object Similarity {
     val scored = c.join(broadcast(q), col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
         ArrayOps.cosineInt8(col("q_codes"), col("codes")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    heapTopK(scored, k)
       .select(col("q_id"), col("id"), round(col("sim"), 6).as("sim6"),
-        col("rank").cast("long").as("rank"))
+        col("rank"))
   }
 
   /** Deterministic spherical k-means (Lloyd's on the unit sphere) over an
@@ -206,8 +215,8 @@ object Similarity {
     * deterministic driver-side training (sampleN×dim floats, like
     * [[ivfTopK]]), ONE distributed encode pass with the codebooks
     * inlined as a packed literal, queries broadcast, corpus never
-    * shuffled; the only shuffle carries (q_id, id, sim) triples into
-    * the per-query top-k window. Cosine metric: vectors are
+    * shuffled; the only shuffle carries the ≤ k·refine heap survivors
+    * per (query, mapper) into [[heapTopK]]. Cosine metric: vectors are
     * L2-normalized inside the kernels, codebooks are trained on
     * normalized subvectors, so ADC sums approximate cosine directly.
     *
@@ -245,13 +254,9 @@ object Similarity {
     val scored = c.join(broadcast(q), col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
         ArrayOps.pqAdcF(col("lut"), col("codes"), ksub).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("id").asc)
-    val shortlist = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k * refine)
+    val shortlist = heapTopK(scored, k * refine)
     if (refine == 1)
-      shortlist.select(col("q_id"), col("id"),
-        col("rank").cast("long").as("rank"))
+      shortlist.select("q_id", "id", "rank")
     else {
       val qf = queries.select(col(idCol).as("q_id"),
         col(vecCol).as("q_vec"))
@@ -261,9 +266,7 @@ object Similarity {
         .join(broadcast(qf), Seq("q_id"))
         .select(col("q_id"), col("id"),
           ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
-      reranked.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("id"), col("rank").cast("long").as("rank"))
+      heapTopK(reranked, k).select("q_id", "id", "rank")
     }
   }
 
