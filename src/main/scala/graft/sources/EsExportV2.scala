@@ -586,49 +586,66 @@ private[sources] object FilterEval {
     else row.asInstanceOf[GenericInternalRow].values(i)
   }
 
-  /** Three-valued compare collapsed to boolean (null ⇒ false), matching
-    * what a post-scan Catalyst Filter would keep.
+  def eval(f: Filter, row: InternalRow, schema: StructType): Boolean =
+    eval3(f, row, schema).contains(true)
+
+  /** FULL Kleene three-valued evaluation — `None` is SQL NULL — so the
+    * collapse to "keep the row" happens exactly once at the top, the
+    * same way a post-scan Catalyst Filter keeps only TRUE. Collapsing
+    * per-node (the previous `defined`-guard shape) gets NOT wrong in
+    * both directions: `NOT(x IN (v, NULL))` on a non-matching x is
+    * NULL → drop (a boolean evaluator keeps it), while
+    * `NOT(false AND NULL)` is TRUE → keep (a "whole subtree must be
+    * defined" guard drops it). Filters claimed pushable return no
+    * residual, so Catalyst never re-checks — the semantics here must
+    * be exact, not conservative.
     */
-  def eval(f: Filter, row: InternalRow, schema: StructType): Boolean = f match {
-    case sources.And(l, r) => eval(l, row, schema) && eval(r, row, schema)
-    case sources.Or(l, r)  => eval(l, row, schema) || eval(r, row, schema)
-    case sources.Not(c) =>
-      // NOT(null) is null ⇒ false: only a DEFINED false child satisfies
-      defined(c, row, schema) && !eval(c, row, schema)
-    case sources.IsNull(a)    => fieldValue(a, row, schema) == null
-    case sources.IsNotNull(a) => fieldValue(a, row, schema) != null
+  private def eval3(f: Filter, row: InternalRow,
+      schema: StructType): Option[Boolean] = f match {
+    case sources.And(l, r) =>
+      (eval3(l, row, schema), eval3(r, row, schema)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+    case sources.Or(l, r) =>
+      (eval3(l, row, schema), eval3(r, row, schema)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+    case sources.Not(c) => eval3(c, row, schema).map(!_)
+    case sources.IsNull(a) =>
+      Some(fieldValue(a, row, schema) == null)
+    case sources.IsNotNull(a) =>
+      Some(fieldValue(a, row, schema) != null)
     case sources.EqualTo(a, v) =>
-      cmp(fieldValue(a, row, schema), v).contains(0)
+      cmp(fieldValue(a, row, schema), v).map(_ == 0)
     case sources.GreaterThan(a, v) =>
-      cmp(fieldValue(a, row, schema), v).exists(_ > 0)
+      cmp(fieldValue(a, row, schema), v).map(_ > 0)
     case sources.GreaterThanOrEqual(a, v) =>
-      cmp(fieldValue(a, row, schema), v).exists(_ >= 0)
+      cmp(fieldValue(a, row, schema), v).map(_ >= 0)
     case sources.LessThan(a, v) =>
-      cmp(fieldValue(a, row, schema), v).exists(_ < 0)
+      cmp(fieldValue(a, row, schema), v).map(_ < 0)
     case sources.LessThanOrEqual(a, v) =>
-      cmp(fieldValue(a, row, schema), v).exists(_ <= 0)
+      cmp(fieldValue(a, row, schema), v).map(_ <= 0)
     case sources.In(a, vs) =>
       val x = fieldValue(a, row, schema)
-      x != null && vs.exists(v => cmp(x, v).contains(0))
+      if (x == null) None
+      else {
+        val cs = vs.map(v => cmp(x, v))
+        if (cs.exists(_.contains(0))) Some(true)
+        // no match but a NULL in the list ⇒ the IN itself is NULL
+        else if (cs.exists(_.isEmpty)) None
+        else Some(false)
+      }
     case sources.StringStartsWith(a, pre) =>
-      str(fieldValue(a, row, schema)).exists(_.startsWith(pre))
+      str(fieldValue(a, row, schema)).map(_.startsWith(pre))
     case sources.StringEndsWith(a, suf) =>
-      str(fieldValue(a, row, schema)).exists(_.endsWith(suf))
+      str(fieldValue(a, row, schema)).map(_.endsWith(suf))
     case sources.StringContains(a, sub) =>
-      str(fieldValue(a, row, schema)).exists(_.contains(sub))
-    case _ => false // unpushable shapes never reach here
-  }
-
-  /** Whether the child predicate evaluates to a definite (non-null)
-    * boolean — needed for NOT's three-valued logic.
-    */
-  private def defined(f: Filter, row: InternalRow,
-      schema: StructType): Boolean = f match {
-    case sources.And(l, r) => defined(l, row, schema) && defined(r, row, schema)
-    case sources.Or(l, r)  => defined(l, row, schema) && defined(r, row, schema)
-    case sources.Not(c)    => defined(c, row, schema)
-    case _: sources.IsNull | _: sources.IsNotNull => true
-    case _ => f.references.forall(fieldValue(_, row, schema) != null)
+      str(fieldValue(a, row, schema)).map(_.contains(sub))
+    case _ => Some(false) // unpushable shapes never reach here
   }
 
   private def str(x: Any): Option[String] = x match {

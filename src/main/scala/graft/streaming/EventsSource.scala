@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   * So every streaming module funnels through here: probe the footer once
   * (batch-side, driver-only), declare the matching stream schema, and
   * normalize to ONE logical contract — `ts: TimestampType` on the
-  * MICROSECOND grid (UTC session timezone, so the NTZ→LTZ cast is an
-  * identity on the stored micros; the nanos long floors to micros — the
-  * q72/q91 shared grid). Test feeds that write plain int64 epoch-nanos
+  * MICROSECOND grid (the NTZ wall-clock is re-rendered from UTC into
+  * the session tz before its LTZ cast, so the instant is the stored
+  * UTC micros under any session timezone; the nanos long floors to
+  * micros — the q72/q91 shared grid). Test feeds that write plain
+  * int64 epoch-nanos
   * columns (the eviction/CDC specs) probe as LongType and take the nanos
   * path unchanged.
   */
@@ -69,8 +71,13 @@ object EventsSource {
     t match {
       case LongType => // epoch-nanos int64 → floor to the micros grid
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => // micros vintage: identity under UTC
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // micros vintage: NTZ wall-clock = UTC instant; re-render into
+        // the session tz before the cast so the instant survives ANY
+        // session timezone (same rule as `graft.Tables`)
+        raw.withColumn("ts", convert_timezone(lit("UTC"),
+          lit(spark.conf.get("spark.sql.session.timeZone")),
+          col("ts")).cast(TimestampType))
       case _ => raw
     }
   }

@@ -38,4 +38,28 @@ class TablesConfSpec extends AnyFunSuite {
     val maxTs = df.selectExpr("max(ts)").collect().head.get(0)
     assert(maxTs != null)
   }
+
+  test("events ts instants are session-timezone independent") {
+    // the stored micros are UTC instants; a loader that casts NTZ→LTZ
+    // through the session tz would shift every instant by the zone
+    // offset. unix_micros reads the instant, not the rendering, so the
+    // two reads must agree exactly.
+    val tzKey = "spark.sql.session.timeZone"
+    val before = spark.conf.get(tzKey)
+    val utc =
+      try {
+        spark.conf.set(tzKey, "UTC")
+        graft.Tables.events(spark, sf)
+          .selectExpr("min(unix_micros(ts))", "max(unix_micros(ts))")
+          .collect().head
+      } finally spark.conf.set(tzKey, before)
+    val offset =
+      try {
+        spark.conf.set(tzKey, "America/New_York")
+        graft.Tables.events(spark, sf)
+          .selectExpr("min(unix_micros(ts))", "max(unix_micros(ts))")
+          .collect().head
+      } finally spark.conf.set(tzKey, before)
+    assert(utc === offset)
+  }
 }

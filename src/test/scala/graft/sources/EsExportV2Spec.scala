@@ -140,6 +140,58 @@ class EsExportV2Spec extends AnyFunSuite {
     assert(d.contains("Or("), d)
   }
 
+  test("pushed NOT has exact Kleene semantics (NULL operands)") {
+    // doc 2 is the only lang='fr'; docs 1,3,5 have lang∈{en,es,de};
+    // NOT(lang IN ('en','es','de','it', NULL)) is FALSE for matches and
+    // NULL (→ drop) for 'fr' — zero rows, not one. (Catalyst may prove
+    // the bare form unsatisfiable and skip the scan; the OR form below
+    // forces it through the reader.)
+    assert(readV2()
+      .filter(!col("lang").isin("en", "es", "de", "it", null))
+      .count() === 0)
+    // under an OR the NOT(IN … NULL) branch must still contribute
+    // nothing: only the doc_id=3 branch keeps a row (Catalyst happens
+    // to fold the branch away today; FilterEval.eval3 gives the same
+    // answer if the shape ever reaches the reader — pinned directly in
+    // the FilterEval unit test below)
+    val notInWithNull = readV2().filter(col("doc_id") === 3L ||
+      !col("lang").isin("en", "es", "de", "it", null))
+    assert(notInWithNull.select("doc_id").collect()
+      .map(_.getLong(0)).toSeq === Seq(3L))
+    // sanity: same IN list without the NULL keeps exactly the 'fr' doc
+    assert(readV2().filter(!col("lang").isin("en", "es", "de", "it"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+
+    // doc 4 has lang='it' and NO n_chars: NOT('it'='en' AND NULL>5) =
+    // NOT(false AND NULL) = NOT(false) = TRUE — the row must survive
+    // (a "whole subtree defined" guard would drop it).
+    val notAnd = readV2()
+      .filter(!(col("lang") === "en" && col("n_chars") > 5L))
+    assert(notAnd.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(2L, 3L, 4L, 5L))
+    // the NOT(AND) shape stays fully pushed (no residual above the scan)
+    val d = notAnd.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head.scan.description()
+    assert(d.contains("Not("), d)
+
+    // FilterEval directly, for the shapes Catalyst folds away before
+    // they can reach the reader: NOT(In) with a NULL in the list
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.{sources => sf}
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(StructField("lang", StringType)))
+    def rowOf(v: String) = new GenericInternalRow(
+      Array[Any](if (v == null) null else UTF8String.fromString(v)))
+    val notInNull = sf.Not(sf.In("lang", Array[Any]("en", null)))
+    // 'fr' NOT IN ('en', NULL) → NULL → drop
+    assert(!FilterEval.eval(notInNull, rowOf("fr"), schema))
+    // 'en' NOT IN ('en', NULL) → NOT TRUE → FALSE → drop
+    assert(!FilterEval.eval(notInNull, rowOf("en"), schema))
+    // and without the NULL the non-match must be kept
+    assert(FilterEval.eval(
+      sf.Not(sf.In("lang", Array[Any]("en"))), rowOf("fr"), schema))
+  }
+
   test("bare documents, concatenated responses, and top-level arrays") {
     val dir = Files.createTempDirectory("es_export_shapes_")
     // JSONL of bare docs
