@@ -69,9 +69,13 @@ object Similarity {
     * fans out (×(nPlanes+1)), the corpus is still scanned exactly once and
     * shuffled only by bucket id — the property that matters at 100 TB.
     * Recall/cost knob: more planes → smaller buckets, lower recall.
+    * Default nPlanes=3 is the measured knee on the testdata embeddings
+    * (recall@5 0.67–0.76 across sf0.001–0.1 at a ~50% scan fraction;
+    * 4 planes drops to ~0.5 — `tools/RecallSweep`, table pinned in
+    * COVERAGE.md).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int = 5, nPlanes: Int = 4): DataFrame = {
+      vecCol: String, dim: Int, k: Int = 5, nPlanes: Int = 3): DataFrame = {
     val bucket = ArrayOps.hyperplaneBucketF(col("vec"), nPlanes)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("bucket0",
@@ -100,10 +104,15 @@ object Similarity {
     * matrix inlined as a literal (broadcast-equivalent); only the tiny
     * query side fans out ×nProbe. Scoring happens strictly in-cell, and
     * the corpus embedding column is shuffled nowhere.
+    * Default 64 cells / 16 probes = a 25% scan fraction at recall@5
+    * 0.74–0.80 across sf0.001–0.1 on the testdata embeddings — the best
+    * measured recall-per-scanned-row point (`tools/RecallSweep`, table
+    * in COVERAGE.md). At real scale grow nCells ~√n and keep the
+    * nProbe/nCells fraction, faiss-style.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int = 5, nCells: Int = 32,
-      nProbe: Int = 8, sampleN: Int = 2048, iters: Int = 10,
+      vecCol: String, dim: Int, k: Int = 5, nCells: Int = 64,
+      nProbe: Int = 16, sampleN: Int = 2048, iters: Int = 10,
       seed: Long = 42L): DataFrame = {
     val sample = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))

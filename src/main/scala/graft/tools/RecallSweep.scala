@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Recall@5 trade-off sweep for the LSH / IVF ANN defaults on the real
+  * testdata embeddings — the evidence behind the pinned default
+  * parameters and recall floors of q29/q50 (an accidental floor is a
+  * silent quality knob; this makes it a measured choice).
+  *
+  * Usage: RecallSweep [sfDir] [nQueries]
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nQ = args.lift(1).map(_.toInt).getOrElse(50)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = emb.count()
+    val qs = emb.filter(col("vec_id") < nQ)
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val exact = ids(Similarity.bruteForceTopK(emb, qs, "vec_id",
+      "embedding", 5))
+    println(f"[sweep] corpus n=$n queries=$nQ exact pairs=${exact.size}")
+
+    for (p <- Seq(2, 3, 4, 5)) {
+      val (got, t) = timed(ids(Similarity.lshTopK(emb, qs, "vec_id",
+        "embedding", dim = 64, k = 5, nPlanes = p)))
+      val rec = got.count(exact).toDouble / exact.size
+      println(f"[sweep] lsh nPlanes=$p%-2d recall@5=$rec%.3f  scanFrac~${(1.0 + p) / (1 << p)}%.3f  $t%6.2f s")
+    }
+    for ((c, pr) <- Seq((32, 4), (32, 8), (32, 12), (32, 16), (64, 16), (64, 24))) {
+      val (got, t) = timed(ids(Similarity.ivfTopK(emb, qs, "vec_id",
+        "embedding", dim = 64, k = 5, nCells = c, nProbe = pr)))
+      val rec = got.count(exact).toDouble / exact.size
+      println(f"[sweep] ivf cells=$c%-3d nProbe=$pr%-3d recall@5=$rec%.3f  scanFrac~${pr.toDouble / c}%.3f  $t%6.2f s")
+    }
+    spark.stop()
+  }
+}
