@@ -245,6 +245,23 @@ object Similarity {
       vecCol: String, dim: Int, k: Int = 5, m: Int = 8, ksub: Int = 16,
       refine: Int = 4, sampleN: Int = 2048, iters: Int = 10,
       seed: Long = 42L): DataFrame = {
+    val shortlist = pqShortlist(corpus, queries, idCol, vecCol, dim, k,
+      m, ksub, refine, sampleN, iters, seed)
+    if (refine == 1)
+      shortlist.select("q_id", "id", "rank")
+    else
+      pqRefine(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        queries, idCol, vecCol, shortlist, k)
+  }
+
+  /** The ADC stage of [[pqTopK]]: train, encode, score, keep the
+    * k·refine shortlist per query. Shared verbatim by the in-memory
+    * refine path and [[pqTopKOverLake]], so the two paths differ ONLY
+    * in where the refine scan reads its float vectors.
+    */
+  private def pqShortlist(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, m: Int, ksub: Int,
+      refine: Int, sampleN: Int, iters: Int, seed: Long): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     require(ksub > 0 && ksub <= 128, s"ksub=$ksub must fit a signed byte")
     require(refine >= 1, s"refine=$refine must be >= 1")
@@ -263,19 +280,65 @@ object Similarity {
     val scored = c.join(broadcast(q), col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
         ArrayOps.pqAdcF(col("lut"), col("codes"), ksub).as("sim"))
-    val shortlist = heapTopK(scored, k * refine)
-    if (refine == 1)
-      shortlist.select("q_id", "id", "rank")
+    heapTopK(scored, k * refine)
+  }
+
+  /** Exact float re-rank of a (q_id, id) shortlist against a vector
+    * source. `vecSource` must expose (id, vec).
+    */
+  private def pqRefine(vecSource: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, shortlist: DataFrame,
+      k: Int): DataFrame = {
+    val qf = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val reranked = vecSource
+      .join(broadcast(shortlist.select(col("q_id"), col("id"))), Seq("id"))
+      .join(broadcast(qf), Seq("q_id"))
+      .select(col("q_id"), col("id"),
+        ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
+    heapTopK(reranked, k).select("q_id", "id", "rank")
+  }
+
+  /** "ANN over the lake" — [[pqTopK]]'s refine scan wired to an
+    * id-sorted, bloom-indexed parquet lake ([[graft.sinks.Lake
+    * .writeAnnLake]]): the 100-TB shape the refine pattern promises.
+    * The ADC pass scans the lake ONCE (codes are cheap to carry;
+    * at real scale they'd be a stored column); the exact re-rank then
+    * RE-READS only the shortlist rows — the id list is collected
+    * (bounded: ≤ |Q|·k·refine longs, the same driver-side budget as
+    * the IVF training sample) and pushed into the second parquet scan
+    * as a filter, so row groups outside the shortlist are pruned by
+    * the parquet column index (the lake is sorted by id → tight
+    * min/max per row group) and bloom filters instead of re-scanned.
+    * The two scans are the whole story: full scan of m-byte codes +
+    * shortlist-pruned scan of floats, never a second full float scan.
+    *
+    * Results are IDENTICAL to [[pqTopK]] with the same parameters on
+    * the same data (pinned by spec): the lake changes where bytes
+    * come from, never what is computed.
+    *
+    * Note: In-filter pushdown to parquet is capped by
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10);
+    * raise it past |shortlist| (or rely on the column index alone)
+    * when pruning evidence matters.
+    */
+  def pqTopKOverLake(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int = 5, m: Int = 8, ksub: Int = 16, refine: Int = 4,
+      sampleN: Int = 2048, iters: Int = 10, seed: Long = 42L): DataFrame = {
+    require(refine >= 1, s"refine=$refine must be >= 1")
+    val corpus = spark.read.parquet(lakeDir)
+    val shortlist = pqShortlist(corpus, queries, idCol, vecCol, dim, k,
+      m, ksub, refine, sampleN, iters, seed)
+    if (refine == 1) shortlist.select("q_id", "id", "rank")
     else {
-      val qf = queries.select(col(idCol).as("q_id"),
-        col(vecCol).as("q_vec"))
-      val reranked = corpus
+      // bounded collect: ≤ |Q|·k·refine ids — this IS the point where
+      // the second scan's read set becomes a driver-known constant
+      val ids = shortlist.select(col("id")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val pruned = spark.read.parquet(lakeDir)
+        .filter(col(idCol).isin(ids.map(_.asInstanceOf[Any]): _*))
         .select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .join(broadcast(shortlist.select(col("q_id"), col("id"))), Seq("id"))
-        .join(broadcast(qf), Seq("q_id"))
-        .select(col("q_id"), col("id"),
-          ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
-      heapTopK(reranked, k).select("q_id", "id", "rank")
+      pqRefine(pruned, queries, idCol, vecCol, shortlist, k)
     }
   }
 

@@ -1893,6 +1893,55 @@ object TrainingData {
       floor = 0.5)
   }
 
+  // --- q122: ANN over the lake ------------------------------------------------
+  // `Similarity.pqTopKOverLake` against an id-sorted, bloom-indexed
+  // parquet lake (`Lake.writeAnnLake`): the ADC pass scans the lake
+  // once, the exact refine re-rank re-reads ONLY the shortlist rows
+  // through an id-list filter the sorted layout answers with row-group
+  // column-index + bloom pruning — the 100-TB refine shape q110's
+  // in-memory path only promises. The audit pins BOTH contracts:
+  // equals_in_memory — the lake-refined top-k EXACTLY equals pqTopK
+  // with the same parameters (the lake changes where bytes come from,
+  // never what is computed; multiset equality via pair-counting) —
+  // and q110's recall floor against brute force. n_queries/n_results
+  // are data-derivable in SQL; the booleans replay as pinned TRUE.
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    val lakeDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_annlake_" + Tables.scratchKey(d)).toString
+    graft.sinks.Lake.writeAnnLake(emb, lakeDir, "vec_id")
+    val lake = Similarity.pqTopKOverLake(s, lakeDir, qs, "vec_id",
+      "embedding", dim = 64, k = 5, m = 16, ksub = 16, refine = 4)
+    val mem = Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, k = 5, m = 16, ksub = 16, refine = 4)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+      k = 5)
+    val stats = lake.agg(
+      count_distinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_results"))
+    // every (q_id, id, rank) must appear exactly twice in lake ∪ mem
+    val diffs = lake.unionAll(mem)
+      .groupBy("q_id", "id", "rank").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).agg(count(lit(1)).as("n_diff"))
+    val hits = lake.join(exact, Seq("q_id", "id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    stats.crossJoin(diffs).crossJoin(hits).crossJoin(nExact)
+      .select(col("n_queries"), col("n_results"),
+        (col("n_diff") === 0).as("equals_in_memory"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.5)
+          .as("recall_ge_floor"))
+  }
+
+  private val q122Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(5 * count(*) AS BIGINT) AS n_results,
+       true AS equals_in_memory,
+       true AS recall_ge_floor
+       FROM embeddings WHERE vec_id < 10"""
+
   // --- q112: deterministic training shuffle — FULL per-row oracle ------------
   // The lake layout that IS the training order: shard and in-shard
   // position derive from doc_id via an engine-portable
@@ -2385,7 +2434,8 @@ object TrainingData {
     "q118_label_prop"     -> q118 _,
     "q119_topk_agg"       -> q119 _,
     "q120_es_dsv2"        -> q120 _,
-    "q121_bm25"           -> q121 _)
+    "q121_bm25"           -> q121 _,
+    "q122_ann_lake"       -> q122 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2457,5 +2507,6 @@ object TrainingData {
     "q118_label_prop"     -> q118Sql,
     "q119_topk_agg"       -> q119Sql,
     "q120_es_dsv2"        -> q120Sql,
-    "q121_bm25"           -> q121Sql)
+    "q121_bm25"           -> q121Sql,
+    "q122_ann_lake"       -> q122Sql)
 }

@@ -28,6 +28,26 @@ object Lake {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Point-lookup-optimized lake for an id-keyed corpus (the ANN refine
+    * scan's storage contract — `Similarity.pqTopKOverLake`): rows
+    * range-partitioned AND sorted by `idCol`, so every parquet row
+    * group covers a tight, disjoint id interval and the column index
+    * (min/max) alone answers "which row groups can hold these ids";
+    * per-row-group bloom filters on `idCol` catch the false positives
+    * min/max ranges admit. An id-list filter on the read side then
+    * touches only the row groups the ids actually live in — at 100 TB
+    * the refine scan reads O(|shortlist|) row groups, not the corpus.
+    * `rowGroupBytes` bounds the pruning granule (parquet.block.size).
+    */
+  def writeAnnLake(df: DataFrame, dir: String, idCol: String,
+      nFiles: Int = 8, rowGroupBytes: Long = 1L << 20): Unit =
+    df.repartitionByRange(nFiles, col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$idCol", "true")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(dir)
+
   /** Per-lake parquet file census via the Hadoop FileSystem API (works
     * on the local FS here and on HDFS/object stores on a cluster).
     */

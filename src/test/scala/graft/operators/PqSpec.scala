@@ -102,4 +102,36 @@ class PqSpec extends AnyFunSuite {
     assert(out.length == 6)  // both queries answered with full top-3
     assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 3))
   }
+
+  test("lake-refined PQ equals the in-memory path; refine scan is id-pruned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq_ann_lake_").toString
+    graft.sinks.Lake.writeAnnLake(emb, dir, "vec_id", nFiles = 4)
+
+    // the lake is range-partitioned and sorted: files cover disjoint,
+    // ordered id intervals (the property row-group pruning leans on)
+    val mins = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("vec_id"))
+      .groupBy("f").agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
+      .orderBy("lo").collect()
+    assert(mins.length == 4)
+    assert(mins.sliding(2).forall(p =>
+      p.head.getLong(2) < p.last.getLong(1))) // hi(i) < lo(i+1)
+
+    val lake = Similarity.pqTopKOverLake(spark, dir, qs, "vec_id",
+      "embedding", dim = 64, k = 5, m = 16, ksub = 16, refine = 4)
+    val mem = Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, k = 5, m = 16, ksub = 16, refine = 4)
+    assert(lake.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSet ===
+      mem.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSet)
+
+    // the refine re-read carries the shortlist id filter into the scan
+    val plan = lake.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id"), plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n"))
+  }
 }
