@@ -38,12 +38,16 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
+    // ONE shuffle lays edges out by src; dedup and the degree count
+    // then run inside that layout with no further exchange (all rows
+    // of a src share a partition, so per-(src,dst) and per-src
+    // aggregation are both satisfied by hashpartitioning(src)), and
+    // every iteration's rank join lands in it too.
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
+      col("dst").cast("long").as("dst"))
+      .repartition(col("src")).dropDuplicates("src", "dst")
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // One shuffle to lay edges out by src; every iteration's rank join
-    // lands in this layout instead of re-shuffling the edge set.
-    val ed = e.join(deg, "src").repartition(col("src")).persist()
+    val ed = e.join(deg, "src").persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
@@ -81,9 +85,12 @@ object Graph {
     */
   def minLabelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    // same one-shuffle edge layout as [[pageRank]]: partition by src,
+    // dedup in place (hashpartitioning(src) clusters every (src,dst))
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
-      .repartition(col("src")).persist()
+      col("dst").cast("long").as("dst"))
+      .repartition(col("src")).dropDuplicates("src", "dst")
+      .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
