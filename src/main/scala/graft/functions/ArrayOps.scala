@@ -548,6 +548,32 @@ object ArrayOps {
         Seq(ArrayType(DoubleType), ArrayType(ByteType), IntegerType),
         returnNullable = false))
 
+  /** Exact integer L2² between two long vectors — the SemDeDup pair
+    * kernel ([[graft.operators.Clustering.semanticDedup]]): one static
+    * call per candidate pair instead of an interpreted
+    * `aggregate(zip_with(...))` lambda walking the 64 elements. Same
+    * arithmetic to the bit (long subtract/multiply/add), so the SQL
+    * oracle replay is unaffected.
+    */
+  def l2sqLongs(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def l2sqL(a: Column, b: Column): Column = CatalystBridge.column(
+    StaticInvoke(
+      ArrayOps.getClass, LongType, "l2sqLongs",
+      Seq(CatalystBridge.expression(a), CatalystBridge.expression(b)),
+      Seq(ArrayType(LongType), ArrayType(LongType)),
+      returnNullable = false))
+
   /** Order-preserving bijection double → signed long, so a DOUBLE
     * ordering key can ride the long-typed [[TopK.TopKPairs]] heap:
     * `sortableDoubleBits(a) < sortableDoubleBits(b)` iff `a < b` under

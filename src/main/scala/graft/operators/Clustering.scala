@@ -126,9 +126,11 @@ object Clustering {
       col("qv").as("b_qv"))
     val dupIds = a.join(b,
         col("cluster") === col("b_cluster") && col("b_id") < col("id"))
-      .filter(aggregate(
-        zip_with(col("qv"), col("b_qv"), (x, y) => { val d = x - y; d * d }),
-        lit(0L), (acc, x) => acc + x) <= lit(threshold))
+      // codegen'd static L2² kernel — bit-identical to the
+      // aggregate(zip_with(...)) HOF form, minus the interpreted
+      // lambda per pair element
+      .filter(graft.functions.ArrayOps.l2sqL(col("qv"), col("b_qv"))
+        <= lit(threshold))
       .select(col("id")).distinct()
     val out = a.join(dupIds.withColumn("is_dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"),
