@@ -2258,7 +2258,11 @@ object TrainingData {
   // original parquet, so a lost page, an envelope-navigation slip, a
   // mis-evaluated pushed filter, or a pruning bug that drops a parsed
   // column all fail the hash.
-  private def q120(s: SparkSession, d: String): DataFrame = {
+  /** Export the documents table as deterministic ES response pages
+    * (the q120/q123 shared fixture). Returns (pageDir, docSchema).
+    */
+  private def esPageExport(s: SparkSession,
+      d: String): (String, org.apache.spark.sql.types.StructType) = {
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft_esv2_" + Tables.scratchKey(d))
@@ -2305,6 +2309,11 @@ object TrainingData {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_chars",
         org.apache.spark.sql.types.LongType)))
+    (dirStr, docSchema)
+  }
+
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val (dirStr, docSchema) = esPageExport(s, d)
     s.read.format("es-export").schema(docSchema).load(dirStr)
       .filter(col("lang").isin("en", "de") && col("n_chars") >= 50L)
       .groupBy(col("lang"), col("source"))
@@ -2318,6 +2327,45 @@ object TrainingData {
        FROM documents
        WHERE lang IN ('en', 'de') AND n_chars >= 50
        GROUP BY lang, source"""
+
+  // --- q123: es-export connector, STREAMING path ------------------------------
+  // The connector's MICRO_BATCH_READ rung gets the same oracle as its
+  // batch twin: the exported pages are pulled through
+  // `readStream.format("es-export")` (file-index offsets — the durable
+  // `search_after` cursor; pruning + pushdown ride the same token
+  // reader), folded per-batch via foreachBatch into partial
+  // aggregates, and re-aggregated — count/sum/min are all mergeable,
+  // so stream-of-batches == one batch == DuckDB, whatever the page-to-
+  // batch assignment. Shares q120's page fixture AND q120's oracle SQL.
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val (dirStr, docSchema) = esPageExport(s, d)
+    val partials =
+      collection.mutable.ArrayBuffer.empty[(String, String, Long, Long, Long)]
+    val stream = s.readStream.format("es-export")
+      .schema(docSchema).load(dirStr)
+      .filter(col("lang").isin("en", "de") && col("n_chars") >= 50L)
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val rows = batch.groupBy(col("lang"), col("source"))
+            .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+              min(col("doc_id")).as("min_doc"))
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+              r.getLong(3), r.getLong(4)))
+          partials.synchronized { partials ++= rows }
+          ()
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import s.implicits._
+    partials.toSeq.toDF("lang", "source", "n", "sum_chars", "min_doc")
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_chars")).as("sum_chars"),
+        min(col("min_doc")).as("min_doc"))
+  }
 
   // --- q121: BM25 top-k retrieval ---------------------------------------------
   // operators/Retrieval.bm25TopK: Okapi BM25 (Lucene non-negative idf)
@@ -2435,7 +2483,8 @@ object TrainingData {
     "q119_topk_agg"       -> q119 _,
     "q120_es_dsv2"        -> q120 _,
     "q121_bm25"           -> q121 _,
-    "q122_ann_lake"       -> q122 _)
+    "q122_ann_lake"       -> q122 _,
+    "q123_es_stream"      -> q123 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2508,5 +2557,6 @@ object TrainingData {
     "q119_topk_agg"       -> q119Sql,
     "q120_es_dsv2"        -> q120Sql,
     "q121_bm25"           -> q121Sql,
-    "q122_ann_lake"       -> q122Sql)
+    "q122_ann_lake"       -> q122Sql,
+    "q123_es_stream"      -> q120Sql)
 }
