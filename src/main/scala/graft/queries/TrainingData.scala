@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Clustering, Dedup, Layout, Multimodal, Quantization, Retrieval, Similarity}
+import graft.operators.{Clustering, Dedup, Layout, LmScore, Multimodal, Quantization, Retrieval, Similarity}
 import graft.streaming.EventsStream
 
 /** Training-data-pipeline operator surface: deduplication (exact / MinHash
@@ -2367,6 +2367,39 @@ object TrainingData {
         min(col("min_doc")).as("min_doc"))
   }
 
+  // --- q124: n-gram LM quality scoring ----------------------------------------
+  // operators/LmScore.bigramScore: the CCNet-style perplexity-proxy
+  // curation filter — add-one-smoothed word-bigram LM trained on the
+  // corpus, every document scored as the sum of its bigrams'
+  // conditional log-probs. Integer-portable by the q105/q121 rule
+  // (per-bigram micro-rounding BEFORE the per-document sum), so the
+  // oracle rebuilds the identical counts and expression tree and the
+  // whole score column must hash-match.
+  private def q124(s: SparkSession, d: String): DataFrame =
+    LmScore.bigramScore(Tables.documents(s, d), "doc_id", "text")
+
+  private val q124Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       tok AS (SELECT unnest(w) AS t FROM w),
+       uni AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t),
+       v AS (SELECT count(*) AS v FROM uni),
+       g AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+             FROM w),
+       pairs AS (SELECT doc_id, w[i] AS t, w[i + 1] AS nxt FROM g),
+       big AS (SELECT t, nxt, count(*) AS c2 FROM pairs GROUP BY t, nxt),
+       scored AS (SELECT p.doc_id,
+             CAST(round(ln((b.c2 + 1.0) / (u.c1 + v.v)) * 1e6) AS BIGINT) AS m
+           FROM pairs p
+           JOIN big b ON p.t = b.t AND p.nxt = b.nxt
+           JOIN uni u ON p.t = u.t
+           CROSS JOIN v),
+       agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(m) AS score_micro
+               FROM scored GROUP BY doc_id)
+       SELECT d.doc_id,
+         COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         CAST(COALESCE(a.score_micro, 0) AS BIGINT) AS score_micro
+       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
   // --- q121: BM25 top-k retrieval ---------------------------------------------
   // operators/Retrieval.bm25TopK: Okapi BM25 (Lucene non-negative idf)
   // over whitespace tokens, three fixed queries (one includes the rare
@@ -2484,7 +2517,8 @@ object TrainingData {
     "q120_es_dsv2"        -> q120 _,
     "q121_bm25"           -> q121 _,
     "q122_ann_lake"       -> q122 _,
-    "q123_es_stream"      -> q123 _)
+    "q123_es_stream"      -> q123 _,
+    "q124_lm_score"       -> q124 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2558,5 +2592,6 @@ object TrainingData {
     "q120_es_dsv2"        -> q120Sql,
     "q121_bm25"           -> q121Sql,
     "q122_ann_lake"       -> q122Sql,
-    "q123_es_stream"      -> q120Sql)
+    "q123_es_stream"      -> q120Sql,
+    "q124_lm_score"       -> q124Sql)
 }
