@@ -53,13 +53,18 @@ object Graph {
 
     var ranks = nodes.withColumn("pr", lit(1000000000L))
     for (_ <- 1 to iters) {
-      val contribs = ed
+      // one aggregation per round: the zero-share row per node seeds
+      // the sum, so "no in-edges ⇒ re-base mass only" needs no second
+      // (left-join) stage — sum(shares ∪ {0}) ≡ coalesce(sum, 0), and
+      // integer addition keeps the result bit-identical
+      val shares = ed
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .selectExpr("dst AS node", "((pr * 85) div 100) div outdeg AS share")
+      ranks = shares
+        .unionByName(nodes.withColumn("share", lit(0L)))
         .groupBy("node").agg(sum("share").as("in_mass"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(150000000L) + coalesce(col("in_mass"), lit(0L))).as("pr"))
+          (lit(150000000L) + col("in_mass")).as("pr"))
     }
     val out = ranks.persist()
     out.count(): Unit
@@ -96,11 +101,13 @@ object Graph {
 
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
-      val nbrMin = e.join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node")).agg(min("label").as("nbr"))
-      labels = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // one aggregation per round: min over (own label ∪ in-neighbor
+      // labels) ≡ least(own, min(neighbors)) — the own-label row seeds
+      // the group, so no-in-edge nodes need no left-join stage
+      labels = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+        .unionByName(labels)
+        .groupBy("node").agg(min("label").as("label"))
     }
     val out = labels.persist()
     out.count(): Unit
