@@ -568,13 +568,14 @@ object Relational {
 
   // --- q39: approximate distinct counting (HLL++ sketch) ----------------------
   // Sketch estimates are engine-specific, but the CONTRACT is not: the
-  // estimate must sit within the configured error of the exact count. The
-  // query emits the exact distinct counts (which DuckDB recomputes) plus
-  // within-2%-bound booleans for the HLL++ estimates (rsd 0.02; measures
-  // <=0.95% on this data, deterministic for a fixed dataset + sketch
-  // implementation). The exact twin lives only in the audit — at 100 TB
-  // you'd ship the mergeable sketch alone; ApproxSpec keeps the bound
-  // pinned in CI as well.
+  // estimate must sit within the sketch's statistical bound of the exact
+  // count. rsd=0.02 is a STANDARD error, not a maximum — measured per
+  // group/SF the error reaches 3.3% (sf0.1, flag R, orderkeys), well
+  // inside 3 rsd = 6%, which is the audited bound (a 2% pin failed at
+  // sf0.1 — expected behavior, wrong audit). Deterministic for a fixed
+  // dataset + sketch implementation. The exact twin lives only in the
+  // audit — at 100 TB you'd ship the mergeable sketch alone; ApproxSpec
+  // keeps the bound pinned in CI as well.
   private def q39(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -585,15 +586,15 @@ object Relational {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
         (abs(col("ap") - col("exact_parts")).cast("double") /
-          col("exact_parts") <= 0.02).as("parts_within_2pct"),
+          col("exact_parts") <= 0.06).as("parts_within_3rsd"),
         (abs(col("ao") - col("exact_orders")).cast("double") /
-          col("exact_orders") <= 0.02).as("orders_within_2pct"))
+          col("exact_orders") <= 0.06).as("orders_within_3rsd"))
 
   private val q39Sql =
     """SELECT l_returnflag,
        count(DISTINCT l_partkey) AS exact_parts,
        count(DISTINCT l_orderkey) AS exact_orders,
-       true AS parts_within_2pct, true AS orders_within_2pct
+       true AS parts_within_3rsd, true AS orders_within_3rsd
        FROM lineitem GROUP BY l_returnflag"""
 
   // --- q46: AS-OF join (purchase -> latest prior click per user) --------------
