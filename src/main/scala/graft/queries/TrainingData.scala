@@ -2130,9 +2130,11 @@ object TrainingData {
   private def q117(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val l = Tables.lineitem(s, d)
+    // no .distinct() here: the operators dedup (src, dst) INSIDE their
+    // one-shuffle src layout, so a query-side distinct is a pure extra
+    // shuffle of the pair set
     val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
     val edges = pairs
       .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
       .unionByName(pairs
@@ -2176,9 +2178,11 @@ object TrainingData {
   private def q118(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val l = Tables.lineitem(s, d)
+    // no .distinct() here: the operators dedup (src, dst) INSIDE their
+    // one-shuffle src layout, so a query-side distinct is a pure extra
+    // shuffle of the pair set
     val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
     val edges = pairs
       .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
       .unionByName(pairs
