@@ -1489,6 +1489,38 @@ object Relational {
        WHERE o_totalprice > 480000.0
        GROUP BY o_orderstatus"""
 
+  // --- q125: exact discrete quantiles over a bounded value domain ------------
+  // operators/Quantiles.exactDiscrete — the exact complement of the GK
+  // sketch: per-(group, value) counts in ONE map-side-combined pass,
+  // cumulative counts over the tiny distinct-value table, quantile =
+  // smallest value whose cum·1000 >= q‰·n (integer arithmetic end to
+  // end — percentile_disc semantics with no float position math). The
+  // oracle replays the identical expression tree; at 100 TB the
+  // shuffle carries |distinct cents| counts per flag, never rows.
+  private def q125(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantiles.exactDiscrete(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          (money(col("l_extendedprice")) * 100).cast("long")
+            .as("price_cents")),
+      Seq("l_returnflag"), "price_cents", Seq(500, 900, 990))
+
+  private val q125Sql =
+    """WITH d AS (SELECT l_returnflag AS g,
+           CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS v
+         FROM lineitem),
+       dist AS (SELECT g, v, count(*) AS c FROM d GROUP BY g, v),
+       cum AS (SELECT g, v,
+           sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY g) AS n
+         FROM dist),
+       q(q_permille) AS (VALUES (500), (900), (990))
+       SELECT g AS l_returnflag, CAST(q_permille AS BIGINT) AS q_permille,
+         min(v) AS value
+       FROM cum CROSS JOIN q
+       WHERE cum * 1000 >= q_permille * n
+       GROUP BY g, q_permille"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_fullscan"    -> q01 _,
     "q02_filter_project"  -> q02 _,
@@ -1538,6 +1570,7 @@ object Relational {
     "q100_recursive_cte"  -> q100 _,
     "q103_rank_matrix"    -> q103 _,
     "q104_analytic_matrix" -> q104 _,
+    "q125_exact_quantiles" -> q125 _,
     "q111_bloom_join"     -> q111 _)
 
   val oracle: Map[String, String] = Map(
@@ -1589,5 +1622,6 @@ object Relational {
     "q100_recursive_cte"  -> q100Sql,
     "q103_rank_matrix"    -> q103Sql,
     "q104_analytic_matrix" -> q104Sql,
+    "q125_exact_quantiles" -> q125Sql,
     "q111_bloom_join"     -> q111Sql)
 }

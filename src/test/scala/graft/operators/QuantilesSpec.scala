@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact discrete quantiles: hand-computed positions including the
+  * ceil boundary and tie handling, and agreement with a brute-force
+  * sorted-multiset reference on a larger grouped input.
+  */
+class QuantilesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("hand-computed quantiles with ties and ceil positions") {
+    import spark.implicits._
+    // group a: multiset {1, 2, 2, 5}: n=4
+    //   q=500‰ → pos ceil(2.0)=2 → 2;  q=750‰ → pos 3 → 2
+    //   q=751‰ → pos ceil(3.004)=4 → 5;  q=1000‰ → 5;  q=1‰ → pos 1 → 1
+    val df = Seq(("a", 5L), ("a", 2L), ("a", 1L), ("a", 2L), ("b", 7L))
+      .toDF("g", "x")
+    val out = Quantiles.exactDiscrete(df, Seq("g"), "x",
+        Seq(1, 500, 750, 751, 1000))
+      .collect().map(r => ((r.getString(0), r.getLong(1).toInt), r.getLong(2)))
+      .toMap
+    assert(out(("a", 1)) === 1L)
+    assert(out(("a", 500)) === 2L)
+    assert(out(("a", 750)) === 2L)
+    assert(out(("a", 751)) === 5L)
+    assert(out(("a", 1000)) === 5L)
+    assert(out(("b", 500)) === 7L) // singleton group: all quantiles = 7
+  }
+
+  test("agrees with the sorted-multiset definition on grouped data") {
+    import spark.implicits._
+    val rows = for (g <- 0 until 3; i <- 1 to 101)
+      yield (s"g$g", ((i * 7919 + g) % 50).toLong)
+    val df = rows.toDF("g", "x")
+    val qs = Seq(100, 250, 500, 900, 990)
+    val got = Quantiles.exactDiscrete(df, Seq("g"), "x", qs)
+      .collect().map(r => ((r.getString(0), r.getLong(1).toInt), r.getLong(2)))
+      .toMap
+    for (g <- 0 until 3) {
+      val sorted = rows.filter(_._1 == s"g$g").map(_._2).sorted
+      for (q <- qs) {
+        val pos = math.ceil(q * sorted.length / 1000.0).toInt.max(1)
+        assert(got((s"g$g", q)) === sorted(pos - 1),
+          s"g$g q=$q pos=$pos")
+      }
+    }
+  }
+}
