@@ -95,12 +95,18 @@ private[sources] class EsExportTable(tableSchema: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new EsExportScanBuilder(tableSchema, options.get("path"))
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val mode = Option(options.get("mode")).getOrElse("failfast")
+      .toLowerCase(java.util.Locale.ROOT)
+    require(mode == "failfast" || mode == "permissive",
+      s"es-export mode must be failfast or permissive, got $mode")
+    new EsExportScanBuilder(tableSchema, options.get("path"),
+      mode == "permissive")
+  }
 }
 
 private[sources] class EsExportScanBuilder(fullSchema: StructType,
-    path: String) extends ScanBuilder
+    path: String, permissive: Boolean) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -148,7 +154,7 @@ private[sources] class EsExportScanBuilder(fullSchema: StructType,
     required = requiredSchema
 
   override def build(): Scan =
-    new EsExportScan(fullSchema, required, pushed, path)
+    new EsExportScan(fullSchema, required, pushed, path, permissive)
 }
 
 /** Serializable Hadoop conf (Configuration is Writable, not
@@ -171,7 +177,7 @@ private[sources] case class EsFilePartition(path: String, length: Long)
 
 private[sources] class EsExportScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter],
-    path: String) extends Scan with Batch {
+    path: String, permissive: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -221,7 +227,7 @@ private[sources] class EsExportScan(fullSchema: StructType,
       .filterNot(required.fieldNames.contains)
       .flatMap(n => fullSchema.fields.find(_.name == n))
     val parseSchema = StructType(required.fields ++ filterRefs)
-    new EsExportReaderFactory(parseSchema, required, pushed,
+    new EsExportReaderFactory(parseSchema, required, pushed, permissive,
       new SerializableHadoopConf(
         SparkSession.active.sparkContext.hadoopConfiguration))
   }
@@ -292,18 +298,26 @@ private[sources] class EsExportMicroBatchStream(scan: EsExportScan)
 }
 
 private[sources] class EsExportReaderFactory(parseSchema: StructType,
-    required: StructType, pushed: Array[Filter],
+    required: StructType, pushed: Array[Filter], permissive: Boolean,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EsExportReader(partition.asInstanceOf[EsFilePartition],
-      parseSchema, required, pushed, conf.value)
+      parseSchema, required, pushed, permissive, conf.value)
 }
 
-/** Streaming token-level reader for one exported page file. */
+/** Streaming token-level reader for one exported page file.
+  *
+  * `permissive = true` (reader option `mode=permissive`) degrades a
+  * malformed/truncated page — the reference's interrupted-export
+  * hazard — to "documents parsed so far stand, rest of THIS file is
+  * skipped" instead of failing the task; the default failfast wraps
+  * the parser error with the file path.
+  */
 private[sources] class EsExportReader(part: EsFilePartition,
     parseSchema: StructType, required: StructType, pushed: Array[Filter],
-    hconf: Configuration) extends PartitionReader[InternalRow] {
+    permissive: Boolean, hconf: Configuration)
+  extends PartitionReader[InternalRow] {
 
   private val p = new Path(part.path)
   private val parser: JsonParser = new JsonFactory().createParser(
@@ -323,7 +337,14 @@ private[sources] class EsExportReader(part: EsFilePartition,
   private var inHitsArray = false
 
   override def next(): Boolean = {
-    current = nextMatchingDoc()
+    current =
+      try nextMatchingDoc()
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          if (permissive) null // rest of this corrupt file is skipped
+          else throw new java.io.IOException(
+            s"malformed es-export page ${part.path}: ${e.getMessage}", e)
+      }
     current != null
   }
 

@@ -192,6 +192,31 @@ class EsExportV2Spec extends AnyFunSuite {
       sf.Not(sf.In("lang", Array[Any]("en"))), rowOf("fr"), schema))
   }
 
+  test("truncated page: permissive keeps the parsed prefix, failfast names the file") {
+    val dir = Files.createTempDirectory("es_export_trunc_")
+    Files.writeString(dir.resolve("page-0001.json"),
+      """{"hits":{"hits":[
+        |{"_id":"1","_source":{"doc_id":1,"text":"ok","lang":"en","n_chars":2}}
+        |]}}""".stripMargin)
+    // an interrupted export: valid first hit, then the stream dies
+    Files.writeString(dir.resolve("page-0002.json"),
+      """{"hits":{"hits":[
+        |{"_id":"2","_source":{"doc_id":2,"text":"ok","lang":"en","n_chars":2}},
+        |{"_id":"3","_source":{"doc_id":3,"text":"tru""".stripMargin)
+    def read(mode: String) = spark.read.format("es-export")
+      .schema(docSchema).option("mode", mode).load(dir.toString)
+    // permissive: docs 1 and 2 survive; the torn doc 3 is dropped
+    assert(read("permissive").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    // failfast (the default): the task error names the corrupt file
+    val e = intercept[org.apache.spark.SparkException] {
+      read("failfast").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("page-0002.json")), messages(e))
+  }
+
   test("bare documents, concatenated responses, and top-level arrays") {
     val dir = Files.createTempDirectory("es_export_shapes_")
     // JSONL of bare docs
