@@ -67,4 +67,31 @@ class TopKSpec extends AnyFunSuite {
       .toSet
     assert(got == Set((1L, 1L, 5L, 1L)), s"got $got")
   }
+
+  test("sortableDoubleBits: order-preserving involution over the double line") {
+    import graft.functions.ArrayOps.{sortableDoubleBits, bitsToDouble}
+    val rnd = new scala.util.Random(7)
+    val specials = Seq(0.0, -0.0, Double.MinPositiveValue,
+      -Double.MinPositiveValue, 1e-310, -1e-310, // denormals
+      Double.MaxValue, Double.MinValue, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.0, -1.0, math.Pi, -math.Pi)
+    val samples = specials ++
+      Seq.fill(2000)(rnd.nextDouble() * math.pow(10, rnd.nextInt(600) - 300)
+        * (if (rnd.nextBoolean()) 1 else -1))
+    // order preservation: a < b ⟺ bits(a) < bits(b); a == b ⟹ equal bits
+    for (a <- samples; b <- samples.take(50)) {
+      val (sa, sb) = (sortableDoubleBits(a), sortableDoubleBits(b))
+      if (a < b) assert(sa < sb, s"$a < $b but $sa >= $sb")
+      else if (a > b) assert(sa > sb, s"$a > $b but $sa <= $sb")
+      else assert(sa == sb, s"$a == $b but bits differ ($sa vs $sb)")
+    }
+    // involution: the exact double survives the round-trip (-0.0 is
+    // normalized to +0.0 by contract — the one deliberate collapse)
+    for (a <- samples) {
+      val back = bitsToDouble(sortableDoubleBits(a))
+      if (a == 0.0) assert(back == 0.0 &&
+        java.lang.Double.doubleToLongBits(back) == 0L)
+      else assert(back == a && !(back == a && a != a), s"$a -> $back")
+    }
+  }
 }
