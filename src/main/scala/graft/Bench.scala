@@ -49,6 +49,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // All of the engine's TypedImperativeAggregates (TopKPairs heaps,
+      // Misra-Gries/CMS/HLL sketches) carry small BOUNDED buffers, so the
+      // ObjectHashAggregate sort-based fallback — designed to cap memory
+      // when buffers can grow without bound, e.g. collect_list — only
+      // hurts: at the default 128 in-memory groups every partial-agg task
+      // over ~1,000 suppliers falls back and re-sorts its whole input
+      // (measured on q119: 0.99 s → 0.46 s with the threshold raised;
+      // tools/TopKProfile.scala). 2^20 groups × ~100-byte heap ≈ 100 MB
+      // per task worst-case — safe at executor scale.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        1 << 20)
       .config("spark.ui.enabled", "false")
       // the engine's own extension surface (custom SQL functions + the
       // levenshtein length-prefilter optimizer rule) is part of the

@@ -27,7 +27,7 @@ object Tables {
       // without re-reading the conf — verified empirically), so it is
       // restored immediately after the read and no query permanently
       // mutates session conf.
-      import org.apache.spark.sql.functions.{col, convert_timezone, expr, lit, timestamp_micros}
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
@@ -42,14 +42,11 @@ object Tables {
         case LongType => // nanos vintage: raw int64 nanos → micros
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampNTZType =>
-          // micros vintage: the NTZ wall-clock IS the UTC instant.
-          // Re-render it into the session tz before the cast so the
-          // result is the same instant under ANY session timezone (a
-          // bare cast interprets the wall-clock in the session tz and
-          // silently shifts every event time off-UTC).
-          raw.withColumn("ts", convert_timezone(lit("UTC"),
-            lit(spark.conf.get("spark.sql.session.timeZone")),
-            col("ts")).cast(TimestampType))
+          // micros vintage: the NTZ wall-clock IS the UTC instant —
+          // reinterpret it under an explicit UTC zone (DST-proof; see
+          // [[graft.functions.TimeOps.ntzUtcToInstant]])
+          raw.withColumn("ts",
+            graft.functions.TimeOps.ntzUtcToInstant(col("ts")))
         case _ => raw
       }
     } else {

@@ -17,6 +17,10 @@ object Verify {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bounded-buffer TypedImperativeAggregates never need the
+      // sort-based fallback; see the Bench.scala note + tools/TopKProfile
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        1 << 20)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // run with the engine's extensions on (custom SQL functions + the

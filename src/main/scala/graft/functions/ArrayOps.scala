@@ -555,11 +555,18 @@ object ArrayOps {
     * arithmetic to the bit (long subtract/multiply/add), so the SQL
     * oracle replay is unaffected.
     */
-  def l2sqLongs(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+  def l2sqLongs(a: ArrayData, b: ArrayData): java.lang.Long = {
+    // NULL (not a truncated distance) for ragged or null-holding
+    // vectors — exactly what the `aggregate(zip_with(...))` form this
+    // kernel replaces (and the SQL oracle) yields, so a malformed
+    // embedding drops out of the pair filter instead of silently
+    // comparing a prefix (ArrayData.getLong reads null slots as 0)
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getLong(i) - b.getLong(i)
       s += d * d
       i += 1
@@ -572,7 +579,7 @@ object ArrayOps {
       ArrayOps.getClass, LongType, "l2sqLongs",
       Seq(CatalystBridge.expression(a), CatalystBridge.expression(b)),
       Seq(ArrayType(LongType), ArrayType(LongType)),
-      returnNullable = false))
+      returnNullable = true))
 
   /** Order-preserving bijection double → signed long, so a DOUBLE
     * ordering key can ride the long-typed [[TopK.TopKPairs]] heap:

@@ -48,26 +48,43 @@ object Graph {
       .repartition(col("src")).dropDuplicates("src", "dst")
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ed = e.join(deg, "src").persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    ed.count(): Unit
+    // nodes from the PERSISTED layout — deriving it from `e` would
+    // re-run the whole upstream edge build (source join + layout
+    // shuffle) a second time; measured at ~40% of q117's wall-clock
+    // before this reuse (tools/GraphProfile.scala)
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct().persist()
 
     var ranks = nodes.withColumn("pr", lit(1000000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // one aggregation per round: the zero-share row per node seeds
       // the sum, so "no in-edges ⇒ re-base mass only" needs no second
       // (left-join) stage — sum(shares ∪ {0}) ≡ coalesce(sum, 0), and
       // integer addition keeps the result bit-identical
+      // SHUFFLE_HASH on the rank side: build the hash over O(nodes/P)
+      // rank rows per partition and STREAM the (much larger) edge
+      // layout — a sort-merge join would re-sort the edge table every
+      // round; the rank side is the one that changes
       val shares = ed
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.hint("SHUFFLE_HASH").withColumnRenamed("node", "src"),
+          "src")
         .selectExpr("dst AS node", "((pr * 85) div 100) div outdeg AS share")
-      ranks = shares
+      val next = shares
         .unionByName(nodes.withColumn("share", lit(0L)))
         .groupBy("node").agg(sum("share").as("in_mass"))
         .select(col("node"),
           (lit(150000000L) + col("in_mass")).as("pr"))
+        .persist()
+      // materialize every round and release the previous one — the
+      // standard iterative-Spark shape: keeps each round's plan one
+      // join+agg deep (instead of a lineage that re-plans all prior
+      // rounds) and bounds cached state at O(nodes) rows
+      next.count(): Unit
+      if (i > 1) ranks.unpersist(blocking = false)
+      ranks = next
     }
-    val out = ranks.persist()
-    out.count(): Unit
+    val out = ranks
     ed.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
@@ -96,21 +113,33 @@ object Graph {
       col("dst").cast("long").as("dst"))
       .repartition(col("src")).dropDuplicates("src", "dst")
       .persist()
+    e.count(): Unit
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
     var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       // one aggregation per round: min over (own label ∪ in-neighbor
       // labels) ≡ least(own, min(neighbors)) — the own-label row seeds
       // the group, so no-in-edge nodes need no left-join stage
-      labels = e.join(labels.withColumnRenamed("node", "src"), "src")
+      // SHUFFLE_HASH on the label side — same reasoning as the rank
+      // join in [[pageRank]]: hash the O(nodes/P) changing side, never
+      // sort the static edge layout
+      val next = e.join(labels.hint("SHUFFLE_HASH")
+          .withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
         .unionByName(labels)
         .groupBy("node").agg(min("label").as("label"))
+        .persist()
+      // materialize per round — `labels` appears TWICE in each round's
+      // plan (join input AND union seed), so an unmaterialized lineage
+      // doubles per round (2^rounds subtrees modulo exchange reuse);
+      // persisting keeps every round one join+agg deep, O(nodes) cached
+      next.count(): Unit
+      if (i > 1) labels.unpersist(blocking = false)
+      labels = next
     }
-    val out = labels.persist()
-    out.count(): Unit
+    val out = labels
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out

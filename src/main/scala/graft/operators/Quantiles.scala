@@ -38,8 +38,12 @@ object Quantiles {
     val gcols = groupCols.map(col)
 
     // exact distribution: one count per (group, value) — the only pass
-    // over the data, map-side combined
-    val dist = df.groupBy((gcols :+ col(valueCol).cast("long")
+    // over the data, map-side combined. NULL values are excluded FIRST
+    // (percentile_disc semantics: NULLs don't count toward n and can
+    // never be a quantile value; unfiltered they'd sort before every
+    // value and shift low quantiles)
+    val dist = df.filter(col(valueCol).isNotNull)
+      .groupBy((gcols :+ col(valueCol).cast("long")
         .as("v")): _*)
       .agg(count(lit(1)).as("c"))
 

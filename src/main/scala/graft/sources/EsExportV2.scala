@@ -77,9 +77,26 @@ class EsExportSource extends TableProvider
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EsJson.read(SparkSession.active, pathOf(options),
-      multiLine = options.getBoolean("multiLine", true)).schema
+  /** Schema inference, faithful to the reference's per-batch pass-1
+    * (`ElasticSearch ETL.py:171-181`) — but BOUNDED on demand:
+    * `schemaSampleFiles=N` infers from only the first N pages of the
+    * sorted listing (pages of one export share a layout, so a prefix is
+    * representative), keeping inference O(N files) instead of a full
+    * extra pass over a 100-TB export. An explicit `.schema(...)` skips
+    * this method entirely (Spark calls `getTable` with the user schema).
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = pathOf(options)
+    val multiLine = options.getBoolean("multiLine", true)
+    val sample = options.getInt("schemaSampleFiles", 0)
+    val spark = SparkSession.active
+    if (sample > 0) {
+      val prefix = EsExportListing.list(path).take(sample).map(_.path)
+      require(prefix.nonEmpty,
+        s"es-export: no page files under $path to infer a schema from")
+      EsJson.readFiles(spark, prefix.toSeq, multiLine).schema
+    } else EsJson.read(spark, path, multiLine).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -175,6 +192,30 @@ private[sources] class SerializableHadoopConf(
 private[sources] case class EsFilePartition(path: String, length: Long)
   extends InputPartition
 
+private[sources] object EsExportListing {
+  /** Driver-side sorted listing of an export path — pages are written
+    * in `search_after` order, so the path-sorted listing IS the
+    * pagination order. Shared by batch/stream planning and the bounded
+    * schema-inference prefix.
+    */
+  def list(path: String): Array[EsFilePartition] = {
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    val matched = Option(fs.globStatus(p))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }.filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    files.sortBy(_.getPath.toString)
+      .map(st => EsFilePartition(st.getPath.toString, st.getLen))
+  }
+}
+
 private[sources] class EsExportScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter],
     path: String, permissive: Boolean = false) extends Scan with Batch {
@@ -192,22 +233,8 @@ private[sources] class EsExportScan(fullSchema: StructType,
     * `search_after` order, so the sorted listing IS the pagination
     * order (the contract the streaming offset leans on).
     */
-  private[sources] def listFiles(): Array[EsFilePartition] = {
-    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(hconf)
-    val matched = Option(fs.globStatus(p))
-      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
-    val files = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-      else Array(st)
-    }.filter { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    files.sortBy(_.getPath.toString)
-      .map(st => EsFilePartition(st.getPath.toString, st.getLen))
-  }
+  private[sources] def listFiles(): Array[EsFilePartition] =
+    EsExportListing.list(path)
 
   /** One partition per exported page file. */
   override def planInputPartitions(): Array[InputPartition] =
@@ -241,8 +268,37 @@ private[sources] class EsExportScan(fullSchema: StructType,
   * cursor — the durable twin of the reference's client-held
   * `search_after` state (`ElasticSearch ETL.py:220-267`).
   */
-private[sources] case class EsFileIndexOffset(index: Int) extends Offset {
-  override def json(): String = index.toString
+private[sources] case class EsFileIndexOffset(index: Int, last: String)
+    extends Offset {
+  // `last` anchors the prefix: the full path of the (index-1)-th listed
+  // file ("" for index 0, and for legacy plain-int checkpoints). A
+  // prefix COUNT alone cannot detect a page name that sorts into the
+  // middle of the listing (page-10000 after page-9999 under 4-digit
+  // padding, or a retried export rewriting an earlier page) — every
+  // index silently shifts and files get re-read or skipped; the anchor
+  // turns that into a loud failure at plan time.
+  override def json(): String =
+    s"""{"i":$index,"last":"${EsFileIndexOffset.esc(last)}"}"""
+}
+
+private[sources] object EsFileIndexOffset {
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  def parse(json: String): EsFileIndexOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val i = "\"i\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(t)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed es-export offset: $t"))
+      val last = "\"last\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findFirstMatchIn(t).map(_.group(1)
+          .replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse("")
+      EsFileIndexOffset(i, last)
+    } else EsFileIndexOffset(t.toInt, "") // legacy plain-int checkpoint
+  }
 }
 
 /** Micro-batch stream over an export directory: each trigger picks up
@@ -267,25 +323,46 @@ private[sources] class EsExportMicroBatchStream(scan: EsExportScan)
     */
   @volatile private var known: Array[EsFilePartition] = scan.listFiles()
 
-  override def initialOffset(): Offset = EsFileIndexOffset(0)
+  private def anchorAt(n: Int): String =
+    if (n == 0) "" else known(n - 1).path
+
+  override def initialOffset(): Offset = EsFileIndexOffset(0, "")
 
   override def latestOffset(): Offset = {
     val latest = scan.listFiles()
     if (latest.length > known.length) known = latest
-    EsFileIndexOffset(known.length)
+    EsFileIndexOffset(known.length, anchorAt(known.length))
   }
 
   override def deserializeOffset(json: String): Offset =
-    EsFileIndexOffset(json.trim.toInt)
+    EsFileIndexOffset.parse(json)
+
+  /** The offset's prefix-count contract holds only if the listing is
+    * append-only in SORTED order; `checkAnchor` verifies it — the file
+    * the offset says it stopped at must still sit at that index.
+    */
+  private def checkAnchor(o: EsFileIndexOffset): Unit =
+    if (o.index > 0 && o.last.nonEmpty) {
+      val at = known(o.index - 1).path
+      require(at == o.last,
+        s"export listing shifted under the stream: offset ${o.index} was " +
+          s"committed at '${o.last}' but the listing now has '$at' there — " +
+          "a new page sorted into the middle (non-monotonic page names?) " +
+          "or an earlier page was rewritten; refusing to mis-count files")
+    }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[EsFileIndexOffset].index
-    val e = end.asInstanceOf[EsFileIndexOffset].index
+    val so = start.asInstanceOf[EsFileIndexOffset]
+    val eo = end.asInstanceOf[EsFileIndexOffset]
+    val s = so.index
+    val e = eo.index
     if (e > known.length) known = scan.listFiles() // restart: re-list
     require(e <= known.length,
       s"checkpointed offset $e exceeds the ${known.length}-file export " +
         "listing — export pages must never be deleted under a live stream")
+    checkAnchor(so)
+    checkAnchor(eo)
     known.slice(s, e).map(p => p: InputPartition)
   }
 

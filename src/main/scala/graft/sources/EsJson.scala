@@ -51,6 +51,18 @@ object EsJson {
       .option("prefersDecimal", false)
       .json(path))
 
+  /** Multi-path variant of [[read]] — the bounded schema-inference
+    * prefix of the es-export connector reads an explicit file list.
+    */
+  def readFiles(spark: SparkSession, paths: Seq[String],
+      multiLine: Boolean = true): DataFrame =
+    unwrap(spark.read
+      .option("multiLine", multiLine)
+      .option("inferTimestamp", false)
+      .option("inferDate", false)
+      .option("prefersDecimal", false)
+      .json(paths: _*))
+
   /** Schema-reuse read: parse with a KNOWN schema, skipping the inference
     * scan entirely. JSON inference is a full extra pass over the input —
     * the dominant cost of a cold flatten (BENCH r01: ~17.5 s/1k docs cold

@@ -72,12 +72,11 @@ object EventsSource {
       case LongType => // epoch-nanos int64 → floor to the micros grid
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        // micros vintage: NTZ wall-clock = UTC instant; re-render into
-        // the session tz before the cast so the instant survives ANY
-        // session timezone (same rule as `graft.Tables`)
-        raw.withColumn("ts", convert_timezone(lit("UTC"),
-          lit(spark.conf.get("spark.sql.session.timeZone")),
-          col("ts")).cast(TimestampType))
+        // micros vintage: NTZ wall-clock = UTC instant; reinterpret
+        // under an explicit UTC zone — DST-proof, same rule as
+        // `graft.Tables` ([[graft.functions.TimeOps.ntzUtcToInstant]])
+        raw.withColumn("ts",
+          graft.functions.TimeOps.ntzUtcToInstant(col("ts")))
       case _ => raw
     }
   }

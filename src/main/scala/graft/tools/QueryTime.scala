@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Times a subset of SparkEntry.queries under the exact Bench session
+  * conf: `runMain graft.tools.QueryTime q101_xml_roundtrip q117_pagerank`.
+  * Three timed runs after one warm-up, min reported — for chasing
+  * individual regressions without a full bench sweep.
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        1 << 20)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q101_xml_roundtrip", "q117_pagerank", "q118_label_prop")
+    for (name <- names) {
+      val q = graft.SparkEntry.queries(name)
+      q(spark, sfDir).count() // warm-up
+      def drop(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      drop()
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        q(spark, sfDir).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        drop()
+        s
+      }
+      println(f"$name%-28s runs=${times.map(t => f"$t%.2f").mkString(",")}  min=${times.min}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -34,6 +34,22 @@ class QuantilesSpec extends AnyFunSuite {
     assert(out(("b", 500)) === 7L) // singleton group: all quantiles = 7
   }
 
+  test("NULL values are ignored, percentile_disc-style") {
+    import spark.implicits._
+    // NULLs must not count toward n or sort below every value: with the
+    // two nulls counted, n=5 and the 1‰ quantile would be NULL; ignored
+    // (percentile_disc), group a is the multiset {1, 2, 5} — n=3
+    val df = Seq(("a", Some(5L)), ("a", None), ("a", Some(2L)),
+        ("a", None), ("a", Some(1L)))
+      .toDF("g", "x")
+    val out = Quantiles.exactDiscrete(df, Seq("g"), "x", Seq(1, 500, 1000))
+      .collect().map(r => ((r.getString(0), r.getLong(1).toInt), r.getLong(2)))
+      .toMap
+    assert(out(("a", 1)) === 1L)
+    assert(out(("a", 500)) === 2L)
+    assert(out(("a", 1000)) === 5L)
+  }
+
   test("agrees with the sorted-multiset definition on grouped data") {
     import spark.implicits._
     val rows = for (g <- 0 until 3; i <- 1 to 101)

@@ -62,4 +62,28 @@ class TablesConfSpec extends AnyFunSuite {
       } finally spark.conf.set(tzKey, before)
     assert(utc === offset)
   }
+
+  test("DST fall-back overlap instants stay distinct under a non-UTC session") {
+    // Two UTC instants one hour apart whose America/New_York wall-clocks
+    // are BOTH 01:30 (the repeated hour of the 2025-11-02 fall-back). A
+    // loader that round-trips NTZ→session-wall-clock→LTZ collapses them
+    // onto one offset and shifts the later instant by an hour; the
+    // explicit-UTC reinterpret must keep them exactly one hour apart.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dst").toString
+    val tzKey = "spark.sql.session.timeZone"
+    val before = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      spark.sql(
+        """SELECT TIMESTAMP_NTZ'2025-11-02 05:30:00' AS ts
+           UNION ALL SELECT TIMESTAMP_NTZ'2025-11-02 06:30:00'""")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = graft.Tables.events(spark, dir)
+        .selectExpr("unix_micros(ts)").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val expected = Seq("2025-11-02T05:30:00Z", "2025-11-02T06:30:00Z")
+        .map(t => java.time.Instant.parse(t).toEpochMilli * 1000L)
+      assert(got === expected)
+    } finally spark.conf.set(tzKey, before)
+  }
 }

@@ -192,6 +192,34 @@ class EsExportV2Spec extends AnyFunSuite {
       sf.Not(sf.In("lang", Array[Any]("en"))), rowOf("fr"), schema))
   }
 
+  test("schemaSampleFiles bounds inference to a listing prefix") {
+    val dir = Files.createTempDirectory("es_export_sample_")
+    def page(n: Int, src: String): Unit =
+      Files.writeString(dir.resolve(f"page-$n%04d.json"),
+        s"""{"hits":{"hits":[{"_id":"$n","_source":$src}]}}""")
+    page(1, """{"doc_id":1,"lang":"en"}""")
+    page(2, """{"doc_id":2,"lang":"fr","late_field":7}""")
+    // a deliberately malformed LAST page: full-path inference would have
+    // to read it (and fail); the bounded prefix must never touch it
+    Files.writeString(dir.resolve("page-0003.json"), """{"hits": {"hi""")
+
+    val inferred = spark.read.format("es-export")
+      .option("schemaSampleFiles", 2).load(dir.toString).schema
+    assert(inferred.fieldNames.toSet === Set("doc_id", "lang", "late_field"))
+
+    val prefix1 = spark.read.format("es-export")
+      .option("schemaSampleFiles", 1).load(dir.toString).schema
+    assert(prefix1.fieldNames.toSet === Set("doc_id", "lang"),
+      "a 1-file prefix must not see page 2's late_field")
+
+    // explicit schema: no inference pass at all — planning succeeds on a
+    // dir whose tail page is unreadable, proving nothing was scanned
+    val explicit = spark.read.format("es-export")
+      .schema(StructType(Seq(StructField("doc_id", LongType))))
+      .load(dir.toString)
+    assert(explicit.schema.fieldNames.toSeq === Seq("doc_id"))
+  }
+
   test("truncated page: permissive keeps the parsed prefix, failfast names the file") {
     val dir = Files.createTempDirectory("es_export_trunc_")
     Files.writeString(dir.resolve("page-0001.json"),

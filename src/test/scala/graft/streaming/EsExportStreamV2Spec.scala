@@ -93,6 +93,24 @@ class EsExportStreamV2Spec extends AnyFunSuite {
     assert(drain(dir, ckpt) === Seq.empty)
   }
 
+  test("a page sorting into the committed prefix fails loudly") {
+    val dir = Files.createTempDirectory("es_stream_anchor_")
+    val ckpt = Files.createTempDirectory("es_stream_anchor_ckpt_")
+    writePage(dir, 1, Seq(1L))
+    writePage(dir, 3, Seq(2L))
+    assert(drain(dir, ckpt) === Seq(1L, 2L))
+    // a retried export writes page-0002 AFTER page-0003 was committed —
+    // it sorts INTO the committed prefix, silently shifting every file
+    // index (page-0003 would be re-read as "new"); the name-anchored
+    // offset must refuse to mis-count rather than duplicate documents
+    writePage(dir, 2, Seq(9L))
+    val ex = intercept[Exception] { drain(dir, ckpt) }
+    def messages(t: Throwable): String =
+      if (t == null) ""
+      else Option(t.getMessage).getOrElse("") + "\n" + messages(t.getCause)
+    assert(messages(ex).contains("listing shifted"))
+  }
+
   test("streaming scan keeps the batch reader's pruning and pushdown") {
     val dir = Files.createTempDirectory("es_stream_push_")
     writePage(dir, 1, Seq(1L, 2L, 3L))
