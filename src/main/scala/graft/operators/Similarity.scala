@@ -66,27 +66,53 @@ object Similarity {
   /** LSH-bucketed ANN with multi-probe: the corpus is bucketed once by
     * hyperplane signs; each QUERY probes its own bucket plus every bucket
     * at Hamming distance 1 (flip one sign bit). Only the tiny query side
-    * fans out (×(nPlanes+1)), the corpus is still scanned exactly once and
-    * shuffled only by bucket id — the property that matters at 100 TB.
-    * Recall/cost knob: more planes → smaller buckets, lower recall.
-    * Default nPlanes=3 is the measured knee on the testdata embeddings
-    * (recall@5 0.67–0.76 across sf0.001–0.1 at a ~50% scan fraction;
-    * 4 planes drops to ~0.5 — `tools/RecallSweep`, table pinned in
-    * COVERAGE.md).
+    * fans out (×(nPlanes+1)·nTables), the corpus is still scanned exactly
+    * once and shuffled only by candidate pair — the property that matters
+    * at 100 TB.
+    *
+    * Two recall/cost knobs, both measured in `tools/RecallSweep` (table
+    * in COVERAGE.md): `nPlanes` (more planes → smaller buckets → lower
+    * per-table recall) and `nTables` — the classic multi-table LSH
+    * design: L independent hyperplane sets, a candidate is scored if ANY
+    * table co-buckets it with the query, so misses must happen in every
+    * table at once. A true neighbor lands near a cut hyperplane with
+    * probability proportional to its angle, and the tables' hyperplanes
+    * are independent, so recall compounds roughly as 1-(1-r)^L while the
+    * scanned fraction grows sub-linearly (tables overlap on exactly the
+    * pairs most likely to be neighbors). Candidates found by several
+    * (table, probe) routes collapse in the per-(q_id, id) max() before
+    * ranking, so output is route-independent.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int = 5, nPlanes: Int = 3): DataFrame = {
-    val bucket = ArrayOps.hyperplaneBucketF(col("vec"), nPlanes)
+      vecCol: String, dim: Int, k: Int = 5, nPlanes: Int = 3,
+      nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, s"nTables=$nTables must be >= 1")
+    // per-table plane seeds far enough apart that no plane is shared
+    // between tables (planes within a table step the seed by 1000003)
+    def seed(t: Int): Long = 42L + t.toLong * 1000003369L
+    // corpus side: one (table, bucket) assignment per table — computed
+    // map-side (the join against the broadcast query side never
+    // shuffles the corpus), so nTables multiplies probe work, not I/O
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("tb", explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"),
+          ArrayOps.hyperplaneBucketF(col("vec"), nPlanes, seed(t))
+            .as("bucket"))): _*)))
+      .select(col("id"), col("vec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // query side: per table, the home bucket plus every Hamming-1 probe
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("bucket0",
-        ArrayOps.hyperplaneBucketF(col("q_vec"), nPlanes))
+      .withColumn("tb", explode(array((0 until nTables).map { t =>
+        val b0 = ArrayOps.hyperplaneBucketF(col("q_vec"), nPlanes, seed(t))
+        struct(lit(t).as("tbl"), b0.as("bucket0"))
+      }: _*)))
+      .select(col("q_id"), col("q_vec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket0").as("bucket0"))
       .withColumn("bucket", explode(array(
         (col("bucket0") +: (0 until nPlanes).map(p =>
           col("bucket0").bitwiseXOR(lit(1L << p)))): _*)))
       .drop("bucket0")
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", bucket)
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
         ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))

@@ -2371,6 +2371,36 @@ object TrainingData {
         min(col("min_doc")).as("min_doc"))
   }
 
+  // --- q126: streaming partials LAKE (the production q123) --------------------
+  // streaming/PartialAggs: the same es-export stream, but each batch's
+  // partial aggregates land in a parquet lake (`batch_id=` leaf per
+  // batch, replay-idempotent overwrite) instead of a driver buffer, and
+  // the read side re-merges with the dual aggregate. Stream-of-batches
+  // == one batch == DuckDB for the mergeable algebras, so it shares
+  // q120's oracle — and proves the driver holds NOTHING: state is the
+  // lake, the merge is an ordinary distributed aggregation.
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val (dirStr, docSchema) = esPageExport(s, d)
+    val lakeDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_partials_" + Tables.scratchKey(d))
+    if (java.nio.file.Files.exists(lakeDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(lakeDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val lake = lakeDir.toString
+    val stream = s.readStream.format("es-export")
+      .schema(docSchema).load(dirStr)
+      .filter(col("lang").isin("en", "de") && col("n_chars") >= 50L)
+    val spec = graft.streaming.PartialAggs.Spec(
+      keys = Seq("lang", "source"), countAs = Some("n"),
+      sums = Seq("n_chars" -> "sum_chars"),
+      mins = Seq("doc_id" -> "min_doc"))
+    graft.streaming.PartialAggs.writePartials(stream, spec, lake): Unit
+    graft.streaming.PartialAggs.readMerged(s, spec, lake)
+  }
+
   // --- q124: n-gram LM quality scoring ----------------------------------------
   // operators/LmScore.bigramScore: the CCNet-style perplexity-proxy
   // curation filter — add-one-smoothed word-bigram LM trained on the
@@ -2522,7 +2552,8 @@ object TrainingData {
     "q121_bm25"           -> q121 _,
     "q122_ann_lake"       -> q122 _,
     "q123_es_stream"      -> q123 _,
-    "q124_lm_score"       -> q124 _)
+    "q124_lm_score"       -> q124 _,
+    "q126_stream_partials_lake" -> q126 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2597,5 +2628,6 @@ object TrainingData {
     "q121_bm25"           -> q121Sql,
     "q122_ann_lake"       -> q122Sql,
     "q123_es_stream"      -> q120Sql,
-    "q124_lm_score"       -> q124Sql)
+    "q124_lm_score"       -> q124Sql,
+    "q126_stream_partials_lake" -> q120Sql)
 }

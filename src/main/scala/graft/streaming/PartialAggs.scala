@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming aggregation through a LAKE of per-batch partial aggregates —
+  * the production shape of "fold a stream into a table you can query".
+  *
+  * Each micro-batch is reduced to one mergeable partial-aggregate row per
+  * group (count / sum / min / max — the algebras where
+  * stream-of-batches == one batch) and written to
+  * `partialsDir/batch_id=<id>/` as parquet; the read side re-merges with
+  * the dual aggregate (sum of counts, sum of sums, min of mins, max of
+  * maxes). Nothing ever accumulates on the driver and no state store
+  * grows with key cardinality: state lives in the lake, sized
+  * O(batches · groups-per-batch), and the merge is an ordinary
+  * distributed aggregation any engine can run at read time.
+  *
+  * Exactly-once without sink transactions: `foreachBatch` may REPLAY a
+  * batch after a crash (the checkpoint commits the offset only after the
+  * batch function returns), so an append-mode sink would double-count
+  * the replayed batch. Writing each batch to its own `batch_id=` leaf
+  * with Overwrite makes the replay idempotent — the second attempt
+  * replaces the first attempt's files byte-for-byte (the batch's input
+  * file set is pinned by the checkpoint, the aggregation is
+  * deterministic), which is exactly the contract Structured Streaming
+  * asks of a foreachBatch sink. The leaf directory doubles as a lake
+  * partition, so per-batch audit ("which batch contributed what") is a
+  * partition-pruned scan.
+  *
+  * At 100 TB scale the partials lake eventually wants the same
+  * maintenance as any append-heavy table — periodic re-merge of old
+  * `batch_id=` leaves into one consolidated leaf
+  * ([[graft.sinks.Lake.compact]] is that pass); the read-side merge is
+  * indifferent to how many leaves the same mass is spread over.
+  */
+object PartialAggs {
+
+  /** Mergeable aggregate spec: `count` aliases plus (column → alias)
+    * pairs per algebra. Every alias must be unique; keys pass through.
+    */
+  final case class Spec(
+      keys: Seq[String],
+      countAs: Option[String] = None,
+      sums: Seq[(String, String)] = Nil,
+      mins: Seq[(String, String)] = Nil,
+      maxes: Seq[(String, String)] = Nil) {
+    require(keys.nonEmpty, "at least one group key")
+    private[streaming] def aliases: Seq[String] =
+      countAs.toSeq ++ (sums ++ mins ++ maxes).map(_._2)
+    require(aliases.distinct.size == aliases.size,
+      s"aggregate aliases must be unique: $aliases")
+    require(aliases.nonEmpty, "at least one aggregate")
+
+    /** The per-batch partial: one row per group of `df`. */
+    private[streaming] def partial(df: DataFrame): DataFrame = {
+      val aggs =
+        countAs.map(a => count(lit(1)).as(a)).toSeq ++
+          sums.map { case (c, a) => sum(col(c)).as(a) } ++
+          mins.map { case (c, a) => min(col(c)).as(a) } ++
+          maxes.map { case (c, a) => max(col(c)).as(a) }
+      df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+    /** The dual merge over a frame of partials (count merges by SUM). */
+    private[streaming] def merge(partials: DataFrame): DataFrame = {
+      val aggs =
+        countAs.map(a => sum(col(a)).as(a)).toSeq ++
+          sums.map { case (_, a) => sum(col(a)).as(a) } ++
+          mins.map { case (_, a) => min(col(a)).as(a) } ++
+          maxes.map { case (_, a) => max(col(a)).as(a) }
+      partials.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** Drains `stream` (Trigger.AvailableNow) into the partials lake at
+    * `partialsDir` under `spec`, one idempotent `batch_id=` leaf per
+    * micro-batch. Returns the number of batches written this run.
+    */
+  def writePartials(stream: DataFrame, spec: Spec, partialsDir: String,
+      checkpointDir: String = null): Long = {
+    val checkpoint =
+      if (checkpointDir != null) checkpointDir
+      else java.nio.file.Files.createTempDirectory("partials_ckpt").toString
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Overwrite of the batch's own leaf = replay-idempotent append
+        spec.partial(batch).write.mode("overwrite")
+          .parquet(s"$partialsDir/batch_id=$batchId")
+        batches.incrementAndGet(): Unit
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    batches.get()
+  }
+
+  /** The merged view of a partials lake: exactly what one batch
+    * aggregation over the full input would have produced. `batch_id` is
+    * recovered from the directory layout and dropped before the merge.
+    */
+  def readMerged(spark: SparkSession, spec: Spec,
+      partialsDir: String): DataFrame =
+    spec.merge(spark.read.option("basePath", partialsDir)
+      .parquet(partialsDir).drop("batch_id"))
+}

@@ -43,13 +43,16 @@ object RecallSweep {
       "embedding", 5))
     println(f"[sweep] corpus n=$n queries=$nQ exact pairs=${exact.size}")
 
-    for (p <- Seq(2, 3, 4, 5)) {
+    for ((p, l) <- Seq((2, 1), (3, 1), (4, 1), (5, 1),
+        (3, 2), (4, 2), (4, 3), (5, 2), (5, 3), (5, 4), (6, 3), (6, 4))) {
       val (got, t) = timed(ids(Similarity.lshTopK(emb, qs, "vec_id",
-        "embedding", dim = 64, k = 5, nPlanes = p)))
+        "embedding", dim = 64, k = 5, nPlanes = p, nTables = l)))
       val rec = got.count(exact).toDouble / exact.size
-      println(f"[sweep] lsh nPlanes=$p%-2d recall@5=$rec%.3f  scanFrac~${(1.0 + p) / (1 << p)}%.3f  $t%6.2f s")
+      val frac = 1.0 - math.pow(1.0 - (1.0 + p) / (1 << p), l)
+      println(f"[sweep] lsh nPlanes=$p%-2d nTables=$l recall@5=$rec%.3f  scanFrac~$frac%.3f  $t%6.2f s")
     }
-    for ((c, pr) <- Seq((32, 4), (32, 8), (32, 12), (32, 16), (64, 16), (64, 24))) {
+    for ((c, pr) <- Seq((32, 4), (32, 8), (32, 12), (32, 16), (64, 16),
+        (64, 24), (64, 28), (64, 32), (64, 40))) {
       val (got, t) = timed(ids(Similarity.ivfTopK(emb, qs, "vec_id",
         "embedding", dim = 64, k = 5, nCells = c, nProbe = pr)))
       val rec = got.count(exact).toDouble / exact.size

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The production streaming-partials shape ([[PartialAggs]]): per-batch
+  * mergeable partials land in a `batch_id=`-partitioned parquet lake and
+  * the read side re-merges with the dual aggregate. Pinned here: the
+  * merged view equals the one-batch aggregate whatever the
+  * batch-boundary placement, replaying a batch is idempotent (the
+  * Overwrite-the-leaf contract), restart against a shared checkpoint
+  * processes only new data, and per-batch audit rows survive in the
+  * lake's partition layout.
+  */
+class PartialAggsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val spec = PartialAggs.Spec(
+    keys = Seq("k"), countAs = Some("n"),
+    sums = Seq("v" -> "sum_v"), mins = Seq("v" -> "min_v"),
+    maxes = Seq("v" -> "max_v"))
+
+  private def writeRows(dir: java.nio.file.Path, name: String,
+      rows: Seq[(String, Long)]): Unit =
+    Files.writeString(dir.resolve(name),
+      rows.map { case (k, v) => s"""{"k":"$k","v":$v}""" }.mkString("\n"))
+
+  private def drain(in: java.nio.file.Path, lake: String,
+      ckpt: java.nio.file.Path): Long = {
+    val stream = spark.readStream
+      .schema("k STRING, v LONG")
+      .option("maxFilesPerTrigger", 1) // one input file per micro-batch
+      .json(in.toString)
+    PartialAggs.writePartials(stream, spec, lake, ckpt.toString)
+  }
+
+  test("merged lake equals the one-batch aggregate across micro-batches") {
+    val in = Files.createTempDirectory("pa_in")
+    val lake = Files.createTempDirectory("pa_lake").toString + "/t"
+    val ckpt = Files.createTempDirectory("pa_ckpt")
+    writeRows(in, "a.json", Seq(("x", 1L), ("y", 10L), ("x", 3L)))
+    writeRows(in, "b.json", Seq(("y", 7L), ("z", 100L)))
+    writeRows(in, "c.json", Seq(("x", -5L), ("z", 4L)))
+    val batches = drain(in, lake, ckpt)
+    assert(batches >= 2) // maxFilesPerTrigger=1 → one batch per file
+
+    val merged = PartialAggs.readMerged(spark, spec, lake)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(merged === Seq(
+      ("x", 3L, -1L, -5L, 3L),
+      ("y", 2L, 17L, 7L, 10L),
+      ("z", 2L, 104L, 4L, 100L)))
+
+    // the lake is the state: one partition leaf per batch, audit-scannable
+    val leaves = spark.read.option("basePath", lake).parquet(lake)
+      .select("batch_id").distinct().count()
+    assert(leaves === batches)
+  }
+
+  test("replaying a batch into its leaf is idempotent (crash-replay contract)") {
+    val in = Files.createTempDirectory("pa_in2")
+    val lake = Files.createTempDirectory("pa_lake2").toString + "/t"
+    val ckpt = Files.createTempDirectory("pa_ckpt2")
+    writeRows(in, "a.json", Seq(("x", 1L), ("x", 2L)))
+    drain(in, lake, ckpt)
+    val before = PartialAggs.readMerged(spark, spec, lake)
+      .collect().map(_.toSeq).toSeq
+
+    // simulate foreachBatch replay: re-write batch 0's leaf from the
+    // same input — Overwrite must leave the merged view unchanged
+    val replay = Seq(("x", 1L), ("x", 2L)).toDF("k", "v")
+    spec.partial(replay).write.mode("overwrite").parquet(s"$lake/batch_id=0")
+    val after = PartialAggs.readMerged(spark, spec, lake)
+      .collect().map(_.toSeq).toSeq
+    assert(after === before)
+  }
+
+  test("restart on a shared checkpoint folds only NEW files into the lake") {
+    val in = Files.createTempDirectory("pa_in3")
+    val lake = Files.createTempDirectory("pa_lake3").toString + "/t"
+    val ckpt = Files.createTempDirectory("pa_ckpt3")
+    writeRows(in, "a.json", Seq(("x", 5L)))
+    drain(in, lake, ckpt)
+    writeRows(in, "b.json", Seq(("x", 7L)))
+    drain(in, lake, ckpt) // same checkpoint: a.json must not re-fold
+    val merged = PartialAggs.readMerged(spark, spec, lake)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(merged === Seq(("x", 2L, 12L)))
+  }
+}
