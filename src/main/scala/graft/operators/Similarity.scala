@@ -82,10 +82,16 @@ object Similarity {
     * pairs most likely to be neighbors). Candidates found by several
     * (table, probe) routes collapse in the per-(q_id, id) max() before
     * ranking, so output is route-independent.
+    *
+    * Default 4 planes × 3 tables is the measured multi-table knee:
+    * recall@5 0.872–0.884 (50-query curve) and 0.84–0.90 (the q29
+    * 10-query audit) across sf0.001/0.01/0.1 at a ~67% scan fraction —
+    * on this corpus no single-table point reaches 0.87 below a 75%
+    * scan. The q29 floor is 0.8.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int = 5, nPlanes: Int = 3,
-      nTables: Int = 1): DataFrame = {
+      vecCol: String, dim: Int, k: Int = 5, nPlanes: Int = 4,
+      nTables: Int = 3): DataFrame = {
     require(nTables >= 1, s"nTables=$nTables must be >= 1")
     // per-table plane seeds far enough apart that no plane is shared
     // between tables (planes within a table step the seed by 1000003)
@@ -130,15 +136,18 @@ object Similarity {
     * matrix inlined as a literal (broadcast-equivalent); only the tiny
     * query side fans out ×nProbe. Scoring happens strictly in-cell, and
     * the corpus embedding column is shuffled nowhere.
-    * Default 64 cells / 16 probes = a 25% scan fraction at recall@5
-    * 0.74–0.80 across sf0.001–0.1 on the testdata embeddings — the best
-    * measured recall-per-scanned-row point (`tools/RecallSweep`, table
-    * in COVERAGE.md). At real scale grow nCells ~√n and keep the
-    * nProbe/nCells fraction, faiss-style.
+    * Default 64 cells / 28 probes = a ~44% scan fraction at recall@5
+    * 0.90–0.92 (50-query curve) and 0.88–0.94 (the q50 10-query audit)
+    * across sf0.001–0.1 on the testdata embeddings — the measured point
+    * where IVF clears a 0.8 recall floor with margin at every scale
+    * (`tools/RecallSweep`, table in COVERAGE.md; 64/16 was the best
+    * recall-per-scanned-row point at 0.74–0.80 but cannot carry that
+    * floor). At real scale grow nCells ~√n and keep the nProbe/nCells
+    * fraction, faiss-style.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int = 5, nCells: Int = 64,
-      nProbe: Int = 16, sampleN: Int = 2048, iters: Int = 10,
+      nProbe: Int = 28, sampleN: Int = 2048, iters: Int = 10,
       seed: Long = 42L): DataFrame = {
     val sample = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))

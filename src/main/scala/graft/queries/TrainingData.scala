@@ -232,27 +232,27 @@ object TrainingData {
   // side equals SQL). One audit row: every query answered, a full top-5
   // per query, and aggregate recall@5 over the brute-force ground truth
   // above the pinned floor. Defaults chosen from the measured
-  // trade-off sweep (`tools/RecallSweep`): 3 planes measures 0.76 /
-  // 0.64 / 0.68 recall@5 at sf0.001/0.01/0.1 over these 10 audit
-  // queries — floor 0.5 holds at every scale with margin
-  // (deterministic seeded hyperplanes, so the measurement is exact,
-  // not statistical). Any regression in bucketing, probing, or
-  // ranking flips a value and fails the hash.
+  // trade-off sweep (`tools/RecallSweep`): 4 planes × 3 tables
+  // (multi-table LSH) measures 0.88 / 0.90 / 0.84 recall@5 at
+  // sf0.001/0.01/0.1 over these 10 audit queries — floor 0.8 holds at
+  // every scale with margin (deterministic seeded hyperplanes, so the
+  // measurement is exact, not statistical). Any regression in
+  // bucketing, probing, or ranking flips a value and fails the hash.
   private def q29(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val qs = emb.filter(col("vec_id") < 10)
     annRecallAudit(
       Similarity.lshTopK(emb, qs, "vec_id", "embedding",
-        dim = 64, k = 5, nPlanes = 3),
+        dim = 64, k = 5, nPlanes = 4, nTables = 3),
       Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5),
-      floor = 0.5)
+      floor = 0.8)
   }
 
   // --- q50: IVF ANN — same recall-invariant oracle. Default 64 cells /
-  // 16 probes (a 25% scan fraction) measures recall@5 0.80 / 0.68 /
-  // 0.76 at sf0.001/0.01/0.1 over THESE 10 audit queries
+  // 28 probes (a ~44% scan fraction) measures recall@5 0.92 / 0.88 /
+  // 0.94 at sf0.001/0.01/0.1 over THESE 10 audit queries
   // (`tools/RecallSweep` with nQueries=10; the 50-query curve is in
-  // COVERAGE.md) — floor 0.6 holds at every scale; deterministic
+  // COVERAGE.md) — floor 0.8 holds at every scale; deterministic
   // seeded training makes the boolean exact. The operator stays the
   // approximate path the bench prices; only the audit joins it
   // against brute force.
@@ -261,9 +261,9 @@ object TrainingData {
     val qs = emb.filter(col("vec_id") < 10)
     annRecallAudit(
       Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-        dim = 64, k = 5, nCells = 64, nProbe = 16),
+        dim = 64, k = 5, nCells = 64, nProbe = 28),
       Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5),
-      floor = 0.6)
+      floor = 0.8)
   }
 
   /** One-row ANN audit: (n_queries, n_results, recall_ge_floor) of an

@@ -81,11 +81,11 @@ class TrainingOpsSpec extends AnyFunSuite {
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding",
-        dim = 64, k = 5) // default nPlanes=3: measured 0.76 here
+        dim = 64, k = 5) // default 4 planes x 3 tables: measured 0.88 here
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    info(s"LSH-ANN recall@5 (3 planes, multi-probe hamming<=1): $recall")
-    assert(recall >= 0.5, s"recall $recall below floor")
+    info(s"LSH-ANN recall@5 (4 planes x 3 tables, multi-probe hamming<=1): $recall")
+    assert(recall >= 0.8, s"recall $recall below floor")
     // approximate neighbors must never beat brute force's rank-1 (sanity:
     // any (q,id) in approx must exist in the full corpus)
     assert(approx.forall { case (qid, id) => qid != id })
@@ -97,12 +97,12 @@ class TrainingOpsSpec extends AnyFunSuite {
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def run() = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-        dim = 64, k = 5) // default 64 cells / 16 probes: measured 0.80
+        dim = 64, k = 5) // default 64 cells / 28 probes: measured 0.92
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = run()
     val recall = (exact & approx).size.toDouble / exact.size
-    info(s"IVF-ANN recall@5 (64 cells, 16 probes): $recall")
-    assert(recall >= 0.7, s"recall $recall below floor")
+    info(s"IVF-ANN recall@5 (64 cells, 28 probes): $recall")
+    assert(recall >= 0.8, s"recall $recall below floor")
     assert(approx.forall { case (qid, id) => qid != id })
     assert(run() == approx, "IVF result not deterministic")
   }
