@@ -49,12 +49,18 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ed = e.join(deg, "src").persist()
     ed.count(): Unit
-    // nodes from the PERSISTED layout — deriving it from `e` would
-    // re-run the whole upstream edge build (source join + layout
-    // shuffle) a second time; measured at ~40% of q117's wall-clock
-    // before this reuse (tools/GraphProfile.scala)
-    val nodes = ed.select(col("src").as("node"))
-      .union(ed.select(col("dst").as("node"))).distinct().persist()
+    // Seeds need only the SOURCE nodes: a dst node has an in-edge by
+    // definition, so it receives a share row every round and the
+    // aggregation emits it without a seed; a src-only node is exactly
+    // what the zero seed covers. And ranks only matter where they can
+    // SHIP — the round join keys on src — so the rank table never needs
+    // dst-only rows either (their final pr comes out of the aggregation
+    // anyway). Distinct-on-src runs WITHOUT an exchange inside the
+    // persisted hashpartitioning(src) layout, where the old
+    // src∪dst-union distinct scanned 2|E| rows through a full shuffle —
+    // measured as the second-largest phase of q117
+    // (tools/GraphProfile.scala) before this.
+    val nodes = ed.select(col("src").as("node")).distinct().persist()
 
     var ranks = nodes.withColumn("pr", lit(1000000000L))
     for (i <- 1 to iters) {
@@ -114,7 +120,12 @@ object Graph {
       .repartition(col("src")).dropDuplicates("src", "dst")
       .persist()
     e.count(): Unit
-    val nodes = e.select(col("src").as("node"))
+    // Unlike [[pageRank]], the seed table here must carry EVERY node's
+    // own label (a dst-only node's own id participates in its min), so
+    // the full node set is required — but the src branch dedups
+    // exchange-free inside the hashpartitioning(src) layout first, so
+    // the union-distinct shuffles |V|+|E| rows instead of 2|E|.
+    val nodes = e.select(col("src").as("node")).distinct()
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
     var labels = nodes.withColumn("label", col("node"))
