@@ -2401,6 +2401,26 @@ object TrainingData {
     graft.streaming.PartialAggs.readMerged(s, spec, lake)
   }
 
+  // --- q127: es-export connector, AGGREGATE pushdown --------------------------
+  // sources/EsExportV2's SupportsPushDownAggregates (partial mode): the
+  // grouped count/sum/min fold happens INSIDE each page reader at the
+  // token level (documents never surface as rows; the scan's output is
+  // one partial row per (page, group)), and Spark's final aggregation
+  // merges the partials — the distributed generalization of the
+  // reference's server-side ES.count (ETL.py:215). Composes with the
+  // pushed n_chars/lang filters. Same fixture and data semantics as
+  // q120, so any fold/merge slip against the row-path plan (or DuckDB)
+  // fails the hash; EsExportV2Spec pins that the plan really carries
+  // PushedAggregation and partial-row ReadSchema.
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val (dirStr, docSchema) = esPageExport(s, d)
+    s.read.format("es-export").schema(docSchema).load(dirStr)
+      .filter(col("lang").isin("en", "de") && col("n_chars") >= 50L)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
   // --- q124: n-gram LM quality scoring ----------------------------------------
   // operators/LmScore.bigramScore: the CCNet-style perplexity-proxy
   // curation filter — add-one-smoothed word-bigram LM trained on the
@@ -2553,7 +2573,8 @@ object TrainingData {
     "q122_ann_lake"       -> q122 _,
     "q123_es_stream"      -> q123 _,
     "q124_lm_score"       -> q124 _,
-    "q126_stream_partials_lake" -> q126 _)
+    "q126_stream_partials_lake" -> q126 _,
+    "q127_es_agg_pushdown" -> q127 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2629,5 +2650,6 @@ object TrainingData {
     "q122_ann_lake"       -> q122Sql,
     "q123_es_stream"      -> q120Sql,
     "q124_lm_score"       -> q124Sql,
-    "q126_stream_partials_lake" -> q120Sql)
+    "q126_stream_partials_lake" -> q120Sql,
+    "q127_es_agg_pushdown" -> q120Sql)
 }

@@ -13,8 +13,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
@@ -122,12 +123,51 @@ private[sources] class EsExportTable(tableSchema: StructType,
   }
 }
 
+/** One pushed aggregate function over (at most) one top-level atomic
+  * column. `outType` is the type Spark's post-scan final aggregation
+  * expects at that position: Long for counts and integral sums, Double
+  * for floating sums, the column type for min/max.
+  */
+private[sources] final case class PushedAggCol(kind: String, name: String,
+    colType: DataType, outType: DataType) extends Serializable
+
+/** A fully-translated pushed aggregation: group-by columns (in pushed
+  * order) + aggregate functions. The scan's output schema becomes
+  * `groupBy ++ aggs` — the row shape `V2ScanRelationPushDown` rewires
+  * the final aggregation onto.
+  */
+private[sources] final case class PushedAggregation(
+    groupBy: Seq[(String, DataType)], aggs: Seq[PushedAggCol])
+  extends Serializable {
+
+  def schema: StructType = StructType(
+    groupBy.map { case (n, t) => StructField(n, t) } ++
+      aggs.zipWithIndex.map { case (a, i) =>
+        StructField(s"pushed_${a.kind}_$i", a.outType,
+          nullable = a.kind != "count_star" && a.kind != "count")
+      })
+
+  /** The columns the reader must parse: group keys + aggregate inputs. */
+  def inputSchema(full: StructType): StructType = {
+    val names = (groupBy.map(_._1) ++ aggs.filter(_.name.nonEmpty).map(_.name))
+      .distinct
+    StructType(names.map(n => full.fields.find(_.name == n).get))
+  }
+
+  override def toString: String =
+    (groupBy.map { case (n, _) => s"group:$n" } ++
+      aggs.map(a => if (a.name.isEmpty) a.kind else s"${a.kind}(${a.name})"))
+      .mkString(", ")
+}
+
 private[sources] class EsExportScanBuilder(fullSchema: StructType,
     path: String, permissive: Boolean) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggregation: Option[PushedAggregation] = None
 
   /** A filter is pushable when every referenced column is a TOP-LEVEL
     * atomic field of the table schema and the predicate shape is one the
@@ -168,10 +208,71 @@ private[sources] class EsExportScanBuilder(fullSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // once an aggregation is pushed the scan's schema IS the aggregate
+    // row shape; a later prune call (over that shape) must not clobber
+    // the document-field projection the agg reader parses
+    if (aggregation.isEmpty) required = requiredSchema
+
+  /** Aggregate pushdown (`SupportsPushDownAggregates`) — PARTIAL mode:
+    * each page reader folds its documents into one partial-aggregate
+    * row per group at the token level (rows never surface), and Spark's
+    * final aggregation merges the per-partition partials (sum of
+    * counts/sums, min of mins, max of maxes). The distributed twin of
+    * the reference's server-side `ES.count` (`ElasticSearch
+    * ETL.py:215`) — generalized to count/min/max/sum with group-by, and
+    * composing with pushed filters (Spark only offers an aggregation
+    * after every filter was pushed, so the reader's predicate gate runs
+    * before the fold). Partial — never complete — pushdown: per-group
+    * state is bounded by one PAGE's group cardinality, no reader needs
+    * the global answer, and correctness is independent of how pages
+    * are split into partitions.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def atomicField(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        fullSchema.fields.find(_.name == nr.fieldNames()(0)).filter {
+          _.dataType match {
+            case StringType | LongType | IntegerType | DoubleType |
+                 FloatType | BooleanType => true
+            case _ => false
+          }
+        }
+      case _ => None
+    }
+    def sumOut(dt: DataType): Option[DataType] = dt match {
+      case LongType | IntegerType => Some(LongType)
+      case DoubleType | FloatType => Some(DoubleType)
+      case _ => None
+    }
+    val groups = agg.groupByExpressions.toSeq.map(atomicField)
+    if (groups.exists(_.isEmpty)) return false
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(PushedAggCol("count_star", "", NullType, LongType))
+      case c: Count if !c.isDistinct =>
+        atomicField(c.column).map(f =>
+          PushedAggCol("count", f.name, f.dataType, LongType))
+      case m: Min =>
+        atomicField(m.column).map(f =>
+          PushedAggCol("min", f.name, f.dataType, f.dataType))
+      case m: Max =>
+        atomicField(m.column).map(f =>
+          PushedAggCol("max", f.name, f.dataType, f.dataType))
+      case s: Sum if !s.isDistinct =>
+        atomicField(s.column).flatMap(f => sumOut(f.dataType).map(out =>
+          PushedAggCol("sum", f.name, f.dataType, out)))
+      case _ => None
+    }
+    if (funcs.exists(_.isEmpty) || funcs.isEmpty) return false
+    aggregation = Some(PushedAggregation(
+      groups.map(g => g.get.name -> g.get.dataType), funcs.map(_.get)))
+    true
+  }
 
   override def build(): Scan =
-    new EsExportScan(fullSchema, required, pushed, path, permissive)
+    new EsExportScan(fullSchema, required, pushed, path, permissive,
+      aggregation)
 }
 
 /** Serializable Hadoop conf (Configuration is Writable, not
@@ -218,15 +319,18 @@ private[sources] object EsExportListing {
 
 private[sources] class EsExportScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter],
-    path: String, permissive: Boolean = false) extends Scan with Batch {
+    path: String, permissive: Boolean = false,
+    aggregation: Option[PushedAggregation] = None) extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    aggregation.map(_.schema).getOrElse(required)
 
   override def toBatch: Batch = this
 
   override def description(): String =
     s"EsExportScan PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      aggregation.map(a => s"PushedAggregation: [$a], ").getOrElse("") +
+      s"ReadSchema: ${readSchema().catalogString}"
 
   /** Driver-side LISTING only — file contents are never touched at
     * planning time. Sorted by path: export pages are written in
@@ -249,15 +353,146 @@ private[sources] class EsExportScan(fullSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     // scan schema = required ∪ filter-referenced top-level fields: a
     // fully-pushed filter's column may be pruned from the output, but the
-    // reader still has to parse it to evaluate the predicate.
+    // reader still has to parse it to evaluate the predicate. With a
+    // pushed aggregation, "required" is the aggregate's input columns
+    // (group keys + function arguments) and the row reader's output is
+    // folded per partition instead of surfaced.
+    val rowOutput = aggregation.map(_.inputSchema(fullSchema))
+      .getOrElse(required)
     val filterRefs = pushed.flatMap(_.references).distinct
-      .filterNot(required.fieldNames.contains)
+      .filterNot(rowOutput.fieldNames.contains)
       .flatMap(n => fullSchema.fields.find(_.name == n))
-    val parseSchema = StructType(required.fields ++ filterRefs)
-    new EsExportReaderFactory(parseSchema, required, pushed, permissive,
-      new SerializableHadoopConf(
+    val parseSchema = StructType(rowOutput.fields ++ filterRefs)
+    val base = new EsExportReaderFactory(parseSchema, rowOutput, pushed,
+      permissive, new SerializableHadoopConf(
         SparkSession.active.sparkContext.hadoopConfiguration))
+    aggregation match {
+      case Some(spec) => new EsExportAggReaderFactory(base, rowOutput, spec)
+      case None => base
+    }
   }
+}
+
+private[sources] class EsExportAggReaderFactory(
+    base: EsExportReaderFactory, input: StructType,
+    spec: PushedAggregation) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new EsExportAggReader(base.createReader(partition), input, spec)
+}
+
+/** Folds one partition's document rows into partial-aggregate rows —
+  * one per group (one unconditional row when there is no group-by, so
+  * count over an empty page is 0, not absent). State is bounded by the
+  * PAGE's group cardinality; nothing global is computed here — Spark's
+  * final aggregation owns the merge. Null semantics match the Catalyst
+  * functions the partials feed: count(col) skips nulls, min/max/sum
+  * ignore nulls and stay NULL over an all-null group, doubles compare
+  * NaN-greatest like Spark's ordering.
+  */
+private[sources] class EsExportAggReader(
+    under: PartitionReader[InternalRow], input: StructType,
+    spec: PushedAggregation) extends PartitionReader[InternalRow] {
+
+  private val groupIdx = spec.groupBy.map { case (n, _) =>
+    input.fieldIndex(n) }.toArray
+  private val groupTypes = spec.groupBy.map(_._2).toArray
+  private val aggIdx = spec.aggs.map(a =>
+    if (a.name.isEmpty) -1 else input.fieldIndex(a.name)).toArray
+
+  private var rows: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
+  private def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
+    case LongType    => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    case IntegerType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+    case DoubleType  => java.lang.Double.compare(
+      a.asInstanceOf[Double], b.asInstanceOf[Double]) < 0
+    case FloatType   => java.lang.Float.compare(
+      a.asInstanceOf[Float], b.asInstanceOf[Float]) < 0
+    case StringType  => a.asInstanceOf[UTF8String]
+      .compareTo(b.asInstanceOf[UTF8String]) < 0
+    case BooleanType => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+    case other => throw new IllegalStateException(s"unorderable $other")
+  }
+
+  private def fold(): Unit = {
+    val groups = collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
+    def accFor(key: Seq[Any]): Array[Any] =
+      groups.getOrElseUpdate(key, spec.aggs.map { a =>
+        if (a.kind == "count_star" || a.kind == "count") 0L.asInstanceOf[Any]
+        else null
+      }.toArray)
+    if (groupIdx.isEmpty) accFor(Nil): Unit // ungrouped: always one row
+    while (under.next()) {
+      val row = under.get()
+      val key = groupIdx.indices.map { i =>
+        val gi = groupIdx(i)
+        if (row.isNullAt(gi)) null
+        else row.get(gi, groupTypes(i)) match {
+          case s: UTF8String => s.copy() // reader may reuse buffers
+          case v => v
+        }
+      }
+      val acc = accFor(key)
+      var j = 0
+      while (j < aggIdx.length) {
+        val a = spec.aggs(j)
+        a.kind match {
+          case "count_star" => acc(j) = acc(j).asInstanceOf[Long] + 1L
+          case "count" =>
+            if (!row.isNullAt(aggIdx(j)))
+              acc(j) = acc(j).asInstanceOf[Long] + 1L
+          case "min" | "max" =>
+            if (!row.isNullAt(aggIdx(j))) {
+              val v = row.get(aggIdx(j), a.colType) match {
+                case s: UTF8String => s.copy()
+                case x => x
+              }
+              if (acc(j) == null ||
+                  (a.kind == "min" && lt(a.colType, v, acc(j))) ||
+                  (a.kind == "max" && lt(a.colType, acc(j), v)))
+                acc(j) = v
+            }
+          case "sum" =>
+            if (!row.isNullAt(aggIdx(j))) {
+              val v = row.get(aggIdx(j), a.colType)
+              acc(j) = (a.outType, acc(j)) match {
+                case (LongType, null) => toL(v)
+                case (LongType, prev) => prev.asInstanceOf[Long] + toL(v)
+                case (_, null) => toD(v)
+                case (_, prev) => prev.asInstanceOf[Double] + toD(v)
+              }
+            }
+        }
+        j += 1
+      }
+    }
+    rows = groups.iterator.map { case (key, acc) =>
+      new GenericInternalRow((key ++ acc).toArray)
+    }
+  }
+
+  private def toL(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalStateException(s"non-integral sum: $other")
+  }
+  private def toD(v: Any): Double = v match {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case other => throw new IllegalStateException(s"non-floating sum: $other")
+  }
+
+  override def next(): Boolean = {
+    if (rows == null) fold()
+    val has = rows.hasNext
+    if (has) current = rows.next()
+    has
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = under.close()
 }
 
 /** Streaming offset for the export connector: the number of files of the

@@ -267,4 +267,76 @@ class EsExportV2Spec extends AnyFunSuite {
     assert(df.select("doc_id").collect().map(_.getLong(0)).toSet ===
       (10L to 15L).toSet)
   }
+
+  // --- aggregate pushdown ---------------------------------------------------
+
+  private def pushedAggOf(df: org.apache.spark.sql.DataFrame): String = {
+    // aggregate plans sit under AdaptiveSparkPlanExec, which hides the
+    // scan from executedPlan.collect — read the optimizer's output
+    // (V2ScanRelationPushDown has already run there) instead
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }
+    assert(scans.length === 1)
+    scans.head.description()
+  }
+
+  test("ungrouped count/min/max/sum push into the scan as partials") {
+    val df = readV2().agg(
+      count(lit(1)).as("n"), count(col("n_chars")).as("n_chars_n"),
+      min(col("doc_id")).as("min_id"), max(col("lang")).as("max_lang"),
+      sum(col("n_chars")).as("sum_chars"))
+    val d = pushedAggOf(df)
+    assert(d.contains("PushedAggregation"), d)
+    assert(d.contains("count_star") && d.contains("min(doc_id)") &&
+      d.contains("max(lang)") && d.contains("sum(n_chars)"), d)
+    // the scan emits partial rows, not documents
+    assert(d.contains("ReadSchema: struct<pushed_"), d)
+    val r = df.collect().head
+    // doc 4 has no n_chars: count(col) skips it, sum ignores it
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+      r.getLong(4)) === ((5L, 4L, 1L, "it", 28L)))
+  }
+
+  test("grouped aggregation pushes; empty-after-filter group is absent") {
+    val df = readV2()
+      .filter(col("n_chars") >= 5L) // pushed filter gates the fold
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+    val d = pushedAggOf(df)
+    assert(d.contains("PushedAggregation: [group:lang"), d)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // n_chars: en=11, fr=7, es=4, it=null, de=6 → the filter keeps
+    // en/fr/de; es and it produce NO partial row, so their groups are
+    // absent (not zero) — exactly the unpushed semantics
+    assert(got === Set(("en", 1L, 11L), ("fr", 1L, 7L), ("de", 1L, 6L)))
+  }
+
+  test("pushed aggregate equals the unpushed plan on every shape") {
+    val unpushed = readV2().cache() // cached scan → no pushdown path
+    try {
+      def both(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+        val a = f(readV2()).collect().map(_.toSeq).toSet
+        val b = f(unpushed).collect().map(_.toSeq).toSet
+        assert(a === b)
+      }
+      both(_.groupBy("lang").agg(min("n_chars"), max("n_chars")))
+      both(_.agg(sum("n_chars"), count(lit(1))))
+      both(_.filter(col("lang") =!= "en").groupBy("lang")
+        .agg(count(col("n_chars"))))
+    } finally { unpushed.unpersist(); () }
+  }
+
+  test("distinct and non-atomic aggregates do NOT push (graceful fallback)") {
+    val d1 = pushedAggOf(readV2().agg(count_distinct(col("lang")).as("n")))
+    assert(!d1.contains("PushedAggregation"), d1)
+    val d2 = pushedAggOf(readV2().agg(avg(col("n_chars")).as("a")))
+    // avg may decompose to sum+count and push; either way values must hold
+    val a = readV2().agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    assert(math.abs(a - 28.0 / 4) < 1e-9, s"$d2 -> $a")
+    val d3 = pushedAggOf(readV2().groupBy("meta").agg(count(lit(1))))
+    assert(!d3.contains("PushedAggregation"), d3) // struct group key
+  }
 }
