@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
@@ -163,11 +163,26 @@ private[sources] final case class PushedAggregation(
 private[sources] class EsExportScanBuilder(fullSchema: StructType,
     path: String, permissive: Boolean) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggregation: Option[PushedAggregation] = None
+  private var limit: Int = -1
+
+  /** Limit pushdown — PARTIALLY pushed (`isPartiallyPushed = true`, so
+    * Spark keeps the global Limit operator): each page reader stops
+    * PARSING after emitting `n` post-filter documents, turning
+    * `df.limit(n)` over a million-page export into ≤ n parsed docs per
+    * page instead of a full-corpus scan. Never combined with a pushed
+    * aggregation (Spark pushes limits only past exact 1:1 operators,
+    * but guard anyway — a limited fold would be wrong).
+    */
+  override def pushLimit(n: Int): Boolean =
+    if (aggregation.isDefined) false
+    else { limit = n; true }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** A filter is pushable when every referenced column is a TOP-LEVEL
     * atomic field of the table schema and the predicate shape is one the
@@ -272,7 +287,7 @@ private[sources] class EsExportScanBuilder(fullSchema: StructType,
 
   override def build(): Scan =
     new EsExportScan(fullSchema, required, pushed, path, permissive,
-      aggregation)
+      aggregation, limit)
 }
 
 /** Serializable Hadoop conf (Configuration is Writable, not
@@ -320,7 +335,8 @@ private[sources] object EsExportListing {
 private[sources] class EsExportScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter],
     path: String, permissive: Boolean = false,
-    aggregation: Option[PushedAggregation] = None) extends Scan with Batch {
+    aggregation: Option[PushedAggregation] = None,
+    limit: Int = -1) extends Scan with Batch {
 
   override def readSchema(): StructType =
     aggregation.map(_.schema).getOrElse(required)
@@ -330,6 +346,7 @@ private[sources] class EsExportScan(fullSchema: StructType,
   override def description(): String =
     s"EsExportScan PushedFilters: [${pushed.mkString(", ")}], " +
       aggregation.map(a => s"PushedAggregation: [$a], ").getOrElse("") +
+      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
       s"ReadSchema: ${readSchema().catalogString}"
 
   /** Driver-side LISTING only — file contents are never touched at
@@ -368,7 +385,28 @@ private[sources] class EsExportScan(fullSchema: StructType,
         SparkSession.active.sparkContext.hadoopConfiguration))
     aggregation match {
       case Some(spec) => new EsExportAggReaderFactory(base, rowOutput, spec)
+      case None if limit >= 0 => new EsExportLimitReaderFactory(base, limit)
       case None => base
+    }
+  }
+}
+
+private[sources] class EsExportLimitReaderFactory(
+    base: EsExportReaderFactory, limit: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val under = base.createReader(partition)
+    new PartitionReader[InternalRow] {
+      private var emitted = 0
+      override def next(): Boolean = {
+        // stop PARSING the page once this partition has satisfied the
+        // limit on its own — the global Limit Spark keeps merges
+        // partitions' prefixes
+        val has = emitted < limit && under.next()
+        if (has) emitted += 1
+        has
+      }
+      override def get(): InternalRow = under.get()
+      override def close(): Unit = under.close()
     }
   }
 }

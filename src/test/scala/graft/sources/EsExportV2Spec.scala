@@ -329,6 +329,19 @@ class EsExportV2Spec extends AnyFunSuite {
     } finally { unpushed.unpersist(); () }
   }
 
+  test("limit pushes partially: per-page parse stops, global Limit stays") {
+    val df = readV2().select("doc_id").limit(2)
+    val d = pushedAggOf(df)
+    assert(d.contains("PushedLimit: 2"), d)
+    assert(df.collect().length === 2)
+    // limit composes with a pushed filter (prefix of the FILTERED docs)
+    val f = readV2().filter(col("lang") =!= "fr").select("doc_id").limit(3)
+    val rows = f.collect().map(_.getLong(0))
+    assert(rows.length === 3 && !rows.contains(2L))
+    // limit larger than the data: everything, exactly once
+    assert(readV2().limit(100).count() === 5)
+  }
+
   test("distinct and non-atomic aggregates do NOT push (graceful fallback)") {
     val d1 = pushedAggOf(readV2().agg(count_distinct(col("lang")).as("n")))
     assert(!d1.contains("PushedAggregation"), d1)
