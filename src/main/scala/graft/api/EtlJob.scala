@@ -82,6 +82,24 @@ object EtlJob {
     runDocs(spark, graft.sources.EsLive.read(spark, cfg), outputDir,
       auditPath, jobName, tableName, maxDepth)
 
+  /** The reference's OWN live loop, end to end: `_count` + `search_after`
+    * REST pagination ([[graft.sources.EsHttp]] — the faithful twin of
+    * `fetch_and_export_documents`, `ElasticSearch ETL.py:201-267`) pulls
+    * pages into `pageDir`, then the standard distributed
+    * count→flatten→TSV→audit job runs over them. A fetch failure (bad
+    * endpoint, wedged cursor) is audited on the FAILED path exactly like
+    * a flatten failure — the reference's except-branch contract.
+    * Integration-tested against an embedded HTTP stub (`EtlJobSpec`).
+    */
+  def runHttp(spark: SparkSession, cfg: graft.sources.EsHttp.Config,
+      pageDir: String, outputDir: String, auditPath: String,
+      jobName: String = "Initial_load_from_live",
+      tableName: String = "documents", maxDepth: Int = 20): Result =
+    runDocs(spark, {
+      graft.sources.EsHttp.export(cfg, pageDir): Unit
+      EsJson.read(spark, pageDir)
+    }, outputDir, auditPath, jobName, tableName, maxDepth)
+
   /** Source-agnostic core: any document DataFrame (offline export, live
     * index, test fixture) → count → flatten → TSV → audit. `docs` is
     * by-name so source-construction failures are audited too.

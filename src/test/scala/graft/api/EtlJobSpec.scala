@@ -57,6 +57,59 @@ class EtlJobSpec extends AnyFunSuite {
     assert(header.split("\t").toSet == Set("ClaimRequestId", "Alpha"))
   }
 
+  test("runHttp: the full live loop against an embedded stub, audited") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val docs = (1 to 7).map(i =>
+      s"""{"auditProcessedDateTimeUtc":"2025-06-01T00:00:0$i","claimRequestId":$i,"nested":{"v":$i}}""")
+    def respond(x: HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      x.sendResponseHeaders(200, b.length)
+      x.getResponseBody.write(b); x.close()
+    }
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/claims/_count",
+      (x: HttpExchange) => respond(x, s"""{"count":${docs.size}}"""))
+    server.createContext("/claims/_search", (x: HttpExchange) => {
+      val req = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(x.getRequestBody)
+      val after = req.path("search_after")
+      val from = if (after.isMissingNode) 0 else after.get(1).asInt()
+      val page = docs.slice(from, from + 3)
+      respond(x, s"""{"hits":{"total":{"value":${docs.size}},"hits":[${
+        page.map(d => s"""{"_id":"x","_source":$d}""").mkString(",")}]}}""")
+    })
+    server.start()
+    try {
+      val out = tmp()
+      val cfg = graft.sources.EsHttp.Config(
+        s"http://localhost:${server.getAddress.getPort}", "claims",
+        pageSize = 3)
+      val res = EtlJob.runHttp(spark, cfg, s"$out/pages", s"$out/tsv",
+        s"$out/audit", jobName = "live_http")
+      assert(res.records === 7L)
+      // 3 pages fetched (3+3+1), flattened columns include the nested path
+      assert(new java.io.File(s"$out/pages").listFiles().count(
+        _.getName.startsWith("page-")) === 3)
+      val tsv = new java.io.File(s"$out/tsv").listFiles()
+        .filter(_.getName.startsWith("part-"))
+      val header = scala.io.Source.fromFile(tsv.head).getLines().next()
+      assert(header.split("\t").contains("Nested_V"))
+      val audit = spark.read.parquet(s"$out/audit").collect()
+      assert(audit.map(_.getAs[String]("job_status")).toSeq === Seq("SUCCESS"))
+      assert(audit.head.getAs[Long]("record_count_loaded") === 7L)
+
+      // failure path: unreachable endpoint → FAILED audit row + rethrow
+      val bad = cfg.copy(baseUrl = "http://localhost:1")
+      intercept[Throwable] {
+        EtlJob.runHttp(spark, bad, s"$out/pages2", s"$out/tsv2",
+          s"$out/audit", jobName = "live_http_bad")
+      }
+      val after = spark.read.parquet(s"$out/audit").collect()
+        .map(r => (r.getAs[String]("job_name"), r.getAs[String]("job_status")))
+      assert(after.toSet.contains(("live_http_bad", "FAILED")))
+    } finally server.stop(0)
+  }
+
   test("runLive without a connector fails fast AND audits the failure") {
     val out = tmp()
     intercept[Throwable] {
