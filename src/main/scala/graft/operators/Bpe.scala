@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training (Sennrich et al.
+  * 2016's word-level merge loop) — the missing first stage of every LLM
+  * data pipeline: learn the merge table FROM the corpus, exactly.
+  *
+  * Algorithm (faithful to the published one): pre-tokenize on
+  * whitespace, count word frequencies once, represent each distinct
+  * word as a character segmentation; each round, count adjacent symbol
+  * pairs weighted by word frequency, take the globally most frequent
+  * pair (total order: count DESC, left ASC, right ASC — so training is
+  * DETERMINISTIC and bit-reproducible under any partitioning, like
+  * [[Graph.pageRank]]'s integer mass), merge that pair in every word,
+  * repeat.
+  *
+  * Scale shape: the corpus is touched ONCE (word count); every round
+  * after that runs over the DISTINCT-WORD table (Zipf: orders of
+  * magnitude smaller than the corpus, still fully distributed — never
+  * collected). Per round: one map-side-combined aggregation over
+  * adjacent pairs (shuffle = distinct pairs, not occurrences), one
+  * bounded top-1 (TakeOrdered), one broadcast-literal `replace` over
+  * the word table, persisted and released like the graph rounds. The
+  * driver holds exactly `rounds` chosen pairs.
+  *
+  * Segmentations live as SENTINEL-DELIMITED STRINGS, not arrays:
+  * `\u0001 l \u0001\u0001 r \u0001` wraps every symbol, so applying a
+  * merge is one codegen'd left-to-right `replace` of
+  * `␁l␁␁r␁ → ␁lr␁` — non-overlapping by the scan order (aaa + (a,a)
+  * → [aa, a]), boundary-exact (a pair can never match inside a longer
+  * symbol because the pattern requires the closing/opening sentinels),
+  * and byte-for-byte replayable in ANSI SQL (`replace` has identical
+  * semantics in DuckDB — q128's oracle unrolls the rounds as CTEs).
+  * Words containing the sentinel are dropped (impossible in text that
+  * tokenizes on whitespace; the guard keeps the encoding total).
+  */
+object Bpe {
+
+  private val S = "\u0001"
+  private val SS = S + S
+
+  /** Learn `rounds` merges. Output: one row per learned rule —
+    * (round 1.., lhs, rhs, pair_count) in training order; stops early
+    * if no pair remains (every word a single symbol).
+    */
+  def trainMerges(docs: DataFrame, textCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    var words = docs
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(S))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(S),
+        array_join(filter(split(col("word"), ""), s => length(s) > 0),
+          SS), lit(S)).as("seg"),
+        col("freq"))
+      .persist()
+    words.count(): Unit
+
+    val rules = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      // adjacent symbol pairs of every word, weighted by word frequency;
+      // arrays_zip of the two shifted slices is empty for 1-symbol words
+      val best = words
+        .withColumn("s",
+          split(expr("substring(seg, 2, length(seg) - 2)"), SS))
+        .select(col("freq"), explode(expr(
+          "arrays_zip(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1))"))
+          .as("p"))
+        .groupBy(col("p.0").as("lhs"), col("p.1").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
+        .limit(1).collect() // bounded: exactly one row crosses the driver
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        rules += ((round.toLong, l, r, c))
+        val next = words
+          .withColumn("seg", org.apache.spark.sql.functions.replace(
+            col("seg"), lit(S + l + SS + r + S), lit(S + l + r + S)))
+          .persist()
+        next.count(): Unit
+        words.unpersist(blocking = false)
+        words = next
+        round += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    rules.result().toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** Apply a learned merge table to a word column: (word → space-joined
+    * symbol sequence). The merges MUST be applied in training order —
+    * the same left-to-right `replace` fold as training, so
+    * encode(train corpus) reproduces training's final segmentations.
+    */
+  def encodeWords(words: DataFrame, wordCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val seg0 = concat(lit(S),
+      array_join(filter(split(col(wordCol), ""), s => length(s) > 0), SS),
+      lit(S))
+    val seg = merges.foldLeft(seg0) { case (acc, (l, r)) =>
+      org.apache.spark.sql.functions.replace(
+        acc, lit(S + l + SS + r + S), lit(S + l + r + S))
+    }
+    words.withColumn("tokens",
+      array_join(split(expr_sub(seg), SS), " "))
+  }
+
+  // substring(seg, 2, length-2) over an arbitrary Column (expr() only
+  // parses strings, so build the tree directly)
+  private def expr_sub(seg: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    seg.substr(lit(2), length(seg) - 2)
+}

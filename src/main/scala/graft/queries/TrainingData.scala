@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Clustering, Dedup, Layout, LmScore, Multimodal, Quantization, Retrieval, Similarity}
+import graft.operators.{Bpe, Clustering, Dedup, Layout, LmScore, Multimodal, Quantization, Retrieval, Similarity}
 import graft.streaming.EventsStream
 
 /** Training-data-pipeline operator surface: deduplication (exact / MinHash
@@ -2421,6 +2421,54 @@ object TrainingData {
         min(col("doc_id")).as("min_doc"))
   }
 
+  // --- q128: BPE tokenizer training -------------------------------------------
+  // operators/Bpe.trainMerges: the published word-level merge loop with
+  // a deterministic (count DESC, lhs ASC, rhs ASC) argmax, exact
+  // integer pair counts, and sentinel-string segmentations whose merge
+  // step is one left-to-right `replace` — identical semantics in Spark
+  // and ANSI SQL, so the oracle unrolls all four training rounds as
+  // CTEs and the learned rule table must hash-match rule for rule
+  // (a wrong tie-break, an overlap slip, or one miscounted pair
+  // changes a row). The corpus is scanned once; every round runs over
+  // the distinct-word table.
+  private def q128(s: SparkSession, d: String): DataFrame =
+    Bpe.trainMerges(Tables.documents(s, d), "text", rounds = 4)
+
+  private val q128Sql: String = {
+    def round(k: Int): String = {
+      val j = k - 1
+      s"""p$k AS (
+         |  SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(seg[2:-2], chr(1)||chr(1)) AS s,
+         |      unnest(generate_series(1,
+         |        len(string_split(seg[2:-2], chr(1)||chr(1))) - 1)) AS i
+         |    FROM seg$j) t
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT lhs, rhs, cnt FROM p$k
+         |        ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+         |seg$k AS (
+         |  SELECT replace(seg, chr(1)||b.lhs||chr(1)||chr(1)||b.rhs||chr(1),
+         |                      chr(1)||b.lhs||b.rhs||chr(1)) AS seg, freq
+         |  FROM seg$j, b$k b)""".stripMargin
+    }
+    val rounds = 4
+    s"""WITH tok AS (
+       |  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |  FROM documents),
+       |w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok
+       |      WHERE len(word) > 0 AND NOT contains(word, chr(1))
+       |      GROUP BY word),
+       |seg0 AS (SELECT chr(1) || array_to_string(
+       |    list_transform(range(1, len(word)+1), i -> word[i]),
+       |    chr(1)||chr(1)) || chr(1) AS seg, freq FROM w),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT * FROM (${(1 to rounds).map(k =>
+           s"SELECT CAST($k AS BIGINT) AS round, lhs, rhs, " +
+             s"cnt AS pair_count FROM b$k")
+           .mkString(" UNION ALL ")})
+       |ORDER BY round""".stripMargin
+  }
+
   // --- q124: n-gram LM quality scoring ----------------------------------------
   // operators/LmScore.bigramScore: the CCNet-style perplexity-proxy
   // curation filter — add-one-smoothed word-bigram LM trained on the
@@ -2574,7 +2622,8 @@ object TrainingData {
     "q123_es_stream"      -> q123 _,
     "q124_lm_score"       -> q124 _,
     "q126_stream_partials_lake" -> q126 _,
-    "q127_es_agg_pushdown" -> q127 _)
+    "q127_es_agg_pushdown" -> q127 _,
+    "q128_bpe_train"      -> q128 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2651,5 +2700,6 @@ object TrainingData {
     "q123_es_stream"      -> q120Sql,
     "q124_lm_score"       -> q124Sql,
     "q126_stream_partials_lake" -> q120Sql,
-    "q127_es_agg_pushdown" -> q120Sql)
+    "q127_es_agg_pushdown" -> q120Sql,
+    "q128_bpe_train"      -> q128Sql)
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE tokenizer training against the worked example from the published
+  * algorithm (low/lower/newest/widest), the tie-break order, merge
+  * non-overlap, early exhaustion, and train/encode consistency.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def corpus(rep: (String, Int)*): org.apache.spark.sql.DataFrame =
+    rep.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+
+  test("the classic example learns (e,s) (es,t) (l,o) (lo,w) in order") {
+    val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val rules = Bpe.trainMerges(docs, "text", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // round 1: (e,s)=9 ties (s,t)=9 → lhs-asc tie-break picks (e,s)
+    assert(rules === Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L), (4L, "lo", "w", 7L)))
+  }
+
+  test("merges apply left-to-right without overlap (aaa -> [aa, a])") {
+    val docs = Seq("aaa aaa").toDF("text")
+    val rules = Bpe.trainMerges(docs, "text", rounds = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) counted once per adjacent slot = 2 slots × freq 2
+    assert(rules(0) === (("a", "a", 4L)))
+    // after merging, each word is [aa, a] → round 2 sees (aa, a)
+    assert(rules(1) === (("aa", "a", 2L)))
+  }
+
+  test("training exhausts early when every word is one symbol") {
+    val docs = Seq("ab ab cd").toDF("text")
+    val rules = Bpe.trainMerges(docs, "text", rounds = 10).collect()
+    // (a,b)=2 then (c,d)=1, then every word is a single symbol → stop
+    assert(rules.map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq === Seq(("a", "b", 2L), ("c", "d", 1L)))
+  }
+
+  test("encodeWords replays training's segmentation on unseen words") {
+    val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val merges = Bpe.trainMerges(docs, "text", rounds = 4)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Bpe.encodeWords(Seq("lowest", "low", "newest", "xyz")
+        .toDF("word"), "word", merges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(enc("lowest") === "low est")
+    assert(enc("low") === "low")
+    assert(enc("newest") === "n e w est")
+    assert(enc("xyz") === "x y z")
+  }
+
+  test("training is partitioning-independent (deterministic argmax)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(parts: Int) =
+      Bpe.trainMerges(docs.repartition(parts), "text", rounds = 5)
+        .collect().map(_.toSeq).toSeq
+    assert(run(2) === run(13))
+  }
+}
