@@ -105,14 +105,15 @@ object EsHttp {
 
     var fetched = 0L
     var page = 0
+    var done = false
     var cursor: Option[Seq[JsonNode]] = None
-    while (fetched < total) {
+    while (!done && fetched < total) {
       val body = post(client, s"${cfg.baseUrl}/${cfg.index}/_search",
         searchBody(cfg, cursor))
       val hits = mapper.readTree(body).path("hits").path("hits")
       if (!hits.isArray || hits.size() == 0) {
         // reference `if not hits: break` — under-count beats a spin
-        fetched = total
+        done = true
       } else {
         Files.write(Paths.get(pageDir, f"page-$page%05d.json"),
           body.getBytes(StandardCharsets.UTF_8))
@@ -129,7 +130,7 @@ object EsHttp {
         })
       }
     }
-    ExportResult(page, math.min(fetched, total), total)
+    ExportResult(page, fetched, total)
   }
 
   /** Live fetch → DataFrame of `_source` documents: export to a page
