@@ -95,10 +95,8 @@ object EtlJob {
       pageDir: String, outputDir: String, auditPath: String,
       jobName: String = "Initial_load_from_live",
       tableName: String = "documents", maxDepth: Int = 20): Result =
-    runDocs(spark, {
-      graft.sources.EsHttp.export(cfg, pageDir): Unit
-      EsJson.read(spark, pageDir)
-    }, outputDir, auditPath, jobName, tableName, maxDepth)
+    runDocs(spark, graft.sources.EsHttp.read(spark, cfg, pageDir),
+      outputDir, auditPath, jobName, tableName, maxDepth)
 
   /** Source-agnostic core: any document DataFrame (offline export, live
     * index, test fixture) → count → flatten → TSV → audit. `docs` is

@@ -111,8 +111,12 @@ object Bpe {
       org.apache.spark.sql.functions.replace(
         acc, lit(S + l + SS + r + S), lit(S + l + r + S))
     }
+    // same sentinel guard as training: a word CONTAINING the sentinel
+    // would corrupt its own delimiter stream — encode it as NULL (this
+    // is row-preserving where training just drops the word)
     words.withColumn("tokens",
-      array_join(split(expr_sub(seg), SS), " "))
+      when(col(wordCol).contains(S), lit(null))
+        .otherwise(array_join(split(expr_sub(seg), SS), " ")))
   }
 
   // substring(seg, 2, length-2) over an arbitrary Column (expr() only

@@ -58,9 +58,19 @@ object Quantiles {
     import df.sparkSession.implicits._
     // BIGINT like every other integer output (oracle type contract)
     val qdf = quantilesPermille.map(_.toLong).toDF("q_permille")
-    cum.crossJoin(broadcast(qdf))
+    val quantiles = cum.crossJoin(broadcast(qdf))
       .filter(col("cum") * 1000 >= col("q_permille") * col("n"))
       .groupBy((gcols :+ col("q_permille")): _*)
       .agg(min(col("v")).as("value"))
+
+    // group preservation: percentile_disc IGNORES nulls but still
+    // RETURNS every group — an all-NULL group yields (group, q, NULL),
+    // it does not vanish. The NULL-filtered dist above loses such
+    // groups, so re-seed from the distinct group universe (tiny: the
+    // group table) and left-join the computed quantiles back on.
+    if (groupCols.isEmpty) quantiles
+    else df.select(gcols: _*).distinct()
+      .crossJoin(broadcast(qdf))
+      .join(quantiles, groupCols :+ "q_permille", "left")
   }
 }

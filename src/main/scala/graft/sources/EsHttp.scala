@@ -96,6 +96,16 @@ object EsHttp {
     */
   def export(cfg: Config, pageDir: String): ExportResult = {
     Files.createDirectories(Paths.get(pageDir))
+    // a narrower re-run writes fewer pages than its predecessor; stale
+    // page files would silently rejoin the read — clear OUR page
+    // pattern up front so the directory always reflects THIS export
+    val old = Files.list(Paths.get(pageDir))
+    try {
+      import scala.jdk.CollectionConverters._
+      old.iterator().asScala
+        .filter(_.getFileName.toString.matches("page-\\d+\\.json"))
+        .foreach(Files.delete(_))
+    } finally old.close()
     val client = HttpClient.newHttpClient()
     val countBody =
       s"""{"query":${cfg.queryJson}}"""
@@ -122,9 +132,9 @@ object EsHttp {
         val lastSource = hits.get(hits.size() - 1).path("_source")
         cursor = Some(cfg.sortFields.map { f =>
           val v = lastSource.path(f)
-          if (v.isMissingNode)
+          if (v.isMissingNode || v.isNull)
             throw new IllegalStateException(
-              s"cursor field '$f' missing from last hit's _source — " +
+              s"cursor field '$f' missing/null in last hit's _source — " +
                 "the search_after loop would wedge (reference ETL.py:263-267)")
           v
         })

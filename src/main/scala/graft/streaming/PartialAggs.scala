@@ -80,9 +80,40 @@ object PartialAggs {
     */
   def writePartials(stream: DataFrame, spec: Spec, partialsDir: String,
       checkpointDir: String = null): Long = {
+    // The checkpoint and the lake are ONE unit of state: batch ids and
+    // their leaves only line up against the checkpoint that produced
+    // them. A checkpoint with no committed offsets (null, or a fresh
+    // directory) restarts from batch 0 and reprocesses everything — any
+    // leaves a previous run left behind must go first, or the re-run's
+    // batch 0 would overwrite only leaf 0 and readMerged would
+    // double-count the stale remainder. A checkpoint WITH state resumes
+    // exactly where it left off, so its leaves are kept.
     val checkpoint =
       if (checkpointDir != null) checkpointDir
       else java.nio.file.Files.createTempDirectory("partials_ckpt").toString
+    val hasCommittedState = {
+      val off = java.nio.file.Paths.get(checkpoint, "offsets")
+      java.nio.file.Files.isDirectory(off) && {
+        val l = java.nio.file.Files.list(off)
+        try l.findFirst().isPresent finally l.close()
+      }
+    }
+    if (!hasCommittedState) {
+      val base = java.nio.file.Paths.get(partialsDir)
+      if (java.nio.file.Files.isDirectory(base)) {
+        import scala.jdk.CollectionConverters._
+        val leaves = {
+          val l = java.nio.file.Files.list(base)
+          try l.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("batch_id=")).toList
+          finally l.close()
+        }
+        leaves.foreach { leaf =>
+          java.nio.file.Files.walk(leaf).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+    }
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)

@@ -36,7 +36,7 @@ object PartitionSweep {
       spark.sparkContext.setLogLevel("WARN")
       try names.map { n =>
         val rows = graft.SparkEntry.queries(n)(spark, sfDir)
-          .collect().map(_.toSeq.map(String.valueOf).mkString(""))
+          .collect().map(_.toSeq.map(String.valueOf).mkString("\u0001"))
           .sorted.toSeq
         n -> rows
       }.toMap

@@ -63,6 +63,15 @@ class BpeSpec extends AnyFunSuite {
     assert(enc("xyz") === "x y z")
   }
 
+  test("a sentinel-carrying word encodes to NULL, not corrupt tokens") {
+    val enc = Bpe.encodeWords(Seq("ok", "bad\u0001word").toDF("word"),
+      "word", Seq(("o", "k")))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(enc("ok") === "ok")
+    assert(enc("bad\u0001word") === null)
+  }
+
   test("training is partitioning-independent (deterministic argmax)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     def run(parts: Int) =

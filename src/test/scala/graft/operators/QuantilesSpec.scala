@@ -50,6 +50,18 @@ class QuantilesSpec extends AnyFunSuite {
     assert(out(("a", 1000)) === 5L)
   }
 
+  test("all-NULL group survives with a NULL quantile (percentile_disc)") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", Some(9L)), ("b", None), ("b", None))
+      .toDF("g", "x")
+    val got = Quantiles.exactDiscrete(df, Seq("g"), "x", Seq(500))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // 'b' has only NULLs: percentile_disc returns the group with NULL,
+    // it does not drop it; NULLs never count toward n for 'a'
+    assert(got === Map("a" -> Some(1L), "b" -> None))
+  }
+
   test("agrees with the sorted-multiset definition on grouped data") {
     import spark.implicits._
     val rows = for (g <- 0 until 3; i <- 1 to 101)

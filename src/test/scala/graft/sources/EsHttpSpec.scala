@@ -119,6 +119,26 @@ class EsHttpSpec extends AnyFunSuite {
     } finally es.stop()
   }
 
+  test("re-export into the same dir clears stale pages first") {
+    val es = new StubEs(docs) // 25 docs → 3 pages at size 10
+    try {
+      val dir = Files.createTempDirectory("eshttp_stale").toString
+      EsHttp.export(EsHttp.Config(es.baseUrl, "claims", pageSize = 10), dir)
+      assert(new java.io.File(dir).listFiles().length === 3)
+      es.stop()
+      // narrower second run: 5 docs → 1 page; pages 2 and 3 must go
+      val es2 = new StubEs(docs.take(5))
+      try {
+        val res = EsHttp.export(
+          EsHttp.Config(es2.baseUrl, "claims", pageSize = 10), dir)
+        assert(res.pages === 1)
+        assert(new java.io.File(dir).listFiles()
+          .map(_.getName).toSeq === Seq("page-00000.json"))
+        assert(EsJson.read(spark, dir).count() === 5)
+      } finally es2.stop()
+    } finally { try es.stop() catch { case _: Throwable => () } }
+  }
+
   test("empty page breaks the loop (live Q7) instead of spinning") {
     // stub claims 100 docs but only serves 5 — the count snapshot lies;
     // the empty second page must end the loop, not wedge it

@@ -88,6 +88,21 @@ class PartialAggsSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("a fresh-checkpoint re-run clears stale leaves instead of double-counting") {
+    val in = Files.createTempDirectory("pa_in4")
+    val lake = Files.createTempDirectory("pa_lake4").toString + "/t"
+    writeRows(in, "a.json", Seq(("x", 1L)))
+    writeRows(in, "b.json", Seq(("x", 2L)))
+    // run 1: fresh checkpoint → leaves 0 and 1
+    drain(in, lake, Files.createTempDirectory("pa_ck4a"))
+    // run 2: ANOTHER fresh checkpoint reprocesses everything from batch 0;
+    // without clearing, run 1's leaf 1 would stay and x would double
+    drain(in, lake, Files.createTempDirectory("pa_ck4b"))
+    val merged = PartialAggs.readMerged(spark, spec, lake)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(merged === Seq(("x", 2L, 3L)))
+  }
+
   test("restart on a shared checkpoint folds only NEW files into the lake") {
     val in = Files.createTempDirectory("pa_in3")
     val lake = Files.createTempDirectory("pa_lake3").toString + "/t"
