@@ -2469,6 +2469,73 @@ object TrainingData {
        |ORDER BY round""".stripMargin
   }
 
+  // --- q129: LIVE fetch loop, driver-oracled -----------------------------------
+  // sources/EsHttp against an EMBEDDED HTTP stub serving q120's page
+  // fixture through the reference's two REST calls (_count, then
+  // search_after-paginated _search): the count-bounded client loop runs
+  // for real — cursor extracted from each page's last _source, pages
+  // re-fetched over HTTP, re-exported, read back through the standard
+  // envelope path WITH schema inference — and the result must equal the
+  // same aggregation over the parquet source (q120's oracle). A cursor
+  // slip, page skip/duplicate, early break, or inference drift all
+  // change the hash. The stub serves strictly BY CURSOR (not a call
+  // counter), so the loop's pagination contract is what is under test.
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val (pagesDir, _) = esPageExport(s, d)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val pageFiles = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(pagesDir))
+      try l.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      finally l.close()
+    }
+    // (bytes, lastDocId, nHits) per page — pages are doc_id-ranged and
+    // sorted, so "first page whose last id exceeds the cursor" is the
+    // correct search_after continuation
+    val pages = pageFiles.map { p =>
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      val hits = mapper.readTree(bytes).path("hits").path("hits")
+      (bytes, hits.get(hits.size() - 1).path("_source").path("doc_id")
+        .asLong(), hits.size())
+    }
+    val total = pages.map(_._3.toLong).sum
+    def respond(x: com.sun.net.httpserver.HttpExchange,
+        body: Array[Byte]): Unit = {
+      x.sendResponseHeaders(200, body.length)
+      x.getResponseBody.write(body)
+      x.close()
+    }
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/documents/_count",
+      (x: com.sun.net.httpserver.HttpExchange) =>
+        respond(x, s"""{"count":$total}""".getBytes("UTF-8")))
+    server.createContext("/documents/_search",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        val req = mapper.readTree(x.getRequestBody)
+        val after = req.path("search_after")
+        val nextPage =
+          if (after.isMissingNode) pages.headOption
+          else pages.find(_._2 > after.get(0).asLong())
+        respond(x, nextPage.map(_._1).getOrElse(
+          """{"hits":{"total":{"value":0},"hits":[]}}""".getBytes("UTF-8")))
+      })
+    server.start()
+    val docs =
+      try {
+        val fetchDir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_eshttp_" + Tables.scratchKey(d)).toString
+        graft.sources.EsHttp.read(s, graft.sources.EsHttp.Config(
+          s"http://localhost:${server.getAddress.getPort}", "documents",
+          pageSize = 100, sortFields = Seq("doc_id")), fetchDir)
+      } finally server.stop(0)
+    docs.filter(col("lang").isin("en", "de") && col("n_chars") >= 50L)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
   // --- q124: n-gram LM quality scoring ----------------------------------------
   // operators/LmScore.bigramScore: the CCNet-style perplexity-proxy
   // curation filter — add-one-smoothed word-bigram LM trained on the
@@ -2623,7 +2690,8 @@ object TrainingData {
     "q124_lm_score"       -> q124 _,
     "q126_stream_partials_lake" -> q126 _,
     "q127_es_agg_pushdown" -> q127 _,
-    "q128_bpe_train"      -> q128 _)
+    "q128_bpe_train"      -> q128 _,
+    "q129_es_http_live"   -> q129 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2701,5 +2769,6 @@ object TrainingData {
     "q124_lm_score"       -> q124Sql,
     "q126_stream_partials_lake" -> q120Sql,
     "q127_es_agg_pushdown" -> q120Sql,
-    "q128_bpe_train"      -> q128Sql)
+    "q128_bpe_train"      -> q128Sql,
+    "q129_es_http_live"   -> q120Sql)
 }

@@ -336,10 +336,29 @@ private[sources] class EsExportScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter],
     path: String, permissive: Boolean = false,
     aggregation: Option[PushedAggregation] = None,
-    limit: Int = -1) extends Scan with Batch {
+    limit: Int = -1) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType =
     aggregation.map(_.schema).getOrElse(required)
+
+  /** Listing-derived size so the planner can make real broadcast/join
+    * decisions — a V2 source without statistics defaults to
+    * `spark.sql.defaultSizeInBytes` (effectively "huge"), which forbids
+    * broadcasting even a 3-page export. Byte size = the files
+    * themselves (pessimistic: JSON text upper-bounds the projected
+    * row width); row count stays unknown (counting would read data at
+    * PLANNING time — the thing this connector never does).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = listFiles().map(_.length).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   override def toBatch: Batch = this
 

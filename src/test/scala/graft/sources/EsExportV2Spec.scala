@@ -329,6 +329,25 @@ class EsExportV2Spec extends AnyFunSuite {
     } finally { unpushed.unpersist(); () }
   }
 
+  test("listing-derived statistics let the planner broadcast a small export") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // a 3-page export joined to a big-ish frame: with real sizeInBytes
+    // the export side must be broadcast (V2 default stats would forbid it)
+    val big = spark.range(100000).selectExpr("id AS doc_id", "id % 7 AS k")
+    val joined = big.join(readV2().select("doc_id", "lang"), "doc_id")
+    val exec = joined.queryExecution.executedPlan
+    def findBroadcast(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.exists {
+        case _: BroadcastExchangeExec => true
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findBroadcast(a.executedPlan)
+        case _ => false
+      }
+    assert(joined.count() === 5)
+    assert(findBroadcast(exec) ||
+      findBroadcast(joined.queryExecution.executedPlan))
+  }
+
   test("limit pushes partially: per-page parse stops, global Limit stays") {
     val df = readV2().select("doc_id").limit(2)
     val d = pushedAggOf(df)
