@@ -124,4 +124,37 @@ object Bpe {
   private def expr_sub(seg: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     seg.substr(lit(2), length(seg) - 2)
+
+  /** Token-budget accounting: per-document token counts under a
+    * tokenizer LEARNED from the same corpus — the number every
+    * training-data pipeline sizes its mixtures and packing by.
+    *
+    * Scale shape: the corpus tokenizes through its VOCABULARY — the
+    * distinct-word table is encoded once (`rounds` replaces over
+    * Zipf-many rows, not corpus-many), then each document's count is a
+    * word→n_tokens join + sum. The join key is the word; at real scale
+    * the vocabulary side is orders of magnitude smaller than the token
+    * stream and broadcast-eligible. Documents whose text yields no
+    * countable words report (0, 0), not absence. Output:
+    * (id, n_words, n_tokens).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val merges = trainMerges(docs, textCol, rounds)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(S))
+    val vocab = encodeWords(words.select("word").distinct(), "word", merges)
+      .select(col("word"),
+        size(split(col("tokens"), " ")).cast("long").as("n_tok"))
+    val counted = words.join(vocab, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+    docs.select(col(idCol)).distinct()
+      .join(counted, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
 }

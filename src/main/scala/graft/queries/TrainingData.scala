@@ -2536,6 +2536,56 @@ object TrainingData {
         min(col("doc_id")).as("min_doc"))
   }
 
+  // --- q130: token counts under the LEARNED tokenizer -------------------------
+  // Bpe.tokenCounts: the token-budget number pipelines size mixtures
+  // and packing by — per-document token counts under a BPE tokenizer
+  // trained on the same corpus. The vocabulary is encoded once and
+  // joined back to the word stream; the oracle re-learns the identical
+  // 4 merges (q128's unrolled CTEs, word carried through the seg
+  // chain) and replays the per-word token length + per-doc sum, so a
+  // drift in training, encoding, OR accounting fails the hash.
+  private def q130(s: SparkSession, d: String): DataFrame =
+    Bpe.tokenCounts(Tables.documents(s, d), "doc_id", "text", rounds = 4)
+
+  private val q130Sql: String = {
+    def round(k: Int): String = {
+      val j = k - 1
+      s"""p$k AS (
+         |  SELECT s[i] AS lhs, s[i+1] AS rhs, sum(freq) AS cnt
+         |  FROM (SELECT freq, string_split(seg[2:-2], chr(1)||chr(1)) AS s,
+         |      unnest(generate_series(1,
+         |        len(string_split(seg[2:-2], chr(1)||chr(1))) - 1)) AS i
+         |    FROM seg$j) t
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT lhs, rhs FROM p$k
+         |        ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+         |seg$k AS (
+         |  SELECT word, replace(seg,
+         |      chr(1)||b.lhs||chr(1)||chr(1)||b.rhs||chr(1),
+         |      chr(1)||b.lhs||b.rhs||chr(1)) AS seg, freq
+         |  FROM seg$j, b$k b)""".stripMargin
+    }
+    s"""WITH tokdoc AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |  FROM documents),
+       |valid AS (SELECT doc_id, word FROM tokdoc
+       |          WHERE len(word) > 0 AND NOT contains(word, chr(1))),
+       |w AS (SELECT word, count(*) AS freq FROM valid GROUP BY word),
+       |seg0 AS (SELECT word, chr(1) || array_to_string(
+       |    list_transform(range(1, len(word)+1), i -> word[i]),
+       |    chr(1)||chr(1)) || chr(1) AS seg, freq FROM w),
+       |${(1 to 4).map(round).mkString(",\n")},
+       |vocab AS (SELECT word, CAST(len(string_split(seg[2:-2],
+       |    chr(1)||chr(1))) AS BIGINT) AS n_tok FROM seg4),
+       |counted AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM valid JOIN vocab USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(c.n_words, 0) AS n_words,
+       |  COALESCE(c.n_tokens, 0) AS n_tokens
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN counted c USING (doc_id)""".stripMargin
+  }
+
   // --- q124: n-gram LM quality scoring ----------------------------------------
   // operators/LmScore.bigramScore: the CCNet-style perplexity-proxy
   // curation filter — add-one-smoothed word-bigram LM trained on the
@@ -2691,7 +2741,8 @@ object TrainingData {
     "q126_stream_partials_lake" -> q126 _,
     "q127_es_agg_pushdown" -> q127 _,
     "q128_bpe_train"      -> q128 _,
-    "q129_es_http_live"   -> q129 _)
+    "q129_es_http_live"   -> q129 _,
+    "q130_bpe_token_budget" -> q130 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2770,5 +2821,6 @@ object TrainingData {
     "q126_stream_partials_lake" -> q120Sql,
     "q127_es_agg_pushdown" -> q120Sql,
     "q128_bpe_train"      -> q128Sql,
-    "q129_es_http_live"   -> q120Sql)
+    "q129_es_http_live"   -> q120Sql,
+    "q130_bpe_token_budget" -> q130Sql)
 }

@@ -72,6 +72,24 @@ class BpeSpec extends AnyFunSuite {
     assert(enc("bad\u0001word") === null)
   }
 
+  test("tokenCounts: per-doc budget under the learned tokenizer") {
+    // word totals across docs = the classic corpus (low 5, lower 2,
+    // newest 6, widest 3) → merges (e,s)(es,t)(l,o)(lo,w); encoded:
+    // low=1 token, lower=[low,e,r]=3, newest=[n,e,w,est]=4,
+    // widest=[w,i,d,est]=4
+    val docs = Seq(
+      (1L, "low low lower"),     // 1+1+3 = 5 tokens, 3 words
+      (2L, "newest widest"),     // 4+4 = 8 tokens, 2 words
+      (3L, "low newest newest newest newest newest low low " +
+        "widest widest lower")   // 3*1+5*4+2*4+3 = 34, 11 words
+    ).toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(docs, "doc_id", "text", rounds = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(1L -> ((3L, 5L)), 2L -> ((2L, 8L)),
+      3L -> ((11L, 34L))))
+  }
+
   test("training is partitioning-independent (deterministic argmax)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     def run(parts: Int) =
