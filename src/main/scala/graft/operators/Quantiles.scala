@@ -69,8 +69,18 @@ object Quantiles {
     // groups, so re-seed from the distinct group universe (tiny: the
     // group table) and left-join the computed quantiles back on.
     if (groupCols.isEmpty) quantiles
-    else df.select(gcols: _*).distinct()
-      .crossJoin(broadcast(qdf))
-      .join(quantiles, groupCols :+ "q_permille", "left")
+    else {
+      // null-safe equality: a NULL group KEY is a regular group to
+      // percentile_disc (only NULL *values* are ignored). A plain
+      // equi-join would never match the computed quantile row back to
+      // a NULL-keyed seed row and return value=NULL for a group that
+      // has one.
+      val seed = df.select(gcols: _*).distinct()
+        .crossJoin(broadcast(qdf))
+      val joinKeys = groupCols :+ "q_permille"
+      val cond = joinKeys.map(k => seed(k) <=> quantiles(k)).reduce(_ && _)
+      seed.join(quantiles, cond, "left")
+        .select(joinKeys.map(seed(_)) :+ quantiles("value"): _*)
+    }
   }
 }

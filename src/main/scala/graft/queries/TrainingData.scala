@@ -2341,6 +2341,11 @@ object TrainingData {
   // aggregates, and re-aggregated — count/sum/min are all mergeable,
   // so stream-of-batches == one batch == DuckDB, whatever the page-to-
   // batch assignment. Shares q120's page fixture AND q120's oracle SQL.
+  // NOTE: the driver-side ArrayBuffer below is the ORACLE HARNESS (a
+  // deliberately tiny sink that makes the per-batch partials visible
+  // to the correctness gate), not the production shape — that is q126 /
+  // streaming/PartialAggs, where partials land in a parquet lake and
+  // the driver holds nothing.
   private def q123(s: SparkSession, d: String): DataFrame = {
     val (dirStr, docSchema) = esPageExport(s, d)
     val partials =
@@ -2447,9 +2452,10 @@ object TrainingData {
          |b$k AS (SELECT lhs, rhs, cnt FROM p$k
          |        ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
          |seg$k AS (
-         |  SELECT replace(seg, chr(1)||b.lhs||chr(1)||chr(1)||b.rhs||chr(1),
-         |                      chr(1)||b.lhs||b.rhs||chr(1)) AS seg, freq
-         |  FROM seg$j, b$k b)""".stripMargin
+         |  SELECT COALESCE(replace(seg,
+         |      chr(1)||b.lhs||chr(1)||chr(1)||b.rhs||chr(1),
+         |      chr(1)||b.lhs||b.rhs||chr(1)), seg) AS seg, freq
+         |  FROM seg$j LEFT JOIN b$k b ON TRUE)""".stripMargin
     }
     val rounds = 4
     s"""WITH tok AS (
@@ -2560,10 +2566,10 @@ object TrainingData {
          |b$k AS (SELECT lhs, rhs FROM p$k
          |        ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
          |seg$k AS (
-         |  SELECT word, replace(seg,
+         |  SELECT word, COALESCE(replace(seg,
          |      chr(1)||b.lhs||chr(1)||chr(1)||b.rhs||chr(1),
-         |      chr(1)||b.lhs||b.rhs||chr(1)) AS seg, freq
-         |  FROM seg$j, b$k b)""".stripMargin
+         |      chr(1)||b.lhs||b.rhs||chr(1)), seg) AS seg, freq
+         |  FROM seg$j LEFT JOIN b$k b ON TRUE)""".stripMargin
     }
     s"""WITH tokdoc AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word

@@ -308,6 +308,11 @@ private[sources] class SerializableHadoopConf(
 private[sources] case class EsFilePartition(path: String, length: Long)
   extends InputPartition
 
+/** Synthetic zero-row partition planned when an ungrouped aggregation
+  * is pushed over an empty export listing (see planInputPartitions).
+  */
+private[sources] case object EsEmptyPartition extends InputPartition
+
 private[sources] object EsExportListing {
   /** Driver-side sorted listing of an export path — pages are written
     * in `search_after` order, so the path-sorted listing IS the
@@ -376,9 +381,19 @@ private[sources] class EsExportScan(fullSchema: StructType,
   private[sources] def listFiles(): Array[EsFilePartition] =
     EsExportListing.list(path)
 
-  /** One partition per exported page file. */
-  override def planInputPartitions(): Array[InputPartition] =
-    listFiles().map(p => p: InputPartition)
+  /** One partition per exported page file. An EMPTY export directory
+    * with a pushed ungrouped aggregation still plans one synthetic
+    * partition: the agg reader's unconditional partial row is what
+    * makes `count(*)` over nothing return 0 — with zero partitions no
+    * partial reaches Spark's final aggregation and the Sum-of-counts
+    * rewrite would return NULL instead.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = listFiles()
+    if (files.isEmpty && aggregation.exists(_.groupBy.isEmpty))
+      Array(EsEmptyPartition)
+    else files.map(p => p: InputPartition)
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new EsExportMicroBatchStream(this)
@@ -433,8 +448,18 @@ private[sources] class EsExportLimitReaderFactory(
 private[sources] class EsExportAggReaderFactory(
     base: EsExportReaderFactory, input: StructType,
     spec: PushedAggregation) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EsExportAggReader(base.createReader(partition), input, spec)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val under = partition match {
+      case EsEmptyPartition => new PartitionReader[InternalRow] {
+        override def next(): Boolean = false
+        override def get(): InternalRow =
+          throw new IllegalStateException("empty partition")
+        override def close(): Unit = ()
+      }
+      case _ => base.createReader(partition)
+    }
+    new EsExportAggReader(under, input, spec)
+  }
 }
 
 /** Folds one partition's document rows into partial-aggregate rows —

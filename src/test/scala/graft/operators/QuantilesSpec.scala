@@ -62,6 +62,22 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got === Map("a" -> Some(1L), "b" -> None))
   }
 
+  test("NULL group KEY is a regular group (null-safe re-seed join)") {
+    import spark.implicits._
+    // percentile_disc ignores NULL VALUES but a NULL group KEY is just
+    // another group: it must return its computed quantile, not NULL.
+    val df = Seq((Option("a"), Some(4L)), (Option.empty[String], Some(2L)),
+        (Option.empty[String], Some(8L)), (Option.empty[String], None))
+      .toDF("g", "x")
+    val got = Quantiles.exactDiscrete(df, Seq("g"), "x", Seq(500, 1000))
+      .collect().map(r => ((Option(r.getString(0)), r.getLong(1).toInt),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got((Some("a"), 500)) === Some(4L))
+    // NULL-keyed group: multiset {2, 8}, median = 2, max = 8
+    assert(got((None, 500)) === Some(2L))
+    assert(got((None, 1000)) === Some(8L))
+  }
+
   test("agrees with the sorted-multiset definition on grouped data") {
     import spark.implicits._
     val rows = for (g <- 0 until 3; i <- 1 to 101)

@@ -361,6 +361,24 @@ class EsExportV2Spec extends AnyFunSuite {
     assert(readV2().limit(100).count() === 5)
   }
 
+  test("ungrouped pushed count over an EMPTY export dir returns 0, not NULL") {
+    val empty = Files.createTempDirectory("es_export_empty_")
+    val df = spark.read.format("es-export").schema(docSchema)
+      .load(empty.toString)
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+    assert(pushedAggOf(df).contains("PushedAggregation"))
+    val r = df.collect().head
+    // the synthetic empty partition carries the unconditional partial:
+    // count = 0 (not NULL after the Sum-of-counts rewrite), sum = NULL
+    assert(!r.isNullAt(0) && r.getLong(0) === 0L)
+    assert(r.isNullAt(1))
+    // grouped aggregation over an empty listing stays zero-row
+    val g = spark.read.format("es-export").schema(docSchema)
+      .load(empty.toString)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(g.collect().isEmpty)
+  }
+
   test("distinct and non-atomic aggregates do NOT push (graceful fallback)") {
     val d1 = pushedAggOf(readV2().agg(count_distinct(col("lang")).as("n")))
     assert(!d1.contains("PushedAggregation"), d1)
