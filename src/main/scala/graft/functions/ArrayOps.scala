@@ -581,6 +581,41 @@ object ArrayOps {
       Seq(ArrayType(LongType), ArrayType(LongType)),
       returnNullable = true))
 
+  /** Primitive-return twin of [[l2sqL]] for validated vectors: the
+    * caller must guarantee equal-length, null-free arrays (hoist the
+    * check to a once-per-ROW `vecCleanL` column instead of paying a
+    * boxed nullable return on every O(n²/k) PAIR — `ArrayData.getLong`
+    * silently reads a null slot as 0, which is why the guard is part of
+    * the contract, not optional). Ragged inputs return Long.MaxValue
+    * ("infinitely far": never within a real threshold, which is bounded
+    * by dim·(2·scale)² « 2⁶³ for quantized embeddings).
+    */
+  def l2sqLongsRaw(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Long.MaxValue
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def l2sqRawL(a: Column, b: Column): Column = CatalystBridge.column(
+    StaticInvoke(
+      ArrayOps.getClass, LongType, "l2sqLongsRaw",
+      Seq(CatalystBridge.expression(a), CatalystBridge.expression(b)),
+      Seq(ArrayType(LongType), ArrayType(LongType)),
+      returnNullable = false))
+
+  /** True iff a long-array column is present, null-free — the per-row
+    * validity hoist that licenses [[l2sqRawL]] in a pair join.
+    */
+  def vecCleanL(a: Column): Column =
+    a.isNotNull && !exists(a, _.isNull)
+
   /** Order-preserving bijection double → signed long, so a DOUBLE
     * ordering key can ride the long-typed [[TopK.TopKPairs]] heap:
     * `sortableDoubleBits(a) < sortableDoubleBits(b)` iff `a < b` under

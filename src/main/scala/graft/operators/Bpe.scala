@@ -97,6 +97,98 @@ object Bpe {
     rules.result().toDF("round", "lhs", "rhs", "pair_count")
   }
 
+  /** Scale path for REAL vocabularies: learn up to `merges` rules in
+    * O(merges / maxBatch) Spark rounds instead of one driver round-trip
+    * + persist per merge ([[trainMerges]] is the faithful sequential
+    * loop the q128 oracle replays; a 32k-merge vocab through it is 10⁵
+    * Spark jobs — this is the same algorithm batched).
+    *
+    * Each round counts pairs ONCE, collects the top `4·maxBatch`
+    * candidates (bounded), and greedily keeps up to `maxBatch` pairs
+    * that are SYMBOL-DISJOINT from every earlier pick of the round —
+    * neither side may be a symbol an earlier pick consumes (`used`) or
+    * creates (`produced`). Under that guard each kept pair's pre-batch
+    * count is still its exact occurrence count when its `replace` runs
+    * (a replace only touches its own two symbols and creates its own
+    * concatenation), so every learned rule carries a true count and
+    * the whole batch applies as one chained codegen'd projection.
+    *
+    * Deviation from strict sequential BPE (documented, standard in
+    * fast trainers): within a round, pick k+1 is chosen from the
+    * PRE-round counts, so a pair involving a symbol minted earlier in
+    * the same round can only be learned next round. `maxBatch = 1`
+    * reproduces [[trainMerges]] exactly (spec-pinned). Output schema
+    * and ordering identical: (round = global merge index 1.., lhs,
+    * rhs, pair_count) in application order — [[encodeWords]] over this
+    * table reproduces training's final segmentations because the
+    * global fold order equals the training application order.
+    */
+  def trainMergesBatched(docs: DataFrame, textCol: String,
+      merges: Int, maxBatch: Int = 64): DataFrame = {
+    require(merges >= 1 && maxBatch >= 1,
+      s"merges=$merges maxBatch=$maxBatch must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    var words = docs
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(S))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(S),
+        array_join(filter(split(col("word"), ""), s => length(s) > 0),
+          SS), lit(S)).as("seg"),
+        col("freq"))
+      .persist()
+    words.count(): Unit
+
+    val rules = Seq.newBuilder[(Long, String, String, Long)]
+    var learned = 0
+    var exhausted = false
+    while (learned < merges && !exhausted) {
+      val want = math.min(maxBatch, merges - learned)
+      val cands = words
+        .withColumn("s",
+          split(expr("substring(seg, 2, length(seg) - 2)"), SS))
+        .select(col("freq"), explode(expr(
+          "arrays_zip(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1))"))
+          .as("p"))
+        .groupBy(col("p.0").as("lhs"), col("p.1").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
+        .limit(4 * want).collect() // bounded: 4·batch candidate rows
+      if (cands.isEmpty) exhausted = true
+      else {
+        val used = collection.mutable.Set.empty[String]
+        val produced = collection.mutable.Set.empty[String]
+        val picked = Seq.newBuilder[(String, String, Long)]
+        var n = 0
+        for (r <- cands if n < want) {
+          val (l, rr) = (r.getString(0), r.getString(1))
+          if (!used(l) && !used(rr) && !produced(l) && !produced(rr)) {
+            picked += ((l, rr, r.getLong(2)))
+            used += l; used += rr; produced += (l + rr)
+            n += 1
+          }
+        }
+        val batch = picked.result()
+        batch.foreach { case (l, r, c) =>
+          learned += 1
+          rules += ((learned.toLong, l, r, c))
+        }
+        val seg = batch.foldLeft(col("seg")) { case (acc, (l, r, _)) =>
+          org.apache.spark.sql.functions.replace(
+            acc, lit(S + l + SS + r + S), lit(S + l + r + S))
+        }
+        val next = words.select(seg.as("seg"), col("freq")).persist()
+        next.count(): Unit
+        words.unpersist(blocking = false)
+        words = next
+      }
+    }
+    words.unpersist(blocking = false)
+    rules.result().toDF("round", "lhs", "rhs", "pair_count")
+  }
+
   /** Apply a learned merge table to a word column: (word → space-joined
     * symbol sequence). The merges MUST be applied in training order —
     * the same left-to-right `replace` fold as training, so

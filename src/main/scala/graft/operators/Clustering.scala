@@ -121,15 +121,23 @@ object Clustering {
     // + the final output join); persist it so the Lloyd chain behind it
     // runs once, then release the cache once the (small) result is
     // materialized — the Graph.pageRank lifecycle.
-    val a = assigned.select(col("id"), col("cluster"), col("qv")).persist()
+    // vector validity hoisted to ONE boolean per row: the pair filter
+    // then runs the primitive (non-nullable, unboxed) L2² kernel over
+    // O(n²/k) pairs instead of paying a boxed java.lang.Long return per
+    // pair. A null-holding vector has ok=false and can never appear in a
+    // pair — exactly the NULL-propagating semantics of the safe l2sqL /
+    // the SQL oracle's list_sum (ragged pairs fall out via the kernel's
+    // Long.MaxValue).
+    val a = assigned.select(col("id"), col("cluster"), col("qv"),
+      graft.functions.ArrayOps.vecCleanL(col("qv")).as("ok")).persist()
     val b = a.select(col("id").as("b_id"), col("cluster").as("b_cluster"),
-      col("qv").as("b_qv"))
-    val dupIds = a.join(b,
+      col("qv").as("b_qv"), col("ok").as("b_ok"))
+    val dupIds = a.filter(col("ok")).join(b.filter(col("b_ok")),
         col("cluster") === col("b_cluster") && col("b_id") < col("id"))
       // codegen'd static L2² kernel — bit-identical to the
       // aggregate(zip_with(...)) HOF form, minus the interpreted
       // lambda per pair element
-      .filter(graft.functions.ArrayOps.l2sqL(col("qv"), col("b_qv"))
+      .filter(graft.functions.ArrayOps.l2sqRawL(col("qv"), col("b_qv"))
         <= lit(threshold))
       .select(col("id")).distinct()
     val out = a.join(dupIds.withColumn("is_dup", lit(true)), Seq("id"), "left")

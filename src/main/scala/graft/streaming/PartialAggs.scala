@@ -137,4 +137,54 @@ object PartialAggs {
       partialsDir: String): DataFrame =
     spec.merge(spark.read.option("basePath", partialsDir)
       .parquet(partialsDir).drop("batch_id"))
+
+  /** Lake maintenance: consolidate old `batch_id=` leaves into ONE
+    * merged leaf. The partials are mergeable by construction, so the
+    * absorbed leaves' rows collapse to `spec.merge` of themselves and
+    * [[readMerged]] is INVARIANT across the pass (spec-pinned) — the
+    * same property that makes the read-side merge correct makes
+    * compaction a pure re-layout. Leaf count drops from B to
+    * `keepLast + 1`; at 100 TB this is what keeps an always-appending
+    * partials lake from accumulating unbounded small files
+    * (file-level compaction inside leaves is [[graft.sinks.Lake.compact]];
+    * this pass removes the leaves themselves).
+    *
+    * The newest `keepLast` leaves are never absorbed: only a batch
+    * whose offset was not yet committed can REPLAY (foreachBatch
+    * overwrite-the-leaf idempotence), and that can only be the most
+    * recent one — absorbing it would let a replay overwrite the
+    * consolidated mass. The consolidated leaf takes the SMALLEST
+    * absorbed batch id (a committed batch never replays, so nothing
+    * ever overwrites it). Run with the stream quiescent, like any
+    * table-maintenance pass.
+    *
+    * Returns (leaves before, leaves after).
+    */
+  def compactPartials(spark: SparkSession, spec: Spec, partialsDir: String,
+      keepLast: Int = 1): (Long, Long) = {
+    require(keepLast >= 0, s"keepLast=$keepLast must be >= 0")
+    import org.apache.hadoop.fs.Path
+    val base = new Path(partialsDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafIds(): Seq[Long] =
+      (if (fs.exists(base)) fs.listStatus(base).toSeq else Nil)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+        .sorted
+    val before = leafIds()
+    val absorb = before.dropRight(keepLast)
+    if (absorb.size < 2) return (before.size.toLong, before.size.toLong)
+    val absorbed = spark.read.parquet(
+      absorb.map(id => s"$partialsDir/batch_id=$id"): _*)
+    val tmp = new Path(partialsDir + ".compact_tmp")
+    fs.delete(tmp, true)
+    // one merged leaf: the dual aggregate over the absorbed partials IS
+    // a valid partial for the same mass (associativity of the algebras)
+    spec.merge(absorbed).write.mode("overwrite").parquet(tmp.toString)
+    absorb.foreach(id =>
+      fs.delete(new Path(s"$partialsDir/batch_id=$id"), true))
+    fs.rename(tmp, new Path(s"$partialsDir/batch_id=${absorb.min}"))
+    (before.size.toLong, leafIds().size.toLong)
+  }
 }

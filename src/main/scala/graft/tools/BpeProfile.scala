@@ -59,6 +59,23 @@ object BpeProfile {
         s"rules=${rules.length} first=${rules.headOption.map(_.toSeq)}")
       docs.unpersist()
     }
+
+    // The scale row the sequential loop cannot reach: a real vocabulary
+    // (>= 1024 merges) over >= 10^5 docs via trainMergesBatched — one
+    // counting round per BATCH of symbol-disjoint merges, so the Spark
+    // job count is merges/maxBatch, not merges.
+    for ((n, merges, batch) <- Seq((100000L, 1024, 64),
+        (1000000L, 1024, 64))) {
+      val docs = corpus(n).persist()
+      docs.count()
+      val t0 = System.nanoTime()
+      val rules = graft.operators.Bpe.trainMergesBatched(
+        docs, "text", merges = merges, maxBatch = batch).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"BPE-batched n=$n%8d  $merges merges (batch=$batch)  " +
+        f"${sec}%6.1f s  learned=${rules.length}")
+      docs.unpersist()
+    }
     spark.stop()
   }
 }

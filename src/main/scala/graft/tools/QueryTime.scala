@@ -25,12 +25,18 @@ object QueryTime {
       else Seq("q101_xml_roundtrip", "q117_pagerank", "q118_label_prop")
     for (name <- names) {
       val q = graft.SparkEntry.queries(name)
-      q(spark, sfDir).count() // warm-up
       def drop(): Unit = {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
+      // the warm-up IS the cold number (codegen compile + parquet footer
+      // reads) — print it: the driver's Bench reports a first run unless
+      // it crosses the 3 s re-run bar, so cold is what the scoreboard sees
+      val t0c = System.nanoTime()
+      q(spark, sfDir).count()
+      val cold = (System.nanoTime() - t0c) / 1e9
+      println(f"$name%-28s cold=$cold%.2f s")
       drop()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

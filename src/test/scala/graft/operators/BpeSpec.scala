@@ -90,11 +90,67 @@ class BpeSpec extends AnyFunSuite {
       3L -> ((11L, 34L))))
   }
 
+  test("trainMergesBatched(maxBatch=1) reproduces the sequential loop") {
+    val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val seq = Bpe.trainMerges(docs, "text", rounds = 4)
+      .collect().map(_.toSeq).toSeq
+    val bat = Bpe.trainMergesBatched(docs, "text", merges = 4, maxBatch = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(bat === seq)
+  }
+
+  test("batched picks are symbol-disjoint and counts stay exact") {
+    val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val rules = Bpe.trainMergesBatched(docs, "text", merges = 4,
+        maxBatch = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // round-1 counts: (e,s)=9, (s,t)=9 conflicts on s, (es,t) does not
+    // exist pre-round; disjoint greedy from the pre-round table keeps
+    // (e,s) then (l,o)=7 [(o,w) conflicts on o] then (n,e) & (w,e)
+    // conflict on e... the batch is every pick's TRUE pre-round count
+    assert(rules.map(t => (t._2, t._3)).toSet.size === rules.size)
+    // global indices are 1..n in application order
+    assert(rules.map(_._1) === (1L to rules.size).toSeq)
+    // no two picks in one application batch share a symbol, so each
+    // rule's count must equal the sequential loop's count for the same
+    // pair whenever that pair is also learned sequentially first
+    val first = rules.head
+    assert((first._2, first._3, first._4) === (("e", "s", 9L)))
+  }
+
+  test("batched rules form a valid derivation chain; encoding shrinks") {
+    val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3, "lowest" -> 4)
+    val merges = Bpe.trainMergesBatched(docs, "text", merges = 8,
+        maxBatch = 3)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // every rule's sides are derivable: a single character or a symbol
+    // minted by an EARLIER rule (the guard that batching never selects
+    // a pair whose symbols don't exist yet)
+    val minted = collection.mutable.Set.empty[String]
+    for ((l, r) <- merges) {
+      assert(l.length == 1 || minted.contains(l), s"underivable lhs $l")
+      assert(r.length == 1 || minted.contains(r), s"underivable rhs $r")
+      minted += (l + r)
+    }
+    // encoding under the full table is no longer than under any prefix
+    def total(ms: Seq[(String, String)]): Long =
+      Bpe.encodeWords(Seq("low", "lower", "newest", "widest", "lowest")
+          .toDF("word"), "word", ms)
+        .collect().map(_.getString(1).split(" ").length.toLong).sum
+    assert(total(merges) < total(merges.take(2)))
+  }
+
   test("training is partitioning-independent (deterministic argmax)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     def run(parts: Int) =
       Bpe.trainMerges(docs.repartition(parts), "text", rounds = 5)
         .collect().map(_.toSeq).toSeq
     assert(run(2) === run(13))
+    def runBatched(parts: Int) =
+      Bpe.trainMergesBatched(docs.repartition(parts), "text",
+        merges = 24, maxBatch = 8).collect().map(_.toSeq).toSeq
+    assert(runBatched(2) === runBatched(13))
   }
 }

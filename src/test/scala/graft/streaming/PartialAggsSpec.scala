@@ -103,6 +103,48 @@ class PartialAggsSpec extends AnyFunSuite {
     assert(merged === Seq(("x", 2L, 3L)))
   }
 
+  test("compactPartials: readMerged invariant, leaves consolidated") {
+    val in = Files.createTempDirectory("pa_in5")
+    val lake = Files.createTempDirectory("pa_lake5").toString + "/t"
+    val ckpt = Files.createTempDirectory("pa_ckpt5")
+    writeRows(in, "a.json", Seq(("x", 1L), ("y", 10L)))
+    writeRows(in, "b.json", Seq(("y", 7L), ("z", 100L)))
+    writeRows(in, "c.json", Seq(("x", -5L), ("z", 4L)))
+    writeRows(in, "d.json", Seq(("x", 2L)))
+    val batches = drain(in, lake, ckpt)
+    assert(batches === 4)
+    val before = PartialAggs.readMerged(spark, spec, lake)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+
+    val (nBefore, nAfter) =
+      PartialAggs.compactPartials(spark, spec, lake, keepLast = 1)
+    assert(nBefore === 4 && nAfter === 2) // 3 absorbed → 1, newest kept
+
+    val after = PartialAggs.readMerged(spark, spec, lake)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(after === before)
+
+    // the consolidated leaf carries the smallest absorbed id; the
+    // kept newest leaf is untouched — replay of the newest batch into
+    // its own leaf (same deterministic partial → same bytes) stays
+    // idempotent after compaction
+    val ids = spark.read.option("basePath", lake).parquet(lake)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids === Array(0L, 3L))
+    val leaf3 = spark.read.parquet(s"$lake/batch_id=3").collect().toSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(leaf3),
+        spark.read.parquet(s"$lake/batch_id=3").schema)
+      .write.mode("overwrite").parquet(s"$lake/batch_id=3")
+    val replayed = PartialAggs.readMerged(spark, spec, lake)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(replayed === before)
+
+    // compacting an already-compact lake is a no-op
+    assert(PartialAggs.compactPartials(spark, spec, lake) === ((2L, 2L)))
+  }
+
   test("restart on a shared checkpoint folds only NEW files into the lake") {
     val in = Files.createTempDirectory("pa_in3")
     val lake = Files.createTempDirectory("pa_lake3").toString + "/t"
