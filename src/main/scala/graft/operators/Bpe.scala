@@ -130,6 +130,14 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // Lineage is CUT each round with an eager localCheckpoint, not just
+    // persisted: a round applies up to `maxBatch` nested `replace`
+    // expressions, so over merges/maxBatch rounds a persisted-only
+    // chain accumulates O(merges) nested string expressions in the
+    // logical plan — plan stringification alone goes quadratic and
+    // OOMs the driver near 10³ merges (measured in tools/BpeProfile).
+    // Checkpointed rounds keep the plan O(maxBatch) forever; dropped
+    // round handles are reaped by the ContextCleaner.
     var words = docs
       .select(explode(split(col(textCol), "\\s+")).as("word"))
       .filter(length(col("word")) > 0 && !col("word").contains(S))
@@ -138,8 +146,7 @@ object Bpe {
         array_join(filter(split(col("word"), ""), s => length(s) > 0),
           SS), lit(S)).as("seg"),
         col("freq"))
-      .persist()
-    words.count(): Unit
+      .localCheckpoint(true)
 
     val rules = Seq.newBuilder[(Long, String, String, Long)]
     var learned = 0
@@ -179,13 +186,10 @@ object Bpe {
           org.apache.spark.sql.functions.replace(
             acc, lit(S + l + SS + r + S), lit(S + l + r + S))
         }
-        val next = words.select(seg.as("seg"), col("freq")).persist()
-        next.count(): Unit
-        words.unpersist(blocking = false)
-        words = next
+        words = words.select(seg.as("seg"), col("freq"))
+          .localCheckpoint(true)
       }
     }
-    words.unpersist(blocking = false)
     rules.result().toDF("round", "lhs", "rhs", "pair_count")
   }
 

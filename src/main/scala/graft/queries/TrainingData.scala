@@ -2592,6 +2592,49 @@ object TrainingData {
        |LEFT JOIN counted c USING (doc_id)""".stripMargin
   }
 
+  // --- q131: BATCHED BPE training, driver-oracled ------------------------------
+  // Bpe.trainMergesBatched is the scale path (O(merges/maxBatch) Spark
+  // rounds); with maxBatch=1 its contract is EXACT equality with the
+  // sequential loop — so it gets q128's DuckDB oracle verbatim, making
+  // the batched code path driver-oracled rule for rule, not just
+  // spec-compared. (Multi-merge batches are pinned by BpeSpec and
+  // profiled at 1,024 merges in tools/BpeProfile; their greedy
+  // disjoint selection is driver logic with no natural SQL replay.)
+  private def q131(s: SparkSession, d: String): DataFrame =
+    Bpe.trainMergesBatched(Tables.documents(s, d), "text",
+      merges = 4, maxBatch = 1)
+
+  // --- q132: partials lake COMPACTION, result-invariant ------------------------
+  // streaming/PartialAggs.compactPartials over q126's lake shape: old
+  // batch_id= leaves collapse into one merged leaf (the dual aggregate
+  // of partials is itself a valid partial), and readMerged afterwards
+  // must STILL equal the one-batch aggregate — q120's oracle again.
+  // The leaf-count arithmetic and replay-safety are spec-pinned
+  // (PartialAggsSpec); the driver pins that maintenance never changes
+  // the answer.
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val (dirStr, docSchema) = esPageExport(s, d)
+    val lakeDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_partials_c_" + Tables.scratchKey(d))
+    if (java.nio.file.Files.exists(lakeDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(lakeDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val lake = lakeDir.toString
+    val stream = s.readStream.format("es-export")
+      .schema(docSchema).load(dirStr)
+      .filter(col("lang").isin("en", "de") && col("n_chars") >= 50L)
+    val spec = graft.streaming.PartialAggs.Spec(
+      keys = Seq("lang", "source"), countAs = Some("n"),
+      sums = Seq("n_chars" -> "sum_chars"),
+      mins = Seq("doc_id" -> "min_doc"))
+    graft.streaming.PartialAggs.writePartials(stream, spec, lake): Unit
+    graft.streaming.PartialAggs.compactPartials(s, spec, lake): Unit
+    graft.streaming.PartialAggs.readMerged(s, spec, lake)
+  }
+
   // --- q124: n-gram LM quality scoring ----------------------------------------
   // operators/LmScore.bigramScore: the CCNet-style perplexity-proxy
   // curation filter — add-one-smoothed word-bigram LM trained on the
@@ -2748,7 +2791,9 @@ object TrainingData {
     "q127_es_agg_pushdown" -> q127 _,
     "q128_bpe_train"      -> q128 _,
     "q129_es_http_live"   -> q129 _,
-    "q130_bpe_token_budget" -> q130 _)
+    "q130_bpe_token_budget" -> q130 _,
+    "q131_bpe_batched"    -> q131 _,
+    "q132_partials_compact" -> q132 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2828,5 +2873,7 @@ object TrainingData {
     "q127_es_agg_pushdown" -> q120Sql,
     "q128_bpe_train"      -> q128Sql,
     "q129_es_http_live"   -> q120Sql,
-    "q130_bpe_token_budget" -> q130Sql)
+    "q130_bpe_token_budget" -> q130Sql,
+    "q131_bpe_batched"    -> q128Sql,
+    "q132_partials_compact" -> q120Sql)
 }

@@ -38,7 +38,10 @@ object BpeProfile {
               pmod(hash(col("id") + i * 7), lit(1000)) / lit(1000))
               .cast("long").cast("string"), 10, 26))), " ").as("text"))
 
-    for (n <- Seq(100000L, 1000000L)) {
+    // args: "sequential" / "batched" selects one section (default both)
+    val mode = args.headOption.getOrElse("both")
+
+    for (n <- Seq(100000L, 1000000L) if mode != "batched") {
       val docs = corpus(n).persist()
       docs.count()
       var shuffleBytes = 0L
@@ -65,7 +68,7 @@ object BpeProfile {
     // counting round per BATCH of symbol-disjoint merges, so the Spark
     // job count is merges/maxBatch, not merges.
     for ((n, merges, batch) <- Seq((100000L, 1024, 64),
-        (1000000L, 1024, 64))) {
+        (1000000L, 1024, 64)) if mode != "sequential") {
       val docs = corpus(n).persist()
       docs.count()
       val t0 = System.nanoTime()
@@ -74,6 +77,7 @@ object BpeProfile {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"BPE-batched n=$n%8d  $merges merges (batch=$batch)  " +
         f"${sec}%6.1f s  learned=${rules.length}")
+      Console.flush()
       docs.unpersist()
     }
     spark.stop()

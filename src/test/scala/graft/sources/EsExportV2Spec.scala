@@ -382,8 +382,13 @@ class EsExportV2Spec extends AnyFunSuite {
   test("distinct and non-atomic aggregates do NOT push (graceful fallback)") {
     val d1 = pushedAggOf(readV2().agg(count_distinct(col("lang")).as("n")))
     assert(!d1.contains("PushedAggregation"), d1)
+    // AVG pushes as sum+count: partial-mode pushdown makes Catalyst's
+    // V2ScanRelationPushDown rewrite avg(c) to sum(c)/count(c) BEFORE
+    // translation, both of which this connector accepts — so avg is
+    // accelerated without an Avg case of its own
     val d2 = pushedAggOf(readV2().agg(avg(col("n_chars")).as("a")))
-    // avg may decompose to sum+count and push; either way values must hold
+    assert(d2.contains("PushedAggregation: [sum(n_chars), count(n_chars)]"),
+      d2)
     val a = readV2().agg(avg(col("n_chars"))).collect().head.getDouble(0)
     assert(math.abs(a - 28.0 / 4) < 1e-9, s"$d2 -> $a")
     val d3 = pushedAggOf(readV2().groupBy("meta").agg(count(lit(1))))
