@@ -136,24 +136,43 @@ object Similarity {
     * matrix inlined as a literal (broadcast-equivalent); only the tiny
     * query side fans out ×nProbe. Scoring happens strictly in-cell, and
     * the corpus embedding column is shuffled nowhere.
-    * Default 64 cells / 28 probes = a ~44% scan fraction at recall@5
-    * 0.90–0.92 (50-query curve) and 0.88–0.94 (the q50 10-query audit)
-    * across sf0.001–0.1 on the testdata embeddings — the measured point
-    * where IVF clears a 0.8 recall floor with margin at every scale
-    * (`tools/RecallSweep`, table in COVERAGE.md; 64/16 was the best
-    * recall-per-scanned-row point at 0.74–0.80 but cannot carry that
-    * floor). At real scale grow nCells ~√n and keep the nProbe/nCells
-    * fraction, faiss-style.
+    * Defaults are SCALE-AWARE (nCells/nProbe = 0 → auto): faiss-style
+    * 4·√n cells (clamped [16, 65536], one corpus count when auto is
+    * requested) probed at 8% — on the 10⁶-vector structured-geometry
+    * profile (`tools/IvfScaleSweep`: 1,024 generator clusters + noise,
+    * the shape real embedding corpora have) that point measures
+    * recall@5 = 1.000 at a 5–10% scan fraction; even 2.5% (1,024
+    * cells / 26 probes) holds 1.000. The r9 defaults' 44% scan was
+    * priced on the testdata embeddings, whose vectors are UNSTRUCTURED
+    * random — there recall tracks the raw scanned fraction and no cell
+    * count escapes it (64-dim concentration of measure; the same
+    * cliff AnnScaleProfile documents for compressed scans on uniform
+    * geometry). Callers on such corpora should pin explicit
+    * (nCells, nProbe) to their measured floor — q50 pins 64/28 ≈ 44%
+    * scan for its 0.8-floor audit on exactly that geometry
+    * (`tools/RecallSweep` tables in COVERAGE.md, re-measured round 10
+    * with √n-scaled cells: at 25% scan the testdata curve tops out at
+    * 0.75–0.87 regardless of cell count).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int = 5, nCells: Int = 64,
-      nProbe: Int = 28, sampleN: Int = 2048, iters: Int = 10,
+      vecCol: String, dim: Int, k: Int = 5, nCells: Int = 0,
+      nProbe: Int = 0, sampleN: Int = 0, iters: Int = 10,
       seed: Long = 42L): DataFrame = {
+    val cells =
+      if (nCells > 0) nCells
+      else math.min(65536L,
+        math.max(16L, 4L * math.sqrt(corpus.count().toDouble).toLong)).toInt
+    val probes =
+      if (nProbe > 0) nProbe
+      else math.min(cells, math.max(4, cells * 8 / 100))
+    val sampN =
+      if (sampleN > 0) sampleN
+      else math.min(16384, math.max(2048, 8 * cells))
     val sample = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .orderBy(col("id")).limit(sampleN)
+      .orderBy(col("id")).limit(sampN)
       .collect().map(_.getSeq[Float](1).toArray)
-    val centroids = trainSphericalKMeans(sample, nCells, dim, iters, seed)
+    val centroids = trainSphericalKMeans(sample, cells, dim, iters, seed)
     // packed UnsafeArrayData literal: primitive getFloat in the per-row
     // assignment loop (typedLit would box every element read)
     val centLit = ArrayOps.packedFloatLit(centroids)
@@ -164,7 +183,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("cell", explode(
         graft.functions.ArrayOps.topCentroidsF(col("q_vec"), centLit, dim,
-          nProbe)))
+          probes)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),

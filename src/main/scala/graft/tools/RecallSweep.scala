@@ -51,10 +51,16 @@ object RecallSweep {
       val frac = 1.0 - math.pow(1.0 - (1.0 + p) / (1 << p), l)
       println(f"[sweep] lsh nPlanes=$p%-2d nTables=$l recall@5=$rec%.3f  scanFrac~$frac%.3f  $t%6.2f s")
     }
+    // fixed grid + the faiss-style auto points (4·√n cells, probe a
+    // small fraction) — the candidates for scale-aware defaults
+    val auto = math.max(16, 4 * math.sqrt(n.toDouble).toInt)
+    val autoRows = Seq(8, 16, 25, 33).map(pct =>
+      (auto, math.max(1, auto * pct / 100)))
     for ((c, pr) <- Seq((32, 4), (32, 8), (32, 12), (32, 16), (64, 16),
-        (64, 24), (64, 28), (64, 32), (64, 40))) {
+        (64, 24), (64, 28), (64, 32), (64, 40)) ++ autoRows) {
       val (got, t) = timed(ids(Similarity.ivfTopK(emb, qs, "vec_id",
-        "embedding", dim = 64, k = 5, nCells = c, nProbe = pr)))
+        "embedding", dim = 64, k = 5, nCells = c, nProbe = pr,
+        sampleN = math.min(16384, math.max(2048, 8 * c)))))
       val rec = got.count(exact).toDouble / exact.size
       println(f"[sweep] ivf cells=$c%-3d nProbe=$pr%-3d recall@5=$rec%.3f  scanFrac~${pr.toDouble / c}%.3f  $t%6.2f s")
     }

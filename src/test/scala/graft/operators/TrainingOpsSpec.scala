@@ -97,7 +97,7 @@ class TrainingOpsSpec extends AnyFunSuite {
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def run() = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-        dim = 64, k = 5) // default 64 cells / 28 probes: measured 0.92
+        dim = 64, k = 5, nCells = 64, nProbe = 28) // q50's measured point
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = run()
     val recall = (exact & approx).size.toDouble / exact.size
@@ -105,6 +105,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall below floor")
     assert(approx.forall { case (qid, id) => qid != id })
     assert(run() == approx, "IVF result not deterministic")
+  }
+
+  test("IVF auto defaults: 4·√n cells at 8% probes, recall on structured geometry") {
+    // the auto defaults are sized for corpora WITH neighbor structure
+    // (tools/IvfScaleSweep: recall 1.0 at ≤10% scan on the clustered 10⁶
+    // profile); this pins the same property at spec scale — 25 planted
+    // clusters of 20 near-copies each, so every query's true top-5 sits
+    // inside its own cluster and auto probing must find it
+    import spark.implicits._
+    val base = (0 until 25).map(c =>
+      Array.tabulate(64)(i => (((c * 64 + i) * 2654435761L % 1000).toFloat
+        / 500f) - 1f))
+    val rows = for (c <- 0 until 25; j <- 0 until 20) yield
+      (c.toLong * 20 + j,
+        base(c).zipWithIndex.map { case (v, i) =>
+          v + ((j * 64 + i) % 97).toFloat / 9700f })
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") % 20 === 0).limit(10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        dim = 64, k = 5) // auto: 4·√500 ≈ 89 cells, 8% ≈ 7 probes
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF auto-default recall@5 on planted clusters: $recall")
+    assert(recall >= 0.9, s"recall $recall below structured floor")
   }
 
   test("multimodal fake decoder is deterministic and length-correct") {
