@@ -26,13 +26,26 @@ object Packing {
     * strata changes pack boundaries, never validity.
     */
   def packByBudget(df: DataFrame, idCol: String, textCol: String,
-      partCol: String, budget: Long = 2048L): DataFrame = {
+      partCol: String, budget: Long = 2048L): DataFrame =
+    packByCounts(
+      df.select(col(idCol), col(partCol),
+        size(graft.functions.Text.tokens(col(textCol)))
+          .cast("long").as("n_tokens")),
+      idCol, partCol, "n_tokens", budget)
+
+  /** Packing over a PRECOMPUTED per-document token-count column — the
+    * form a real pipeline runs once a learned tokenizer prices each
+    * document ([[Bpe.tokenCounts]]): whitespace counts mis-size packs
+    * by whatever the tokenizer's fertility is, so the budget must be
+    * measured in the same tokens the trainer will consume. Same
+    * cumulative-quotient integer window math, same single shuffle.
+    */
+  def packByCounts(df: DataFrame, idCol: String, partCol: String,
+      nTokensCol: String, budget: Long = 2048L): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val w = Window.partitionBy(col(partCol)).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol), col(partCol),
-        size(graft.functions.Text.tokens(col(textCol)))
-          .cast("long").as("n_tokens"))
+    df.select(col(idCol), col(partCol), col(nTokensCol).as("n_tokens"))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // integer `div`, not double /: exact past 2^53 cumulative tokens

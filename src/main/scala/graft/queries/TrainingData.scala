@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Bpe, Clustering, Dedup, Layout, LmScore, Multimodal, Quantization, Retrieval, Similarity}
+import graft.operators.{Bpe, Clustering, Dedup, Layout, LmScore, Multimodal, QualityModel, Quantization, Retrieval, Similarity}
 import graft.streaming.EventsStream
 
 /** Training-data-pipeline operator surface: deduplication (exact / MinHash
@@ -2553,7 +2553,12 @@ object TrainingData {
   private def q130(s: SparkSession, d: String): DataFrame =
     Bpe.tokenCounts(Tables.documents(s, d), "doc_id", "text", rounds = 4)
 
-  private val q130Sql: String = {
+  /** The q130 CTE chain up to `counted` (train 4 merges with the word
+    * carried through the seg chain, encode the vocabulary, per-doc
+    * word/token counts) — shared verbatim by q130 and q133 so both
+    * oracles replay the identical training+accounting pipeline.
+    */
+  private val bpeCountedCtes: String = {
     def round(k: Int): String = {
       val j = k - 1
       s"""p$k AS (
@@ -2585,12 +2590,15 @@ object TrainingData {
        |    chr(1)||chr(1))) AS BIGINT) AS n_tok FROM seg4),
        |counted AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
-       |  FROM valid JOIN vocab USING (word) GROUP BY doc_id)
+       |  FROM valid JOIN vocab USING (word) GROUP BY doc_id)""".stripMargin
+  }
+
+  private val q130Sql: String =
+    s"""$bpeCountedCtes
        |SELECT d.doc_id, COALESCE(c.n_words, 0) AS n_words,
        |  COALESCE(c.n_tokens, 0) AS n_tokens
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN counted c USING (doc_id)""".stripMargin
-  }
 
   // --- q131: BATCHED BPE training, driver-oracled ------------------------------
   // Bpe.trainMergesBatched is the scale path (O(merges/maxBatch) Spark
@@ -2634,6 +2642,113 @@ object TrainingData {
     graft.streaming.PartialAggs.compactPartials(s, spec, lake): Unit
     graft.streaming.PartialAggs.readMerged(s, spec, lake)
   }
+
+  // --- q133: pack under the LEARNED tokenizer's budget -------------------------
+  // The two halves joined into the shape a pre-training export actually
+  // runs: price every document with Bpe.tokenCounts (the corpus-learned
+  // 4-merge tokenizer — q130's pipeline) and lay packs out by THAT
+  // count (Packing.packByCounts, q68's integer window math). Whitespace
+  // packing mis-sizes every pack by the tokenizer's fertility; this is
+  // the budget the loader will actually consume. Oracle: q130's
+  // unrolled training+encoding CTEs feeding q68's cumulative-quotient
+  // window — one hash over (doc, lang, n_tokens, pack) so a slip in
+  // training, encoding, accounting, OR layout fails.
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val priced = Bpe.tokenCounts(docs, "doc_id", "text", rounds = 4)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    graft.operators.Packing.packByCounts(priced, "doc_id", "lang",
+      "n_tokens", budget = 512L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+  }
+
+  private val q133Sql: String =
+    // q130's training + per-doc accounting CTEs, verbatim, feeding the
+    // q68 packing window (HUGEINT cast BEFORE the integer division)
+    s"""$bpeCountedCtes,
+       |priced AS (
+       |  SELECT d.doc_id, CAST(COALESCE(c.n_tokens, 0) AS BIGINT)
+       |    AS n_tokens
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  LEFT JOIN counted c USING (doc_id))
+       |SELECT p.doc_id, doc.lang, p.n_tokens,
+       |  COALESCE(CAST(sum(p.n_tokens) OVER (PARTITION BY doc.lang
+       |    ORDER BY p.doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |    // 512 AS pack_id
+       |FROM priced p JOIN documents doc ON p.doc_id = doc.doc_id"""
+      .stripMargin
+
+  // --- q134: distilled quality classifier (hashed log-odds NB) -----------------
+  // operators/QualityModel.distill: the fasttext pattern — distill a
+  // rule-based weak label (the q21 quality heuristic, restated in pure
+  // integer arithmetic so both engines agree exactly) into a linear
+  // model over md5-bucketed bag-of-token presence features. Training is
+  // one closed-form pass: per-bucket Laplace-smoothed log-odds in
+  // BIGINT micro-units (the q124 round-each-term-before-summing rule,
+  // so margins are summation-order-independent and bit-identical in
+  // SQL). The oracle replays bucketing, the count table, every weight,
+  // the prior, and the per-document margin — a slip anywhere fails the
+  // 500-row hash.
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    val w = Text.tokens(col("text"))
+    val n = size(w).cast("long")
+    val stops = size(filter(w, x =>
+      array_contains(array(Text.StopWords.map(lit): _*), x))).cast("long")
+    val chars = aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    // q21's quality==1.0 band in INTEGER form: length band + stopword
+    // ratio > 1% + mean token length in [2,12] — no float anywhere
+    val label = n.between(20L, 1000L) && stops * 100L > n &&
+      chars >= n * 2L && chars <= n * 12L
+    QualityModel.distill(Tables.documents(s, d), "doc_id", "text", label)
+  }
+
+  private val q134Sql: String =
+    """WITH feat AS (
+       |  SELECT DISTINCT doc_id, substr(md5('f:' || word), 1, 2) AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents) t
+       |  WHERE len(word) > 0),
+       |lab AS (
+       |  SELECT doc_id,
+       |    len(w) BETWEEN 20 AND 1000
+       |    AND len(list_filter(w, x ->
+       |      x IN ('the','a','of','and','to','in'))) * 100 > len(w)
+       |    AND list_sum(list_transform(w, x -> length(x))) >= 2 * len(w)
+       |    AND list_sum(list_transform(w, x -> length(x))) <= 12 * len(w)
+       |    AS y
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents) t),
+       |tot AS (
+       |  SELECT CAST(count(*) FILTER (WHERE y) AS BIGINT) AS pos,
+       |         CAST(count(*) FILTER (WHERE NOT y) AS BIGINT) AS neg
+       |  FROM lab),
+       |cnt AS (
+       |  SELECT f.b,
+       |    CAST(count(*) FILTER (WHERE l.y) AS BIGINT) AS pb,
+       |    CAST(count(*) FILTER (WHERE NOT l.y) AS BIGINT) AS nb
+       |  FROM feat f JOIN lab l USING (doc_id) GROUP BY f.b),
+       |wts AS (
+       |  SELECT b,
+       |    CAST(round(ln(
+       |      ((pb + 1.0) * (neg - nb + 1.0)) /
+       |      ((nb + 1.0) * (pos - pb + 1.0))) * 1e6) AS BIGINT) AS w,
+       |    CAST(round(ln(
+       |      ((pos - pb + 1.0) * (neg + 2.0)) /
+       |      ((neg - nb + 1.0) * (pos + 2.0))) * 1e6) AS BIGINT) AS a
+       |  FROM cnt CROSS JOIN tot),
+       |prior AS (
+       |  SELECT CAST(round(ln((pos + 1.0) / (neg + 1.0)) * 1e6)
+       |    + (SELECT sum(a) FROM wts) AS BIGINT) AS p
+       |  FROM tot)
+       |SELECT l.doc_id, l.y AS label,
+       |  CAST(prior.p + COALESCE(sum(wts.w), 0) AS BIGINT) AS margin,
+       |  prior.p + COALESCE(sum(wts.w), 0) > 0 AS predicted
+       |FROM lab l CROSS JOIN prior
+       |LEFT JOIN feat f ON l.doc_id = f.doc_id
+       |LEFT JOIN wts ON f.b = wts.b
+       |GROUP BY l.doc_id, l.y, prior.p""".stripMargin
 
   // --- q124: n-gram LM quality scoring ----------------------------------------
   // operators/LmScore.bigramScore: the CCNet-style perplexity-proxy
@@ -2793,7 +2908,9 @@ object TrainingData {
     "q129_es_http_live"   -> q129 _,
     "q130_bpe_token_budget" -> q130 _,
     "q131_bpe_batched"    -> q131 _,
-    "q132_partials_compact" -> q132 _)
+    "q132_partials_compact" -> q132 _,
+    "q133_bpe_pack"       -> q133 _,
+    "q134_quality_model"  -> q134 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2875,5 +2992,7 @@ object TrainingData {
     "q129_es_http_live"   -> q120Sql,
     "q130_bpe_token_budget" -> q130Sql,
     "q131_bpe_batched"    -> q128Sql,
-    "q132_partials_compact" -> q120Sql)
+    "q132_partials_compact" -> q120Sql,
+    "q133_bpe_pack"       -> q133Sql,
+    "q134_quality_model"  -> q134Sql)
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hashed log-odds quality distillation: hand-computed weights on a
+  * tiny corpus, the margin-0 tie convention, determinism under
+  * adversarial repartitioning, and that distillation actually learns
+  * its weak label on the real corpus (the bar the earlier batch
+  * perceptron failed — it oscillated to majority class).
+  */
+class QualityModelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def micro(x: Double): Long = math.round(math.log(x) * 1e6)
+
+  test("hand-computed log-odds on a two-doc corpus") {
+    val docs = Seq(
+      (1L, "good fine", true),   // features {b(good), b(fine)}
+      (2L, "bad", false)         // features {b(bad)}
+    ).toDF("doc_id", "text", "y")
+    val out = QualityModel.distill(docs, "doc_id", "text", col("y"))
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // pos=1, neg=1. Weights (present-vs-absent log-ratio):
+    //   w(good) = w(fine) = µln((2·2)/(1·1)) = µln4
+    //   w(bad)  = µln((1·1)/(2·2)) = µln(1/4)
+    // Absent terms: good/fine −µln2 each, bad +µln2 → adjusted prior
+    //   = µln(2/2) + (−µln2 −µln2 +µln2) = −µln2
+    // doc1 = −µln2 + 2µln4 ; doc2 = −µln2 + µln(1/4)
+    val ln2 = micro(2.0)
+    assert(out(1L) === ((true, -ln2 + 2 * micro(4.0), true)))
+    assert(out(2L) === ((false, -ln2 + micro(0.25), false)))
+  }
+
+  test("empty-feature doc scores the prior; margin 0 predicts negative") {
+    // balanced corpus → prior 0; the empty doc's margin is exactly 0,
+    // and the tie convention says negative
+    val docs = Seq(
+      (1L, "alpha beta", true),
+      (2L, "gamma delta", false),
+      (3L, "", true)
+    ).toDF("doc_id", "text", "y")
+    // pos=2, neg=1 → prior = round(1e6·ln(3/2)) ≠ 0; rebuild balanced:
+    val bal = docs.filter(col("doc_id") < 3L)
+      .unionByName(Seq((3L, "", true), (4L, "", false))
+        .toDF("doc_id", "text", "y"))
+    val out = QualityModel.distill(bal, "doc_id", "text", col("y"))
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(3L) === ((0L, false)))
+    assert(out(4L) === ((0L, false)))
+  }
+
+  test("training is partitioning-independent (integer count sums)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val label = length(col("text")) > 400L
+    def run(parts: Int) =
+      QualityModel.distill(docs.repartition(parts), "doc_id", "text",
+        label).collect().map(_.toSeq).toSet
+    assert(run(3) === run(17))
+  }
+
+  test("distillation learns the weak label better than majority class") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val label = length(col("text")) > 400L
+    val out = QualityModel.distill(docs, "doc_id", "text", label).persist()
+    val n = out.count().toDouble
+    val acc = out.filter(col("predicted") === col("label")).count() / n
+    val majority = math.max(
+      out.filter(col("label")).count(),
+      out.filter(!col("label")).count()) / n
+    info(f"accuracy=$acc%.3f majority=$majority%.3f")
+    assert(acc > majority,
+      s"learned model ($acc) must beat the majority class ($majority)")
+    out.unpersist(blocking = false)
+  }
+}
