@@ -68,10 +68,14 @@ object QualityModel {
   def featurize(docs: DataFrame, idCol: String, textCol: String,
       label: Column, hexChars: Int = DefaultHexChars): DataFrame =
     docs.select(col(idCol).as("id"), label.as("y"),
-      array_sort(array_distinct(transform(
+      // NULL text → EMPTY feature set (margin = prior), matching the
+      // SQL replay where unnest of a NULL split yields no rows — not a
+      // NULL array that would poison the margin aggregate
+      coalesce(array_sort(array_distinct(transform(
         filter(graft.functions.Text.tokens(col(textCol)),
           t => length(t) > 0),
-        t => bucket(t, hexChars)))).as("feats"))
+        t => bucket(t, hexChars)))),
+        array().cast("array<string>")).as("feats"))
 
   private def micro(x: Double): Long = math.round(math.log(x) * Micro)
 

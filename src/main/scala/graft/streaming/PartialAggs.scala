@@ -158,6 +158,15 @@ object PartialAggs {
     * ever overwrites it). Run with the stream quiescent, like any
     * table-maintenance pass.
     *
+    * Crash window (documented, not hidden): the merged mass is written
+    * to a sibling `.compact_tmp` BEFORE any leaf is deleted, so a
+    * crash can never lose data — but a crash between the leaf deletes
+    * and the final rename leaves the lake UNDER-counting until the
+    * pass is re-run (the tmp dir still holds the absorbed mass;
+    * re-running compacts the remaining leaves and a stale tmp is
+    * overwritten). True atomicity needs a manifest-committing table
+    * format, which is beyond a directory lake's contract.
+    *
     * Returns (leaves before, leaves after).
     */
   def compactPartials(spark: SparkSession, spec: Spec, partialsDir: String,
@@ -170,7 +179,8 @@ object PartialAggs {
       (if (fs.exists(base)) fs.listStatus(base).toSeq else Nil)
         .filter(s => s.isDirectory &&
           s.getPath.getName.startsWith("batch_id="))
-        .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+        .flatMap(s => // tolerate foreign dirs (metadata, partial writes)
+          s.getPath.getName.stripPrefix("batch_id=").toLongOption)
         .sorted
     val before = leafIds()
     val absorb = before.dropRight(keepLast)
@@ -184,7 +194,10 @@ object PartialAggs {
     spec.merge(absorbed).write.mode("overwrite").parquet(tmp.toString)
     absorb.foreach(id =>
       fs.delete(new Path(s"$partialsDir/batch_id=$id"), true))
-    fs.rename(tmp, new Path(s"$partialsDir/batch_id=${absorb.min}"))
+    val dest = new Path(s"$partialsDir/batch_id=${absorb.min}")
+    require(fs.rename(tmp, dest),
+      s"compactPartials: rename $tmp -> $dest failed; the merged mass " +
+        "is intact in the tmp dir — re-run the pass")
     (before.size.toLong, leafIds().size.toLong)
   }
 }

@@ -60,6 +60,16 @@ class QualityModelSpec extends AnyFunSuite {
     assert(out(4L) === ((0L, false)))
   }
 
+  test("NULL text gets an empty feature set, not a NULL margin") {
+    val docs = Seq((1L, Option("alpha beta"), true),
+        (2L, Option.empty[String], false))
+      .toDF("doc_id", "text", "y")
+    val out = QualityModel.distill(docs, "doc_id", "text", col("y"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(2))).toMap
+    assert(out(1L) === false)
+    assert(out(2L) === false) // margin = prior, never NULL
+  }
+
   test("training is partitioning-independent (integer count sums)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val label = length(col("text")) > 400L
