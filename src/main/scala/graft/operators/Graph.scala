@@ -46,8 +46,15 @@ object Graph {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
       .repartition(col("src")).dropDuplicates("src", "dst")
+    // outdeg via a hash-agg + SHUFFLE_HASH self-join inside the same
+    // layout: both sides already sit in hashpartitioning(src), the
+    // O(nodes) degree side hashes, the edge stream is never sorted.
+    // (A window count(*) over (partition by src) was measured too: it
+    // trims the warm run ~10% but its first-run sort of the full edge
+    // layout costs ~3.5 s cold — the join shape wins on the
+    // driver-visible first run.)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, "src").persist()
+    val ed = e.join(deg.hint("SHUFFLE_HASH"), "src").persist()
     ed.count(): Unit
     // Seeds need only the SOURCE nodes: a dst node has an in-edge by
     // definition, so it receives a share row every round and the
