@@ -65,17 +65,23 @@ object QualityModel {
     * DISTINCT bucket set of the doc's whitespace tokens. Empty docs get
     * an empty array (margin = prior alone).
     */
+  /** The feature-set expression alone — for scoring pipelines that
+    * carry their own extra columns (e.g. a stream scored map-side next
+    * to its grouping keys). NULL text → EMPTY feature set (margin =
+    * prior), matching the SQL replay where unnest of a NULL split
+    * yields no rows — not a NULL array that would poison the margin
+    * aggregate.
+    */
+  def featsCol(text: Column, hexChars: Int = DefaultHexChars): Column =
+    coalesce(array_sort(array_distinct(transform(
+      filter(graft.functions.Text.tokens(text), t => length(t) > 0),
+      t => bucket(t, hexChars)))),
+      array().cast("array<string>"))
+
   def featurize(docs: DataFrame, idCol: String, textCol: String,
       label: Column, hexChars: Int = DefaultHexChars): DataFrame =
     docs.select(col(idCol).as("id"), label.as("y"),
-      // NULL text → EMPTY feature set (margin = prior), matching the
-      // SQL replay where unnest of a NULL split yields no rows — not a
-      // NULL array that would poison the margin aggregate
-      coalesce(array_sort(array_distinct(transform(
-        filter(graft.functions.Text.tokens(col(textCol)),
-          t => length(t) > 0),
-        t => bucket(t, hexChars)))),
-        array().cast("array<string>")).as("feats"))
+      featsCol(col(textCol), hexChars).as("feats"))
 
   private def micro(x: Double): Long = math.round(math.log(x) * Micro)
 

@@ -2750,6 +2750,61 @@ object TrainingData {
        |LEFT JOIN wts ON f.b = wts.b
        |GROUP BY l.doc_id, l.y, prior.p""".stripMargin
 
+  // --- q135: STREAMED quality scoring through the partials lake ----------------
+  // The deployment shape end to end: the model trains OFFLINE on the
+  // batch corpus (q134's pipeline), then the es-export STREAM is scored
+  // ONLINE — the weight map rides as a literal, the margin is a
+  // map-side projection inside each micro-batch — and per-batch partial
+  // counts land in the q126 partials lake, merged at read. The oracle
+  // wraps q134's full replay as a CTE and re-aggregates by (lang,
+  // predicted), so training, bucketing, the streamed margins, the
+  // batch-boundary placement, AND the lake merge are all under one
+  // hash.
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    val docs = Tables.documents(s, d)
+    val w = Text.tokens(col("text"))
+    val n = size(w).cast("long")
+    val stops = size(filter(w, x =>
+      array_contains(array(Text.StopWords.map(lit): _*), x))).cast("long")
+    val chars = aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val label = n.between(20L, 1000L) && stops * 100L > n &&
+      chars >= n * 2L && chars <= n * 12L
+    val f = QualityModel.featurize(docs, "doc_id", "text", label).persist()
+    f.count(): Unit
+    val (wts, prior) = QualityModel.trainBernoulliNb(f)
+    f.unpersist(blocking = false)
+
+    val (dirStr, docSchema) = esPageExport(s, d)
+    val lakeDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_qscore_" + Tables.scratchKey(d))
+    if (java.nio.file.Files.exists(lakeDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(lakeDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val scored = s.readStream.format("es-export")
+      .schema(docSchema).load(dirStr)
+      .select(col("lang"),
+        QualityModel.marginCol(QualityModel.featsCol(col("text")),
+          wts, prior).as("margin"))
+      .withColumn("predicted", col("margin") > 0)
+    val spec = graft.streaming.PartialAggs.Spec(
+      keys = Seq("lang", "predicted"), countAs = Some("n"),
+      sums = Seq("margin" -> "sum_margin"))
+    graft.streaming.PartialAggs.writePartials(scored, spec,
+      lakeDir.toString): Unit
+    graft.streaming.PartialAggs.readMerged(s, spec, lakeDir.toString)
+  }
+
+  private val q135Sql: String =
+    s"""WITH q AS ($q134Sql)
+       |SELECT d.lang, q.predicted, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(q.margin) AS BIGINT) AS sum_margin
+       |FROM q JOIN documents d USING (doc_id)
+       |GROUP BY d.lang, q.predicted""".stripMargin
+
   // --- q124: n-gram LM quality scoring ----------------------------------------
   // operators/LmScore.bigramScore: the CCNet-style perplexity-proxy
   // curation filter — add-one-smoothed word-bigram LM trained on the
@@ -2910,7 +2965,8 @@ object TrainingData {
     "q131_bpe_batched"    -> q131 _,
     "q132_partials_compact" -> q132 _,
     "q133_bpe_pack"       -> q133 _,
-    "q134_quality_model"  -> q134 _)
+    "q134_quality_model"  -> q134 _,
+    "q135_stream_quality"  -> q135 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -2994,5 +3050,6 @@ object TrainingData {
     "q131_bpe_batched"    -> q128Sql,
     "q132_partials_compact" -> q120Sql,
     "q133_bpe_pack"       -> q133Sql,
-    "q134_quality_model"  -> q134Sql)
+    "q134_quality_model"  -> q134Sql,
+    "q135_stream_quality"  -> q135Sql)
 }

@@ -79,6 +79,45 @@ class QualityModelSpec extends AnyFunSuite {
     assert(run(3) === run(17))
   }
 
+  test("train offline, score a STREAM online — margins identical") {
+    // the production deployment shape: the model is a weight-map
+    // literal, so scoring is a stateless map-side projection that drops
+    // into any micro-batch unchanged
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(100)
+    val label = length(col("text")) > 400L
+    val f = QualityModel.featurize(docs, "doc_id", "text", label)
+    val (w, prior) = QualityModel.trainBernoulliNb(f)
+    val batchMargins = f
+      .select(col("id"), QualityModel.marginCol(col("feats"), w, prior)
+        .as("margin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val in = java.nio.file.Files.createTempDirectory("qm_stream_in")
+    docs.select(col("doc_id"), col("text")).coalesce(1)
+      .write.mode("overwrite").json(in.toString)
+    val got = collection.mutable.Map.empty[Long, Long]
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .json(in.toString)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val scored = QualityModel.featurize(batch, "doc_id", "text",
+              lit(false))
+            .select(col("id"),
+              QualityModel.marginCol(col("feats"), w, prior).as("margin"))
+            .collect()
+          got.synchronized {
+            scored.foreach(r => got(r.getLong(0)) = r.getLong(1))
+          }
+          ()
+      }.start()
+    try q.awaitTermination() finally q.stop()
+    assert(got.toMap === batchMargins)
+  }
+
   test("distillation learns the weak label better than majority class") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val label = length(col("text")) > 400L
