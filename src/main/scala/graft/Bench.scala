@@ -29,7 +29,9 @@ object Bench {
         val n = f.getName
         (n.startsWith("flatbench") || n.startsWith("graft_lake_") ||
           n.startsWith("graft_bucketed_") || n.startsWith("graft_formats_") ||
-          n.startsWith("graft_media_") ||
+          n.startsWith("graft_media_") || n.startsWith("graft_esv2_") ||
+          n.startsWith("graft_eshttp_") || n.startsWith("graft_annlake_") ||
+          n.startsWith("graft_partials_") || n.startsWith("graft_qscore_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }

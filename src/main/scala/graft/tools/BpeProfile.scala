@@ -67,8 +67,11 @@ object BpeProfile {
     // (>= 1024 merges) over >= 10^5 docs via trainMergesBatched — one
     // counting round per BATCH of symbol-disjoint merges, so the Spark
     // job count is merges/maxBatch, not merges.
+    // the 4096-merge row turns the "linear in rounds" extrapolation
+    // into a measured second point (4× the merges ≈ 4× the rounds)
     for ((n, merges, batch) <- Seq((100000L, 1024, 64),
-        (1000000L, 1024, 64)) if mode != "sequential") {
+        (1000000L, 1024, 64), (1000000L, 4096, 64))
+        if mode != "sequential") {
       val docs = corpus(n).persist()
       docs.count()
       val t0 = System.nanoTime()
