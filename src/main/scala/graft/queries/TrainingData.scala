@@ -248,8 +248,10 @@ object TrainingData {
       floor = 0.8)
   }
 
-  // --- q50: IVF ANN — same recall-invariant oracle. Default 64 cells /
-  // 28 probes (a ~44% scan fraction) measures recall@5 0.92 / 0.88 /
+  // --- q50: IVF ANN — same recall-invariant oracle. EXPLICIT 64 cells /
+  // 28 probes (a ~44% scan fraction — the honest price of this corpus's
+  // iid-random geometry; the operator's auto defaults target structured
+  // corpora, see the round-10 sweep) measures recall@5 0.92 / 0.88 /
   // 0.94 at sf0.001/0.01/0.1 over THESE 10 audit queries
   // (`tools/RecallSweep` with nQueries=10; the 50-query curve is in
   // COVERAGE.md) — floor 0.8 holds at every scale; deterministic
@@ -2270,6 +2272,15 @@ object TrainingData {
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft_esv2_" + Tables.scratchKey(d))
+    // SEVEN queries share this fixture per run (q120/q123/q126/q127/
+    // q129/q132/q135); a completion marker makes rebuilds once-per-
+    // scale instead of once-per-query. The marker is written only
+    // after every page lands, so a partial/crashed build is rebuilt;
+    // the leading underscore keeps it out of the es-export listing
+    // (and q129's stub filters it explicitly).
+    val marker = dir.resolve("_fixture_complete_v1")
+    if (java.nio.file.Files.exists(marker))
+      return (dir.toString, esPageDocSchema)
     if (java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -2302,19 +2313,21 @@ object TrainingData {
           body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         page
       }).count(): Unit
-    val docSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("lang",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("source",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_chars",
-        org.apache.spark.sql.types.LongType)))
-    (dirStr, docSchema)
+    java.nio.file.Files.write(marker, Array.empty[Byte])
+    (dirStr, esPageDocSchema)
   }
+
+  private val esPageDocSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType)))
 
   private def q120(s: SparkSession, d: String): DataFrame = {
     val (dirStr, docSchema) = esPageExport(s, d)
@@ -2492,7 +2505,9 @@ object TrainingData {
     import scala.jdk.CollectionConverters._
     val pageFiles = {
       val l = java.nio.file.Files.list(java.nio.file.Paths.get(pagesDir))
-      try l.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      try l.iterator().asScala.toSeq
+        .filterNot(_.getFileName.toString.startsWith("_")) // fixture marker
+        .sortBy(_.getFileName.toString)
       finally l.close()
     }
     // (bytes, lastDocId, nHits) per page — pages are doc_id-ranged and
