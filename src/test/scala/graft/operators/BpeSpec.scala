@@ -142,6 +142,43 @@ class BpeSpec extends AnyFunSuite {
     assert(total(merges) < total(merges.take(2)))
   }
 
+  test("property: batched(maxBatch=1) == sequential on random corpora") {
+    // deterministic sampling, no scalatest-scalacheck bridge (the
+    // FlattenPropertySpec pattern): fixed seeds → reproducible failures
+    import org.scalacheck.Gen
+    def samples[T](g: Gen[T], n: Int): Seq[T] =
+      (1 to n).map(i => g.pureApply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)))
+    val word = for {
+      len <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    val corpusGen = for {
+      nw <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(nw, word)
+      reps <- Gen.listOfN(nw, Gen.choose(1, 5))
+    } yield ws.zip(reps)
+    for (c <- samples(corpusGen, 8)) {
+      val docs = corpus(c.map { case (w, n) => w -> n }: _*)
+      val seq = Bpe.trainMerges(docs, "text", rounds = 6)
+        .collect().map(_.toSeq).toSeq
+      val bat = Bpe.trainMergesBatched(docs, "text", merges = 6,
+        maxBatch = 1).collect().map(_.toSeq).toSeq
+      assert(bat === seq, s"corpus $c")
+      // multi-merge batches: every rule derivable, indices sequential
+      val rules = Bpe.trainMergesBatched(docs, "text", merges = 6,
+          maxBatch = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val minted = collection.mutable.Set.empty[String]
+      for ((_, l, r) <- rules) {
+        assert(l.length == 1 || minted.contains(l), s"corpus $c lhs $l")
+        assert(r.length == 1 || minted.contains(r), s"corpus $c rhs $r")
+        minted += (l + r)
+      }
+      assert(rules.map(_._1).toSeq === (1L to rules.length).toSeq)
+    }
+  }
+
   test("training is partitioning-independent (deterministic argmax)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     def run(parts: Int) =

@@ -118,6 +118,56 @@ class QualityModelSpec extends AnyFunSuite {
     assert(got.toMap === batchMargins)
   }
 
+  test("property: margins match an independent in-test reimplementation") {
+    import org.scalacheck.Gen
+    def samples[T](g: Gen[T], n: Int): Seq[T] =
+      (1 to n).map(i => g.pureApply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(7000 + i.toLong)))
+    def bucketOf(tok: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("f:" + tok).getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x".take(2)
+    }
+    val word = Gen.listOfN(3, Gen.oneOf('x', 'y', 'z', 'w')).map(_.mkString)
+    val doc = for {
+      nw <- Gen.choose(0, 6)
+      ws <- Gen.listOfN(nw, word)
+      y <- Gen.oneOf(true, false)
+    } yield (ws.mkString(" "), y)
+    val corpusGen = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, doc))
+    for (c <- samples(corpusGen, 6)) {
+      val rows = c.zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }
+      val docs = rows.toDF("doc_id", "text", "y")
+      val got = QualityModel.distill(docs, "doc_id", "text", col("y"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // independent reimplementation: sets, counts, and the exact
+      // micro-log formulas in plain Scala
+      def mu(x: Double) = math.round(math.log(x) * 1e6)
+      val feats = rows.map { case (id, t, y) =>
+        (id, y, t.split(" ").filter(_.nonEmpty).map(bucketOf).toSet)
+      }
+      val pos = feats.count(_._2).toLong
+      val neg = feats.size - pos
+      val buckets = feats.flatMap(_._3).distinct
+      val w = buckets.map { b =>
+        val pb = feats.count(f => f._2 && f._3(b)).toLong
+        val nb = feats.count(f => !f._2 && f._3(b)).toLong
+        b -> mu(((pb + 1.0) * (neg - nb + 1.0)) /
+          ((nb + 1.0) * (pos - pb + 1.0)))
+      }.toMap
+      val prior = mu((pos + 1.0) / (neg + 1.0)) + buckets.map { b =>
+        val pb = feats.count(f => f._2 && f._3(b)).toLong
+        val nb = feats.count(f => !f._2 && f._3(b)).toLong
+        mu(((pos - pb + 1.0) * (neg + 2.0)) /
+          ((neg - nb + 1.0) * (pos + 2.0)))
+      }.sum
+      val want = feats.map { case (id, _, fs) =>
+        id -> (prior + fs.toSeq.map(w).sum)
+      }.toMap
+      assert(got === want, s"corpus $c")
+    }
+  }
+
   test("distillation learns the weak label better than majority class") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val label = length(col("text")) > 400L
