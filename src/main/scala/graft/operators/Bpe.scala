@@ -136,17 +136,33 @@ object Bpe {
     // chain accumulates O(merges) nested string expressions in the
     // logical plan — plan stringification alone goes quadratic and
     // OOMs the driver near 10³ merges (measured in tools/BpeProfile).
-    // Checkpointed rounds keep the plan O(maxBatch) forever; dropped
-    // round handles are reaped by the ContextCleaner.
-    var words = docs
+    // Checkpointed rounds keep the plan O(maxBatch) forever. The
+    // superseded round's checkpoint RDD is released EXPLICITLY (a
+    // Dataset.unpersist doesn't reach a checkpoint's cached RDD, and
+    // waiting for the ContextCleaner to GC it would stack hundreds of
+    // word-table copies over a 500-round vocabulary): each checkpoint's
+    // fresh persistent-RDD ids are diffed from the context's registry
+    // and unpersisted once the next round materializes.
+    val sc = spark.sparkContext
+    def checkpointTracked(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Set[Int]) = {
+      val pre = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet -- pre)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+    var wordsCkptIds = Set.empty[Int]
+    var (words, ids0) = checkpointTracked(docs
       .select(explode(split(col(textCol), "\\s+")).as("word"))
       .filter(length(col("word")) > 0 && !col("word").contains(S))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(concat(lit(S),
         array_join(filter(split(col("word"), ""), s => length(s) > 0),
           SS), lit(S)).as("seg"),
-        col("freq"))
-      .localCheckpoint(true)
+        col("freq")))
+    wordsCkptIds = ids0
 
     val rules = Seq.newBuilder[(Long, String, String, Long)]
     var learned = 0
@@ -186,10 +202,14 @@ object Bpe {
           org.apache.spark.sql.functions.replace(
             acc, lit(S + l + SS + r + S), lit(S + l + r + S))
         }
-        words = words.select(seg.as("seg"), col("freq"))
-          .localCheckpoint(true)
+        val (next, nextIds) = checkpointTracked(
+          words.select(seg.as("seg"), col("freq")))
+        release(wordsCkptIds) // the new round is materialized; drop old
+        words = next
+        wordsCkptIds = nextIds
       }
     }
+    release(wordsCkptIds)
     rules.result().toDF("round", "lhs", "rhs", "pair_count")
   }
 

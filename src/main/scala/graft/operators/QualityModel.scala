@@ -98,13 +98,17 @@ object QualityModel {
     *    (the class prior plus every observed bucket's ABSENT term;
     *    each term micro-rounded before the sum — q124's rule)
     */
-  def trainBernoulliNb(feats: DataFrame,
-      hexChars: Int = DefaultHexChars): (Map[String, Long], Long) = {
+  def trainBernoulliNb(feats: DataFrame): (Map[String, Long], Long) = {
     val tot = feats.agg(
       sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
       sum(when(!col("y"), 1L).otherwise(0L)).as("neg"))
       .collect()(0)
-    val (pos, neg) = (tot.getLong(0), tot.getLong(1))
+    // sum over zero rows is NULL, not 0 — surface "empty corpus" as a
+    // clear error instead of an NPE three lines later
+    require(!tot.isNullAt(0) || !tot.isNullAt(1),
+      "trainBernoulliNb: empty featurized corpus")
+    val pos = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val neg = if (tot.isNullAt(1)) 0L else tot.getLong(1)
     val counts = feats
       .select(col("y"), explode(col("feats")).as("b"))
       .groupBy(col("b")).agg(
@@ -147,7 +151,7 @@ object QualityModel {
       label: Column, hexChars: Int = DefaultHexChars): DataFrame = {
     val f = featurize(docs, idCol, textCol, label, hexChars).persist()
     f.count(): Unit
-    val (w, prior) = trainBernoulliNb(f, hexChars)
+    val (w, prior) = trainBernoulliNb(f)
     val out = f.select(col("id").as(idCol), col("y").as("label"),
         marginCol(col("feats"), w, prior).as("margin"))
       .withColumn("predicted", col("margin") > 0)

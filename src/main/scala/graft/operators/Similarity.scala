@@ -137,7 +137,9 @@ object Similarity {
     * query side fans out ×nProbe. Scoring happens strictly in-cell, and
     * the corpus embedding column is shuffled nowhere.
     * Defaults are SCALE-AWARE (nCells/nProbe = 0 → auto): faiss-style
-    * 4·√n cells (clamped [16, 65536], one corpus count when auto is
+    * 4·√n cells (clamped [16, 2048] so the driver training sample
+    * always affords ≥8 points/centroid — see the body note; one
+    * corpus count when auto is
     * requested) probed at 8% — on the 10⁶-vector structured-geometry
     * profile (`tools/IvfScaleSweep`: 1,024 generator clusters + noise,
     * the shape real embedding corpora have) that point measures
@@ -158,9 +160,17 @@ object Similarity {
       vecCol: String, dim: Int, k: Int = 5, nCells: Int = 0,
       nProbe: Int = 0, sampleN: Int = 0, iters: Int = 10,
       seed: Long = 42L): DataFrame = {
+    // auto cells capped at 2,048 so the DRIVER-side training sample can
+    // always afford ≥8 points per centroid under the 16,384-sample cap
+    // (4·√n alone reaches 65k cells at 1e8 vectors — more centroids
+    // than samples, which just duplicates sampled points as centroids).
+    // Past ~2.6e5 vectors the auto path therefore trades cell count
+    // for trainability; callers wanting faiss-scale cell counts should
+    // train centroids distributed (fixedPointKMeans) and pass nCells
+    // explicitly with a matching sampleN.
     val cells =
       if (nCells > 0) nCells
-      else math.min(65536L,
+      else math.min(2048L,
         math.max(16L, 4L * math.sqrt(corpus.count().toDouble).toLong)).toInt
     val probes =
       if (nProbe > 0) nProbe

@@ -2274,14 +2274,23 @@ object TrainingData {
       "graft_esv2_" + Tables.scratchKey(d))
     // SEVEN queries share this fixture per run (q120/q123/q126/q127/
     // q129/q132/q135); a completion marker makes rebuilds once-per-
-    // scale instead of once-per-query. The marker is written only
-    // after every page lands, so a partial/crashed build is rebuilt;
-    // the leading underscore keeps it out of the es-export listing
-    // (and q129's stub filters it explicitly).
+    // scale instead of once-per-query. The marker is written LAST and
+    // carries the source row count + max doc_id — reuse validates it
+    // against the live documents table (one cheap metadata-backed agg),
+    // so a regenerated testdata set or a truncated build can never be
+    // served stale. The leading underscore keeps it out of the
+    // es-export listing (and q129's stub filters it explicitly).
     val marker = dir.resolve("_fixture_complete_v1")
-    if (java.nio.file.Files.exists(marker))
+    val sig = Tables.documents(s, d)
+      .agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+    val sigStr = s"${sig.getLong(0)}:${sig.getLong(1)}"
+    if (java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == sigStr)
       return (dir.toString, esPageDocSchema)
     if (java.nio.file.Files.exists(dir)) {
+      // the marker goes FIRST — a kill mid-cleanup must never leave a
+      // completion claim next to a partial page set
+      java.nio.file.Files.deleteIfExists(marker)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
@@ -2313,7 +2322,7 @@ object TrainingData {
           body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         page
       }).count(): Unit
-    java.nio.file.Files.write(marker, Array.empty[Byte])
+    java.nio.file.Files.writeString(marker, sigStr)
     (dirStr, esPageDocSchema)
   }
 
@@ -2705,19 +2714,27 @@ object TrainingData {
   // SQL). The oracle replays bucketing, the count table, every weight,
   // the prior, and the per-document margin — a slip anywhere fails the
   // 500-row hash.
-  private def q134(s: SparkSession, d: String): DataFrame = {
+  /** q21's quality==1.0 band in INTEGER form — length band + stopword
+    * ratio > 1% + mean token length in [2,12], no float anywhere. ONE
+    * definition shared by q134 (training) and q135 (streamed scoring):
+    * the label is the contract both oracles replay, so a divergence
+    * between the two queries' models is impossible by construction.
+    */
+  private def weakQualityLabel(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     import graft.functions.Text
-    val w = Text.tokens(col("text"))
+    val w = Text.tokens(text)
     val n = size(w).cast("long")
     val stops = size(filter(w, x =>
       array_contains(array(Text.StopWords.map(lit): _*), x))).cast("long")
     val chars = aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
-    // q21's quality==1.0 band in INTEGER form: length band + stopword
-    // ratio > 1% + mean token length in [2,12] — no float anywhere
-    val label = n.between(20L, 1000L) && stops * 100L > n &&
+    n.between(20L, 1000L) && stops * 100L > n &&
       chars >= n * 2L && chars <= n * 12L
-    QualityModel.distill(Tables.documents(s, d), "doc_id", "text", label)
   }
+
+  private def q134(s: SparkSession, d: String): DataFrame =
+    QualityModel.distill(Tables.documents(s, d), "doc_id", "text",
+      weakQualityLabel(col("text")))
 
   private val q134Sql: String =
     """WITH feat AS (
@@ -2776,16 +2793,9 @@ object TrainingData {
   // batch-boundary placement, AND the lake merge are all under one
   // hash.
   private def q135(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.Text
     val docs = Tables.documents(s, d)
-    val w = Text.tokens(col("text"))
-    val n = size(w).cast("long")
-    val stops = size(filter(w, x =>
-      array_contains(array(Text.StopWords.map(lit): _*), x))).cast("long")
-    val chars = aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
-    val label = n.between(20L, 1000L) && stops * 100L > n &&
-      chars >= n * 2L && chars <= n * 12L
-    val f = QualityModel.featurize(docs, "doc_id", "text", label).persist()
+    val f = QualityModel.featurize(docs, "doc_id", "text",
+      weakQualityLabel(col("text"))).persist()
     f.count(): Unit
     val (wts, prior) = QualityModel.trainBernoulliNb(f)
     f.unpersist(blocking = false)

@@ -160,14 +160,17 @@ object PartialAggs {
     *
     * Crash window (documented, not hidden): the merged mass is written
     * to a sibling `.compact_tmp` BEFORE any leaf is deleted, so a
-    * crash can never lose data — but a crash between the leaf deletes
-    * and the final rename leaves the lake UNDER-counting until the
-    * pass is re-run (the tmp dir still holds the absorbed mass;
-    * re-running compacts the remaining leaves and a stale tmp is
-    * overwritten). True atomicity needs a manifest-committing table
-    * format, which is beyond a directory lake's contract.
+    * crash can never lose data — and every pass FIRST RECOVERS a
+    * leftover tmp from a crashed predecessor by renaming it into a
+    * fresh negative-id leaf (negative ids can never collide with a
+    * stream's batch ids, so nothing ever overwrites the recovered
+    * mass). Between a crash and the next pass the lake UNDER-counts;
+    * it never double-counts and never loses mass. True atomicity
+    * needs a manifest-committing table format, which is beyond a
+    * directory lake's contract.
     *
-    * Returns (leaves before, leaves after).
+    * Returns (leaves before, leaves after) — `before` counts the lake
+    * as found, including a recovered crash leaf.
     */
   def compactPartials(spark: SparkSession, spec: Spec, partialsDir: String,
       keepLast: Int = 1): (Long, Long) = {
@@ -182,13 +185,24 @@ object PartialAggs {
         .flatMap(s => // tolerate foreign dirs (metadata, partial writes)
           s.getPath.getName.stripPrefix("batch_id=").toLongOption)
         .sorted
+    val tmp = new Path(partialsDir + ".compact_tmp")
+    // recover a crashed predecessor FIRST: a leftover tmp holds the
+    // merged mass of leaves that are already deleted — renaming it into
+    // a fresh NEGATIVE-id leaf restores the mass (stream batch ids are
+    // never negative, so no replay and no later pass can collide with
+    // it) and this pass then absorbs it like any other committed leaf
+    if (fs.exists(tmp)) {
+      val ids = leafIds()
+      val rid = math.min(-1L, ids.headOption.map(_ - 1L).getOrElse(-1L))
+      val rdest = new Path(s"$partialsDir/batch_id=$rid")
+      require(fs.rename(tmp, rdest),
+        s"compactPartials: could not recover crashed tmp $tmp -> $rdest")
+    }
     val before = leafIds()
     val absorb = before.dropRight(keepLast)
     if (absorb.size < 2) return (before.size.toLong, before.size.toLong)
     val absorbed = spark.read.parquet(
       absorb.map(id => s"$partialsDir/batch_id=$id"): _*)
-    val tmp = new Path(partialsDir + ".compact_tmp")
-    fs.delete(tmp, true)
     // one merged leaf: the dual aggregate over the absorbed partials IS
     // a valid partial for the same mass (associativity of the algebras)
     spec.merge(absorbed).write.mode("overwrite").parquet(tmp.toString)

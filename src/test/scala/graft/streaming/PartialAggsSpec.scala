@@ -145,6 +145,32 @@ class PartialAggsSpec extends AnyFunSuite {
     assert(PartialAggs.compactPartials(spark, spec, lake) === ((2L, 2L)))
   }
 
+  test("compactPartials recovers a crashed pass's tmp before compacting") {
+    val in = Files.createTempDirectory("pa_in6")
+    val lake = Files.createTempDirectory("pa_lake6").toString + "/t"
+    val ckpt = Files.createTempDirectory("pa_ckpt6")
+    writeRows(in, "a.json", Seq(("x", 1L)))
+    writeRows(in, "b.json", Seq(("x", 2L)))
+    writeRows(in, "c.json", Seq(("x", 4L)))
+    assert(drain(in, lake, ckpt) === 3)
+    val before = PartialAggs.readMerged(spark, spec, lake)
+      .collect().map(_.toSeq).toSeq
+
+    // simulate the crash window: a predecessor merged some leaves into
+    // tmp, deleted them, and died before the final rename — here leaf 0
+    // stands in for the merged-and-deleted mass
+    val leaf0 = java.nio.file.Paths.get(lake, "batch_id=0")
+    val tmp = java.nio.file.Paths.get(lake + ".compact_tmp")
+    java.nio.file.Files.move(leaf0, tmp)
+    // the lake under-counts now; the next pass must recover THEN compact
+    val (nBefore, nAfter) = PartialAggs.compactPartials(spark, spec, lake)
+    assert(nBefore === 3 && nAfter === 2) // recovered leaf counted
+    val after = PartialAggs.readMerged(spark, spec, lake)
+      .collect().map(_.toSeq).toSeq
+    assert(after === before)
+    assert(!java.nio.file.Files.exists(tmp))
+  }
+
   test("restart on a shared checkpoint folds only NEW files into the lake") {
     val in = Files.createTempDirectory("pa_in3")
     val lake = Files.createTempDirectory("pa_lake3").toString + "/t"
