@@ -64,6 +64,29 @@ object Tables {
       .digest(d.getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
 
+  /** Recursively delete `dir` if present (children before parents). */
+  def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+  /** A CLEARED per-dataset scratch location under `java.io.tmpdir`,
+    * keyed by [[scratchKey]] — the one idiom behind every query that
+    * materializes per-dataset scratch state (media files, partials
+    * lakes, ANN lakes). Any leftover content from a previous run is
+    * removed; the directory itself is NOT created (sinks that insist on
+    * creating their own target, e.g. parquet writers, get a clean
+    * slate).
+    */
+  def freshScratchDir(prefix: String, d: String): java.nio.file.Path = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), prefix + scratchKey(d))
+    deleteRecursively(dir)
+    dir
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

@@ -130,31 +130,34 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // Lineage is CUT each round with an eager localCheckpoint, not just
-    // persisted: a round applies up to `maxBatch` nested `replace`
+    // Lineage is CUT each round by materializing the word table into an
+    // OWNED, persisted RDD and re-wrapping it as a DataFrame, not just
+    // persisting: a round applies up to `maxBatch` nested `replace`
     // expressions, so over merges/maxBatch rounds a persisted-only
     // chain accumulates O(merges) nested string expressions in the
     // logical plan — plan stringification alone goes quadratic and
     // OOMs the driver near 10³ merges (measured in tools/BpeProfile).
-    // Checkpointed rounds keep the plan O(maxBatch) forever. The
-    // superseded round's checkpoint RDD is released EXPLICITLY (a
-    // Dataset.unpersist doesn't reach a checkpoint's cached RDD, and
-    // waiting for the ContextCleaner to GC it would stack hundreds of
-    // word-table copies over a 500-round vocabulary): each checkpoint's
-    // fresh persistent-RDD ids are diffed from the context's registry
-    // and unpersisted once the next round materializes.
-    val sc = spark.sparkContext
+    // Re-wrapped rounds keep the plan O(maxBatch) forever. Holding the
+    // round's RDD DIRECTLY (instead of diffing the context's global
+    // persistent-RDD registry around a localCheckpoint, as earlier
+    // revisions did) makes release exact by construction: only the RDD
+    // this trainer persisted is ever unpersisted, so a concurrent job's
+    // cache on the shared SparkContext can never be captured and
+    // dropped by mistake. Each superseded round is released explicitly
+    // once the next round materializes (waiting for the ContextCleaner
+    // to GC it would stack hundreds of word-table copies over a
+    // 500-round vocabulary).
     def checkpointTracked(df: org.apache.spark.sql.DataFrame)
-        : (org.apache.spark.sql.DataFrame, Set[Int]) = {
-      val pre = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(true)
-      (out, sc.getPersistentRDDs.keySet.toSet -- pre)
+        : (org.apache.spark.sql.DataFrame,
+           org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count(): Unit // eager: the lineage behind it never re-runs
+      (spark.createDataFrame(rdd, df.schema), rdd)
     }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id)
-        .foreach(_.unpersist(blocking = false)))
-    var wordsCkptIds = Set.empty[Int]
-    var (words, ids0) = checkpointTracked(docs
+    def release(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])
+        : Unit = rdd.unpersist(blocking = false): Unit
+    var (words, wordsRdd) = checkpointTracked(docs
       .select(explode(split(col(textCol), "\\s+")).as("word"))
       .filter(length(col("word")) > 0 && !col("word").contains(S))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -162,7 +165,6 @@ object Bpe {
         array_join(filter(split(col("word"), ""), s => length(s) > 0),
           SS), lit(S)).as("seg"),
         col("freq")))
-    wordsCkptIds = ids0
 
     val rules = Seq.newBuilder[(Long, String, String, Long)]
     var learned = 0
@@ -202,14 +204,14 @@ object Bpe {
           org.apache.spark.sql.functions.replace(
             acc, lit(S + l + SS + r + S), lit(S + l + r + S))
         }
-        val (next, nextIds) = checkpointTracked(
+        val (next, nextRdd) = checkpointTracked(
           words.select(seg.as("seg"), col("freq")))
-        release(wordsCkptIds) // the new round is materialized; drop old
+        release(wordsRdd) // the new round is materialized; drop old
         words = next
-        wordsCkptIds = nextIds
+        wordsRdd = nextRdd
       }
     }
-    release(wordsCkptIds)
+    release(wordsRdd)
     rules.result().toDF("round", "lhs", "rhs", "pair_count")
   }
 

@@ -146,6 +146,15 @@ object QualityModel {
     * row per doc — (id, label, margin, predicted). The feature table is
     * persisted across training and the scoring pass (the corpus is
     * tokenized exactly once), then released.
+    *
+    * The result is materialized via an eager `localCheckpoint` rather
+    * than `persist`: a persisted Dataset is pinned by the session's
+    * CacheManager until someone calls unpersist, and distill has no
+    * caller to hand that obligation to — repeated invocations (bench,
+    * multi-scale sweeps) would accumulate cached partitions forever. A
+    * local checkpoint's blocks are owned by the result's own RDD, so
+    * the ContextCleaner reclaims them as soon as the caller drops the
+    * returned DataFrame.
     */
   def distill(docs: DataFrame, idCol: String, textCol: String,
       label: Column, hexChars: Int = DefaultHexChars): DataFrame = {
@@ -155,8 +164,7 @@ object QualityModel {
     val out = f.select(col("id").as(idCol), col("y").as("label"),
         marginCol(col("feats"), w, prior).as("margin"))
       .withColumn("predicted", col("margin") > 0)
-      .persist()
-    out.count(): Unit
+      .localCheckpoint(true)
     f.unpersist(blocking = false)
     out
   }

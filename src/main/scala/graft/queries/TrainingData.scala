@@ -1549,15 +1549,8 @@ object TrainingData {
   // files per sfDir.
   private def q102(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_media_" + Tables.scratchKey(d))
     // overwrite semantics: clear, then executor-side write
-    if (java.nio.file.Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    val dir = Tables.freshScratchDir("graft_media_", d)
     java.nio.file.Files.createDirectories(dir)
     val dirStr = dir.toString
     Multimodal.audioTable(
@@ -2291,9 +2284,7 @@ object TrainingData {
       // the marker goes FIRST — a kill mid-cleanup must never leave a
       // completion claim next to a partial page set
       java.nio.file.Files.deleteIfExists(marker)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      Tables.deleteRecursively(dir)
     }
     java.nio.file.Files.createDirectories(dir)
     val dirStr = dir.toString
@@ -2408,14 +2399,7 @@ object TrainingData {
   // lake, the merge is an ordinary distributed aggregation.
   private def q126(s: SparkSession, d: String): DataFrame = {
     val (dirStr, docSchema) = esPageExport(s, d)
-    val lakeDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_partials_" + Tables.scratchKey(d))
-    if (java.nio.file.Files.exists(lakeDir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(lakeDir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    val lakeDir = Tables.freshScratchDir("graft_partials_", d)
     val lake = lakeDir.toString
     val stream = s.readStream.format("es-export")
       .schema(docSchema).load(dirStr)
@@ -2646,14 +2630,7 @@ object TrainingData {
   // the answer.
   private def q132(s: SparkSession, d: String): DataFrame = {
     val (dirStr, docSchema) = esPageExport(s, d)
-    val lakeDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_partials_c_" + Tables.scratchKey(d))
-    if (java.nio.file.Files.exists(lakeDir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(lakeDir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    val lakeDir = Tables.freshScratchDir("graft_partials_c_", d)
     val lake = lakeDir.toString
     val stream = s.readStream.format("es-export")
       .schema(docSchema).load(dirStr)
@@ -2801,14 +2778,7 @@ object TrainingData {
     f.unpersist(blocking = false)
 
     val (dirStr, docSchema) = esPageExport(s, d)
-    val lakeDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_qscore_" + Tables.scratchKey(d))
-    if (java.nio.file.Files.exists(lakeDir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(lakeDir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    val lakeDir = Tables.freshScratchDir("graft_qscore_", d)
     val scored = s.readStream.format("es-export")
       .schema(docSchema).load(dirStr)
       .select(col("lang"),

@@ -158,19 +158,35 @@ object PartialAggs {
     * ever overwrites it). Run with the stream quiescent, like any
     * table-maintenance pass.
     *
-    * Crash window (documented, not hidden): the merged mass is written
-    * to a sibling `.compact_tmp` BEFORE any leaf is deleted, so a
-    * crash can never lose data — and every pass FIRST RECOVERS a
-    * leftover tmp from a crashed predecessor by renaming it into a
-    * fresh negative-id leaf (negative ids can never collide with a
-    * stream's batch ids, so nothing ever overwrites the recovered
-    * mass). Between a crash and the next pass the lake UNDER-counts;
-    * it never double-counts and never loses mass. True atomicity
-    * needs a manifest-committing table format, which is beyond a
-    * directory lake's contract.
+    * Crash safety — a MANIFEST commit protocol, so every crash window
+    * resolves to exactly one of "the pass never happened" or "the pass
+    * completes on recovery", with no double-count and no loss:
+    *
+    *  1. the merged mass is written to a sibling `.compact_tmp`;
+    *  2. the absorbed leaf ids are then committed ATOMICALLY as
+    *     `tmp/_ABSORBED` (written to a side name, renamed into place —
+    *     rename is the atomic primitive directory lakes actually have).
+    *     The manifest is the commit point: before it exists nothing has
+    *     been deleted and tmp is disposable; after it exists the pass
+    *     is decided and recovery completes it;
+    *  3. the absorbed leaves are deleted;
+    *  4. tmp is renamed to `batch_id=<min absorbed id>` (a committed
+    *     batch never replays, so nothing ever overwrites it).
+    *
+    * Recovery (run FIRST by every pass): a leftover tmp WITHOUT a
+    * manifest is a mid-write corpse — every source leaf is still
+    * intact, so tmp is deleted and the pass recompacts from the leaves
+    * (a partial parquet directory must never be promoted). A tmp WITH
+    * a manifest holds the complete merged mass of the listed leaves —
+    * recovery deletes any listed leaf still present (the predecessor
+    * may have died between commit and deletes — promoting without this
+    * would count the absorbed mass twice) and then promotes tmp to its
+    * destination leaf, finishing the crashed pass exactly. Every step
+    * is idempotent, so a crash during recovery recovers the same way.
     *
     * Returns (leaves before, leaves after) — `before` counts the lake
-    * as found, including a recovered crash leaf.
+    * after recovery, i.e. as a crash-free predecessor would have left
+    * it.
     */
   def compactPartials(spark: SparkSession, spec: Spec, partialsDir: String,
       keepLast: Int = 1): (Long, Long) = {
@@ -186,17 +202,26 @@ object PartialAggs {
           s.getPath.getName.stripPrefix("batch_id=").toLongOption)
         .sorted
     val tmp = new Path(partialsDir + ".compact_tmp")
-    // recover a crashed predecessor FIRST: a leftover tmp holds the
-    // merged mass of leaves that are already deleted — renaming it into
-    // a fresh NEGATIVE-id leaf restores the mass (stream batch ids are
-    // never negative, so no replay and no later pass can collide with
-    // it) and this pass then absorbs it like any other committed leaf
+    val manifest = new Path(tmp, ManifestName)
+    // delete the listed leaves (idempotent) and rename tmp into the
+    // smallest absorbed id's leaf — steps 3+4, shared with recovery.
+    // The manifest rides along inside the promoted leaf until the final
+    // best-effort cleanup; `_`-prefixed files are invisible to parquet
+    // reads, so a crash before that cleanup leaves an inert marker, not
+    // a recovery trigger (recovery only looks inside tmp).
+    def promote(ids: Seq[Long]): Unit = {
+      ids.foreach(id =>
+        fs.delete(new Path(s"$partialsDir/batch_id=$id"), true))
+      val dest = new Path(s"$partialsDir/batch_id=${ids.min}")
+      require(fs.rename(tmp, dest),
+        s"compactPartials: rename $tmp -> $dest failed; the merged mass " +
+          "is intact in the tmp dir — re-run the pass")
+      fs.delete(new Path(dest, ManifestName), false): Unit
+    }
     if (fs.exists(tmp)) {
-      val ids = leafIds()
-      val rid = math.min(-1L, ids.headOption.map(_ - 1L).getOrElse(-1L))
-      val rdest = new Path(s"$partialsDir/batch_id=$rid")
-      require(fs.rename(tmp, rdest),
-        s"compactPartials: could not recover crashed tmp $tmp -> $rdest")
+      if (fs.exists(manifest)) promote(readManifest(fs, manifest))
+      else require(fs.delete(tmp, true),
+        s"compactPartials: could not discard uncommitted tmp $tmp")
     }
     val before = leafIds()
     val absorb = before.dropRight(keepLast)
@@ -206,12 +231,35 @@ object PartialAggs {
     // one merged leaf: the dual aggregate over the absorbed partials IS
     // a valid partial for the same mass (associativity of the algebras)
     spec.merge(absorbed).write.mode("overwrite").parquet(tmp.toString)
-    absorb.foreach(id =>
-      fs.delete(new Path(s"$partialsDir/batch_id=$id"), true))
-    val dest = new Path(s"$partialsDir/batch_id=${absorb.min}")
-    require(fs.rename(tmp, dest),
-      s"compactPartials: rename $tmp -> $dest failed; the merged mass " +
-        "is intact in the tmp dir — re-run the pass")
+    writeManifest(fs, tmp, absorb) // the commit point
+    promote(absorb)
     (before.size.toLong, leafIds().size.toLong)
+  }
+
+  private[streaming] val ManifestName = "_ABSORBED"
+
+  /** Commit the absorbed-ids manifest: write to a side name, rename into
+    * place — the marker either exists complete or not at all.
+    */
+  private[streaming] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, ids: Seq[Long]): Unit = {
+    val side = new org.apache.hadoop.fs.Path(tmp, ManifestName + ".writing")
+    val out = fs.create(side, true)
+    try out.write(ids.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(tmp, ManifestName)
+    require(fs.rename(side, dst),
+      s"compactPartials: manifest commit $side -> $dst failed")
+  }
+
+  private[streaming] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      manifest: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val in = fs.open(manifest)
+    val text =
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val ids = text.split("\n").toSeq.filter(_.nonEmpty).map(_.toLong)
+    require(ids.nonEmpty, s"compactPartials: empty manifest $manifest")
+    ids
   }
 }

@@ -145,30 +145,78 @@ class PartialAggsSpec extends AnyFunSuite {
     assert(PartialAggs.compactPartials(spark, spec, lake) === ((2L, 2L)))
   }
 
-  test("compactPartials recovers a crashed pass's tmp before compacting") {
-    val in = Files.createTempDirectory("pa_in6")
-    val lake = Files.createTempDirectory("pa_lake6").toString + "/t"
-    val ckpt = Files.createTempDirectory("pa_ckpt6")
+  /** Build a 3-batch lake and return (lake, the pre-crash merged answer). */
+  private def crashFixture(tag: String): (String, Seq[Seq[Any]]) = {
+    val in = Files.createTempDirectory("pa_in_" + tag)
+    val lake = Files.createTempDirectory("pa_lake_" + tag).toString + "/t"
+    val ckpt = Files.createTempDirectory("pa_ckpt_" + tag)
     writeRows(in, "a.json", Seq(("x", 1L)))
     writeRows(in, "b.json", Seq(("x", 2L)))
     writeRows(in, "c.json", Seq(("x", 4L)))
     assert(drain(in, lake, ckpt) === 3)
-    val before = PartialAggs.readMerged(spark, spec, lake)
-      .collect().map(_.toSeq).toSeq
+    (lake, PartialAggs.readMerged(spark, spec, lake)
+      .collect().map(_.toSeq).toSeq)
+  }
 
-    // simulate the crash window: a predecessor merged some leaves into
-    // tmp, deleted them, and died before the final rename — here leaf 0
-    // stands in for the merged-and-deleted mass
-    val leaf0 = java.nio.file.Paths.get(lake, "batch_id=0")
+  /** A predecessor pass that wrote tmp + committed the manifest for
+    * leaves 0 and 1, then crashed somewhere in steps 3–4.
+    */
+  private def committedTmp(lake: String): org.apache.hadoop.fs.Path = {
+    val tmp = new org.apache.hadoop.fs.Path(lake + ".compact_tmp")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spec.merge(spark.read.parquet(s"$lake/batch_id=0", s"$lake/batch_id=1"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    PartialAggs.writeManifest(fs, tmp, Seq(0L, 1L))
+    tmp
+  }
+
+  test("compactPartials: crash mid-tmp-write (no manifest) discards tmp, " +
+      "leaves intact") {
+    val (lake, before) = crashFixture("cw1")
+    // a half-written tmp: parquet part-files may be partial garbage and
+    // there is no manifest — every source leaf is still present
     val tmp = java.nio.file.Paths.get(lake + ".compact_tmp")
-    java.nio.file.Files.move(leaf0, tmp)
-    // the lake under-counts now; the next pass must recover THEN compact
+    java.nio.file.Files.createDirectories(tmp)
+    Files.writeString(tmp.resolve("part-00000.parquet"), "torn write")
     val (nBefore, nAfter) = PartialAggs.compactPartials(spark, spec, lake)
-    assert(nBefore === 3 && nAfter === 2) // recovered leaf counted
-    val after = PartialAggs.readMerged(spark, spec, lake)
-      .collect().map(_.toSeq).toSeq
-    assert(after === before)
+    assert(nBefore === 3 && nAfter === 2)
+    assert(PartialAggs.readMerged(spark, spec, lake)
+      .collect().map(_.toSeq).toSeq === before)
     assert(!java.nio.file.Files.exists(tmp))
+  }
+
+  test("compactPartials: crash after manifest commit, before deletes — " +
+      "recovery does not double-count the still-present leaves") {
+    val (lake, before) = crashFixture("cw2")
+    // predecessor committed the manifest but died before deleting leaves
+    // 0/1: both the merged tmp AND the originals exist — the exact
+    // double-count window
+    val tmp = committedTmp(lake)
+    val (nBefore, nAfter) = PartialAggs.compactPartials(spark, spec, lake)
+    // recovery promotes tmp over leaves 0+1 → lake is {0 (merged), 2};
+    // already compact at keepLast=1, nothing further absorbed
+    assert(nBefore === 2 && nAfter === 2)
+    assert(PartialAggs.readMerged(spark, spec, lake)
+      .collect().map(_.toSeq).toSeq === before)
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(tmp))
+    // marker cleaned out of the promoted leaf
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$lake/batch_id=0/${PartialAggs.ManifestName}")))
+  }
+
+  test("compactPartials: crash after deletes, before rename — recovery " +
+      "promotes the committed tmp, no mass lost") {
+    val (lake, before) = crashFixture("cw3")
+    val tmp = committedTmp(lake)
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$lake/batch_id=0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$lake/batch_id=1"), true)
+    val (nBefore, nAfter) = PartialAggs.compactPartials(spark, spec, lake)
+    assert(nBefore === 2 && nAfter === 2)
+    assert(PartialAggs.readMerged(spark, spec, lake)
+      .collect().map(_.toSeq).toSeq === before)
+    assert(!fs.exists(tmp))
   }
 
   test("restart on a shared checkpoint folds only NEW files into the lake") {
