@@ -2620,6 +2620,103 @@ object TrainingData {
     Bpe.trainMergesBatched(Tables.documents(s, d), "text",
       merges = 4, maxBatch = 1)
 
+  // --- q136: MULTI-merge batched BPE, greedy selection driver-oracled ----------
+  // q131 oracles trainMergesBatched only at maxBatch=1 (where it must
+  // equal the sequential loop); the code path that actually differs —
+  // the greedy SYMBOL-DISJOINT batch selection over the 4·want ranked
+  // candidates (Bpe.scala) — never met DuckDB. This closes that gap:
+  // merges=8, maxBatch=4, and the oracle replays the WHOLE algorithm
+  // independently — per-round pair counts, the (cnt DESC, lhs, rhs)
+  // ranking capped at 4·want, the greedy scan with its used∪produced
+  // blocking (a recursive CTE folding the ranked list through a
+  // blocked-symbol set), and the in-order chained replace application
+  // (a second recursive CTE) — so a slip in ranking, blocking, batch
+  // sizing, OR application order changes a learned rule and fails the
+  // hash. On this corpus the blocking genuinely bites: (o,r) is
+  // deferred out of round 1 because (e,r) consumed `r`. Eight rounds
+  // are unrolled with a data-dependent `want` (= min(maxBatch,
+  // merges − learned so far)), matching however many rounds the greedy
+  // actually needs: a round with want=0 ranks nothing and picks
+  // nothing, so surplus rounds are exact no-ops — the unroll count is
+  // an upper bound (each non-exhausted round picks ≥1), not an
+  // assumption.
+  private def q136(s: SparkSession, d: String): DataFrame =
+    Bpe.trainMergesBatched(Tables.documents(s, d), "text",
+      merges = 8, maxBatch = 4)
+
+  private val q136Sql: String = {
+    val merges = 8
+    val maxB = 4
+    val unroll = merges // ≥1 pick per non-exhausted round ⇒ always enough
+    def round(k: Int): String = {
+      val j = k - 1
+      val prior =
+        if (k == 1) "0"
+        else (1 until k).map(i => s"(SELECT count(*) FROM picks$i)")
+          .mkString(" + ")
+      // seg/p/picks are MATERIALIZED: each round references seg(k-1)
+      // twice and want(k) references every prior picks, so inlined CTEs
+      // would expand the scan tree exponentially in the round count
+      s"""want$k AS (SELECT least($maxB, $merges - ($prior)) AS w),
+         |p$k AS MATERIALIZED (
+         |  SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(seg[2:-2], chr(1)||chr(1)) AS s,
+         |      unnest(generate_series(1,
+         |        len(string_split(seg[2:-2], chr(1)||chr(1))) - 1)) AS i
+         |    FROM seg$j) t
+         |  GROUP BY 1, 2),
+         |rk$k AS (
+         |  SELECT lhs, rhs, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, lhs ASC, rhs ASC) AS rk
+         |  FROM p$k
+         |  QUALIFY rk <= 4 * (SELECT w FROM want$k)),
+         |sel$k AS (
+         |  SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS blocked,
+         |         CAST([] AS STRUCT(lhs VARCHAR, rhs VARCHAR, cnt BIGINT)[]) AS picks
+         |  UNION ALL
+         |  SELECT r.rk,
+         |    CASE WHEN len(s.picks) < ww.w AND NOT list_contains(s.blocked, r.lhs)
+         |              AND NOT list_contains(s.blocked, r.rhs)
+         |      THEN s.blocked || [r.lhs, r.rhs, r.lhs || r.rhs] ELSE s.blocked END,
+         |    CASE WHEN len(s.picks) < ww.w AND NOT list_contains(s.blocked, r.lhs)
+         |              AND NOT list_contains(s.blocked, r.rhs)
+         |      THEN list_append(s.picks, {'lhs': r.lhs, 'rhs': r.rhs, 'cnt': r.cnt})
+         |      ELSE s.picks END
+         |  FROM sel$k s JOIN rk$k r ON r.rk = s.rk + 1 CROSS JOIN want$k ww),
+         |picks$k AS MATERIALIZED (
+         |  SELECT idx, picks[idx].lhs AS lhs, picks[idx].rhs AS rhs,
+         |         picks[idx].cnt AS cnt
+         |  FROM (SELECT picks, unnest(generate_series(1, len(picks))) AS idx
+         |        FROM (SELECT picks FROM sel$k ORDER BY rk DESC LIMIT 1))),
+         |app$k AS (
+         |  SELECT seg, freq, 0 AS j FROM seg$j
+         |  UNION ALL
+         |  SELECT replace(a.seg, chr(1)||p.lhs||chr(1)||chr(1)||p.rhs||chr(1),
+         |                 chr(1)||p.lhs||p.rhs||chr(1)) AS seg, a.freq, a.j + 1 AS j
+         |  FROM app$k a JOIN picks$k p ON p.idx = a.j + 1),
+         |seg$k AS MATERIALIZED (
+         |  SELECT seg, freq FROM app$k
+         |  WHERE j = (SELECT count(*) FROM picks$k))""".stripMargin
+    }
+    val union = (1 to unroll)
+      .map(k => s"SELECT $k AS rnd, idx, lhs, rhs, cnt FROM picks$k")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |  FROM documents),
+       |w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok
+       |      WHERE len(word) > 0 AND NOT contains(word, chr(1))
+       |      GROUP BY word),
+       |seg0 AS MATERIALIZED (SELECT chr(1) || array_to_string(
+       |    list_transform(range(1, len(word)+1), i -> word[i]),
+       |    chr(1)||chr(1)) || chr(1) AS seg, freq FROM w),
+       |${(1 to unroll).map(round).mkString(",\n")}
+       |SELECT CAST(row_number() OVER (ORDER BY rnd, idx) AS BIGINT) AS round,
+       |  lhs, rhs, CAST(cnt AS BIGINT) AS pair_count
+       |FROM ($union)
+       |ORDER BY round""".stripMargin
+  }
+
   // --- q132: partials lake COMPACTION, result-invariant ------------------------
   // streaming/PartialAggs.compactPartials over q126's lake shape: old
   // batch_id= leaves collapse into one merged leaf (the dual aggregate
@@ -2961,7 +3058,8 @@ object TrainingData {
     "q132_partials_compact" -> q132 _,
     "q133_bpe_pack"       -> q133 _,
     "q134_quality_model"  -> q134 _,
-    "q135_stream_quality"  -> q135 _)
+    "q135_stream_quality"  -> q135 _,
+    "q136_bpe_multibatch" -> q136 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -3046,5 +3144,6 @@ object TrainingData {
     "q132_partials_compact" -> q120Sql,
     "q133_bpe_pack"       -> q133Sql,
     "q134_quality_model"  -> q134Sql,
-    "q135_stream_quality"  -> q135Sql)
+    "q135_stream_quality"  -> q135Sql,
+    "q136_bpe_multibatch" -> q136Sql)
 }
