@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT substring-level deduplication (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better") — the dedup modality the
+  * shingle/MinHash family ([[Dedup]]) cannot provide: find every MAXIMAL
+  * substring of length ≥ `minLen` that occurs more than once ANYWHERE in
+  * the corpus (any document, any offset, overlaps and self-repeats
+  * included), exactly — no approximate membership, no hash-only
+  * verdicts. This is the pass real pipelines run after document-level
+  * dedup: boilerplate headers, licence blocks, and templated paragraphs
+  * duplicate across otherwise-distinct documents, and only substring
+  * spans catch them.
+  *
+  * (Beyond-reference operator; the reference flattens documents and has
+  * no notion of content duplication.)
+  *
+  * Algorithm — the suffix-array result re-expressed as anchor grouping,
+  * which distributes where a suffix array does not: a maximal duplicated
+  * substring of length ≥ L is EXACTLY a maximal run of consecutive
+  * positions whose length-L window ("anchor") occurs ≥ 2 times in the
+  * corpus. So: enumerate anchors (one per character position), find the
+  * duplicated ones, and merge consecutive duplicated positions per
+  * document into spans (gaps-and-islands over the position sequence).
+  *
+  * Scale shape (what survives 100 TB):
+  *  - anchors are never materialized with their text for the heavy
+  *    first pass: stage 1 groups 8-byte `xxhash64(window)` values — a
+  *    map-side-combined count whose shuffle carries one (hash, count)
+  *    row per DISTINCT window, not L bytes per position (the naive
+  *    group-by-substring shuffles L× the corpus);
+  *  - only positions whose hash count is ≥ 2 (true duplicates plus the
+  *    vanishing hash-collision false positives) re-extract their window
+  *    text — via a doc-id join back to the text, so each document's
+  *    text travels once, not once per position — and stage 2 re-groups
+  *    those CANDIDATES by the actual window text for an exact verdict.
+  *    Hashing therefore only ever prunes work; it can never change the
+  *    result (same text ⇒ same hash, so no true duplicate escapes
+  *    stage 1, and stage 2 discards collisions by comparing the text
+  *    itself);
+  *  - the islands pass is one per-document window function whose
+  *    partition is bounded by document length — no cross-document
+  *    state, no driver-side anything.
+  * Corpus-wide cost: O(total chars) map work, a distinct-window-sized
+  * shuffle, and candidate-sized everything after — never all-pairs
+  * (spec + tools/SubstringDedupProfile pin the 10⁶-doc behavior).
+  */
+object SubstringDedup {
+
+  /** All maximal duplicated regions: (idCol, span_start, span_end,
+    * span_len), positions 1-based and inclusive. A position's window is
+    * the `minLen` characters starting there; a window is duplicated
+    * when it occurs ≥ 2 times corpus-wide (multiplicity counts every
+    * occurrence, including overlapping self-repeats inside one
+    * document). The spans are the canonical decomposition of the UNION
+    * of all duplicated windows into maximal contiguous character
+    * regions — so spans are disjoint AND non-adjacent per document
+    * (each separated by ≥ 1 untouched character), which is what makes
+    * [[removeSpans]] well-defined. (Merging on raw anchor-position
+    * runs alone would emit overlapping spans whenever two duplicated
+    * windows sit < minLen apart.) Every span has span_len ≥ minLen and
+    * both its first and last `minLen` characters duplicated; interior
+    * windows bridging two merged regions need not be.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen=$minLen must be >= 2")
+    val L = minLen
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .filter(length(col("text")) >= L) // also keeps sequence() ascending
+    // (id, i, h): every anchor position with its 8-byte window hash —
+    // the window text itself stays map-side
+    val slim = base
+      .select(col("id"),
+        explode(sequence(lit(1), length(col("text")) - (L - 1))).as("i"),
+        col("text"))
+      .select(col("id"), col("i"),
+        xxhash64(col("text").substr(col("i"), lit(L))).as("h"))
+    val dupH = slim.groupBy("h")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("h")
+    // candidates re-extract their window via the doc join (text moves
+    // once per document); stage 2 then verifies on the TEXT, exactly
+    val cand = slim.join(dupH, "h")
+      .join(base, "id")
+      .select(col("id"), col("i"),
+        col("text").substr(col("i"), lit(L)).as("gram"))
+    val dupG = cand.groupBy("gram")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("gram")
+    val dup = cand.join(dupG, "gram").select("id", "i")
+    // interval union: two duplicated windows at positions p < p' overlap
+    // or touch iff p' − p ≤ L, so a gap > L starts a new region; the
+    // region id is the running count of such breaks (lag + cumsum —
+    // one per-document window pass, partition bounded by doc length)
+    val w = Window.partitionBy("id").orderBy("i")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dup.withColumn("brk",
+        when(col("i") - lag("i", 1).over(w) <= L, lit(0)).otherwise(lit(1)))
+      .withColumn("grp", sum("brk").over(cum))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + (L - 1)).as("e"))
+      .select(col("id").as(idCol),
+        col("s").cast("long").as("span_start"),
+        col("e").cast("long").as("span_end"),
+        (col("e") - col("s") + 1).cast("long").as("span_len"))
+  }
+
+  /** The removal pass: cut every duplicated span out of its document
+    * (all copies — Lee et al.'s observed-safe policy for training data;
+    * a keep-one policy is a filter on `spans` before this call). Output:
+    * (idCol, clean_text) for EVERY input document. Spans are disjoint,
+    * non-adjacent and in-bounds by [[duplicateSpans]]'s construction
+    * (any caller-supplied span set must honor the same invariant); the
+    * cut is one
+    * codegen'd fold over the per-document span list (bounded by
+    * doc length / minLen), no shuffle beyond the doc-id join.
+    */
+  def removeSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sp = spans.groupBy(col(idCol).as("id"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("sp"))
+    val text = col(textCol)
+    // fold state: (next uncut position, accumulated kept text)
+    val cut = aggregate(col("sp"),
+      struct(lit(1L).as("pos"), lit("").as("acc")),
+      (st, s) => struct(
+        (s.getField("e") + 1L).as("pos"),
+        concat(st.getField("acc"),
+          text.substr(st.getField("pos").cast("int"),
+            (s.getField("s") - st.getField("pos")).cast("int"))).as("acc")),
+      st => concat(st.getField("acc"),
+        text.substr(st.getField("pos").cast("int"),
+          (length(text).cast("long") - st.getField("pos") + 1L).cast("int"))))
+    docs.join(sp, docs(idCol) === sp("id"), "left")
+      .select(docs(idCol),
+        when(col("sp").isNull, text).otherwise(cut).as("clean_text"))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Bpe, Clustering, Dedup, Layout, LmScore, Multimodal, QualityModel, Quantization, Retrieval, Similarity}
+import graft.operators.{Bpe, Clustering, Dedup, Layout, LmScore, Multimodal, QualityModel, Quantization, Retrieval, Similarity, SubstringDedup}
 import graft.streaming.EventsStream
 
 /** Training-data-pipeline operator surface: deduplication (exact / MinHash
@@ -2717,6 +2717,78 @@ object TrainingData {
        |ORDER BY round""".stripMargin
   }
 
+  // --- q138/q139: EXACT substring dedup (Lee et al. 2022) ----------------------
+  // operators/SubstringDedup: the dedup modality the MinHash family
+  // can't provide — every maximal character region covered by
+  // length-30 windows occurring ≥ 2 times corpus-wide, exactly. The
+  // Spark side prunes through an 8-byte window-hash count and verifies
+  // candidates on the window TEXT (hashing can only prune, never
+  // decide); the oracle skips the pruning entirely and groups the raw
+  // windows — so the two sides share no shortcut, and a hash-decided
+  // false positive, a miscounted multiplicity, or a region-merge slip
+  // (positions < L apart must merge into ONE region) fails the hash.
+  // On this corpus the result is non-trivial: whole-document duplicates
+  // (~500-char spans) AND short cross-document boilerplate both occur.
+  private val SubL = 30
+
+  private def q138(s: SparkSession, d: String): DataFrame =
+    SubstringDedup.duplicateSpans(Tables.documents(s, d),
+      "doc_id", "text", minLen = SubL)
+
+  /** The span CTE chain (anchor windows → duplicated windows → region
+    * decomposition) — shared verbatim by q138 and q139 so the removal
+    * oracle replays the identical span set it cuts.
+    */
+  private val substringSpanCtes: String =
+    s"""WITH pos AS MATERIALIZED (
+       |  SELECT doc_id, unnest(generate_series(1, len(text) - $SubL + 1)) AS i,
+       |         text
+       |  FROM documents WHERE len(text) >= $SubL),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, i, substr(text, i, $SubL) AS gram FROM pos),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       |d AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+       |brk AS (SELECT doc_id, i,
+       |  CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= $SubL
+       |       THEN 0 ELSE 1 END AS b FROM d),
+       |grps AS (SELECT doc_id, i,
+       |  sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM brk),
+       |spans AS MATERIALIZED (
+       |  SELECT doc_id, min(i) AS s, max(i) + $SubL - 1 AS e
+       |  FROM grps GROUP BY doc_id, grp)""".stripMargin
+
+  private val q138Sql: String =
+    s"""$substringSpanCtes
+       |SELECT doc_id, CAST(s AS BIGINT) AS span_start,
+       |  CAST(e AS BIGINT) AS span_end,
+       |  CAST(e - s + 1 AS BIGINT) AS span_len
+       |FROM spans""".stripMargin
+
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    SubstringDedup.removeSpans(docs,
+      SubstringDedup.duplicateSpans(docs, "doc_id", "text", minLen = SubL),
+      "doc_id", "text")
+  }
+
+  private val q139Sql: String =
+    s"""$substringSpanCtes,
+       |sp AS (SELECT doc_id, s, e,
+       |  lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe FROM spans),
+       |pieces AS (
+       |  SELECT doc_id, s AS ord,
+       |    substr(text, CAST(pe + 1 AS INT), CAST(s - pe - 1 AS INT)) AS piece
+       |  FROM sp JOIN documents USING (doc_id)
+       |  UNION ALL
+       |  SELECT sp.doc_id, 2147483647 AS ord,
+       |    substr(doc.text, CAST(max(sp.e) + 1 AS INT)) AS piece
+       |  FROM sp JOIN documents doc USING (doc_id)
+       |  GROUP BY sp.doc_id, doc.text),
+       |agg AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+       |        FROM pieces GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(a.clean_text, d.text) AS clean_text
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // --- q132: partials lake COMPACTION, result-invariant ------------------------
   // streaming/PartialAggs.compactPartials over q126's lake shape: old
   // batch_id= leaves collapse into one merged leaf (the dual aggregate
@@ -3059,7 +3131,9 @@ object TrainingData {
     "q133_bpe_pack"       -> q133 _,
     "q134_quality_model"  -> q134 _,
     "q135_stream_quality"  -> q135 _,
-    "q136_bpe_multibatch" -> q136 _)
+    "q136_bpe_multibatch" -> q136 _,
+    "q138_substring_spans" -> q138 _,
+    "q139_substring_removal" -> q139 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -3145,5 +3219,7 @@ object TrainingData {
     "q133_bpe_pack"       -> q133Sql,
     "q134_quality_model"  -> q134Sql,
     "q135_stream_quality"  -> q135Sql,
-    "q136_bpe_multibatch" -> q136Sql)
+    "q136_bpe_multibatch" -> q136Sql,
+    "q138_substring_spans" -> q138Sql,
+    "q139_substring_removal" -> q139Sql)
 }
