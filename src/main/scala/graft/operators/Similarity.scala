@@ -194,12 +194,124 @@ object Similarity {
       .withColumn("cell", explode(
         graft.functions.ArrayOps.topCentroidsF(col("q_vec"), centLit, dim,
           probes)))
+    ivfScore(c, q, k)
+  }
+
+  /** The in-cell scoring tail shared by [[ivfTopK]] and
+    * [[ivfTopKOverLake]]: broadcast the ×nProbe-fanned query side into
+    * each corpus cell, score strictly in-cell, heap the top k. The two
+    * paths differ ONLY in where the (id, vec, cell) rows come from.
+    */
+  private def ivfScore(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
         ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
       .groupBy(col("q_id"), col("id")).agg(max(col("sim")).as("sim"))
     heapTopK(scored, k).select("q_id", "id", "rank")
+  }
+
+  /** The IVF lake schema: ids normalized to long, vectors to float —
+    * the ANN stack's id/vector convention — and the cell id as a LONG
+    * partition column (an explicit read schema, so layout never depends
+    * on partition-value type inference).
+    */
+  private val IvfLakeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Write the corpus as a CELL-PARTITIONED parquet lake — the IVF
+    * storage layout for 100 TB: one hive partition (`cell=N/`) per
+    * inverted-file cell, so a probed search reads ONLY its probe
+    * cells' directories via partition pruning at file-listing time —
+    * the q122 shortlist pattern with the pruning moved from row-group
+    * bloom lookups to the directory structure, which is the right
+    * granule when the unit of access is "a whole cell", not "these
+    * ids". Centroids are trained exactly as [[ivfTopK]] trains them
+    * (same bounded deterministic sample, same seed ⇒ same cells) and
+    * persisted as an `_ivf_centroids` sidecar inside the lake
+    * (underscore-prefixed ⇒ invisible to the partitioned read), so
+    * readers probe with the SAME geometry the writer partitioned by.
+    * Returns the cell count.
+    */
+  def writeIvfLake(corpus: DataFrame, lakeDir: String, idCol: String,
+      vecCol: String, dim: Int, nCells: Int = 0, sampleN: Int = 0,
+      iters: Int = 10, seed: Long = 42L): Int = {
+    val spark = corpus.sparkSession
+    val cells =
+      if (nCells > 0) nCells
+      else math.min(2048L,
+        math.max(16L, 4L * math.sqrt(corpus.count().toDouble).toLong)).toInt
+    val sampN =
+      if (sampleN > 0) sampleN
+      else math.min(16384, math.max(2048, 8 * cells))
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(sampN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val centroids = trainSphericalKMeans(sample, cells, dim, iters, seed)
+    val centLit = ArrayOps.packedFloatLit(centroids)
+    corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .withColumn("cell",
+        graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
+      .write.mode("overwrite").partitionBy("cell").parquet(lakeDir)
+    // sidecar AFTER the main write (whose overwrite clears the dir)
+    import spark.implicits._
+    centroids.grouped(dim).zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(lakeDir + "/_ivf_centroids")
+    cells
+  }
+
+  /** IVF search over a [[writeIvfLake]] lake — the 100-TB shape of
+    * [[ivfTopK]]: the centroid sidecar is collected (cells×dim floats,
+    * the same driver budget as IVF training), each query fans out to
+    * its `nProbe` nearest cells, and the corpus scan is FILTERED to
+    * the union of probed cells — a partition-pruning directory
+    * listing, so unprobed cells' files are never opened, let alone
+    * read (PlanSpec pins the PartitionFilters/PartitionCount
+    * evidence). Scoring is [[ivfScore]], shared verbatim with the
+    * in-memory path — results are IDENTICAL to [[ivfTopK]] with the
+    * same (nCells, nProbe) on the same corpus (q137 pins it): the
+    * lake changes where bytes come from, never what is computed.
+    */
+  def ivfTopKOverLake(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int = 5, nProbe: Int = 0): DataFrame = {
+    val cents = spark.read.parquet(lakeDir + "/_ivf_centroids")
+      .orderBy("cell_id").collect()
+    val cells = cents.length
+    require(cells > 0, s"no _ivf_centroids sidecar under $lakeDir")
+    val flat = new Array[Float](cells * dim)
+    cents.foreach { r =>
+      val c = r.getLong(0).toInt
+      val v = r.getSeq[Float](1)
+      var i = 0
+      while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
+    }
+    val probes =
+      if (nProbe > 0) nProbe
+      else math.min(cells, math.max(4, cells * 8 / 100))
+    val centLit = ArrayOps.packedFloatLit(flat)
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).cast("array<float>").as("q_vec"))
+      .withColumn("cell", explode(
+        graft.functions.ArrayOps.topCentroidsF(col("q_vec"), centLit, dim,
+          probes)))
+    // bounded collect: ≤ |Q|·nProbe cell ids — the partition filter
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val c = spark.read.schema(IvfLakeSchema).parquet(lakeDir)
+      .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+    ivfScore(c, q, k)
   }
 
   /** Exact top-k over INT8-QUANTIZED codes ([[Quantization.int8]]) —

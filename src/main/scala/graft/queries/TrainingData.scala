@@ -1937,6 +1937,51 @@ object TrainingData {
        true AS recall_ge_floor
        FROM embeddings WHERE vec_id < 10"""
 
+  // --- q137: IVF over the LAKE -------------------------------------------------
+  // Similarity.writeIvfLake + ivfTopKOverLake: the missing lake variant
+  // of IVF (PQ got q122's bloom-indexed shortlist re-read; IVF's unit
+  // of access is "a whole cell", so its lake wants cell-partitioned
+  // directories and PARTITION PRUNING instead of id lookups — the
+  // probed-cell filter becomes a directory listing, IvfLakeSpec pins
+  // the PartitionFilters evidence). Same audit as q122:
+  // equals_in_memory — lake search EXACTLY equals ivfTopK with the same
+  // (nCells=64, nProbe=28), the q50 parameters honest for this corpus's
+  // iid geometry — plus q50's 0.8 recall floor vs brute force.
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    val lakeDir = Tables.freshScratchDir("graft_ivflake_", d).toString
+    Similarity.writeIvfLake(emb, lakeDir, "vec_id", "embedding",
+      dim = 64, nCells = 64): Unit
+    val lake = Similarity.ivfTopKOverLake(s, lakeDir, qs, "vec_id",
+      "embedding", dim = 64, k = 5, nProbe = 28)
+    val mem = Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, k = 5, nCells = 64, nProbe = 28)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+      k = 5)
+    val stats = lake.agg(
+      count_distinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_results"))
+    val diffs = lake.unionAll(mem)
+      .groupBy("q_id", "id", "rank").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).agg(count(lit(1)).as("n_diff"))
+    val hits = lake.join(exact, Seq("q_id", "id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    stats.crossJoin(diffs).crossJoin(hits).crossJoin(nExact)
+      .select(col("n_queries"), col("n_results"),
+        (col("n_diff") === 0).as("equals_in_memory"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.8)
+          .as("recall_ge_floor"))
+  }
+
+  private val q137Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(5 * count(*) AS BIGINT) AS n_results,
+       true AS equals_in_memory,
+       true AS recall_ge_floor
+       FROM embeddings WHERE vec_id < 10"""
+
   // --- q112: deterministic training shuffle — FULL per-row oracle ------------
   // The lake layout that IS the training order: shard and in-shard
   // position derive from doc_id via an engine-portable
@@ -3132,6 +3177,7 @@ object TrainingData {
     "q134_quality_model"  -> q134 _,
     "q135_stream_quality"  -> q135 _,
     "q136_bpe_multibatch" -> q136 _,
+    "q137_ivf_lake"       -> q137 _,
     "q138_substring_spans" -> q138 _,
     "q139_substring_removal" -> q139 _)
 
@@ -3220,6 +3266,7 @@ object TrainingData {
     "q134_quality_model"  -> q134Sql,
     "q135_stream_quality"  -> q135Sql,
     "q136_bpe_multibatch" -> q136Sql,
+    "q137_ivf_lake"       -> q137Sql,
     "q138_substring_spans" -> q138Sql,
     "q139_substring_removal" -> q139Sql)
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Similarity.writeIvfLake]] / [[Similarity.ivfTopKOverLake]]: the
+  * cell-partitioned IVF lake. Pinned: exact result equality with the
+  * in-memory [[Similarity.ivfTopK]] at the same parameters (the lake
+  * changes where bytes come from, never what is computed), partition
+  * PRUNING evidence (the probe filter becomes a PartitionFilters entry
+  * and unprobed cells are never listed into the scan), and sidecar
+  * round-tripping (centroid geometry identical between writer and
+  * reader).
+  */
+class IvfLakeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dim = 8
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    // 8 loose clusters so cells have real structure
+    (0 until n).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(dim)(j =>
+        (math.cos(c * 0.7 + j) + rnd.nextGaussian() * 0.15).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def topk(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  test("lake search equals in-memory ivfTopK exactly (same params)") {
+    val emb = corpus(200)
+    val qs = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivflake").toString +
+      "/lake"
+    val cells = Similarity.writeIvfLake(emb, dir, "vec_id", "embedding",
+      dim, nCells = 16)
+    assert(cells === 16)
+    val lake = topk(Similarity.ivfTopKOverLake(spark, dir, qs,
+      "vec_id", "embedding", dim, k = 5, nProbe = 6))
+    val mem = topk(Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+      dim, k = 5, nCells = 16, nProbe = 6))
+    assert(lake === mem)
+    assert(lake.map(_._1).distinct.size === 5)
+  }
+
+  test("probe filter is a partition filter: unprobed cells never scanned") {
+    val emb = corpus(200)
+    val qs = emb.filter(col("vec_id") === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivflake2").toString +
+      "/lake"
+    Similarity.writeIvfLake(emb, dir, "vec_id", "embedding", dim,
+      nCells = 16)
+    val res = Similarity.ivfTopKOverLake(spark, dir, qs,
+      "vec_id", "embedding", dim, k = 3, nProbe = 2)
+    val p = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters: [cell"),
+      s"probe filter did not become a partition filter:\n$p")
+    // 1 query × 2 probes → the static partition filter lists at most 2
+    // of the 16 cell directories into the scan
+    val inList = "PartitionFilters: \\[cell#\\d+L? IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(p).map(_.group(1).split(",").length)
+    assert(inList.exists(_ <= 2),
+      s"expected <= 2 probed cells in the partition filter, got $inList:\n$p")
+  }
+
+  test("sidecar geometry: reader cells match writer cells, rewrite-safe") {
+    val emb = corpus(120)
+    val dir = java.nio.file.Files.createTempDirectory("ivflake3").toString +
+      "/lake"
+    Similarity.writeIvfLake(emb, dir, "vec_id", "embedding", dim,
+      nCells = 8)
+    // rewrite with different cell count: sidecar must follow the layout
+    Similarity.writeIvfLake(emb, dir, "vec_id", "embedding", dim,
+      nCells = 4)
+    val cents = spark.read.parquet(dir + "/_ivf_centroids").collect()
+    assert(cents.length === 4)
+    // and the partitioned read sees only the 4-cell layout
+    val layout = spark.read.parquet(dir)
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(layout.forall(_ < 4), s"stale cells in layout: ${layout.toSeq}")
+    // auto nProbe path runs green over the lake
+    val qs = emb.filter(col("vec_id") < 3)
+    val res = Similarity.ivfTopKOverLake(spark, dir, qs,
+      "vec_id", "embedding", dim, k = 4)
+    assert(res.count() > 0)
+  }
+}
