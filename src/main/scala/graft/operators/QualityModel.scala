@@ -48,18 +48,42 @@ import org.apache.spark.sql.functions._
   *  - training is ONE map-side-combined aggregation whose shuffle
   *    carries ≤ 16^hexChars + 1 rows; the driver holds the weight
   *    table (bounded by construction, like k-means centroids);
-  *  - scoring is MAP-SIDE: weights travel to the data as a map
-  *    literal, the margin is one `aggregate` over the feature array —
-  *    no join, no shuffle.
+  *  - scoring is MAP-SIDE: weights travel to the data as a dense
+  *    packed-array literal (O(1) lookup per feature — see
+  *    [[marginCol]]), the margin is one `aggregate` over the feature
+  *    array — no join, no shuffle.
   */
 object QualityModel {
 
-  val DefaultHexChars = 2 // 256 buckets
+  /** 16⁴ = 65,536 hashed buckets. Chosen by the round-11 capacity
+    * sweep at 10⁶ docs (`tools/QualityScaleProfile sweep`): accuracy
+    * vs the weak label rises monotonically with capacity (hex 2/3/4 →
+    * 0.9836/0.9864/0.9873) at indistinguishable train+score cost
+    * (5–6 s for the full 10⁶-doc pipeline at every setting), and the
+    * dense weight literal is 512 KB — broadcast-trivial. Bigram
+    * features (opt-in via `bigrams = true`) doubled margin SEPARATION
+    * (27.5 → 59.9 micro-units) but cost ~0.2 pp accuracy on the
+    * random-word synthetic corpus, whose bigrams are pure noise —
+    * on real text they carry phrase signal; off by default because
+    * the measured corpus says so, available because real corpora
+    * differ.
+    */
+  val DefaultHexChars = 4
   val Micro = 1000000L
 
   /** Bucket of one token — md5-prefix, portable (cf. CountMin.bucket). */
   def bucket(token: Column, hexChars: Int = DefaultHexChars): Column =
     substring(md5(concat(lit("f:"), token)), 1, hexChars)
+
+  /** Bucket of one adjacent-token BIGRAM — distinct hash input prefix
+    * ("g:", space-joined pair), SHARED output bucket space with the
+    * unigrams (the fasttext convention: n-gram features hash into the
+    * same table; collisions are the model's capacity knob, not an
+    * error).
+    */
+  def bigramBucket(w1: Column, w2: Column,
+      hexChars: Int = DefaultHexChars): Column =
+    substring(md5(concat(lit("g:"), w1, lit(" "), w2)), 1, hexChars)
 
   /** Per-doc features: (id, label, feats ARRAY<STRING>) — the sorted
     * DISTINCT bucket set of the doc's whitespace tokens. Empty docs get
@@ -70,18 +94,29 @@ object QualityModel {
     * to its grouping keys). NULL text → EMPTY feature set (margin =
     * prior), matching the SQL replay where unnest of a NULL split
     * yields no rows — not a NULL array that would poison the margin
-    * aggregate.
+    * aggregate. With `bigrams` on, adjacent-token pair buckets join
+    * the set (presence semantics unchanged — the DISTINCT union).
     */
-  def featsCol(text: Column, hexChars: Int = DefaultHexChars): Column =
-    coalesce(array_sort(array_distinct(transform(
-      filter(graft.functions.Text.tokens(text), t => length(t) > 0),
-      t => bucket(t, hexChars)))),
+  def featsCol(text: Column, hexChars: Int = DefaultHexChars,
+      bigrams: Boolean = false): Column = {
+    val toks = filter(graft.functions.Text.tokens(text),
+      t => length(t) > 0)
+    val uni = transform(toks, t => bucket(t, hexChars))
+    val all =
+      if (!bigrams) uni
+      else concat(uni, zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => bigramBucket(a, b, hexChars)))
+    coalesce(array_sort(array_distinct(all)),
       array().cast("array<string>"))
+  }
 
   def featurize(docs: DataFrame, idCol: String, textCol: String,
-      label: Column, hexChars: Int = DefaultHexChars): DataFrame =
+      label: Column, hexChars: Int = DefaultHexChars,
+      bigrams: Boolean = false): DataFrame =
     docs.select(col(idCol).as("id"), label.as("y"),
-      featsCol(col(textCol), hexChars).as("feats"))
+      featsCol(col(textCol), hexChars, bigrams).as("feats"))
 
   private def micro(x: Double): Long = math.round(math.log(x) * Micro)
 
@@ -129,16 +164,37 @@ object QualityModel {
     (weights, prior)
   }
 
-  /** Integer margin of a feature array under a weight-map literal.
+  /** Integer margin of a feature array under the learned weights.
     * Buckets never observed in training contribute nothing (the model
     * space is the observed buckets).
+    *
+    * Lookup structure matters at capacity: Spark evaluates
+    * `element_at` on a MAP literal by linearly scanning the key array,
+    * so a 16^4-bucket map costs 65k string-compares per feature —
+    * measured catastrophic at 10⁶ docs (the hexChars=4 sweep never
+    * finished). The weights therefore travel as a DENSE packed long
+    * array indexed by the bucket's hex value (16^hexChars entries,
+    * absent buckets 0): one O(1) primitive array read per feature,
+    * identical semantics. Dense is capped at 16^5 entries (8 MB
+    * plan literal); past that a hashed-features model wants its
+    * weights joined (broadcast), not inlined — enforce rather than
+    * silently degrade.
     */
   def marginCol(feats: Column, weights: Map[String, Long],
       prior: Long): Column = {
-    val wmap =
-      if (weights.isEmpty) typedLit(Map("" -> 0L)) else typedLit(weights)
-    aggregate(feats, lit(prior),
-      (acc, b) => acc + coalesce(element_at(wmap, b), lit(0L)))
+    if (weights.isEmpty)
+      return aggregate(feats, lit(prior), (acc, _) => acc)
+    val hexLen = weights.keysIterator.next().length
+    require(weights.keysIterator.forall(_.length == hexLen),
+      "mixed bucket widths in weight table")
+    require(hexLen <= 5,
+      s"hexChars=$hexLen: dense weight literal would exceed 16^5 " +
+        "entries — score via a broadcast join at this capacity")
+    val dense = new Array[Long](1 << (4 * hexLen))
+    weights.foreach { case (k, v) => dense(Integer.parseInt(k, 16)) = v }
+    val arrLit = graft.functions.ArrayOps.packedLongLit(dense)
+    aggregate(feats, lit(prior), (acc, b) =>
+      acc + element_at(arrLit, conv(b, 16, 10).cast("int") + 1))
   }
 
   /** End-to-end distillation: featurize with the caller's weak label,
@@ -157,8 +213,10 @@ object QualityModel {
     * returned DataFrame.
     */
   def distill(docs: DataFrame, idCol: String, textCol: String,
-      label: Column, hexChars: Int = DefaultHexChars): DataFrame = {
-    val f = featurize(docs, idCol, textCol, label, hexChars).persist()
+      label: Column, hexChars: Int = DefaultHexChars,
+      bigrams: Boolean = false): DataFrame = {
+    val f = featurize(docs, idCol, textCol, label, hexChars, bigrams)
+      .persist()
     f.count(): Unit
     val (w, prior) = trainBernoulliNb(f)
     val out = f.select(col("id").as(idCol), col("y").as("label"),

@@ -2929,7 +2929,7 @@ object TrainingData {
 
   private val q134Sql: String =
     """WITH feat AS (
-       |  SELECT DISTINCT doc_id, substr(md5('f:' || word), 1, 2) AS b
+       |  SELECT DISTINCT doc_id, substr(md5('f:' || word), 1, 4) AS b
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |        FROM documents) t
        |  WHERE len(word) > 0),

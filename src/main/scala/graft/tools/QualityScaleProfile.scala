@@ -35,6 +35,39 @@ object QualityScaleProfile {
         i => concat(lit("w"), pmod(hash(col("id") * 31 + i), lit(10000)))),
         " ").as("text"))
 
+    // "sweep" mode: the CAPACITY sweep — hexChars × bigram features at
+    // 10⁶ docs, measuring accuracy vs the weak label and the margin
+    // separation (mean margin of true-label-positive minus
+    // true-label-negative docs, micro units). This is the evidence
+    // behind the operator's default capacity.
+    if (args.headOption.contains("sweep")) {
+      val docs = corpus(1000000L).persist()
+      docs.count()
+      val label = length(col("text")) > 150L
+      for (hex <- Seq(2, 3, 4); big <- Seq(false, true)) {
+        val t0 = System.nanoTime()
+        val f = QualityModel.featurize(docs, "doc_id", "text", label,
+          hexChars = hex, bigrams = big).persist()
+        f.count()
+        val (w, prior) = QualityModel.trainBernoulliNb(f)
+        val m = f.select(col("y"),
+          QualityModel.marginCol(col("feats"), w, prior).as("m"))
+        val r = m.agg(
+          avg(when(col("y") === (col("m") > 0), 1d).otherwise(0d)).as("acc"),
+          avg(when(col("y"), col("m"))).as("mpos"),
+          avg(when(!col("y"), col("m"))).as("mneg")).collect()(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[qsweep] n=1000000 hex=$hex big=$big%-5s " +
+          f"acc=${r.getDouble(0)}%.4f  sep=${
+            (r.getDouble(1) - r.getDouble(2)) / 1e6}%10.3f  " +
+          f"weights=${w.size}%6d  ${sec}%6.1f s")
+        f.unpersist()
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
     for (n <- Seq(100000L, 1000000L)) {
       val docs = corpus(n).persist()
       docs.count()

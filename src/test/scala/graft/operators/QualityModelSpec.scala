@@ -126,7 +126,9 @@ class QualityModelSpec extends AnyFunSuite {
     def bucketOf(tok: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(("f:" + tok).getBytes("UTF-8"))
-      f"${d(0) & 0xff}%02x".take(2)
+      d.take((QualityModel.DefaultHexChars + 1) / 2)
+        .map(b => f"${b & 0xff}%02x").mkString
+        .take(QualityModel.DefaultHexChars)
     }
     val word = Gen.listOfN(3, Gen.oneOf('x', 'y', 'z', 'w')).map(_.mkString)
     val doc = for {
