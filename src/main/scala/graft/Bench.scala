@@ -125,7 +125,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = runs.filter(_._3.isEmpty).map(_._2).sum
     val flat = flattenBench(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_samples":${flat.samples},"flatten_sec":${flat.coldSec},"flatten_sec_median":${flat.coldSecMedian},"flatten_docs_per_s":${flat.coldRate},"flatten_docs_per_s_warm":${flat.warmRate},"flatten_docs_per_s_warm_median":${flat.warmRateMedian},"flatten_sec_schema_reuse":${flat.schemaReuseSec},"flatten_sec_schema_reuse_median":${flat.schemaReuseSecMedian},"flatten_docs_per_s_schema_reuse":${flat.schemaReuseRate}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_samples":${flat.samples},"flatten_sec":${flat.coldSec},"flatten_sec_median":${flat.coldSecMedian},"flatten_docs_per_s":${flat.coldRate},"flatten_docs_per_s_best":${flat.coldRateBest},"flatten_docs_per_s_warm":${flat.warmRate},"flatten_docs_per_s_warm_median":${flat.warmRate},"flatten_docs_per_s_warm_best":${flat.warmRateBest},"flatten_sec_schema_reuse":${flat.schemaReuseSec},"flatten_sec_schema_reuse_median":${flat.schemaReuseSecMedian},"flatten_docs_per_s_schema_reuse":${flat.schemaReuseRate}}""")
     // The driver records the TAIL of stdout, which truncated the verbose
     // line above from the front in r3 (q01-q12 timings lost, parsed:null).
     // Re-emit everything as a COMPACT single line — short query keys
@@ -137,7 +137,7 @@ object Bench {
     val qsShort = runs.map { case (k, v, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3d(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_samples":${flat.samples},"flatten_sec":${r3d(flat.coldSec)},"flatten_sec_median":${r3d(flat.coldSecMedian)},"flatten_docs_per_s":${r3d(flat.coldRate)},"flatten_docs_per_s_warm":${r3d(flat.warmRate)},"flatten_docs_per_s_warm_median":${r3d(flat.warmRateMedian)},"flatten_sec_schema_reuse":${r3d(flat.schemaReuseSec)},"flatten_sec_schema_reuse_median":${r3d(flat.schemaReuseSecMedian)},"flatten_docs_per_s_schema_reuse":${r3d(flat.schemaReuseRate)}}""")
+    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_samples":${flat.samples},"flatten_sec":${r3d(flat.coldSec)},"flatten_sec_median":${r3d(flat.coldSecMedian)},"flatten_docs_per_s":${r3d(flat.coldRate)},"flatten_docs_per_s_best":${r3d(flat.coldRateBest)},"flatten_docs_per_s_warm":${r3d(flat.warmRate)},"flatten_docs_per_s_warm_median":${r3d(flat.warmRate)},"flatten_docs_per_s_warm_best":${r3d(flat.warmRateBest)},"flatten_sec_schema_reuse":${r3d(flat.schemaReuseSec)},"flatten_sec_schema_reuse_median":${r3d(flat.schemaReuseSecMedian)},"flatten_docs_per_s_schema_reuse":${r3d(flat.schemaReuseRate)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -147,8 +147,9 @@ object Bench {
     * noisy host) reads as spread, not regression.
     */
   final case class FlattenBench(docs: Int, samples: Int,
-      coldSec: Double, coldSecMedian: Double, coldRate: Double,
-      warmRate: Double, warmRateMedian: Double,
+      coldSec: Double, coldSecMedian: Double,
+      coldRate: Double, coldRateBest: Double,
+      warmRate: Double, warmRateBest: Double,
       schemaReuseSec: Double, schemaReuseSecMedian: Double,
       schemaReuseRate: Double)
 
@@ -243,14 +244,19 @@ object Bench {
         graft.flatten.Flattener.flattenToTsv(df2, in2.resolve("tsv").toString)
         (System.nanoTime() - t2) / 1e9
       }
+      // HEADLINE rates are MEDIAN-of-3 (r11 change): three driver rounds
+      // of monotone best-of-3 decline (1,050 → 781 → 691 docs/s) on a
+      // host whose identical-code samples swing 2–3× made "best" the
+      // less stable statistic — the best sample needs all 3 runs lucky,
+      // the median needs 2. Best-of-3 stays in *_best for continuity.
       FlattenBench(n, 3,
-        cold.min, median(cold), n / cold.min,
-        n / warm.min, n / median(warm),
-        reuse.min, median(reuse), n / reuse.min)
+        cold.min, median(cold), n / median(cold), n / cold.min,
+        n / median(warm), n / warm.min,
+        reuse.min, median(reuse), n / median(reuse))
     } catch {
       case e: Throwable =>
         System.err.println(s"BENCH FAIL flatten: $e")
-        FlattenBench(0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        FlattenBench(0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     } finally scratch.foreach(p => deleteRec(p.toFile))
   }
 }
