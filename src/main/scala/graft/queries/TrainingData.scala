@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Bpe, Clustering, Dedup, Layout, LmScore, Multimodal, QualityModel, Quantization, Retrieval, Similarity, SubstringDedup}
+import graft.operators.{Bpe, Clustering, Decontaminate, Dedup, Layout, LmScore, Multimodal, QualityModel, Quantization, Retrieval, Similarity, SubstringDedup}
 import graft.streaming.EventsStream
 
 /** Training-data-pipeline operator surface: deduplication (exact / MinHash
@@ -2834,6 +2834,127 @@ object TrainingData {
        |SELECT d.doc_id, COALESCE(a.clean_text, d.text) AS clean_text
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  // --- q140: EXACT-gram decontamination (the q64 hash path, verified) ----------
+  // operators/Decontaminate.flagContaminated: q64/q71 decontaminate on
+  // FNV gram HASHES — the right scale shape, but hashing can only
+  // approximate membership. This is the exact-TEXT-gram twin (the same
+  // relationship q43 exact-dup bears to q25's MinHash): grams compared
+  // as strings, every corpus row flagged including zero-hit docs and
+  // benchmark self-hits, plus a removal API (`removeContaminated`). A
+  // different benchmark cut than q64 (doc_id ≡ 0 mod 29 vs < 50) so the
+  // two oracles cannot share a cached intermediate. The corpus contains
+  // planted near/exact duplicates, so contamination reaches BEYOND the
+  // benchmark docs themselves — their duplicates hit too (23 flagged vs
+  // 18 benchmark docs at sf0.01). Scale shape unchanged from q64:
+  // benchmark grams broadcast, corpus grams explode map-side through a
+  // broadcast left-semi, only hits shuffle.
+  private val DecontN = 8
+
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontaminate.flagContaminated(docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 29 === 0), "text", n = DecontN)
+  }
+
+  private val q140Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT DISTINCT array_to_string(w[i:i+${DecontN - 1}], ' ') AS gram
+       |       FROM (SELECT w, unnest(generate_series(1, len(w) - ${DecontN - 1})) AS i
+       |             FROM w WHERE doc_id % 29 = 0 AND len(w) >= $DecontN) t),
+       |dg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+${DecontN - 1}], ' ') AS gram
+       |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${DecontN - 1})) AS i
+       |             FROM w WHERE len(w) >= $DecontN) t),
+       |hits AS (SELECT doc_id, count(*) AS n FROM dg
+       |         WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_grams,
+       |       COALESCE(h.n, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
+
+  // --- q141: Gopher repetition filters (published char-coverage form) ----------
+  // functions/Repetition.ngramCoverStats: q65 measures repetition as the
+  // duplicate-3-gram COUNT ratio; Gopher's published rules (Rae et al.
+  // 2021 §A1.1) are CHARACTER-coverage fractions — of the modal n-gram
+  // (n = 2,3,4) and of positions covered by any duplicated n-gram
+  // (n = 2,3,5) — which weight long repeated tokens correctly and bound
+  // overlapping windows at 1. Emitted in integer micro-units (division
+  // LAST), plus the keep flag at Gopher's thresholds (top-2/3/4 ≤
+  // 0.20/0.18/0.16, dup-5 ≤ 0.15; dup-5 never trips on this corpus —
+  // the top-n rules do the dropping, 69/500 at sf0.01). The Spark side
+  // is ONE projection — four codegen'd static calls per row, no shuffle
+  // (the oracle's explode-and-count replay is the shape a 100 TB run
+  // must avoid, which is the point of the kernel). Tie-break for the
+  // modal gram is count-desc then lexicographic-asc, pinned identically
+  // on both sides.
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{Repetition, Text}
+    val toks = Text.tokens(col("text"))
+    def stats(n: Int) = Repetition.ngramCoverStatsF(toks, n)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      element_at(stats(2), 1).as("top2_micro"),
+      element_at(stats(3), 1).as("top3_micro"),
+      element_at(stats(4), 1).as("top4_micro"),
+      element_at(stats(2), 2).as("dup2_micro"),
+      element_at(stats(3), 2).as("dup3_micro"),
+      element_at(stats(5), 2).as("dup5_micro"),
+      (element_at(stats(2), 1) <= 200000L &&
+        element_at(stats(3), 1) <= 180000L &&
+        element_at(stats(4), 1) <= 160000L &&
+        element_at(stats(5), 2) <= 150000L).as("keep"))
+  }
+
+  private val q141Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tot AS (SELECT doc_id, list_sum(list_transform(w, x -> length(x))) AS tc
+       |        FROM w),
+       |ns AS (SELECT unnest([2, 3, 4, 5]) AS n),
+       |g AS (SELECT doc_id, n, i, array_to_string(w[i:i+n-1], ' ') AS gram
+       |      FROM (SELECT doc_id, n, w,
+       |              unnest(generate_series(1, len(w) - n + 1)) AS i
+       |            FROM w CROSS JOIN ns WHERE len(w) >= n) t),
+       |cnt AS (SELECT doc_id, n, gram, count(*) AS c
+       |        FROM g GROUP BY doc_id, n, gram),
+       |top AS (SELECT doc_id, n, gram FROM (
+       |          SELECT doc_id, n, gram,
+       |                 row_number() OVER (PARTITION BY doc_id, n
+       |                                    ORDER BY c DESC, gram ASC) AS rn
+       |          FROM cnt) t WHERE rn = 1),
+       |topcov AS (SELECT DISTINCT g.doc_id, g.n, g.i + u.o AS p
+       |           FROM g JOIN top USING (doc_id, n, gram)
+       |           CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS o) u
+       |           WHERE u.o < g.n),
+       |dupcov AS (SELECT DISTINCT g.doc_id, g.n, g.i + u.o AS p
+       |           FROM g JOIN cnt USING (doc_id, n, gram)
+       |           CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS o) u
+       |           WHERE cnt.c >= 2 AND u.o < g.n),
+       |topchars AS (SELECT t.doc_id, t.n, sum(length(w.w[t.p])) AS ch
+       |             FROM topcov t JOIN w ON t.doc_id = w.doc_id
+       |             GROUP BY t.doc_id, t.n),
+       |dupchars AS (SELECT t.doc_id, t.n, sum(length(w.w[t.p])) AS ch
+       |             FROM dupcov t JOIN w ON t.doc_id = w.doc_id
+       |             GROUP BY t.doc_id, t.n),
+       |stats AS (SELECT t.doc_id, n.n,
+       |            COALESCE(tc2.ch, 0) * 1000000 // t2.tc AS topm,
+       |            COALESCE(dc.ch, 0) * 1000000 // t2.tc AS dupm
+       |          FROM (SELECT DISTINCT doc_id FROM w) t CROSS JOIN ns n
+       |          JOIN tot t2 ON t.doc_id = t2.doc_id
+       |          LEFT JOIN topchars tc2
+       |            ON t.doc_id = tc2.doc_id AND n.n = tc2.n
+       |          LEFT JOIN dupchars dc
+       |            ON t.doc_id = dc.doc_id AND n.n = dc.n)
+       |SELECT doc_id,
+       |  CAST(max(CASE WHEN n = 2 THEN topm END) AS BIGINT) AS top2_micro,
+       |  CAST(max(CASE WHEN n = 3 THEN topm END) AS BIGINT) AS top3_micro,
+       |  CAST(max(CASE WHEN n = 4 THEN topm END) AS BIGINT) AS top4_micro,
+       |  CAST(max(CASE WHEN n = 2 THEN dupm END) AS BIGINT) AS dup2_micro,
+       |  CAST(max(CASE WHEN n = 3 THEN dupm END) AS BIGINT) AS dup3_micro,
+       |  CAST(max(CASE WHEN n = 5 THEN dupm END) AS BIGINT) AS dup5_micro,
+       |  (max(CASE WHEN n = 2 THEN topm END) <= 200000 AND
+       |   max(CASE WHEN n = 3 THEN topm END) <= 180000 AND
+       |   max(CASE WHEN n = 4 THEN topm END) <= 160000 AND
+       |   max(CASE WHEN n = 5 THEN dupm END) <= 150000) AS keep
+       |FROM stats GROUP BY doc_id""".stripMargin
+
   // --- q132: partials lake COMPACTION, result-invariant ------------------------
   // streaming/PartialAggs.compactPartials over q126's lake shape: old
   // batch_id= leaves collapse into one merged leaf (the dual aggregate
@@ -3179,7 +3300,9 @@ object TrainingData {
     "q136_bpe_multibatch" -> q136 _,
     "q137_ivf_lake"       -> q137 _,
     "q138_substring_spans" -> q138 _,
-    "q139_substring_removal" -> q139 _)
+    "q139_substring_removal" -> q139 _,
+    "q140_decontaminate"  -> q140 _,
+    "q141_repetition_filters" -> q141 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -3268,5 +3391,7 @@ object TrainingData {
     "q136_bpe_multibatch" -> q136Sql,
     "q137_ivf_lake"       -> q137Sql,
     "q138_substring_spans" -> q138Sql,
-    "q139_substring_removal" -> q139Sql)
+    "q139_substring_removal" -> q139Sql,
+    "q140_decontaminate"  -> q140Sql,
+    "q141_repetition_filters" -> q141Sql)
 }

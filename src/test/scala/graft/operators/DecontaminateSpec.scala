@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-gram decontamination: hand-built corpus with a planted leak,
+  * distinct-gram hit counting, the zero-hit rows in the flag output,
+  * the short-doc edge, and removal = flag-complement.
+  */
+class DecontaminateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("flags exactly the docs sharing an n-gram, counts distinct hits") {
+    val corpus = Seq(
+      (1L, "a b c d e"),     // contains bench 3-grams "a b c","b c d","c d e"
+      (2L, "x y z w q"),     // clean
+      (3L, "q a b c q q"),   // one hit: "a b c"
+      (4L, "a b"),           // shorter than n — never contaminated
+      (5L, "a b c a b c a b c") // distinct hits: "a b c" (+ none others in bench)
+    ).toDF("doc_id", "text")
+    val bench = Seq("a b c d e f").toDF("text") // grams incl "a b c".."d e f"
+    val got = Decontaminate
+      .flagContaminated(corpus, "doc_id", "text", bench, "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      1L -> ((3L, true)),  // "a b c","b c d","c d e" all in bench
+      2L -> ((0L, false)),
+      3L -> ((1L, true)),
+      4L -> ((0L, false)),
+      5L -> ((1L, true))   // distinct grams of doc 5 hitting bench: "a b c"
+    ))
+  }
+
+  test("removal keeps exactly the clean docs") {
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "x y z w q"), (3L, "n o p")
+    ).toDF("doc_id", "text")
+    val bench = Seq("a b c").toDF("text")
+    val kept = Decontaminate
+      .removeContaminated(corpus, "doc_id", "text", bench, "text", n = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 3L))
+  }
+
+  test("self-decontamination flags every doc with >= n tokens") {
+    val corpus = Seq((1L, "a b c d"), (2L, "e f"), (3L, "g h i"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate
+      .flagContaminated(corpus, "doc_id", "text", corpus, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true))
+  }
+}

@@ -342,4 +342,27 @@ class PlanSpec extends AnyFunSuite {
     assert(partialAt >= 0 && exchangeAt >= 0 && partialAt < exchangeAt,
       s"partial heap does not precede the l_suppkey exchange:\n$p")
   }
+
+  test("q140: exact decontamination broadcasts both the bench grams and the hits") {
+    val p = plan("q140_decontaminate")
+    // corpus grams flow map-side into a broadcast LEFT-SEMI; the flag
+    // join back onto the corpus broadcasts the hit table — the corpus
+    // itself is never exchanged
+    assert(p.contains("LeftSemi"), s"gram membership not a semi join:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"expected 2 broadcast joins (semi + flag):\n$p")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    // allowed shuffles: bench-gram distinct + per-doc hit count
+    assert(exchanges <= 2, s"corpus-scale shuffle crept in:\n$p")
+  }
+
+  test("q141: repetition stats are a pure projection — zero shuffles") {
+    val p = plan("q141_repetition_filters")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges == 0, s"doc-local stat shuffled:\n$p")
+    assert(!p.contains("Generate"), s"kernel replaced by an explode:\n$p")
+    // FormattedMode marks whole-stage-codegen'd operators with
+    // "[codegen id : N]" rather than the word WholeStageCodegen
+    assert(p.contains("[codegen id :"), s"projection not codegen'd:\n$p")
+  }
 }
