@@ -101,4 +101,41 @@ object Curation {
     Packing.packByBudget(
       curate(docs, idCol, textCol, langCol, minTokens, maxRepetition),
       "doc_id", "nt", "lang", budget)
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document under the corpus bigram LM ([[LmScore.bigramScore]]),
+    * normalize to a per-bigram average, and split each language into
+    * `nBuckets` equal-depth buckets by that average — bucket 1 ("head")
+    * = least surprising under the LM, bucket `nBuckets` ("tail") = most.
+    * CCNet trains on head+middle and drops the tail; the buckets are
+    * returned, the cut is the caller's policy.
+    *
+    * Integer-portable: the average is `score_micro × 1000 div
+    * max(n_bigrams, 1)` — both engines truncate integer division toward
+    * zero — in nano-log units (`avg_logp_nano`); ordering ties break on
+    * doc id, so the ntile assignment is deterministic under any
+    * partitioning. Docs with no bigrams score 0 (they sort with the
+    * head; a real pipeline length-filters first).
+    *
+    * Scale shape: the LM scoring keeps its audited shape (Zipf-bounded
+    * count tables, partial aggregation); bucketing adds ONE window
+    * shuffle on the language key — same cost class as q66's mixture
+    * sampling. A language's docs sort within its partitions; for a
+    * single giant language the equal-depth split would want the q125
+    * exact-quantile cut points instead of a global sort — documented
+    * trade, not needed at benchmark scale.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
+    val scored = LmScore.bigramScore(docs, idCol, textCol,
+      passthrough = Seq(langCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("avg_logp_nano").desc, col("doc_id").asc)
+    scored
+      .withColumn("avg_logp_nano",
+        expr("(score_micro * 1000L) div greatest(n_bigrams, 1L)"))
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+  }
 }

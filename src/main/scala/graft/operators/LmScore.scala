@@ -38,8 +38,12 @@ import graft.functions.Text
   */
 object LmScore {
 
+  /** `passthrough` columns of `docs` (e.g. a language column) ride
+    * along on the final per-document join at no extra cost — the
+    * score re-attaches to the corpus there anyway.
+    */
   def bigramScore(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, passthrough: Seq[String] = Nil): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       Text.tokens(col(textCol)).as("w"))
 
@@ -66,10 +70,11 @@ object LmScore {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("m")).as("score_micro"))
 
-    docs.select(col(idCol).as("doc_id"))
+    docs.select(col(idCol).as("doc_id") +: passthrough.map(col): _*)
       .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+        coalesce(col("score_micro"), lit(0L)).as("score_micro")) ++
+        passthrough.map(col): _*)
   }
 }

@@ -3135,6 +3135,41 @@ object TrainingData {
        |FROM q JOIN documents d USING (doc_id)
        |GROUP BY d.lang, q.predicted""".stripMargin
 
+  // --- q142: CCNet perplexity bucketing ----------------------------------------
+  // operators/Curation.perplexityBuckets (Wenzek et al. 2020): the
+  // curation step between scoring and mixing — every language split into
+  // equal-depth head/middle/tail bands by per-bigram average LM score
+  // (q124's integer-portable model; average = score×1000 div n, both
+  // engines truncating toward zero; ties on doc_id). The oracle wraps
+  // q124's full replay as a CTE and re-runs the normalize + ntile
+  // window, so the LM, the division pin, the ordering, AND the bucket
+  // boundaries all sit under one hash. One window shuffle on lang
+  // beyond the audited scoring shape.
+  private def q142(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation
+      .perplexityBuckets(Tables.documents(s, d), "doc_id", "text", "lang")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("avg_logp_nano"), col("bucket"),
+        when(col("bucket") === 1L, "head")
+          .when(col("bucket") === 2L, "middle")
+          .otherwise("tail").as("band"))
+
+  private lazy val q142Sql: String =
+    s"""WITH q AS ($q124Sql),
+       |j AS (SELECT d.doc_id, d.lang, q.n_bigrams,
+       |        (q.score_micro * 1000) // greatest(q.n_bigrams, 1)
+       |          AS avg_logp_nano
+       |      FROM q JOIN documents d USING (doc_id)),
+       |b AS (SELECT doc_id, lang, n_bigrams, avg_logp_nano,
+       |        CAST(ntile(3) OVER (PARTITION BY lang
+       |          ORDER BY avg_logp_nano DESC, doc_id ASC) AS BIGINT)
+       |          AS bucket
+       |      FROM j)
+       |SELECT doc_id, lang, n_bigrams, avg_logp_nano, bucket,
+       |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+       |       ELSE 'tail' END AS band
+       |FROM b""".stripMargin
+
   // --- q124: n-gram LM quality scoring ----------------------------------------
   // operators/LmScore.bigramScore: the CCNet-style perplexity-proxy
   // curation filter — add-one-smoothed word-bigram LM trained on the
@@ -3302,7 +3337,8 @@ object TrainingData {
     "q138_substring_spans" -> q138 _,
     "q139_substring_removal" -> q139 _,
     "q140_decontaminate"  -> q140 _,
-    "q141_repetition_filters" -> q141 _)
+    "q141_repetition_filters" -> q141 _,
+    "q142_ppl_buckets"    -> q142 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -3393,5 +3429,6 @@ object TrainingData {
     "q138_substring_spans" -> q138Sql,
     "q139_substring_removal" -> q139Sql,
     "q140_decontaminate"  -> q140Sql,
-    "q141_repetition_filters" -> q141Sql)
+    "q141_repetition_filters" -> q141Sql,
+    "q142_ppl_buckets"    -> q142Sql)
 }

@@ -80,4 +80,35 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(3L), survivors.toString)
   }
+
+  test("perplexityBuckets: equal-depth per-lang bands, repetitive docs land in the head") {
+    import spark.implicits._
+    // 9 en docs: 3 made of one repeated bigram (high LM probability),
+    // 3 of moderately common pairs, 3 of singleton pairs (surprising);
+    // plus 2 fr docs to prove the partition is per-language
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "en", "x y x y x y x y")) ++
+      (4 to 6).map(i => (i.toLong, "en", s"common pair filler$i tail$i")) ++
+      (7 to 9).map(i => (i.toLong, "en", s"uniq$i only$i here$i now$i")) ++
+      Seq((10L, "fr", "un deux trois"), (11L, "fr", "quatre cinq six"))
+    ).toDF("doc_id", "lang", "text")
+    val out = Curation
+      .perplexityBuckets(docs, "doc_id", "text", "lang", nBuckets = 3)
+      .select("doc_id", "lang", "bucket").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    // equal depth: 9 en docs → 3 per bucket; 2 fr docs → buckets 1,2
+    val enByBucket = out.collect { case (_, ("en", b)) => b }.toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(enByBucket === Map(1L -> 3, 2L -> 3, 3L -> 3), out.toString)
+    assert(out.collect { case (_, ("fr", b)) => b }.toSeq.sorted ===
+      Seq(1L, 2L))
+    // the repeated-bigram docs are the least surprising → head
+    assert(Seq(1L, 2L, 3L).forall(id => out(id)._2 == 1L), out.toString)
+    // determinism under adversarial partitioning
+    val re = Curation
+      .perplexityBuckets(docs.repartition(7), "doc_id", "text", "lang")
+      .select("doc_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(re === out.map { case (id, (_, b)) => id -> b })
+  }
 }
