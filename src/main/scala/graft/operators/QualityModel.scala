@@ -118,7 +118,7 @@ object QualityModel {
     docs.select(col(idCol).as("id"), label.as("y"),
       featsCol(col(textCol), hexChars, bigrams).as("feats"))
 
-  private def micro(x: Double): Long = math.round(math.log(x) * Micro)
+  private def micro(x: Double): Long = muLn(x)
 
   /** One-shot Bernoulli-NB training over a featurized frame:
     * (per-present-bucket weights, adjusted prior) in BIGINT
@@ -225,5 +225,83 @@ object QualityModel {
       .localCheckpoint(true)
     f.unpersist(blocking = false)
     out
+  }
+
+  /** µln as a JVM static — BOTH trainers round through this exact
+    * function (`math.round(math.log(x) × 1e6)`), so the driver-side
+    * and distributed weight tables are bit-identical by construction
+    * (Spark's `round` is HALF_UP — away from zero on negative halves —
+    * where `math.round` takes `floor(x + 0.5)`; ln values land on an
+    * exact .5 only by double-rounding coincidence, but a model equality
+    * contract must not hang on "unlikely").
+    */
+  def muLn(x: Double): Long = math.round(math.log(x) * Micro)
+
+  private def muLnF(c: Column): Column = graft.CatalystBridge.column(
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      QualityModel.getClass,
+      org.apache.spark.sql.types.LongType, "muLn",
+      Seq(graft.CatalystBridge.expression(c)),
+      Seq(org.apache.spark.sql.types.DoubleType),
+      returnNullable = false))
+
+  /** The distributed weight table: [[trainBernoulliNb]]'s exact model
+    * ((bucket, w) rows + adjusted prior) with the weights NEVER
+    * collected — the capacity regime past the 16⁵ dense-literal cap
+    * (hexChars > 5, large bigram vocabularies), where the driver must
+    * not hold the table. Only three scalars reach the driver: the two
+    * class totals and the one-row absent-term sum.
+    *
+    * The per-bucket count aggregation is computed once into a cached
+    * frame (the absent-term pass and every later scoring pass read it);
+    * the caller owns that cache — `release()` when done scoring.
+    */
+  final case class NbModel(weights: DataFrame, prior: Long,
+      release: () => Unit)
+
+  def trainBernoulliNbDf(feats: DataFrame): NbModel = {
+    val tot = feats.agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("neg"))
+      .collect()(0)
+    require(!tot.isNullAt(0) || !tot.isNullAt(1),
+      "trainBernoulliNbDf: empty featurized corpus")
+    val pos = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val neg = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    val wa = feats
+      .select(col("y"), explode(col("feats")).as("b"))
+      .groupBy(col("b")).agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("pb"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("nb"))
+      .select(col("b"),
+        muLnF(((col("pb") + 1.0d) * (lit(neg) - col("nb") + 1.0d)) /
+          ((col("nb") + 1.0d) * (lit(pos) - col("pb") + 1.0d))).as("w"),
+        muLnF(((lit(pos) - col("pb") + 1.0d) * (neg + 2.0d)) /
+          ((lit(neg) - col("nb") + 1.0d) * (pos + 2.0d))).as("a"))
+      .persist()
+    val absent = wa.agg(sum(col("a"))).collect()(0)
+    val absentSum = if (absent.isNullAt(0)) 0L else absent.getLong(0)
+    NbModel(wa.select(col("b"), col("w")),
+      muLn((pos + 1.0) / (neg + 1.0)) + absentSum,
+      () => { wa.unpersist(blocking = false); () })
+  }
+
+  /** Margin via explode + weight join — [[marginCol]]'s semantics at
+    * distributed-weight capacity: absent buckets contribute 0, empty
+    * feature sets score the bare prior. The weight side broadcasts by
+    * default (10⁶ buckets ≈ 30 MB — broadcast-trivial; flip
+    * `broadcastWeights` off past ~10⁸ and let the planner shuffle both
+    * sides); the per-doc sum is one map-side-combined aggregation on
+    * the id.
+    */
+  def scoreViaJoin(feats: DataFrame, model: NbModel,
+      broadcastWeights: Boolean = true): DataFrame = {
+    val w =
+      if (broadcastWeights) broadcast(model.weights) else model.weights
+    feats.select(col("id"), explode_outer(col("feats")).as("b"))
+      .join(w, Seq("b"), "left")
+      .groupBy(col("id"))
+      .agg((lit(model.prior) + coalesce(sum(col("w")), lit(0L)))
+        .as("margin"))
   }
 }

@@ -68,6 +68,39 @@ object QualityScaleProfile {
       return
     }
 
+    // "joinpath" mode: the capacity regime PAST the dense-literal cap —
+    // hexChars=6 (16.7M bucket space) + bigrams at 10⁶ docs through
+    // trainBernoulliNbDf (weights never collected) + scoreViaJoin
+    // (broadcast weight join). The measured evidence that the ladder's
+    // top rung works at scale, not just in the spec.
+    if (args.headOption.contains("joinpath")) {
+      val docs = corpus(1000000L).persist()
+      docs.count()
+      val label = length(col("text")) > 150L
+      val t0 = System.nanoTime()
+      val f = QualityModel.featurize(docs, "doc_id", "text", label,
+        hexChars = 6, bigrams = true).persist()
+      f.count()
+      val model = QualityModel.trainBernoulliNbDf(f)
+      val m = f.join(QualityModel.scoreViaJoin(f, model), "id")
+      val r = m.agg(
+        avg(when(col("y") === (col("margin") > 0), 1d).otherwise(0d))
+          .as("acc"),
+        avg(when(col("y"), col("margin"))).as("mpos"),
+        avg(when(!col("y"), col("margin"))).as("mneg"),
+        count(lit(1)).as("n")).collect()(0)
+      val nw = model.weights.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[qjoin] n=1000000 hex=6 big=true  " +
+        f"acc=${r.getDouble(0)}%.4f  sep=${
+          (r.getDouble(1) - r.getDouble(2)) / 1e6}%10.3f  " +
+        f"weights=$nw%8d  ${sec}%6.1f s")
+      model.release()
+      f.unpersist(); docs.unpersist()
+      spark.stop()
+      return
+    }
+
     for (n <- Seq(100000L, 1000000L)) {
       val docs = corpus(n).persist()
       docs.count()

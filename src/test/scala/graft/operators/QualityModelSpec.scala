@@ -118,6 +118,34 @@ class QualityModelSpec extends AnyFunSuite {
     assert(got.toMap === batchMargins)
   }
 
+  test("distributed training + join scoring == driver-table training + literal scoring") {
+    val docs = Seq(
+      (1L, "good fine words here and more", true),
+      (2L, "bad awful terrible", false),
+      (3L, "good words", true),
+      (4L, "", false),
+      (5L, "awful fine mixed bag", false)
+    ).toDF("doc_id", "text", "y")
+    val f = QualityModel.featurize(docs, "doc_id", "text", col("y"))
+    val (wMap, priorMap) = QualityModel.trainBernoulliNb(f)
+    val model = QualityModel.trainBernoulliNbDf(f)
+    try {
+      assert(model.prior === priorMap)
+      val wDf = model.weights.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(wDf === wMap)
+      val viaJoin = QualityModel.scoreViaJoin(f, model)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLiteral = f
+        .select(col("id"),
+          QualityModel.marginCol(col("feats"), wMap, priorMap).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaJoin === viaLiteral)
+      // the empty-feats doc scores the bare prior through BOTH paths
+      assert(viaJoin(4L) === priorMap)
+    } finally model.release()
+  }
+
   test("property: margins match an independent in-test reimplementation") {
     import org.scalacheck.Gen
     def samples[T](g: Gen[T], n: Int): Seq[T] =
