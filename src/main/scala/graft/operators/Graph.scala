@@ -36,8 +36,24 @@ object Graph {
     * The returned frame is persisted (O(nodes) rows); intermediates are
     * released before returning.
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  /** `materializeEvery`: rounds between lineage-bounding
+    * materializations. Unlike [[minLabelPropagation]] — whose label
+    * table enters each round's plan TWICE (join input and union seed),
+    * doubling the lineage per lazy round — the rank table appears
+    * exactly once per round (the union seed is the separately-persisted
+    * node table), so chaining K rounds lazily grows the plan LINEARLY
+    * in K. Materializing only every K-th round keeps the cached state
+    * at O(nodes) and the plan at ≤ K joins deep while cutting the
+    * driver-side job count ~K× — round-11's q117 breakdown measured
+    * 2/3 of the query's wall in exactly that serial driver path
+    * (24 AQE jobs × ~70–90 ms each for 3 rounds at per-round
+    * materialization).
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      materializeEvery: Int = 4): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
+    require(materializeEvery >= 1,
+      s"materializeEvery=$materializeEvery must be >= 1")
     // ONE shuffle lays edges out by src; dedup and the degree count
     // then run inside that layout with no further exchange (all rows
     // of a src share a partition, so per-(src,dst) and per-src
@@ -70,6 +86,10 @@ object Graph {
     val nodes = ed.select(col("src").as("node")).distinct().persist()
 
     var ranks = nodes.withColumn("pr", lit(1000000000L))
+    // the previous MATERIALIZED rank table (the lazy intermediate
+    // rounds' plans read it, so it may only be released after the next
+    // materialization lands)
+    var lastMat: Option[DataFrame] = None
     for (i <- 1 to iters) {
       // one aggregation per round: the zero-share row per node seeds
       // the sum, so "no in-edges ⇒ re-base mass only" needs no second
@@ -88,14 +108,16 @@ object Graph {
         .groupBy("node").agg(sum("share").as("in_mass"))
         .select(col("node"),
           (lit(150000000L) + col("in_mass")).as("pr"))
-        .persist()
-      // materialize every round and release the previous one — the
-      // standard iterative-Spark shape: keeps each round's plan one
-      // join+agg deep (instead of a lineage that re-plans all prior
-      // rounds) and bounds cached state at O(nodes) rows
-      next.count(): Unit
-      if (i > 1) ranks.unpersist(blocking = false)
-      ranks = next
+      // materialize at interval boundaries (and at the end): bounds the
+      // plan at ≤ materializeEvery joins deep and the cached state at
+      // O(nodes), without paying a driver-side job barrier every round
+      if (i % materializeEvery == 0 || i == iters) {
+        val mat = next.persist()
+        mat.count(): Unit
+        lastMat.foreach(_.unpersist(blocking = false))
+        lastMat = Some(mat)
+        ranks = mat
+      } else ranks = next
     }
     val out = ranks
     ed.unpersist(blocking = false)
