@@ -32,6 +32,7 @@ object Bench {
           n.startsWith("graft_media_") || n.startsWith("graft_esv2_") ||
           n.startsWith("graft_eshttp_") || n.startsWith("graft_annlake_") ||
           n.startsWith("graft_partials_") || n.startsWith("graft_qscore_") ||
+          n.startsWith("graft_esbulk_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }

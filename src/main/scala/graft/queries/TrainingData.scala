@@ -3170,6 +3170,34 @@ object TrainingData {
        |       ELSE 'tail' END AS band
        |FROM b""".stripMargin
 
+  // --- q143: ES _bulk sink round trip ------------------------------------------
+  // sinks/EsBulk: the WRITE half of the connector — every corpus row
+  // rendered as the two-line _bulk action/source pair, one file per
+  // partition (the natural bulk-request granularity), read back through
+  // the union-schema JSON path (action lines = rows with a non-null
+  // `index` struct) and re-aggregated. The oracle recomputes from the
+  // source table (q63's lake-round-trip precedent): any row lost,
+  // doubled (an action line surviving the filter), or retyped by the
+  // JSON round trip fails the hash.
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = Tables.freshScratchDir("graft_esbulk_", d).toString
+    graft.sinks.EsBulk.write(docs, dir, "docs", "doc_id")
+    graft.sinks.EsBulk.read(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(length(col("text"))).cast("long").as("text_chars"))
+  }
+
+  private val q143Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(length(text)) AS BIGINT) AS text_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
   // --- q124: n-gram LM quality scoring ----------------------------------------
   // operators/LmScore.bigramScore: the CCNet-style perplexity-proxy
   // curation filter — add-one-smoothed word-bigram LM trained on the
@@ -3338,7 +3366,8 @@ object TrainingData {
     "q139_substring_removal" -> q139 _,
     "q140_decontaminate"  -> q140 _,
     "q141_repetition_filters" -> q141 _,
-    "q142_ppl_buckets"    -> q142 _)
+    "q142_ppl_buckets"    -> q142 _,
+    "q143_es_bulk_sink"   -> q143 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -3430,5 +3459,6 @@ object TrainingData {
     "q139_substring_removal" -> q139Sql,
     "q140_decontaminate"  -> q140Sql,
     "q141_repetition_filters" -> q141Sql,
-    "q142_ppl_buckets"    -> q142Sql)
+    "q142_ppl_buckets"    -> q142Sql,
+    "q143_es_bulk_sink"   -> q143Sql)
 }

@@ -1,0 +1,62 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Elasticsearch `_bulk` NDJSON sink — the WRITE half of the connector
+  * story (the read half is the DSv2 export source, the streaming
+  * source, and the live `search_after` client): every row renders as
+  * the two-line action + source pair the `_bulk` endpoint ingests,
+  *
+  * {{{
+  *   {"index":{"_index":"docs","_id":"42"}}
+  *   {"doc_id":42,"text":"..."}
+  * }}}
+  *
+  * written distributed through Spark's text sink — one bulk file per
+  * partition, which IS the natural bulk-request granularity: a large
+  * export becomes many bounded POST bodies a loader replays against a
+  * cluster, none of them driver-materialized. The source line is
+  * `to_json(struct(*))`, so quoting/escaping is the JSON writer's (a
+  * text column with quotes or newlines stays one line).
+  *
+  * Reference: the ETL reads FROM Elasticsearch; this closes the round
+  * trip so a corpus curated here can be shipped back (e.g. a cleaned
+  * index), and the reader stack can re-ingest our own exports.
+  */
+object EsBulk {
+
+  /** Write `df` as `_bulk` action/source line pairs under `path`.
+    * `idCol` becomes `_id` (stringified); all columns — including the
+    * id, as ES convention keeps it in `_source` — render into the
+    * source line in `df`'s column order.
+    */
+  def write(df: DataFrame, path: String, index: String,
+      idCol: String): Unit = {
+    require(df.columns.contains(idCol), s"missing id column $idCol")
+    df.select(concat(
+        lit(s"""{"index":{"_index":"$index","_id":""""),
+        col(idCol).cast("string"),
+        lit("\"}}\n"),
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+        .as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
+  /** Read a `_bulk` export back to one row per document. The JSON
+    * reader parses BOTH line kinds under one union schema; action
+    * lines are exactly the rows whose `index` action struct is
+    * non-null, so the filter is schema-driven — no string sniffing.
+    * Returns only the source-line columns. (`index` is therefore a
+    * reserved document-column name here, as it effectively is for the
+    * real `_bulk` wire format.)
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("inferTimestamp", false).option("inferDate", false)
+      .json(path)
+    require(raw.columns.contains("index"),
+      s"$path does not look like a _bulk export (no action lines)")
+    raw.filter(col("index").isNull).drop("index")
+  }
+}

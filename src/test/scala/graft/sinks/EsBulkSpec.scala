@@ -1,0 +1,67 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** _bulk sink: the exact two-line wire format, escaping of hostile
+  * text, id stringification, and the write→read round trip.
+  */
+class EsBulkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def scratch(): java.nio.file.Path = {
+    val p = Files.createTempDirectory("esbulk_spec_")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("wire format: alternating action/source lines, escaped text") {
+    val dir = scratch().resolve("out").toString
+    val docs = Seq((42L, "plain"), (7L, "quote \" and\nnewline"))
+      .toDF("doc_id", "text").repartition(1)
+    EsBulk.write(docs, dir, "docs", "doc_id")
+    val lines = spark.read.textFile(dir).collect()
+    assert(lines.length === 4, lines.mkString("|"))
+    val byId = lines.grouped(2).map { case Array(action, source) =>
+      assert(action.startsWith("""{"index":{"_index":"docs","_id":""""),
+        action)
+      val id = action.split("\"_id\":\"")(1).takeWhile(_ != '"')
+      id -> source
+    }.toMap
+    assert(byId.keySet === Set("42", "7"))
+    // the hostile doc stays ONE source line, JSON-escaped
+    assert(byId("7").contains("\\n") && byId("7").contains("\\\""),
+      byId("7"))
+  }
+
+  test("round trip preserves rows and types") {
+    val dir = scratch().resolve("rt").toString
+    val docs = Seq(
+      (1L, "alpha beta", 10L), (2L, "gamma \"q\"", 9L),
+      (3L, "multi\nline", 10L))
+      .toDF("doc_id", "text", "n")
+    EsBulk.write(docs, dir, "docs", "doc_id")
+    val back = EsBulk.read(spark, dir)
+      .select("doc_id", "text", "n").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(back === Array(
+      (1L, "alpha beta", 10L), (2L, "gamma \"q\"", 9L),
+      (3L, "multi\nline", 10L)))
+  }
+
+  test("read refuses a directory with no action lines") {
+    val dir = scratch().resolve("plain").toString
+    Seq((1L, "x")).toDF("doc_id", "text").write.json(dir)
+    val e = intercept[IllegalArgumentException](EsBulk.read(spark, dir))
+    assert(e.getMessage.contains("_bulk"))
+  }
+}
