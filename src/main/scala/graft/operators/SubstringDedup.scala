@@ -82,11 +82,22 @@ object SubstringDedup {
     val dupH = slim.groupBy("h")
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("h")
     // candidates re-extract their window via the doc join (text moves
-    // once per document); stage 2 then verifies on the TEXT, exactly
+    // once per document); stage 2 then verifies on the TEXT, exactly.
+    // MATERIALIZED (eager localCheckpoint): cand feeds both the exact
+    // verify aggregation (dupG) and the verified join probe, and the
+    // two consumers share no exchange — lazy, the whole anchor
+    // pipeline (per-position explode + hash count) executes twice
+    // (measured 2× the query at sf0.1). The candidate set is the
+    // hash-PRUNED remainder — bounded by true duplicates + vanishing
+    // collisions — so materializing it is scale-safe where
+    // materializing slim (O(corpus chars) rows) is not; a local
+    // checkpoint's blocks die with the RDD, so no caller unpersist
+    // obligation (the distill precedent).
     val cand = slim.join(dupH, "h")
       .join(base, "id")
       .select(col("id"), col("i"),
         col("text").substr(col("i"), lit(L)).as("gram"))
+      .localCheckpoint(true)
     val dupG = cand.groupBy("gram")
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("gram")
     val dup = cand.join(dupG, "gram").select("id", "i")
