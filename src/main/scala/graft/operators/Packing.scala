@@ -52,4 +52,27 @@ object Packing {
       .select(col(idCol), col(partCol), col("n_tokens"),
         expr(s"cum_before div ${budget}L").as("pack_id"))
   }
+
+  /** The loader-facing boundary table: [[packByCounts]] plus each
+    * document's token START OFFSET within its pack — what a training
+    * loader needs to reset attention masks (and loss masks) at document
+    * boundaries inside a concatenated pack. A document's offset is its
+    * stratum-cumulative token count minus the pack's first document's —
+    * one extra window over the (stratum, pack) key the packing already
+    * shuffled by, so the layout costs no additional exchange. Straddling
+    * documents (cumulative-quotient rule) simply carry an offset near
+    * the budget; the loader wraps.
+    */
+  def packOffsets(df: DataFrame, idCol: String, partCol: String,
+      nTokensCol: String, budget: Long = 2048L): DataFrame = {
+    val packed = packByCounts(df, idCol, partCol, nTokensCol, budget)
+    val wp = Window.partitionBy(col(partCol), col("pack_id"))
+      .orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packed
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(wp), lit(0L)))
+      .select(col(idCol), col(partCol), col("n_tokens"),
+        col("pack_id"), col("start_offset"))
+  }
 }

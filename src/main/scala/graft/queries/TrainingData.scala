@@ -1034,6 +1034,36 @@ object TrainingData {
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
              FROM documents) t"""
 
+  // --- q144: pack boundary offsets (loader attention-mask table) --------------
+  // Packing.packOffsets: q68's layout plus each document's token START
+  // OFFSET within its pack — the table a training loader consumes to
+  // reset attention/loss masks at document boundaries inside a
+  // concatenated pack. One extra window over the (lang, pack_id) key
+  // the packing already shuffled by — no additional exchange. The
+  // oracle chains q68's replay through the second window.
+  private def q144(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.packOffsets(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "lang", "n_tokens", budget = 2048L)
+
+  private val q144Sql =
+    """WITH t AS (SELECT doc_id, lang,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |      FROM documents),
+       |p AS (SELECT doc_id, lang, n_tokens,
+       |        COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang
+       |          ORDER BY doc_id ASC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |          AS BIGINT), 0) // 2048 AS pack_id
+       |      FROM t)
+       |SELECT doc_id, lang, n_tokens, pack_id,
+       |  COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang, pack_id
+       |    ORDER BY doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    AS BIGINT), 0) AS start_offset
+       |FROM p""".stripMargin
+
   // --- q69: incremental ingestion dedup (delta vs corpus) ---------------------
   // New-batch-vs-corpus near-dup detection: doc_id % 20 == 0 models the
   // freshly crawled delta, the rest the standing corpus. The corpus side
@@ -3367,7 +3397,8 @@ object TrainingData {
     "q140_decontaminate"  -> q140 _,
     "q141_repetition_filters" -> q141 _,
     "q142_ppl_buckets"    -> q142 _,
-    "q143_es_bulk_sink"   -> q143 _)
+    "q143_es_bulk_sink"   -> q143 _,
+    "q144_pack_offsets"   -> q144 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -3460,5 +3491,6 @@ object TrainingData {
     "q140_decontaminate"  -> q140Sql,
     "q141_repetition_filters" -> q141Sql,
     "q142_ppl_buckets"    -> q142Sql,
-    "q143_es_bulk_sink"   -> q143Sql)
+    "q143_es_bulk_sink"   -> q143Sql,
+    "q144_pack_offsets"   -> q144Sql)
 }

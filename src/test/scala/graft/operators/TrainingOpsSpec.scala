@@ -336,6 +336,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(packsA == (0L to packsA.max).toSeq)
   }
 
+  test("packOffsets: per-pack start offsets, straddlers carry their tail") {
+    import spark.implicits._
+    // same corpus/budget as the packByBudget test: lang a packs
+    // {1,2}->0, {3}->1, {4}->2; offsets restart per pack, and doc 2
+    // (cum_before 3) starts at offset 3 of pack 0 even though it
+    // straddles past budget 6 (the loader wraps)
+    val df = Seq(
+      (1L, "a", 3L), (2L, "a", 4L), (3L, "a", 5L),
+      (4L, "a", 2L), (10L, "b", 7L)).toDF("doc_id", "lang", "n_tokens")
+    val got = Packing.packOffsets(df, "doc_id", "lang", "n_tokens",
+        budget = 6L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      1L -> ((0L, 0L)), 2L -> ((0L, 3L)),
+      3L -> ((1L, 0L)), 4L -> ((2L, 0L)),
+      10L -> ((0L, 0L))), got.toString)
+  }
+
   test("incremental dedup finds delta-vs-corpus pairs only, corpus never self-paired") {
     import spark.implicits._
     val corpusDocs = (10 to 29).map(i => (i.toLong, wordsDoc(i)))
