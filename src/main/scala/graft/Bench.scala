@@ -32,7 +32,7 @@ object Bench {
           n.startsWith("graft_media_") || n.startsWith("graft_esv2_") ||
           n.startsWith("graft_eshttp_") || n.startsWith("graft_annlake_") ||
           n.startsWith("graft_partials_") || n.startsWith("graft_qscore_") ||
-          n.startsWith("graft_esbulk_") ||
+          n.startsWith("graft_esbulk_") || n.startsWith("graft_ivflake_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }
@@ -126,7 +126,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = runs.filter(_._3.isEmpty).map(_._2).sum
     val flat = flattenBench(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_samples":${flat.samples},"flatten_sec":${flat.coldSec},"flatten_sec_median":${flat.coldSecMedian},"flatten_docs_per_s":${flat.coldRate},"flatten_docs_per_s_best":${flat.coldRateBest},"flatten_docs_per_s_warm":${flat.warmRate},"flatten_docs_per_s_warm_median":${flat.warmRate},"flatten_docs_per_s_warm_best":${flat.warmRateBest},"flatten_sec_schema_reuse":${flat.schemaReuseSec},"flatten_sec_schema_reuse_median":${flat.schemaReuseSecMedian},"flatten_docs_per_s_schema_reuse":${flat.schemaReuseRate}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_samples":${flat.samples},"flatten_sec":${flat.coldSec},"flatten_sec_median":${flat.coldSecMedian},"flatten_docs_per_s":${flat.coldRate},"flatten_docs_per_s_best":${flat.coldRateBest},"flatten_docs_per_s_warm":${flat.warmRate},"flatten_docs_per_s_warm_best":${flat.warmRateBest},"flatten_sec_schema_reuse":${flat.schemaReuseSec},"flatten_sec_schema_reuse_median":${flat.schemaReuseSecMedian},"flatten_docs_per_s_schema_reuse":${flat.schemaReuseRate}}""")
     // The driver records the TAIL of stdout, which truncated the verbose
     // line above from the front in r3 (q01-q12 timings lost, parsed:null).
     // Re-emit everything as a COMPACT single line — short query keys
@@ -138,7 +138,7 @@ object Bench {
     val qsShort = runs.map { case (k, v, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3d(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_samples":${flat.samples},"flatten_sec":${r3d(flat.coldSec)},"flatten_sec_median":${r3d(flat.coldSecMedian)},"flatten_docs_per_s":${r3d(flat.coldRate)},"flatten_docs_per_s_best":${r3d(flat.coldRateBest)},"flatten_docs_per_s_warm":${r3d(flat.warmRate)},"flatten_docs_per_s_warm_median":${r3d(flat.warmRate)},"flatten_docs_per_s_warm_best":${r3d(flat.warmRateBest)},"flatten_sec_schema_reuse":${r3d(flat.schemaReuseSec)},"flatten_sec_schema_reuse_median":${r3d(flat.schemaReuseSecMedian)},"flatten_docs_per_s_schema_reuse":${r3d(flat.schemaReuseRate)}}""")
+    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_samples":${flat.samples},"flatten_sec":${r3d(flat.coldSec)},"flatten_sec_median":${r3d(flat.coldSecMedian)},"flatten_docs_per_s":${r3d(flat.coldRate)},"flatten_docs_per_s_best":${r3d(flat.coldRateBest)},"flatten_docs_per_s_warm":${r3d(flat.warmRate)},"flatten_docs_per_s_warm_best":${r3d(flat.warmRateBest)},"flatten_sec_schema_reuse":${r3d(flat.schemaReuseSec)},"flatten_sec_schema_reuse_median":${r3d(flat.schemaReuseSecMedian)},"flatten_docs_per_s_schema_reuse":${r3d(flat.schemaReuseRate)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

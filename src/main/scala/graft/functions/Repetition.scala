@@ -44,6 +44,28 @@ object Repetition {
     * counts once), so both fractions are ≤ 1. Documents shorter than
     * `n` tokens, or with zero total characters, return `[0, 0]`.
     */
+  // Character counts and the modal tie-break are CODE-POINT semantics,
+  // matching the SQL oracle (DuckDB length() counts code points and its
+  // binary collation orders by UTF-8 bytes == code-point order).
+  // String.length / String.compareTo would diverge on supplementary-
+  // plane text: UTF-16 counts them as 2 units and orders surrogates
+  // below [U+E000,U+FFFF].
+  private def cpLen(s: String): Long =
+    s.codePointCount(0, s.length).toLong
+
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   def ngramCoverStats(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()
     val zero = () =>
@@ -55,7 +77,7 @@ object Repetition {
     while (i < m) {
       val s = if (toks.isNullAt(i)) "" else toks.getUTF8String(i).toString
       ts(i) = s
-      totalChars += s.length
+      totalChars += cpLen(s)
       i += 1
     }
     if (totalChars == 0L) return zero()
@@ -79,7 +101,7 @@ object Repetition {
     while (it.hasNext) {
       val e = it.next()
       val c = e.getValue.intValue
-      if (c > topC || (c == topC && e.getKey.compareTo(top) < 0)) {
+      if (c > topC || (c == topC && cpCompare(e.getKey, top) < 0)) {
         top = e.getKey; topC = c
       }
     }
@@ -103,8 +125,8 @@ object Repetition {
     var dupChars = 0L
     i = 0
     while (i < m) {
-      if (topCov(i)) topChars += ts(i).length
-      if (dupCov(i)) dupChars += ts(i).length
+      if (topCov(i)) topChars += cpLen(ts(i))
+      if (dupCov(i)) dupChars += cpLen(ts(i))
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(Array(

@@ -152,6 +152,15 @@ object Bpe {
            org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint truncates RDD DEPENDENCIES at the count below —
+      // re-wrapping alone cuts only the SQL plan, and the narrow RDD
+      // chain (each round's RDD computed from the previous round's)
+      // would still grow O(rounds) deep: task binaries serialize the
+      // whole ancestor graph, and a lost cached block would recompute
+      // through every unpersisted ancestor back to round 0. Releasing a
+      // truncated round is safe by construction: once the NEXT round's
+      // count has run, its lineage no longer references this RDD.
+      rdd.localCheckpoint()
       rdd.count(): Unit // eager: the lineage behind it never re-runs
       (spark.createDataFrame(rdd, df.schema), rdd)
     }

@@ -168,21 +168,11 @@ object Similarity {
     // for trainability; callers wanting faiss-scale cell counts should
     // train centroids distributed (fixedPointKMeans) and pass nCells
     // explicitly with a matching sampleN.
-    val cells =
-      if (nCells > 0) nCells
-      else math.min(2048L,
-        math.max(16L, 4L * math.sqrt(corpus.count().toDouble).toLong)).toInt
+    val (cells, centroids) =
+      trainCentroids(corpus, idCol, vecCol, dim, nCells, sampleN, iters, seed)
     val probes =
       if (nProbe > 0) nProbe
       else math.min(cells, math.max(4, cells * 8 / 100))
-    val sampN =
-      if (sampleN > 0) sampleN
-      else math.min(16384, math.max(2048, 8 * cells))
-    val sample = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .orderBy(col("id")).limit(sampN)
-      .collect().map(_.getSeq[Float](1).toArray)
-    val centroids = trainSphericalKMeans(sample, cells, dim, iters, seed)
     // packed UnsafeArrayData literal: primitive getFloat in the per-row
     // assignment loop (typedLit would box every element read)
     val centLit = ArrayOps.packedFloatLit(centroids)
@@ -195,6 +185,33 @@ object Similarity {
         graft.functions.ArrayOps.topCentroidsF(col("q_vec"), centLit, dim,
           probes)))
     ivfScore(c, q, k)
+  }
+
+  /** The centroid-training head shared by [[ivfTopK]] and
+    * [[writeIvfLake]]: auto cell count (4·√n clamped to 16..2048 so the
+    * driver-side sample can always afford ≥8 points per centroid under
+    * the 16,384-sample cap), auto sample size, the deterministic
+    * `orderBy(id).limit` sample collect, and spherical k-means — ONE
+    * copy, so the lake writer's partitioning geometry can never drift
+    * from the in-memory path (q137's equals-in-memory contract depends
+    * on both computing byte-identical centroids). Returns
+    * (cells, flat row-major centroid matrix).
+    */
+  private def trainCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nCells: Int, sampleN: Int,
+      iters: Int, seed: Long): (Int, Array[Float]) = {
+    val cells =
+      if (nCells > 0) nCells
+      else math.min(2048L,
+        math.max(16L, 4L * math.sqrt(corpus.count().toDouble).toLong)).toInt
+    val sampN =
+      if (sampleN > 0) sampleN
+      else math.min(16384, math.max(2048, 8 * cells))
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(sampN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    (cells, trainSphericalKMeans(sample, cells, dim, iters, seed))
   }
 
   /** The in-cell scoring tail shared by [[ivfTopK]] and
@@ -244,18 +261,8 @@ object Similarity {
       vecCol: String, dim: Int, nCells: Int = 0, sampleN: Int = 0,
       iters: Int = 10, seed: Long = 42L): Int = {
     val spark = corpus.sparkSession
-    val cells =
-      if (nCells > 0) nCells
-      else math.min(2048L,
-        math.max(16L, 4L * math.sqrt(corpus.count().toDouble).toLong)).toInt
-    val sampN =
-      if (sampleN > 0) sampleN
-      else math.min(16384, math.max(2048, 8 * cells))
-    val sample = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .orderBy(col("id")).limit(sampN)
-      .collect().map(_.getSeq[Float](1).toArray)
-    val centroids = trainSphericalKMeans(sample, cells, dim, iters, seed)
+    val (cells, centroids) =
+      trainCentroids(corpus, idCol, vecCol, dim, nCells, sampleN, iters, seed)
     val centLit = ArrayOps.packedFloatLit(centroids)
     corpus.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))
@@ -286,8 +293,8 @@ object Similarity {
   def ivfTopKOverLake(spark: org.apache.spark.sql.SparkSession,
       lakeDir: String, queries: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int = 5, nProbe: Int = 0): DataFrame = {
-    val cents = spark.read.parquet(lakeDir + "/_ivf_centroids")
-      .orderBy("cell_id").collect()
+    // indexed into flat[] by cell_id below — no ordering needed
+    val cents = spark.read.parquet(lakeDir + "/_ivf_centroids").collect()
     val cells = cents.length
     require(cells > 0, s"no _ivf_centroids sidecar under $lakeDir")
     val flat = new Array[Float](cells * dim)
@@ -301,14 +308,30 @@ object Similarity {
       if (nProbe > 0) nProbe
       else math.min(cells, math.max(4, cells * 8 / 100))
     val centLit = ArrayOps.packedFloatLit(flat)
-    val q = queries.select(col(idCol).cast("long").as("q_id"),
+    // The ×nProbe-fanned query side is ivfScore's BROADCAST side, so it
+    // fits the driver by the same budget — collect it ONCE (running the
+    // O(|Q|·cells·dim) centroid scoring a single time), derive the
+    // partition filter from the collected rows, and re-wrap them as a
+    // local relation for the join. The previous shape executed the
+    // scoring plan twice: once for the probed-cells distinct() and
+    // again inside the broadcast.
+    val qRows = queries.select(col(idCol).cast("long").as("q_id"),
         col(vecCol).cast("array<float>").as("q_vec"))
       .withColumn("cell", explode(
         graft.functions.ArrayOps.topCentroidsF(col("q_vec"), centLit, dim,
           probes)))
-    // bounded collect: ≤ |Q|·nProbe cell ids — the partition filter
-    val probed = q.select(col("cell")).distinct()
-      .collect().map(_.getLong(0))
+      .collect()
+    val probed = qRows.map(_.getAs[Long]("cell")).distinct
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("q_vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType))))
     val c = spark.read.schema(IvfLakeSchema).parquet(lakeDir)
       .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
     ivfScore(c, q, k)

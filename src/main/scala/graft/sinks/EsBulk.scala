@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * written distributed through Spark's text sink — one bulk file per
   * partition, which IS the natural bulk-request granularity: a large
   * export becomes many bounded POST bodies a loader replays against a
-  * cluster, none of them driver-materialized. The source line is
-  * `to_json(struct(*))`, so quoting/escaping is the JSON writer's (a
-  * text column with quotes or newlines stays one line).
+  * cluster, none of them driver-materialized. BOTH lines render
+  * through `to_json`, so quoting/escaping is the JSON writer's
+  * everywhere — a text column, id, or index name with quotes,
+  * backslashes, or newlines stays one well-formed line.
   *
   * Reference: the ETL reads FROM Elasticsearch; this closes the round
   * trip so a corpus curated here can be shipped back (e.g. a cleaned
@@ -34,10 +35,14 @@ object EsBulk {
   def write(df: DataFrame, path: String, index: String,
       idCol: String): Unit = {
     require(df.columns.contains(idCol), s"missing id column $idCol")
+    // the action line goes through to_json too — an id (or index name)
+    // containing quotes, backslashes, or newlines must be writer-escaped
+    // exactly like the source line, or the NDJSON framing breaks
     df.select(concat(
-        lit(s"""{"index":{"_index":"$index","_id":""""),
-        col(idCol).cast("string"),
-        lit("\"}}\n"),
+        to_json(struct(struct(
+          lit(index).as("_index"),
+          col(idCol).cast("string").as("_id")).as("index"))),
+        lit("\n"),
         to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
         .as("value"))
       .write.mode("overwrite").text(path)

@@ -61,6 +61,27 @@ class RepetitionSpec extends AnyFunSuite {
     assert(dup === 0L)
   }
 
+  test("code-point semantics: supplementary-plane chars count once") {
+    // tokens: 😀(1cp) bb 😀 bb c — 2-grams: "😀 bb"x2, "bb 😀", "bb c";
+    // top "😀 bb" covers positions {0,1,2,3} = 6 code points of 7 total.
+    // UTF-16 String.length would count each 😀 as 2 (8 of 9) — the SQL
+    // oracle (DuckDB length() = code points) pins the cp value.
+    val (top, dup) = stats("😀 bb 😀 bb c", 2)
+    assert(top === 6L * 1000000L / 7L)
+    assert(dup === 6L * 1000000L / 7L)
+  }
+
+  test("code-point tie-break, not UTF-16 order") {
+    // 1-grams: "😀😀"x2 (2cp) vs ""x2 (1cp) tie at count 2.
+    // Code-point order (= DuckDB's UTF-8 byte order): U+E000 < U+1F600,
+    // so "" wins, covering 2 of 7 code points. UTF-16 compareTo
+    // orders the surrogate D83D below E000 and would pick "😀😀" (4/7).
+    val (top, dup) = stats("😀😀  " +
+      "😀😀  z", 1)
+    assert(top === 2L * 1000000L / 7L)
+    assert(dup === 6L * 1000000L / 7L) // both duplicated grams cover 6cp
+  }
+
   test("property: matches a naive reimplementation") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("a", "bb", "c", "dd", "e")

@@ -119,6 +119,21 @@ class BpeSpec extends AnyFunSuite {
     assert((first._2, first._3, first._4) === (("e", "s", 9L)))
   }
 
+  test("training releases every round's cached RDD (no registry leak)") {
+    val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3, "lowest" -> 4)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // enough merges for several multi-round generations of the word
+    // table; each superseded round's localCheckpoint blocks must be
+    // dropped as soon as the next round materializes, and the final
+    // round's on return
+    Bpe.trainMergesBatched(docs, "text", merges = 12, maxBatch = 2)
+      .collect(): Unit
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"leaked persisted RDDs: ${after -- before}")
+  }
+
   test("batched rules form a valid derivation chain; encoding shrinks") {
     val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6,
       "widest" -> 3, "lowest" -> 4)

@@ -58,6 +58,26 @@ class EsBulkSpec extends AnyFunSuite {
       (3L, "multi\nline", 10L)))
   }
 
+  test("hostile string ids stay one well-formed action line") {
+    // an id with quotes, a backslash, and a newline must be writer-
+    // escaped in the ACTION line too — string-concat assembly would
+    // emit invalid JSON / split the line, and read() would then pass
+    // the corrupt action row through as a phantom document
+    val dir = scratch().resolve("hostile").toString
+    val docs = Seq(("he said \"hi\"\\\nbye", 1L), ("plain", 2L))
+      .toDF("key", "n")
+    EsBulk.write(docs, dir, "docs", "key")
+    val lines = spark.read.textFile(dir).collect()
+    assert(lines.length === 4, lines.mkString("|"))
+    // every line parses as standalone JSON (the framing survived)
+    val parsed = spark.read.json(spark.createDataset(lines.toIndexedSeq))
+    assert(!parsed.columns.contains("_corrupt_record"),
+      parsed.columns.mkString(","))
+    val back = EsBulk.read(spark, dir)
+      .select("key", "n").as[(String, Long)].collect().sortBy(_._2)
+    assert(back === Array(("he said \"hi\"\\\nbye", 1L), ("plain", 2L)))
+  }
+
   test("read refuses a directory with no action lines") {
     val dir = scratch().resolve("plain").toString
     Seq((1L, "x")).toDF("doc_id", "text").write.json(dir)
