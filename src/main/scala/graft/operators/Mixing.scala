@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Fractional-epoch domain resampling — the "data mixture" step of a
+  * training run: given a target weight per domain expressed in EPOCHS
+  * (2.3 = every document of that domain appears twice, and a
+  * deterministic 30% of them a third time), emit the physically
+  * resampled corpus. This is the standard way published mixes are
+  * specified (e.g. up-sampling a small high-quality domain to >1 epoch
+  * while a crawl domain stays <1), and it composes with the rest of
+  * the pipeline: feed the output through `Layout.trainingShuffle` and
+  * the copies interleave into training order.
+  *
+  * Scale shape: the mixture table is a handful of rows — broadcast —
+  * and everything else is a PROJECTION (hash, copy count, sequence
+  * explode). Zero shuffles, no RNG state: the fractional keep decision
+  * derives from `Layout.shuffleHash(id, seed)`, the engine-portable
+  * mixer q112's oracle already replays, so the same subset of
+  * documents gets the extra copy on every rerun, any cluster size, and
+  * in the SQL oracle. Weights are integer MILLI-epochs so the
+  * threshold compare (`h mod 1000 < epochs mod 1000`) is exact integer
+  * arithmetic on both engines.
+  *
+  * Sub-epoch weights (< 1000 milli) mean the domain is DOWN-sampled:
+  * floor(e) = 0 copies plus the hash-selected fraction — exactly the
+  * "0.3 epochs of domain X" case. Domains absent from the map get
+  * weight 0 (dropped); pass 1000 to keep a domain as-is.
+  */
+object Mixing {
+
+  /** Resample `docs` to the target mixture. Output = input columns plus
+    *  - `n_copies` — this document's total copy count under the mix;
+    *  - `copy`     — 1..n_copies, one output row per copy.
+    * Rows with `n_copies` = 0 are dropped.
+    */
+  def epochMix(docs: DataFrame, idCol: String, domainCol: String,
+      epochsMilli: Map[String, Long], seed: Long): DataFrame = {
+    require(epochsMilli.nonEmpty, "empty mixture")
+    require(epochsMilli.values.forall(_ >= 0L),
+      s"negative epochs in $epochsMilli")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mix = epochsMilli.toSeq.toDF(domainCol, "epochs_milli")
+    val h = Layout.shuffleHash(col(idCol), seed)
+    docs.join(F.broadcast(mix), Seq(domainCol))
+      .withColumn("n_copies",
+        expr("epochs_milli DIV 1000") +
+          when(pmod(h, lit(1000L)) < col("epochs_milli") % lit(1000L),
+            lit(1L)).otherwise(lit(0L)))
+      .drop("epochs_milli")
+      // the filter is semantic, not an optimization: Spark's
+      // sequence(1, 0) infers step -1 and yields [1, 0] — two phantom
+      // copies — where SQL generate_series(1, 0) is empty
+      .filter(col("n_copies") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+  }
+}

@@ -63,6 +63,33 @@ object Similarity {
     heapTopK(scored, k).select("q_id", "id", "rank")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query, the exact top-k most-similar corpus vectors whose `labelCol`
+    * DIFFERS from the query's — the semantically-close-but-wrong
+    * examples a contrastive loss learns the most from (easy random
+    * negatives contribute ~zero gradient). Same broadcast-the-queries /
+    * scan-the-corpus-once shape as [[bruteForceTopK]], with the label
+    * mismatch applied IN the join condition so same-label pairs never
+    * reach the scoring kernel or the heap. Output: (q_id, id, rank).
+    *
+    * At corpus scales where the exact scan is too expensive, mine from
+    * an ANN shortlist instead (e.g. [[ivfTopK]] with k ≫ target, then
+    * filter the label and re-rank) — the standard recall-for-cost trade
+    * with the same output contract.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(labelCol).as("label"))
+    val scored = c.join(broadcast(q),
+        col("q_label") =!= col("label") && col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
+    heapTopK(scored, k).select("q_id", "id", "rank")
+  }
+
   /** LSH-bucketed ANN with multi-probe: the corpus is bucketed once by
     * hyperplane signs; each QUERY probes its own bucket plus every bucket
     * at Hamming distance 1 (flip one sign bit). Only the tiny query side

@@ -3306,6 +3306,134 @@ object TrainingData {
          CAST(rn AS BIGINT) AS rank, doc_id, score_micro
        FROM r WHERE rn <= 10"""
 
+  // --- q145: fractional-epoch domain resampling --------------------------------
+  // operators/Mixing.epochMix: the published-mix step — per-source
+  // target weights in MILLI-epochs (2300 = 2 copies + a deterministic
+  // 30% third), the fractional keep decided by q112's engine-portable
+  // mixer, copies emitted via sequence-explode. Zero shuffles (the mix
+  // table broadcasts); the mixture exercises >2 epochs, sub-epoch
+  // down-sampling, an exact 1.0, a hard 0, a 1-milli corner, and an
+  // absent domain (src9 → dropped). The oracle replays the mixer CTEs,
+  // the threshold compare, and generate_series per copy — every copy
+  // row of every document under one hash.
+  private val Q145Mix: Seq[(String, Long)] = Seq(
+    "src0" -> 2300L, "src1" -> 700L, "src2" -> 1500L, "src3" -> 0L,
+    "src4" -> 1000L, "src5" -> 3000L, "src6" -> 250L, "src7" -> 1999L,
+    "src8" -> 1L)
+
+  private def q145(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mixing.epochMix(Tables.documents(s, d), "doc_id",
+        "source", Q145Mix.toMap, seed = 2026L)
+      .select(col("doc_id"), col("source"), col("copy"), col("n_copies"))
+
+  private lazy val q145Sql: String = {
+    val values = Q145Mix
+      .map { case (src, em) => s"('$src', $em)" }.mkString(", ")
+    s"""WITH e AS (SELECT * FROM (VALUES $values) AS t(source, em)),
+       |h1 AS (SELECT doc_id, source,
+       |         ((doc_id % 1000000007) * 2654435761 + 2026) % 1000000007
+       |           AS h1 FROM documents),
+       |h3 AS (SELECT doc_id, source,
+       |         ((h1 * h1) % 1000000007 * 2246822519 + 40503) % 1000000007
+       |           AS h3 FROM h1),
+       |j AS (SELECT h3.doc_id, h3.source,
+       |        e.em // 1000 +
+       |          CASE WHEN h3.h3 % 1000 < e.em % 1000 THEN 1 ELSE 0 END
+       |          AS n_copies
+       |      FROM h3 JOIN e USING (source))
+       |SELECT doc_id, source,
+       |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy,
+       |  CAST(n_copies AS BIGINT) AS n_copies
+       |FROM j""".stripMargin
+  }
+
+  // --- q146: data-quality expectations gate ------------------------------------
+  // operators/Expectations: the validation report in front of a 100 TB
+  // ingest — row-count floor, null ceilings, integer-exact value
+  // ranges (centi-units), cardinality bounds, all as ONE aggregate
+  // pass over lineitem, plus a referential-integrity row (orphan
+  // lineitem orderkeys vs orders) from one anti-join. The oracle
+  // recomputes every measured value AND every pass flag.
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Check
+    val li = Tables.lineitem(s, d)
+    Expectations.report(li, Seq(
+      Check("row_count", count(lit(1)), lo = Some(1L)),
+      Check("orderkey_nulls", count(when(col("l_orderkey").isNull, 1)),
+        lo = Some(0L), hi = Some(0L)),
+      Check("quantity_min_centi",
+        min(round(col("l_quantity") * 100).cast("long")), lo = Some(100L)),
+      Check("quantity_max_centi",
+        max(round(col("l_quantity") * 100).cast("long")), hi = Some(5000L)),
+      Check("discount_max_centi",
+        max(round(col("l_discount") * 100).cast("long")), hi = Some(10L)),
+      Check("returnflag_card", countDistinct(col("l_returnflag")),
+        lo = Some(1L), hi = Some(3L)),
+      Check("shipdate_nulls", count(when(col("l_shipdate").isNull, 1)),
+        lo = Some(0L), hi = Some(0L))))
+      .unionByName(Expectations.refIntegrity("orphan_lineitems",
+        li, "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+  }
+
+  private val q146Sql: String =
+    """WITH a AS (SELECT
+      |    CAST(count(*) AS BIGINT) AS row_count,
+      |    CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT)
+      |      AS orderkey_nulls,
+      |    CAST(min(round(l_quantity * 100)) AS BIGINT) AS quantity_min_centi,
+      |    CAST(max(round(l_quantity * 100)) AS BIGINT) AS quantity_max_centi,
+      |    CAST(max(round(l_discount * 100)) AS BIGINT) AS discount_max_centi,
+      |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS returnflag_card,
+      |    CAST(count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT)
+      |      AS shipdate_nulls
+      |  FROM lineitem),
+      |o AS (SELECT CAST(count(*) AS BIGINT) AS v
+      |      FROM lineitem l LEFT JOIN orders ord
+      |        ON l.l_orderkey = ord.o_orderkey
+      |      WHERE ord.o_orderkey IS NULL)
+      |SELECT 'row_count' AS check_name, row_count AS value,
+      |  CAST(1 AS BIGINT) AS lo, CAST(NULL AS BIGINT) AS hi,
+      |  row_count >= 1 AS pass FROM a
+      |UNION ALL SELECT 'orderkey_nulls', orderkey_nulls, 0, 0,
+      |  orderkey_nulls = 0 FROM a
+      |UNION ALL SELECT 'quantity_min_centi', quantity_min_centi, 100, NULL,
+      |  quantity_min_centi >= 100 FROM a
+      |UNION ALL SELECT 'quantity_max_centi', quantity_max_centi, NULL, 5000,
+      |  quantity_max_centi <= 5000 FROM a
+      |UNION ALL SELECT 'discount_max_centi', discount_max_centi, NULL, 10,
+      |  discount_max_centi <= 10 FROM a
+      |UNION ALL SELECT 'returnflag_card', returnflag_card, 1, 3,
+      |  returnflag_card BETWEEN 1 AND 3 FROM a
+      |UNION ALL SELECT 'shipdate_nulls', shipdate_nulls, 0, 0,
+      |  shipdate_nulls = 0 FROM a
+      |UNION ALL SELECT 'orphan_lineitems', v, 0, 0, v = 0 FROM o""".stripMargin
+
+  // --- q147: hard-negative mining ----------------------------------------------
+  // operators/Similarity.hardNegatives: for each audit query, the exact
+  // top-5 most-cosine-similar embeddings with a DIFFERENT label — the
+  // contrastive-training negatives. Label mismatch sits in the join
+  // condition (same-label pairs never reach the kernel); otherwise the
+  // q28 broadcast/scan-once/heap shape, and the oracle is q28's with
+  // the label predicate.
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", "label", k = 5)
+  }
+
+  private val q147Sql: String =
+    """SELECT q_id, id, rank FROM (
+         SELECT q.vec_id AS q_id, c.vec_id AS id,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                             c.embedding::DOUBLE[]) DESC,
+                      c.vec_id ASC) AS BIGINT) AS rank
+         FROM embeddings q, embeddings c
+         WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+           AND q.label != c.label) t
+       WHERE rank <= 5"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -3398,7 +3526,10 @@ object TrainingData {
     "q141_repetition_filters" -> q141 _,
     "q142_ppl_buckets"    -> q142 _,
     "q143_es_bulk_sink"   -> q143 _,
-    "q144_pack_offsets"   -> q144 _)
+    "q144_pack_offsets"   -> q144 _,
+    "q145_epoch_mix"      -> q145 _,
+    "q146_expectations"   -> q146 _,
+    "q147_hard_negatives" -> q147 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -3492,5 +3623,8 @@ object TrainingData {
     "q141_repetition_filters" -> q141Sql,
     "q142_ppl_buckets"    -> q142Sql,
     "q143_es_bulk_sink"   -> q143Sql,
-    "q144_pack_offsets"   -> q144Sql)
+    "q144_pack_offsets"   -> q144Sql,
+    "q145_epoch_mix"      -> q145Sql,
+    "q146_expectations"   -> q146Sql,
+    "q147_hard_negatives" -> q147Sql)
 }

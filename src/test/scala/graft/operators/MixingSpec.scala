@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fractional-epoch resampling: exact copy counts per weight class,
+  * determinism across partitionings, the sequence(1,0) phantom-copy
+  * guard, fraction accuracy at scale, and input-order invariance.
+  */
+class MixingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def docs(n: Int, domains: Seq[String]) =
+    (0 until n).map(i => (i.toLong, domains(i % domains.size)))
+      .toDF("id", "dom")
+
+  test("integer epochs: every doc exactly floor(e) copies; 0 drops all") {
+    val df = docs(60, Seq("a", "b", "z"))
+    val out = Mixing.epochMix(df, "id", "dom",
+      Map("a" -> 2000L, "b" -> 1000L, "z" -> 0L), seed = 7L)
+    val byDom = out.groupBy("dom").count().as[(String, Long)]
+      .collect().toMap
+    assert(byDom === Map("a" -> 40L, "b" -> 20L)) // no z rows at all
+    // copy indices are dense 1..n_copies
+    assert(out.filter(col("dom") === "a")
+      .groupBy("id").agg(sort_array(collect_list("copy")).as("c"))
+      .select("c").as[Seq[Long]].collect()
+      .forall(_ == Seq(1L, 2L)))
+  }
+
+  test("fractional epochs: hash-selected subset, deterministic, unbiased") {
+    val df = docs(4000, Seq("a"))
+    val out = Mixing.epochMix(df, "id", "dom",
+      Map("a" -> 1300L), seed = 42L)
+    val n = out.count()
+    // every doc 1 or 2 copies; extra-copy fraction ~0.30 of 4000
+    val extra = n - 4000L
+    assert(extra > 1000 && extra < 1400, s"extra=$extra")
+    // rerun identical; shuffled input identical (hash depends on id only)
+    val again = Mixing.epochMix(df.repartition(13).orderBy(rand(1)),
+      "id", "dom", Map("a" -> 1300L), seed = 42L)
+    assert(again.select("id", "copy").except(out.select("id", "copy"))
+      .count() === 0L)
+    assert(out.select("id", "copy").except(again.select("id", "copy"))
+      .count() === 0L)
+    // a different seed selects a different subset
+    val other = Mixing.epochMix(df, "id", "dom",
+      Map("a" -> 1300L), seed = 43L)
+    assert(other.select("id", "copy").except(out.select("id", "copy"))
+      .count() > 0L)
+  }
+
+  test("sub-epoch down-sampling keeps only the hash fraction") {
+    val df = docs(4000, Seq("a"))
+    val out = Mixing.epochMix(df, "id", "dom",
+      Map("a" -> 250L), seed = 5L)
+    val n = out.count()
+    assert(n > 800 && n < 1200, s"n=$n") // ~25% of 4000
+    assert(out.select(max("n_copies")).as[Long].head() === 1L)
+  }
+
+  test("domains absent from the mix are dropped, not passed through") {
+    val df = docs(20, Seq("a", "ghost"))
+    val out = Mixing.epochMix(df, "id", "dom",
+      Map("a" -> 1000L), seed = 1L)
+    assert(out.select("dom").distinct().as[String].collect() === Array("a"))
+  }
+}

@@ -91,6 +91,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(approx.forall { case (qid, id) => qid != id })
   }
 
+  test("hard negatives: top-k cross-label only, = brute force minus same-label") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val neg = Similarity.hardNegatives(emb, q, "vec_id", "embedding",
+      "label", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // full top-5 per query, ranks dense
+    assert(neg.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L) })
+    // no negative shares its query's label
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(neg.forall { case (qid, id, _) => labels(qid) != labels(id) })
+    // equals brute-force ranking over the cross-label candidate set:
+    // oversample exact top-k, drop same-label, take first 5 — a
+    // negative ranked there must appear here in the same order
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+      k = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = exact.map { case (qid, rs) =>
+      qid -> rs.sortBy(_._3).map(_._2)
+        .filter(id => labels(id) != labels(qid)).take(5).toSeq
+    }
+    val got = neg.groupBy(_._1).map { case (qid, rs) =>
+      qid -> rs.sortBy(_._3).map(_._2).toSeq }
+    assert(got === expect)
+  }
+
   test("IVF-ANN recall vs brute force beats the floor, deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 10)
