@@ -3434,6 +3434,74 @@ object TrainingData {
            AND q.label != c.label) t
        WHERE rank <= 5"""
 
+  // --- q148: corpus snapshot diff ----------------------------------------------
+  // operators/Snapshot.diff: two id-keyed corpus versions, no
+  // changelog — recover the delta (added/removed/modified/unchanged)
+  // via ONE full-outer join with null-safe column compare. v2 is built
+  // deterministically from the source table (drop %17, modify text of
+  // %13, add shifted %19 ids), so the oracle replays both the
+  // construction and the diff; every per-document verdict is hashed.
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+    val kept = docs.filter(col("doc_id") % 17 =!= 0)
+    val v2 = kept
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text"), col("lang")))
+    graft.operators.Snapshot.diff(docs, v2, "doc_id", Seq("text", "lang"))
+  }
+
+  private val q148Sql: String =
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]' ELSE text END
+      |      AS text, lang
+      |  FROM documents WHERE doc_id % 17 != 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang FROM documents
+      |  WHERE doc_id % 19 = 0)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.text IS NOT DISTINCT FROM n.text
+      |        AND o.lang IS NOT DISTINCT FROM n.lang THEN 'unchanged'
+      |       ELSE 'modified' END AS change
+      |FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id""".stripMargin
+
+  // --- q149: length-bucketed inference batching --------------------------------
+  // operators/Packing.lengthBucketedBatches: batches of near-equal
+  // lengths so per-batch padding (n·max − sum) collapses — the
+  // inference-side twin of packing. Distributed WITHOUT a global sort:
+  // bucket = len div width is a projection, batches form per-bucket by
+  // the (len, id) window order — one shuffle, deterministic
+  // membership. The oracle replays bucket, rank, batch, and the
+  // padding arithmetic per batch.
+  private def q149(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.lengthBucketedBatches(
+      Tables.documents(s, d), "doc_id", "n_chars",
+      batchSize = 8, bucketWidth = 64L)
+
+  private val q149Sql: String =
+    """WITH b AS (SELECT doc_id, n_chars, n_chars // 64 AS bucket
+      |           FROM documents),
+      |r AS (SELECT doc_id, n_chars, bucket,
+      |        row_number() OVER (PARTITION BY bucket
+      |          ORDER BY n_chars, doc_id) AS rn
+      |      FROM b),
+      |g AS (SELECT bucket, (rn - 1) // 8 AS batch, count(*) AS n_docs,
+      |        max(n_chars) AS max_len, sum(n_chars) AS sum_len
+      |      FROM r GROUP BY 1, 2)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(batch AS BIGINT) AS batch,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(max_len AS BIGINT) AS max_len,
+      |  CAST(sum_len AS BIGINT) AS sum_len,
+      |  CAST(n_docs * max_len - sum_len AS BIGINT) AS padding
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -3529,7 +3597,9 @@ object TrainingData {
     "q144_pack_offsets"   -> q144 _,
     "q145_epoch_mix"      -> q145 _,
     "q146_expectations"   -> q146 _,
-    "q147_hard_negatives" -> q147 _)
+    "q147_hard_negatives" -> q147 _,
+    "q148_snapshot_diff"  -> q148 _,
+    "q149_length_batches" -> q149 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -3626,5 +3696,7 @@ object TrainingData {
     "q144_pack_offsets"   -> q144Sql,
     "q145_epoch_mix"      -> q145Sql,
     "q146_expectations"   -> q146Sql,
-    "q147_hard_negatives" -> q147Sql)
+    "q147_hard_negatives" -> q147Sql,
+    "q148_snapshot_diff"  -> q148Sql,
+    "q149_length_batches" -> q149Sql)
 }

@@ -348,6 +348,46 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(ep.count() == 49999L)
   }
 
+  test("length-bucketed batching: assignment, padding, beats hash order") {
+    import spark.implicits._
+    // hand case: lens 10,11,12,13 in bucket 0 (width 64), batchSize 2
+    // -> batches (10,11) and (12,13); padding 1 and 1
+    val tiny = Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 13L))
+      .toDF("id", "len")
+    val got = Packing.lengthBucketedBatches(tiny, "id", "len",
+        batchSize = 2, bucketWidth = 64L)
+      .orderBy("bucket", "batch")
+      .select("batch", "n_docs", "max_len", "sum_len", "padding")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === Array((0L, 2L, 11L, 21L, 1L), (1L, 2L, 13L, 25L, 1L)))
+    // measured claim: bucketing pads less than hash-ordered batching
+    // on a skewed length distribution
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 4000)
+      .map(i => (i.toLong, (math.pow(rnd.nextDouble(), 3) * 900).toLong + 5))
+      .toDF("id", "len")
+    def pad(assign: org.apache.spark.sql.DataFrame): Long = assign
+      .groupBy("batch").agg(
+        (org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)) *
+          org.apache.spark.sql.functions.max($"len") -
+          org.apache.spark.sql.functions.sum($"len")).as("p"))
+      .agg(org.apache.spark.sql.functions.sum($"p")).as[Long].head()
+    val bucketed = Packing.lengthBucketedBatches(docs, "id", "len",
+        batchSize = 16, bucketWidth = 32L)
+      .agg(org.apache.spark.sql.functions.sum($"padding")).as[Long].head()
+    val hashOrdered = pad(docs.withColumn("batch",
+      org.apache.spark.sql.functions.expr(
+        "(row_number() OVER (ORDER BY hash(id), id) - 1) div 16")))
+    info(s"padding: bucketed=$bucketed hash-ordered=$hashOrdered")
+    assert(bucketed < hashOrdered / 4,
+      s"bucketed=$bucketed not << hash-ordered=$hashOrdered")
+    // every doc in exactly one batch
+    assert(Packing.lengthBucketedBatches(docs, "id", "len", 16, 32L)
+      .agg(org.apache.spark.sql.functions.sum($"n_docs")).as[Long].head()
+      === 4000L)
+  }
+
   test("packByBudget: cumulative-quotient packs, exact and deterministic") {
     import spark.implicits._
     // lang a: token counts 3,4,5,2 with budget 6 -> cum_before 0,3,7,12
