@@ -160,6 +160,19 @@ object Bpe {
       // through every unpersisted ancestor back to round 0. Releasing a
       // truncated round is safe by construction: once the NEXT round's
       // count has run, its lineage no longer references this RDD.
+      //
+      // FAULT-TOLERANCE CONTRACT: localCheckpoint trades recompute for
+      // speed — its blocks are the ONLY copy, so losing an executor
+      // that holds them (node failure, dynamic-allocation decommission)
+      // fails the training job instead of recomputing, exactly as
+      // Spark's own scaladoc warns. That is the right default here:
+      // training reruns from the docs table deterministically, and the
+      // alternative (reliable rdd.checkpoint to a checkpoint dir) costs
+      // a distributed write EVERY round of a possibly-500-round loop.
+      // On clusters where a multi-hour run must survive executor loss,
+      // disable dynamic allocation for the job or set a checkpoint dir
+      // and swap this call for rdd.checkpoint() — the loop needs no
+      // other change.
       rdd.localCheckpoint()
       rdd.count(): Unit // eager: the lineage behind it never re-runs
       (spark.createDataFrame(rdd, df.schema), rdd)

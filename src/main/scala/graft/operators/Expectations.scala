@@ -29,13 +29,21 @@ object Expectations {
 
   /** Evaluate `checks` over `df` in one aggregate pass. Output:
     * (check_name, value, lo, hi, pass) — `lo`/`hi` are null when
-    * unbounded, `pass` = value within bounds. Row order is the callers'
-    * check order (stack preserves it); sort downstream if needed.
+    * unbounded, `pass` = value is non-null AND within bounds. A NULL
+    * measured value (min/max over an empty table or an all-NULL
+    * column) FAILS: a gate whose checks vacuously succeed on exactly
+    * the degenerate inputs it exists to catch would invert its
+    * purpose. Row order is the callers' check order (stack preserves
+    * it); sort downstream if needed.
     */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks")
     require(checks.map(_.name).distinct.size == checks.size,
       "duplicate check names")
+    // names are spliced into the stack() expression below — restrict
+    // them to characters that cannot break the generated SQL
+    checks.foreach(c => require(c.name.matches("[A-Za-z0-9_ .-]+"),
+      s"check name '${c.name}' must match [A-Za-z0-9_ .-]+"))
     val aggs = checks.map(c => c.agg.cast("long").as(c.name))
     val one = df.agg(aggs.head, aggs.tail: _*)
     // one wide row -> long format without re-reading the table
@@ -49,7 +57,8 @@ object Expectations {
       .withColumn("lo", lo)
       .withColumn("hi", hi)
       .withColumn("pass",
-        coalesce(col("value") >= col("lo"), lit(true)) &&
+        col("value").isNotNull &&
+          coalesce(col("value") >= col("lo"), lit(true)) &&
           coalesce(col("value") <= col("hi"), lit(true)))
   }
 
@@ -64,9 +73,11 @@ object Expectations {
   def refIntegrity(name: String, child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String,
       maxOrphans: Long = 0L): DataFrame = {
-    val orphans = child.select(col(childKey))
-      .join(parent.select(col(parentKey)),
-        col(childKey) === col(parentKey), "left_anti")
+    // alias both key sides so childKey == parentKey (the common
+    // same-name FK/PK case) resolves instead of raising an ambiguity
+    val orphans = child.select(col(childKey).as("__child_key"))
+      .join(parent.select(col(parentKey).as("__parent_key")),
+        col("__child_key") === col("__parent_key"), "left_anti")
       .agg(count(lit(1)).cast("long").as("value"))
     orphans.select(
       lit(name).as("check_name"), col("value"),

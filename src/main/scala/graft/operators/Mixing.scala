@@ -40,6 +40,12 @@ object Mixing {
     require(epochsMilli.nonEmpty, "empty mixture")
     require(epochsMilli.values.forall(_ >= 0L),
       s"negative epochs in $epochsMilli")
+    // n_copies/copy are output columns and epochs_milli is join-time
+    // scratch — silently overwriting a caller's column of the same
+    // name would hand downstream consumers mixer state as their data
+    Seq("n_copies", "copy", "epochs_milli").foreach(r =>
+      require(!docs.columns.contains(r),
+        s"input already has a '$r' column — rename it before epochMix"))
     val spark = docs.sparkSession
     import spark.implicits._
     val mix = epochsMilli.toSeq.toDF(domainCol, "epochs_milli")

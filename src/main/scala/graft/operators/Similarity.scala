@@ -50,6 +50,21 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"),
         ArrayOps.bitsToDoubleF(col("col.ord")).as("sim"))
 
+  /** The exact-scan shape [[bruteForceTopK]] and [[hardNegatives]]
+    * share: broadcast the (q_id, q_vec, …) query frame against the
+    * (id, vec, …) corpus frame under `joinCond`, cosine-score every
+    * surviving pair once, heap-rank per query. One corpus scan, no
+    * shuffle of the embedding column — candidate filtering belongs in
+    * `joinCond` so excluded pairs never reach the scoring kernel.
+    */
+  private def broadcastScoredTopK(c: DataFrame, q: DataFrame,
+      joinCond: org.apache.spark.sql.Column, k: Int): DataFrame =
+    heapTopK(
+      c.join(broadcast(q), joinCond)
+        .select(col("q_id"), col("id"),
+          ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim")), k)
+      .select("q_id", "id", "rank")
+
   /** Exact top-k cosine neighbors for each row of `queries` (excluding
     * self-matches on id). Output: (q_id, id, rank).
     */
@@ -57,10 +72,7 @@ object Similarity {
       vecCol: String, k: Int = 5): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("id"))
-      .select(col("q_id"), col("id"),
-        ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
-    heapTopK(scored, k).select("q_id", "id", "rank")
+    broadcastScoredTopK(c, q, col("q_id") =!= col("id"), k)
   }
 
   /** Hard-negative mining for contrastive/embedding training: for each
@@ -83,11 +95,8 @@ object Similarity {
       col(labelCol).as("q_label"))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       col(labelCol).as("label"))
-    val scored = c.join(broadcast(q),
-        col("q_label") =!= col("label") && col("q_id") =!= col("id"))
-      .select(col("q_id"), col("id"),
-        ArrayOps.cosineF(col("q_vec"), col("vec")).as("sim"))
-    heapTopK(scored, k).select("q_id", "id", "rank")
+    broadcastScoredTopK(c, q,
+      col("q_label") =!= col("label") && col("q_id") =!= col("id"), k)
   }
 
   /** LSH-bucketed ANN with multi-probe: the corpus is bucketed once by

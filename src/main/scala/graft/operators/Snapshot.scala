@@ -28,16 +28,25 @@ object Snapshot {
   def diff(old: DataFrame, nw: DataFrame, idCol: String,
       compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "no columns to compare")
-    val o = old.select((idCol +: compareCols).map(c => col(c).as("o_" + c)): _*)
-    val n = nw.select((idCol +: compareCols).map(c => col(c).as("n_" + c)): _*)
+    // presence markers, not id-nullness, decide added/removed: a
+    // NULL-id row never joins (=== is null-rejecting), so an old-only
+    // NULL-id row would otherwise read its own NULL o_id as "absent
+    // from old" and be classed added. With markers it is removed, a
+    // new-only NULL-id row is added, and one NULL-id row on each side
+    // yields one removed + one added (they are not the same document
+    // by any evidence the table offers).
+    val o = old.select(lit(true).as("o_present") +:
+      (idCol +: compareCols).map(c => col(c).as("o_" + c)): _*)
+    val n = nw.select(lit(true).as("n_present") +:
+      (idCol +: compareCols).map(c => col(c).as("n_" + c)): _*)
     val same = compareCols
       .map(c => col("o_" + c) <=> col("n_" + c))
       .reduce(_ && _)
     o.join(n, col("o_" + idCol) === col("n_" + idCol), "full_outer")
       .select(
         coalesce(col("o_" + idCol), col("n_" + idCol)).as(idCol),
-        when(col("o_" + idCol).isNull, "added")
-          .when(col("n_" + idCol).isNull, "removed")
+        when(col("o_present").isNull, "added")
+          .when(col("n_present").isNull, "removed")
           .when(same, "unchanged")
           .otherwise("modified").as("change"))
   }

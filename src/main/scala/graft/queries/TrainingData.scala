@@ -3394,19 +3394,20 @@ object TrainingData {
       |      WHERE ord.o_orderkey IS NULL)
       |SELECT 'row_count' AS check_name, row_count AS value,
       |  CAST(1 AS BIGINT) AS lo, CAST(NULL AS BIGINT) AS hi,
-      |  row_count >= 1 AS pass FROM a
+      |  row_count IS NOT NULL AND row_count >= 1 AS pass FROM a
       |UNION ALL SELECT 'orderkey_nulls', orderkey_nulls, 0, 0,
-      |  orderkey_nulls = 0 FROM a
+      |  orderkey_nulls IS NOT NULL AND orderkey_nulls = 0 FROM a
       |UNION ALL SELECT 'quantity_min_centi', quantity_min_centi, 100, NULL,
-      |  quantity_min_centi >= 100 FROM a
+      |  quantity_min_centi IS NOT NULL AND quantity_min_centi >= 100 FROM a
       |UNION ALL SELECT 'quantity_max_centi', quantity_max_centi, NULL, 5000,
-      |  quantity_max_centi <= 5000 FROM a
+      |  quantity_max_centi IS NOT NULL AND quantity_max_centi <= 5000 FROM a
       |UNION ALL SELECT 'discount_max_centi', discount_max_centi, NULL, 10,
-      |  discount_max_centi <= 10 FROM a
+      |  discount_max_centi IS NOT NULL AND discount_max_centi <= 10 FROM a
       |UNION ALL SELECT 'returnflag_card', returnflag_card, 1, 3,
-      |  returnflag_card BETWEEN 1 AND 3 FROM a
+      |  returnflag_card IS NOT NULL
+      |    AND returnflag_card BETWEEN 1 AND 3 FROM a
       |UNION ALL SELECT 'shipdate_nulls', shipdate_nulls, 0, 0,
-      |  shipdate_nulls = 0 FROM a
+      |  shipdate_nulls IS NOT NULL AND shipdate_nulls = 0 FROM a
       |UNION ALL SELECT 'orphan_lineitems', v, 0, 0, v = 0 FROM o""".stripMargin
 
   // --- q147: hard-negative mining ----------------------------------------------

@@ -37,11 +37,17 @@ object EsBulk {
     require(df.columns.contains(idCol), s"missing id column $idCol")
     // the action line goes through to_json too — an id (or index name)
     // containing quotes, backslashes, or newlines must be writer-escaped
-    // exactly like the source line, or the NDJSON framing breaks
+    // exactly like the source line, or the NDJSON framing breaks.
+    // A NULL id fails the job: to_json would silently drop _id from
+    // the action line, turning an id-keyed idempotent export into ES
+    // auto-generated ids that duplicate documents on replay.
+    val id = coalesce(col(idCol).cast("string"),
+      raise_error(lit(s"EsBulk.write: null $idCol — an id-keyed " +
+        "_bulk export cannot index a document without its _id")))
     df.select(concat(
         to_json(struct(struct(
           lit(index).as("_index"),
-          col(idCol).cast("string").as("_id")).as("index"))),
+          id.as("_id")).as("index"))),
         lit("\n"),
         to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
         .as("value"))

@@ -60,6 +60,44 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(tolerant.getBoolean(4))
   }
 
+  test("NULL measured values FAIL — the gate never passes vacuously") {
+    // min/max over an empty table (or an all-NULL column) aggregate to
+    // NULL; a NULL-tolerant pass would green-light exactly the
+    // degenerate inputs the gate exists to catch
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    val rep = Expectations.report(empty, Seq(
+      Check("v_min", min(col("v")), lo = Some(0L)),
+      Check("rows", count(lit(1)), lo = Some(1L))))
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getBoolean(4)))
+    assert(rep === Array(
+      ("v_min", None, false),       // NULL value -> fail, not vacuous pass
+      ("rows", Some(0L), false)))   // count is 0, not NULL -> bound fails
+    val allNull = Seq((1L, Option.empty[Long]), (2L, None)).toDF("id", "v")
+    val r2 = Expectations.report(allNull,
+      Seq(Check("v_max", max(col("v")), hi = Some(10L)))).collect()(0)
+    assert(r2.get(1) == null && !r2.getBoolean(4))
+  }
+
+  test("names that would break the generated stack() SQL are rejected") {
+    val df = Seq(1L).toDF("id")
+    for (bad <- Seq("p99's latency", "a`b", "x;drop")) {
+      val e = intercept[IllegalArgumentException] {
+        Expectations.report(df,
+          Seq(Check(bad, count(lit(1)), lo = Some(0L))))
+      }
+      assert(e.getMessage.contains("check name"), bad)
+    }
+  }
+
+  test("refIntegrity works when both sides key the same column name") {
+    val child = Seq(1L, 2L, 9L).toDF("id")
+    val parent = Seq(1L, 2L).toDF("id")
+    val r = Expectations.refIntegrity("ri", child, "id", parent, "id")
+      .collect()(0)
+    assert((r.getLong(1), r.getBoolean(4)) === ((1L, false)))
+  }
+
   test("report + refIntegrity union shares one schema") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val u = Expectations.report(df,

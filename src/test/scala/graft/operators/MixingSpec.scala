@@ -67,6 +67,19 @@ class MixingSpec extends AnyFunSuite {
     assert(out.select(max("n_copies")).as[Long].head() === 1L)
   }
 
+  test("reserved output/scratch columns on the input are rejected") {
+    // n_copies/copy are outputs and epochs_milli is join scratch —
+    // silently overwriting a caller's same-named column would hand
+    // downstream consumers mixer state as their data
+    for (reserved <- Seq("n_copies", "copy", "epochs_milli")) {
+      val df = docs(4, Seq("a")).withColumn(reserved, lit(9L))
+      val e = intercept[IllegalArgumentException] {
+        Mixing.epochMix(df, "id", "dom", Map("a" -> 1000L), seed = 1L)
+      }
+      assert(e.getMessage.contains(reserved))
+    }
+  }
+
   test("domains absent from the mix are dropped, not passed through") {
     val df = docs(20, Seq("a", "ghost"))
     val out = Mixing.epochMix(df, "id", "dom",

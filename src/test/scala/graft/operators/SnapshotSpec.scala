@@ -43,6 +43,19 @@ class SnapshotSpec extends AnyFunSuite {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("NULL-id rows classify by side presence, not id nullness") {
+    // null ids never join (=== is null-rejecting): an old-only NULL-id
+    // row must read as removed (it was present and is gone), not as
+    // added via its own NULL o_id; symmetric for the new side
+    val old = Seq((Option(1L), "a"), (None, "ghost-old"))
+      .toDF("id", "text")
+    val nw = Seq((Option(1L), "a"), (None, "ghost-new"))
+      .toDF("id", "text")
+    val got = Snapshot.diff(old, nw, "id", Seq("text"))
+      .select("change").as[String].collect().sorted
+    assert(got === Array("added", "removed", "unchanged"))
+  }
+
   test("columns outside compareCols never flag a modification") {
     val old = Seq((1L, "a", "meta1")).toDF("id", "text", "meta")
     val nw = Seq((1L, "a", "meta2")).toDF("id", "text", "meta")

@@ -78,6 +78,20 @@ class EsBulkSpec extends AnyFunSuite {
     assert(back === Array(("he said \"hi\"\\\nbye", 1L), ("plain", 2L)))
   }
 
+  test("a NULL id fails the write loudly instead of dropping _id") {
+    // to_json's ignoreNullFields would silently omit _id from the
+    // action line, turning an id-keyed idempotent export into ES
+    // auto-generated ids that duplicate documents on replay
+    val dir = scratch().resolve("nullid").toString
+    val docs = Seq((Option(1L), "a"), (None, "b")).toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      EsBulk.write(docs, dir, "docs", "doc_id")
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(chain.contains("null doc_id"), chain)
+  }
+
   test("read refuses a directory with no action lines") {
     val dir = scratch().resolve("plain").toString
     Seq((1L, "x")).toDF("doc_id", "text").write.json(dir)
