@@ -88,6 +88,15 @@ object Similarity {
     * an ANN shortlist instead (e.g. [[ivfTopK]] with k ≫ target, then
     * filter the label and re-rank) — the standard recall-for-cost trade
     * with the same output contract.
+    *
+    * NULL-label policy (deliberate): rows with a NULL label are
+    * EXCLUDED on both sides — a NULL-label corpus row is never mined
+    * (its class is unknown, so it could be a same-class false negative,
+    * the one contamination a contrastive loss cannot tolerate), and a
+    * NULL-label query yields zero rows (no label to differ from). The
+    * null-rejecting `=!=` in the join condition implements exactly
+    * this; callers who want NULL treated as its own class should
+    * `coalesce` the label to a sentinel before calling.
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int = 5): DataFrame = {

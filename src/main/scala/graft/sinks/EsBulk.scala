@@ -35,6 +35,17 @@ object EsBulk {
   def write(df: DataFrame, path: String, index: String,
       idCol: String): Unit = {
     require(df.columns.contains(idCol), s"missing id column $idCol")
+    // `index` is the reserved action-struct name [[read]] keys on: a
+    // document column of that name would make every round-tripped row
+    // carry a non-null `index` field, so read() would classify ALL
+    // lines as action lines and silently return zero documents (or a
+    // corrupted union schema). Reject it loudly at write time, where
+    // the caller can still rename.
+    require(!df.columns.contains("index"),
+      "EsBulk.write: 'index' is a reserved _bulk action field — " +
+        "rename the column (read() identifies action lines by a " +
+        "non-null 'index' struct, so a document column of that name " +
+        "cannot round-trip)")
     // the action line goes through to_json too — an id (or index name)
     // containing quotes, backslashes, or newlines must be writer-escaped
     // exactly like the source line, or the NDJSON framing breaks.

@@ -120,6 +120,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("hard negatives: NULL labels are excluded on both sides") {
+    import spark.implicits._
+    // pinned contract (scaladoc): a NULL-label corpus row is never
+    // mined (unknown class could be a same-class false negative) and a
+    // NULL-label query yields zero rows. Vectors chosen so the
+    // NULL-label corpus row (id 9) would be every query's top hit if
+    // NULL counted as "differs".
+    val rows = Seq(
+      (1L, Array(1f, 0f), Option(0)),  // query, label 0
+      (2L, Array(0.9f, 0.1f), Option(0)), // same label — not a negative
+      (3L, Array(0.8f, 0.2f), Option(1)), // cross label — minable
+      (9L, Array(1f, 0f), None),          // NULL label — never minable
+      (10L, Array(0f, 1f), None))         // NULL-label query side
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df, df.filter(col("vec_id") <= 1),
+      "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((1L, 3L)), out.mkString(","))
+    val nullQ = Similarity.hardNegatives(df,
+      df.filter(col("vec_id") === 10), "vec_id", "embedding", "label",
+      k = 3)
+    assert(nullQ.count() === 0L)
+  }
+
   test("IVF-ANN recall vs brute force beats the floor, deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 10)

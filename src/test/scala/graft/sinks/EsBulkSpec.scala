@@ -98,4 +98,19 @@ class EsBulkSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](EsBulk.read(spark, dir))
     assert(e.getMessage.contains("_bulk"))
   }
+
+  test("write rejects a document column named 'index' (reserved)") {
+    // read() keys on a non-null `index` struct to find action lines; a
+    // document column of that name would make every round-tripped row
+    // look like an action line and silently drop all documents — the
+    // write must refuse up front, not corrupt downstream
+    val dir = scratch().resolve("reserved").toString
+    val docs = Seq((1L, "a", 3L)).toDF("doc_id", "text", "index")
+    val e = intercept[IllegalArgumentException] {
+      EsBulk.write(docs, dir, "docs", "doc_id")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    assert(!Files.exists(java.nio.file.Paths.get(dir)),
+      "guard must fire before any output lands")
+  }
 }
