@@ -74,9 +74,19 @@ object Split {
     substring(md5(concat(lit(s"split:$seed:"),
       coalesce(group.cast("string"), lit("")))), 1, HexW)
 
-  /** `cumMilli`/1000 of the hex space as a zero-padded literal. */
+  /** `cumMilli`/1000 of the hex space as a zero-padded literal.
+    * Domain is 0..999: at 1000 the threshold would be 16^6 — a
+    * 7-hex-char literal that no longer compares correctly against the
+    * 6-char draw ("ffffff" < "1000000" is lexicographically FALSE).
+    * [[grouped]] never needs it (the last split is the `otherwise`
+    * branch, so only strictly-interior cumulative fractions become
+    * thresholds); an audit that wants "everything" should skip the
+    * compare rather than encode it.
+    */
   def hexThreshold(cumMilli: Long): String = {
-    require(cumMilli >= 0L && cumMilli <= 1000L, s"bad milli $cumMilli")
+    require(cumMilli >= 0L && cumMilli <= 999L,
+      s"cumMilli=$cumMilli outside [0, 999] — a full-space threshold " +
+        "does not encode as a comparable 6-hex-char literal")
     ("%0" + HexW + "x").format(cumMilli * Cells / 1000L)
   }
 }

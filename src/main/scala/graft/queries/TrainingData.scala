@@ -3503,6 +3503,90 @@ object TrainingData {
       |  CAST(n_docs * max_len - sum_len AS BIGINT) AS padding
       |FROM g""".stripMargin
 
+  // --- q150: DSIR importance resampling ----------------------------------------
+  // operators/Dsir: data selection via importance resampling (Xie et
+  // al. 2023) — fit hashed unigram multinomials over a small TARGET
+  // corpus (the src0 slice) and the full raw corpus, score every raw
+  // document with the µln importance ratio (BIGINT micro, rounded per
+  // bucket before summation — the q124 rule), then draw k=100 WITHOUT
+  // replacement via deterministic Gumbel top-k keyed on
+  // Layout.shuffleHash. The oracle replays the whole chain — bucket
+  // counts, every weight, per-document scores, the Gumbel keys, and
+  // the final selection — so fit, scoring, and the resample are all
+  // under one hash.
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val wts = graft.operators.Dsir.fit(
+      docs.filter(col("source") === "src0"), docs, "text", hexChars = 3)
+    graft.operators.Dsir.resample(docs, "doc_id", "text", wts,
+      k = 100, seed = 2026L)
+  }
+
+  private val q150Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, substr(md5('d:' || word), 1, 3) AS b
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) t
+      |  WHERE len(word) > 0),
+      |tb AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS tn FROM tok
+      |  WHERE doc_id IN (SELECT doc_id FROM documents
+      |                   WHERE source = 'src0')
+      |  GROUP BY b),
+      |rb AS (SELECT b, CAST(count(*) AS BIGINT) AS rn FROM tok GROUP BY b),
+      |tot AS (
+      |  SELECT (SELECT COALESCE(sum(tn), 0) FROM tb) AS td,
+      |         (SELECT COALESCE(sum(rn), 0) FROM rb) AS rd),
+      |wts AS (
+      |  SELECT COALESCE(tb.b, rb.b) AS b,
+      |    CAST(round(ln(((COALESCE(tn, 0) + 1.0) * (rd + 4096.0)) /
+      |                  ((COALESCE(rn, 0) + 1.0) * (td + 4096.0))) * 1e6)
+      |      AS BIGINT) AS w
+      |  FROM tb FULL OUTER JOIN rb ON tb.b = rb.b CROSS JOIN tot),
+      |score AS (
+      |  SELECT d.doc_id,
+      |    CAST(COALESCE(sum(wts.w), 0) AS BIGINT) AS score_micro
+      |  FROM documents d
+      |  LEFT JOIN tok ON d.doc_id = tok.doc_id
+      |  LEFT JOIN wts ON tok.b = wts.b
+      |  GROUP BY d.doc_id),
+      |h AS (
+      |  SELECT doc_id, score_micro,
+      |    ((doc_id % 1000000007) * 2654435761 + 2026) % 1000000007 AS h1
+      |  FROM score),
+      |keyed AS (
+      |  SELECT doc_id, score_micro,
+      |    score_micro + CAST(round(-ln(-ln(
+      |      ((((h1 * h1) % 1000000007) * 2246822519 + 40503)
+      |        % 1000000007 + 1) / 1000000008.0)) * 1e6) AS BIGINT)
+      |      AS key_micro
+      |  FROM h)
+      |SELECT doc_id, score_micro, key_micro FROM keyed
+      |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin
+
+  // --- q151: leakage-safe grouped train/valid/test split -----------------------
+  // operators/Split.grouped: every document of one group (here the
+  // source domain) lands in the same split — near-duplicates inside a
+  // group can never straddle the train/test boundary. The decision is
+  // a pure projection: 6-hex-char md5 prefix of the seeded group key
+  // compared against cumulative milli-fraction thresholds as hex
+  // literals (800/100/100 → 'cccccc'/'e66666'), so the oracle replays
+  // every per-row assignment with two string compares.
+  private def q151(s: SparkSession, d: String): DataFrame =
+    graft.operators.Split.grouped(
+      Tables.documents(s, d).select("doc_id", "source"), "source",
+      seed = 2026L,
+      Seq("train" -> 800L, "valid" -> 100L, "test" -> 100L))
+
+  private val q151Sql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN substr(md5('split:2026:' || COALESCE(source, '')),
+      |              1, 6) < 'cccccc' THEN 'train'
+      |       WHEN substr(md5('split:2026:' || COALESCE(source, '')),
+      |              1, 6) < 'e66666' THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -3600,7 +3684,9 @@ object TrainingData {
     "q146_expectations"   -> q146 _,
     "q147_hard_negatives" -> q147 _,
     "q148_snapshot_diff"  -> q148 _,
-    "q149_length_batches" -> q149 _)
+    "q149_length_batches" -> q149 _,
+    "q150_dsir_resample"  -> q150 _,
+    "q151_grouped_split"  -> q151 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -3699,5 +3785,7 @@ object TrainingData {
     "q146_expectations"   -> q146Sql,
     "q147_hard_negatives" -> q147Sql,
     "q148_snapshot_diff"  -> q148Sql,
-    "q149_length_batches" -> q149Sql)
+    "q149_length_batches" -> q149Sql,
+    "q150_dsir_resample"  -> q150Sql,
+    "q151_grouped_split"  -> q151Sql)
 }
