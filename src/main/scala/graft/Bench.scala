@@ -93,29 +93,74 @@ object Bench {
       dropCaches(spark) // queries must not inherit (or starve on) each
       (sec, err)        // other's persisted intermediates
     }
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sec1, err) = timeOne(name, fn)
-      // this host's timings swing several-fold under VM contention; a
-      // single slow sample is not evidence (BENCH_r02 recorded q50 at
-      // 22.3 s; it re-measures at ~2 s). Queries over the re-run bar get
-      // a second, independent measurement and report the min — but only
-      // a SUCCESSFUL re-run may replace the first time (a flaky second
-      // run must not report its fast failure as the measurement).
+    // Heap/disk/RDD census, sampled across the sweep and published in the
+    // bench tail: the r11 verdict could not tell session pollution
+    // (accumulating scratch lakes, localCheckpoint residue, GC pressure)
+    // from host contention because neither was measured in the scored
+    // session. A flat census closes the pollution hypothesis; a rising
+    // one names the leak.
+    val census = scala.collection.mutable.ArrayBuffer.empty[String]
+    def takeCensus(at: String): Unit = try {
+      System.gc()
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+      val tmpMb = Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_") ||
+          f.getName.startsWith("flatbench"))
+        .map(du).sum / (1 << 20)
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      census += s"""{"at":"$at","heap_mb":$heapMb,"tmp_mb":$tmpMb,"rdds":$rdds}"""
+    } catch { case _: Throwable => () }
+
+    takeCensus("start")
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val firstPass = sorted.zipWithIndex.map { case ((name, fn), i) =>
+      val r = timeOne(name, fn)
+      if ((i + 1) % 25 == 0) takeCensus(f"q${i + 1}%03d")
+      (name, fn, r._1, r._2)
+    }
+    takeCensus("after_sweep")
+    // This host's timings swing several-fold under VM contention; a
+    // single slow sample is not evidence (BENCH_r02 recorded q50 at
+    // 22.3 s; it re-measures at ~2 s; bar at 1.5 s — contention swings
+    // 2–3 s samples by 2× or more). Queries over the bar get a second,
+    // independent measurement and report the min — taken AFTER the full
+    // sweep, not back-to-back: r11's q117/q121/q122 "regressions"
+    // survived the immediate re-run because one contention window
+    // covered both consecutive samples (r12 bisect: the same queries
+    // measured 2.3–5.1 s fresh AND after a prefix replay in a quiet
+    // window). Minutes of separation decorrelates the samples. Only a
+    // SUCCESSFUL re-run may replace the first time (a flaky second run
+    // must not report its fast failure as the measurement), but a
+    // failed re-run must reach the JSON, not just stderr — a ~50%-flaky
+    // query would otherwise always report green with its one good
+    // timing.
+    val runs = firstPass.map { case (name, fn, sec1, err) =>
       val (sec, rerunFailed) =
-        // bar at 1.5 s: this host's contention swings 2–3 s samples by
-        // 2× or more (q125 measured 0.31 s and 2.87 s across runs with
-        // no code change), and a single slow sample is not evidence —
-        // the re-run costs a few seconds of bench time and removes a
-        // whole class of phantom regressions from the scoreboard
         if (err.isEmpty && sec1 > 1.5) {
           val (sec2, err2) = timeOne(name, fn)
-          // a failed re-run may not replace the measurement, but it must
-          // reach the JSON (not just stderr) — a ~50%-flaky query would
-          // otherwise always report green with its one good timing
           if (err2.isEmpty) (math.min(sec1, sec2), false) else (sec1, true)
         } else (sec1, false)
       (name, sec, err, rerunFailed)
     }
+    takeCensus("after_reruns")
+    // Per-path timings inside the composite lake-ANN audits (q122/q137):
+    // the scoreboard number for each conflates a lake write plus several
+    // independent search paths, so a regression there cannot be
+    // attributed from the artifact alone. One timed count() per path.
+    val pathTimes = graft.queries.TrainingData.annLakePaths(spark, sfDir)
+      .map { case (label, thunk) =>
+        val t0 = System.nanoTime()
+        val ok = try { thunk().count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH path $label: $e"); false }
+        dropCaches(spark)
+        label -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     val qs = runs.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = runs.filter(_._3.isDefined)
@@ -126,19 +171,31 @@ object Bench {
       .mkString("[", ",", "]")
     val total = runs.filter(_._3.isEmpty).map(_._2).sum
     val flat = flattenBench(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_samples":${flat.samples},"flatten_sec":${flat.coldSec},"flatten_sec_median":${flat.coldSecMedian},"flatten_docs_per_s":${flat.coldRate},"flatten_docs_per_s_best":${flat.coldRateBest},"flatten_docs_per_s_warm":${flat.warmRate},"flatten_docs_per_s_warm_best":${flat.warmRateBest},"flatten_sec_schema_reuse":${flat.schemaReuseSec},"flatten_sec_schema_reuse_median":${flat.schemaReuseSecMedian},"flatten_docs_per_s_schema_reuse":${flat.schemaReuseRate}}""")
+    takeCensus("end")
+    def r3d(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val pathsJson = pathTimes.map { case (k, v) =>
+      "\"" + k + "\":" + r3d(v)
+    }.mkString("{", ",", "}")
+    val censusJson = census.mkString("[", ",", "]")
+    def flatJson: String =
+      s""""flatten_docs":${flat.docs},"flatten_samples":${flat.samples},""" +
+        s""""flatten_sec":${r3d(flat.coldSecBest)},"flatten_sec_median":${r3d(flat.coldSecMedian)},""" +
+        s""""flatten_docs_per_s":${r3d(flat.coldRateBest)},"flatten_docs_per_s_median":${r3d(flat.coldRateMedian)},""" +
+        s""""flatten_docs_per_s_warm":${r3d(flat.warmRateBest)},"flatten_docs_per_s_warm_median":${r3d(flat.warmRateMedian)},""" +
+        s""""flatten_sec_schema_reuse":${r3d(flat.reuseSecBest)},"flatten_sec_schema_reuse_median":${r3d(flat.reuseSecMedian)},""" +
+        s""""flatten_docs_per_s_schema_reuse":${r3d(flat.reuseRateBest)},"flatten_docs_per_s_schema_reuse_median":${r3d(flat.reuseRateMedian)}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"census":$censusJson,$flatJson}""")
     // The driver records the TAIL of stdout, which truncated the verbose
     // line above from the front in r3 (q01-q12 timings lost, parsed:null).
     // Re-emit everything as a COMPACT single line — short query keys
     // (unique qNN prefix), millisecond-rounded seconds — as the very LAST
     // stdout line so a bounded tail capture always contains valid,
     // complete JSON.
-    def r3d(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qsShort = runs.map { case (k, v, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3d(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","flatten_docs":${flat.docs},"flatten_samples":${flat.samples},"flatten_sec":${r3d(flat.coldSec)},"flatten_sec_median":${r3d(flat.coldSecMedian)},"flatten_docs_per_s":${r3d(flat.coldRate)},"flatten_docs_per_s_best":${r3d(flat.coldRateBest)},"flatten_docs_per_s_warm":${r3d(flat.warmRate)},"flatten_docs_per_s_warm_best":${r3d(flat.warmRateBest)},"flatten_sec_schema_reuse":${r3d(flat.schemaReuseSec)},"flatten_sec_schema_reuse_median":${r3d(flat.schemaReuseSecMedian)},"flatten_docs_per_s_schema_reuse":${r3d(flat.schemaReuseRate)}}""")
+    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"census":$censusJson,$flatJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -146,13 +203,29 @@ object Bench {
   /** Per-mode flatten timings: best AND median of `n` samples, so one
     * contended sample (r4 recorded warm 27 docs/s vs cold 643 on this
     * noisy host) reads as spread, not regression.
+    *
+    * KEY SEMANTICS (restored in r12, per the r11 advisory): the
+    * unsuffixed keys (`flatten_sec`, `flatten_docs_per_s`,
+    * `flatten_docs_per_s_warm`, `*_schema_reuse`) are BEST-of-3 — the
+    * statistic every round before r11 published — and every mode also
+    * publishes an explicit `*_median` twin. r11 silently switched the
+    * unsuffixed rate keys to median-of-3, which made cross-round
+    * comparison read a semantic change as a 2.7× throughput regression.
+    * Both series are now always present, so a metric preference change
+    * can never again masquerade as a performance trend.
     */
   final case class FlattenBench(docs: Int, samples: Int,
-      coldSec: Double, coldSecMedian: Double,
-      coldRate: Double, coldRateBest: Double,
-      warmRate: Double, warmRateBest: Double,
-      schemaReuseSec: Double, schemaReuseSecMedian: Double,
-      schemaReuseRate: Double)
+      coldSecBest: Double, coldSecMedian: Double,
+      warmSecBest: Double, warmSecMedian: Double,
+      reuseSecBest: Double, reuseSecMedian: Double) {
+    private def rate(sec: Double): Double = if (sec > 0) docs / sec else 0.0
+    def coldRateBest: Double = rate(coldSecBest)
+    def coldRateMedian: Double = rate(coldSecMedian)
+    def warmRateBest: Double = rate(warmSecBest)
+    def warmRateMedian: Double = rate(warmSecMedian)
+    def reuseRateBest: Double = rate(reuseSecBest)
+    def reuseRateMedian: Double = rate(reuseSecMedian)
+  }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -245,19 +318,13 @@ object Bench {
         graft.flatten.Flattener.flattenToTsv(df2, in2.resolve("tsv").toString)
         (System.nanoTime() - t2) / 1e9
       }
-      // HEADLINE rates are MEDIAN-of-3 (r11 change): three driver rounds
-      // of monotone best-of-3 decline (1,050 → 781 → 691 docs/s) on a
-      // host whose identical-code samples swing 2–3× made "best" the
-      // less stable statistic — the best sample needs all 3 runs lucky,
-      // the median needs 2. Best-of-3 stays in *_best for continuity.
       FlattenBench(n, 3,
-        cold.min, median(cold), n / median(cold), n / cold.min,
-        n / median(warm), n / warm.min,
-        reuse.min, median(reuse), n / median(reuse))
+        cold.min, median(cold), warm.min, median(warm),
+        reuse.min, median(reuse))
     } catch {
       case e: Throwable =>
         System.err.println(s"BENCH FAIL flatten: $e")
-        FlattenBench(0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        FlattenBench(0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     } finally scratch.foreach(p => deleteRec(p.toFile))
   }
 }
