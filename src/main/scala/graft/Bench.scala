@@ -120,7 +120,10 @@ object Bench {
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val firstPass = sorted.zipWithIndex.map { case ((name, fn), i) =>
       val r = timeOne(name, fn)
-      if ((i + 1) % 25 == 0) takeCensus(f"q${i + 1}%03d")
+      // label with the actual query name: the sweep is LEXICOGRAPHIC
+      // (q100 sorts before q13), so a position label like "q025" would
+      // point a census reader at the wrong queries
+      if ((i + 1) % 25 == 0) takeCensus(s"after#${i + 1}:$name")
       (name, fn, r._1, r._2)
     }
     takeCensus("after_sweep")
@@ -152,15 +155,22 @@ object Bench {
     // the scoreboard number for each conflates a lake write plus several
     // independent search paths, so a regression there cannot be
     // attributed from the artifact alone. One timed count() per path.
-    val pathTimes = graft.queries.TrainingData.annLakePaths(spark, sfDir)
-      .map { case (label, thunk) =>
-        val t0 = System.nanoTime()
-        val ok = try { thunk().count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH path $label: $e"); false }
-        dropCaches(spark)
-        label -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
+    // Building the thunk list itself touches the embeddings table; a
+    // failure there (missing/unreadable parquet) must degrade to an
+    // empty `paths` object, never abort the bench after the sweep has
+    // run and before the scoreboard JSON is printed.
+    val pathThunks =
+      try graft.queries.TrainingData.annLakePaths(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH paths setup failed: $e"); Seq.empty }
+    val pathTimes = pathThunks.map { case (label, thunk) =>
+      val t0 = System.nanoTime()
+      val sec = try { thunk().count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH path $label: $e"); -1.0 }
+      dropCaches(spark) // AFTER the clock stops — cache teardown time
+      label -> sec      // must not pollute sub-second path attribution
+    }
     val qs = runs.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = runs.filter(_._3.isDefined)

@@ -1930,17 +1930,35 @@ object TrainingData {
   // never what is computed; multiset equality via pair-counting) —
   // and q110's recall floor against brute force. n_queries/n_results
   // are data-derivable in SQL; the booleans replay as pinned TRUE.
+  /** Shared geometry and scratch paths for the lake-ANN audit queries
+    * (q122 PQ, q137 IVF) AND the bench's per-path attribution
+    * ([[annLakePaths]]) — ONE definition, so tuning a query parameter
+    * or scratch key can never make the bench silently time a different
+    * computation than the scoreboard query it attributes.
+    */
+  private object AnnLake {
+    val Dim = 64; val K = 5
+    val M = 16; val Ksub = 16; val Refine = 4 // PQ (q122)
+    val NCells = 64; val NProbe = 28          // IVF (q137)
+    def pqDir(d: String): String = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_annlake_" + Tables.scratchKey(d)).toString
+    def ivfDir(d: String): String = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_ivflake_" + Tables.scratchKey(d)).toString
+  }
+
   private def q122(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val qs = emb.filter(col("vec_id") < 10)
-    val lakeDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_annlake_" + Tables.scratchKey(d)).toString
+    val lakeDir = AnnLake.pqDir(d)
     graft.sinks.Lake.writeAnnLake(emb, lakeDir, "vec_id")
     val lake = Similarity.pqTopKOverLake(s, lakeDir, qs, "vec_id",
-      "embedding", dim = 64, k = 5, m = 16, ksub = 16, refine = 4)
+      "embedding", dim = AnnLake.Dim, k = AnnLake.K, m = AnnLake.M,
+      ksub = AnnLake.Ksub, refine = AnnLake.Refine)
     val mem = Similarity.pqTopK(emb, qs, "vec_id", "embedding",
-      dim = 64, k = 5, m = 16, ksub = 16, refine = 4)
+      dim = AnnLake.Dim, k = AnnLake.K, m = AnnLake.M,
+      ksub = AnnLake.Ksub, refine = AnnLake.Refine)
     val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
       k = 5)
     val stats = lake.agg(
@@ -1980,13 +1998,16 @@ object TrainingData {
   private def q137(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val qs = emb.filter(col("vec_id") < 10)
-    val lakeDir = Tables.freshScratchDir("graft_ivflake_", d).toString
+    val lakeDir = AnnLake.ivfDir(d)
+    Tables.deleteRecursively(java.nio.file.Paths.get(lakeDir))
     Similarity.writeIvfLake(emb, lakeDir, "vec_id", "embedding",
-      dim = 64, nCells = 64): Unit
+      dim = AnnLake.Dim, nCells = AnnLake.NCells): Unit
     val lake = Similarity.ivfTopKOverLake(s, lakeDir, qs, "vec_id",
-      "embedding", dim = 64, k = 5, nProbe = 28)
+      "embedding", dim = AnnLake.Dim, k = AnnLake.K,
+      nProbe = AnnLake.NProbe)
     val mem = Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-      dim = 64, k = 5, nCells = 64, nProbe = 28)
+      dim = AnnLake.Dim, k = AnnLake.K, nCells = AnnLake.NCells,
+      nProbe = AnnLake.NProbe)
     val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
       k = 5)
     val stats = lake.agg(
@@ -3516,39 +3537,40 @@ object TrainingData {
       : Seq[(String, () => DataFrame)] = {
     val emb = Tables.embeddings(s, d)
     val qs = emb.filter(col("vec_id") < 10)
-    val annDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_annlake_" + Tables.scratchKey(d)).toString
-    val ivfDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_ivflake_" + Tables.scratchKey(d)).toString
+    val annDir = AnnLake.pqDir(d)
+    val ivfDir = AnnLake.ivfDir(d)
     Seq(
       "q122_write+search" -> (() => {
         graft.sinks.Lake.writeAnnLake(emb, annDir, "vec_id")
         Similarity.pqTopKOverLake(s, annDir, qs, "vec_id", "embedding",
-          dim = 64, k = 5, m = 16, ksub = 16, refine = 4)
+          dim = AnnLake.Dim, k = AnnLake.K, m = AnnLake.M,
+          ksub = AnnLake.Ksub, refine = AnnLake.Refine)
       }),
       "q122_lake_search" -> (() =>
         Similarity.pqTopKOverLake(s, annDir, qs, "vec_id", "embedding",
-          dim = 64, k = 5, m = 16, ksub = 16, refine = 4)),
+          dim = AnnLake.Dim, k = AnnLake.K, m = AnnLake.M,
+          ksub = AnnLake.Ksub, refine = AnnLake.Refine)),
       "q122_mem_search" -> (() =>
         Similarity.pqTopK(emb, qs, "vec_id", "embedding",
-          dim = 64, k = 5, m = 16, ksub = 16, refine = 4)),
+          dim = AnnLake.Dim, k = AnnLake.K, m = AnnLake.M,
+          ksub = AnnLake.Ksub, refine = AnnLake.Refine)),
       "q122_brute_audit" -> (() =>
-        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)),
+        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+          k = AnnLake.K)),
       "q137_write+search" -> (() => {
         Tables.deleteRecursively(java.nio.file.Paths.get(ivfDir))
         Similarity.writeIvfLake(emb, ivfDir, "vec_id", "embedding",
-          dim = 64, nCells = 64): Unit
+          dim = AnnLake.Dim, nCells = AnnLake.NCells): Unit
         Similarity.ivfTopKOverLake(s, ivfDir, qs, "vec_id", "embedding",
-          dim = 64, k = 5, nProbe = 28)
+          dim = AnnLake.Dim, k = AnnLake.K, nProbe = AnnLake.NProbe)
       }),
       "q137_lake_search" -> (() =>
         Similarity.ivfTopKOverLake(s, ivfDir, qs, "vec_id", "embedding",
-          dim = 64, k = 5, nProbe = 28)),
+          dim = AnnLake.Dim, k = AnnLake.K, nProbe = AnnLake.NProbe)),
       "q137_mem_search" -> (() =>
         Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-          dim = 64, k = 5, nCells = 64, nProbe = 28)))
+          dim = AnnLake.Dim, k = AnnLake.K, nCells = AnnLake.NCells,
+          nProbe = AnnLake.NProbe)))
   }
 
   // --- q150: DSIR importance resampling ----------------------------------------

@@ -41,7 +41,10 @@ object EsBulk {
     // lines as action lines and silently return zero documents (or a
     // corrupted union schema). Reject it loudly at write time, where
     // the caller can still rename.
-    require(!df.columns.contains("index"),
+    // case-INSENSITIVE: Spark's default resolution is too, so an
+    // 'Index' column would collide with the action struct at read time
+    // (ambiguous-attribute error) even though it differs in case here
+    require(!df.columns.exists(_.equalsIgnoreCase("index")),
       "EsBulk.write: 'index' is a reserved _bulk action field — " +
         "rename the column (read() identifies action lines by a " +
         "non-null 'index' struct, so a document column of that name " +

@@ -112,5 +112,11 @@ class EsBulkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved"), e.getMessage)
     assert(!Files.exists(java.nio.file.Paths.get(dir)),
       "guard must fire before any output lands")
+    // case-insensitive, like Spark's default column resolution: an
+    // 'Index' column would collide with the action struct at read time
+    val mixed = Seq((1L, "a", 3L)).toDF("doc_id", "text", "Index")
+    intercept[IllegalArgumentException] {
+      EsBulk.write(mixed, dir, "docs", "doc_id")
+    }
   }
 }
