@@ -365,4 +365,31 @@ class PlanSpec extends AnyFunSuite {
     // "[codegen id : N]" rather than the word WholeStageCodegen
     assert(p.contains("[codegen id :"), s"projection not codegen'd:\n$p")
   }
+
+  test("q149: length-bucketed batching is ONE shuffle with a 2-column scan") {
+    val p = plan("q149_length_batches")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly the bucket exchange:\n$p")
+    // only (doc_id, n_chars) leave the scan — never the text
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"read schema not pruned to the two batching columns:\n$p")
+  }
+
+  test("q150: DSIR selection plans as TakeOrderedAndProject (k-heap per task)") {
+    val p = plan("q150_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Gumbel top-k fell into a global sort:\n$p")
+    // scoring is map-side through the dense weight literal: no join,
+    // no aggregation exchange anywhere in the scoring pass
+    assert(!p.contains("Join"), s"scoring pass joined:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges == 0, s"scoring pass shuffled:\n$p")
+  }
+
+  test("q151: grouped split is a pure projection — zero shuffles, zero joins") {
+    val p = plan("q151_grouped_split")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges == 0 && !p.contains("Join"),
+      s"split decision must be a map-side projection:\n$p")
+  }
 }
