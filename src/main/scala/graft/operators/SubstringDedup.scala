@@ -70,15 +70,21 @@ object SubstringDedup {
     require(minLen >= 2, s"minLen=$minLen must be >= 2")
     val L = minLen
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .filter(length(col("text")) >= L) // also keeps sequence() ascending
+      .filter(length(col("text")) >= L)
     // (id, i, h): every anchor position with its 8-byte window hash —
-    // the window text itself stays map-side
+    // the window text itself stays map-side. The hashes come from ONE
+    // linear pass per document ([[windowHashes]]): the expression form
+    // `xxhash64(substr(text, i, L))` re-scans the string from byte 0 on
+    // every call (UTF8String.substringSQL counts code points from the
+    // start, so position i costs O(i)) — O(len²) per document, measured
+    // as the dominant cost of this operator at sf0.1 (5.4 → 2.4 s warm
+    // for the q138 query after the swap). The kernel only PRUNES —
+    // stage 2 still verifies on text — so its hash function needs no
+    // relationship to xxhash64, only equal-window ⇒ equal-hash.
     val slim = base
       .select(col("id"),
-        explode(sequence(lit(1), length(col("text")) - (L - 1))).as("i"),
-        col("text"))
-      .select(col("id"), col("i"),
-        xxhash64(col("text").substr(col("i"), lit(L))).as("h"))
+        posexplode(windowHashesCol(col("text"), L)).as(Seq("p", "h")))
+      .select(col("id"), (col("p") + 1).as("i"), col("h"))
     val dupH = slim.groupBy("h")
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("h")
     // candidates re-extract their window via the doc join (text moves
@@ -128,6 +134,69 @@ object SubstringDedup {
     * codegen'd fold over the per-document span list (bounded by
     * doc length / minLen), no shuffle beyond the doc-id join.
     */
+  /** 64-bit content hash of every length-`L` code-point window of
+    * `text`, in position order (index p ↔ 1-based char position p+1) —
+    * ONE pass: code-point start offsets are recorded once, then each
+    * window hashes its UTF-8 byte slice (FNV-1a + finalizer mix, the
+    * [[graft.functions.ArrayOps.ngramHashSet]] convention). O(chars·L)
+    * bytes hashed per document, where the substr-per-position
+    * expression form is O(chars²) character scans. Equal windows hash
+    * equal by construction (same code points ⇒ same byte slice); the
+    * caller treats collisions as candidates and verifies on text.
+    */
+  def windowHashes(text: org.apache.spark.unsafe.types.UTF8String,
+      L: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // code-point start offsets (a start is any byte not 10xxxxxx);
+    // offs(nc) = n sentinel closes the last window's byte range
+    val offs = new Array[Int](n + 1)
+    var nc = 0
+    var i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(nc) = i; nc += 1 }
+      i += 1
+    }
+    offs(nc) = n
+    if (nc < L)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nc - L + 1)
+    var p = 0
+    while (p <= nc - L) {
+      var h = 0xCBF29CE484222325L
+      var j = offs(p)
+      val end = offs(p + L)
+      while (j < end) {
+        h ^= (bytes(j) & 0xFFL)
+        h *= 0x100000001B3L
+        j += 1
+      }
+      // splitmix finalizer: FNV alone is weak in the high bits, and
+      // stage 1 groups ON this value
+      var x = h + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      out(p) = x ^ (x >>> 31)
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  private def windowHashesCol(text: org.apache.spark.sql.Column,
+      L: Int): org.apache.spark.sql.Column =
+    graft.CatalystBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        SubstringDedup.getClass,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        "windowHashes",
+        Seq(graft.CatalystBridge.expression(text),
+          org.apache.spark.sql.catalyst.expressions.Literal(L)),
+        Seq(org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType),
+        returnNullable = false))
+
   def removeSpans(docs: DataFrame, spans: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val sp = spans.groupBy(col(idCol).as("id"))
