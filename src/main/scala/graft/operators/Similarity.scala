@@ -309,10 +309,18 @@ object Similarity {
     val (cells, centroids) =
       trainCentroids(corpus, idCol, vecCol, dim, nCells, sampleN, iters, seed)
     val centLit = ArrayOps.packedFloatLit(centroids)
+    // ONE shuffle keyed by cell before the partitioned write: without
+    // it every task writes a fragment into every cell directory —
+    // tasks×cells files (195 for 64 cells at sf0.1; at 1,000 executors
+    // × 4,096 cells that is millions of files, the classic partitioned-
+    // write small-files failure). Hash-clustering on cell makes each
+    // cell's rows land in exactly one task → one file per cell; widen
+    // with repartition(N, cell) if single cells outgrow a file.
     corpus.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))
       .withColumn("cell",
         graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(lakeDir)
     // sidecar AFTER the main write (whose overwrite clears the dir)
     import spark.implicits._
