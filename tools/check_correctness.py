@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's correctness gate.
 
-Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir> [name,name,...]
+
+An optional third argument restricts the compare to a comma-separated
+subset of query names (matching graft.Verify's subset argument), so a
+fast single-query iteration does not report every undumped query as a
+failure.
 
 Loads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the same test tables,
@@ -80,12 +85,15 @@ def rows_of(cols, table):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         try:
             got_tbl = pq.read_table(f"{out_dir}/{name}")
             got_cols = got_tbl.column_names
@@ -139,7 +147,8 @@ def main():
             print(f"FAIL {name}: {len(bad)} differing rows; first: spark={bad[0][0]} duckdb={bad[0][1]}")
             continue
         print(f"PASS {name}: {len(gr)} rows, cols={gn}")
-    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} passed")
+    n = len(oracle) if only is None else len(only & set(oracle))
+    print(f"\n{n - len(failed)}/{n} passed")
     sys.exit(1 if failed else 0)
 
 
