@@ -63,6 +63,15 @@ object Bench {
       // per task worst-case — safe at executor scale.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         1 << 20)
+      // The default 100-entry codegen class cache evicts completely
+      // across a 151-query session, so every deferred re-run (and any
+      // repeated subplan) recompiles from scratch — measured ~2.5 s of
+      // pure Janino time on the 5,028-column flatten plan (q67 cold
+      // 10.3 s vs warm 2.4 s) and similar on the iterative graph
+      // queries. A long-lived session on a real driver keeps the
+      // compiled classes; 10k entries bounds metaspace while making
+      // the cache effectively session-lifetime here.
+      .config("spark.sql.codegen.cache.maxEntries", 10000)
       .config("spark.ui.enabled", "false")
       // the engine's own extension surface (custom SQL functions + the
       // levenshtein length-prefilter optimizer rule) is part of the

@@ -21,6 +21,9 @@ object Verify {
       // sort-based fallback; see the Bench.scala note + tools/TopKProfile
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         1 << 20)
+      // session-lifetime codegen class cache (see the Bench.scala note:
+      // the default 100 entries churns completely across 151 queries)
+      .config("spark.sql.codegen.cache.maxEntries", 10000)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // run with the engine's extensions on (custom SQL functions + the

@@ -142,6 +142,39 @@ class SubstringDedupSpec extends AnyFunSuite {
       assert(spans(docs, 8) === bruteSpans(docs, 8), s"corpus $docs")
   }
 
+  test("property: multi-byte text — spans equal brute force (code-point offsets)") {
+    import org.scalacheck.Gen
+    // BMP multi-byte words (2-3 UTF-8 bytes per char, 1 UTF-16 unit, so
+    // Java-String positions in bruteSpans == code points): exercises the
+    // windowHashes kernel's UTF-8 start-offset walk, where an off-by-one
+    // would silently hash byte-misaligned windows
+    val word = Gen.oneOf("héllo ", "wörld ", "日本語 ", "café ", "ñ")
+    val doc = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString))
+    val corpus = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, doc).map(_.zipWithIndex.map {
+        case (t, i) => (i.toLong, t)
+      }))
+    for (docs <- samples(corpus, 12))
+      assert(spans(docs, 8) === bruteSpans(docs, 8), s"corpus $docs")
+  }
+
+  test("windowHashes: supplementary-plane windows hash by code point") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // 𝕏 is 1 code point / 2 UTF-16 units / 4 UTF-8 bytes — the case
+    // where byte- and UTF-16-based indexing both go wrong
+    val s = "ab𝕏cd𝕏ab𝕏cd" // ab𝕏cd𝕏ab𝕏cd
+    val L = 3
+    val hs = SubstringDedup.windowHashes(UTF8String.fromString(s), L)
+    val cps = s.codePoints().toArray
+    assert(hs.numElements() === cps.length - L + 1)
+    // reference windows by CODE POINT; equal windows ⇔ equal hashes
+    def win(i: Int) = new String(cps, i, L)
+    for (i <- 0 until hs.numElements(); j <- 0 until hs.numElements())
+      assert((win(i) == win(j)) === (hs.getLong(i) == hs.getLong(j)),
+        s"positions $i/$j: '${win(i)}' vs '${win(j)}'")
+  }
+
   test("removeSpans over random corpora: kept text is the span complement") {
     import org.scalacheck.Gen
     val word = Gen.oneOf("lorem ", "ipsum ", "dolor ", "sit ")
