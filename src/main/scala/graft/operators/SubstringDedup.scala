@@ -124,38 +124,39 @@ object SubstringDedup {
         (col("e") - col("s") + 1).cast("long").as("span_len"))
   }
 
-  /** The removal pass: cut every duplicated span out of its document
-    * (all copies — Lee et al.'s observed-safe policy for training data;
-    * a keep-one policy is a filter on `spans` before this call). Output:
-    * (idCol, clean_text) for EVERY input document. Spans are disjoint,
-    * non-adjacent and in-bounds by [[duplicateSpans]]'s construction
-    * (any caller-supplied span set must honor the same invariant); the
-    * cut is one
-    * codegen'd fold over the per-document span list (bounded by
-    * doc length / minLen), no shuffle beyond the doc-id join.
-    */
   /** 64-bit content hash of every length-`L` code-point window of
     * `text`, in position order (index p ↔ 1-based char position p+1) —
     * ONE pass: code-point start offsets are recorded once, then each
-    * window hashes its UTF-8 byte slice (FNV-1a + finalizer mix, the
-    * [[graft.functions.ArrayOps.ngramHashSet]] convention). O(chars·L)
-    * bytes hashed per document, where the substr-per-position
-    * expression form is O(chars²) character scans. Equal windows hash
-    * equal by construction (same code points ⇒ same byte slice); the
-    * caller treats collisions as candidates and verifies on text.
+    * window hashes its UTF-8 byte slice (FNV-1a +
+    * [[graft.functions.ArrayOps.mixPub]] finalizer, the ngramHashSet
+    * convention). O(chars·L) bytes hashed per document, where the
+    * substr-per-position expression form is O(chars²) character scans.
+    * Equal windows hash equal by construction (same code points ⇒ same
+    * byte slice); the caller treats collisions as candidates and
+    * verifies on text.
+    *
+    * The offset walk is UTF8String's OWN
+    * (`numBytesForFirstByte` strides, not a continuation-byte scan):
+    * stage 2 re-extracts windows with `substr(text, i, L)`, so the
+    * kernel's position i must mean exactly what Spark's code-point walk
+    * means — including on MALFORMED UTF-8 (a lead byte followed by a
+    * non-continuation byte), where the two walks count differently and
+    * a misaligned index would silently prune true duplicates.
     */
   def windowHashes(text: org.apache.spark.unsafe.types.UTF8String,
       L: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val bytes = text.getBytes
     val n = bytes.length
-    // code-point start offsets (a start is any byte not 10xxxxxx);
-    // offs(nc) = n sentinel closes the last window's byte range
+    // code-point start offsets; offs(nc) = n sentinel closes the last
+    // window's byte range (a truncated trailing char clamps to n)
     val offs = new Array[Int](n + 1)
     var nc = 0
     var i = 0
     while (i < n) {
-      if ((bytes(i) & 0xC0) != 0x80) { offs(nc) = i; nc += 1 }
-      i += 1
+      offs(nc) = i
+      nc += 1
+      i += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(i))
     }
     offs(nc) = n
     if (nc < L)
@@ -166,18 +167,15 @@ object SubstringDedup {
     while (p <= nc - L) {
       var h = 0xCBF29CE484222325L
       var j = offs(p)
-      val end = offs(p + L)
+      val end = math.min(offs(p + L), n)
       while (j < end) {
         h ^= (bytes(j) & 0xFFL)
         h *= 0x100000001B3L
         j += 1
       }
-      // splitmix finalizer: FNV alone is weak in the high bits, and
-      // stage 1 groups ON this value
-      var x = h + 0x9E3779B97F4A7C15L
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      out(p) = x ^ (x >>> 31)
+      // finalizer: FNV alone is weak in the high bits, and stage 1
+      // groups ON this value
+      out(p) = graft.functions.ArrayOps.mixPub(h)
       p += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
@@ -197,6 +195,16 @@ object SubstringDedup {
           org.apache.spark.sql.types.IntegerType),
         returnNullable = false))
 
+  /** The removal pass: cut every duplicated span out of its document
+    * (all copies — Lee et al.'s observed-safe policy for training data;
+    * a keep-one policy is a filter on `spans` before this call). Output:
+    * (idCol, clean_text) for EVERY input document. Spans are disjoint,
+    * non-adjacent and in-bounds by [[duplicateSpans]]'s construction
+    * (any caller-supplied span set must honor the same invariant); the
+    * cut is one
+    * codegen'd fold over the per-document span list (bounded by
+    * doc length / minLen), no shuffle beyond the doc-id join.
+    */
   def removeSpans(docs: DataFrame, spans: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val sp = spans.groupBy(col(idCol).as("id"))

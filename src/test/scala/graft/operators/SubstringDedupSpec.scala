@@ -175,6 +175,27 @@ class SubstringDedupSpec extends AnyFunSuite {
         s"positions $i/$j: '${win(i)}' vs '${win(j)}'")
   }
 
+  test("windowHashes: malformed UTF-8 walks exactly like Spark's code-point count") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // a lead byte followed by a NON-continuation byte: Spark's
+    // numBytesForFirstByte stride counts 0xC3 'a' as ONE char (the 'a'
+    // is swallowed), a naive continuation-byte scan counts two — the
+    // kernel must agree with Spark, or stage-1 positions misalign with
+    // stage-2 substr extraction and true duplicates get pruned
+    val malformed = Array[Byte](
+      'x', 'y', 0xC3.toByte, 'a', 'z', 'w', 0xC3.toByte, 'a', 'z', 'w')
+    val s = UTF8String.fromBytes(malformed)
+    val L = 2
+    val hs = SubstringDedup.windowHashes(s, L)
+    assert(hs.numElements() === s.numChars() - L + 1,
+      s"kernel char count disagrees with Spark (${s.numChars()} chars)")
+    // the duplicated tail [0xC3 'a'] 'z' 'w' must hash equal at both
+    // occurrences under Spark's walk
+    val wins = (0 until hs.numElements()).map(hs.getLong)
+    assert(wins.distinct.size < wins.size,
+      s"duplicate malformed windows did not collide: $wins")
+  }
+
   test("removeSpans over random corpora: kept text is the span complement") {
     import org.scalacheck.Gen
     val word = Gen.oneOf("lorem ", "ipsum ", "dolor ", "sit ")

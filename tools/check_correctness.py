@@ -91,6 +91,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
+    if only is not None:
+        # a misspelled subset name must not read as a green 0/0 gate
+        for name in sorted(only - set(oracle)):
+            print(f"FAIL {name}: not in oracle_sql.json (typo?)")
+            failed.append(name)
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
             continue
@@ -147,7 +152,7 @@ def main():
             print(f"FAIL {name}: {len(bad)} differing rows; first: spark={bad[0][0]} duckdb={bad[0][1]}")
             continue
         print(f"PASS {name}: {len(gr)} rows, cols={gn}")
-    n = len(oracle) if only is None else len(only & set(oracle))
+    n = len(oracle) if only is None else len(only)
     print(f"\n{n - len(failed)}/{n} passed")
     sys.exit(1 if failed else 0)
 
