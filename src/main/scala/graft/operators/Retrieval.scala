@@ -48,22 +48,33 @@ object Retrieval {
 
     val base = docs.select(col(idCol).as("doc_id"),
       Text.tokens(col(textCol)).as("w"))
-    // one token pass: (doc_id, dl, term, tf)
+    val qdf = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    // (doc_id, dl, term, tf) for QUERIED terms only: the broadcast
+    // term filter runs on the exploded token stream BEFORE the tf
+    // aggregation, so the per-(doc, term) groupBy shuffles only
+    // queried-term occurrences — never the corpus token stream. (The
+    // r12 BM25 scale profile caught the previous shape grouping ALL
+    // (doc, term) pairs first — a full-corpus shuffle the scaladoc
+    // explicitly promises not to do — and, unmaterialized, doing it
+    // twice: once under dfx, once under the score join. 10⁶ docs:
+    // 11.0 → 3.0 s warm.) The pruned postings are bounded by queried-
+    // term posting volume, so the eager localCheckpoint is scale-safe
+    // (the SubstringDedup/distill precedent) and cuts the remaining
+    // double tokenize: tf feeds BOTH df counting and scoring.
     val tf = base
       .select(col("doc_id"), size(col("w")).as("dl"),
         explode(col("w")).as("term"))
+      .join(broadcast(qdf.select("term").distinct()), "term")
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-
-    val qdf = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-      .toDF("query_id", "term")
+      .localCheckpoint(true)
     // corpus scalars as a 1-row broadcast frame (never collected)
     val stats = base.agg(count(lit(1)).as("n"),
       avg(size(col("w"))).as("avgdl"))
-    // document frequency of QUERIED terms only (tf rows are one per
+    // document frequency of queried terms (tf rows are one per
     // (doc, term), so count(*) = containing docs)
-    val dfx = tf.join(broadcast(qdf.select("term").distinct()), "term")
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
     val contrib: Column =
       log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
@@ -73,7 +84,7 @@ object Retrieval {
           lit(b) * col("dl") / col("avgdl"))) * lit(1e6)
 
     val scored = tf
-      .join(broadcast(qdf), "term") // prunes the corpus to queried terms
+      .join(broadcast(qdf), "term") // fan out terms to their queries
       .join(broadcast(dfx), "term")
       .crossJoin(broadcast(stats))
       .withColumn("contrib_micro", round(contrib).cast("long"))
