@@ -343,31 +343,41 @@ object Similarity {
     * same (nCells, nProbe) on the same corpus (q137 pins it): the
     * lake changes where bytes come from, never what is computed.
     */
-  def ivfTopKOverLake(spark: org.apache.spark.sql.SparkSession,
-      lakeDir: String, queries: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int = 5, nProbe: Int = 0): DataFrame = {
-    // indexed into flat[] by cell_id below — no ordering needed
+  /** The `_ivf_centroids` sidecar as the flat cell-major float array
+    * every IVF reader/writer indexes by `cell_id * dim`.
+    */
+  private def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, dim: Int): Array[Float] = {
     val cents = spark.read.parquet(lakeDir + "/_ivf_centroids").collect()
-    val cells = cents.length
-    require(cells > 0, s"no _ivf_centroids sidecar under $lakeDir")
-    val flat = new Array[Float](cells * dim)
+    require(cents.nonEmpty, s"no _ivf_centroids sidecar under $lakeDir")
+    val flat = new Array[Float](cents.length * dim)
     cents.foreach { r =>
       val c = r.getLong(0).toInt
       val v = r.getSeq[Float](1)
       var i = 0
       while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
     }
+    flat
+  }
+
+  /** Probe fan-out against a frozen centroid set: each query row
+    * expanded to its `nProbe` nearest cells. The ×nProbe-fanned query
+    * side is ivfScore's BROADCAST side, so it fits the driver by the
+    * same budget — collect it ONCE (running the O(|Q|·cells·dim)
+    * centroid scoring a single time), derive the probed-cell set from
+    * the collected rows, and re-wrap them as a local relation for the
+    * join. (A lazy shape executes the scoring plan twice: once for the
+    * probed-cells distinct() and again inside the broadcast.) Returns
+    * (fanned query frame, distinct probed cells).
+    */
+  private def ivfProbe(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nProbe: Int, flat: Array[Float]): (DataFrame, Array[Long]) = {
+    val cells = flat.length / dim
     val probes =
       if (nProbe > 0) nProbe
       else math.min(cells, math.max(4, cells * 8 / 100))
     val centLit = ArrayOps.packedFloatLit(flat)
-    // The ×nProbe-fanned query side is ivfScore's BROADCAST side, so it
-    // fits the driver by the same budget — collect it ONCE (running the
-    // O(|Q|·cells·dim) centroid scoring a single time), derive the
-    // partition filter from the collected rows, and re-wrap them as a
-    // local relation for the join. The previous shape executed the
-    // scoring plan twice: once for the probed-cells distinct() and
-    // again inside the broadcast.
     val qRows = queries.select(col(idCol).cast("long").as("q_id"),
         col(vecCol).cast("array<float>").as("q_vec"))
       .withColumn("cell", explode(
@@ -385,7 +395,65 @@ object Similarity {
             org.apache.spark.sql.types.FloatType)),
         org.apache.spark.sql.types.StructField("cell",
           org.apache.spark.sql.types.LongType))))
+    (q, probed)
+  }
+
+  def ivfTopKOverLake(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int = 5, nProbe: Int = 0): DataFrame = {
+    val flat = readIvfCentroids(spark, lakeDir, dim)
+    val (q, probed) = ivfProbe(spark, queries, idCol, vecCol, dim,
+      nProbe, flat)
     val c = spark.read.schema(IvfLakeSchema).parquet(lakeDir)
+      .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+    ivfScore(c, q, k)
+  }
+
+  /** Append a new batch to an existing IVF lake WITHOUT retraining —
+    * the incremental-ingest maintenance op: new vectors are assigned
+    * to the lake's FROZEN centroids (read from the sidecar, so the
+    * append uses exactly the geometry the lake was partitioned by) and
+    * appended into their cell directories, clustered by cell like the
+    * initial write (one new file per touched cell per batch, not one
+    * per task — compaction of many small batches is [[graft.sinks.Lake]]
+    * territory, same as the partials lake). Readers see the lake grow
+    * with no churn to existing files and no change to probe geometry;
+    * recall on the appended vectors matches what a full rebuild AT THE
+    * SAME centroids would give (periodic retraining, when drift
+    * warrants it, is a rebuild — the explicit, rarer operation).
+    */
+  def appendToIvfLake(batch: DataFrame, lakeDir: String, idCol: String,
+      vecCol: String, dim: Int): Unit = {
+    val flat = readIvfCentroids(batch.sparkSession, lakeDir, dim)
+    val centLit = ArrayOps.packedFloatLit(flat)
+    batch.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .withColumn("cell",
+        graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(lakeDir)
+  }
+
+  /** IVF search over an in-memory corpus ASSIGNED TO A LAKE'S FROZEN
+    * centroids — the audit twin of [[appendToIvfLake]]: searching a
+    * base+appended lake must EXACTLY equal searching base∪batch
+    * assigned in memory to the same sidecar centroids (q152 pins the
+    * multiset equality). Differs from [[ivfTopK]] only in where the
+    * geometry comes from: ivfTopK trains on its input, this freezes on
+    * the lake's.
+    */
+  def ivfTopKFrozen(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, lakeDir: String,
+      nProbe: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val flat = readIvfCentroids(spark, lakeDir, dim)
+    val centLit = ArrayOps.packedFloatLit(flat)
+    val (q, probed) = ivfProbe(spark, queries, idCol, vecCol, dim,
+      nProbe, flat)
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .withColumn("cell",
+        graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
       .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
     ivfScore(c, q, k)
   }

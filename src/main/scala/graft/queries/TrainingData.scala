@@ -3657,6 +3657,59 @@ object TrainingData {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  // --- q152: incremental IVF-lake append ---------------------------------------
+  // Similarity.appendToIvfLake: the incremental-ingest maintenance op
+  // the ANN lake story needs at 100 TB — a new batch is assigned to
+  // the lake's FROZEN sidecar centroids and appended into its cell
+  // directories (no retrain, no churn to existing files). The audit:
+  // searching the appended lake must EXACTLY equal ivfTopKFrozen
+  // (base∪batch assigned in memory to the same sidecar centroids) —
+  // an append that drops/duplicates rows, misassigns cells, or
+  // corrupts the sidecar fails the multiset equality — plus q50's
+  // brute-force recall floor (0.8: centroids trained on the 80% base
+  // keep the q137 geometry on this iid corpus).
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val inc = emb.filter(col("vec_id") % 5 === 0)
+    val qs = emb.filter(col("vec_id") < 10)
+    val lakeDir = AnnLake.ivfDir(d) + "_inc"
+    Tables.deleteRecursively(java.nio.file.Paths.get(lakeDir))
+    Similarity.writeIvfLake(base, lakeDir, "vec_id", "embedding",
+      dim = AnnLake.Dim, nCells = AnnLake.NCells): Unit
+    Similarity.appendToIvfLake(inc, lakeDir, "vec_id", "embedding",
+      dim = AnnLake.Dim)
+    val lake = Similarity.ivfTopKOverLake(s, lakeDir, qs, "vec_id",
+      "embedding", dim = AnnLake.Dim, k = AnnLake.K,
+      nProbe = AnnLake.NProbe)
+    val mem = Similarity.ivfTopKFrozen(emb, qs, "vec_id", "embedding",
+      dim = AnnLake.Dim, k = AnnLake.K, lakeDir = lakeDir,
+      nProbe = AnnLake.NProbe)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+      k = AnnLake.K)
+    val stats = lake.agg(
+      count_distinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_results"))
+    val diffs = lake.unionAll(mem)
+      .groupBy("q_id", "id", "rank").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).agg(count(lit(1)).as("n_diff"))
+    val hits = lake.join(exact, Seq("q_id", "id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    stats.crossJoin(diffs).crossJoin(hits).crossJoin(nExact)
+      .select(col("n_queries"), col("n_results"),
+        (col("n_diff") === 0).as("equals_in_memory"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.8)
+          .as("recall_ge_floor"))
+  }
+
+  private val q152Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(5 * count(*) AS BIGINT) AS n_results,
+       true AS equals_in_memory,
+       true AS recall_ge_floor
+       FROM embeddings WHERE vec_id < 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -3756,7 +3809,8 @@ object TrainingData {
     "q148_snapshot_diff"  -> q148 _,
     "q149_length_batches" -> q149 _,
     "q150_dsir_resample"  -> q150 _,
-    "q151_grouped_split"  -> q151 _)
+    "q151_grouped_split"  -> q151 _,
+    "q152_ivf_append"     -> q152 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -3857,5 +3911,6 @@ object TrainingData {
     "q148_snapshot_diff"  -> q148Sql,
     "q149_length_batches" -> q149Sql,
     "q150_dsir_resample"  -> q150Sql,
-    "q151_grouped_split"  -> q151Sql)
+    "q151_grouped_split"  -> q151Sql,
+    "q152_ivf_append"     -> q152Sql)
 }

@@ -97,4 +97,38 @@ class IvfLakeSpec extends AnyFunSuite {
       "vec_id", "embedding", dim, k = 4)
     assert(res.count() > 0)
   }
+
+  test("incremental append: frozen-centroid assignment, search = frozen twin") {
+    val emb = corpus(96)
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val inc = emb.filter(col("vec_id") % 4 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_append_spec_").toString + "/lake"
+    Similarity.writeIvfLake(base, dir, "vec_id", "embedding", dim,
+      nCells = 8): Unit
+    val centsBefore = spark.read.parquet(dir + "/_ivf_centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    Similarity.appendToIvfLake(inc, dir, "vec_id", "embedding", dim)
+    // every id present exactly once; sidecar untouched by the append
+    val ids = spark.read.parquet(dir).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 96L), s"ids after append: ${ids.length}")
+    val centsAfter = spark.read.parquet(dir + "/_ivf_centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(centsAfter === centsBefore, "append must not retrain")
+    // appended rows sit in the cell the FROZEN centroids assign — the
+    // lake search must equal the in-memory frozen twin exactly
+    val qs = emb.filter(col("vec_id") < 5)
+    val lake = topk(Similarity.ivfTopKOverLake(spark, dir, qs,
+      "vec_id", "embedding", dim, k = 4, nProbe = 4))
+    val mem = topk(Similarity.ivfTopKFrozen(emb, qs, "vec_id",
+      "embedding", dim, k = 4, lakeDir = dir, nProbe = 4))
+    assert(lake === mem)
+    // and appended vectors are actually findable: a query equal to an
+    // appended vector must retrieve it at rank 1
+    val probe = inc.filter(col("vec_id") === 8)
+    val hit = Similarity.ivfTopKOverLake(spark, dir, probe,
+      "vec_id", "embedding", dim, k = 1, nProbe = 4).collect()
+    assert(hit.nonEmpty && hit(0).getLong(2) === 1L)
+  }
 }
