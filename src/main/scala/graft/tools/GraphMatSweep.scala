@@ -23,14 +23,18 @@ object GraphMatSweep {
     val k = args.headOption.map(_.toInt).getOrElse(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         1 << 20)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
-      .getOrCreate()
+    // SPARK_GRAFT_AQE=false isolates how much of the iterative queries'
+    // wall is AQE's per-query-stage job submission on the driver
+    sys.env.get("SPARK_GRAFT_AQE")
+      .foreach(v => builder.config("spark.sql.adaptive.enabled", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the bench's warm-up (codegen compiler + parquet paths), as in Bench
     try graft.SparkEntry.queries("q04_star_join")(spark, sfDir).count(): Unit
