@@ -331,18 +331,6 @@ object Similarity {
     cells
   }
 
-  /** IVF search over a [[writeIvfLake]] lake — the 100-TB shape of
-    * [[ivfTopK]]: the centroid sidecar is collected (cells×dim floats,
-    * the same driver budget as IVF training), each query fans out to
-    * its `nProbe` nearest cells, and the corpus scan is FILTERED to
-    * the union of probed cells — a partition-pruning directory
-    * listing, so unprobed cells' files are never opened, let alone
-    * read (PlanSpec pins the PartitionFilters/PartitionCount
-    * evidence). Scoring is [[ivfScore]], shared verbatim with the
-    * in-memory path — results are IDENTICAL to [[ivfTopK]] with the
-    * same (nCells, nProbe) on the same corpus (q137 pins it): the
-    * lake changes where bytes come from, never what is computed.
-    */
   /** The `_ivf_centroids` sidecar as the flat cell-major float array
     * every IVF reader/writer indexes by `cell_id * dim`.
     */
@@ -354,6 +342,12 @@ object Similarity {
     cents.foreach { r =>
       val c = r.getLong(0).toInt
       val v = r.getSeq[Float](1)
+      // fail FAST on a caller/lake dim mismatch: truncated centroids
+      // would silently change the probe geometry — and through
+      // appendToIvfLake would persist wrong-cell assignments into the
+      // lake with no error anywhere downstream
+      require(v.length == dim,
+        s"$lakeDir centroids are ${v.length}-dim, caller said $dim")
       var i = 0
       while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
     }
@@ -398,6 +392,18 @@ object Similarity {
     (q, probed)
   }
 
+  /** IVF search over a [[writeIvfLake]] lake — the 100-TB shape of
+    * [[ivfTopK]]: the centroid sidecar is collected (cells×dim floats,
+    * the same driver budget as IVF training), each query fans out to
+    * its `nProbe` nearest cells, and the corpus scan is FILTERED to
+    * the union of probed cells — a partition-pruning directory
+    * listing, so unprobed cells' files are never opened, let alone
+    * read (PlanSpec pins the PartitionFilters/PartitionCount
+    * evidence). Scoring is [[ivfScore]], shared verbatim with the
+    * in-memory path — results are IDENTICAL to [[ivfTopK]] with the
+    * same (nCells, nProbe) on the same corpus (q137 pins it): the
+    * lake changes where bytes come from, never what is computed.
+    */
   def ivfTopKOverLake(spark: org.apache.spark.sql.SparkSession,
       lakeDir: String, queries: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int = 5, nProbe: Int = 0): DataFrame = {

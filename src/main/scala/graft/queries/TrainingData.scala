@@ -1948,6 +1948,30 @@ object TrainingData {
       "graft_ivflake_" + Tables.scratchKey(d)).toString
   }
 
+  /** The lake-ANN audit tail shared by q122/q137/q152 — pinned counts,
+    * the equals-in-memory MULTISET equality (every (q_id, id, rank) must
+    * appear exactly twice in lake ∪ mem), and the brute-force recall
+    * floor, as one 4-column row. One definition so the three lake
+    * audits can never drift.
+    */
+  private def annLakeAudit(lake: DataFrame, mem: DataFrame,
+      exact: DataFrame, floor: Double): DataFrame = {
+    val stats = lake.agg(
+      count_distinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_results"))
+    val diffs = lake.unionAll(mem)
+      .groupBy("q_id", "id", "rank").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).agg(count(lit(1)).as("n_diff"))
+    val hits = lake.join(exact, Seq("q_id", "id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    stats.crossJoin(diffs).crossJoin(hits).crossJoin(nExact)
+      .select(col("n_queries"), col("n_results"),
+        (col("n_diff") === 0).as("equals_in_memory"),
+        (col("n_hit").cast("double") / col("n_exact") >= floor)
+          .as("recall_ge_floor"))
+  }
+
   private def q122(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val qs = emb.filter(col("vec_id") < 10)
@@ -1961,21 +1985,7 @@ object TrainingData {
       ksub = AnnLake.Ksub, refine = AnnLake.Refine)
     val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
       k = 5)
-    val stats = lake.agg(
-      count_distinct(col("q_id")).as("n_queries"),
-      count(lit(1)).as("n_results"))
-    // every (q_id, id, rank) must appear exactly twice in lake ∪ mem
-    val diffs = lake.unionAll(mem)
-      .groupBy("q_id", "id", "rank").agg(count(lit(1)).as("c"))
-      .filter(col("c") =!= 2).agg(count(lit(1)).as("n_diff"))
-    val hits = lake.join(exact, Seq("q_id", "id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    stats.crossJoin(diffs).crossJoin(hits).crossJoin(nExact)
-      .select(col("n_queries"), col("n_results"),
-        (col("n_diff") === 0).as("equals_in_memory"),
-        (col("n_hit").cast("double") / col("n_exact") >= 0.5)
-          .as("recall_ge_floor"))
+    annLakeAudit(lake, mem, exact, floor = 0.5)
   }
 
   private val q122Sql =
@@ -2010,20 +2020,7 @@ object TrainingData {
       nProbe = AnnLake.NProbe)
     val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
       k = 5)
-    val stats = lake.agg(
-      count_distinct(col("q_id")).as("n_queries"),
-      count(lit(1)).as("n_results"))
-    val diffs = lake.unionAll(mem)
-      .groupBy("q_id", "id", "rank").agg(count(lit(1)).as("c"))
-      .filter(col("c") =!= 2).agg(count(lit(1)).as("n_diff"))
-    val hits = lake.join(exact, Seq("q_id", "id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    stats.crossJoin(diffs).crossJoin(hits).crossJoin(nExact)
-      .select(col("n_queries"), col("n_results"),
-        (col("n_diff") === 0).as("equals_in_memory"),
-        (col("n_hit").cast("double") / col("n_exact") >= 0.8)
-          .as("recall_ge_floor"))
+    annLakeAudit(lake, mem, exact, floor = 0.8)
   }
 
   private val q137Sql =
@@ -3687,20 +3684,7 @@ object TrainingData {
       nProbe = AnnLake.NProbe)
     val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
       k = AnnLake.K)
-    val stats = lake.agg(
-      count_distinct(col("q_id")).as("n_queries"),
-      count(lit(1)).as("n_results"))
-    val diffs = lake.unionAll(mem)
-      .groupBy("q_id", "id", "rank").agg(count(lit(1)).as("c"))
-      .filter(col("c") =!= 2).agg(count(lit(1)).as("n_diff"))
-    val hits = lake.join(exact, Seq("q_id", "id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    stats.crossJoin(diffs).crossJoin(hits).crossJoin(nExact)
-      .select(col("n_queries"), col("n_results"),
-        (col("n_diff") === 0).as("equals_in_memory"),
-        (col("n_hit").cast("double") / col("n_exact") >= 0.8)
-          .as("recall_ge_floor"))
+    annLakeAudit(lake, mem, exact, floor = 0.8)
   }
 
   private val q152Sql =

@@ -32,7 +32,10 @@ object GraphMatSweep {
       .withExtensions(new graft.GraftExtensions)
     // SPARK_GRAFT_AQE=false isolates how much of the iterative queries'
     // wall is AQE's per-query-stage job submission on the driver
-    sys.env.get("SPARK_GRAFT_AQE")
+    // (normalized: any non-true/false value would otherwise kill the
+    // sweep with Spark's conf-parse error before it starts)
+    sys.env.get("SPARK_GRAFT_AQE").map(_.trim.toLowerCase)
+      .filter(v => v == "true" || v == "false")
       .foreach(v => builder.config("spark.sql.adaptive.enabled", v))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

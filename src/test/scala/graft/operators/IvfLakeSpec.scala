@@ -124,11 +124,18 @@ class IvfLakeSpec extends AnyFunSuite {
     val mem = topk(Similarity.ivfTopKFrozen(emb, qs, "vec_id",
       "embedding", dim, k = 4, lakeDir = dir, nProbe = 4))
     assert(lake === mem)
-    // and appended vectors are actually findable: a query equal to an
-    // appended vector must retrieve it at rank 1
-    val probe = inc.filter(col("vec_id") === 8)
+    // and appended vectors are actually findable: a DISTINCT query id
+    // carrying an appended vector's exact embedding must retrieve THAT
+    // id as its top hit (ivfScore excludes q_id == id self-matches, so
+    // the probe must not reuse vec_id 8 — and checking the rank column
+    // alone would be vacuous: a k=1 result always has rank 1)
+    import spark.implicits._
+    val v8 = inc.filter(col("vec_id") === 8)
+      .collect()(0).getSeq[Float](1)
+    val probe = Seq((1008L, v8)).toDF("vec_id", "embedding")
     val hit = Similarity.ivfTopKOverLake(spark, dir, probe,
       "vec_id", "embedding", dim, k = 1, nProbe = 4).collect()
-    assert(hit.nonEmpty && hit(0).getLong(2) === 1L)
+    assert(hit.nonEmpty && hit(0).getLong(1) === 8L,
+      s"appended vector not retrieved: ${hit.toSeq}")
   }
 }
