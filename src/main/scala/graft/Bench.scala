@@ -65,7 +65,7 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         1 << 20)
       // The default 100-entry codegen class cache evicts completely
-      // across a 151-query session, so every deferred re-run (and any
+      // across a 152-query session, so every deferred re-run (and any
       // repeated subplan) recompiles from scratch — measured ~2.5 s of
       // pure Janino time on the 5,028-column flatten plan (q67 cold
       // 10.3 s vs warm 2.4 s) and similar on the iterative graph
