@@ -115,6 +115,30 @@ class DsirSpec extends AnyFunSuite {
     assert(other !== sampled)
   }
 
+  test("bigram features: edge-safe, deterministic, sharper separation") {
+    // the bigram bucket list comes from zip_with over two slices — a
+    // 0- or 1-token doc must yield NO bigram buckets (not a crash or a
+    // phantom pair), and the feature space must stay disjoint from the
+    // unigram "d:" space
+    val wts = Dsir.fit(target, raw, "text", hexChars = 3, bigrams = true)
+    val edge = Seq((1L, ""), (2L, "history"), (3L, "history science"))
+      .toDF("doc_id", "text")
+    val counts = edge.select(col("doc_id"),
+        size(Dsir.bucketsCol(col("text"), 3, bigrams = true)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts === Map(1L -> 0, 2L -> 1, 3L -> 3),
+      s"unigrams + bigrams per doc: $counts") // 2 uni + 1 bi for doc 3
+    // deterministic fit + the wiki/spam margin still fully separates
+    val scores = raw.select(col("doc_id"),
+        Dsir.scoreCol(col("text"), wts).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wikiMin = (0 until 30).map(i => scores(i.toLong)).min
+    val spamMax = (0 until 30).map(i => scores(100L + i)).max
+    assert(wikiMin > spamMax, s"bigram-model overlap: $wikiMin vs $spamMax")
+    val wts2 = Dsir.fit(target, raw, "text", hexChars = 3, bigrams = true)
+    assert(wts2 === wts, "bigram fit must be deterministic")
+  }
+
   test("muGumbel pins the JVM math.round convention") {
     // u = e^(-e^0) = e^-1 → -ln(-ln(u)) = 0 exactly
     assert(Dsir.muGumbel(math.exp(-1.0)) === 0L)
