@@ -34,9 +34,14 @@ object GraphMatSweep {
     // wall is AQE's per-query-stage job submission on the driver
     // (normalized: any non-true/false value would otherwise kill the
     // sweep with Spark's conf-parse error before it starts)
-    sys.env.get("SPARK_GRAFT_AQE").map(_.trim.toLowerCase)
-      .filter(v => v == "true" || v == "false")
-      .foreach(v => builder.config("spark.sql.adaptive.enabled", v))
+    sys.env.get("SPARK_GRAFT_AQE").map(_.trim.toLowerCase).foreach {
+      case v @ ("true" | "false") =>
+        builder.config("spark.sql.adaptive.enabled", v): Unit
+      case other => sys.error( // a silently-dropped typo would run the
+        // A/B baseline with AQE ON while the operator believes it off
+        s"SPARK_GRAFT_AQE='$other' is not true/false — refusing to run " +
+          "the sweep with a misconfigured baseline")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the bench's warm-up (codegen compiler + parquet paths), as in Bench
