@@ -25,6 +25,36 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-source duplication matrix — the data-governance report
+    * behind corpus curation: for every pair of sources, how many
+    * distinct duplicated documents (exact-content groups with ≥ 2
+    * copies) both sources carry. This is how a pipeline answers "which
+    * crawls/aggregators republish each other" before deciding dedup
+    * priority order. Output: (source_a, source_b, n_shared_groups)
+    * with source_a < source_b; NULL-source docs are excluded (no
+    * provenance, no pair).
+    *
+    * Scale shape: ONE shuffle on the content hash (exactly [[exact]]'s
+    * cost); each group then carries a collect_set of its sources —
+    * bounded by SOURCE CARDINALITY, not group size — and the pair
+    * explode is ≤ S² rows per group. Callers with a high-cardinality
+    * source column (URLs) should pre-map it to its governance granule
+    * (domain/crawl) first; the matrix is only meaningful at that
+    * granularity anyway.
+    */
+  def crossSourceDupMatrix(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val g = df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(collect_set(col(srcCol)).as("srcs"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+    g.select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_groups"))
+  }
+
   /** Deterministic MinHash permutation parameters (seeded). Coefficients
     * stay below 2^31 so `a*x+b` with a 31-bit-reduced shingle hash fits a
     * long under ANSI overflow checking (a·x + b < 2^62 + 2^31).

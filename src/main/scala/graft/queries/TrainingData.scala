@@ -3694,6 +3694,46 @@ object TrainingData {
        true AS recall_ge_floor
        FROM embeddings WHERE vec_id < 10"""
 
+  // --- q153: cross-source duplication matrix -----------------------------------
+  // Dedup.crossSourceDupMatrix: which sources republish each other —
+  // the governance report that decides dedup priority order. The
+  // testdata corpus has no natural cross-source duplicates, so the
+  // query deterministically constructs a second vintage (the q148
+  // pattern): every 7th document re-published by aggregator 'agg_a',
+  // every 13th by 'agg_b'. The oracle replays the construction AND the
+  // matrix — group hashing, per-group distinct sources, the ordered
+  // pair expansion, and every count.
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+    val mirrored = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+        lit("agg_a").as("source"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+          lit("agg_b").as("source")))
+    graft.operators.Dedup.crossSourceDupMatrix(
+      docs.unionByName(mirrored), "doc_id", "text", "source")
+  }
+
+  private val q153Sql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text, 'agg_a' FROM documents
+      |  WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text, 'agg_b' FROM documents
+      |  WHERE doc_id % 13 = 0),
+      |g AS (SELECT md5(text) AS h FROM all_docs
+      |      GROUP BY 1 HAVING count(*) >= 2),
+      |m AS (SELECT DISTINCT md5(text) AS h, source FROM all_docs
+      |      WHERE source IS NOT NULL)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared_groups
+      |FROM g JOIN m a USING (h) JOIN m b USING (h)
+      |WHERE a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -3794,7 +3834,8 @@ object TrainingData {
     "q149_length_batches" -> q149 _,
     "q150_dsir_resample"  -> q150 _,
     "q151_grouped_split"  -> q151 _,
-    "q152_ivf_append"     -> q152 _)
+    "q152_ivf_append"     -> q152 _,
+    "q153_source_dup_matrix" -> q153 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -3896,5 +3937,6 @@ object TrainingData {
     "q149_length_batches" -> q149Sql,
     "q150_dsir_resample"  -> q150Sql,
     "q151_grouped_split"  -> q151Sql,
-    "q152_ivf_append"     -> q152Sql)
+    "q152_ivf_append"     -> q152Sql,
+    "q153_source_dup_matrix" -> q153Sql)
 }

@@ -48,6 +48,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(dup(0).getAs[Long]("n_copies") == 2L)
   }
 
+  test("cross-source dup matrix: pairs from shared groups only, NULLs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared text one", Option("crawl")),
+      (2L, "shared text one", Option("wiki")),   // crawl↔wiki group 1
+      (3L, "shared text one", Option("forum")),  // 3 sources, 1 group
+      (4L, "shared text two", Option("crawl")),
+      (5L, "shared text two", Option("wiki")),   // crawl↔wiki group 2
+      (6L, "unique text", Option("crawl")),      // not duplicated → no pair
+      (7L, "null prov", None),
+      (8L, "null prov", Option("wiki")),         // dup, but partner is NULL
+      (9L, "same src dup", Option("forum")),
+      (10L, "same src dup", Option("forum")))    // single-source → no pair
+    val m = Dedup.crossSourceDupMatrix(docs.toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(m === Set(
+      ("crawl", "wiki", 2L),   // both shared-text groups
+      ("crawl", "forum", 1L), ("forum", "wiki", 1L)), m.toString)
+  }
+
   test("minhash LSH finds planted near-duplicates, no spurious pairs") {
     val pairs = Dedup.minhashLsh(planted, "doc_id", "text",
       threshold = 0.5)
