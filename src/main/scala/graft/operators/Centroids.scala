@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArrayOps, TopK}
+
+/** Per-group embedding centroids and centroid-distance outlier mining —
+  * the label-noise / contamination audit every embedding-curated corpus
+  * runs: compute each group's mean vector, score every member by its
+  * distance to its own group's centroid, and surface the k farthest
+  * members per group (mislabeled rows, adversarial injections, and
+  * off-topic strays all show up here first).
+  *
+  * Determinism contract (the q115 fixed-point discipline): vectors are
+  * quantized to integer grids (`round(v·scale)` per coordinate), the
+  * centroid is the element-wise integer mean with TRUNCATING division
+  * (exact under any partitioning — integer sums commute), and member
+  * distance is exact integer L2² — so the result is bit-identical under
+  * any cluster layout and replayable in SQL.
+  *
+  * Scale shape (100 TB):
+  *  - the centroid aggregation is ONE map-side-combined `groupBy(group)`
+  *    producing dim+1 longs per group — shuffle is O(groups · dim ·
+  *    partitions), never O(rows);
+  *  - centroids travel back as a BROADCAST join (groups × dim longs —
+  *    label/source cardinality, broadcast-sized by nature), so member
+  *    scoring is map-side over the corpus scan;
+  *  - the per-group top-k runs through the bounded-heap aggregate
+  *    ([[graft.functions.TopK]]): at most k pairs per group per mapper
+  *    reach the shuffle, where a window rank would sort every group's
+  *    full membership.
+  *
+  * Reference scope: the reference engine has no vector operations; this
+  * is part of the training-data extension surface (group-centroid
+  * auditing is the first screen in embedding-based curation pipelines,
+  * cf. SemDeDup's cluster-centroid geometry, arXiv:2303.09540).
+  */
+object Centroids {
+
+  /** Per-group quantized integer centroid: one row per group with the
+    * element-wise truncating integer mean of the quantized vectors.
+    * Output: (groupCol, n, centroid: array<long>).
+    *
+    * `dim` is read from one bounded `limit(1)` probe (a single row to
+    * the driver — same contract as the k-means init collect).
+    */
+  def groupCentroids(df: DataFrame, vecCol: String, groupCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val qdf = df.select(col(groupCol).as("grp"),
+      Clustering.quantizeF(col(vecCol), scale).as("qv"))
+    val dim = vectorDim(qdf)
+    val sums = qdf.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        (0 until dim).map(i =>
+          sum(element_at(col("qv"), i + 1)).as(s"s$i")): _*)
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE true-division, and
+    // trunc(double(s)/double(n)) can land on the wrong side of an
+    // integer boundary once |s| needs more than 53 bits of precision —
+    // `s div n` is exact 64-bit truncating division, the oracle's `//`.
+    sums.select(col("grp").as(groupCol), col("n"),
+      array((0 until dim).map(i =>
+        expr(s"s$i div n").cast("long")): _*).as("centroid"))
+  }
+
+  /** The k members of each group FARTHEST from their own group's
+    * centroid, ranked by (distance DESC, id ASC). Output:
+    * (groupCol, rank, idCol, dist) with exact integer L2² distances.
+    *
+    * Rows whose group is NULL have no centroid and are excluded (a
+    * NULL group is not a population to audit).
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, k: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val qdf = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        Clustering.quantizeF(col(vecCol), scale).as("qv"))
+    val cents = groupCentroids(
+      df.filter(col(groupCol).isNotNull), vecCol, groupCol, scale)
+      .select(col(groupCol).as("grp"), col("centroid"))
+    val scored = qdf.join(broadcast(cents), Seq("grp"))
+      .select(col("grp"), col("id"),
+        ArrayOps.l2sqL(col("qv"), col("centroid")).as("dist"))
+    scored.groupBy(col("grp"))
+      .agg(TopK.topKPairs(col("dist"), col("id"), k).as("top"))
+      .select(col("grp"), posexplode(col("top")))
+      .select(col("grp").as(groupCol),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as(idCol), col("col.ord").as("dist"))
+  }
+
+  /** Integer L2² between the quantized vector column and a packed flat
+    * centroid literal — shared by [[Coreset]]'s iterative min-distance
+    * scan. Returns [bestIdx, bestDist]; callers read element 2 (dist).
+    */
+  private[operators] def nearestOfLit(qv: Column, flat: Array[Long],
+      dim: Int): Column =
+    ArrayOps.nearestCentroidL2F(qv, ArrayOps.packedLongLit(flat), dim)
+
+  /** Dimension probe: one row to the driver, fails fast on empty input. */
+  private[operators] def vectorDim(qdf: DataFrame): Int = {
+    val row = qdf.select(size(col("qv")).as("d")).limit(1).collect()
+    require(row.nonEmpty, "vector input is empty")
+    row(0).getInt(0)
+  }
+}

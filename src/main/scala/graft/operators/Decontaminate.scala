@@ -66,4 +66,81 @@ object Decontaminate {
       .filter(col("contaminated")).select(col(idCol))
     corpus.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
   }
+
+  /** Per-group contamination governance report — the number every
+    * data-sourcing decision actually consumes: for each group (source,
+    * domain, crawl snapshot, …), how many documents are contaminated
+    * and at what rate. Output: (groupCol, n_docs, n_contaminated,
+    * contamination_rate) for EVERY group (zero-hit groups report 0).
+    *
+    * Scale shape: group totals are one map-side-combined aggregate over
+    * the corpus (no joins); the contaminated side starts from the HIT
+    * set (bounded by the contamination rate), resolves each hit id to
+    * its group with a broadcast join against the corpus scan, and
+    * aggregates — so the report costs one corpus scan plus
+    * O(contaminated) join work, never a corpus-sized shuffle.
+    */
+  def contaminationReport(corpus: DataFrame, idCol: String,
+      textCol: String, groupCol: String, bench: DataFrame,
+      benchTextCol: String, n: Int = 8): DataFrame = {
+    val hits = flagContaminated(corpus, idCol, textCol, bench,
+        benchTextCol, n)
+      .filter(col("contaminated")).select(col(idCol))
+    val totals = corpus.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val contaminated = corpus.select(col(idCol), col(groupCol))
+      .join(broadcast(hits), Seq(idCol), "left_semi")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+    totals.join(contaminated, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L))
+          .cast("double") / col("n_docs"), 6).as("contamination_rate"))
+  }
+
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * "how much new information does this batch add" score behind crawl
+    * triage and incremental-ingest prioritization: for each batch
+    * document, the fraction of its distinct word n-grams that appear
+    * nowhere in the reference corpus. Output: (idCol, n_grams, n_novel,
+    * novelty_rate) for every batch document with at least one n-gram.
+    *
+    * Scale shape — the reference side is a CORPUS, not an eval suite,
+    * so (unlike [[flagContaminated]]) its gram set cannot broadcast.
+    * The operator therefore runs q71's Bloom discipline inverted: a
+    * bounded Bloom sketch of the reference grams is built once
+    * (constant-size broadcast regardless of corpus size) and batch
+    * grams that MISS the filter are definitively novel — a Bloom has no
+    * false negatives — so they never enter the join at all. Only the
+    * bloom-HIT candidates (true matches + the engineered false-positive
+    * sliver) are exactly verified against the reference gram set with a
+    * shuffle semi-join, making the expensive exact path proportional to
+    * the OVERLAP, which is the small side by definition when scoring
+    * novelty of fresh data. The output equals the exact join
+    * byte-for-byte; the bloom is an invisible plan optimization.
+    */
+  def noveltyScores(batch: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, n: Int = 3): DataFrame = {
+    import graft.functions.{ArrayOps, Bloom}
+    val refGrams = reference
+      .select(explode(ArrayOps.ngramHashes(
+        Text.tokens(col(refTextCol)), n)).as("g"))
+      .distinct()
+    val bloom = Bloom.build(refGrams, "g")
+    val batchGrams = batch.select(col(idCol), explode(
+        ArrayOps.ngramHashes(Text.tokens(col(textCol)), n)).as("g"))
+    val totals = batchGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val seen = batchGrams
+      .filter(Bloom.mightContain(bloom, col("g")))
+      .join(refGrams, Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
+    totals.join(seen, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        (col("n_grams") - coalesce(col("n_seen"), lit(0L)))
+          .as("n_novel"),
+        round((col("n_grams") - coalesce(col("n_seen"), lit(0L)))
+          .cast("double") / col("n_grams"), 6).as("novelty_rate"))
+  }
 }

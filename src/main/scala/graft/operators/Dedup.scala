@@ -25,6 +25,36 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Policy-driven exact dedup — [[exact]]'s keep-the-smallest-id rule
+    * replaced by an explicit REPRESENTATIVE POLICY: within each
+    * exact-content group, keep the copy that ranks first under the
+    * caller's preference columns (descending), ids breaking ties
+    * ascending. This is the production form of exact dedup — pipelines
+    * keep the best-scored / freshest / canonical-source copy, not the
+    * accidental minimum id (the metadata of the kept copy propagates
+    * downstream, so which copy survives matters even though the text is
+    * identical). Output: (content_hash, keep_id, n_copies).
+    *
+    * Scale shape: identical to [[exact]] — ONE map-side-combined shuffle
+    * on the content hash. The argmax rides a single `max(struct(...))`
+    * aggregate (preference columns, then the NEGATED id so ascending-id
+    * tie-break survives the max); struct max plans as a partial+final
+    * SortAggregate pair (a struct buffer can't hash-aggregate), so the
+    * cost over [[exact]] is a partition-LOCAL pre-combine sort — the
+    * exchange still carries one row per (group × partition), never the
+    * corpus, and there is no global window sort or second pass.
+    */
+  def keepBest(df: DataFrame, idCol: String, textCol: String,
+      prefer: Seq[Column]): DataFrame = {
+    require(prefer.nonEmpty, "keepBest needs at least one preference column")
+    val ranked = struct(
+      prefer.map(c => c) :+ (-col(idCol)).as("neg_id"): _*)
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(max(ranked).as("best"), count(lit(1)).as("n_copies"))
+      .select(col("content_hash"),
+        (-col("best.neg_id")).as("keep_id"), col("n_copies"))
+  }
+
   /** Cross-source duplication matrix — the data-governance report
     * behind corpus curation: for every pair of sources, how many
     * distinct duplicated documents (exact-content groups with ≥ 2

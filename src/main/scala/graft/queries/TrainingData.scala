@@ -3734,6 +3734,194 @@ object TrainingData {
       |WHERE a.source < b.source
       |GROUP BY 1, 2""".stripMargin
 
+  // --- q154: per-group centroid outliers (label-noise audit) ------------------
+  // Each label's embedding centroid (exact fixed-point integer mean, the
+  // q115 contract) and the 5 members farthest from it — the first screen
+  // for mislabeled / off-topic rows in embedding-curated corpora. One
+  // map-side-combined centroid aggregate (groups·dim longs), centroids
+  // broadcast back, distances map-side, top-5 per group through the
+  // bounded-heap aggregate (q119's shape). The oracle replays the
+  // quantization, the truncating integer mean, every integer L2², and
+  // the (dist DESC, id ASC) ranking.
+  private def q154(s: SparkSession, d: String): DataFrame =
+    graft.operators.Centroids.centroidOutliers(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label", k = 5)
+      // int32 parquet label -> BIGINT: the oracle TYPE contract
+      .select(col("label").cast("long").as("label"),
+        col("rank"), col("vec_id"), col("dist"))
+
+  private val q154Sql =
+    """WITH q AS (
+         SELECT label, vec_id, list_transform(embedding::DOUBLE[],
+           x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+         FROM embeddings WHERE label IS NOT NULL),
+       c AS (
+         SELECT label, list(s ORDER BY i) AS c FROM (
+           SELECT label, i, CAST(sum(v) AS BIGINT) // count(*) AS s
+           FROM (SELECT label, generate_subscripts(qv, 1) AS i,
+                   unnest(qv) AS v FROM q) e
+           GROUP BY label, i) u
+         GROUP BY label),
+       sc AS (
+         SELECT q.label, q.vec_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1),
+             i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))) AS dist
+         FROM q JOIN c USING (label))
+       SELECT CAST(label AS BIGINT) AS label, CAST(rn AS BIGINT) AS rank,
+         vec_id, CAST(dist AS BIGINT) AS dist
+       FROM (SELECT label, vec_id, dist, row_number() OVER (
+               PARTITION BY label ORDER BY dist DESC, vec_id ASC) AS rn
+             FROM sc) t
+       WHERE rn <= 5"""
+
+  // --- q155: per-source contamination governance report ----------------------
+  // q64's decontamination machinery rolled up to the number sourcing
+  // decisions consume: per source, how many documents share an 8-gram
+  // with the benchmark (doc_id < 50) and at what rate — zero-hit sources
+  // report 0. Group totals are one map-side aggregate; the contaminated
+  // side starts from the bounded HIT set and broadcast-joins, so the
+  // report never shuffles the corpus.
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontaminate.contaminationReport(
+      docs.filter(col("doc_id") >= 50), "doc_id", "text", "source",
+      docs.filter(col("doc_id") < 50), "text", n = 8)
+  }
+
+  private val q155Sql =
+    """WITH bg AS (
+         SELECT DISTINCT unnest(list_transform(range(1, len(w) - 6),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] ||
+                ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+                w[i+7])) AS g
+         FROM (SELECT string_split(text, ' ') AS w FROM documents
+               WHERE doc_id < 50) t),
+       cg AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - 6),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] ||
+                ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+                w[i+7]))) AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE doc_id >= 50) t),
+       hits AS (
+         SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+       tot AS (
+         SELECT source, count(*) AS n_docs FROM documents
+         WHERE doc_id >= 50 GROUP BY source),
+       con AS (
+         SELECT source, count(*) AS n_contaminated
+         FROM documents d JOIN hits USING (doc_id)
+         GROUP BY source)
+       SELECT t.source, t.n_docs,
+         coalesce(c.n_contaminated, 0) AS n_contaminated,
+         round(coalesce(c.n_contaminated, 0)::DOUBLE / t.n_docs, 6)
+           AS contamination_rate
+       FROM tot t LEFT JOIN con c ON t.source = c.source"""
+
+  // --- q156: per-document n-gram novelty vs a reference corpus ---------------
+  // The crawl-triage score: for each batch document (doc_id % 5 = 0),
+  // the fraction of its distinct word 3-grams unseen anywhere in the
+  // reference corpus (the other 80%). The reference side is a CORPUS —
+  // not broadcastable — so the operator runs the inverted q71 Bloom
+  // discipline: bloom-MISSING grams are definitively novel and skip the
+  // join entirely; only bloom-hit candidates are exact-verified. Output
+  // equals the exact join byte-for-byte; the oracle IS the exact join.
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontaminate.noveltyScores(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 5 =!= 0), "text", n = 3)
+  }
+
+  private val q156Sql =
+    """WITH rg AS (
+         SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         FROM (SELECT string_split(text, ' ') AS w FROM documents
+               WHERE doc_id % 5 != 0) t),
+       bg AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE doc_id % 5 = 0) t),
+       j AS (
+         SELECT b.doc_id, count(*) AS n_grams, count(r.g) AS n_seen
+         FROM bg b LEFT JOIN rg r ON b.g = r.g
+         GROUP BY b.doc_id)
+       SELECT doc_id, n_grams, n_grams - n_seen AS n_novel,
+         round((n_grams - n_seen)::DOUBLE / n_grams, 6) AS novelty_rate
+       FROM j"""
+
+  // --- q157: greedy k-center coreset selection -------------------------------
+  // Gonzalez's farthest-first traversal over the quantized integer grid:
+  // seed = smallest vec_id, then 7 rounds of "argmax distance to the
+  // chosen set" with (dist DESC, id ASC) tie-break — each round one
+  // map-side corpus scan against a packed centers literal + a
+  // TakeOrderedAndProject. The oracle unrolls all 8 selection steps as
+  // chained CTEs (generated below), replaying every distance, every
+  // min-update, and every argmax.
+  private def q157(s: SparkSession, d: String): DataFrame =
+    graft.operators.Coreset.kCenterGreedy(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
+
+  private val q157Sql: String = {
+    val k = 8
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val sb = new StringBuilder
+    sb ++= "WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+    sb ++= "x -> CAST(round(x * 1000000) AS BIGINT)) AS qv FROM embeddings),\n"
+    sb ++= "s1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),\n"
+    sb ++= s"d1 AS (SELECT q.vec_id, q.qv, ${l2("q.qv", "s1.qv")} AS dist FROM q, s1)"
+    for (t <- 2 to k) {
+      val picked = (1 until t).map(i => s"SELECT vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      sb ++= s",\ns$t AS (SELECT vec_id, qv, dist FROM d${t - 1} " +
+        s"WHERE vec_id NOT IN ($picked) ORDER BY dist DESC, vec_id LIMIT 1)"
+      if (t < k)
+        sb ++= s",\nd$t AS (SELECT d.vec_id, d.qv, " +
+          s"least(d.dist, ${l2("d.qv", "s.qv")}) AS dist " +
+          s"FROM d${t - 1} d, s$t s)"
+    }
+    sb ++= "\nSELECT CAST(1 AS BIGINT) AS rank, vec_id, CAST(0 AS BIGINT) AS dist FROM s1"
+    for (t <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT CAST($t AS BIGINT), vec_id, CAST(dist AS BIGINT) FROM s$t"
+    sb.toString
+  }
+
+  // --- q158: policy-driven exact dedup (keep the preferred copy) -------------
+  // q20's exact dedup under an explicit representative policy: a second
+  // vintage republishes every 7th document (same text, new id, vintage
+  // 1), and the group keeps the FRESHEST copy (vintage DESC, id ASC) —
+  // so re-published groups keep the vintage-1 id while single-vintage
+  // groups fall back to the smallest id. Same one-shuffle cost as q20;
+  // the argmax is a single max(struct) aggregate, no window sort.
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val all = docs.withColumn("vintage", lit(0L))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+          lit(1L).as("vintage")))
+    Dedup.keepBest(all, "doc_id", "text", Seq(col("vintage")))
+  }
+
+  private val q158Sql =
+    """WITH all_docs AS (
+         SELECT doc_id, text, 0 AS vintage FROM documents
+         UNION ALL
+         SELECT doc_id + 2000000, text, 1 FROM documents
+         WHERE doc_id % 7 = 0)
+       SELECT content_hash, doc_id AS keep_id, n_copies FROM (
+         SELECT md5(text) AS content_hash, doc_id,
+           count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+           row_number() OVER (PARTITION BY md5(text)
+             ORDER BY vintage DESC, doc_id ASC) AS rn
+         FROM all_docs) t
+       WHERE rn = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -3835,7 +4023,12 @@ object TrainingData {
     "q150_dsir_resample"  -> q150 _,
     "q151_grouped_split"  -> q151 _,
     "q152_ivf_append"     -> q152 _,
-    "q153_source_dup_matrix" -> q153 _)
+    "q153_source_dup_matrix" -> q153 _,
+    "q154_centroid_outliers" -> q154 _,
+    "q155_contamination_report" -> q155 _,
+    "q156_ngram_novelty"  -> q156 _,
+    "q157_kcenter_coreset" -> q157 _,
+    "q158_keepbest_dedup" -> q158 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -3938,5 +4131,10 @@ object TrainingData {
     "q150_dsir_resample"  -> q150Sql,
     "q151_grouped_split"  -> q151Sql,
     "q152_ivf_append"     -> q152Sql,
-    "q153_source_dup_matrix" -> q153Sql)
+    "q153_source_dup_matrix" -> q153Sql,
+    "q154_centroid_outliers" -> q154Sql,
+    "q155_contamination_report" -> q155Sql,
+    "q156_ngram_novelty"  -> q156Sql,
+    "q157_kcenter_coreset" -> q157Sql,
+    "q158_keepbest_dedup" -> q158Sql)
 }

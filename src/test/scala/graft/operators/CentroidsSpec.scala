@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Group-centroid auditing: the exact truncating integer mean (incl.
+  * negative coordinates), partition-invariance of the centroid, and
+  * the outlier ranking (dist DESC, id ASC tie-break, NULL groups
+  * excluded) checked against an independent brute-force reference
+  * computed in plain Scala on the same quantized integers.
+  */
+class CentroidsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // (id, vec, group) — group "a" has a negative-sum dimension so the
+  // truncating (toward zero, not floor) division is actually exercised.
+  private val rows: Seq[(Long, Seq[Float], String)] = Seq(
+    (1L, Seq(0.0f, -1.0f), "a"),
+    (2L, Seq(1.0f, -2.0f), "a"),
+    (3L, Seq(5.0f, -4.0f), "a"),
+    (10L, Seq(0.0f, 0.0f), "b"),
+    (11L, Seq(0.0f, 0.0f), "b"),
+    (12L, Seq(2.0f, 2.0f), "b"),
+    (99L, Seq(9.0f, 9.0f), null) // NULL group: excluded from the audit
+  )
+
+  private val S = 1000000L
+
+  // Independent reference: quantize, integer-sum, truncate-divide.
+  private def refCentroid(g: String): Array[Long] = {
+    val vs = rows.filter(_._3 == g).map(_._2)
+    Array.tabulate(2) { i =>
+      val s = vs.map(v => Math.round(v(i).toDouble * S)).sum
+      s / vs.size // Scala Long / truncates toward zero, same as SQL div
+    }
+  }
+
+  private def refDists(g: String): Seq[(Long, Long)] = {
+    val c = refCentroid(g)
+    rows.filter(_._3 == g).map { case (id, v, _) =>
+      val d = (0 until 2).map { i =>
+        val q = Math.round(v(i).toDouble * S) - c(i); q * q
+      }.sum
+      (id, d)
+    }
+  }
+
+  test("groupCentroids: exact truncating integer mean, negative dims, partition-invariant") {
+    for (parts <- Seq(1, 3, 17)) {
+      val df = rows.toDF("id", "vec", "grp").repartition(parts)
+        .filter("grp IS NOT NULL")
+      val got = Centroids.groupCentroids(df, "vec", "grp")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getSeq[Long](2).toArray.toSeq))).toMap
+      assert(got("a") === ((3L, refCentroid("a").toSeq)), s"parts=$parts")
+      assert(got("b") === ((3L, refCentroid("b").toSeq)), s"parts=$parts")
+      assert(got.size == 2)
+    }
+    // the negative dimension really did truncate toward zero: sum=-7e6
+    assert(refCentroid("a")(1) == -7000000L / 3L)
+  }
+
+  test("centroidOutliers: (dist DESC, id ASC) ranking vs brute force; NULL group absent") {
+    val df = rows.toDF("id", "vec", "grp")
+    val got = Centroids.centroidOutliers(df, "id", "vec", "grp", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val want = Seq("a", "b").flatMap { g =>
+      refDists(g).sortBy { case (id, d) => (-d, id) }.take(2)
+        .zipWithIndex.map { case ((id, d), i) => (g, (i + 1).toLong, id, d) }
+    }
+    assert(got === want)
+    // group b's two zero-vectors tie on dist; the SMALLER id must win rank 2
+    val b2 = got.find(t => t._1 == "b" && t._2 == 2L).get
+    assert(b2._3 == 10L, "tie on dist must break to the smaller id")
+    assert(!got.exists(_._3 == 99L), "NULL-group row must not appear")
+  }
+
+  test("centroidOutliers: group smaller than k returns its full membership") {
+    val small = rows.filter(t => t._3 == "a").toDF("id", "vec", "grp")
+    val got = Centroids.centroidOutliers(small, "id", "vec", "grp", k = 10)
+    assert(got.count() == 3)
+  }
+}

@@ -59,4 +59,43 @@ class DecontaminateSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got === Map(1L -> true, 2L -> false, 3L -> true))
   }
+
+  test("contaminationReport: per-group hit counts and rates; zero-hit groups report 0") {
+    val corpus = Seq(
+      (1L, "a b c d e", "web"),  // contaminated
+      (2L, "x y z w q", "web"),  // clean
+      (3L, "q a b c q", "web"),  // contaminated
+      (4L, "n o p r s", "books"), // clean
+      (5L, "t u v w x", "books")  // clean -> books must still report 0
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq("a b c").toDF("text")
+    val got = Decontaminate.contaminationReport(
+        corpus, "doc_id", "text", "source", bench, "text", n = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      "web"   -> ((3L, 2L, 0.666667)),
+      "books" -> ((2L, 0L, 0.0))))
+  }
+
+  test("noveltyScores: novel fraction equals the exact join; all-novel and fully-seen edges") {
+    val reference = Seq(
+      (100L, "a b c d e"), (101L, "f g h i j")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a b c d"),     // grams "a b c","b c d" both in reference -> 0 novel
+      (2L, "p q r s"),     // grams "p q r","q r s" both novel -> rate 1.0
+      (3L, "c d e f g h")  // "c d e","f g h" seen; "d e f","e f g" novel -> 0.5
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.noveltyScores(
+        batch, "doc_id", "text", reference, "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 0L, 0.0)),
+      2L -> ((2L, 2L, 1.0)),
+      3L -> ((4L, 2L, 0.5))))
+  }
 }

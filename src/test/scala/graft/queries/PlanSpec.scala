@@ -392,4 +392,52 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 0 && !p.contains("Join"),
       s"split decision must be a map-side projection:\n$p")
   }
+
+  test("q154: centroids broadcast back; exactly 2 group-sized shuffles; heap top-k partial") {
+    val p = plan("q154_centroid_outliers")
+    // member scoring joins the corpus to the centroid table by BROADCAST
+    // — the corpus is never exchanged for the join
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
+    // allowed shuffles: the centroid aggregate + the top-k aggregate,
+    // both one row per (group × partition)
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges == 2, s"corpus-scale shuffle crept in:\n$p")
+    assert(p.contains("partial_topk_pairs"),
+      s"top-k heap must combine map-side before the exchange:\n$p")
+    assert(!p.contains("Window"), s"outlier rank fell into a window sort:\n$p")
+  }
+
+  test("q155: contamination report never shuffles the corpus") {
+    val p = plan("q155_contamination_report")
+    // hit resolution and the report join ride broadcasts; allowed
+    // shuffles: source totals, bench-gram distinct, per-doc hit count,
+    // per-source contaminated count — all group/hit-sized
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges <= 4, s"corpus-scale shuffle crept in:\n$p")
+  }
+
+  test("q156: novelty runs the bloom prefilter before the exact-verify join") {
+    val p = plan("q156_ngram_novelty")
+    // the bloom membership test is a codegen'd shift/mask Filter over a
+    // literal word array — batch grams that miss never reach the join
+    assert(p.contains("shiftright(element_at("),
+      s"bloom prefilter missing from the plan:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython"), "python udf in plan")
+    // allowed shuffles: per-doc totals, ref-gram distinct, per-doc seen
+    // count (the exact-verify join itself is free to go SMJ at scale)
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges <= 3, s"unexpected extra shuffle:\n$p")
+  }
+
+  test("q158: keepBest is ONE shuffle — partial+final argmax, no window") {
+    val p = plan("q158_keepbest_dedup")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges == 1, s"policy dedup must shuffle once:\n$p")
+    // struct max falls to SortAggregate — it must still be the
+    // partial+final pair (map-side combine), never a global window
+    val aggs = "SortAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"argmax not partial-combined before the exchange:\n$p")
+    assert(!p.contains("Window"), s"keepBest fell into a window sort:\n$p")
+  }
 }
