@@ -40,15 +40,26 @@ object Centroids {
 
   /** Per-group quantized integer centroid: one row per group with the
     * element-wise truncating integer mean of the quantized vectors.
-    * Output: (groupCol, n, centroid: array<long>).
+    * Output: (groupCol, n, centroid: array<long>). Rows with a NULL
+    * vector are excluded from BOTH `n` and the sums — counting them
+    * only in the denominator would silently shrink every coordinate.
     *
     * `dim` is read from one bounded `limit(1)` probe (a single row to
     * the driver — same contract as the k-means init collect).
     */
   def groupCentroids(df: DataFrame, vecCol: String, groupCol: String,
-      scale: Long = 1000000L): DataFrame = {
-    val qdf = df.select(col(groupCol).as("grp"),
-      Clustering.quantizeF(col(vecCol), scale).as("qv"))
+      scale: Long = 1000000L): DataFrame =
+    groupCentroidsQ(df.select(col(groupCol).as("grp"),
+        Clustering.quantizeF(col(vecCol), scale).as("qv"))
+      .filter(col("qv").isNotNull))
+      .withColumnRenamed("grp", groupCol)
+
+  /** [[groupCentroids]] over an already-quantized, NULL-free
+    * (grp, qv) frame — shared with [[centroidOutliers]] so the member
+    * scan and the centroid scan agree on one quantization/filter
+    * definition and cannot drift.
+    */
+  private def groupCentroidsQ(qdf: DataFrame): DataFrame = {
     val dim = vectorDim(qdf)
     val sums = qdf.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
@@ -58,7 +69,7 @@ object Centroids {
     // trunc(double(s)/double(n)) can land on the wrong side of an
     // integer boundary once |s| needs more than 53 bits of precision —
     // `s div n` is exact 64-bit truncating division, the oracle's `//`.
-    sums.select(col("grp").as(groupCol), col("n"),
+    sums.select(col("grp"), col("n"),
       array((0 until dim).map(i =>
         expr(s"s$i div n").cast("long")): _*).as("centroid"))
   }
@@ -68,17 +79,20 @@ object Centroids {
     * (groupCol, rank, idCol, dist) with exact integer L2² distances.
     *
     * Rows whose group is NULL have no centroid and are excluded (a
-    * NULL group is not a population to audit).
+    * NULL group is not a population to audit), as are rows with a NULL
+    * vector (nothing to measure). Ids are cast to long — the heap
+    * aggregate's key contract.
     */
   def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
       groupCol: String, k: Int, scale: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     val qdf = df.filter(col(groupCol).isNotNull)
-      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+      .select(col(groupCol).as("grp"),
+        col(idCol).cast("long").as("id"),
         Clustering.quantizeF(col(vecCol), scale).as("qv"))
-    val cents = groupCentroids(
-      df.filter(col(groupCol).isNotNull), vecCol, groupCol, scale)
-      .select(col(groupCol).as("grp"), col("centroid"))
+      .filter(col("qv").isNotNull)
+    val cents = groupCentroidsQ(qdf.select(col("grp"), col("qv")))
+      .select(col("grp"), col("centroid"))
     val scored = qdf.join(broadcast(cents), Seq("grp"))
       .select(col("grp"), col("id"),
         ArrayOps.l2sqL(col("qv"), col("centroid")).as("dist"))
@@ -98,9 +112,13 @@ object Centroids {
       dim: Int): Column =
     ArrayOps.nearestCentroidL2F(qv, ArrayOps.packedLongLit(flat), dim)
 
-  /** Dimension probe: one row to the driver, fails fast on empty input. */
+  /** Dimension probe: one row to the driver, fails fast on empty input.
+    * NULL vectors are skipped — `size(NULL)` is -1 under non-ANSI
+    * semantics and would silently zero the centroid width.
+    */
   private[operators] def vectorDim(qdf: DataFrame): Int = {
-    val row = qdf.select(size(col("qv")).as("d")).limit(1).collect()
+    val row = qdf.filter(col("qv").isNotNull)
+      .select(size(col("qv")).as("d")).limit(1).collect()
     require(row.nonEmpty, "vector input is empty")
     row(0).getInt(0)
   }

@@ -41,8 +41,11 @@ object Coreset {
       k: Int, scale: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     val spark = df.sparkSession
+    // NULL vectors carry no geometry and are excluded up front (a NULL
+    // qv would crash the seed collect and poison every kernel call)
     val qdf = df.select(col(idCol).cast("long").as("id"),
         Clustering.quantizeF(col(vecCol), scale).as("qv"))
+      .filter(col("qv").isNotNull)
       .persist()
     try {
       val dim = Centroids.vectorDim(qdf)

@@ -23,14 +23,15 @@ import graft.functions.Text
   */
 object Decontaminate {
 
-  /** Per-document contamination flags: (idCol, n_hit_grams,
-    * contaminated) for EVERY corpus document. `n_hit_grams` counts the
-    * doc's DISTINCT word n-grams that appear anywhere in the benchmark
-    * set; `contaminated` is `n_hit_grams > 0`. Documents shorter than
-    * `n` tokens have no n-grams and are never contaminated.
+  /** The shared hit aggregate: (idCol, n_hit_grams) for the CONTAMINATED
+    * documents only — one corpus gram scan, one O(hits) count shuffle.
+    * Every public entry point builds on this so none pays a corpus-wide
+    * flag join it then filters back down (the report/removal forms only
+    * ever need the hit set, which is bounded by the contamination rate).
     */
-  def flagContaminated(corpus: DataFrame, idCol: String, textCol: String,
-      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+  private def hitGramCounts(corpus: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchTextCol: String,
+      n: Int): DataFrame = {
     val benchGrams = bench
       .select(explode(Text.shingles(Text.tokens(col(benchTextCol)), n))
         .as("gram"))
@@ -40,9 +41,20 @@ object Decontaminate {
         .as("gram"))
     // left-semi against the broadcast benchmark set keeps only hit
     // pairs; the count shuffle then carries O(hits) rows
-    val hits = docGrams
+    docGrams
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  /** Per-document contamination flags: (idCol, n_hit_grams,
+    * contaminated) for EVERY corpus document. `n_hit_grams` counts the
+    * doc's DISTINCT word n-grams that appear anywhere in the benchmark
+    * set; `contaminated` is `n_hit_grams > 0`. Documents shorter than
+    * `n` tokens have no n-grams and are never contaminated.
+    */
+  def flagContaminated(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val hits = hitGramCounts(corpus, idCol, textCol, bench, benchTextCol, n)
     // hits is bounded by the contamination rate; broadcast it back so
     // flagging the full corpus stays map-side. (If a pathological run
     // contaminates a large fraction of the corpus, drop the hint and
@@ -56,14 +68,14 @@ object Decontaminate {
 
   /** The removal form: corpus rows whose document shares no word
     * n-gram with the benchmark set — a broadcast left-anti against the
-    * contaminated-id set (same bounds as [[flagContaminated]]).
+    * contaminated-id set (same bounds as [[flagContaminated]], minus
+    * the corpus-wide flag join the anti-join never needed).
     */
   def removeContaminated(corpus: DataFrame, idCol: String,
       textCol: String, bench: DataFrame, benchTextCol: String,
       n: Int = 8): DataFrame = {
-    val contaminatedIds = flagContaminated(corpus, idCol, textCol,
-      bench, benchTextCol, n)
-      .filter(col("contaminated")).select(col(idCol))
+    val contaminatedIds = hitGramCounts(corpus, idCol, textCol,
+      bench, benchTextCol, n).select(col(idCol))
     corpus.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
   }
 
@@ -72,27 +84,32 @@ object Decontaminate {
     * domain, crawl snapshot, …), how many documents are contaminated
     * and at what rate. Output: (groupCol, n_docs, n_contaminated,
     * contamination_rate) for EVERY group (zero-hit groups report 0).
+    * A NULL group is itself a reported population — unattributed
+    * documents are exactly what a governance report must not lose — so
+    * the rollup join is NULL-SAFE (`<=>`).
     *
     * Scale shape: group totals are one map-side-combined aggregate over
     * the corpus (no joins); the contaminated side starts from the HIT
     * set (bounded by the contamination rate), resolves each hit id to
     * its group with a broadcast join against the corpus scan, and
-    * aggregates — so the report costs one corpus scan plus
-    * O(contaminated) join work, never a corpus-sized shuffle.
+    * aggregates — so the report costs the gram scan + one corpus scan
+    * per side plus O(contaminated) join work, never a corpus-sized
+    * shuffle.
     */
   def contaminationReport(corpus: DataFrame, idCol: String,
       textCol: String, groupCol: String, bench: DataFrame,
       benchTextCol: String, n: Int = 8): DataFrame = {
-    val hits = flagContaminated(corpus, idCol, textCol, bench,
-        benchTextCol, n)
-      .filter(col("contaminated")).select(col(idCol))
+    val hits = hitGramCounts(corpus, idCol, textCol, bench,
+      benchTextCol, n).select(col(idCol))
     val totals = corpus.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"))
-    val contaminated = corpus.select(col(idCol), col(groupCol))
+    // distinct alias on the contaminated side so the null-safe join
+    // condition can't collapse into a same-exprId self-join ambiguity
+    val contaminated = corpus.select(col(idCol), col(groupCol).as("__grp"))
       .join(broadcast(hits), Seq(idCol), "left_semi")
-      .groupBy(col(groupCol))
+      .groupBy(col("__grp"))
       .agg(count(lit(1)).as("n_contaminated"))
-    totals.join(contaminated, Seq(groupCol), "left")
+    totals.join(contaminated, col(groupCol) <=> col("__grp"), "left")
       .select(col(groupCol), col("n_docs"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         round(coalesce(col("n_contaminated"), lit(0L))
@@ -123,11 +140,14 @@ object Decontaminate {
   def noveltyScores(batch: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String, n: Int = 3): DataFrame = {
     import graft.functions.{ArrayOps, Bloom}
-    val refGrams = reference
+    val rawRefGrams = reference
       .select(explode(ArrayOps.ngramHashes(
         Text.tokens(col(refTextCol)), n)).as("g"))
-      .distinct()
-    val bloom = Bloom.build(refGrams, "g")
+    // the bloom builds from the RAW gram stream — bit_or is idempotent,
+    // so paying a distinct shuffle before it would be a wasted full
+    // reference pass; the distinct set exists only for the verify join
+    val bloom = Bloom.build(rawRefGrams, "g")
+    val refGrams = rawRefGrams.distinct()
     val batchGrams = batch.select(col(idCol), explode(
         ArrayOps.ngramHashes(Text.tokens(col(textCol)), n)).as("g"))
     val totals = batchGrams.groupBy(col(idCol))

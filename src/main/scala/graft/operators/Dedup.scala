@@ -47,6 +47,12 @@ object Dedup {
   def keepBest(df: DataFrame, idCol: String, textCol: String,
       prefer: Seq[Column]): DataFrame = {
     require(prefer.nonEmpty, "keepBest needs at least one preference column")
+    // the negated-id tie-break is numeric arithmetic; a string id would
+    // silently cast to double (NULL for non-numeric ids) — fail loudly
+    val idType = df.select(col(idCol)).schema.head.dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBest needs a numeric id column for its tie-break; " +
+        s"'$idCol' is $idType (use exact() or pre-map the id)")
     val ranked = struct(
       prefer.map(c => c) :+ (-col(idCol)).as("neg_id"): _*)
     df.groupBy(md5(col(textCol)).as("content_hash"))

@@ -3817,7 +3817,7 @@ object TrainingData {
          coalesce(c.n_contaminated, 0) AS n_contaminated,
          round(coalesce(c.n_contaminated, 0)::DOUBLE / t.n_docs, 6)
            AS contamination_rate
-       FROM tot t LEFT JOIN con c ON t.source = c.source"""
+       FROM tot t LEFT JOIN con c ON t.source IS NOT DISTINCT FROM c.source"""
 
   // --- q156: per-document n-gram novelty vs a reference corpus ---------------
   // The crawl-triage score: for each batch document (doc_id % 5 = 0),

@@ -89,4 +89,27 @@ class CentroidsSpec extends AnyFunSuite {
     val got = Centroids.centroidOutliers(small, "id", "vec", "grp", k = 10)
     assert(got.count() == 3)
   }
+
+  test("NULL vectors are excluded from n AND the sums (never just the numerator)") {
+    val withNull = rows.filter(_._3 == "b") :+
+      ((13L, null.asInstanceOf[Seq[Float]], "b"))
+    val got = Centroids.groupCentroids(
+        withNull.toDF("id", "vec", "grp"), "vec", "grp")
+      .collect().map(r => (r.getLong(1), r.getSeq[Long](2).toSeq)).head
+    // the 3 real vectors decide both count and mean; the NULL row is gone
+    assert(got === ((3L, refCentroid("b").toSeq)))
+    // and a NULL row never surfaces as an outlier
+    val outs = Centroids.centroidOutliers(
+      withNull.toDF("id", "vec", "grp"), "id", "vec", "grp", k = 10)
+    assert(outs.count() == 3 && !outs.collect().exists(_.getLong(2) == 13L))
+  }
+
+  test("non-long id columns are cast for the heap aggregate") {
+    val intIds = rows.filter(_._3 == "a")
+      .map { case (id, v, g) => (id.toInt, v, g) }
+      .toDF("id", "vec", "grp")
+    val got = Centroids.centroidOutliers(intIds, "id", "vec", "grp", k = 1)
+      .collect()
+    assert(got.length == 1 && got(0).getLong(2) == 3L)
+  }
 }

@@ -79,6 +79,23 @@ class DecontaminateSpec extends AnyFunSuite {
       "books" -> ((2L, 0L, 0.0))))
   }
 
+  test("contaminationReport: the NULL group is a real population, not a dropped zero") {
+    val corpus = Seq(
+      (1L, "a b c d e", null.asInstanceOf[String]), // contaminated, no source
+      (2L, "x y z w q", null.asInstanceOf[String]), // clean, no source
+      (3L, "q a b c q", "web")                      // contaminated
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq("a b c").toDF("text")
+    val got = Decontaminate.contaminationReport(
+        corpus, "doc_id", "text", "source", bench, "text", n = 3)
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      None        -> ((2L, 1L, 0.5)),
+      Some("web") -> ((1L, 1L, 1.0))))
+  }
+
   test("noveltyScores: novel fraction equals the exact join; all-novel and fully-seen edges") {
     val reference = Seq(
       (100L, "a b c d e"), (101L, "f g h i j")

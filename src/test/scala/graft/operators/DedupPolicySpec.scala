@@ -59,4 +59,12 @@ class DedupPolicySpec extends AnyFunSuite {
       Dedup.keepBest(df, "doc_id", "text", Seq.empty)
     }
   }
+
+  test("a non-numeric id column is rejected loudly, not silently nulled") {
+    val df = Seq(("x1", "a", 1.0), ("x2", "a", 2.0)).toDF("doc_id", "text", "score")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.keepBest(df, "doc_id", "text", Seq(col("score")))
+    }
+    assert(e.getMessage.contains("numeric id"))
+  }
 }
