@@ -61,6 +61,71 @@ object Dedup {
         (-col("best.neg_id")).as("keep_id"), col("n_copies"))
   }
 
+  /** Global LINE-level dedup + boilerplate-line removal — the C4 rule
+    * (Raffel et al. 2020, arXiv:1910.10683 §2.2: "we discarded all but
+    * one of any three-sentence span occurring more than once") at line
+    * granularity, plus the boilerplate complement: a line appearing in
+    * more than `maxDocFreq` distinct documents (cookie banners, nav
+    * headers, subscribe prompts) is dropped from EVERY document,
+    * including its first occurrence. Each surviving distinct line is
+    * kept exactly once corpus-wide — at its first occurrence under
+    * (id ASC, position ASC) — and every document is reassembled from
+    * its kept lines in original order. Output: (idCol, clean_text,
+    * n_lines, n_kept) for EVERY input document (fully-boilerplate docs
+    * come back with clean_text = "" and n_kept = 0 — the visibility a
+    * curation report needs). Ids are cast to long (the first-occurrence
+    * order is numeric).
+    *
+    * Scale shape (100 TB): line occurrences reduce ONCE to one row per
+    * (line, doc) — earliest in-doc position plus an occurrence count —
+    * in a map-side-combined hash aggregate, and every downstream
+    * consumer (per-line winner/doc-freq stats, the keep join, per-doc
+    * occurrence totals) reads that reduction, never the raw line
+    * stream: the three uses share an identical exchange subtree, so
+    * ReuseExchange materializes the explode + (line, doc) shuffle once
+    * instead of re-scanning the corpus per consumer. The winner pass
+    * shuffles one row per distinct line; the keep decision joins the
+    * reduction to per-line stats on the line itself — exact, no
+    * hash-collision risk — and reassembly is ONE groupBy(id) with an
+    * in-group array sort (never a window over the corpus). Nothing is
+    * collected; every shuffle is linear in distinct (line, doc) pairs
+    * or docs.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val lines = df.select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        col("col").as("line"))
+    // the single occurrence-level reduction everything else reads
+    val perDoc = lines.groupBy(col("line"), col("id"))
+      .agg(min(col("pos")).as("minpos"), count(lit(1)).as("cnt"))
+    // per-line winner (smallest id, then its earliest position) and
+    // doc frequency — count(1) over the already doc-distinct rows
+    val stats = perDoc.groupBy(col("line"))
+      .agg(min(struct(col("id"), col("minpos"))).as("win"),
+        count(lit(1)).as("doc_df"))
+    val kept = perDoc.join(stats, Seq("line"))
+      .filter(col("id") === col("win.id") &&
+        col("minpos") === col("win.minpos") &&
+        col("doc_df") <= maxDocFreq)
+      .select(col("id"), col("minpos").as("pos"), col("line"))
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("line"))))
+        .as("ps"), count(lit(1)).as("n_kept"))
+      .select(col("id"),
+        array_join(transform(col("ps"), _.getField("line")), sep)
+          .as("clean_text"),
+        col("n_kept"))
+    val totals = perDoc.groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_lines"))
+    totals.join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Cross-source duplication matrix — the data-governance report
     * behind corpus curation: for every pair of sources, how many
     * distinct duplicated documents (exact-content groups with ≥ 2

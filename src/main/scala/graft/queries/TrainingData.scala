@@ -3922,6 +3922,64 @@ object TrainingData {
          FROM all_docs) t
        WHERE rn = 1"""
 
+  // --- q159: global line-level dedup + boilerplate removal (C4 rule) ---------
+  // Each doc is rebuilt as 4 lines: a universal boilerplate banner
+  // (doc_df = corpus size ⇒ dropped everywhere), its own text, a
+  // "category N" line shared by the doc_id%20 class (kept once — in the
+  // smallest doc of the class — while doc_df ≤ 50, dropped wholesale
+  // beyond), and its 7-block anchor's text (a cross-doc duplicate whose
+  // winner is the anchor itself; for anchor docs it is ALSO a
+  // within-doc duplicate at a later position). The oracle replays the
+  // per-(line,doc) reduction, the (id, pos) winner rule, the doc-freq
+  // threshold, and the ordered reassembly.
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val anchors = docs.select(col("doc_id").as("anchor_id"),
+      col("text").as("anchor_text"))
+    val multi = docs
+      .join(anchors,
+        col("doc_id") - (col("doc_id") % 7) === col("anchor_id"))
+      .select(col("doc_id"), concat_ws("\n",
+        lit("subscribe to our newsletter for updates"),
+        col("text"),
+        concat(lit("category "), (col("doc_id") % 20).cast("string")),
+        col("anchor_text")).as("text"))
+    Dedup.lineDedup(multi, "doc_id", "text", "\n", maxDocFreq = 50L)
+  }
+
+  private val q159Sql =
+    """WITH docs AS (
+         SELECT d.doc_id,
+           'subscribe to our newsletter for updates' || chr(10) ||
+           d.text || chr(10) ||
+           'category ' || (d.doc_id % 20) || chr(10) || a.text AS text
+         FROM documents d
+         JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 7)),
+       lns AS (
+         SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+           unnest(w) AS line
+         FROM (SELECT doc_id, string_split(text, chr(10)) AS w
+               FROM docs) t),
+       perdoc AS (
+         SELECT line, doc_id, min(pos) AS minpos
+         FROM lns GROUP BY 1, 2),
+       stats AS (
+         SELECT line, min(doc_id) AS win_id, count(*) AS doc_df
+         FROM perdoc GROUP BY 1),
+       kept AS (
+         SELECT p.doc_id, p.minpos AS pos, p.line
+         FROM perdoc p JOIN stats s ON p.line = s.line
+         WHERE p.doc_id = s.win_id AND s.doc_df <= 50),
+       tot AS (SELECT doc_id, count(*) AS n_lines FROM lns GROUP BY 1),
+       reb AS (
+         SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+           count(*) AS n_kept
+         FROM kept GROUP BY 1)
+       SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+         t.n_lines, coalesce(r.n_kept, 0) AS n_kept
+       FROM tot t LEFT JOIN reb r USING (doc_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4028,7 +4086,8 @@ object TrainingData {
     "q155_contamination_report" -> q155 _,
     "q156_ngram_novelty"  -> q156 _,
     "q157_kcenter_coreset" -> q157 _,
-    "q158_keepbest_dedup" -> q158 _)
+    "q158_keepbest_dedup" -> q158 _,
+    "q159_line_dedup"     -> q159 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -4136,5 +4195,6 @@ object TrainingData {
     "q155_contamination_report" -> q155Sql,
     "q156_ngram_novelty"  -> q156Sql,
     "q157_kcenter_coreset" -> q157Sql,
-    "q158_keepbest_dedup" -> q158Sql)
+    "q158_keepbest_dedup" -> q158Sql,
+    "q159_line_dedup"     -> q159Sql)
 }

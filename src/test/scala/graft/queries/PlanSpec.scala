@@ -430,6 +430,21 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"unexpected extra shuffle:\n$p")
   }
 
+  test("q159: line dedup reuses the (line, doc) reduction instead of re-exploding") {
+    // ReuseExchange fires at physical planning with AQE off (with AQE
+    // on the same dedup happens in the runtime stage cache, invisible
+    // to a static explain) — pin the non-adaptive plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q159_line_dedup")
+      assert(p.contains("ReusedExchange"),
+        s"perDoc reduction not shared across consumers:\n$p")
+      val explodes = "Generate \\(\\d+\\)".r.findAllIn(p).length
+      assert(explodes <= 2, s"line stream re-derived per consumer:\n$p")
+      assert(!p.contains("Window"), s"winner rule fell into a window:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q158: keepBest is ONE shuffle — partial+final argmax, no window") {
     val p = plan("q158_keepbest_dedup")
     val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
