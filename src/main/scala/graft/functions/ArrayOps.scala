@@ -99,6 +99,121 @@ object ArrayOps {
     ArrayData.toArrayData(if (w == out.length) out else out.take(w))
   }
 
+  /** Word n-gram STRINGS of a token array in one static pass — the
+    * string twin of [[ngramHashSet]] and the kernel behind
+    * `Text.shingles`. The HOF form (`transform(sequence, i =>
+    * concat_ws(slice))`) is CodegenFallback: every gram pays an
+    * interpreted lambda, a slice allocation, and boxed arithmetic —
+    * measured as the dominant cost of every shingle-verified operator
+    * at sf0.1. Here each gram is one `UTF8String.concatWs` over a
+    * reused token window. NULL tokens are skipped by concatWs exactly
+    * as SQL `concat_ws` skips them, so the output is byte-identical to
+    * the HOF form it replaces.
+    */
+  def ngramStrings(tokens: ArrayData,
+      n: Int): ArrayData = {
+    val nt = tokens.numElements()
+    if (nt < n)
+      return ArrayData.toArrayData(
+        Array.empty[org.apache.spark.unsafe.types.UTF8String])
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](nt)
+    var i = 0
+    while (i < nt) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](nt - n + 1)
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    i = 0
+    while (i <= nt - n) {
+      System.arraycopy(toks, i, window, 0, n)
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(
+        sep, window: _*)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  def ngramStringsF(tokens: Column, n: Int): Column = CatalystBridge.column(
+    StaticInvoke(
+      ArrayOps.getClass, ArrayType(StringType, containsNull = false),
+      "ngramStrings",
+      Seq(CatalystBridge.expression(tokens),
+        CatalystBridge.expression(lit(n))),
+      Seq(ArrayType(StringType), IntegerType),
+      returnNullable = false))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, the
+    * MOSS local document-fingerprinting algorithm): positional k-gram
+    * FNV hashes, then the minimum hash VALUE of every window of w
+    * consecutive gram positions, returned as a sorted distinct set.
+    * Detection guarantee (the reason winnowing beats random sampling):
+    * two token sequences sharing a verbatim run of ≥ w+k−1 tokens share
+    * ≥ w consecutive equal gram hashes, so some window lies entirely
+    * inside the run in both documents and selects the same minimum —
+    * they ALWAYS share a fingerprint value, while only ~2/(w+1) of gram
+    * positions are ever emitted. One pass, monotonic-deque window min,
+    * no boxing. Documents with fewer than w gram positions select their
+    * global minimum (their only "window").
+    */
+  def winnowFingerprints(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val nt = tokens.numElements()
+    if (nt < k) return ArrayData.toArrayData(Array.emptyLongArray)
+    val word = new Array[Long](nt)
+    var i = 0
+    while (i < nt) {
+      word(i) = if (tokens.isNullAt(i)) 0L else fnv(tokens.getUTF8String(i))
+      i += 1
+    }
+    val m = nt - k + 1
+    val g = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0xCBF29CE484222325L
+      var j = 0
+      while (j < k) { h = (h ^ word(i + j)) * 0x100000001B3L; j += 1 }
+      g(i) = mix(h)
+      i += 1
+    }
+    val ww = if (w < m) w else m
+    val sel = new Array[Long](m)
+    var selN = 0
+    val dq = new Array[Int](m) // indices with increasing hash values
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < m) {
+      // >= pops equal values: the surviving index is the rightmost
+      // minimum (the classic winnowing tie-break; immaterial to the
+      // VALUE set but it keeps the deque O(m) amortized)
+      while (tail > head && g(dq(tail - 1)) >= g(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - ww) head += 1
+      if (i >= ww - 1) { sel(selN) = g(dq(head)); selN += 1 }
+      i += 1
+    }
+    val out = java.util.Arrays.copyOf(sel, selN)
+    java.util.Arrays.sort(out)
+    var wp = 0
+    i = 0
+    while (i < out.length) {
+      if (wp == 0 || out(i) != out(wp - 1)) { out(wp) = out(i); wp += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(if (wp == out.length) out else out.take(wp))
+  }
+
+  def winnow(tokens: Column, k: Int, w: Int): Column = CatalystBridge.column(
+    StaticInvoke(
+      ArrayOps.getClass, ArrayType(LongType, containsNull = false),
+      "winnowFingerprints",
+      Seq(CatalystBridge.expression(tokens),
+        CatalystBridge.expression(lit(k)),
+        CatalystBridge.expression(lit(w))),
+      Seq(ArrayType(StringType), IntegerType, IntegerType),
+      returnNullable = false))
+
   /** k-permutation MinHash signature of a 64-bit hash set, one tight loop.
     * Permutation coefficients derive from `seed` via splitmix64 (31-bit
     * bounded so a·x+b never overflows a long).

@@ -97,9 +97,10 @@ object Text {
     * tokens yield an empty shingle set.
     */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    // one codegen'd static pass; byte-identical to the HOF form
+    // `transform(sequence, i => concat_ws(" ", slice(toks, i, n)))` it
+    // replaces (see ArrayOps.ngramStrings for the measured why)
+    ArrayOps.ngramStringsF(toks, n)
 
   /** Canonical text normalization for dedup/quality pipelines: lowercase,
     * strip everything but letters/digits/spaces, collapse whitespace

@@ -138,4 +138,46 @@ object Curation {
         expr("(score_micro * 1000L) div greatest(n_bigrams, 1L)"))
       .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
   }
+
+  /** Rare-sequence exposure screen — the memorization/PII risk audit
+    * (cf. Carlini et al. 2022, "Quantifying Memorization", arXiv:
+    * 2202.07646: models regurgitate sequences that are RARE in the
+    * corpus; a document whose n-grams appear almost nowhere else is the
+    * document a model can leak verbatim and the first place secrets,
+    * keys and personal records hide). For every document: its distinct
+    * word n-gram count, the corpus document-frequency of its RAREST
+    * n-gram, how many of its n-grams fall under `minDf`, and the flag.
+    * Output: (idCol, n_grams, min_df, n_rare, risky) for every doc with
+    * ≥ n tokens. A fully-boilerplate doc reports min_df = its grams'
+    * df, risky = false — rarity is the signal here, commonality the
+    * safe case (the exact complement of the dedup family).
+    *
+    * Scale shape (100 TB): the gram stream is already one row per
+    * (gram, doc) — per-doc distinct at the explode — so the df
+    * aggregate is map-side-combined down to one row per distinct gram
+    * before its exchange, and the rollup joins reduction-vs-df on the
+    * gram key: the corpus TEXT is never re-read for the rollup, only
+    * the (gram, doc) projection is derived twice (once per join side —
+    * a map-side explode each time, cheaper at scale than the
+    * sort-the-world window that would make it single-pass). Everything
+    * shuffled is (gram, doc) pairs or gram counts — linear, nothing
+    * collected; the deliberately-NOT-chosen shape is a window over the
+    * corpus gram stream.
+    */
+  def rareSequenceScreen(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDf: Long = 2L): DataFrame = {
+    // one row per (gram, doc) by construction: the per-doc distinct
+    // happens inside the array before the explode
+    val perDoc = docs.select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(
+          Text.shingles(Text.tokens(col(textCol)), n))).as("g"))
+    val df = perDoc.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    perDoc.join(df, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        min(col("gdf")).as("min_df"),
+        sum(when(col("gdf") < minDf, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("id").as(idCol), col("n_grams"), col("min_df"),
+        col("n_rare"), (col("n_rare") > 0).as("risky"))
+  }
 }

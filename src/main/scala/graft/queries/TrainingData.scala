@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Bpe, Clustering, Decontaminate, Dedup, Layout, LmScore, Multimodal, QualityModel, Quantization, Retrieval, Similarity, SubstringDedup}
+import graft.operators.{Bpe, Clustering, Curation, Decontaminate, Dedup, Layout, LmScore, Multimodal, QualityModel, Quantization, Retrieval, Similarity, SubstringDedup}
 import graft.streaming.EventsStream
 
 /** Training-data-pipeline operator surface: deduplication (exact / MinHash
@@ -3980,6 +3980,101 @@ object TrainingData {
          t.n_lines, coalesce(r.n_kept, 0) AS n_kept
        FROM tot t LEFT JOIN reb r USING (doc_id)"""
 
+  // --- q160: winnowed verbatim-run pairs (MOSS fingerprinting) ---------------
+  // Every 11th doc gains a "quoting" twin embedding its first 12 tokens
+  // verbatim (a ≥ 8-token run ⇒ the winnowing guarantee fires), and the
+  // report lists all pairs sharing any 8-token run with the exact count
+  // of distinct shared 8-grams — natural overlaps included. The oracle
+  // IS the exact 8-gram self-join: winnowing + text-verify equals it
+  // byte-for-byte (candidates ⊇ the guarantee set, the verify trims
+  // hash-collision extras). maxDocFreq is lifted so the scale guard
+  // cannot perturb the oracled contract; the guard itself is spec'd.
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val quotes = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ", lit("quoted from the original article"),
+          array_join(slice(split(col("text"), " "), 1, 12), " "),
+          lit("end of quotation block")).as("text"))
+    // k=6/w=3 keeps the same t = 8 contract as k=4/w=5 but fingerprints
+    // are 6-grams — far rarer on a narrow-vocabulary corpus, so the
+    // candidate set stays near the true pair set instead of drowning in
+    // common-4-gram collisions (measured 4.0 → 0.9 s warm at sf0.1)
+    Dedup.winnowedRunPairs(docs.unionByName(quotes), "doc_id", "text",
+      k = 6, w = 3, maxDocFreq = Long.MaxValue)
+  }
+
+  private val q160Sql =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 3000000,
+           'quoted from the original article ' ||
+           array_to_string((string_split(text, ' '))[1:12], ' ') ||
+           ' end of quotation block'
+         FROM documents WHERE doc_id % 11 = 0),
+       grams AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - 6),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] ||
+                ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+                w[i+7]))) AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS w
+               FROM corpus) t)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS n_shared_runs
+       FROM grams a JOIN grams b
+         ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY 1, 2"""
+
+  // --- q161: rare-sequence exposure screen (memorization/PII risk) -----------
+  // Every 13th doc gets a planted unique "secret" tail (an 8-token run
+  // appearing nowhere else ⇒ min_df = 1 ⇒ risky); every 4th doc is
+  // republished verbatim under a new id, so its grams' df is ≥ 2 and a
+  // screen keyed on rarity must NOT flag it. The oracle replays the
+  // distinct-gram stream, the per-gram doc frequency, and the per-doc
+  // (count, min, rare-count, flag) rollup.
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val secret = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), concat_ws(" ", col("text"),
+        lit("ssn record"), concat(lit("id"), col("doc_id").cast("string")),
+        lit("leaked secret token value pin"),
+        concat(lit("key"), col("doc_id").cast("string"))).as("text"))
+    val rest = docs.filter(col("doc_id") % 13 =!= 0)
+    val republished = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
+    Curation.rareSequenceScreen(
+      rest.unionByName(secret).unionByName(republished),
+      "doc_id", "text", n = 8, minDf = 2L)
+  }
+
+  private val q161Sql =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0
+         UNION ALL
+         SELECT doc_id, text || ' ssn record id' || doc_id ||
+           ' leaked secret token value pin key' || doc_id
+         FROM documents WHERE doc_id % 13 = 0
+         UNION ALL
+         SELECT doc_id + 4000000, text FROM documents
+         WHERE doc_id % 4 = 0),
+       grams AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - 6),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] ||
+                ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+                w[i+7]))) AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS w
+               FROM corpus) t),
+       gdf AS (SELECT g, count(*) AS gdf FROM grams GROUP BY 1)
+       SELECT doc_id, count(*) AS n_grams, min(gdf) AS min_df,
+         CAST(sum(CASE WHEN gdf < 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare,
+         sum(CASE WHEN gdf < 2 THEN 1 ELSE 0 END) > 0 AS risky
+       FROM grams JOIN gdf USING (g)
+       GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4087,7 +4182,9 @@ object TrainingData {
     "q156_ngram_novelty"  -> q156 _,
     "q157_kcenter_coreset" -> q157 _,
     "q158_keepbest_dedup" -> q158 _,
-    "q159_line_dedup"     -> q159 _)
+    "q159_line_dedup"     -> q159 _,
+    "q160_winnowed_runs"  -> q160 _,
+    "q161_rare_sequences" -> q161 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -4196,5 +4293,7 @@ object TrainingData {
     "q156_ngram_novelty"  -> q156Sql,
     "q157_kcenter_coreset" -> q157Sql,
     "q158_keepbest_dedup" -> q158Sql,
-    "q159_line_dedup"     -> q159Sql)
+    "q159_line_dedup"     -> q159Sql,
+    "q160_winnowed_runs"  -> q160Sql,
+    "q161_rare_sequences" -> q161Sql)
 }

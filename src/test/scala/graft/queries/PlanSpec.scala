@@ -445,6 +445,28 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q160: winnowed run pairs — candidates broadcast into the verify joins, no window, no cartesian") {
+    val p = plan("q160_winnowed_runs")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"guard anti-join + 2 verify joins should broadcast:\n$p")
+    assert(p.contains("LeftAnti"), s"hot-fingerprint guard missing:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"winnowing fell into a window/cartesian:\n$p")
+  }
+
+  test("q161: rare-sequence screen is two linear aggregates, no window over the gram stream") {
+    val p = plan("q161_rare_sequences")
+    assert(!p.contains("Window"), s"df computed via a corpus window:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    // df aggregate + per-doc rollup (+ the gram-key join exchange at
+    // scale); at sf0.001 the join side broadcasts
+    assert(exchanges <= 3, s"unexpected extra shuffle:\n$p")
+    val firstAgg = p.indexOf("HashAggregate")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(firstAgg >= 0 && lastAgg > firstAgg,
+      "expected partial+final aggregate pairs")
+  }
+
   test("q158: keepBest is ONE shuffle — partial+final argmax, no window") {
     val p = plan("q158_keepbest_dedup")
     val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
