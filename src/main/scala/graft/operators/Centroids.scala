@@ -44,6 +44,14 @@ object Centroids {
     * vector are excluded from BOTH `n` and the sums — counting them
     * only in the denominator would silently shrink every coordinate.
     *
+    * NULL-group policy: NULL is a GROUP here — unattributed rows get a
+    * centroid row like any other group value (the report is "what does
+    * each provenance bucket look like", and unlabeled data is a bucket
+    * worth seeing). This deliberately differs from [[centroidOutliers]],
+    * which EXCLUDES the NULL group: an outlier audit ranks members
+    * against their own population, and "unlabeled" is a catch-all, not
+    * a population whose geometry means anything.
+    *
     * `dim` is read from one bounded `limit(1)` probe (a single row to
     * the driver — same contract as the k-means init collect).
     */

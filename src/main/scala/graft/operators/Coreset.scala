@@ -42,10 +42,14 @@ object Coreset {
     require(k >= 1, s"k=$k must be >= 1")
     val spark = df.sparkSession
     // NULL vectors carry no geometry and are excluded up front (a NULL
-    // qv would crash the seed collect and poison every kernel call)
+    // qv would crash the seed collect and poison every kernel call);
+    // NULL/uncastable ids are excluded for the same reason — a NULL id
+    // sorts first (NULLS FIRST), would become the seed, and crash the
+    // seed collect with an opaque NPE, while in later rounds the
+    // !isin(...) exclusion drops NULL-id rows silently
     val qdf = df.select(col(idCol).cast("long").as("id"),
         Clustering.quantizeF(col(vecCol), scale).as("qv"))
-      .filter(col("qv").isNotNull)
+      .filter(col("id").isNotNull && col("qv").isNotNull)
       .persist()
     try {
       val dim = Centroids.vectorDim(qdf)

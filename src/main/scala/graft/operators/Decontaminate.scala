@@ -134,8 +134,12 @@ object Decontaminate {
     * sliver) are exactly verified against the reference gram set with a
     * shuffle semi-join, making the expensive exact path proportional to
     * the OVERLAP, which is the small side by definition when scoring
-    * novelty of fresh data. The output equals the exact join
-    * byte-for-byte; the bloom is an invisible plan optimization.
+    * novelty of fresh data. The bloom itself is an invisible plan
+    * optimization — the output equals the same join run without it.
+    * Gram identity here is the 64-bit `ngramHashes` kernel (the
+    * q27/q43/q64 convention), NOT exact gram strings as in
+    * [[flagContaminated]]: a 2^-64-per-pair hash collision between a
+    * novel batch gram and any reference gram would count it as seen.
     */
   def noveltyScores(batch: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String, n: Int = 3): DataFrame = {

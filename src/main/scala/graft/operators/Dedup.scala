@@ -144,13 +144,27 @@ object Dedup {
     * shuffle. Fingerprints in more than `maxDocFreq` docs are dropped
     * before the self-join (the [[sharedSpanPairs]] boilerplate rule and
     * the quadratic-fanout guard in one — runs whose every fingerprint
-    * is ubiquitous are template text, not plagiarism); the verify joins
-    * broadcast the bounded candidate set so the corpus-side gram sets
-    * are read map-side.
+    * is ubiquitous are template text, not plagiarism).
+    *
+    * The verify strategy is MEASURED, not assumed: candidate-pair
+    * volume is proportional to REAL duplication in the corpus, so on
+    * the adversarial case this operator exists for (a crawl where a
+    * large fraction of docs have verbatim twins) candidates ≈
+    * O(corpus) and a mandatory broadcast — of pairs, and worse of
+    * candidate docs CARRYING their full t-gram string sets — would
+    * die on the first real run. The candidate set is therefore
+    * persisted and counted (it is consumed twice either way), and the
+    * verify joins broadcast only when the count is at most
+    * `broadcastCandLimit`; above it they fall back to shuffled joins
+    * keyed on the candidate ids — linear in candidates + candidate
+    * docs, no single-node materialization anywhere (the same
+    * measured-guard discipline as [[minhashLsh]]'s hot-bucket star).
+    * Both strategies produce identical output (HeavyDupSpec pins it).
     */
   def winnowedRunPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 5,
-      maxDocFreq: Long = 4096L): DataFrame = {
+      maxDocFreq: Long = 4096L,
+      broadcastCandLimit: Long = 2000000L): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k and w=$w must be >= 1")
     val t = w + k - 1
     val toks = Text.tokens(col(textCol))
@@ -174,12 +188,32 @@ object Dedup {
         col("x.f") === col("y.f") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // exact verify on t-gram strings: candidates are bounded by real
-    // duplication, so they broadcast and the gram sets never shuffle
-    val withA = docs.select(col("id").as("id_a"), col("runs").as("runs_a"))
-      .join(broadcast(cand), Seq("id_a"))
-    docs.select(col("id").as("id_b"), col("runs").as("runs_b"))
-      .join(broadcast(withA), Seq("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact verify on t-gram strings — strategy picked by MEASURING the
+    // candidate set (it feeds both verify joins, so the persist+count
+    // costs one action, not a second self-join). Small candidate sets
+    // (normal corpora: bounded real duplication) broadcast, so the
+    // gram-set-laden doc rows never shuffle; a heavy-duplication corpus
+    // falls back to shuffled joins on the candidate ids, where broadcast
+    // of O(corpus) pairs — and then of candidate docs carrying their
+    // t-gram sets — would exceed any broadcast budget.
+    val nCand = cand.count()
+    val runsA = docs.select(col("id").as("id_a"), col("runs").as("runs_a"))
+    val runsB = docs.select(col("id").as("id_b"), col("runs").as("runs_b"))
+    val verified =
+      if (nCand <= broadcastCandLimit) {
+        val withA = runsA.join(broadcast(cand), Seq("id_a"))
+        runsB.join(broadcast(withA), Seq("id_b"))
+      } else {
+        // shuffle path: pin SORT-MERGE on both joins — the planner's
+        // stats can estimate the candidate frame small enough to
+        // broadcast even when the measured count says otherwise, and a
+        // shuffled-hash build over gram-set-laden doc rows has its own
+        // memory exposure; SMJ is the strategy that degrades gracefully
+        val withA = runsA.join(cand.hint("merge"), Seq("id_a"))
+        runsB.join(withA.hint("merge"), Seq("id_b"))
+      }
+    verified
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("runs_a"), col("runs_b")))
           .cast("long").as("n_shared_runs"))
@@ -201,14 +235,32 @@ object Dedup {
     * explode is ≤ S² rows per group. Callers with a high-cardinality
     * source column (URLs) should pre-map it to its governance granule
     * (domain/crawl) first; the matrix is only meaningful at that
-    * granularity anyway.
+    * granularity anyway. That contract is ENFORCED, not advised: any
+    * group collecting more than `maxSources` distinct sources fails
+    * the job loudly with a named error (a per-group `raise_error` —
+    * zero extra shuffle, zero cost on conforming input) instead of
+    * silently fanning out an S² explode; the offending group's set
+    * does materialize once in its agg buffer before the error fires,
+    * so the guard bounds the EXPLODE and names the misuse rather than
+    * capping collect_set itself. `maxSources` defaults to 10k: far
+    * above any domain/crawl-granule registry, far below the URL
+    * cardinality the guard exists to reject.
     */
   def crossSourceDupMatrix(df: DataFrame, idCol: String, textCol: String,
-      srcCol: String): DataFrame = {
+      srcCol: String, maxSources: Int = 10000): DataFrame = {
     val g = df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(collect_set(col(srcCol)).as("srcs"),
         count(lit(1)).as("n_copies"))
       .filter(col("n_copies") >= 2)
+      .withColumn("srcs",
+        when(size(col("srcs")) > maxSources,
+          raise_error(lit("crossSourceDupMatrix: a duplicate " +
+            s"group carries > $maxSources distinct sources — srcCol " +
+            s"'$srcCol' looks like URL-granularity provenance; pre-map " +
+            "it to its governance granule (domain/crawl) first"))
+            .cast(org.apache.spark.sql.types.ArrayType(
+              df.schema(srcCol).dataType).sql))
+          .otherwise(col("srcs")))
     g.select(explode(col("srcs")).as("source_a"), col("srcs"))
       .select(col("source_a"), explode(col("srcs")).as("source_b"))
       .filter(col("source_a") < col("source_b"))
@@ -687,14 +739,28 @@ object Dedup {
   }
 
   /** The end deliverable: the corpus with near-duplicates collapsed to one
-    * survivor per cluster (broadcast anti-join against the small loser
-    * set — the corpus is filtered in place, never shuffled).
+    * survivor per cluster. The loser set's size is proportional to REAL
+    * duplication — tiny on a clean corpus, O(corpus) on the heavy-dup
+    * crawl dedup exists for — so the anti-join strategy is MEASURED,
+    * never assumed: the loser ids (longs, 8 bytes each) are persisted
+    * and counted, and only a set within `broadcastLoserLimit` is
+    * broadcast (corpus filtered in place, never shuffled); above the
+    * limit the anti-join shuffles on the id — linear, no single-node
+    * materialization (HeavyDupSpec pins both strategies equal). The
+    * count re-evaluates `pairClusters` once; [[clusters]] output comes
+    * off a persisted fixpoint RDD, so that replay is a cheap projection.
     */
   def dedupedCorpus(df: DataFrame, idCol: String,
-      pairClusters: DataFrame): DataFrame = {
+      pairClusters: DataFrame,
+      broadcastLoserLimit: Long = 5000000L): DataFrame = {
     val losers = pairClusters
       .filter(col("id") =!= col("survivor_id")).select(col("id"))
-    df.join(broadcast(losers), df(idCol) === losers("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joined =
+      if (losers.count() <= broadcastLoserLimit) broadcast(losers)
+      else losers.hint("merge") // see winnowedRunPairs: stats can still
+                                // say "broadcast" when the count said no
+    df.join(joined, df(idCol) === losers("id"), "left_anti")
   }
 
   /** All-pairs n-gram Jaccard within a blocking key (e.g. same source) —
