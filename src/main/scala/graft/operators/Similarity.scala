@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ArrayOps, TopK, Vectors}
+import graft.streaming.PartialAggs
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -438,6 +439,95 @@ object Similarity {
         graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(lakeDir)
+  }
+
+  /** Cell-scoped file compaction for an IVF lake — the maintenance op
+    * that pairs with [[appendToIvfLake]]: each append adds one file per
+    * touched cell, so after thousands of daily batches every cell
+    * directory holds thousands of small files and probe-time listing +
+    * per-file open costs dominate the read long before the bytes do.
+    * This pass rewrites ONLY the cells holding more than
+    * `maxFilesPerCell` data files back to one file each (well, one per
+    * final shuffle task that owns the cell — the hash-clustered write
+    * discipline of the initial [[writeIvfLake]]); untouched cells and
+    * the `_ivf_centroids` sidecar are never rewritten, renamed, or even
+    * listed into the rewrite plan, so the pass's cost is proportional
+    * to the APPEND CHURN, not the lake (contrast
+    * [[graft.sinks.Lake.compact]], which rewrites a whole lake and
+    * would also drop the sidecar through its directory swap).
+    *
+    * Search results are INVARIANT across the pass — rows move between
+    * files within their own cell directory, nothing else changes — and
+    * q162 pins that equality under the driver oracle.
+    *
+    * Crash safety is the partials-lake manifest protocol
+    * ([[graft.streaming.PartialAggs.compactPartials]]), cell-granular:
+    *  1. fat cells' rows are rewritten (cell-clustered) into a sibling
+    *     `.compact_tmp`, partition-pruned to exactly those cells;
+    *  2. the absorbed cell ids are committed atomically as the tmp's
+    *     `_ABSORBED` manifest — the commit point;
+    *  3. each listed cell dir is deleted and its tmp replacement
+    *     renamed into place (idempotent per cell: a replacement already
+    *     promoted is no longer in tmp and is skipped);
+    *  4. tmp is deleted.
+    * Recovery (run first by every pass): tmp without a manifest is a
+    * mid-write corpse — every source cell is intact, delete tmp; tmp
+    * WITH a manifest holds complete replacements for the listed cells —
+    * finish steps 3–4 exactly.
+    *
+    * Returns (data files before, data files after), counted over cell
+    * directories after recovery.
+    */
+  def compactIvfLake(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, maxFilesPerCell: Int = 1): (Long, Long) = {
+    require(maxFilesPerCell >= 1,
+      s"maxFilesPerCell=$maxFilesPerCell must be >= 1")
+    import org.apache.hadoop.fs.Path
+    val base = new Path(lakeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def isData(name: String): Boolean =
+      !name.startsWith("_") && !name.startsWith(".")
+    def cellFiles(): Map[Long, Long] =
+      (if (fs.exists(base)) fs.listStatus(base).toSeq else Nil)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .flatMap { s =>
+          s.getPath.getName.stripPrefix("cell=").toLongOption.map { c =>
+            c -> fs.listStatus(s.getPath)
+              .count(f => f.isFile && isData(f.getPath.getName)).toLong
+          }
+        }.toMap
+    val tmp = new Path(lakeDir + ".compact_tmp")
+    val manifest = new Path(tmp, PartialAggs.ManifestName)
+    def promote(cells: Seq[Long]): Unit = {
+      cells.foreach { c =>
+        val src = new Path(tmp, s"cell=$c")
+        if (fs.exists(src)) { // already-promoted cells are gone from tmp
+          fs.delete(new Path(s"$lakeDir/cell=$c"), true)
+          require(fs.rename(src, new Path(s"$lakeDir/cell=$c")),
+            s"compactIvfLake: rename $src failed; the rewritten cell is " +
+              "intact in the tmp dir — re-run the pass")
+        }
+      }
+      require(fs.delete(tmp, true),
+        s"compactIvfLake: could not remove committed tmp $tmp")
+    }
+    if (fs.exists(tmp)) {
+      if (fs.exists(manifest))
+        promote(PartialAggs.readManifest(fs, manifest))
+      else require(fs.delete(tmp, true),
+        s"compactIvfLake: could not discard uncommitted tmp $tmp")
+    }
+    val before = cellFiles()
+    val fat = before.filter(_._2 > maxFilesPerCell).keys.toSeq.sorted
+    val nBefore = before.values.sum
+    if (fat.isEmpty) return (nBefore, nBefore)
+    spark.read.schema(IvfLakeSchema).parquet(lakeDir)
+      .filter(col("cell").isin(fat.map(_.asInstanceOf[Any]): _*))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    PartialAggs.writeManifest(fs, tmp, fat) // the commit point
+    promote(fat)
+    (nBefore, cellFiles().values.sum)
   }
 
   /** IVF search over an in-memory corpus ASSIGNED TO A LAKE'S FROZEN

@@ -4108,6 +4108,66 @@ object TrainingData {
        FROM grams JOIN gdf USING (g)
        GROUP BY 1"""
 
+  // --- q162: IVF-lake compaction maintenance -----------------------------------
+  // Similarity.compactIvfLake: the maintenance op q152's append story
+  // was missing — each append adds one file per touched cell, so after
+  // thousands of daily batches probe-time listing degrades; compaction
+  // rewrites ONLY the fat cells back to one file each (manifest-
+  // committed, crash-safe, sidecar untouched). The audit pins the
+  // invariance claim: a lake built as base + three appends is searched,
+  // compacted, searched again — the two result sets must be multiset-
+  // EQUAL (the pre-compaction results are collected to a 50-row local
+  // relation first, so the comparison cannot lazily re-read the
+  // compacted lake on both sides), every cell directory must hold
+  // exactly one data file after, and the file count must have dropped.
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val qs = emb.filter(col("vec_id") < 10)
+    val lakeDir = AnnLake.ivfDir(d) + "_cmp"
+    Tables.deleteRecursively(java.nio.file.Paths.get(lakeDir))
+    Similarity.writeIvfLake(base, lakeDir, "vec_id", "embedding",
+      dim = AnnLake.Dim, nCells = AnnLake.NCells): Unit
+    (0 until 3).foreach { slice =>
+      Similarity.appendToIvfLake(
+        emb.filter(col("vec_id") % 5 === 0 &&
+          pmod(col("vec_id") / 5, lit(3)) === slice),
+        lakeDir, "vec_id", "embedding", dim = AnnLake.Dim)
+    }
+    def search() = Similarity.ivfTopKOverLake(s, lakeDir, qs, "vec_id",
+      "embedding", dim = AnnLake.Dim, k = AnnLake.K, nProbe = AnnLake.NProbe)
+    // materialize the BEFORE results as a local relation: a lazy frame
+    // would re-read the (by then compacted) lake and the equality audit
+    // would be vacuous
+    val preRows = search().collect().toSeq
+    val pre = s.createDataFrame(
+      s.sparkContext.parallelize(preRows, 1), search().schema)
+    val (filesBefore, filesAfter) = Similarity.compactIvfLake(s, lakeDir)
+    val post = search()
+    val nCellDirs = Option(new java.io.File(lakeDir).listFiles())
+      .getOrElse(Array.empty).count(f =>
+        f.isDirectory && f.getName.startsWith("cell="))
+    val stats = post.agg(
+      count_distinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_results"))
+    val diffs = post.unionAll(pre)
+      .groupBy("q_id", "id", "rank").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).agg(count(lit(1)).as("n_diff"))
+    stats.crossJoin(diffs).select(
+      col("n_queries"), col("n_results"),
+      (col("n_diff") === 0).as("equals_precompact"),
+      lit(filesAfter < filesBefore).as("files_reduced"),
+      lit(filesAfter == nCellDirs.toLong).as("one_file_per_cell"))
+  }
+
+  private val q162Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(5 * count(*) AS BIGINT) AS n_results,
+       true AS equals_precompact,
+       true AS files_reduced,
+       true AS one_file_per_cell
+       FROM embeddings WHERE vec_id < 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4217,7 +4277,8 @@ object TrainingData {
     "q158_keepbest_dedup" -> q158 _,
     "q159_line_dedup"     -> q159 _,
     "q160_winnowed_runs"  -> q160 _,
-    "q161_rare_sequences" -> q161 _)
+    "q161_rare_sequences" -> q161 _,
+    "q162_ivf_compaction" -> q162 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -4328,5 +4389,6 @@ object TrainingData {
     "q158_keepbest_dedup" -> q158Sql,
     "q159_line_dedup"     -> q159Sql,
     "q160_winnowed_runs"  -> q160Sql,
-    "q161_rare_sequences" -> q161Sql)
+    "q161_rare_sequences" -> q161Sql,
+    "q162_ivf_compaction" -> q162Sql)
 }

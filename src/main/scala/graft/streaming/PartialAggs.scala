@@ -236,12 +236,12 @@ object PartialAggs {
     (before.size.toLong, leafIds().size.toLong)
   }
 
-  private[streaming] val ManifestName = "_ABSORBED"
+  private[graft] val ManifestName = "_ABSORBED"
 
   /** Commit the absorbed-ids manifest: write to a side name, rename into
     * place — the marker either exists complete or not at all.
     */
-  private[streaming] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, ids: Seq[Long]): Unit = {
     val side = new org.apache.hadoop.fs.Path(tmp, ManifestName + ".writing")
     val out = fs.create(side, true)
@@ -251,7 +251,7 @@ object PartialAggs {
       s"compactPartials: manifest commit $side -> $dst failed")
   }
 
-  private[streaming] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       manifest: org.apache.hadoop.fs.Path): Seq[Long] = {
     val in = fs.open(manifest)
     val text =
