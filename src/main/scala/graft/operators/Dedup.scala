@@ -490,28 +490,67 @@ object Dedup {
   def incrementalNearDups(corpus: DataFrame, delta: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 32,
       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    def sets(df: DataFrame, side: String): DataFrame = df.select(
-        col(idCol).as(s"${side}_id"),
-        graft.functions.ArrayOps.ngramHashes(
-          Text.tokens(col(textCol)), shingleN).as(s"${side}_hset"))
-      .filter(size(col(s"${side}_hset")) > 0) // see minhashLsh: shingle-less
-                                              // docs never clear a threshold
     // threshold >= 1.0 asks for exact cross-set duplicates only: one
     // broadcast equality join on the shingle sets themselves — no
     // signatures, no banding, the corpus still never shuffled (the same
     // fast-path rationale as minhashLsh's, in the delta-vs-corpus shape)
-    if (threshold >= 1.0)
+    if (threshold >= 1.0) {
+      def sets(df: DataFrame, side: String): DataFrame = df.select(
+          col(idCol).as(s"${side}_id"),
+          graft.functions.ArrayOps.ngramHashes(
+            Text.tokens(col(textCol)), shingleN).as(s"${side}_hset"))
+        .filter(size(col(s"${side}_hset")) > 0)
       return sets(corpus, "corpus")
         .join(broadcast(sets(delta, "delta")),
           col("corpus_hset") === col("delta_hset"))
         .filter(col("corpus_id") =!= col("delta_id"))
         .select(col("corpus_id"), col("delta_id"), lit(1.0).as("jaccard"))
+    }
+    // the corpus projection feeds its banding scan AND the verification
+    // scan (same ~1-2%-of-corpus persist rationale as minhashLsh —
+    // re-shingling the corpus twice costs more). The streaming shape
+    // ([[graft.streaming.NearDupStream]]) persists this same projection
+    // to parquet ONCE instead, and every micro-batch reads it.
+    val c = nearDupState(corpus, idCol, textCol, shingleN, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDupsAgainstState(c, delta, idCol, textCol, shingleN, k,
+      bands, threshold)
+  }
 
+  /** The corpus-side projection [[nearDupsAgainstState]] matches
+    * against: (corpus_id, corpus_hset, corpus_sig) — shingle-hash set
+    * for exact verification plus the MinHash signature for banding.
+    * This IS the "persisted corpus LSH state" of a streaming ingest
+    * pipeline: compute it once per corpus vintage, write it to parquet,
+    * and every arriving batch scans it (never shuffles it). Shingle-less
+    * docs are dropped (they can never clear a Jaccard threshold — the
+    * minhashLsh rule).
+    */
+  def nearDupState(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32): DataFrame =
+    corpus.select(
+        col(idCol).as("corpus_id"),
+        graft.functions.ArrayOps.ngramHashes(
+          Text.tokens(col(textCol)), shingleN).as("corpus_hset"))
+      .filter(size(col("corpus_hset")) > 0)
+      .withColumn("corpus_sig",
+        graft.functions.ArrayOps.minhash(col("corpus_hset"), k))
+
+  /** Near-duplicate pairs between a small delta and an ALREADY-PREPPED
+    * corpus state ([[nearDupState]]'s schema) — the shared core of
+    * [[incrementalNearDups]] and the micro-batch streaming shape: the
+    * delta's banded signature keys are broadcast, the state streams
+    * against them (scanned twice — banding + verification — never
+    * shuffled), and the candidate set plus both verification joins are
+    * delta-sized. `shingleN`/`k` must match the values the state was
+    * built with (the signature is as good as its parameters); `k` must
+    * be divisible by `bands`.
+    */
+  def nearDupsAgainstState(state: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def prep(df: DataFrame, side: String): DataFrame = sets(df, side)
-      .withColumn(s"${side}_sig",
-        graft.functions.ArrayOps.minhash(col(s"${side}_hset"), k))
     def band(df: DataFrame, side: String): DataFrame = df.select(
         col(s"${side}_id"),
         explode(array((0 until bands).map { b =>
@@ -522,19 +561,23 @@ object Dedup {
       .select(col(s"${side}_id"), col("bb.band"), col("bb.bh"))
 
     // the delta projection feeds its band explode AND the verification
-    // join; the corpus projection feeds its banding scan AND the
-    // verification scan (same ~1-2%-of-corpus persist rationale as
-    // minhashLsh — re-shingling the corpus twice costs more)
-    val d = prep(delta, "delta").persist(lvl)
-    val c = prep(corpus, "corpus").persist(lvl)
+    // join — persisted (it is the SMALL side by contract)
+    val d = delta.select(
+        col(idCol).as("delta_id"),
+        graft.functions.ArrayOps.ngramHashes(
+          Text.tokens(col(textCol)), shingleN).as("delta_hset"))
+      .filter(size(col("delta_hset")) > 0)
+      .withColumn("delta_sig",
+        graft.functions.ArrayOps.minhash(col("delta_hset"), k))
+      .persist(lvl)
 
-    val cand = band(c, "corpus")
+    val cand = band(state, "corpus")
       .join(broadcast(band(d, "delta")), Seq("band", "bh"))
       .filter(col("corpus_id") =!= col("delta_id"))
       .select(col("corpus_id"), col("delta_id"))
       .distinct()
 
-    c.select(col("corpus_id"), col("corpus_hset"))
+    state.select(col("corpus_id"), col("corpus_hset"))
       .join(broadcast(cand), Seq("corpus_id"))
       .join(broadcast(d.select(col("delta_id"), col("delta_hset"))),
         Seq("delta_id"))

@@ -4168,6 +4168,37 @@ object TrainingData {
        true AS one_file_per_cell
        FROM embeddings WHERE vec_id < 10"""
 
+  // --- q163: STREAMING near-dup dedup vs persisted corpus LSH state ------------
+  // streaming/NearDupStream: q69's delta-vs-corpus MinHash through the
+  // micro-batch shape — the corpus LSH state (signatures + shingle
+  // sets) is persisted once, the delta arrives as a 3-file stream
+  // drained one file per trigger, each batch's pairs land in their own
+  // idempotent batch_id= leaf (the q126 discipline), and the merged
+  // leaves must EQUAL the one-shot batch operator: pair emission is
+  // per-delta-doc independent, so batch boundaries cannot change the
+  // result. The oracle IS q69's exact all-pairs SQL — same data split,
+  // same threshold, so streaming, state persistence, banding, and the
+  // batch-boundary placement all sit under q69's hash.
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"))
+    val scratch = Tables.freshScratchDir("graft_neardup_", d)
+    val stateDir = s"$scratch/state"
+    val deltaDir = s"$scratch/delta"
+    val outDir = s"$scratch/pairs"
+    graft.streaming.NearDupStream.writeCorpusState(
+      corpus, "doc_id", "text", stateDir)
+    // 3 files -> 3 real micro-batches at maxFilesPerTrigger=1
+    delta.repartition(3).write.mode("overwrite").parquet(deltaDir)
+    val stream = s.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+    graft.streaming.NearDupStream.nearDupPairs(s, stream, "doc_id",
+      "text", stateDir, outDir, checkpointDir = s"$scratch/ckpt",
+      threshold = 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4278,7 +4309,8 @@ object TrainingData {
     "q159_line_dedup"     -> q159 _,
     "q160_winnowed_runs"  -> q160 _,
     "q161_rare_sequences" -> q161 _,
-    "q162_ivf_compaction" -> q162 _)
+    "q162_ivf_compaction" -> q162 _,
+    "q163_stream_neardup" -> q163 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -4390,5 +4422,6 @@ object TrainingData {
     "q159_line_dedup"     -> q159Sql,
     "q160_winnowed_runs"  -> q160Sql,
     "q161_rare_sequences" -> q161Sql,
-    "q162_ivf_compaction" -> q162Sql)
+    "q162_ivf_compaction" -> q162Sql,
+    "q163_stream_neardup" -> q69Sql)
 }

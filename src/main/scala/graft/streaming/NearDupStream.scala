@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Dedup
+
+/** Streaming NEAR-duplicate detection — the micro-batch shape of
+  * [[graft.operators.Dedup.incrementalNearDups]]: new documents arrive
+  * as a stream, and each micro-batch is matched against a PERSISTED
+  * corpus LSH state (MinHash signatures + shingle-hash sets, written
+  * once per corpus vintage by [[writeCorpusState]]).
+  *
+  * This closes the gap between the streaming surface (exact-key dedup
+  * via dropDuplicates, [[DedupStream]]) and the batch incremental path
+  * (delta-vs-corpus MinHash, q69): ingestion pipelines see fresh crawl
+  * pages continuously and want "is this a near-copy of something we
+  * already hold?" per arrival, without re-running a corpus×corpus job.
+  *
+  * Scale shape (100 TB): the corpus state is computed ONCE (the
+  * signature lake — ~1-2% of corpus bytes) and every micro-batch SCANS
+  * it map-side against the batch's broadcast banded keys; the corpus is
+  * never shuffled, candidates and verification joins are batch-sized,
+  * and per-batch pair results land in their own `batch_id=` leaf with
+  * Overwrite — the [[PartialAggs]] replay-idempotence discipline
+  * (foreachBatch may replay a batch after a crash; overwriting the
+  * batch's own leaf makes the second attempt replace the first
+  * byte-for-byte). Near-dup pair emission is per-delta-doc independent,
+  * so batch boundaries cannot change the result: the union of leaves
+  * EQUALS the one-shot batch operator over the same delta (q163 pins
+  * the equality under q69's oracle).
+  */
+object NearDupStream {
+
+  /** Compute and persist the corpus LSH state ([[Dedup.nearDupState]]'s
+    * (corpus_id, corpus_hset, corpus_sig) schema) as parquet — the
+    * once-per-vintage preparation every micro-batch reads.
+    */
+  def writeCorpusState(corpus: DataFrame, idCol: String, textCol: String,
+      stateDir: String, shingleN: Int = 3, k: Int = 32): Unit =
+    Dedup.nearDupState(corpus, idCol, textCol, shingleN, k)
+      .write.mode("overwrite").parquet(stateDir)
+
+  /** Drain `deltaStream` (Trigger.AvailableNow) against the state at
+    * `stateDir`, writing each micro-batch's near-dup pairs to
+    * `outDir/batch_id=<id>/` (idempotent overwrite), and return the
+    * merged (corpus_id, delta_id, jaccard) view. `shingleN`/`k` must
+    * match [[writeCorpusState]]'s. A fresh/empty checkpoint restarts
+    * from batch 0, so stale leaves from a previous run are cleared
+    * first — the [[PartialAggs.writePartials]] rule: the checkpoint and
+    * the lake are one unit of state.
+    */
+  def nearDupPairs(spark: SparkSession, deltaStream: DataFrame,
+      idCol: String, textCol: String, stateDir: String, outDir: String,
+      checkpointDir: String = null, shingleN: Int = 3, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val checkpoint =
+      if (checkpointDir != null) checkpointDir
+      else java.nio.file.Files.createTempDirectory("neardup_ckpt").toString
+    val hasCommittedState = {
+      val off = java.nio.file.Paths.get(checkpoint, "offsets")
+      java.nio.file.Files.isDirectory(off) && {
+        val l = java.nio.file.Files.list(off)
+        try l.findFirst().isPresent finally l.close()
+      }
+    }
+    if (!hasCommittedState) {
+      val base = java.nio.file.Paths.get(outDir)
+      if (java.nio.file.Files.isDirectory(base)) {
+        import scala.jdk.CollectionConverters._
+        val leaves = {
+          val l = java.nio.file.Files.list(base)
+          try l.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("batch_id=")).toList
+          finally l.close()
+        }
+        leaves.foreach { leaf =>
+          java.nio.file.Files.walk(leaf).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+    }
+    val state = spark.read.parquet(stateDir)
+    val q = deltaStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // nearDupsAgainstState persists the batch's prepped projection
+        // (it feeds banding + verification); on a CONTINUOUS deployment
+        // those per-batch persists would accumulate for the life of the
+        // stream, so each batch releases exactly what it created —
+        // never a cache some other operator (or the session) holds
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        Dedup.nearDupsAgainstState(state, batch, idCol, textCol,
+            shingleN, k, bands, threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !before.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.option("basePath", outDir).parquet(outDir)
+      .select(col("corpus_id"), col("delta_id"), col("jaccard"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Streaming near-dup dedup ([[NearDupStream]]): a delta stream matched
+  * per micro-batch against a persisted corpus LSH state. Pinned: the
+  * merged streaming result EQUALS the one-shot batch operator
+  * ([[Dedup.incrementalNearDups]]) whatever the batch-boundary
+  * placement, per-batch leaves are replay-idempotent by layout, and a
+  * fresh checkpoint clears stale leaves from a dead run.
+  */
+class NearDupStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** corpus doc i and delta doc 1000+i share most tokens for i < 8 (near
+    * dups); the rest are noise. Multi-word docs so 3-gram shingles exist.
+    */
+  private def fixture() = {
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(t => s"c${i}_$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    // near-dups: copy corpus doc i's text, change the final token
+    val near = (0 until 8).map { i =>
+      (1000L + i, (0 until 11).map(t => s"c${i}_$t").mkString(" ") + " zz")
+    }
+    val noise = (8 until 20).map { i =>
+      (1000L + i, (0 until 12).map(t => s"d${i}_$t").mkString(" "))
+    }
+    val delta = (near ++ noise).toDF("doc_id", "text")
+    (corpus, delta)
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("corpus_id", "delta_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("streamed micro-batches equal the one-shot batch operator") {
+    val (corpus, delta) = fixture()
+    val dir = Files.createTempDirectory("neardup_spec_")
+    NearDupStream.writeCorpusState(corpus, "doc_id", "text", s"$dir/state")
+    delta.repartition(4).write.parquet(s"$dir/delta") // 4 files -> 4 batches
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/delta")
+    // relative snapshot: other suites sharing this JVM's session may
+    // hold their own persists — only the STREAM must not add any
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val streamed = NearDupStream.nearDupPairs(spark, stream, "doc_id",
+      "text", s"$dir/state", s"$dir/pairs", checkpointDir = s"$dir/ckpt",
+      threshold = 0.3)
+    // per-batch persists were released (continuous-deployment hygiene) —
+    // checked BEFORE the batch comparison below creates its own persists
+    assert(spark.sparkContext.getPersistentRDDs.keySet == persistedBefore,
+      "per-batch persists leaked past the stream")
+    val batch = Dedup.incrementalNearDups(corpus, delta, "doc_id", "text",
+      threshold = 0.3)
+    assert(pairs(streamed) === pairs(batch))
+    assert(pairs(streamed).map(_._2).intersect(
+      (1000L until 1008L).toSet).size === 8,
+      "every planted near-dup must be found")
+    // real micro-batching happened: more than one leaf in the lake
+    val leaves = Option(new java.io.File(s"$dir/pairs").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(leaves >= 4, s"expected >= 4 batch leaves, got $leaves")
+  }
+
+  test("fresh checkpoint clears stale leaves from a dead run") {
+    val (corpus, delta) = fixture()
+    val dir = Files.createTempDirectory("neardup_spec2_")
+    NearDupStream.writeCorpusState(corpus, "doc_id", "text", s"$dir/state")
+    delta.coalesce(1).write.parquet(s"$dir/delta")
+    // a dead run's leaf with a conflicting id far beyond this run's range
+    Seq((999999L, 999999L, 1.0))
+      .toDF("corpus_id", "delta_id", "jaccard")
+      .write.parquet(s"$dir/pairs/batch_id=7")
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/delta")
+    val streamed = NearDupStream.nearDupPairs(spark, stream, "doc_id",
+      "text", s"$dir/state", s"$dir/pairs", checkpointDir = s"$dir/ckpt",
+      threshold = 0.3)
+    assert(!pairs(streamed).exists(_._1 == 999999L),
+      "stale leaf from a dead run must be cleared on a fresh checkpoint")
+  }
+}
