@@ -54,7 +54,51 @@ object PlanDump {
     // per-round scan, whose shape (packed-literal kernel +
     // TakeOrderedAndProject) is pinned in PlanSpec
     "q158_keepbest_dedup", "q159_line_dedup", "q160_winnowed_runs",
-    "q161_rare_sequences")
+    "q161_rare_sequences", "q162_ivf_compaction")
+
+  /** Load-bearing plan facts that the formatted snapshot alone does not
+    * carry (strategy gates measured at runtime, plans that live inside
+    * a loop or a foreachBatch) — appended under the query's section, or
+    * emitted as a standalone note for queries whose RESULT frame is a
+    * driver-built table (q157, q163) and therefore has no informative
+    * snapshot of its own.
+    */
+  private val Notes: Map[String, String] = Map(
+    "q157_kcenter_coreset" -> ("result frame is the driver-built " +
+      "selection table (LocalTableScan, the q131 class) — the " +
+      "informative plan is the PER-ROUND scan: packed-literal distance " +
+      "kernel map-side over the cached quantized corpus, argmax via " +
+      "TakeOrderedAndProject (one row per partition to the driver), k " +
+      "bounded rounds, no iterative lineage chaining. Pinned in " +
+      "PlanSpec (\"q157\"-adjacent round-scan pin) and CoresetSpec."),
+    "q160_winnowed_runs" -> ("the verify-join strategy is SIZE-GATED at " +
+      "runtime: the candidate-pair set is persisted and counted, and " +
+      "the two verify joins broadcast only when the count is within " +
+      "broadcastCandLimit (this snapshot shows the broadcast path — " +
+      "normal corpora); above the limit both joins fall back to " +
+      "SortMergeJoin so a heavy-duplication corpus degrades to linear " +
+      "shuffles instead of dying on the broadcast budget. Both " +
+      "strategies and their result equality are pinned in HeavyDupSpec."),
+    "q161_rare_sequences" -> ("load-bearing fact: no Window over the " +
+      "gram stream and at most 3 non-broadcast exchanges (distinct-gram " +
+      "reduction, per-gram df aggregate, per-doc rollup) — pinned in " +
+      "PlanSpec."),
+    "q162_ivf_compaction" -> ("the snapshot shows the POST-compaction " +
+      "audit read; the load-bearing facts are in the maintenance pass " +
+      "itself: only cells holding more than maxFilesPerCell data files " +
+      "are listed into the rewrite (partition-pruned cell-isin scan, " +
+      "cell-clustered one-file-per-cell write), the _ivf_centroids " +
+      "sidecar and single-file cells are never rewritten, and the " +
+      "manifest protocol makes every crash window resolve to " +
+      "never-happened or completed (IvfLakeSpec pins both windows)."),
+    "q163_stream_neardup" -> ("result frame is the batch_id=-leaf lake " +
+      "read — the informative plan lives inside each foreachBatch: the " +
+      "persisted corpus LSH state is SCANNED (never shuffled) against " +
+      "the micro-batch's broadcast banded keys, candidates and both " +
+      "verify joins are batch-sized, and per-batch persists are " +
+      "released before the next trigger. Stream==batch equality under " +
+      "q69's oracle is pinned by the driver gate; strategy and leak " +
+      "hygiene by NearDupStreamSpec."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -87,7 +131,14 @@ object PlanDump {
     Headline.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.explainString(FormattedMode)
-      sb.append(s"\n## $name\n\n```\n$plan```\n")
+      sb.append(s"\n## $name\n\n")
+      Notes.get(name).foreach(n => sb.append(s"> NOTE: $n\n\n"))
+      sb.append(s"```\n$plan```\n")
+    }
+    // queries with no informative result-frame plan still get their
+    // load-bearing note as a named section (grep-able like a snapshot)
+    Notes.keys.toSeq.sorted.filterNot(Headline.contains).foreach { name =>
+      sb.append(s"\n## $name\n\n> NOTE: ${Notes(name)}\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
