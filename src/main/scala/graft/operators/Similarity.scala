@@ -554,6 +554,172 @@ object Similarity {
     ivfScore(c, q, k)
   }
 
+  /** The IVF+PQ composed lake (the FAISS IVFPQ layout, cf. Jégou et
+    * al. 2011, "Product Quantization for Nearest Neighbor Search",
+    * with by_residual=false — codes quantize the raw vectors, the
+    * established q110/q122 convention): the [[writeIvfLake]] cell
+    * partitioning for file-listing-time pruning PLUS a precomputed PQ
+    * code column for cheap in-cell scoring, with BOTH geometries
+    * frozen as sidecars (`_ivf_centroids`, `_pq_codebooks`). This is
+    * the 100-TB search shape the two separate lakes only approximate:
+    * q137's IVF lake prunes cells but then scores full float vectors;
+    * q122's PQ lake scores cheap codes but must scan every row's
+    * code. Here a probe reads ONLY the probed cells' directories and
+    * ONLY the (id, code) columns inside them — the float column stays
+    * unread until the final ≤ |Q|·k·refine-row exact re-rank.
+    * Centroids and codebooks train exactly as [[writeIvfLake]] /
+    * [[pqTopK]] train them (same bounded deterministic samples, same
+    * seeds). Returns the cell count.
+    */
+  def writeIvfPqLake(corpus: DataFrame, lakeDir: String, idCol: String,
+      vecCol: String, dim: Int, nCells: Int = 0, m: Int = 8,
+      ksub: Int = 16, sampleN: Int = 0, iters: Int = 10,
+      seed: Long = 42L): Int = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(ksub > 0 && ksub <= 128, s"ksub=$ksub must fit a signed byte")
+    val spark = corpus.sparkSession
+    val (cells, centroids) =
+      trainCentroids(corpus, idCol, vecCol, dim, nCells, sampleN, iters, seed)
+    val centLit = ArrayOps.packedFloatLit(centroids)
+    val subDim = dim / m
+    val pqSample = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .orderBy(col("id")).limit(if (sampleN > 0) sampleN else 2048)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val codebooks = trainPqCodebooks(pqSample, m, ksub, subDim, iters, seed)
+    val cbLit = ArrayOps.packedFloatLit(codebooks)
+    corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .withColumn("code",
+        ArrayOps.pqEncodeF(col("vec"), cbLit, m, ksub, subDim))
+      .withColumn("cell",
+        graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(lakeDir)
+    import spark.implicits._
+    centroids.grouped(dim).zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(lakeDir + "/_ivf_centroids")
+    Seq((m, ksub, codebooks.toSeq)).toDF("m", "ksub", "codebooks")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(lakeDir + "/_pq_codebooks")
+    cells
+  }
+
+  /** The `_pq_codebooks` sidecar: (m, ksub, flat codebook matrix in
+    * [[ArrayOps.pqEncode]]'s layout). Fails fast on a dim mismatch —
+    * wrong-geometry codes would silently rank garbage.
+    */
+  private def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, dim: Int): (Int, Int, Array[Float]) = {
+    val rows = spark.read.parquet(lakeDir + "/_pq_codebooks").collect()
+    require(rows.length == 1, s"bad _pq_codebooks sidecar under $lakeDir")
+    val m = rows(0).getInt(0)
+    val ksub = rows(0).getInt(1)
+    val cb = rows(0).getSeq[Float](2).toArray
+    require(cb.length == ksub * dim,
+      s"$lakeDir codebooks cover ${cb.length / ksub} dims, caller said $dim")
+    (m, ksub, cb)
+  }
+
+  private val IvfPqLakeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      IvfLakeSchema.fields.patch(2, Seq(
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ByteType))), 0))
+
+  /** Search a [[writeIvfPqLake]] lake: probe `nProbe` cells against the
+    * frozen centroid sidecar (partition pruning at file-listing time),
+    * ADC-score ONLY the probed cells' (id, code) columns against each
+    * query's LUT (the float column is pruned out of the scan —
+    * PlanSpec-class evidence in the q164 audit), then exact-re-rank
+    * the ≤ |Q|·k·refine shortlist from a second scan pruned BOTH by
+    * cell and by the collected shortlist ids. Results equal
+    * [[ivfPqTopKFrozen]] (same sidecars, in-memory corpus) exactly —
+    * the lake changes where bytes come from, never what is computed.
+    */
+  def ivfPqTopKOverLake(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int = 5, nProbe: Int = 0, refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine=$refine must be >= 1")
+    val flat = readIvfCentroids(spark, lakeDir, dim)
+    val (m, ksub, cb) = readPqCodebooks(spark, lakeDir, dim)
+    val (q, probed) = ivfProbe(spark, queries, idCol, vecCol, dim,
+      nProbe, flat)
+    val qLut = q.withColumn("lut",
+      ArrayOps.pqLutF(col("q_vec"), ArrayOps.packedFloatLit(cb), m, ksub,
+        dim / m))
+    val codes = spark.read.schema(IvfPqLakeSchema).parquet(lakeDir)
+      .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+      .select(col("id"), col("code"), col("cell"))
+    val shortlist = ivfPqShortlist(codes, qLut, k, refine, ksub)
+    if (refine == 1) shortlist.select("q_id", "id", "rank")
+    else {
+      // bounded collect (≤ |Q|·k·refine longs): the re-rank scan's read
+      // set becomes a driver-known constant pushed into parquet pruning
+      val ids = shortlist.select(col("id")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val pruned = spark.read.schema(IvfPqLakeSchema).parquet(lakeDir)
+        .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*) &&
+          col("id").isin(ids.map(_.asInstanceOf[Any]): _*))
+        .select(col("id"), col("vec"))
+      pqRefine(pruned, queries, idCol, vecCol, shortlist, k)
+    }
+  }
+
+  /** [[ivfPqTopKOverLake]]'s audit twin: the same search over an
+    * IN-MEMORY corpus assigned and encoded with the LAKE's frozen
+    * sidecars — cell assignment via `_ivf_centroids`, codes via
+    * `_pq_codebooks` (deterministic encode ⇒ byte-identical codes).
+    * Must equal the lake search exactly (q164 pins the multiset
+    * equality); differs only in where bytes come from.
+    */
+  def ivfPqTopKFrozen(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, lakeDir: String, nProbe: Int = 0,
+      refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine=$refine must be >= 1")
+    val spark = corpus.sparkSession
+    val flat = readIvfCentroids(spark, lakeDir, dim)
+    val (m, ksub, cb) = readPqCodebooks(spark, lakeDir, dim)
+    val cbLit = ArrayOps.packedFloatLit(cb)
+    val (q, probed) = ivfProbe(spark, queries, idCol, vecCol, dim,
+      nProbe, flat)
+    val qLut = q.withColumn("lut",
+      ArrayOps.pqLutF(col("q_vec"), cbLit, m, ksub, dim / m))
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .withColumn("cell", graft.functions.ArrayOps.nearestCentroidF(
+        col("vec"), ArrayOps.packedFloatLit(flat), dim))
+      .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = c.withColumn("code",
+        ArrayOps.pqEncodeF(col("vec"), cbLit, m, ksub, dim / m))
+      .select(col("id"), col("code"), col("cell"))
+    val shortlist = ivfPqShortlist(codes, qLut, k, refine, ksub)
+    if (refine == 1) shortlist.select("q_id", "id", "rank")
+    else pqRefine(c.select(col("id"), col("vec")), queries, idCol, vecCol,
+      shortlist, k)
+  }
+
+  /** The shared ADC stage of the two IVFPQ paths: probed-cell codes
+    * joined to the broadcast fanned queries ON THE CELL (each corpus
+    * row lives in exactly one cell, so a (q, id) pair scores once),
+    * ranked by the bounded heap to k·refine.
+    */
+  private def ivfPqShortlist(codes: DataFrame, qLut: DataFrame, k: Int,
+      refine: Int, ksub: Int): DataFrame = {
+    val scored = codes
+      .join(broadcast(qLut.select(col("q_id"), col("lut"), col("cell"))),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        ArrayOps.pqAdcF(col("lut"), col("code"), ksub).as("sim"))
+    heapTopK(scored, k * refine)
+  }
+
   /** Exact top-k over INT8-QUANTIZED codes ([[Quantization.int8]]) —
     * the compressed-scan path: rank candidates on the integer cosine
     * kernel (`ArrayOps.cosineInt8`, 8× less memory traffic per pair

@@ -3600,6 +3600,25 @@ object TrainingData {
         "q152_brute_audit" -> (() =>
           Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
             k = AnnLake.K)))
+    } ++ {
+      // q164 (IVF+PQ composed lake): same per-path discipline from day 1
+      val pqLakeDir = AnnLake.ivfDir(d) + "_pq"
+      Seq(
+        "q164_write" -> (() => {
+          Tables.deleteRecursively(java.nio.file.Paths.get(pqLakeDir))
+          Similarity.writeIvfPqLake(emb, pqLakeDir, "vec_id", "embedding",
+            dim = AnnLake.Dim, nCells = AnnLake.NCells, m = AnnLake.M,
+            ksub = AnnLake.Ksub): Unit
+          s.range(1).toDF()
+        }),
+        "q164_lake_search" -> (() =>
+          Similarity.ivfPqTopKOverLake(s, pqLakeDir, qs, "vec_id",
+            "embedding", dim = AnnLake.Dim, k = AnnLake.K,
+            nProbe = AnnLake.NProbe, refine = AnnLake.Refine)),
+        "q164_frozen_search" -> (() =>
+          Similarity.ivfPqTopKFrozen(emb, qs, "vec_id", "embedding",
+            dim = AnnLake.Dim, k = AnnLake.K, lakeDir = pqLakeDir,
+            nProbe = AnnLake.NProbe, refine = AnnLake.Refine)))
     }
   }
 
@@ -4199,6 +4218,41 @@ object TrainingData {
       threshold = 0.5)
   }
 
+  // --- q164: IVF+PQ composed lake (the FAISS IVFPQ shape) ----------------------
+  // Similarity.writeIvfPqLake / ivfPqTopKOverLake: q137's cell pruning
+  // AND q122's cheap-code scoring in ONE layout — a probe reads only
+  // the probed cells' directories and only their (id, code) columns;
+  // floats stay unread until the ≤ |Q|·k·refine exact re-rank. The
+  // audit: lake search must EXACTLY equal the in-memory twin assigned
+  // and encoded with the lake's frozen sidecars (a dropped cell, a
+  // drifted codebook, or a mis-encoded row fails the multiset
+  // equality), plus q122's 0.5 brute-force recall floor.
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    val lakeDir = AnnLake.ivfDir(d) + "_pq"
+    Tables.deleteRecursively(java.nio.file.Paths.get(lakeDir))
+    Similarity.writeIvfPqLake(emb, lakeDir, "vec_id", "embedding",
+      dim = AnnLake.Dim, nCells = AnnLake.NCells, m = AnnLake.M,
+      ksub = AnnLake.Ksub): Unit
+    val lake = Similarity.ivfPqTopKOverLake(s, lakeDir, qs, "vec_id",
+      "embedding", dim = AnnLake.Dim, k = AnnLake.K,
+      nProbe = AnnLake.NProbe, refine = AnnLake.Refine)
+    val mem = Similarity.ivfPqTopKFrozen(emb, qs, "vec_id", "embedding",
+      dim = AnnLake.Dim, k = AnnLake.K, lakeDir = lakeDir,
+      nProbe = AnnLake.NProbe, refine = AnnLake.Refine)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+      k = AnnLake.K)
+    annLakeAudit(lake, mem, exact, floor = 0.5)
+  }
+
+  private val q164Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(5 * count(*) AS BIGINT) AS n_results,
+       true AS equals_in_memory,
+       true AS recall_ge_floor
+       FROM embeddings WHERE vec_id < 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4310,7 +4364,8 @@ object TrainingData {
     "q160_winnowed_runs"  -> q160 _,
     "q161_rare_sequences" -> q161 _,
     "q162_ivf_compaction" -> q162 _,
-    "q163_stream_neardup" -> q163 _)
+    "q163_stream_neardup" -> q163 _,
+    "q164_ivfpq_lake"     -> q164 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -4423,5 +4478,6 @@ object TrainingData {
     "q160_winnowed_runs"  -> q160Sql,
     "q161_rare_sequences" -> q161Sql,
     "q162_ivf_compaction" -> q162Sql,
-    "q163_stream_neardup" -> q69Sql)
+    "q163_stream_neardup" -> q69Sql,
+    "q164_ivfpq_lake"     -> q164Sql)
 }
