@@ -112,6 +112,47 @@ object Centroids {
         col("col.key").as(idCol), col("col.ord").as("dist"))
   }
 
+  /** Embedding-vintage drift report — the governance check behind any
+    * re-embedding or new-crawl rollout: per group, the integer L2²
+    * between the OLD vintage's centroid and the NEW one's, plus both
+    * populations. A re-embedded corpus whose model silently changed, or
+    * a crawl whose topic mix shifted, shows up as per-group centroid
+    * displacement long before downstream metrics move; `flagged` marks
+    * groups whose drift exceeds `maxDist` (the threshold is in the
+    * same quantized-integer units as [[centroidOutliers]]' distances —
+    * calibrate it from that report's typical in-group spread). Groups
+    * present in only one vintage carry NULL for the missing side's
+    * count and NULL dist: appearing/disappearing populations are drift
+    * of the most drastic kind and must reach the report, not be
+    * inner-joined away. NULL groups are excluded on BOTH sides (the
+    * [[centroidOutliers]] policy — a catch-all bucket's geometry means
+    * nothing, and its "drift" would be noise).
+    *
+    * Output: (groupCol, n_old, n_new, dist, flagged), one row per
+    * group in either vintage.
+    *
+    * Scale shape: one map-side-combined groupBy per vintage (dim+1
+    * longs per group each — never rows), then a group-cardinality
+    * full-outer join. Nothing driver-side, nothing quadratic.
+    */
+  def centroidDrift(oldDf: DataFrame, newDf: DataFrame, vecCol: String,
+      groupCol: String, maxDist: Long,
+      scale: Long = 1000000L): DataFrame = {
+    require(maxDist >= 0L, s"maxDist=$maxDist must be >= 0")
+    def cents(df: DataFrame, nAs: String, cAs: String): DataFrame =
+      groupCentroidsQ(df.filter(col(groupCol).isNotNull)
+        .select(col(groupCol).as("grp"),
+          Clustering.quantizeF(col(vecCol), scale).as("qv"))
+        .filter(col("qv").isNotNull))
+        .select(col("grp"), col("n").as(nAs), col("centroid").as(cAs))
+    cents(oldDf, "n_old", "c_old")
+      .join(cents(newDf, "n_new", "c_new"), Seq("grp"), "full_outer")
+      .select(col("grp").as(groupCol), col("n_old"), col("n_new"),
+        ArrayOps.l2sqL(col("c_old"), col("c_new")).as("dist"))
+      .withColumn("flagged",
+        coalesce(col("dist") > maxDist, lit(true)))
+  }
+
   /** Integer L2² between the quantized vector column and a packed flat
     * centroid literal — shared by [[Coreset]]'s iterative min-distance
     * scan. Returns [bestIdx, bestDist]; callers read element 2 (dist).

@@ -62,4 +62,48 @@ object Mixing {
       .filter(col("n_copies") >= 1L)
       .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
   }
+
+  /** Square-root temperature sampling shares — the step that PRODUCES a
+    * mixture: given the observed per-domain document counts, compute
+    * each domain's smoothed sampling share p_i ∝ √n_i (the standard
+    * multilingual rebalancing rule — temperature T=2 / α=0.5 smoothing,
+    * cf. mBERT/XLM exponentiated sampling, Conneau & Lample 2019
+    * arXiv:1901.07291 §3.1; Raffel et al. 2020 §3.4.3 examine the same
+    * family for mixing) and the integer document quota out of
+    * `budget`. Small domains gain share relative to raw proportions,
+    * large crawls lose it, and the output feeds [[epochMix]] directly
+    * (quota·1000/n_docs = milli-epochs).
+    *
+    * Everything after the count is INTEGER arithmetic, so the report is
+    * bit-identical across engines and replayable in SQL: √n is
+    * correctly rounded by IEEE 754 (both JVM and the oracle produce the
+    * same double), quantized to micro BEFORE summation (integer sum —
+    * no float-association drift), and shares/quotas are integer
+    * divisions of those micro weights. NULL domains count like any
+    * other group (provenance-less data is exactly what a mixing report
+    * must surface, the [[graft.operators.Centroids.groupCentroids]]
+    * NULL policy). Output: (domainCol, n_docs, weight_micro, share_ppm,
+    * quota), one row per domain.
+    *
+    * Scale shape: ONE map-side-combined shuffle on the domain (the
+    * count), then a broadcast of the domain-cardinality totals row —
+    * no second corpus pass, nothing driver-side. The quota product
+    * `weight_micro · budget` stays inside a long for any realistic
+    * pairing (≈10^12-doc domains × 10^9-doc budgets); beyond that ANSI
+    * arithmetic fails loudly rather than wrapping — pre-scale the
+    * budget if you ever hit it.
+    */
+  def temperatureShares(docs: DataFrame, domainCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget=$budget must be >= 0")
+    val counts = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_micro",
+        round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val total = counts.agg(sum(col("weight_micro")).as("w_total"))
+    counts.crossJoin(F.broadcast(total))
+      .select(col(domainCol), col("n_docs"), col("weight_micro"),
+        expr("weight_micro * 1000000 DIV w_total").as("share_ppm"),
+        expr(s"weight_micro * ${budget}L DIV w_total").as("quota"))
+  }
 }

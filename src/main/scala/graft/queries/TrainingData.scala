@@ -4253,6 +4253,93 @@ object TrainingData {
        true AS recall_ge_floor
        FROM embeddings WHERE vec_id < 10"""
 
+  // --- q165: square-root temperature mixture shares ----------------------------
+  // Mixing.temperatureShares: the step that PRODUCES a mixture — per-
+  // source √n-smoothed sampling shares and integer quotas (the
+  // multilingual rebalancing rule; feeds q145's epochMix). Everything
+  // after the count is integer arithmetic (√n is IEEE-correctly-rounded
+  // on both engines, quantized to micro BEFORE the sum), so the oracle
+  // replays weights, shares, and quotas exactly.
+  private def q165(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mixing.temperatureShares(
+      Tables.documents(s, d), "source", budget = 1000L)
+
+  private val q165Sql =
+    """WITH c AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(sqrt(count(*)::DOUBLE) * 1000000) AS BIGINT) AS w
+         FROM documents GROUP BY source),
+       t AS (SELECT sum(w) AS wt FROM c)
+       SELECT source, n_docs, w AS weight_micro,
+         CAST(w * 1000000 // wt AS BIGINT) AS share_ppm,
+         CAST(w * 1000 // wt AS BIGINT) AS quota
+       FROM c CROSS JOIN t"""
+
+  // --- q166: embedding-vintage centroid drift report ---------------------------
+  // Centroids.centroidDrift: the governance check behind a re-embedding
+  // or new-crawl rollout. The second vintage is deterministically
+  // constructed (the q148/q153 pattern): every 10th vector re-labeled
+  // into a NEW group 100 (an appearing population), group 3 dropped
+  // entirely (a disappearing one), so the report exercises both
+  // one-sided NULL rows — flagged by definition — alongside the small
+  // membership-shift drift of every surviving group. The oracle replays
+  // quantization, both centroid sets, the full-outer join, the integer
+  // L2², and the flag.
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val v2 = emb.withColumn("label",
+        when(col("vec_id") % 10 === 0, lit(100)).otherwise(col("label")))
+      .filter(col("label") =!= 3)
+    graft.operators.Centroids
+      .centroidDrift(emb, v2, "embedding", "label",
+        maxDist = 1000000000L)
+      .select(col("label").cast("long").as("label"), col("n_old"),
+        col("n_new"), col("dist"), col("flagged"))
+  }
+
+  private val q166Sql =
+    """WITH q1 AS (
+         SELECT label, list_transform(embedding::DOUBLE[],
+           x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+         FROM embeddings WHERE label IS NOT NULL),
+       q2 AS (
+         SELECT label, qv FROM (
+           SELECT CASE WHEN vec_id % 10 = 0 THEN 100 ELSE label END
+             AS label,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+           FROM embeddings) v
+         WHERE label IS NOT NULL AND label != 3),
+       c1 AS (
+         SELECT label, CAST(max(n) AS BIGINT) AS n_old,
+           list(s ORDER BY i) AS c FROM (
+           SELECT label, i, CAST(sum(v) AS BIGINT) // count(*) AS s,
+             count(*) AS n
+           FROM (SELECT label, generate_subscripts(qv, 1) AS i,
+                   unnest(qv) AS v FROM q1) e
+           GROUP BY label, i) u
+         GROUP BY label),
+       c2 AS (
+         SELECT label, CAST(max(n) AS BIGINT) AS n_new,
+           list(s ORDER BY i) AS c FROM (
+           SELECT label, i, CAST(sum(v) AS BIGINT) // count(*) AS s,
+             count(*) AS n
+           FROM (SELECT label, generate_subscripts(qv, 1) AS i,
+                   unnest(qv) AS v FROM q2) e
+           GROUP BY label, i) u
+         GROUP BY label),
+       j AS (
+         SELECT COALESCE(c1.label, c2.label) AS label, n_old, n_new,
+           CASE WHEN c1.label IS NULL OR c2.label IS NULL THEN NULL
+                ELSE CAST(list_sum(list_transform(
+                  range(1, len(c1.c) + 1),
+                  i -> (c1.c[i] - c2.c[i]) * (c1.c[i] - c2.c[i])))
+                  AS BIGINT) END AS dist
+         FROM c1 FULL OUTER JOIN c2 ON c1.label = c2.label)
+       SELECT CAST(label AS BIGINT) AS label, n_old, n_new, dist,
+         COALESCE(dist > 1000000000, true) AS flagged
+       FROM j"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4365,7 +4452,9 @@ object TrainingData {
     "q161_rare_sequences" -> q161 _,
     "q162_ivf_compaction" -> q162 _,
     "q163_stream_neardup" -> q163 _,
-    "q164_ivfpq_lake"     -> q164 _)
+    "q164_ivfpq_lake"     -> q164 _,
+    "q165_temp_shares"    -> q165 _,
+    "q166_centroid_drift" -> q166 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -4479,5 +4568,7 @@ object TrainingData {
     "q161_rare_sequences" -> q161Sql,
     "q162_ivf_compaction" -> q162Sql,
     "q163_stream_neardup" -> q69Sql,
-    "q164_ivfpq_lake"     -> q164Sql)
+    "q164_ivfpq_lake"     -> q164Sql,
+    "q165_temp_shares"    -> q165Sql,
+    "q166_centroid_drift" -> q166Sql)
 }

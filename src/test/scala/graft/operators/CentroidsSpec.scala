@@ -112,4 +112,36 @@ class CentroidsSpec extends AnyFunSuite {
       .collect()
     assert(got.length == 1 && got(0).getLong(2) == 3L)
   }
+
+  test("centroidDrift: exact integer L2^2, one-sided groups NULL+flagged, NULL groups absent") {
+    val v1 = rows.toDF("id", "vec", "grp")
+    // vintage 2: group a loses doc 3 (centroid moves), group b is
+    // dropped entirely, group c appears
+    val v2 = (rows.filter(r => r._3 == "a" && r._1 != 3L) ++
+      Seq((20L, Seq(1.0f, 1.0f), "c"), (99L, Seq(9.0f, 9.0f), null)))
+      .toDF("id", "vec", "grp")
+    val got = Centroids.centroidDrift(v1, v2, "vec", "grp",
+        maxDist = 1000000000000L)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getBoolean(4))).toMap
+    assert(got.keySet === Set("a", "b", "c"), s"NULL group leaked: $got")
+    // reference: a's v1 centroid (2.0, -2333333.33->trunc) vs v2 (two docs)
+    val c1 = refCentroid("a")
+    val v2a = rows.filter(r => r._3 == "a" && r._1 != 3L).map(_._2)
+    val c2 = Array.tabulate(2) { i =>
+      v2a.map(v => Math.round(v(i).toDouble * S)).sum / v2a.size
+    }
+    val expectDist = (0 until 2).map { i =>
+      val d = c1(i) - c2(i); d * d
+    }.sum
+    assert(got("a") === ((Some(3L), Some(2L), Some(expectDist),
+      expectDist > 1000000000000L)))
+    assert(got("b") === ((Some(3L), None, None, true)),
+      "disappearing group must be NULL-sided and flagged")
+    assert(got("c") === ((None, Some(1L), None, true)),
+      "appearing group must be NULL-sided and flagged")
+  }
 }

@@ -86,4 +86,33 @@ class MixingSpec extends AnyFunSuite {
       Map("a" -> 1000L), seed = 1L)
     assert(out.select("dom").distinct().as[String].collect() === Array("a"))
   }
+
+  test("temperatureShares: sqrt smoothing lifts small domains, quotas sum <= budget") {
+    // 9:1 corpus — raw shares 900k/100k ppm; sqrt shares 750k/250k
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (1000L + i, "small"))).toDF("id", "dom")
+    val out = Mixing.temperatureShares(df, "dom", budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (nBig, wBig, sBig, qBig) = out("big")
+    val (nSmall, wSmall, sSmall, qSmall) = out("small")
+    assert(nBig === 900L && nSmall === 100L)
+    assert(wBig === 30000000L && wSmall === 10000000L) // sqrt*1e6 exact
+    assert(sBig === 750000L && sSmall === 250000L)
+    assert(qBig === 750L && qSmall === 250L)
+    assert(qBig + qSmall <= 1000L)
+    // sqrt smoothing strictly between uniform and proportional
+    assert(sSmall > 100000L && sSmall < 500000L)
+  }
+
+  test("temperatureShares: NULL domain is a reported group; single domain takes all") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "dom")
+    val rows = Mixing.temperatureShares(df, "dom", budget = 100L).collect()
+    assert(rows.length === 2, "NULL domain must be reported, not dropped")
+    val one = Mixing.temperatureShares(
+      Seq((1L, "x"), (2L, "x")).toDF("id", "dom"), "dom", budget = 100L)
+      .collect()(0)
+    assert(one.getLong(3) === 1000000L && one.getLong(4) === 100L)
+  }
 }
