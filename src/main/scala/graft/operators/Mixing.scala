@@ -86,8 +86,13 @@ object Mixing {
     * quota), one row per domain.
     *
     * Scale shape: ONE map-side-combined shuffle on the domain (the
-    * count), then a broadcast of the domain-cardinality totals row —
-    * no second corpus pass, nothing driver-side. The quota product
+    * count), then the total is an unpartitioned window over the
+    * DOMAIN-CARDINALITY counts frame — a single-partition exchange of
+    * a few hundred rows, chosen deliberately over a separate global
+    * aggregate, which Catalyst plans as a SECOND scan of the corpus
+    * (the two aggregation subtrees differ, so ReuseExchange cannot
+    * dedup them; PlanSpec pins the one-scan shape). Nothing
+    * driver-side. The quota product
     * `weight_micro · budget` stays inside a long for any realistic
     * pairing (≈10^12-doc domains × 10^9-doc budgets); beyond that ANSI
     * arithmetic fails loudly rather than wrapping — pre-scale the
@@ -100,8 +105,12 @@ object Mixing {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("weight_micro",
         round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
-    val total = counts.agg(sum(col("weight_micro")).as("w_total"))
-    counts.crossJoin(F.broadcast(total))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    counts
+      .withColumn("w_total", sum(col("weight_micro")).over(all))
       .select(col(domainCol), col("n_docs"), col("weight_micro"),
         expr("weight_micro * 1000000 DIV w_total").as("share_ppm"),
         expr(s"weight_micro * ${budget}L DIV w_total").as("quota"))

@@ -54,7 +54,8 @@ object PlanDump {
     // per-round scan, whose shape (packed-literal kernel +
     // TakeOrderedAndProject) is pinned in PlanSpec
     "q158_keepbest_dedup", "q159_line_dedup", "q160_winnowed_runs",
-    "q161_rare_sequences", "q162_ivf_compaction")
+    "q161_rare_sequences", "q162_ivf_compaction", "q164_ivfpq_lake",
+    "q165_temp_shares", "q166_centroid_drift")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside

@@ -467,6 +467,34 @@ class PlanSpec extends AnyFunSuite {
       "expected partial+final aggregate pairs")
   }
 
+  test("q165: temperature shares — ONE corpus scan, count shuffle + domain-cardinality window") {
+    val p = plan("q165_temp_shares")
+    // count the "(n) Scan parquet" detail entries — the tree line and
+    // its detail header would double-count each scan
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"totals branch re-scanned the corpus:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
+    // the per-domain count's exchange + the single-partition window
+    // exchange over the domain-cardinality counts frame
+    assert(exchanges <= 2, s"extra shuffle:\n$p")
+    val firstAgg = p.indexOf("HashAggregate")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(firstAgg >= 0 && lastAgg > firstAgg,
+      "count not partial-combined before the exchange")
+  }
+
+  test("q166: centroid drift — two partial-combined centroid aggs, no window, no corpus-row join") {
+    val p = plan("q166_centroid_drift")
+    assert(!p.contains("Window"), s"drift fell into a window:\n$p")
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"one-sided vintages must survive (full outer join):\n$p")
+    // the join runs on GROUP-cardinality frames: every HashAggregate
+    // pairs partial+final, so only dim+1 longs per group reach any
+    // exchange — never corpus rows
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 4, s"expected partial+final pairs per vintage:\n$p")
+  }
+
   test("q158: keepBest is ONE shuffle — partial+final argmax, no window") {
     val p = plan("q158_keepbest_dedup")
     val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
