@@ -179,7 +179,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fp = docs.select(col("id"), explode(col("fp")).as("f"))
     // boilerplate/fanout guard: one map-side-combined df aggregate; the
-    // surviving fingerprint stream self-joins on the hash value
+    // surviving fingerprint stream self-joins on the hash value. The
+    // broadcast guard frame is single longs bounded by construction at
+    // (total fingerprint occurrences)/maxDocFreq — hotness requires
+    // >maxDocFreq carriers each — the hot-bucket-star bound class;
+    // corpora pathological enough to break THAT bound break on the
+    // candidate set first, which the gate below measures.
     val fpDf = fp.groupBy(col("f")).agg(count(lit(1)).as("fdf"))
       .filter(col("fdf") > maxDocFreq)
     val kept = fp.join(broadcast(fpDf.select(col("f"))), Seq("f"),
