@@ -521,7 +521,11 @@ object Similarity {
     val fat = before.filter(_._2 > maxFilesPerCell).keys.toSeq.sorted
     val nBefore = before.values.sum
     if (fat.isEmpty) return (nBefore, nBefore)
-    spark.read.schema(IvfLakeSchema).parquet(lakeDir)
+    // INFERRED schema, not IvfLakeSchema: the rewrite must carry every
+    // stored column — an IVF+PQ lake ([[writeIvfPqLake]]) also holds
+    // the code column, and a fixed 3-column read would silently drop
+    // it from every compacted cell (IvfLakeSpec pins code survival)
+    spark.read.parquet(lakeDir)
       .filter(col("cell").isin(fat.map(_.asInstanceOf[Any]): _*))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)

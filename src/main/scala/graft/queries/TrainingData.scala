@@ -3601,6 +3601,35 @@ object TrainingData {
           Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
             k = AnnLake.K)))
     } ++ {
+      // q162 (IVF-lake compaction, the most composite maintenance
+      // audit): build = base write + 3 cell-clustered appends;
+      // compact = the manifest-committed rewrite of fat cells; the two
+      // searches bracket it. Called in order, like the rest.
+      val cmpDir = AnnLake.ivfDir(d) + "_cmp"
+      def cmpSearch() = Similarity.ivfTopKOverLake(s, cmpDir, qs,
+        "vec_id", "embedding", dim = AnnLake.Dim, k = AnnLake.K,
+        nProbe = AnnLake.NProbe)
+      Seq(
+        "q162_build" -> (() => {
+          Tables.deleteRecursively(java.nio.file.Paths.get(cmpDir))
+          Similarity.writeIvfLake(emb.filter(col("vec_id") % 5 =!= 0),
+            cmpDir, "vec_id", "embedding", dim = AnnLake.Dim,
+            nCells = AnnLake.NCells): Unit
+          (0 until 3).foreach { slice =>
+            Similarity.appendToIvfLake(
+              emb.filter(col("vec_id") % 5 === 0 &&
+                pmod(col("vec_id") / 5, lit(3)) === slice),
+              cmpDir, "vec_id", "embedding", dim = AnnLake.Dim)
+          }
+          s.range(1).toDF()
+        }),
+        "q162_search_pre" -> (() => cmpSearch()),
+        "q162_compact" -> (() => {
+          Similarity.compactIvfLake(s, cmpDir): Unit
+          s.range(1).toDF()
+        }),
+        "q162_search_post" -> (() => cmpSearch()))
+    } ++ {
       // q164 (IVF+PQ composed lake): same per-path discipline from day 1
       val pqLakeDir = AnnLake.ivfDir(d) + "_pq"
       Seq(

@@ -79,6 +79,44 @@ class IvfPqLakeSpec extends AnyFunSuite {
       s"probe filter did not become a partition filter:\n$p")
   }
 
+  test("compaction preserves the code column and search results on an IVF+PQ lake") {
+    val emb = corpus(240)
+    val qs = emb.filter(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_cmp_")
+      .toString + "/lake"
+    Similarity.writeIvfPqLake(emb.filter(col("vec_id") % 3 =!= 0), dir,
+      "vec_id", "embedding", dim, nCells = 8, m = 4, ksub = 16)
+    // appends create multi-file cells (appendToIvfLake only needs the
+    // centroid sidecar, which the IVFPQ writer also lays down — but it
+    // writes NO code column, so rebuild codes by re-writing: instead,
+    // append pre-encoded batches through the same writer shape)
+    val flatCb = spark.read.parquet(dir + "/_pq_codebooks")
+      .collect()(0).getSeq[Float](2).toArray
+    val cents = spark.read.parquet(dir + "/_ivf_centroids").collect()
+      .sortBy(_.getLong(0)).flatMap(_.getSeq[Float](1)).toArray
+    import graft.functions.ArrayOps
+    emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vec"))
+      .withColumn("code", ArrayOps.pqEncodeF(col("vec"),
+        ArrayOps.packedFloatLit(flatCb), 4, 16, dim / 4))
+      .withColumn("cell", ArrayOps.nearestCentroidF(col("vec"),
+        ArrayOps.packedFloatLit(cents), dim))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    val pre = topk(Similarity.ivfPqTopKOverLake(spark, dir, qs,
+      "vec_id", "embedding", dim, k = 4, nProbe = 4, refine = 4))
+    val (nb, na) = Similarity.compactIvfLake(spark, dir)
+    assert(na < nb, s"nothing compacted: $nb -> $na")
+    // code column survived the rewrite for every row
+    val nullCodes = spark.read.parquet(dir)
+      .filter(col("code").isNull).count()
+    assert(nullCodes === 0L, "compaction dropped PQ codes")
+    val post = topk(Similarity.ivfPqTopKOverLake(spark, dir, qs,
+      "vec_id", "embedding", dim, k = 4, nProbe = 4, refine = 4))
+    assert(post === pre, "compaction changed IVFPQ search results")
+  }
+
   test("sidecars round-trip; dim mismatch fails fast") {
     val emb = corpus(120)
     val dir = java.nio.file.Files.createTempDirectory("ivfpq3_").toString +
