@@ -41,7 +41,22 @@ object EsJson {
     */
   def read(spark: SparkSession, path: String,
       multiLine: Boolean = true): DataFrame =
-    unwrap(spark.read
+    readFiles(spark, Seq(path), multiLine)
+
+  /** Multi-path variant of [[read]] — the bounded schema-inference
+    * prefix of the es-export connector reads an explicit file list.
+    *
+    * Inference is AUGMENTED with [[graft.flatten.EmptyShapes]]: keys
+    * whose value is an empty object in every document are dropped by
+    * Spark's schema inference, which would silently erase them from
+    * JSON-rendered subtree cells where the reference's json.dumps
+    * keeps them. The shape pass reuses the same bounded file list as
+    * inference; when nothing was dropped (the common case) the
+    * re-read is skipped entirely.
+    */
+  def readFiles(spark: SparkSession, paths: Seq[String],
+      multiLine: Boolean = true): DataFrame = {
+    def rd = spark.read
       .option("multiLine", multiLine)
       // ISO-8601-looking strings must stay strings — the reference never
       // parses dates (SURVEY.md §1.2); be explicit even though these
@@ -49,19 +64,12 @@ object EsJson {
       .option("inferTimestamp", false)
       .option("inferDate", false)
       .option("prefersDecimal", false)
-      .json(path))
-
-  /** Multi-path variant of [[read]] — the bounded schema-inference
-    * prefix of the es-export connector reads an explicit file list.
-    */
-  def readFiles(spark: SparkSession, paths: Seq[String],
-      multiLine: Boolean = true): DataFrame =
-    unwrap(spark.read
-      .option("multiLine", multiLine)
-      .option("inferTimestamp", false)
-      .option("inferDate", false)
-      .option("prefersDecimal", false)
-      .json(paths: _*))
+    val inferred = rd.json(paths: _*)
+    val schema = graft.flatten.EmptyShapes.augment(spark,
+      inferred.schema, paths, wholeFile = multiLine)
+    unwrap(if (schema eq inferred.schema) inferred
+           else rd.schema(schema).json(paths: _*))
+  }
 
   /** Schema-reuse read: parse with a KNOWN schema, skipping the inference
     * scan entirely. JSON inference is a full extra pass over the input —

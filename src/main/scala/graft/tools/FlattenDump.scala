@@ -14,9 +14,15 @@ object FlattenDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = spark.read
+    def rd = spark.read
       .option("inferTimestamp", false).option("inferDate", false)
-      .json(in)
+    val inferred = rd.json(in)
+    // recover inference-dropped empty-object keys (the seed-51 class) —
+    // the same augmentation the production EsJson read path applies
+    val schema = graft.flatten.EmptyShapes.augment(spark,
+      inferred.schema, Seq(in), wholeFile = false)
+    val df = if (schema eq inferred.schema) inferred
+             else rd.schema(schema).json(in)
     // fast path end-to-end, so the differential test covers the renderer
     val tmp = out + ".dir"
     graft.flatten.Flattener.flattenToTsv(df, tmp, singleFile = true)
