@@ -60,4 +60,50 @@ object Sampling {
       .filter(col("__rank") <= quota)
       .drop("__rank")
   }
+
+  /** APPLY a produced mixture: per domain, keep the top-`quota` rows by
+    * (scoreCol DESC, id ASC), where quotas come from a PER-DOMAIN TABLE
+    * — the consumption side of [[Mixing.temperatureShares]] (produce
+    * shares/quotas) and the policy cousin of [[stratifiedQuota]]
+    * (which takes one constant quota and a hash order; a real mixture
+    * keeps each domain's BEST-scored documents up to ITS quota).
+    * Output: (domainCol, rank, idCol, scoreCol), rank 1..quota. Rows
+    * whose domain is NULL or absent from the quota table are dropped —
+    * provenance-less data has no quota ([[Mixing.epochMix]]'s rule); a
+    * domain whose quota exceeds its population returns the whole
+    * domain.
+    *
+    * Scale shape: NO per-domain window sort — ranking runs through the
+    * bounded-heap aggregate ([[graft.functions.TopK]]) at k = the
+    * LARGEST quota (one bounded one-row collect from the
+    * domain-cardinality quota table), so at most maxQuota (ord, id)
+    * pairs per domain per mapper reach the one shuffle; per-domain
+    * trimming to the exact quota is a broadcast join + filter after
+    * the explode. Ids and scores are cast to long (the heap contract;
+    * scores follow the repo's integer-score convention).
+    */
+  def quotaCappedBest(df: DataFrame, domainCol: String, idCol: String,
+      scoreCol: String, quotas: DataFrame,
+      quotaCol: String = "quota"): DataFrame = {
+    val q = quotas.select(col(domainCol), col(quotaCol).cast("long")
+      .as("__quota")).filter(col("__quota") > 0L)
+    val maxQ = q.agg(max(col("__quota"))).collect()(0)
+    // every quota zero/absent: k=1 keeps the schema; the inner join
+    // against the now-empty quota table yields the empty selection
+    val k = if (maxQ.isNullAt(0)) 1
+      else math.min(maxQ.getLong(0), Int.MaxValue.toLong).toInt
+    val ranked = df
+      .filter(col(domainCol).isNotNull)
+      .select(col(domainCol), col(idCol).cast("long").as("__id"),
+        col(scoreCol).cast("long").as("__score"))
+      .groupBy(col(domainCol))
+      .agg(graft.functions.TopK.topKPairs(col("__score"), col("__id"), k)
+        .as("top"))
+      .select(col(domainCol), posexplode(col("top")))
+      .select(col(domainCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as(idCol), col("col.ord").as(scoreCol))
+    ranked.join(broadcast(q), Seq(domainCol))
+      .filter(col("rank") <= col("__quota"))
+      .drop("__quota")
+  }
 }

@@ -4369,6 +4369,93 @@ object TrainingData {
          COALESCE(dist > 1000000000, true) AS flagged
        FROM j"""
 
+  // --- q167: scalar distribution drift (grid-exact KS) -------------------------
+  // operators/Drift.distributionDrift: the numeric complement of
+  // q166's embedding drift — per source, an exact KS-style statistic
+  // over an 8-cut integer grid, cross-multiplied so no float division
+  // exists anywhere. The second vintage shifts src0/src1 lengths by
+  // +500 (must flag), relabels every 17th doc into a NEW source, and
+  // drops src3 — both one-sided rows flag by definition. The oracle
+  // replays the union range, the cuts, both ECDFs, the cross-
+  // multiplied max, and the flag.
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val v2 = docs
+      .withColumn("source", when(col("doc_id") % 17 === 0, lit("src_new"))
+        .otherwise(col("source")))
+      .filter(col("source") =!= "src3")
+      .withColumn("n_chars",
+        col("n_chars") + when(col("source").isin("src0", "src1"), 500L)
+          .otherwise(0L))
+    graft.operators.Drift.distributionDrift(docs, v2, "n_chars",
+      "source", gridSize = 8, thresholdPpm = 100000L)
+  }
+
+  private val q167Sql =
+    """WITH v1 AS (
+         SELECT source AS grp, CAST(n_chars AS BIGINT) AS v
+         FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+       v2 AS (
+         SELECT grp, CAST(v0 + CASE WHEN grp IN ('src0','src1')
+                  THEN 500 ELSE 0 END AS BIGINT) AS v
+         FROM (SELECT CASE WHEN doc_id % 17 = 0 THEN 'src_new'
+                  ELSE source END AS grp, n_chars AS v0
+               FROM documents
+               WHERE source IS NOT NULL AND n_chars IS NOT NULL) t
+         WHERE grp != 'src3'),
+       r AS (SELECT min(v) AS lo, max(v) AS hi
+             FROM (SELECT v FROM v1 UNION ALL SELECT v FROM v2)),
+       cuts AS (SELECT DISTINCT lo + (hi - lo) * i // 8 AS c
+                FROM r CROSS JOIN range(1, 9) t(i)),
+       g1 AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_old
+              FROM v1 GROUP BY grp),
+       g2 AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_new
+              FROM v2 GROUP BY grp),
+       j AS (SELECT COALESCE(g1.grp, g2.grp) AS grp, n_old, n_new
+             FROM g1 FULL OUTER JOIN g2 ON g1.grp = g2.grp),
+       c1 AS (SELECT grp, c,
+                CAST(sum(CASE WHEN v <= c THEN 1 ELSE 0 END) AS BIGINT)
+                  AS k1
+              FROM v1 CROSS JOIN cuts GROUP BY grp, c),
+       c2 AS (SELECT grp, c,
+                CAST(sum(CASE WHEN v <= c THEN 1 ELSE 0 END) AS BIGINT)
+                  AS k2
+              FROM v2 CROSS JOIN cuts GROUP BY grp, c),
+       k AS (SELECT c1.grp,
+               CAST(max(abs(c1.k1 * j.n_new - c2.k2 * j.n_old))
+                 AS BIGINT) AS ks_num
+             FROM c1 JOIN c2 ON c1.grp = c2.grp AND c1.c = c2.c
+             JOIN j ON c1.grp = j.grp
+             GROUP BY c1.grp)
+       SELECT j.grp AS source, j.n_old, j.n_new, k.ks_num,
+         COALESCE(k.ks_num * 1000000 > 100000 * j.n_old * j.n_new, true)
+           AS flagged
+       FROM j LEFT JOIN k ON j.grp = k.grp"""
+
+  // --- q168: quota-capped best-of-domain selection ------------------------------
+  // Sampling.quotaCappedBest: APPLY q165's produced mixture — per
+  // source, keep the top-quota docs by (n_chars DESC, doc_id ASC)
+  // through the bounded-heap aggregate (no per-domain window sort).
+  // The oracle wraps q165's full replay as a CTE, so share production
+  // AND consumption sit under one hash.
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val quotas = graft.operators.Mixing.temperatureShares(
+      docs, "source", budget = 1000L)
+    graft.operators.Sampling.quotaCappedBest(docs, "source", "doc_id",
+      "n_chars", quotas)
+  }
+
+  private lazy val q168Sql =
+    s"""WITH q AS ($q165Sql),
+       |r AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |        CAST(row_number() OVER (PARTITION BY source
+       |          ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+       |      FROM documents WHERE source IS NOT NULL)
+       |SELECT r.source, r.rank, r.doc_id, r.n_chars
+       |FROM r JOIN q ON r.source = q.source
+       |WHERE q.quota > 0 AND r.rank <= q.quota""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4483,7 +4570,9 @@ object TrainingData {
     "q163_stream_neardup" -> q163 _,
     "q164_ivfpq_lake"     -> q164 _,
     "q165_temp_shares"    -> q165 _,
-    "q166_centroid_drift" -> q166 _)
+    "q166_centroid_drift" -> q166 _,
+    "q167_dist_drift"     -> q167 _,
+    "q168_quota_select"   -> q168 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -4599,5 +4688,7 @@ object TrainingData {
     "q163_stream_neardup" -> q69Sql,
     "q164_ivfpq_lake"     -> q164Sql,
     "q165_temp_shares"    -> q165Sql,
-    "q166_centroid_drift" -> q166Sql)
+    "q166_centroid_drift" -> q166Sql,
+    "q167_dist_drift"     -> q167Sql,
+    "q168_quota_select"   -> q168Sql)
 }
