@@ -495,6 +495,28 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, s"expected partial+final pairs per vintage:\n$p")
   }
 
+  test("q167: distribution drift — windowless ECDFs, partial-combined, full-outer survives") {
+    val p = plan("q167_dist_drift")
+    assert(!p.contains("Window"), s"ECDF fell into a window sort:\n$p")
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"one-sided groups must survive:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 4, s"expected partial+final ECDF agg pairs:\n$p")
+  }
+
+  test("q168: quota selection — heap aggregate, no per-domain window sort, broadcast quota trim") {
+    val p = plan("q168_quota_select")
+    // exactly ONE Window: q165's domain-cardinality totals window
+    // inside the broadcast quota branch — the CORPUS ranking itself
+    // must ride the bounded heap, never a per-domain window sort
+    val windows = "Window \\(\\d+\\)".r.findAllIn(p).length
+    assert(windows == 1, s"corpus ranking fell into a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"bounded-heap rank missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"quota table not broadcast:\n$p")
+  }
+
   test("q158: keepBest is ONE shuffle — partial+final argmax, no window") {
     val p = plan("q158_keepbest_dedup")
     val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).length
