@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   * exact ECDF: the classical KS scan needs a total order; evaluating
   * only at grid cuts trades resolution bounded by 1/gridSize for a
   * fully map-side plan, the right trade at 100 TB.
+  *
+  * Bound: the cross-multiplied products live in a long, so a single
+  * GROUP may hold at most ~3×10⁹ rows per side (n1·n2 < 2⁶³); beyond
+  * that ANSI arithmetic fails loudly rather than wrapping — shard or
+  * sample such a group before comparing (a KS at that population is
+  * insensitive to sampling anyway).
   */
 object Drift {
 
