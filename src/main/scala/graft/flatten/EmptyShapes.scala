@@ -89,23 +89,42 @@ object EmptyShapes {
     val reader = spark.read
     val text = (if (wholeFile) reader.option("wholetext", "true") else reader)
       .text(paths: _*)
-    val shapes = text.select("value")
-      .as[String](org.apache.spark.sql.Encoders.STRING)
-      .rdd.mapPartitions { it =>
-        val mapper = new ObjectMapper()
-        var acc: Option[Raw] = None
-        it.foreach { line =>
-          if (line != null && line.trim.nonEmpty) {
-            try {
-              val r = ofJson(mapper.readTree(line))
-              acc = Some(acc.fold(r)(merge(_, r)))
-            } catch { case _: Exception => () }
-          }
+    discoverLines(text.select("value")
+      .as[String](org.apache.spark.sql.Encoders.STRING))
+  }
+
+  /** [[discover]] over an in-memory line Dataset — the per-batch
+    * inference shape ([[graft.streaming.ExportStream]] parses each
+    * micro-batch from its text lines, not from a path).
+    */
+  def discoverLines(
+      lines: org.apache.spark.sql.Dataset[String]): Option[Raw] = {
+    val shapes = lines.rdd.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      var acc: Option[Raw] = None
+      it.foreach { line =>
+        if (line != null && line.trim.nonEmpty) {
+          try {
+            val r = ofJson(mapper.readTree(line))
+            acc = Some(acc.fold(r)(merge(_, r)))
+          } catch { case _: Exception => () }
         }
-        acc.iterator
       }
+      acc.iterator
+    }
     if (shapes.isEmpty()) None else Some(shapes.treeReduce(merge))
   }
+
+  /** [[augment]] for the line-Dataset shape. */
+  def augmentLines(inferred: StructType,
+      lines: org.apache.spark.sql.Dataset[String]): StructType =
+    discoverLines(lines) match {
+      case Some(raw) => graft(inferred, raw) match {
+        case st: StructType if st != inferred => st
+        case _ => inferred
+      }
+      case None => inferred
+    }
 
   /** The inferred type with inference-dropped object keys grafted back.
     * Keys already inferred keep their type (recursing so a KEPT

@@ -71,8 +71,16 @@ object ExportStream {
           val reader = spark.read
             .option("inferTimestamp", false).option("inferDate", false)
           val docs = EsJson.unwrap(
-            (if (docSchema != null) reader.schema(docSchema) else reader)
-              .json(lines))
+            if (docSchema != null) reader.schema(docSchema).json(lines)
+            else {
+              // per-batch inference inherits the empty-object-key
+              // repair (flatten/EmptyShapes) the path-based reads get
+              val inferred = reader.json(lines)
+              val schema = graft.flatten.EmptyShapes.augmentLines(
+                inferred.schema, lines)
+              if (schema eq inferred.schema) inferred
+              else reader.schema(schema).json(lines)
+            })
           val ts = java.time.format.DateTimeFormatter
             .ofPattern("yyyyMMdd_HHmmss")
             .withZone(java.time.ZoneOffset.UTC)

@@ -34,7 +34,41 @@ object MaintScaleProfile {
     spark.sparkContext.setLogLevel("WARN")
     compaction(spark)
     nearDupStream(spark)
+    heavyDupGate(spark)
     spark.stop()
+  }
+
+  /** The round-13 size-gate fix under adversarial load: a corpus where
+    * HALF the docs have verbatim twins (candidates = n/2, the regime
+    * the old mandatory broadcast died in). Both winnowedRunPairs
+    * strategies must return the same pair count; the shuffle fallback's
+    * wall backs the "degrades to linear shuffles" claim.
+    */
+  private def heavyDupGate(spark: SparkSession): Unit = {
+    for (n <- Seq(20000L, 100000L)) {
+      val half = n / 2
+      def text(idc: org.apache.spark.sql.Column) = concat_ws(" ",
+        (0 until 12).map(t =>
+          concat(lit("w"), pmod(hash(idc, lit(t)), lit(1000000)))): _*)
+      val docs = spark.range(half)
+        .select(col("id").as("doc_id"), text(col("id")).as("text"))
+        .unionByName(spark.range(half).select(
+          (col("id") + half).as("doc_id"), text(col("id")).as("text")))
+      def run(limit: Long, label: String): Long = {
+        val t0 = System.nanoTime()
+        val c = graft.operators.Dedup.winnowedRunPairs(docs, "doc_id",
+          "text", broadcastCandLimit = limit).count()
+        println(f"[heavydup] n=$n%7d  $label%-9s  pairs=$c%7d  " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        c
+      }
+      val b = run(Long.MaxValue, "broadcast")
+      val s = run(1L, "shuffle")
+      println(s"[heavydup] n=$n  match=${b == s}")
+    }
   }
 
   /** 8-cluster synthetic embeddings; `clusterOf` pins a row's cluster so
