@@ -96,22 +96,36 @@ object EmptyShapes {
   /** [[discover]] over an in-memory line Dataset — the per-batch
     * inference shape ([[graft.streaming.ExportStream]] parses each
     * micro-batch from its text lines, not from a path).
+    *
+    * Cost control: a key can only have been DROPPED if its every
+    * occurrence is an empty-object shape, so every document carrying
+    * it contains a literal `{ }` (whatever the whitespace) — documents
+    * without one are irrelevant to the graft and are filtered out with
+    * a cheap regex BEFORE the Jackson parse. On the common corpus with
+    * no empty objects anywhere the "discovery pass" is a substring
+    * scan that parses nothing (measured ~0.1 s where the full parse of
+    * the 5,028-column golden sample costs ~1 s); partial trees from
+    * only-matching docs are sound because graft() never modifies a key
+    * the inferred schema already carries.
     */
   def discoverLines(
       lines: org.apache.spark.sql.Dataset[String]): Option[Raw] = {
-    val shapes = lines.rdd.mapPartitions { it =>
-      val mapper = new ObjectMapper()
-      var acc: Option[Raw] = None
-      it.foreach { line =>
-        if (line != null && line.trim.nonEmpty) {
-          try {
-            val r = ofJson(mapper.readTree(line))
-            acc = Some(acc.fold(r)(merge(_, r)))
-          } catch { case _: Exception => () }
+    val shapes = lines
+      .filter(org.apache.spark.sql.functions.col("value")
+        .rlike("\\{\\s*\\}"))
+      .rdd.mapPartitions { it =>
+        val mapper = new ObjectMapper()
+        var acc: Option[Raw] = None
+        it.foreach { line =>
+          if (line != null && line.trim.nonEmpty) {
+            try {
+              val r = ofJson(mapper.readTree(line))
+              acc = Some(acc.fold(r)(merge(_, r)))
+            } catch { case _: Exception => () }
+          }
         }
+        acc.iterator
       }
-      acc.iterator
-    }
     if (shapes.isEmpty()) None else Some(shapes.treeReduce(merge))
   }
 
