@@ -144,6 +144,71 @@ object ArrayOps {
       Seq(ArrayType(StringType), IntegerType),
       returnNullable = false))
 
+  /** Intra-document repeated-span scrub kernel: keep the tokens NOT
+    * covered by any duplicate n-gram — a gram (by positional FNV hash,
+    * [[ngramHashSet]]'s identity; 2^-64-per-pair collision caveat, the
+    * q27 convention) whose value already occurred at an earlier
+    * position in the SAME document marks its whole n-token window
+    * dropped; the first occurrence's window stays. Tokens past the
+    * last gram start are kept unless a duplicate window covers them.
+    * One pass, one HashMap of gram→first-position, zero shuffles —
+    * the per-row twin of the corpus-wide q139 span removal.
+    */
+  def dropRepeatedSpanTokens(tokens: ArrayData, n: Int): ArrayData = {
+    val nt = tokens.numElements()
+    if (nt < n + 1) return tokens // 0 or 1 grams: nothing can repeat
+    val word = new Array[Long](nt)
+    var i = 0
+    while (i < nt) {
+      word(i) = if (tokens.isNullAt(i)) 0L else fnv(tokens.getUTF8String(i))
+      i += 1
+    }
+    val first = new java.util.HashMap[java.lang.Long, Integer]()
+    val drop = new Array[Boolean](nt)
+    var any = false
+    var p = 0
+    while (p <= nt - n) {
+      var h = 0xCBF29CE484222325L
+      var j = 0
+      while (j < n) {
+        h = (h ^ word(p + j)) * 0x100000001B3L
+        j += 1
+      }
+      val hm = mix(h)
+      if (first.putIfAbsent(hm, p) != null) {
+        any = true
+        var t = p
+        while (t < p + n) { drop(t) = true; t += 1 }
+      }
+      p += 1
+    }
+    if (!any) return tokens
+    var kept = 0
+    i = 0
+    while (i < nt) { if (!drop(i)) kept += 1; i += 1 }
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](kept)
+    var w = 0
+    i = 0
+    while (i < nt) {
+      if (!drop(i)) {
+        out(w) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+        w += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  def dropRepeatedSpansF(tokens: Column, n: Int): Column =
+    CatalystBridge.column(
+      StaticInvoke(
+        ArrayOps.getClass, ArrayType(StringType, containsNull = true),
+        "dropRepeatedSpanTokens",
+        Seq(CatalystBridge.expression(tokens),
+          CatalystBridge.expression(lit(n))),
+        Seq(ArrayType(StringType), IntegerType),
+        returnNullable = false))
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, the
     * MOSS local document-fingerprinting algorithm): positional k-gram
     * FNV hashes, then the minimum hash VALUE of every window of w

@@ -180,4 +180,34 @@ object Curation {
       .select(col("id").as(idCol), col("n_grams"), col("min_df"),
         col("n_rare"), (col("n_rare") > 0).as("risky"))
   }
+
+  /** INTRA-document repeated-span scrub — within-doc dedup, the
+    * per-document twin of the corpus-wide q139 substring removal:
+    * every n-token window whose gram already occurred at an earlier
+    * position in the SAME document is dropped (the first occurrence's
+    * window stays), and the document is rebuilt from the surviving
+    * tokens in order. This is the cleanup for degenerate repetition
+    * that the Gopher FILTERS (q65/q141) only flag — template headers
+    * repeated mid-page, LM-generated loops, navigation blocks pasted
+    * twice — where dropping the whole document would waste its unique
+    * half. Output: (idCol, clean_text, n_tokens, n_dropped) for every
+    * input document.
+    *
+    * Scale shape: a pure per-row kernel
+    * ([[graft.functions.ArrayOps.dropRepeatedSpanTokens]] — one pass,
+    * one gram→first-position map per row) inside a projection — ZERO
+    * shuffles, no state, embarrassingly parallel at any corpus size.
+    * Gram identity is the 64-bit FNV kernel (the q27 convention:
+    * equal to string n-grams up to 2^-64-per-pair collisions); the
+    * oracle replays the rule on exact gram STRINGS.
+    */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val kept = graft.functions.ArrayOps.dropRepeatedSpansF(toks, n)
+    docs.select(col(idCol),
+      array_join(kept, " ").as("clean_text"),
+      size(toks).cast("long").as("n_tokens"),
+      (size(toks) - size(kept)).cast("long").as("n_dropped"))
+  }
 }

@@ -4456,6 +4456,59 @@ object TrainingData {
        |FROM r JOIN q ON r.source = q.source
        |WHERE q.quota > 0 AND r.rank <= q.quota""".stripMargin
 
+  // --- q169: intra-document repeated-span scrub --------------------------------
+  // Curation.scrubRepeatedSpans: within-doc dedup — every 8-token
+  // window whose gram already occurred earlier IN THE SAME DOC is
+  // dropped (first occurrence kept), docs rebuilt from surviving
+  // tokens; a pure per-row kernel, zero shuffles. Every 5th doc gets
+  // its own 8-token prefix appended (a planted intra-doc duplicate the
+  // scrub must remove); the oracle replays the construction and the
+  // whole rule — grams, first occurrences, covered positions, ordered
+  // reassembly — on exact gram strings.
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat_ws(" ", col("text"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ")))
+        .otherwise(col("text")))
+    Curation.scrubRepeatedSpans(planted, "doc_id", "text", n = 8)
+  }
+
+  private val q169Sql =
+    """WITH corpus AS (
+         SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN
+             text || ' ' ||
+               array_to_string((string_split(text, ' '))[1:8], ' ')
+           ELSE text END AS text
+         FROM documents),
+       wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       tok AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+                 unnest(w) AS t FROM wd),
+       g AS (SELECT doc_id, generate_subscripts(gl, 1) AS p,
+               unnest(gl) AS gs FROM (
+             SELECT doc_id, list_transform(range(1, len(w) - 6),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                    w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                    w[i+6] || ' ' || w[i+7]) AS gl
+             FROM wd) t1),
+       firsts AS (SELECT doc_id, gs, min(p) AS mp FROM g GROUP BY 1, 2),
+       dup AS (SELECT g.doc_id, g.p FROM g
+               JOIN firsts f ON g.doc_id = f.doc_id AND g.gs = f.gs
+               WHERE g.p > f.mp),
+       cov AS (SELECT DISTINCT doc_id, p + i AS cp
+               FROM dup CROSS JOIN range(0, 8) r(i)),
+       kept AS (SELECT tok.doc_id, tok.pos, tok.t FROM tok
+                LEFT JOIN cov ON tok.doc_id = cov.doc_id
+                  AND tok.pos = cov.cp
+                WHERE cov.cp IS NULL),
+       agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS ct,
+                 count(*) AS n FROM kept GROUP BY doc_id)
+       SELECT wd.doc_id, COALESCE(agg.ct, '') AS clean_text,
+         CAST(len(wd.w) AS BIGINT) AS n_tokens,
+         CAST(len(wd.w) - COALESCE(agg.n, 0) AS BIGINT) AS n_dropped
+       FROM wd LEFT JOIN agg ON wd.doc_id = agg.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4572,7 +4625,8 @@ object TrainingData {
     "q165_temp_shares"    -> q165 _,
     "q166_centroid_drift" -> q166 _,
     "q167_dist_drift"     -> q167 _,
-    "q168_quota_select"   -> q168 _)
+    "q168_quota_select"   -> q168 _,
+    "q169_span_scrub"     -> q169 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -4690,5 +4744,6 @@ object TrainingData {
     "q165_temp_shares"    -> q165Sql,
     "q166_centroid_drift" -> q166Sql,
     "q167_dist_drift"     -> q167Sql,
-    "q168_quota_select"   -> q168Sql)
+    "q168_quota_select"   -> q168Sql,
+    "q169_span_scrub"     -> q169Sql)
 }

@@ -111,4 +111,28 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(re === out.map { case (id, (_, b)) => id -> b })
   }
+
+  test("scrubRepeatedSpans: duplicate windows dropped, first kept, exact hand cases") {
+    import spark.implicits._
+    val docs = Seq(
+      // a a a a a with n=2: gram "a a" first at 0; dups at 1,2,3 cover
+      // positions 1..4 -> kept = first token only
+      (1L, "a a a a a"),
+      // no repeats: untouched, n_dropped 0
+      (2L, "one two three four"),
+      // planted tail copy: "x1 x2 x3" then "x1 x2 x3" again — dup gram
+      // at 3 covers 3..4? n=2 grams: (x1 x2)@0,(x2 x3)@1,(x3 x1)@2,
+      // (x1 x2)@3 dup,(x2 x3)@4 dup -> covered 3,4,5 -> kept x1 x2 x3
+      (3L, "x1 x2 x3 x1 x2 x3"),
+      // exactly n tokens: single gram, cannot repeat
+      (4L, "p q")
+    ).toDF("doc_id", "text")
+    val got = Curation.scrubRepeatedSpans(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === (("a", 5L, 4L)))
+    assert(got(2L) === (("one two three four", 4L, 0L)))
+    assert(got(3L) === (("x1 x2 x3", 6L, 3L)))
+    assert(got(4L) === (("p q", 2L, 0L)))
+  }
 }
