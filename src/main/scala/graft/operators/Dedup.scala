@@ -61,6 +61,31 @@ object Dedup {
         (-col("best.neg_id")).as("keep_id"), col("n_copies"))
   }
 
+  /** Duplication-mass profile — the governance histogram curation
+    * papers report before deciding dedup policy (cf. Raffel et al.
+    * 2020 §2.2's duplication analysis; Lee et al. 2022 §4's dup-count
+    * distributions): for each exact-duplicate group SIZE, how many
+    * groups have it and how much document mass they carry, plus the
+    * removable mass (all but one survivor per group). Answers "is
+    * duplication a long tail of pairs or a few huge families" — which
+    * decides whether exact dedup alone recovers most of the budget.
+    * Output: (n_copies, n_groups, n_docs, n_removable), one row per
+    * distinct group size including 1 (the unduplicated mass line).
+    *
+    * Scale shape: [[exact]]'s one content-hash shuffle, then a
+    * map-side-combined rollup on the group size — the second exchange
+    * carries one row per DISTINCT SIZE (dozens), and nothing anywhere
+    * is proportional to duplication.
+    */
+  def duplicationProfile(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_groups"),
+        (count(lit(1)) * col("n_copies")).as("n_docs"),
+        (count(lit(1)) * (col("n_copies") - 1)).as("n_removable"))
+
   /** Global LINE-level dedup + boilerplate-line removal — the C4 rule
     * (Raffel et al. 2020, arXiv:1910.10683 §2.2: "we discarded all but
     * one of any three-sentence span occurring more than once") at line

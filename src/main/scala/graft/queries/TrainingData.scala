@@ -4509,6 +4509,34 @@ object TrainingData {
          CAST(len(wd.w) - COALESCE(agg.n, 0) AS BIGINT) AS n_dropped
        FROM wd LEFT JOIN agg ON wd.doc_id = agg.doc_id"""
 
+  // --- q170: duplication-mass profile -------------------------------------------
+  // Dedup.duplicationProfile: the governance histogram before dedup
+  // policy — per exact-group SIZE, group/document/removable mass. A
+  // deterministic duplicate structure is planted (every 7th doc
+  // republished once, every 21st twice → sizes 1/2/3); the oracle
+  // replays the construction, the grouping, and all three masses.
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 21 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+    graft.operators.Dedup.duplicationProfile(corpus, "doc_id", "text")
+  }
+
+  private val q170Sql =
+    """WITH all_docs AS (
+         SELECT text FROM documents
+         UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0
+         UNION ALL SELECT text FROM documents WHERE doc_id % 21 = 0),
+       g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies
+             FROM all_docs GROUP BY 1)
+       SELECT n_copies, CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(count(*) * n_copies AS BIGINT) AS n_docs,
+         CAST(count(*) * (n_copies - 1) AS BIGINT) AS n_removable
+       FROM g GROUP BY n_copies"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4626,7 +4654,8 @@ object TrainingData {
     "q166_centroid_drift" -> q166 _,
     "q167_dist_drift"     -> q167 _,
     "q168_quota_select"   -> q168 _,
-    "q169_span_scrub"     -> q169 _)
+    "q169_span_scrub"     -> q169 _,
+    "q170_dup_profile"    -> q170 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -4745,5 +4774,6 @@ object TrainingData {
     "q166_centroid_drift" -> q166Sql,
     "q167_dist_drift"     -> q167Sql,
     "q168_quota_select"   -> q168Sql,
-    "q169_span_scrub"     -> q169Sql)
+    "q169_span_scrub"     -> q169Sql,
+    "q170_dup_profile"    -> q170Sql)
 }

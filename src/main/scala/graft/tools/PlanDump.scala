@@ -56,7 +56,7 @@ object PlanDump {
     "q158_keepbest_dedup", "q159_line_dedup", "q160_winnowed_runs",
     "q161_rare_sequences", "q162_ivf_compaction", "q164_ivfpq_lake",
     "q165_temp_shares", "q166_centroid_drift", "q167_dist_drift",
-    "q168_quota_select", "q169_span_scrub")
+    "q168_quota_select", "q169_span_scrub", "q170_dup_profile")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside

@@ -67,4 +67,19 @@ class DedupPolicySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("numeric id"))
   }
+
+  test("duplicationProfile: exact per-size masses including the unduplicated line") {
+    // 4 singles, 2 pairs, 1 triple -> sizes 1/2/3
+    val df = (Seq.tabulate(4)(i => (i.toLong, s"solo$i")) ++
+      Seq((10L, "pairA"), (11L, "pairA"), (12L, "pairB"), (13L, "pairB"),
+        (20L, "tri"), (21L, "tri"), (22L, "tri")))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicationProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      1L -> ((4L, 4L, 0L)),
+      2L -> ((2L, 4L, 2L)),
+      3L -> ((1L, 3L, 2L))))
+  }
 }
