@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
@@ -47,7 +47,11 @@ object ExportStream {
       maxDepth: Int = 20, checkpointDir: String = null,
       claimIdCol: String = "claimRequestId",
       docSchema: org.apache.spark.sql.types.StructType = null): Seq[BatchResult] = {
-    Files.createDirectories(Paths.get(outputDir))
+    // output-dir creation and the per-batch single-file promote resolve
+    // through the Hadoop FileSystem API so the export can target HDFS/S3
+    // paths, not just the local filesystem (the StreamFs rationale)
+    val outFs = StreamFs.fs(spark, outputDir)
+    outFs.mkdirs(new org.apache.hadoop.fs.Path(outputDir)): Unit
     val checkpoint =
       if (checkpointDir != null) checkpointDir
       else Files.createTempDirectory("export_ckpt").toString
@@ -99,13 +103,14 @@ object ExportStream {
           val tmp = file + ".dir"
           val cols = Flattener.flattenToTsv(docs, tmp, maxDepth,
             singleFile = true)
-          val listing = Files.list(Paths.get(tmp))
-          val part =
-            try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
-              .find(_.getFileName.toString.startsWith("part-")).get
-            finally listing.close()
-          Files.move(part, Paths.get(file),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val part = outFs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.startsWith("part-")).get
+          val dest = new org.apache.hadoop.fs.Path(file)
+          outFs.delete(dest, false) // REPLACE_EXISTING semantics
+          require(outFs.rename(part, dest),
+            s"ExportStream: rename $part -> $dest failed; the batch's " +
+              "TSV is intact in the scratch dir — re-run the batch")
+          outFs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
           results.synchronized {
             results += BatchResult(batchId, docs.count(), cols.length, file)
           }

@@ -58,29 +58,12 @@ object NearDupStream {
     val checkpoint =
       if (checkpointDir != null) checkpointDir
       else java.nio.file.Files.createTempDirectory("neardup_ckpt").toString
-    val hasCommittedState = {
-      val off = java.nio.file.Paths.get(checkpoint, "offsets")
-      java.nio.file.Files.isDirectory(off) && {
-        val l = java.nio.file.Files.list(off)
-        try l.findFirst().isPresent finally l.close()
-      }
-    }
-    if (!hasCommittedState) {
-      val base = java.nio.file.Paths.get(outDir)
-      if (java.nio.file.Files.isDirectory(base)) {
-        import scala.jdk.CollectionConverters._
-        val leaves = {
-          val l = java.nio.file.Files.list(base)
-          try l.iterator().asScala
-            .filter(_.getFileName.toString.startsWith("batch_id=")).toList
-          finally l.close()
-        }
-        leaves.foreach { leaf =>
-          java.nio.file.Files.walk(leaf).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
-    }
+    // probe + cleanup resolve through the Hadoop FileSystem API, so the
+    // checkpoint-and-lake-are-one-unit contract holds on HDFS/S3 too —
+    // java.nio would silently see no directory there and keep a dead
+    // run's leaves for the merged read to double-count
+    if (!StreamFs.hasCommittedOffsets(spark, checkpoint))
+      StreamFs.clearBatchLeaves(spark, outDir)
     val state = spark.read.parquet(stateDir)
     val q = deltaStream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -101,7 +84,18 @@ object NearDupStream {
       }
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.read.option("basePath", outDir).parquet(outDir)
-      .select(col("corpus_id"), col("delta_id"), col("jaccard"))
+    // an EMPTY drained delta writes no leaves — return an empty frame
+    // with the contract schema, never a "path does not exist" failure
+    if (!StreamFs.hasBatchLeaves(spark, outDir)) {
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("corpus_id", state.schema("corpus_id").dataType),
+        StructField("delta_id", deltaStream.schema(idCol).dataType),
+        StructField("jaccard", DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      spark.read.option("basePath", outDir).parquet(outDir)
+        .select(col("corpus_id"), col("delta_id"), col("jaccard"))
   }
 }

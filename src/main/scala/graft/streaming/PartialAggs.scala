@@ -91,29 +91,12 @@ object PartialAggs {
     val checkpoint =
       if (checkpointDir != null) checkpointDir
       else java.nio.file.Files.createTempDirectory("partials_ckpt").toString
-    val hasCommittedState = {
-      val off = java.nio.file.Paths.get(checkpoint, "offsets")
-      java.nio.file.Files.isDirectory(off) && {
-        val l = java.nio.file.Files.list(off)
-        try l.findFirst().isPresent finally l.close()
-      }
-    }
-    if (!hasCommittedState) {
-      val base = java.nio.file.Paths.get(partialsDir)
-      if (java.nio.file.Files.isDirectory(base)) {
-        import scala.jdk.CollectionConverters._
-        val leaves = {
-          val l = java.nio.file.Files.list(base)
-          try l.iterator().asScala
-            .filter(_.getFileName.toString.startsWith("batch_id=")).toList
-          finally l.close()
-        }
-        leaves.foreach { leaf =>
-          java.nio.file.Files.walk(leaf).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
-    }
+    // probe + cleanup via the Hadoop FileSystem API ([[StreamFs]]), so
+    // the contract holds on HDFS/S3 — java.nio sees no directory there
+    // and would silently keep the stale leaves readMerged double-counts
+    val spark = stream.sparkSession
+    if (!StreamFs.hasCommittedOffsets(spark, checkpoint))
+      StreamFs.clearBatchLeaves(spark, partialsDir)
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)

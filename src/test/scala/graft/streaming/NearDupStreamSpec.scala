@@ -77,6 +77,48 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(leaves >= 4, s"expected >= 4 batch leaves, got $leaves")
   }
 
+  test("stale-leaf cleanup resolves through the Hadoop FileSystem (file: URIs)") {
+    // URI-addressed state/out/checkpoint — the HDFS/S3 deployment
+    // shape. java.nio's Paths.get("file:/...") is a literal relative
+    // name that never exists, so the pre-port cleanup silently kept the
+    // dead run's leaf and the merged read double-counted it.
+    val (corpus, delta) = fixture()
+    val dir = "file:" + Files.createTempDirectory("neardup_spec_fs_")
+    NearDupStream.writeCorpusState(corpus, "doc_id", "text", s"$dir/state")
+    delta.coalesce(1).write.parquet(s"$dir/delta")
+    Seq((999999L, 999999L, 1.0))
+      .toDF("corpus_id", "delta_id", "jaccard")
+      .write.parquet(s"$dir/pairs/batch_id=7")
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/delta")
+    val streamed = NearDupStream.nearDupPairs(spark, stream, "doc_id",
+      "text", s"$dir/state", s"$dir/pairs", checkpointDir = s"$dir/ckpt",
+      threshold = 0.3)
+    assert(!pairs(streamed).exists(_._1 == 999999L),
+      "URI-addressed lake kept a dead run's leaf: cleanup did not " +
+        "resolve through the Hadoop FileSystem")
+    assert(pairs(streamed).map(_._2).intersect(
+      (1000L until 1008L).toSet).size === 8)
+  }
+
+  test("an empty delta stream returns an empty frame, not a read failure") {
+    val (corpus, _) = fixture()
+    val dir = Files.createTempDirectory("neardup_spec_empty_")
+    NearDupStream.writeCorpusState(corpus, "doc_id", "text", s"$dir/state")
+    Files.createDirectories(dir.resolve("delta")) // zero input files
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/delta")
+    val streamed = NearDupStream.nearDupPairs(spark, stream, "doc_id",
+      "text", s"$dir/state", s"$dir/pairs", checkpointDir = s"$dir/ckpt")
+    assert(streamed.columns.toSeq === Seq("corpus_id", "delta_id", "jaccard"))
+    assert(streamed.count() === 0L)
+  }
+
   test("fresh checkpoint clears stale leaves from a dead run") {
     val (corpus, delta) = fixture()
     val dir = Files.createTempDirectory("neardup_spec2_")

@@ -103,6 +103,35 @@ class PartialAggsSpec extends AnyFunSuite {
     assert(merged === Seq(("x", 2L, 3L)))
   }
 
+  test("restart discipline resolves through the Hadoop FileSystem (file: URI lake)") {
+    // the lake and checkpoints are addressed by URI, not a bare local
+    // path — the shape an HDFS/S3 deployment uses. java.nio sees no
+    // directory behind "file:/..." (Paths.get treats it as a literal
+    // relative name), so the pre-port probe+cleanup silently no-opped
+    // and run 2 double-counted run 1's stale leaf; the Hadoop
+    // FileSystem resolves the URI and clears it.
+    val in = Files.createTempDirectory("pa_in6")
+    val lake = "file:" + Files.createTempDirectory("pa_lake6").toString + "/t"
+    writeRows(in, "a.json", Seq(("x", 1L)))
+    writeRows(in, "b.json", Seq(("x", 2L)))
+    def drainUri(ckpt: String): Long = {
+      val stream = spark.readStream
+        .schema("k STRING, v LONG")
+        .option("maxFilesPerTrigger", 1)
+        .json(in.toString)
+      PartialAggs.writePartials(stream, spec, lake, ckpt)
+    }
+    drainUri("file:" + Files.createTempDirectory("pa_ck6a").toString)
+    // a second FRESH checkpoint reprocesses from batch 0: stale-leaf
+    // cleanup must fire through the FileSystem-resolved URI
+    drainUri("file:" + Files.createTempDirectory("pa_ck6b").toString)
+    val merged = PartialAggs.readMerged(spark, spec, lake)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(merged === Seq(("x", 2L, 3L)),
+      "URI-addressed lake double-counted: stale-leaf cleanup did not " +
+        "resolve through the Hadoop FileSystem")
+  }
+
   test("compactPartials: readMerged invariant, leaves consolidated") {
     val in = Files.createTempDirectory("pa_in5")
     val lake = Files.createTempDirectory("pa_lake5").toString + "/t"
