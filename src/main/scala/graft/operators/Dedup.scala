@@ -77,8 +77,7 @@ object Dedup {
     * carries one row per DISTINCT SIZE (dozens), and nothing anywhere
     * is proportional to duplication.
     */
-  def duplicationProfile(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+  def duplicationProfile(df: DataFrame, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"))
       .groupBy(col("n_copies"))

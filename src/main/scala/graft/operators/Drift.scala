@@ -37,7 +37,11 @@ import org.apache.spark.sql.functions._
   * GROUP may hold at most ~3×10⁹ rows per side (n1·n2 < 2⁶³); beyond
   * that ANSI arithmetic fails loudly rather than wrapping — shard or
   * sample such a group before comparing (a KS at that population is
-  * insensitive to sampling anyway).
+  * insensitive to sampling anyway). The `flagged` comparison itself
+  * runs in decimal(38,0) — `ks_num·10⁶` and `thresholdPpm·n1·n2` can
+  * each exceed 2⁶³ by the ppm factor while ks_num is still fine — so
+  * the flag holds over the SAME n1·n2 < 2⁶³ domain as the statistic,
+  * not a 10⁶-times-smaller one.
   */
 object Drift {
 
@@ -83,7 +87,8 @@ object Drift {
       .select(col("grp").as(groupCol), col("n_old"), col("n_new"),
         ksNum.as("ks_num"))
       .withColumn("flagged",
-        coalesce(col("ks_num") * lit(1000000L) >
-          lit(thresholdPpm) * col("n_old") * col("n_new"), lit(true)))
+        coalesce(col("ks_num").cast("decimal(38,0)") * lit(1000000L) >
+          lit(thresholdPpm).cast("decimal(38,0)") *
+            col("n_old") * col("n_new"), lit(true)))
   }
 }

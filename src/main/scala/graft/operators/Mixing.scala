@@ -92,11 +92,13 @@ object Mixing {
     * aggregate, which Catalyst plans as a SECOND scan of the corpus
     * (the two aggregation subtrees differ, so ReuseExchange cannot
     * dedup them; PlanSpec pins the one-scan shape). Nothing
-    * driver-side. The quota product
-    * `weight_micro · budget` stays inside a long for any realistic
-    * pairing (≈10^12-doc domains × 10^9-doc budgets); beyond that ANSI
-    * arithmetic fails loudly rather than wrapping — pre-scale the
-    * budget if you ever hit it.
+    * driver-side. The share/quota products run in decimal(38,0) —
+    * `weight_micro · budget` overflows a long already at 10^10-doc
+    * domains × 10^9-doc budgets (w≈10^11, product 10^20 > 2^63) — so
+    * the op is safe for ANY long-valued counts and budgets:
+    * weight_micro < 2^32·10^6 ≈ 4·10^15, times a < 2^63 budget stays
+    * under 4·10^34 ≪ 10^38. Results are still integral (DIV on
+    * decimals returns BIGINT), so the report is bit-identical in SQL.
     */
   def temperatureShares(docs: DataFrame, domainCol: String,
       budget: Long): DataFrame = {
@@ -112,7 +114,9 @@ object Mixing {
     counts
       .withColumn("w_total", sum(col("weight_micro")).over(all))
       .select(col(domainCol), col("n_docs"), col("weight_micro"),
-        expr("weight_micro * 1000000 DIV w_total").as("share_ppm"),
-        expr(s"weight_micro * ${budget}L DIV w_total").as("quota"))
+        expr("CAST(weight_micro AS DECIMAL(38,0)) * 1000000 DIV w_total")
+          .as("share_ppm"),
+        expr(s"CAST(weight_micro AS DECIMAL(38,0)) * ${budget}L DIV w_total")
+          .as("quota"))
   }
 }

@@ -4522,7 +4522,7 @@ object TrainingData {
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       .unionByName(docs.filter(col("doc_id") % 21 === 0)
         .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
-    graft.operators.Dedup.duplicationProfile(corpus, "doc_id", "text")
+    graft.operators.Dedup.duplicationProfile(corpus, "text")
   }
 
   private val q170Sql =

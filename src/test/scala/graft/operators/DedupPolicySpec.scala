@@ -74,7 +74,7 @@ class DedupPolicySpec extends AnyFunSuite {
       Seq((10L, "pairA"), (11L, "pairA"), (12L, "pairB"), (13L, "pairB"),
         (20L, "tri"), (21L, "tri"), (22L, "tri")))
       .toDF("doc_id", "text")
-    val got = Dedup.duplicationProfile(df, "doc_id", "text")
+    val got = Dedup.duplicationProfile(df, "text")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got === Map(

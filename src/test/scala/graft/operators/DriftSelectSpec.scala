@@ -41,6 +41,21 @@ class DriftSelectSpec extends AnyFunSuite {
     assert(ksB === 100L && fB, s"shifted group: ks=$ksB flagged=$fB")
   }
 
+  test("distributionDrift: flag survives populations whose ppm product overflows a long") {
+    // fully disjoint sides, 3.2e6 rows each: ks_num reaches n1·n2 ≈
+    // 1.02e13, and the flag's ks_num·10⁶ ≈ 1.02e19 > 2^63 — the
+    // pre-decimal long comparison threw ANSI overflow here, ~1000×
+    // below the scaladoc's n1·n2 < 2^63 domain. The statistic itself
+    // is fine; only the flag arithmetic needed decimal(38,0).
+    val n = 3200000L
+    val a = spark.range(n).select(lit("g").as("grp"), (col("id") % 10).as("v"))
+    val b = spark.range(n).select(lit("g").as("grp"),
+      (col("id") % 10 + 100L).as("v"))
+    val row = Drift.distributionDrift(a, b, "v", "grp").collect()(0)
+    assert(row.getLong(3) === n * n, "disjoint sides: KS = 1 → ks_num = n1·n2")
+    assert(row.getBoolean(4), "full shift must flag")
+  }
+
   test("distributionDrift: one-sided and NULL groups") {
     val v1 = Seq(("only_old", 1L), ("both", 2L),
       (null.asInstanceOf[String], 9L)).toDF("grp", "v")

@@ -105,6 +105,18 @@ class MixingSpec extends AnyFunSuite {
     assert(sSmall > 100000L && sSmall < 500000L)
   }
 
+  test("temperatureShares: quota arithmetic survives budgets whose long product overflows") {
+    // w_micro = sqrt(100)·1e6 = 1e7; 1e7 × (2^62) ≈ 4.6e25 ≫ 2^63 —
+    // the pre-decimal long product threw ANSI overflow here, despite the
+    // scaladoc's claimed safety. decimal(38,0) carries it; the quota
+    // itself (≤ budget) still fits a long.
+    val df = (1 to 100).map(i => (i.toLong, "only")).toDF("id", "dom")
+    val budget = Long.MaxValue / 2
+    val r = Mixing.temperatureShares(df, "dom", budget).collect()(0)
+    assert(r.getLong(3) === 1000000L)
+    assert(r.getLong(4) === budget, "single domain takes the whole budget")
+  }
+
   test("temperatureShares: NULL domain is a reported group; single domain takes all") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]))
       .toDF("id", "dom")
