@@ -35,6 +35,7 @@ object Bench {
           n.startsWith("graft_esbulk_") || n.startsWith("graft_ivflake_") ||
           n.startsWith("graft_streamprof_") ||
           n.startsWith("graft_neardup_") ||
+          n.startsWith("graft_takedown_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }

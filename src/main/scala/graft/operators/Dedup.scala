@@ -565,6 +565,43 @@ object Dedup {
       .withColumn("corpus_sig",
         graft.functions.ArrayOps.minhash(col("corpus_hset"), k))
 
+  /** Takedown from a persisted near-dup corpus state
+    * ([[nearDupState]]'s parquet, the lake
+    * [[graft.streaming.NearDupStream]] matches every micro-batch
+    * against): deleted documents must stop producing near-dup pairs, or
+    * the ingest pipeline keeps rejecting fresh crawls as "duplicates of"
+    * content the corpus no longer holds. The state is rewritten minus
+    * the ids (one anti-join pass over the signature lake — ~1-2% of
+    * corpus bytes by construction, the cheap side of the takedown) and
+    * swapped in with the rename-only discipline of
+    * [[graft.sinks.Lake.swapDirs]]: the original state survives every
+    * single-step failure. Untouched rows keep their exact signature
+    * bytes, so post-delete matching EQUALS matching against a state
+    * rebuilt from the surviving corpus (q171 pins it). Returns the
+    * number of state rows removed.
+    */
+  def deleteFromNearDupState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, ids: DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    val idc = ids.columns.head
+    val dels = ids.select(col(idc).as("corpus_id")).distinct()
+    val state = spark.read.parquet(stateDir)
+    // no broadcast hint: a takedown set is usually tiny (AQE will
+    // broadcast it), but a court-ordered bulk removal need not be —
+    // the join must survive either way
+    val removed = state.join(dels, Seq("corpus_id"), "left_semi")
+      .count()
+    if (removed == 0L) return 0L
+    val tmp = stateDir + ".takedown_tmp"
+    state.join(dels, Seq("corpus_id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp)
+    val live = new Path(stateDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.Lake.swapDirs(fs, live, new Path(tmp),
+      new Path(stateDir + ".takedown_backup"))
+    removed
+  }
+
   /** Near-duplicate pairs between a small delta and an ALREADY-PREPPED
     * corpus state ([[nearDupState]]'s schema) — the shared core of
     * [[incrementalNearDups]] and the micro-batch streaming shape: the

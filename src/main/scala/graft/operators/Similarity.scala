@@ -441,6 +441,23 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(lakeDir)
   }
 
+  /** Takedown from an IVF (or IVF+PQ) lake — [[graft.sinks.Lake.deleteIds]]
+    * on the `cell=` layout: removal requests must disappear from the ANN
+    * index, not just the document lake, or a similarity search keeps
+    * resurfacing deleted content. Only cells that actually hold a
+    * deleted vector are rewritten (manifest-committed, crash-safe); the
+    * `_ivf_centroids`/`_pq_codebooks` sidecars — and with them the probe
+    * geometry — are untouched, so a post-delete search EXACTLY equals
+    * searching the surviving corpus assigned to the same frozen
+    * centroids ([[ivfTopKFrozen]] is the audit twin; q171 pins the
+    * multiset equality). The id→cell mapping is a column-pruned scan of
+    * (id, cell) — float vectors and PQ codes are never read to find the
+    * affected cells. Returns (cells rewritten, vectors removed).
+    */
+  def deleteFromIvfLake(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, ids: DataFrame): (Long, Long) =
+    graft.sinks.Lake.deleteIds(spark, lakeDir, "cell", "id", ids)
+
   /** Cell-scoped file compaction for an IVF lake — the maintenance op
     * that pairs with [[appendToIvfLake]]: each append adds one file per
     * touched cell, so after thousands of daily batches every cell

@@ -4537,6 +4537,90 @@ object TrainingData {
          CAST(count(*) * (n_copies - 1) AS BIGINT) AS n_removable
        FROM g GROUP BY n_copies"""
 
+  // --- q171: takedown / right-to-erasure propagation ----------------------------
+  // Lake.deleteIds + Similarity.deleteFromIvfLake +
+  // Dedup.deleteFromNearDupState: a removal request must disappear from
+  // the document lake AND every derived state — the IVF lake (else
+  // similarity search resurfaces deleted content) and the near-dup
+  // corpus state (else ingest keeps rejecting fresh crawls as dups of
+  // content no longer held). Each delete is partition-scoped and
+  // manifest-committed; nothing is ever rebuilt. The audits are the
+  // frozen-twin pattern (q152/q164): post-delete IVF search must EQUAL
+  // searching corpus-minus-deleted in memory at the lake's frozen
+  // centroids; the post-delete doc lake must equal corpus-minus-deleted
+  // row-for-row; the surviving near-dup state must equal a rebuild from
+  // the surviving corpus.
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val qs = emb.filter(col("vec_id") < 10)
+    val scratch = Tables.freshScratchDir("graft_takedown_", d)
+    val ivfDir = s"$scratch/ivf"
+    val docDir = s"$scratch/docs"
+    val stateDir = s"$scratch/state"
+    Similarity.writeIvfLake(emb, ivfDir, "vec_id", "embedding",
+      dim = AnnLake.Dim, nCells = AnnLake.NCells): Unit
+    docs.write.mode("overwrite").partitionBy("source").parquet(docDir)
+    graft.streaming.NearDupStream.writeCorpusState(
+      docs, "doc_id", "text", stateDir)
+    val delVecs = emb.filter(col("vec_id") % 17 === 3).select("vec_id")
+    val delDocs = docs.filter(col("doc_id") % 13 === 2).select("doc_id")
+    val (_, nVecsRemoved) = Similarity.deleteFromIvfLake(s, ivfDir, delVecs)
+    val (_, nDocsRemoved) = graft.sinks.Lake.deleteIds(
+      s, docDir, "source", "doc_id", delDocs)
+    graft.operators.Dedup.deleteFromNearDupState(s, stateDir, delDocs): Unit
+    // audit 1: post-delete lake search == frozen twin over survivors
+    val post = Similarity.ivfTopKOverLake(s, ivfDir, qs, "vec_id",
+      "embedding", dim = AnnLake.Dim, k = AnnLake.K, nProbe = AnnLake.NProbe)
+    val twin = Similarity.ivfTopKFrozen(
+      emb.join(delVecs, Seq("vec_id"), "left_anti"), qs, "vec_id",
+      "embedding", dim = AnnLake.Dim, k = AnnLake.K, lakeDir = ivfDir,
+      nProbe = AnnLake.NProbe)
+    val ivfDiff = post.unionAll(twin)
+      .groupBy("q_id", "id", "rank").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    val deletedHits = post
+      .join(delVecs.withColumnRenamed("vec_id", "id"), Seq("id"), "left_semi")
+      .count()
+    // audit 2: post-delete doc lake == corpus minus deleted, row-for-row
+    val survivors = docs.join(delDocs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("text"))
+    val lakeBack = s.read.parquet(docDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val docDiff = lakeBack.exceptAll(survivors).count() +
+      survivors.exceptAll(lakeBack).count()
+    // audit 3: surviving state == rebuild from the surviving corpus
+    val stateBack = s.read.parquet(stateDir)
+    val rebuilt = graft.operators.Dedup.nearDupState(
+      survivors, "doc_id", "text")
+    val stateDiff = stateBack.exceptAll(rebuilt).count() +
+      rebuilt.exceptAll(stateBack).count()
+    post.agg(
+        count_distinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_results"))
+      .select(col("n_queries"), col("n_results"),
+        lit(nVecsRemoved).as("n_removed_vectors"),
+        lit(nDocsRemoved).as("n_removed_docs"),
+        lit(ivfDiff == 0L).as("ivf_equals_twin"),
+        lit(deletedHits == 0L).as("no_deleted_in_results"),
+        lit(docDiff == 0L).as("doclake_matches"),
+        lit(stateDiff == 0L).as("state_matches_rebuild"))
+  }
+
+  private val q171Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(5 * count(*) AS BIGINT) AS n_results,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         WHERE vec_id % 17 = 3) AS n_removed_vectors,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents
+         WHERE doc_id % 13 = 2) AS n_removed_docs,
+       true AS ivf_equals_twin,
+       true AS no_deleted_in_results,
+       true AS doclake_matches,
+       true AS state_matches_rebuild
+       FROM embeddings WHERE vec_id < 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4655,7 +4739,8 @@ object TrainingData {
     "q167_dist_drift"     -> q167 _,
     "q168_quota_select"   -> q168 _,
     "q169_span_scrub"     -> q169 _,
-    "q170_dup_profile"    -> q170 _)
+    "q170_dup_profile"    -> q170 _,
+    "q171_takedown"       -> q171 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -4775,5 +4860,6 @@ object TrainingData {
     "q167_dist_drift"     -> q167Sql,
     "q168_quota_select"   -> q168Sql,
     "q169_span_scrub"     -> q169Sql,
-    "q170_dup_profile"    -> q170Sql)
+    "q170_dup_profile"    -> q170Sql,
+    "q171_takedown"       -> q171Sql)
 }

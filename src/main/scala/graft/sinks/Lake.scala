@@ -106,6 +106,136 @@ object Lake {
     sb.toString
   }
 
+  /** Takedown / right-to-erasure deletion from a hive-partitioned lake —
+    * the maintenance op every production training corpus eventually
+    * fields: remove a set of document ids so they stop existing for
+    * every later reader, WITHOUT rewriting the lake. Cost is
+    * proportional to the AFFECTED partitions: the id→partition mapping
+    * is one column-pruned scan (id + the partition value the directory
+    * layout supplies — document bodies and embeddings are never read),
+    * and only partitions that actually hold a deleted id are rewritten;
+    * a 100 TB lake with deletions confined to one crawl slice rewrites
+    * that slice. Underscore-prefixed sidecar dirs (`_ivf_centroids`,
+    * `_pq_codebooks`) are untouched, so ANN-lake geometry survives —
+    * [[graft.operators.Similarity.deleteFromIvfLake]] is this op on a
+    * `cell=`-partitioned lake.
+    *
+    * Crash safety is the manifest commit protocol shared with
+    * [[graft.streaming.PartialAggs.compactPartials]] /
+    * [[graft.operators.Similarity.compactIvfLake]], generalized to
+    * string partition values (the manifest lists leaf DIRECTORY NAMES):
+    *  1. affected partitions are rewritten minus the ids into a sibling
+    *     `.takedown_tmp` (a partition whose every row is deleted gets an
+    *     explicit EMPTY replacement dir, so promotion is uniform and a
+    *     recovery can tell "fully deleted" from "already promoted");
+    *  2. the affected leaf names commit atomically as the tmp's
+    *     `_ABSORBED` manifest — before it exists nothing was deleted and
+    *     tmp is disposable; after, recovery completes the pass;
+    *  3. each listed live leaf is deleted and its replacement renamed in
+    *     (idempotent per leaf: a replacement no longer in tmp was
+    *     already promoted and is skipped);
+    *  4. tmp is removed.
+    *
+    * `ids`' FIRST column is the id set (deduplicated here); `idCol`
+    * names the lake's id column. Partition values must be non-NULL and
+    * of a type whose Scala `toString` matches hive's directory encoding
+    * (string/integral — the lakes this engine writes); a NULL-partition
+    * match fails loudly rather than silently surviving a takedown.
+    * Returns (partitions rewritten, rows removed).
+    */
+  def deleteIds(spark: SparkSession, dir: String, partCol: String,
+      idCol: String, ids: DataFrame): (Long, Long) = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + ".takedown_tmp")
+    val manifest = new Path(tmp, graft.streaming.PartialAggs.ManifestName)
+    def promote(leafNames: Seq[String]): Unit = {
+      leafNames.foreach { name =>
+        val src = new Path(tmp, name)
+        if (fs.exists(src)) { // absent = already promoted by a dead pass
+          fs.delete(new Path(path, name), true)
+          require(fs.rename(src, new Path(path, name)),
+            s"deleteIds: rename $src failed; the rewritten partition is " +
+              "intact in the tmp dir — re-run the pass")
+        }
+      }
+      require(fs.delete(tmp, true),
+        s"deleteIds: could not remove committed tmp $tmp")
+    }
+    if (fs.exists(tmp)) { // recovery first, like every manifest protocol
+      if (fs.exists(manifest))
+        promote(readNameManifest(fs, manifest))
+      else require(fs.delete(tmp, true),
+        s"deleteIds: could not discard uncommitted tmp $tmp")
+    }
+    val dels = ids.select(col(ids.columns.head).as(idCol)).distinct()
+    val lake = read(spark, dir)
+    // bounded: one row per AFFECTED partition value (id + partition
+    // column only — the partition value comes from the directory
+    // layout, so no data column beyond the id is ever decoded)
+    val affected = lake.select(col(idCol), col(partCol))
+      .join(dels, Seq(idCol))
+      .groupBy(col(partCol)).agg(count(lit(1)).as("n"))
+      .collect()
+    if (affected.isEmpty) return (0L, 0L)
+    require(affected.forall(!_.isNullAt(0)),
+      s"deleteIds: deleted ids found under a NULL $partCol partition — " +
+        "unsupported layout; re-key the lake before takedown")
+    val removed = affected.map(_.getLong(1)).sum
+    val affectedStr = affected.map(_.get(0).toString).toSet
+    val prefix = partCol + "="
+    val affectedNames = fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName)
+      .filter(n => affectedStr.contains(unescapePathName(n.drop(prefix.length))))
+      .toSeq.sorted
+    require(affectedNames.size == affectedStr.size,
+      s"deleteIds: ${affectedStr.size} affected partition values but " +
+        s"${affectedNames.size} matching leaf dirs under $dir — partition " +
+        "value encoding mismatch; aborting before any delete")
+    val affectedVals = affected.map(_.get(0)).toSeq
+    lake.filter(col(partCol).isin(affectedVals: _*))
+      .join(dels, Seq(idCol), "left_anti")
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    // fully-deleted partitions produced no tmp leaf: give them an
+    // explicit empty replacement so promote/recovery stay uniform
+    affectedNames.foreach { name =>
+      val leaf = new Path(tmp, name)
+      if (!fs.exists(leaf)) require(fs.mkdirs(leaf),
+        s"deleteIds: could not create empty replacement $leaf")
+    }
+    writeNameManifest(fs, tmp, affectedNames) // the commit point
+    promote(affectedNames)
+    (affectedNames.size.toLong, removed)
+  }
+
+  /** String-leaf-name manifest commit (side name + rename, the
+    * [[graft.streaming.PartialAggs.writeManifest]] discipline
+    * generalized beyond long ids).
+    */
+  private[graft] def writeNameManifest(fs: FileSystem, tmp: Path,
+      names: Seq[String]): Unit = {
+    val side = new Path(tmp, graft.streaming.PartialAggs.ManifestName + ".writing")
+    val out = fs.create(side, true)
+    try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val dst = new Path(tmp, graft.streaming.PartialAggs.ManifestName)
+    require(fs.rename(side, dst),
+      s"deleteIds: manifest commit $side -> $dst failed")
+  }
+
+  private[graft] def readNameManifest(fs: FileSystem,
+      manifest: Path): Seq[String] = {
+    val in = fs.open(manifest)
+    val text =
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val names = text.split("\n").toSeq.filter(_.nonEmpty)
+    require(names.nonEmpty, s"deleteIds: empty manifest $manifest")
+    names
+  }
+
   /** Small-file compaction — the lake-maintenance pass every long-lived
     * training corpus needs: incremental ingestion (one micro-batch or
     * CDC merge per arrival) strews thousands of KB-sized parquet files
@@ -182,7 +312,7 @@ object Lake {
     * rename fails, the data still exists intact at `backup` (the error
     * says so).
     */
-  private[sinks] def swapDirs(fs: FileSystem, live: Path, tmp: Path,
+  private[graft] def swapDirs(fs: FileSystem, live: Path, tmp: Path,
       backup: Path): Unit = {
     fs.delete(backup, true) // stale backup from a prior crashed run
     require(renameQuiet(fs, live, backup),
