@@ -4621,6 +4621,32 @@ object TrainingData {
        true AS state_matches_rebuild
        FROM embeddings WHERE vec_id < 10"""
 
+  // --- q172: incremental near-dup corpus-state append ---------------------------
+  // NearDupStream.appendToCorpusState: accepted deltas join the
+  // persisted LSH state WITHOUT a vintage rebuild (the q152
+  // retrain-free append discipline applied to dedup state). The state
+  // is built from half the corpus, the other half is appended, and the
+  // delta is matched against state+append — the oracle is q69's exact
+  // all-pairs SQL over the FULL corpus, so the append path must be
+  // indistinguishable from a full rebuild: a dropped appended doc, a
+  // mis-hashed signature, or a band mismatch all fail the hash.
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") % 20 =!= 0 &&
+      col("doc_id") % 2 === 1)
+    val accepted = docs.filter(col("doc_id") % 20 =!= 0 &&
+      col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+    val scratch = Tables.freshScratchDir("graft_neardup_a_", d)
+    val stateDir = s"$scratch/state"
+    graft.streaming.NearDupStream.writeCorpusState(
+      base, "doc_id", "text", stateDir)
+    graft.streaming.NearDupStream.appendToCorpusState(
+      accepted, "doc_id", "text", stateDir)
+    graft.operators.Dedup.nearDupsAgainstState(
+      s.read.parquet(stateDir), delta, "doc_id", "text", threshold = 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4740,7 +4766,8 @@ object TrainingData {
     "q168_quota_select"   -> q168 _,
     "q169_span_scrub"     -> q169 _,
     "q170_dup_profile"    -> q170 _,
-    "q171_takedown"       -> q171 _)
+    "q171_takedown"       -> q171 _,
+    "q172_state_append"   -> q172 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -4861,5 +4888,6 @@ object TrainingData {
     "q168_quota_select"   -> q168Sql,
     "q169_span_scrub"     -> q169Sql,
     "q170_dup_profile"    -> q170Sql,
-    "q171_takedown"       -> q171Sql)
+    "q171_takedown"       -> q171Sql,
+    "q172_state_append"   -> q69Sql)
 }

@@ -42,6 +42,41 @@ object NearDupStream {
     Dedup.nearDupState(corpus, idCol, textCol, shingleN, k)
       .write.mode("overwrite").parquet(stateDir)
 
+  /** Retrain-free append to a persisted corpus LSH state — the
+    * incremental-refresh maintenance op pairing with [[writeCorpusState]]
+    * the way [[graft.operators.Similarity.appendToIvfLake]] pairs with
+    * its lake write: ACCEPTED documents (fresh crawl pages that cleared
+    * dedup) join the state without a vintage rebuild, so a long-running
+    * ingest can fold its own survivors back in and stop drifting stale
+    * between vintages. Signatures/shingle sets are computed for the new
+    * docs only and appended; existing state files are never touched, and
+    * matching against state+append EQUALS matching against a full
+    * rebuild over the same corpus (q172 pins it under q69's all-pairs
+    * oracle) because [[graft.operators.Dedup.nearDupState]] is a pure
+    * per-row transform — there is no trained geometry to drift.
+    *
+    * `k` is verified against the persisted signature width (a mismatch
+    * would silently never band-match); `shingleN` is NOT detectable from
+    * the state — the caller owns that contract, as with every
+    * hash-parameterized sketch. Appending the same doc twice duplicates
+    * its state rows (both copies band identically, so correctness
+    * degrades only to duplicate pair emissions) — feed this op each
+    * accepted batch once, e.g. from an idempotent `batch_id=` leaf.
+    */
+  def appendToCorpusState(accepted: DataFrame, idCol: String,
+      textCol: String, stateDir: String, shingleN: Int = 3,
+      k: Int = 32): Unit = {
+    val spark = accepted.sparkSession
+    val width = spark.read.parquet(stateDir)
+      .select(size(col("corpus_sig"))).limit(1).collect()
+    width.headOption.foreach { r =>
+      require(r.getInt(0) == k,
+        s"$stateDir signatures are ${r.getInt(0)}-wide, caller said k=$k")
+    }
+    Dedup.nearDupState(accepted, idCol, textCol, shingleN, k)
+      .write.mode("append").parquet(stateDir)
+  }
+
   /** Drain `deltaStream` (Trigger.AvailableNow) against the state at
     * `stateDir`, writing each micro-batch's near-dup pairs to
     * `outDir/batch_id=<id>/` (idempotent overwrite), and return the

@@ -77,6 +77,33 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(leaves >= 4, s"expected >= 4 batch leaves, got $leaves")
   }
 
+  test("appendToCorpusState: state+append equals a full rebuild; k mismatch rejected") {
+    val (corpus, delta) = fixture()
+    val base = corpus.filter(col("doc_id") % 2 === 1)
+    val accepted = corpus.filter(col("doc_id") % 2 === 0)
+    val dir = Files.createTempDirectory("neardup_append_")
+    NearDupStream.writeCorpusState(base, "doc_id", "text", s"$dir/state")
+    NearDupStream.appendToCorpusState(accepted, "doc_id", "text",
+      s"$dir/state")
+    // the appended state IS the full rebuild, row for row
+    val appended = spark.read.parquet(s"$dir/state")
+    val rebuilt = Dedup.nearDupState(corpus, "doc_id", "text")
+    assert(appended.exceptAll(rebuilt).count() === 0L &&
+      rebuilt.exceptAll(appended).count() === 0L)
+    // and matching against it equals the one-shot batch operator
+    val viaState = Dedup.nearDupsAgainstState(appended, delta, "doc_id",
+      "text", threshold = 0.3)
+    val oneShot = Dedup.incrementalNearDups(corpus, delta, "doc_id",
+      "text", threshold = 0.3)
+    assert(pairs(viaState) === pairs(oneShot))
+    // a k mismatch would band-slice garbage — fail fast instead
+    val e = intercept[IllegalArgumentException] {
+      NearDupStream.appendToCorpusState(accepted, "doc_id", "text",
+        s"$dir/state", k = 16)
+    }
+    assert(e.getMessage.contains("32-wide"))
+  }
+
   test("stale-leaf cleanup resolves through the Hadoop FileSystem (file: URIs)") {
     // URI-addressed state/out/checkpoint — the HDFS/S3 deployment
     // shape. java.nio's Paths.get("file:/...") is a literal relative
