@@ -183,6 +183,29 @@ object Bench {
       dropCaches(spark) // AFTER the clock stops — cache teardown time
       label -> sec      // must not pollute sub-second path attribution
     }
+    // Fixture-vs-operator attribution for the composite audit queries:
+    // their scored wall conflates test-scaffolding (building the lake /
+    // state being audited, frozen-twin and equality audits) with the
+    // operator work a 100 TB user actually pays for (the maintenance
+    // pass + the search). The split is derived from the per-path
+    // timings above — presentation of existing measurements, not a new
+    // one — so "slowest query" readings attribute to the right bucket.
+    val fixtureSplit: Seq[(String, Set[String], Set[String])] = Seq(
+      ("q152",
+        Set("q152_base_write", "q152_frozen_search", "q152_brute_audit"),
+        Set("q152_append", "q152_lake_search")),
+      ("q162", Set("q162_build"),
+        Set("q162_search_pre", "q162_compact", "q162_search_post")),
+      ("q164", Set("q164_frozen_search"),
+        Set("q164_write", "q164_lake_search")),
+      ("q171",
+        Set("q171_build", "q171_frozen_twin", "q171_audit_doclake",
+          "q171_audit_state"),
+        Set("q171_delete", "q171_search_post")),
+      ("q172", Set("q172_state_write"), Set("q172_append", "q172_match")))
+    val pathMap = pathTimes.toMap
+    def sumPaths(labels: Set[String]): Double =
+      labels.toSeq.flatMap(pathMap.get).filter(_ >= 0).sum
     val qs = runs.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = runs.filter(_._3.isDefined)
@@ -199,6 +222,10 @@ object Bench {
     val pathsJson = pathTimes.map { case (k, v) =>
       "\"" + k + "\":" + r3d(v)
     }.mkString("{", ",", "}")
+    val splitJson = fixtureSplit.map { case (q, fix, op) =>
+      "\"" + q + "\":{\"fixture\":" + r3d(sumPaths(fix)) +
+        ",\"operator\":" + r3d(sumPaths(op)) + "}"
+    }.mkString("{", ",", "}")
     val censusJson = census.mkString("[", ",", "]")
     def flatJson: String =
       s""""flatten_docs":${flat.docs},"flatten_samples":${flat.samples},""" +
@@ -207,7 +234,7 @@ object Bench {
         s""""flatten_docs_per_s_warm":${r3d(flat.warmRateBest)},"flatten_docs_per_s_warm_median":${r3d(flat.warmRateMedian)},""" +
         s""""flatten_sec_schema_reuse":${r3d(flat.reuseSecBest)},"flatten_sec_schema_reuse_median":${r3d(flat.reuseSecMedian)},""" +
         s""""flatten_docs_per_s_schema_reuse":${r3d(flat.reuseRateBest)},"flatten_docs_per_s_schema_reuse_median":${r3d(flat.reuseRateMedian)}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"census":$censusJson,$flatJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"fixture_split":$splitJson,"census":$censusJson,$flatJson}""")
     // The driver records the TAIL of stdout, which truncated the verbose
     // line above from the front in r3 (q01-q12 timings lost, parsed:null).
     // Re-emit everything as a COMPACT single line — short query keys
@@ -217,7 +244,7 @@ object Bench {
     val qsShort = runs.map { case (k, v, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3d(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"census":$censusJson,$flatJson}""")
+    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"fixture_split":$splitJson,"census":$censusJson,$flatJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -332,13 +332,31 @@ object Similarity {
     cells
   }
 
+  /** Concrete parquet part files of a `_`-prefixed sidecar dir, listed
+    * through the Hadoop FS. Naming the underscore DIR as a read root
+    * trips DataSource's "All paths were ignored" WARN (and a glob trips
+    * FileStreamSink's metadata probe) — [error]-tagged noise in every
+    * scored bench log; explicit `part-*.parquet` file paths are clean.
+    */
+  private def sidecarFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-") &&
+        f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq
+  }
+
   /** The `_ivf_centroids` sidecar as the flat cell-major float array
     * every IVF reader/writer indexes by `cell_id * dim`.
     */
   private def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
       lakeDir: String, dim: Int): Array[Float] = {
-    val cents = spark.read.parquet(lakeDir + "/_ivf_centroids").collect()
-    require(cents.nonEmpty, s"no _ivf_centroids sidecar under $lakeDir")
+    val files = sidecarFiles(spark, lakeDir + "/_ivf_centroids")
+    require(files.nonEmpty, s"no _ivf_centroids sidecar under $lakeDir")
+    val cents = spark.read.parquet(files: _*).collect()
     val flat = new Array[Float](cents.length * dim)
     cents.foreach { r =>
       val c = r.getLong(0).toInt
@@ -635,7 +653,9 @@ object Similarity {
     */
   private def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
       lakeDir: String, dim: Int): (Int, Int, Array[Float]) = {
-    val rows = spark.read.parquet(lakeDir + "/_pq_codebooks").collect()
+    val files = sidecarFiles(spark, lakeDir + "/_pq_codebooks")
+    require(files.nonEmpty, s"no _pq_codebooks sidecar under $lakeDir")
+    val rows = spark.read.parquet(files: _*).collect()
     require(rows.length == 1, s"bad _pq_codebooks sidecar under $lakeDir")
     val m = rows(0).getInt(0)
     val ksub = rows(0).getInt(1)

@@ -3648,6 +3648,81 @@ object TrainingData {
           Similarity.ivfPqTopKFrozen(emb, qs, "vec_id", "embedding",
             dim = AnnLake.Dim, k = AnnLake.K, lakeDir = pqLakeDir,
             nProbe = AnnLake.NProbe, refine = AnnLake.Refine)))
+    } ++ {
+      // q171 (takedown): fixture = the three state builds + the audit
+      // twins; operator = the three propagated deletes + the
+      // post-delete search a user actually runs
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val scratch = Tables.freshScratchDir("graft_takedown_b_", d)
+      val tIvf = s"$scratch/ivf"
+      val tDocs = s"$scratch/docs"
+      val tState = s"$scratch/state"
+      val delVecs = emb.filter(col("vec_id") % 17 === 3).select("vec_id")
+      val delDocs = docs.filter(col("doc_id") % 13 === 2).select("doc_id")
+      def survivors = docs.join(delDocs, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("text"))
+      Seq(
+        "q171_build" -> (() => {
+          Similarity.writeIvfLake(emb, tIvf, "vec_id", "embedding",
+            dim = AnnLake.Dim, nCells = AnnLake.NCells): Unit
+          docs.write.mode("overwrite").partitionBy("source").parquet(tDocs)
+          graft.streaming.NearDupStream.writeCorpusState(
+            docs, "doc_id", "text", tState)
+          s.range(1).toDF()
+        }),
+        "q171_delete" -> (() => {
+          Similarity.deleteFromIvfLake(s, tIvf, delVecs): Unit
+          graft.sinks.Lake.deleteIds(s, tDocs, "source", "doc_id",
+            delDocs): Unit
+          graft.operators.Dedup.deleteFromNearDupState(
+            s, tState, delDocs): Unit
+          s.range(1).toDF()
+        }),
+        "q171_search_post" -> (() =>
+          Similarity.ivfTopKOverLake(s, tIvf, qs, "vec_id", "embedding",
+            dim = AnnLake.Dim, k = AnnLake.K, nProbe = AnnLake.NProbe)),
+        "q171_frozen_twin" -> (() =>
+          Similarity.ivfTopKFrozen(
+            emb.join(delVecs, Seq("vec_id"), "left_anti"), qs, "vec_id",
+            "embedding", dim = AnnLake.Dim, k = AnnLake.K, lakeDir = tIvf,
+            nProbe = AnnLake.NProbe)),
+        "q171_audit_doclake" -> (() => {
+          val back = s.read.parquet(tDocs)
+            .select(col("doc_id"), col("source"), col("text"))
+          back.exceptAll(survivors).unionAll(survivors.exceptAll(back))
+        }),
+        "q171_audit_state" -> (() => {
+          val back = s.read.parquet(tState)
+          val rebuilt = graft.operators.Dedup.nearDupState(
+            survivors, "doc_id", "text")
+          back.exceptAll(rebuilt).unionAll(rebuilt.exceptAll(back))
+        }))
+    } ++ {
+      // q172 (incremental state append): fixture = the base-state
+      // write; operator = the retrain-free append + the delta match
+      val docs = Tables.documents(s, d)
+      val scratch = Tables.freshScratchDir("graft_neardup_b_", d)
+      val st = s"$scratch/state"
+      val base = docs.filter(col("doc_id") % 20 =!= 0 &&
+        col("doc_id") % 2 === 1)
+      val accepted = docs.filter(col("doc_id") % 20 =!= 0 &&
+        col("doc_id") % 2 === 0)
+      val delta = docs.filter(col("doc_id") % 20 === 0)
+      Seq(
+        "q172_state_write" -> (() => {
+          graft.streaming.NearDupStream.writeCorpusState(
+            base, "doc_id", "text", st)
+          s.range(1).toDF()
+        }),
+        "q172_append" -> (() => {
+          graft.streaming.NearDupStream.appendToCorpusState(
+            accepted, "doc_id", "text", st)
+          s.range(1).toDF()
+        }),
+        "q172_match" -> (() =>
+          graft.operators.Dedup.nearDupsAgainstState(
+            s.read.parquet(st), delta, "doc_id", "text", threshold = 0.5)))
     }
   }
 
