@@ -103,7 +103,12 @@ object EsHttp {
     try {
       import scala.jdk.CollectionConverters._
       old.iterator().asScala
-        .filter(_.getFileName.toString.matches("page-\\d+\\.json"))
+        .filter { p =>
+          val n = p.getFileName.toString
+          // a stale schema sidecar describes the PREVIOUS vintage —
+          // it must die with the stale pages
+          n.matches("page-\\d+\\.json") || n == EsJson.SchemaSidecar
+        }
         .foreach(Files.delete(_))
     } finally old.close()
     val client = HttpClient.newHttpClient()
@@ -150,6 +155,13 @@ object EsHttp {
   def read(spark: org.apache.spark.sql.SparkSession, cfg: Config,
       pageDir: String): org.apache.spark.sql.DataFrame = {
     export(cfg, pageDir): Unit
+    // a fresh export is a new VINTAGE: discover its grafted parse
+    // schema once and persist it as the sidecar, so this read and every
+    // later read of the vintage skip inference + EmptyShapes discovery
+    // ([[EsJson.read]] takes the sidecar fast path). export() deleted
+    // any stale sidecar, so the discovery always describes THESE pages.
+    EsJson.writeSchemaSidecar(spark, pageDir,
+      EsJson.inferParseSchema(spark, Seq(pageDir)))
     EsJson.read(spark, pageDir)
   }
 }
