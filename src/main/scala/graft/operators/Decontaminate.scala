@@ -136,28 +136,42 @@ object Decontaminate {
     * the OVERLAP, which is the small side by definition when scoring
     * novelty of fresh data. The bloom itself is an invisible plan
     * optimization — the output equals the same join run without it.
-    * Gram identity here is the 64-bit `ngramHashes` kernel (the
+    * Gram identity defaults to the 64-bit `ngramHashes` kernel (the
     * q27/q43/q64 convention), NOT exact gram strings as in
     * [[flagContaminated]]: a 2^-64-per-pair hash collision between a
     * novel batch gram and any reference gram would count it as seen.
+    * When the report is LOAD-BEARING, run with `exactGrams = true`:
+    * gram identity becomes the exact n-gram string — the bloom still
+    * prefilters on the string's 64-bit hash (a bloom MISS is
+    * definitively novel either way), but bloom hits are verified with
+    * an exact string join, so a hash collision can only cost one wasted
+    * verification row, never a wrong count. The exact mode's join keys
+    * are strings (wider shuffle rows on the overlap), which is the
+    * price of the identity guarantee; the plan shape is identical.
     */
   def noveltyScores(batch: DataFrame, idCol: String, textCol: String,
-      reference: DataFrame, refTextCol: String, n: Int = 3): DataFrame = {
+      reference: DataFrame, refTextCol: String, n: Int = 3,
+      exactGrams: Boolean = false): DataFrame = {
     import graft.functions.{ArrayOps, Bloom}
+    def grams(c: org.apache.spark.sql.Column) =
+      if (exactGrams) array_distinct(Text.shingles(Text.tokens(c), n))
+      else ArrayOps.ngramHashes(Text.tokens(c), n)
+    def bloomKey(g: org.apache.spark.sql.Column) =
+      if (exactGrams) xxhash64(g) else g
     val rawRefGrams = reference
-      .select(explode(ArrayOps.ngramHashes(
-        Text.tokens(col(refTextCol)), n)).as("g"))
+      .select(explode(grams(col(refTextCol))).as("g"))
     // the bloom builds from the RAW gram stream — bit_or is idempotent,
     // so paying a distinct shuffle before it would be a wasted full
     // reference pass; the distinct set exists only for the verify join
-    val bloom = Bloom.build(rawRefGrams, "g")
+    val bloom = Bloom.build(
+      rawRefGrams.select(bloomKey(col("g")).as("g")), "g")
     val refGrams = rawRefGrams.distinct()
-    val batchGrams = batch.select(col(idCol), explode(
-        ArrayOps.ngramHashes(Text.tokens(col(textCol)), n)).as("g"))
+    val batchGrams = batch.select(col(idCol),
+      explode(grams(col(textCol))).as("g"))
     val totals = batchGrams.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"))
     val seen = batchGrams
-      .filter(Bloom.mightContain(bloom, col("g")))
+      .filter(Bloom.mightContain(bloom, bloomKey(col("g"))))
       .join(refGrams, Seq("g"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
     totals.join(seen, Seq(idCol), "left")

@@ -115,4 +115,29 @@ class DecontaminateSpec extends AnyFunSuite {
       2L -> ((2L, 2L, 1.0)),
       3L -> ((4L, 2L, 0.5))))
   }
+
+  test("noveltyScores exact mode: identical to hashed mode on a collision-free corpus") {
+    val reference = (0 until 40).map { i =>
+      (100L + i, (0 until 8).map(t => s"r${i}_$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = ((0 until 10).map { i => // near-copies: mostly seen grams
+      (i.toLong, (0 until 8).map(t => s"r${i}_$t").mkString(" "))
+    } ++ (10 until 20).map { i =>        // fresh docs: all-novel grams
+      (i.toLong, (0 until 8).map(t => s"n${i}_$t").mkString(" "))
+    }).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val hashed = rows(Decontaminate.noveltyScores(
+      batch, "doc_id", "text", reference, "text", n = 3))
+    val exact = rows(Decontaminate.noveltyScores(
+      batch, "doc_id", "text", reference, "text", n = 3,
+      exactGrams = true))
+    assert(exact === hashed,
+      "exact and hashed gram identity must agree when no hash collides")
+    // and the exact mode's verdicts are right on their own terms
+    val byId = exact.map(t => t._1 -> t._4).toMap
+    assert((0L until 10L).forall(byId(_) === 0.0))
+    assert((10L until 20L).forall(byId(_) === 1.0))
+  }
 }
