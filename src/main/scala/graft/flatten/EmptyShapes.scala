@@ -144,17 +144,23 @@ object EmptyShapes {
       var tooBig = false
       val pIt = paths.iterator
       while (pIt.hasNext && !tooBig) {
-        val path = new org.apache.hadoop.fs.Path(pIt.next())
-        val fs = path.getFileSystem(conf)
+        val raw = new org.apache.hadoop.fs.Path(pIt.next())
+        val fs = raw.getFileSystem(conf)
+        // listed files come back fully qualified (file:/…); qualify the
+        // root the same way or the hidden-walk's termination test never
+        // fires and components ABOVE the root get inspected too
+        val path = fs.makeQualified(raw)
         val it = fs.listFiles(path, true)
         while (it.hasNext && !tooBig) {
           val f = it.next()
           val name = f.getPath.getName
           val hidden = {
-            // any hidden component under the root disqualifies the file
+            // any hidden component STRICTLY BELOW the listed root
+            // disqualifies the file (spark.read's path filter; an
+            // explicitly listed root is exempt, also like Spark)
             var cur = f.getPath
             var h = false
-            while (cur != null && cur.toString != path.toString) {
+            while (cur != null && cur != path) {
               val n = cur.getName
               if (n.startsWith("_") || n.startsWith(".")) h = true
               cur = cur.getParent
@@ -199,6 +205,14 @@ object EmptyShapes {
     * the 5,028-column golden sample costs ~1 s); partial trees from
     * only-matching docs are sound because graft() never modifies a key
     * the inferred schema already carries.
+    *
+    * Known cost caveat (soundness unaffected): the regex also matches
+    * `{}` inside STRING VALUES, so a code/JSON-bearing text corpus
+    * parses more documents than actually carry droppable keys — the
+    * graft still never touches keys inference kept, it just pays more
+    * parse time at inference. Known-vintage reads skip this pass
+    * entirely via the `_schema.json` sidecar
+    * ([[graft.sources.EsJson.writeSchemaSidecar]]).
     */
   def discoverLines(
       lines: org.apache.spark.sql.Dataset[String]): Option[Raw] = {

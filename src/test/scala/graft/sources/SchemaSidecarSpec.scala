@@ -112,6 +112,28 @@ class SchemaSidecarSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("local discovery: a hidden-named ANCESTOR of the listed root does not hide the files") {
+    import graft.flatten.EmptyShapes
+    // the listed root lives under a dot-prefixed parent — components
+    // ABOVE the root must not trip the hidden filter (spark.read reads
+    // this layout fine; a mis-qualified walk would silently discover
+    // nothing and the graft would never fire)
+    val parent = Files.createTempDirectory(".sidecar_hidden_")
+    val dir = parent.resolve("docs")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("d.jsonl"), """{"k": 1, "e": {}}""")
+    val got = EmptyShapes.discover(spark, Seq(dir.toString),
+      wholeFile = false)
+    assert(got.isDefined, "files under a hidden-named ancestor were skipped")
+    // while a hidden component BELOW the root still filters, like Spark
+    val dir2 = Files.createTempDirectory("sidecar_below_")
+    Files.createDirectories(dir2.resolve("_meta"))
+    Files.writeString(dir2.resolve("_meta").resolve("d.jsonl"),
+      """{"e": {}}""")
+    assert(EmptyShapes.discover(spark, Seq(dir2.toString),
+      wholeFile = false).isEmpty)
+  }
+
   test("driver-local EmptyShapes discovery equals the distributed pass") {
     import graft.flatten.EmptyShapes
     val dir = Files.createTempDirectory("sidecar_local_")
