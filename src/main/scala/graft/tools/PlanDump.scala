@@ -56,7 +56,8 @@ object PlanDump {
     "q158_keepbest_dedup", "q159_line_dedup", "q160_winnowed_runs",
     "q161_rare_sequences", "q162_ivf_compaction", "q164_ivfpq_lake",
     "q165_temp_shares", "q166_centroid_drift", "q167_dist_drift",
-    "q168_quota_select", "q169_span_scrub", "q170_dup_profile")
+    "q168_quota_select", "q169_span_scrub", "q170_dup_profile",
+    "q171_takedown", "q172_state_append")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -100,7 +101,27 @@ object PlanDump {
       "verify joins are batch-sized, and per-batch persists are " +
       "released before the next trigger. Stream==batch equality under " +
       "q69's oracle is pinned by the driver gate; strategy and leak " +
-      "hygiene by NearDupStreamSpec."))
+      "hygiene by NearDupStreamSpec."),
+    "q171_takedown" -> ("the snapshot shows the post-delete search " +
+      "aggregate (audit literals riding a one-row frame); the " +
+      "load-bearing plans are in the takedown passes themselves: the " +
+      "id→partition mapping is a COLUMN-PRUNED scan (id + the partition " +
+      "value the directory layout supplies — bodies/embeddings never " +
+      "decoded), only partitions/cells actually holding a deleted id " +
+      "are rewritten under the string-leaf manifest commit protocol, " +
+      "ANN sidecars and probe geometry are untouched, and the near-dup " +
+      "state rewrite is one anti-join over the ~1-2%-of-corpus " +
+      "signature lake with a rename-only swap. TakedownSpec pins " +
+      "partition-scoped rewrite (unaffected leaves byte-stable), both " +
+      "crash-recovery windows, and the frozen-twin equalities; the " +
+      "driver oracle pins all four audits."),
+    "q172_state_append" -> ("the match plan is q163's foreachBatch " +
+      "shape read from a state+append lake: the signature lake is " +
+      "SCANNED (never shuffled) against the delta's broadcast banded " +
+      "keys, and because nearDupState is a pure per-row transform the " +
+      "appended lake is row-identical to a full rebuild — the append " +
+      "path sits under q69's exact all-pairs oracle. Width-mismatch " +
+      "appends fail fast (NearDupStreamSpec)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
