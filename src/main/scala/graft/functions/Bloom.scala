@@ -47,6 +47,18 @@ object Bloom {
     arr
   }
 
+  /** The k bit positions of one item as an array column — the primitive
+    * a COUNTING bloom needs: inserts/removals adjust per-position counts
+    * by the item's full position multiset (a within-item position
+    * collision contributes ±2 there, keeping insert/delete balanced),
+    * which [[build]]'s or-fold cannot express. Same seeds as
+    * [[build]]/[[mightContain]], so counts>0 collapses to exactly the
+    * word array those functions agree on.
+    */
+  private[graft] def positions(item: Column, mBits: Int = DefaultBits,
+      k: Int = DefaultHashes): Column =
+    array((0 until k).map(s => position(s, item, mBits)): _*)
+
   /** Membership test: true if every one of the k bits is set. False
     * positives at the configured rate; false negatives never.
     */

@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+  StructField, StructType}
 
 import graft.functions.Text
 
@@ -174,11 +178,439 @@ object Decontaminate {
       .filter(Bloom.mightContain(bloom, bloomKey(col("g"))))
       .join(refGrams, Seq("g"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
+    noveltyFromCounts(totals, seen, idCol)
+  }
+
+  private def noveltyFromCounts(totals: DataFrame, seen: DataFrame,
+      idCol: String): DataFrame =
     totals.join(seen, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         (col("n_grams") - coalesce(col("n_seen"), lit(0L)))
           .as("n_novel"),
         round((col("n_grams") - coalesce(col("n_seen"), lit(0L)))
           .cast("double") / col("n_grams"), 6).as("novelty_rate"))
+
+  // ------------------------------------------------------------------
+  // Persisted reference sketch — the 100 TB form of [[noveltyScores]]'s
+  // reference side. Scoring every crawl batch cannot re-scan the full
+  // reference corpus (the bloom + distinct-gram build above IS a corpus
+  // scan), so the sketch persists once and mutates incrementally:
+  //
+  //   dir/grams/bucket=N/          gram refcount lake: (g, n_docs),
+  //                                hash-bucketed so append/takedown
+  //                                rewrite only AFFECTED buckets
+  //   dir/_bloom/                  COUNTING bloom (pos, cnt): the
+  //                                prefilter bit array plus the per-
+  //                                position counts that make DELETION
+  //                                an O(deleted grams) decrement — a
+  //                                plain bloom would force a full gram-
+  //                                lake rescan to rebuild its bits
+  //   dir/_sketch_meta.json        (n, exactGrams, mBits, bloomK,
+  //                                nBuckets) — the build's commit point
+  //                                and every later call's parameter
+  //                                source, so a caller can never band-
+  //                                slice the sketch with mismatched
+  //                                gram parameters
+  //
+  // Refcounts are DOC counts per gram (per-doc-distinct grams), so a
+  // takedown of documents decrements exactly what their ingest once
+  // contributed; a gram reaching zero leaves the lake and its k bloom
+  // positions decrement (a position reaching zero clears the bit).
+  // The bloom therefore stays exactly the bloom of the surviving gram
+  // set — no false negatives ever, which is the property novelty
+  // correctness rides on (a bloom MISS is counted novel WITHOUT
+  // verification).
+  //
+  // Crash safety: gram buckets rewrite under the
+  // [[graft.sinks.Lake.deleteIds]] manifest protocol (tmp leaves →
+  // name manifest → idempotent renames); the bloom swaps whole
+  // (rename-only [[graft.sinks.Lake.swapDirs]] — it is O(mBits), not
+  // O(corpus)). Ordering keeps the bloom a SUPERSET of the gram lake
+  // through every crash window: append commits bloom increments BEFORE
+  // gram buckets; delete commits gram buckets first and parks the
+  // removed grams in a `_pending_bloom_<opId>` sidecar so a crashed
+  // run's decrement completes on retry. Each phase publishes an
+  // `_applied_<opId>` marker ATOMICALLY with its data (the marker
+  // rides inside the renamed directory / manifest), so retrying a
+  // completed opId is an exact no-op — refcounts cannot double-apply.
+  // Contract: one mutation at a time, and a failed op is retried (same
+  // opId) before the next op starts — the single-writer discipline
+  // every manifest-protocol lake in this engine assumes.
+  // ------------------------------------------------------------------
+
+  /** Sketch geometry + gram identity, persisted at build time. */
+  final case class SketchMeta(n: Int, exactGrams: Boolean, mBits: Int,
+    bloomK: Int, nBuckets: Int)
+
+  private val MetaName = "_sketch_meta.json"
+  private val GramsName = "grams"
+  private val BloomName = "_bloom"
+
+  private def gramsOf(c: Column, m: SketchMeta): Column =
+    if (m.exactGrams) array_distinct(Text.shingles(Text.tokens(c), m.n))
+    else graft.functions.ArrayOps.ngramHashes(Text.tokens(c), m.n)
+
+  private def bloomKeyOf(g: Column, m: SketchMeta): Column =
+    if (m.exactGrams) xxhash64(g) else g
+
+  private def bucketOf(g: Column, m: SketchMeta): Column =
+    pmod(xxhash64(g), lit(m.nBuckets.toLong)).cast("int")
+
+  private def gramSchema(m: SketchMeta): StructType = StructType(Seq(
+    StructField("g", if (m.exactGrams) StringType else LongType),
+    StructField("n_docs", LongType),
+    StructField("bucket", IntegerType)))
+
+  private val BloomSchema = StructType(Seq(
+    StructField("pos", IntegerType), StructField("cnt", LongType)))
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The gram refcount lake with its EXPLICIT schema — a sketch whose
+    * grams were fully deleted has only empty bucket dirs, which schema
+    * inference cannot read.
+    */
+  private def readGrams(spark: SparkSession, dir: String,
+      m: SketchMeta): DataFrame =
+    spark.read.schema(gramSchema(m)).parquet(s"$dir/$GramsName")
+
+  private def readBloomCounts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(BloomSchema).parquet(s"$dir/$BloomName")
+
+  /** The counting bloom collapsed to [[graft.functions.Bloom]]'s word
+    * array (bit set iff the position count is positive).
+    */
+  private def bloomWords(spark: SparkSession, dir: String,
+      m: SketchMeta): Array[Long] = {
+    val words = new Array[Long](m.mBits / 64)
+    readBloomCounts(spark, dir).filter(col("cnt") > 0).collect().foreach {
+      r =>
+        val pos = r.getInt(0)
+        words(pos / 64) |= (1L << (pos % 64))
+    }
+    words
+  }
+
+  /** Persist the sketch meta LAST — it is the build's commit point. */
+  private def writeMeta(fs: FileSystem, base: Path, m: SketchMeta): Unit = {
+    val side = new Path(base, MetaName + ".writing")
+    val json = s"""{"version":1,"n":${m.n},"exactGrams":${m.exactGrams},""" +
+      s""""mBits":${m.mBits},"bloomK":${m.bloomK},"nBuckets":${m.nBuckets}}"""
+    val out = fs.create(side, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(base, MetaName)
+    fs.delete(dst, false)
+    require(fs.rename(side, dst), s"sketch meta commit $side -> $dst failed")
+  }
+
+  /** A sketch without a readable meta is not a sketch — fail loudly
+    * rather than guess gram parameters.
+    */
+  def readMeta(spark: SparkSession, dir: String): SketchMeta = {
+    val (fs, base) = fsOf(spark, dir)
+    val p = new Path(base, MetaName)
+    require(fs.exists(p), s"no reference sketch at $dir (missing $MetaName)")
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    def i(f: String) = {
+      require(node.hasNonNull(f), s"sketch meta $p missing field '$f'")
+      node.get(f).asInt
+    }
+    SketchMeta(i("n"), node.get("exactGrams").asBoolean, i("mBits"),
+      i("bloomK"), i("nBuckets"))
+  }
+
+  /** Build the persisted sketch from the reference corpus — the ONE
+    * full corpus scan of the sketch's lifetime; every later append,
+    * takedown, and batch scoring works from the persisted state.
+    */
+  def writeReferenceSketch(spark: SparkSession, dir: String,
+      reference: DataFrame, refTextCol: String, n: Int = 3,
+      exactGrams: Boolean = false,
+      mBits: Int = graft.functions.Bloom.DefaultBits,
+      bloomK: Int = graft.functions.Bloom.DefaultHashes,
+      nBuckets: Int = 64): Unit = {
+    require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    require(bloomK >= 1 && nBuckets >= 1 && n >= 1,
+      s"bad sketch geometry: bloomK=$bloomK nBuckets=$nBuckets n=$n")
+    val m = SketchMeta(n, exactGrams, mBits, bloomK, nBuckets)
+    val (fs, base) = fsOf(spark, dir)
+    fs.delete(new Path(base, MetaName), false) // stale meta ≠ this build
+    reference
+      .select(explode(gramsOf(col(refTextCol), m)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket", bucketOf(col("g"), m))
+      .repartition(math.min(nBuckets, 1 << 10), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/$GramsName")
+    // bloom counts from the WRITTEN lake — no second corpus scan
+    readGrams(spark, dir, m)
+      .select(explode(graft.functions.Bloom.positions(
+        bloomKeyOf(col("g"), m), mBits, bloomK)).as("pos"))
+      .groupBy("pos").agg(count(lit(1)).as("cnt"))
+      .select(col("pos").cast("int").as("pos"), col("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/$BloomName")
+    // discard debris from any previous sketch generation at this path
+    // (the grams/bloom overwrites already cleared their own markers —
+    // opIds are scoped to a sketch generation)
+    Option(fs.globStatus(new Path(base, "_pending_bloom_*")))
+      .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
+    fs.delete(new Path(s"$dir/$BloomName.mut_backup"), true)
+    writeMeta(fs, base, m)
+  }
+
+  private def appliedMarker(opId: String): String = {
+    require(opId != null && opId.nonEmpty && !opId.contains("/"),
+      s"opId must be a non-empty path-safe token, got '$opId'")
+    s"_applied_$opId"
+  }
+
+  private def markerFile(fs: FileSystem, dir: Path, name: String,
+      content: String): Unit = {
+    val out = fs.create(new Path(dir, name), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMarker(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  /** [[graft.sinks.Lake.swapDirs]] can die between its two renames,
+    * leaving the live bloom parked at the backup name — restore it
+    * before any mutation touches the sketch.
+    */
+  private def recoverBloom(fs: FileSystem, dir: String): Unit = {
+    val live = new Path(s"$dir/$BloomName")
+    val backup = new Path(s"$dir/$BloomName.mut_backup")
+    if (!fs.exists(live) && fs.exists(backup))
+      require(fs.rename(backup, live),
+        s"bloom recovery failed: $backup -> $live")
+  }
+
+  /** Rewrite the bloom-count lake by `delta` (pos, dcnt) and swap it in,
+    * carrying forward every `_applied_*` marker plus `newMarker` — the
+    * swap is what publishes the marker, so "bloom updated" and "opId
+    * applied" are one rename.
+    */
+  private def commitBloomDelta(spark: SparkSession, dir: String,
+      delta: DataFrame, newMarker: String, markerContent: String): Unit = {
+    val (fs, _) = fsOf(spark, dir)
+    val live = new Path(s"$dir/$BloomName")
+    val tmp = new Path(s"$dir/$BloomName.mut_tmp")
+    val merged = readBloomCounts(spark, dir)
+      .unionAll(delta.select(col("pos").cast("int").as("pos"),
+        col("dcnt").cast("long").as("cnt")))
+      .groupBy("pos").agg(sum("cnt").as("cnt"))
+      .select(col("pos"),
+        when(col("cnt") < 0, raise_error(concat(
+          lit("reference sketch bloom count below zero at position "),
+          col("pos").cast("string"),
+          lit(" — a takedown removed grams the sketch never held")))
+          .cast("bigint"))
+        .otherwise(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 0)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    // markers ride inside the directory being renamed in
+    fs.listStatus(live).iterator
+      .filter(_.getPath.getName.startsWith("_applied_"))
+      .foreach(s => markerFile(fs, tmp, s.getPath.getName,
+        readMarker(fs, s.getPath)))
+    markerFile(fs, tmp, newMarker, markerContent)
+    graft.sinks.Lake.swapDirs(fs, live, tmp,
+      new Path(s"$dir/$BloomName.mut_backup"))
+  }
+
+  /** Merge `docs`' per-doc-distinct grams into the refcount lake at
+    * `sign` (+1 append / −1 takedown). Returns (mergedBuckets frame —
+    * every surviving (g, n_docs, from_delta) row of the AFFECTED
+    * buckets plus the n_docs==0 rows so callers can split crossers,
+    * affected bucket values). The caller persists/acts; nothing is
+    * committed here.
+    */
+  private def mergedDelta(spark: SparkSession, dir: String, m: SketchMeta,
+      docs: DataFrame, textCol: String, sign: Int)
+      : (DataFrame, Seq[Int]) = {
+    val delta = docs
+      .select(explode(gramsOf(col(textCol), m)).as("g"))
+      .groupBy("g").agg((count(lit(1)) * sign).as("d"))
+      .withColumn("bucket", bucketOf(col("g"), m))
+    val affected = delta.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // bounded by nBuckets
+    if (affected.isEmpty) return (null, Nil)
+    val live = readGrams(spark, dir, m)
+      .filter(col("bucket").isin(affected: _*))
+    val merged = live
+      .select(col("bucket"), col("g"), col("n_docs").as("c"),
+        lit(0L).as("dc"))
+      .unionAll(delta.select(col("bucket"), col("g"), col("d").as("c"),
+        col("d").as("dc")))
+      .groupBy("bucket", "g")
+      .agg(sum("c").as("n_docs"), sum("dc").as("from_delta"))
+      .select(col("bucket"), col("g"),
+        when(col("n_docs") < 0, raise_error(concat(
+          lit("deleteFromReferenceSketch: gram refcount below zero — " +
+            "the deleted documents were not all sketch members (gram "),
+          col("g").cast("string"), lit(")"))).cast("bigint"))
+          .otherwise(col("n_docs")).as("n_docs"),
+        col("from_delta"))
+    (merged, affected)
+  }
+
+  /** Commit the surviving rows of the affected buckets (manifest
+    * protocol), publishing `marker` with the same rename.
+    */
+  private def commitGramBuckets(spark: SparkSession, dir: String,
+      merged: DataFrame, affected: Seq[Int], marker: String,
+      markerContent: String): Unit = {
+    val (fs, _) = fsOf(spark, dir)
+    val base = new Path(s"$dir/$GramsName")
+    val tmp = new Path(s"$dir/$GramsName.mut_tmp")
+    merged.filter(col("n_docs") > 0)
+      .select(col("g"), col("n_docs"), col("bucket"))
+      .repartition(math.min(affected.size, 1 << 10), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    val leafNames = affected.map(b => s"bucket=$b")
+    leafNames.foreach { name => // fully-emptied buckets still need a leaf
+      val leaf = new Path(tmp, name)
+      if (!fs.exists(leaf)) require(fs.mkdirs(leaf),
+        s"sketch commit: could not create empty replacement $leaf")
+    }
+    markerFile(fs, tmp, marker, markerContent)
+    graft.sinks.Lake.writeNameManifest(fs, tmp, leafNames :+ marker)
+    graft.sinks.Lake.promoteLeaves(fs, base, tmp, leafNames :+ marker)
+  }
+
+  /** Add accepted documents to the sketch WITHOUT a rebuild: refcounts
+    * merge into the affected gram buckets, first-occurrence grams
+    * increment their bloom positions. Retrying a completed `opId` is a
+    * no-op; retrying a crashed one completes it. Returns the number of
+    * grams new to the sketch.
+    */
+  def appendToReferenceSketch(spark: SparkSession, dir: String,
+      docs: DataFrame, textCol: String, opId: String): Long = {
+    val m = readMeta(spark, dir)
+    val marker = appliedMarker(opId)
+    val (fs, base) = fsOf(spark, dir)
+    val gramsBase = new Path(base, GramsName)
+    graft.sinks.Lake.recoverLeafCommit(fs, gramsBase,
+      new Path(s"$dir/$GramsName.mut_tmp"))
+    recoverBloom(fs, dir)
+    val done = new Path(gramsBase, marker)
+    if (fs.exists(done)) return readMarker(fs, done).trim.toLong
+    val (merged, affected) =
+      mergedDelta(spark, dir, m, docs, textCol, sign = 1)
+    if (affected.isEmpty) return 0L
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    merged.persist(lvl)
+    try {
+      // grams first observed by this append: their live count equals
+      // the delta's contribution
+      val crossers = merged
+        .filter(col("from_delta") > 0 && col("n_docs") === col("from_delta"))
+        .select("g")
+      val nNew = crossers.count()
+      // bloom increments commit FIRST: through every crash window the
+      // bloom stays a superset of the gram lake (no false negatives)
+      if (!fs.exists(new Path(s"$dir/$BloomName/$marker"))) {
+        val delta = crossers
+          .select(explode(graft.functions.Bloom.positions(
+            bloomKeyOf(col("g"), m), m.mBits, m.bloomK)).as("pos"))
+          .groupBy("pos").agg(count(lit(1)).as("dcnt"))
+        commitBloomDelta(spark, dir, delta, marker, nNew.toString)
+      }
+      commitGramBuckets(spark, dir, merged, affected, marker,
+        nNew.toString)
+      nNew
+    } finally { merged.unpersist(); () }
+  }
+
+  /** Takedown: remove deleted reference documents' gram contributions.
+    * `docs` are the documents being erased (id+text retrieved BEFORE
+    * the doc-lake delete — the same flow as
+    * [[graft.sinks.Lake.deleteIds]]'s callers). Refcounts decrement in
+    * the affected buckets only; grams reaching zero leave the lake and
+    * decrement their bloom positions, so the bloom IS the bloom of the
+    * surviving gram set — nothing is ever rebuilt from the corpus.
+    * Deleting documents the sketch never ingested fails loudly (the
+    * refcount would go negative). Retrying a completed `opId` is a
+    * no-op. Returns the number of grams fully removed.
+    */
+  def deleteFromReferenceSketch(spark: SparkSession, dir: String,
+      docs: DataFrame, textCol: String, opId: String): Long = {
+    val m = readMeta(spark, dir)
+    val marker = appliedMarker(opId)
+    val (fs, base) = fsOf(spark, dir)
+    val gramsBase = new Path(base, GramsName)
+    graft.sinks.Lake.recoverLeafCommit(fs, gramsBase,
+      new Path(s"$dir/$GramsName.mut_tmp"))
+    recoverBloom(fs, dir)
+    val pending = new Path(base, s"_pending_bloom_$opId")
+    val gramsDone = new Path(gramsBase, marker)
+    val bloomDone = new Path(s"$dir/$BloomName/$marker")
+    if (!fs.exists(gramsDone)) {
+      val (merged, affected) =
+        mergedDelta(spark, dir, m, docs, textCol, sign = -1)
+      if (affected.isEmpty) return 0L
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      merged.persist(lvl)
+      try {
+        val removed = merged.filter(col("n_docs") === 0).select("g")
+        // park the removed grams BEFORE the gram commit: once the lake
+        // no longer holds them, a crashed run could not recompute which
+        // bloom positions still owe a decrement
+        removed.write.mode("overwrite").parquet(pending.toString)
+        val nRemoved = spark.read.schema(
+            StructType(gramSchema(m).fields.take(1)))
+          .parquet(pending.toString).count()
+        commitGramBuckets(spark, dir, merged, affected, marker,
+          nRemoved.toString)
+      } finally { merged.unpersist(); () }
+    }
+    val nRemoved = readMarker(fs, gramsDone).trim.toLong
+    if (!fs.exists(bloomDone)) {
+      val removed = spark.read
+        .schema(StructType(gramSchema(m).fields.take(1)))
+        .parquet(pending.toString)
+      val delta = removed
+        .select(explode(graft.functions.Bloom.positions(
+          bloomKeyOf(col("g"), m), m.mBits, m.bloomK)).as("pos"))
+        .groupBy("pos").agg((-count(lit(1))).as("dcnt"))
+      commitBloomDelta(spark, dir, delta, marker, nRemoved.toString)
+    }
+    fs.delete(pending, true)
+    nRemoved
+  }
+
+  /** [[noveltyScores]] against the PERSISTED sketch: same output,
+    * column for column, as running [[noveltyScores]] with the sketch's
+    * parameters against the reference corpus the sketch currently
+    * represents (q173 pins the equality through an append AND a
+    * takedown) — but the reference corpus is never scanned: the bloom
+    * prefilter loads from the counting sidecar and the exact verify
+    * joins the gram lake.
+    */
+  def noveltyScoresAgainstSketch(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val m = readMeta(spark, dir)
+    val words = bloomWords(spark, dir, m)
+    val refGrams = readGrams(spark, dir, m).select("g")
+    val batchGrams = batch.select(col(idCol),
+      explode(gramsOf(col(textCol), m)).as("g"))
+    val totals = batchGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val seen = batchGrams
+      .filter(graft.functions.Bloom.mightContain(words,
+        bloomKeyOf(col("g"), m), m.mBits, m.bloomK))
+      .join(refGrams, Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
+    noveltyFromCounts(totals, seen, idCol)
   }
 }

@@ -148,26 +148,9 @@ object Lake {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + ".takedown_tmp")
-    val manifest = new Path(tmp, graft.streaming.PartialAggs.ManifestName)
-    def promote(leafNames: Seq[String]): Unit = {
-      leafNames.foreach { name =>
-        val src = new Path(tmp, name)
-        if (fs.exists(src)) { // absent = already promoted by a dead pass
-          fs.delete(new Path(path, name), true)
-          require(fs.rename(src, new Path(path, name)),
-            s"deleteIds: rename $src failed; the rewritten partition is " +
-              "intact in the tmp dir — re-run the pass")
-        }
-      }
-      require(fs.delete(tmp, true),
-        s"deleteIds: could not remove committed tmp $tmp")
-    }
-    if (fs.exists(tmp)) { // recovery first, like every manifest protocol
-      if (fs.exists(manifest))
-        promote(readNameManifest(fs, manifest))
-      else require(fs.delete(tmp, true),
-        s"deleteIds: could not discard uncommitted tmp $tmp")
-    }
+    def promote(leafNames: Seq[String]): Unit =
+      promoteLeaves(fs, path, tmp, leafNames)
+    recoverLeafCommit(fs, path, tmp)
     val dels = ids.select(col(ids.columns.head).as(idCol)).distinct()
     val lake = read(spark, dir)
     // bounded: one row per AFFECTED partition value (id + partition
@@ -209,6 +192,42 @@ object Lake {
     promote(affectedNames)
     (affectedNames.size.toLong, removed)
   }
+
+  /** Promote a committed leaf-rewrite: each listed name under `tmp`
+    * replaces its sibling under `base` (idempotent per leaf — a name no
+    * longer in tmp was already promoted by a dead pass and is skipped),
+    * then tmp is removed. Works for leaf DIRECTORIES and plain files
+    * (marker files) alike; only ever call with the manifest's names.
+    */
+  private[graft] def promoteLeaves(fs: FileSystem, base: Path, tmp: Path,
+      names: Seq[String]): Unit = {
+    names.foreach { name =>
+      val src = new Path(tmp, name)
+      if (fs.exists(src)) { // absent = already promoted by a dead pass
+        fs.delete(new Path(base, name), true)
+        require(fs.rename(src, new Path(base, name)),
+          s"leaf commit: rename $src failed; the rewritten leaf is " +
+            "intact in the tmp dir — re-run the pass")
+      }
+    }
+    require(fs.delete(tmp, true),
+      s"leaf commit: could not remove committed tmp $tmp")
+  }
+
+  /** Recovery half of the leaf-rewrite protocol — call BEFORE starting a
+    * new rewrite of `base`: a committed tmp (manifest present) rolls
+    * FORWARD (its listed leaves promote), an uncommitted tmp is
+    * discarded (nothing was published, so it is disposable).
+    */
+  private[graft] def recoverLeafCommit(fs: FileSystem, base: Path,
+      tmp: Path): Unit =
+    if (fs.exists(tmp)) {
+      val manifest = new Path(tmp, graft.streaming.PartialAggs.ManifestName)
+      if (fs.exists(manifest))
+        promoteLeaves(fs, base, tmp, readNameManifest(fs, manifest))
+      else require(fs.delete(tmp, true),
+        s"leaf commit: could not discard uncommitted tmp $tmp")
+    }
 
   /** String-leaf-name manifest commit (side name + rename, the
     * [[graft.streaming.PartialAggs.writeManifest]] discipline
