@@ -202,7 +202,9 @@ object Bench {
         Set("q171_build", "q171_frozen_twin", "q171_audit_doclake",
           "q171_audit_state"),
         Set("q171_delete", "q171_search_post")),
-      ("q172", Set("q172_state_write"), Set("q172_append", "q172_match")))
+      ("q172", Set("q172_state_write"), Set("q172_append", "q172_match")),
+      ("q173", Set("q173_build"),
+        Set("q173_append", "q173_takedown", "q173_score")))
     val pathMap = pathTimes.toMap
     def sumPaths(labels: Set[String]): Double =
       labels.toSeq.flatMap(pathMap.get).filter(_ >= 0).sum

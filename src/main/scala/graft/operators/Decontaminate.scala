@@ -277,8 +277,19 @@ object Decontaminate {
       m: SketchMeta): DataFrame =
     spark.read.schema(gramSchema(m)).parquet(s"$dir/$GramsName")
 
-  private def readBloomCounts(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(BloomSchema).parquet(s"$dir/$BloomName")
+  /** The counting-bloom lake, read via concrete part-file paths: naming
+    * the `_bloom` underscore dir as a read root trips DataSource's "All
+    * paths were ignored" WARN ([error]-tagged noise in scored logs), and
+    * the dir also carries non-parquet `_applied_*` markers.
+    */
+  private def readBloomCounts(spark: SparkSession, dir: String): DataFrame = {
+    val files =
+      graft.sinks.Lake.sidecarParquetFiles(spark, s"$dir/$BloomName")
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BloomSchema)
+    else spark.read.schema(BloomSchema).parquet(files: _*)
+  }
 
   /** The counting bloom collapsed to [[graft.functions.Bloom]]'s word
     * array (bit set iff the position count is positive).
@@ -532,6 +543,20 @@ object Decontaminate {
     } finally { merged.unpersist(); () }
   }
 
+  /** The parked removed-gram set of a takedown in flight, read via
+    * concrete part-file paths (the `_pending_bloom_*` underscore dir
+    * would otherwise trip the "All paths were ignored" WARN).
+    */
+  private def readPending(spark: SparkSession, pendingDir: String,
+      m: SketchMeta): DataFrame = {
+    val schema = StructType(gramSchema(m).fields.take(1))
+    val files = graft.sinks.Lake.sidecarParquetFiles(spark, pendingDir)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
   /** Takedown: remove deleted reference documents' gram contributions.
     * `docs` are the documents being erased (id+text retrieved BEFORE
     * the doc-lake delete — the same flow as
@@ -567,18 +592,14 @@ object Decontaminate {
         // no longer holds them, a crashed run could not recompute which
         // bloom positions still owe a decrement
         removed.write.mode("overwrite").parquet(pending.toString)
-        val nRemoved = spark.read.schema(
-            StructType(gramSchema(m).fields.take(1)))
-          .parquet(pending.toString).count()
+        val nRemoved = readPending(spark, pending.toString, m).count()
         commitGramBuckets(spark, dir, merged, affected, marker,
           nRemoved.toString)
       } finally { merged.unpersist(); () }
     }
     val nRemoved = readMarker(fs, gramsDone).trim.toLong
     if (!fs.exists(bloomDone)) {
-      val removed = spark.read
-        .schema(StructType(gramSchema(m).fields.take(1)))
-        .parquet(pending.toString)
+      val removed = readPending(spark, pending.toString, m)
       val delta = removed
         .select(explode(graft.functions.Bloom.positions(
           bloomKeyOf(col("g"), m), m.mBits, m.bloomK)).as("pos"))

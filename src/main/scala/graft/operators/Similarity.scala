@@ -332,22 +332,12 @@ object Similarity {
     cells
   }
 
-  /** Concrete parquet part files of a `_`-prefixed sidecar dir, listed
-    * through the Hadoop FS. Naming the underscore DIR as a read root
-    * trips DataSource's "All paths were ignored" WARN (and a glob trips
-    * FileStreamSink's metadata probe) — [error]-tagged noise in every
-    * scored bench log; explicit `part-*.parquet` file paths are clean.
+  /** See [[graft.sinks.Lake.sidecarParquetFiles]] — concrete part-file
+    * paths keep underscore-dir sidecar reads out of the scored logs.
     */
   private def sidecarFiles(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[String] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Seq.empty
-    else fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-") &&
-        f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).toSeq
-  }
+      dir: String): Seq[String] =
+    graft.sinks.Lake.sidecarParquetFiles(spark, dir)
 
   /** The `_ivf_centroids` sidecar as the flat cell-major float array
     * every IVF reader/writer indexes by `cell_id * dim`.

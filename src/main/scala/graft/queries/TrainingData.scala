@@ -3723,6 +3723,38 @@ object TrainingData {
         "q172_match" -> (() =>
           graft.operators.Dedup.nearDupsAgainstState(
             s.read.parquet(st), delta, "doc_id", "text", threshold = 0.5)))
+    } ++ {
+      // q173 (persisted reference sketch): fixture = the one-time
+      // corpus-scan build; operator = the incremental append/takedown
+      // and the per-batch scoring a production pipeline actually pays
+      val docs = Tables.documents(s, d)
+      val ref = docs.filter(col("doc_id") % 5 =!= 0)
+      val initial = ref.filter(col("doc_id") % 3 =!= 1)
+      val appended = ref.filter(col("doc_id") % 3 === 1)
+      val erased = initial.filter(col("doc_id") % 7 === 2)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val skDir = Tables.freshScratchDir("graft_refsketch_b_", d)
+        .toString + "/sketch"
+      Seq(
+        "q173_build" -> (() => {
+          graft.operators.Decontaminate.writeReferenceSketch(
+            s, skDir, initial, "text", n = 3, exactGrams = true,
+            nBuckets = 32)
+          s.range(1).toDF()
+        }),
+        "q173_append" -> (() => {
+          graft.operators.Decontaminate.appendToReferenceSketch(
+            s, skDir, appended, "text", opId = "vintage1"): Unit
+          s.range(1).toDF()
+        }),
+        "q173_takedown" -> (() => {
+          graft.operators.Decontaminate.deleteFromReferenceSketch(
+            s, skDir, erased, "text", opId = "erasure1"): Unit
+          s.range(1).toDF()
+        }),
+        "q173_score" -> (() =>
+          graft.operators.Decontaminate.noveltyScoresAgainstSketch(
+            s, skDir, batch, "doc_id", "text")))
     }
   }
 
@@ -4722,6 +4754,59 @@ object TrainingData {
       s.read.parquet(stateDir), delta, "doc_id", "text", threshold = 0.5)
   }
 
+  // --- q173: novelty against the PERSISTED reference sketch ---------------------
+  // The 100 TB form of q156: scoring a crawl batch cannot re-scan the
+  // full reference corpus per batch, so the reference side persists ONCE
+  // (hash-bucketed gram refcount lake + counting bloom sidecar) and then
+  // mutates incrementally — a vintage is APPENDED (refcounts merge into
+  // affected buckets only, first-occurrence grams set bloom bits) and an
+  // erasure request is TAKEN DOWN (refcounts decrement; zero-count grams
+  // leave the lake and clear their bloom positions, so the bloom stays
+  // exactly the bloom of the surviving gram set — no false negatives,
+  // the property the unverified-MISS fast path rides on). The oracle is
+  // the exact all-pairs novelty join against the FINAL reference corpus
+  // (initial + appended − erased): a refcount double-apply, a stale
+  // bloom bit, or a bucket the takedown missed all change n_seen and
+  // fail the hash. Exact-gram mode, so the sketch's answer is
+  // byte-identical to q156's operator run against the same corpus.
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ref = docs.filter(col("doc_id") % 5 =!= 0)
+    val initial = ref.filter(col("doc_id") % 3 =!= 1)
+    val appended = ref.filter(col("doc_id") % 3 === 1)
+    val erased = initial.filter(col("doc_id") % 7 === 2)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dir = Tables.freshScratchDir("graft_refsketch_", d).toString + "/sketch"
+    Decontaminate.writeReferenceSketch(s, dir, initial, "text", n = 3,
+      exactGrams = true, nBuckets = 32)
+    Decontaminate.appendToReferenceSketch(
+      s, dir, appended, "text", opId = "vintage1"): Unit
+    Decontaminate.deleteFromReferenceSketch(
+      s, dir, erased, "text", opId = "erasure1"): Unit
+    Decontaminate.noveltyScoresAgainstSketch(s, dir, batch, "doc_id", "text")
+  }
+
+  private val q173Sql =
+    """WITH rg AS (
+         SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         FROM (SELECT string_split(text, ' ') AS w FROM documents
+               WHERE doc_id % 5 != 0
+                 AND NOT (doc_id % 3 != 1 AND doc_id % 7 = 2)) t),
+       bg AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE doc_id % 5 = 0) t),
+       j AS (
+         SELECT b.doc_id, count(*) AS n_grams, count(r.g) AS n_seen
+         FROM bg b LEFT JOIN rg r ON b.g = r.g
+         GROUP BY b.doc_id)
+       SELECT doc_id, n_grams, n_grams - n_seen AS n_novel,
+         round((n_grams - n_seen)::DOUBLE / n_grams, 6) AS novelty_rate
+       FROM j"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4842,7 +4927,8 @@ object TrainingData {
     "q169_span_scrub"     -> q169 _,
     "q170_dup_profile"    -> q170 _,
     "q171_takedown"       -> q171 _,
-    "q172_state_append"   -> q172 _)
+    "q172_state_append"   -> q172 _,
+    "q173_sketch_novelty" -> q173 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -4964,5 +5050,6 @@ object TrainingData {
     "q169_span_scrub"     -> q169Sql,
     "q170_dup_profile"    -> q170Sql,
     "q171_takedown"       -> q171Sql,
-    "q172_state_append"   -> q69Sql)
+    "q172_state_append"   -> q69Sql,
+    "q173_sketch_novelty" -> q173Sql)
 }

@@ -28,6 +28,24 @@ object Lake {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Concrete parquet part files of a `_`-prefixed sidecar dir, listed
+    * through the Hadoop FS. Naming the underscore DIR as a read root
+    * trips DataSource's "All paths were ignored" WARN (and a glob trips
+    * FileStreamSink's metadata probe) — [error]-tagged noise in every
+    * scored bench log; explicit `part-*.parquet` file paths are clean.
+    * Callers supply the schema: an empty list reads as an empty frame.
+    */
+  private[graft] def sidecarParquetFiles(spark: SparkSession,
+      dir: String): Seq[String] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-") &&
+        f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq
+  }
+
   /** Point-lookup-optimized lake for an id-keyed corpus (the ANN refine
     * scan's storage contract — `Similarity.pqTopKOverLake`): rows
     * range-partitioned AND sorted by `idCol`, so every parquet row

@@ -1,0 +1,248 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned parquet lake with time travel — the Iceberg/Delta snapshot
+  * discipline reduced to its load-bearing core, on nothing but parquet
+  * files and atomic renames (the same primitives every other manifest
+  * protocol in this engine runs on, so it works wherever they do:
+  * local FS, HDFS, and rename-capable object-store connectors).
+  *
+  * Layout:
+  * {{{
+  *   dir/data/c<version>/part-*.parquet   immutable — written by exactly
+  *                                        one commit, NEVER rewritten
+  *   dir/_versions/v<version>.txt         manifest: the relative data-file
+  *                                        paths that ARE that version,
+  *                                        one per line; the atomic rename
+  *                                        that publishes it is the commit
+  * }}}
+  *
+  * Why this shape at 100 TB:
+  *   - Reads are MANIFEST-DRIVEN: [[readAsOf]] hands Spark the explicit
+  *     file list, so no read ever lists `data/` — on S3-class stores,
+  *     listing a 100k-file prefix per query is the dominant metadata
+  *     cost and the thing Iceberg exists to remove.
+  *   - A delete rewrites only the files that HOLD deleted ids (found by
+  *     a column-pruned scan of the id column + `_metadata.file_path`);
+  *     every other file is carried into the new manifest by name. Old
+  *     files stay on disk, which is exactly what keeps prior versions
+  *     readable — storage is reclaimed explicitly by [[vacuum]], never
+  *     implicitly by a commit.
+  *   - The manifest is a flat name list: ~100 bytes per file, a few MB
+  *     at 100k files — driver-trivial. (Iceberg's manifest-of-manifests
+  *     tree matters past ~10M files; out of scope here and noted.)
+  *
+  * Crash safety: data files land under `data/c<v>` BEFORE `v<v>.txt`
+  * appears, so a crashed commit leaves only orphan files no manifest
+  * references — invisible to every reader, reclaimed by [[vacuum]] or
+  * overwritten by the retry (the retry recomputes the same version
+  * number and rewrites `c<v>` whole). Publishing the manifest is one
+  * rename; [[writeManifest]] refuses to replace an existing version, so
+  * a second writer racing the same version fails loudly instead of
+  * silently forking history — the single-writer-per-lake contract every
+  * mutation protocol in this engine assumes.
+  */
+object VersionedLake {
+
+  private val VersionsName = "_versions"
+  private val DataName = "data"
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestPath(base: Path, v: Long): Path =
+    new Path(base, f"$VersionsName/v$v%06d.txt")
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".txt"))
+      name.stripPrefix("v").stripSuffix(".txt").toLongOption
+    else None
+
+  /** Highest committed version, 0 if the lake has none yet. */
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val (fs, base) = fsOf(spark, dir)
+    val vd = new Path(base, VersionsName)
+    if (!fs.exists(vd)) 0L
+    else fs.listStatus(vd).iterator
+      .flatMap(s => versionOf(s.getPath.getName))
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Every committed version, ascending ([[vacuum]] may have dropped a
+    * prefix).
+    */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, base) = fsOf(spark, dir)
+    val vd = new Path(base, VersionsName)
+    if (!fs.exists(vd)) Seq.empty
+    else fs.listStatus(vd).iterator
+      .flatMap(s => versionOf(s.getPath.getName)).toSeq.sorted
+  }
+
+  private def readManifest(fs: FileSystem, base: Path,
+      v: Long): Seq[String] = {
+    val p = manifestPath(base, v)
+    require(fs.exists(p),
+      s"no version $v at $base (missing ${p.getName} — vacuumed or never " +
+        "committed)")
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Atomic commit: side-name write, then ONE rename. Refuses to replace
+    * an existing version — two writers racing the same version number
+    * must fail loudly, not fork history.
+    */
+  private def writeManifest(fs: FileSystem, base: Path, v: Long,
+      files: Seq[String]): Unit = {
+    val dst = manifestPath(base, v)
+    require(!fs.exists(dst),
+      s"version $v already committed at $base — concurrent writer?")
+    val side = new Path(dst.getParent, dst.getName + ".writing")
+    val out = fs.create(side, true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(side, dst), s"manifest commit $side -> $dst failed")
+  }
+
+  /** Relative `data/...` paths of the parquet part files under a commit
+    * dir.
+    */
+  private def commitFiles(fs: FileSystem, base: Path,
+      v: Long): Seq[String] = {
+    val cd = new Path(base, s"$DataName/c$v")
+    fs.listStatus(cd).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$DataName/c$v/${s.getPath.getName}").toSeq.sorted
+  }
+
+  private def qualified(fs: FileSystem, base: Path, rel: String): String =
+    fs.makeQualified(new Path(base, rel)).toString
+
+  /** Append `df` as a new version; returns the committed version number.
+    * The data write targets this commit's own `c<v>` dir (mode overwrite:
+    * a crashed attempt at the SAME version left orphans there and no
+    * manifest — the retry replaces them wholesale).
+    */
+  def commitAppend(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    val (fs, base) = fsOf(spark, dir)
+    val v = currentVersion(spark, dir) + 1
+    df.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
+    val prev = if (v == 1) Seq.empty else readManifest(fs, base, v - 1)
+    writeManifest(fs, base, v, prev ++ commitFiles(fs, base, v))
+    v
+  }
+
+  /** Delete-if-present by id as a new version. Only files that HOLD a
+    * deleted id are rewritten (id-column + file-path scan — data columns
+    * of unaffected files are never read); the rest carry over by name,
+    * so prior versions stay readable byte-for-byte. Returns
+    * (version, nFilesRewritten, nRowsRemoved); an empty intersection
+    * commits NOTHING and returns version 0 — deleting what isn't there
+    * is not history.
+    */
+  def commitDelete(spark: SparkSession, dir: String, idCol: String,
+      ids: DataFrame): (Long, Long, Long) = {
+    val (fs, base) = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir)
+    require(cur > 0, s"commitDelete on an empty lake at $dir")
+    val files = readManifest(fs, base, cur)
+    if (files.isEmpty) return (0L, 0L, 0L)
+    val abs = files.map(qualified(fs, base, _))
+    val dels = ids.select(col(ids.columns.head).as(idCol)).distinct()
+    // bounded: one row per AFFECTED file (id + metadata column only)
+    val hits = spark.read.parquet(abs: _*)
+      .select(col(idCol), col("_metadata.file_path").as("__file"))
+      .join(dels, Seq(idCol))
+      .groupBy("__file").agg(count(lit(1)).as("n"))
+      .collect()
+    if (hits.isEmpty) return (0L, 0L, 0L)
+    val nRemoved = hits.map(_.getLong(1)).sum
+    val affectedAbs = hits.map(_.getString(0)).toSet
+    // map back to manifest-relative names via qualified equality
+    val affectedRel = files.filter(f => affectedAbs.contains(
+      qualified(fs, base, f)))
+    require(affectedRel.size == affectedAbs.size,
+      s"commitDelete: ${affectedAbs.size} affected file paths but " +
+        s"${affectedRel.size} resolved against the v$cur manifest — " +
+        "path qualification mismatch; aborting before any commit")
+    val v = cur + 1
+    spark.read.parquet(affectedRel.map(qualified(fs, base, _)): _*)
+      .join(dels, Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
+    val survivors = files.filterNot(affectedRel.toSet)
+    writeManifest(fs, base, v, survivors ++ commitFiles(fs, base, v))
+    (v, affectedRel.size.toLong, nRemoved)
+  }
+
+  /** The lake exactly as version `v` committed it — an explicit file
+    * list, no directory listing, no partition discovery. A version with
+    * an empty manifest reads as an empty frame of `schemaHint` (schema
+    * inference has no file to read).
+    */
+  def readAsOf(spark: SparkSession, dir: String, v: Long,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val (fs, base) = fsOf(spark, dir)
+    val files = readManifest(fs, base, v)
+    if (files.nonEmpty)
+      spark.read.parquet(files.map(qualified(fs, base, _)): _*)
+    else schemaHint match {
+      case Some(sc) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      case None => throw new IllegalArgumentException(
+        s"version $v of $dir is empty and no schemaHint was given")
+    }
+  }
+
+  /** Latest version as a frame. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readAsOf(spark, dir, currentVersion(spark, dir))
+
+  /** Reclaim storage: drop manifests below `keepFrom` and every data
+    * file no surviving manifest references (which also sweeps orphans
+    * of crashed commits). Versions >= `keepFrom` stay readable
+    * byte-for-byte; older reads fail loudly at the manifest probe.
+    * Returns (manifestsDropped, dataFilesDeleted). Runs under the same
+    * single-writer contract as the commits.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Long)
+      : (Long, Long) = {
+    val (fs, base) = fsOf(spark, dir)
+    val all = versions(spark, dir)
+    require(all.nonEmpty, s"vacuum on an empty lake at $dir")
+    val (drop, keep) = all.partition(_ < keepFrom)
+    require(keep.nonEmpty,
+      s"vacuum(keepFrom=$keepFrom) would drop EVERY version of $dir")
+    val referenced = keep.iterator
+      .flatMap(v => readManifest(fs, base, v)).toSet
+    var deleted = 0L
+    val dataDir = new Path(base, DataName)
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { cd =>
+      if (cd.isDirectory) fs.listStatus(cd.getPath).foreach { f =>
+        val rel = s"$DataName/${cd.getPath.getName}/${f.getPath.getName}"
+        if (f.isFile && !referenced.contains(rel)) {
+          require(fs.delete(f.getPath, false), s"vacuum: delete $rel failed")
+          deleted += 1
+        }
+      }
+      // a commit dir emptied wholesale leaves no trace
+      if (fs.listStatus(cd.getPath).isEmpty) fs.delete(cd.getPath, true): Unit
+    }
+    drop.foreach { v =>
+      require(fs.delete(manifestPath(base, v), false),
+        s"vacuum: dropping manifest v$v failed")
+    }
+    (drop.size.toLong, deleted)
+  }
+}
