@@ -204,7 +204,8 @@ object Bench {
         Set("q171_delete", "q171_search_post")),
       ("q172", Set("q172_state_write"), Set("q172_append", "q172_match")),
       ("q173", Set("q173_build"),
-        Set("q173_append", "q173_takedown", "q173_score")))
+        Set("q173_append", "q173_takedown", "q173_score")),
+      ("q174", Set("q174_commits"), Set("q174_reads")))
     val pathMap = pathTimes.toMap
     def sumPaths(labels: Set[String]): Double =
       labels.toSeq.flatMap(pathMap.get).filter(_ >= 0).sum

@@ -3755,6 +3755,30 @@ object TrainingData {
         "q173_score" -> (() =>
           graft.operators.Decontaminate.noveltyScoresAgainstSketch(
             s, skDir, batch, "doc_id", "text")))
+    } ++ {
+      // q174 (versioned lake): fixture = replaying the 4-commit history;
+      // operator = the manifest-driven as-of reads a user actually pays
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val vDir = Tables.freshScratchDir("graft_vlake_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q174_commits" -> (() => {
+          VersionedLake.commitAppend(
+            s, vDir, docs.filter(col("doc_id") % 3 === 0)): Unit
+          VersionedLake.commitAppend(
+            s, vDir, docs.filter(col("doc_id") % 3 === 1)): Unit
+          VersionedLake.commitDelete(s, vDir, "doc_id",
+            docs.filter(col("doc_id") % 5 === 0).select("doc_id")): Unit
+          VersionedLake.commitAppend(
+            s, vDir, docs.filter(col("doc_id") % 3 === 2)): Unit
+          s.range(1).toDF()
+        }),
+        "q174_reads" -> (() =>
+          (1L to 4L).map { v =>
+            VersionedLake.readAsOf(s, vDir, v)
+              .select(lit(v).as("version"), col("doc_id"), col("text"))
+          }.reduce(_ unionAll _)))
     }
   }
 
@@ -4807,6 +4831,45 @@ object TrainingData {
          round((n_grams - n_seen)::DOUBLE / n_grams, 6) AS novelty_rate
        FROM j"""
 
+  // --- q174: versioned-lake time travel ------------------------------------------
+  // sinks/VersionedLake: the Iceberg/Delta snapshot discipline on bare
+  // parquet + atomic renames. Appends and deletes each commit a new
+  // manifest (an explicit file list — reads NEVER list the data dir, the
+  // metadata cost that dominates object-store scans at 100 TB); a delete
+  // rewrites only the files holding deleted ids while old files survive
+  // on disk, which is exactly what keeps every prior version readable.
+  // The query replays a 4-commit history (append, append, delete-if-
+  // present, append) and emits EVERY version's full membership — a
+  // carried-over file lost from a manifest, a delete leaking into a
+  // prior version, or a rewrite dropping a survivor row all change some
+  // version's row set and fail the hash.
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = Tables.freshScratchDir("graft_vlake_", d).toString + "/lake"
+    VersionedLake.commitAppend(s, dir, docs.filter(col("doc_id") % 3 === 0)): Unit
+    VersionedLake.commitAppend(s, dir, docs.filter(col("doc_id") % 3 === 1)): Unit
+    VersionedLake.commitDelete(s, dir, "doc_id",
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id")): Unit
+    VersionedLake.commitAppend(s, dir, docs.filter(col("doc_id") % 3 === 2)): Unit
+    (1L to 4L).map { v =>
+      VersionedLake.readAsOf(s, dir, v)
+        .select(lit(v).as("version"), col("doc_id"), col("text"))
+    }.reduce(_ unionAll _)
+  }
+
+  private val q174Sql =
+    """SELECT CAST(1 AS BIGINT) AS version, doc_id, text FROM documents
+       WHERE doc_id % 3 = 0
+       UNION ALL
+       SELECT 2, doc_id, text FROM documents WHERE doc_id % 3 IN (0, 1)
+       UNION ALL
+       SELECT 3, doc_id, text FROM documents
+       WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 != 0
+       UNION ALL
+       SELECT 4, doc_id, text FROM documents
+       WHERE (doc_id % 3 IN (0, 1) AND doc_id % 5 != 0) OR doc_id % 3 = 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4928,7 +4991,8 @@ object TrainingData {
     "q170_dup_profile"    -> q170 _,
     "q171_takedown"       -> q171 _,
     "q172_state_append"   -> q172 _,
-    "q173_sketch_novelty" -> q173 _)
+    "q173_sketch_novelty" -> q173 _,
+    "q174_timetravel"     -> q174 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -5051,5 +5115,6 @@ object TrainingData {
     "q170_dup_profile"    -> q170Sql,
     "q171_takedown"       -> q171Sql,
     "q172_state_append"   -> q69Sql,
-    "q173_sketch_novelty" -> q173Sql)
+    "q173_sketch_novelty" -> q173Sql,
+    "q174_timetravel"     -> q174Sql)
 }

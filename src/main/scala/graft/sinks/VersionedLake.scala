@@ -102,7 +102,7 @@ object VersionedLake {
     * an existing version — two writers racing the same version number
     * must fail loudly, not fork history.
     */
-  private def writeManifest(fs: FileSystem, base: Path, v: Long,
+  private[sinks] def writeManifest(fs: FileSystem, base: Path, v: Long,
       files: Seq[String]): Unit = {
     val dst = manifestPath(base, v)
     require(!fs.exists(dst),
