@@ -369,10 +369,16 @@ object Decontaminate {
       .write.mode("overwrite").parquet(s"$dir/$BloomName")
     // discard debris from any previous sketch generation at this path
     // (the grams/bloom overwrites already cleared their own markers —
-    // opIds are scoped to a sketch generation)
+    // opIds are scoped to a sketch generation). The *.mut_tmp dirs
+    // matter most: a previous generation's takedown that crashed AFTER
+    // its name manifest committed but BEFORE promotion would otherwise
+    // be "recovered" by the next mutation's recoverLeafCommit — dead
+    // refcounts resurrected into the fresh lake.
     Option(fs.globStatus(new Path(base, "_pending_bloom_*")))
       .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
     fs.delete(new Path(s"$dir/$BloomName.mut_backup"), true)
+    fs.delete(new Path(s"$dir/$BloomName.mut_tmp"), true)
+    fs.delete(new Path(s"$dir/$GramsName.mut_tmp"), true)
     writeMeta(fs, base, m)
   }
 
@@ -380,6 +386,36 @@ object Decontaminate {
     require(opId != null && opId.nonEmpty && !opId.contains("/"),
       s"opId must be a non-empty path-safe token, got '$opId'")
     s"_applied_$opId"
+  }
+
+  /** How many `_applied_*` markers each store retains. The contract is
+    * "retry a failed opId before the next op starts", so idempotence
+    * only ever consults the NEWEST marker — but keeping one would make
+    * a mildly-bent contract silently double-apply, so a few stay. The
+    * cap is what keeps a long-lived sketch's mutation cost flat: the
+    * bloom swap copies its markers forward on every commit, and an
+    * unbounded ledger would make op N pay O(N) extra file writes.
+    */
+  private val MaxApplied = 8
+
+  /** The newest `retain` markers in `dir` (by FS modification time —
+    * markers are written strictly one mutation at a time under the
+    * single-writer contract, so mtime order IS op order).
+    */
+  private def newestMarkers(fs: FileSystem, dir: Path,
+      retain: Int): Seq[Path] =
+    fs.listStatus(dir).iterator
+      .filter(_.getPath.getName.startsWith("_applied_"))
+      .toSeq.sortBy(-_.getModificationTime)
+      .take(retain).map(_.getPath)
+
+  /** Drop every marker in `dir` beyond the newest `retain`. */
+  private def pruneMarkers(fs: FileSystem, dir: Path, retain: Int): Unit = {
+    val keep = newestMarkers(fs, dir, retain).map(_.getName).toSet
+    fs.listStatus(dir).iterator
+      .filter(s => s.getPath.getName.startsWith("_applied_") &&
+        !keep.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, false))
   }
 
   private def markerFile(fs: FileSystem, dir: Path, name: String,
@@ -429,11 +465,10 @@ object Decontaminate {
         .otherwise(col("cnt")).as("cnt"))
       .filter(col("cnt") > 0)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    // markers ride inside the directory being renamed in
-    fs.listStatus(live).iterator
-      .filter(_.getPath.getName.startsWith("_applied_"))
-      .foreach(s => markerFile(fs, tmp, s.getPath.getName,
-        readMarker(fs, s.getPath)))
+    // markers ride inside the directory being renamed in; only the
+    // newest few carry forward (see [[MaxApplied]])
+    newestMarkers(fs, live, MaxApplied - 1)
+      .foreach(p => markerFile(fs, tmp, p.getName, readMarker(fs, p)))
     markerFile(fs, tmp, newMarker, markerContent)
     graft.sinks.Lake.swapDirs(fs, live, tmp,
       new Path(s"$dir/$BloomName.mut_backup"))
@@ -497,6 +532,7 @@ object Decontaminate {
     markerFile(fs, tmp, marker, markerContent)
     graft.sinks.Lake.writeNameManifest(fs, tmp, leafNames :+ marker)
     graft.sinks.Lake.promoteLeaves(fs, base, tmp, leafNames :+ marker)
+    pruneMarkers(fs, base, MaxApplied) // ledger stays bounded (see above)
   }
 
   /** Add accepted documents to the sketch WITHOUT a rebuild: refcounts

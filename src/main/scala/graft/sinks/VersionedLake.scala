@@ -229,15 +229,31 @@ object VersionedLake {
     var deleted = 0L
     val dataDir = new Path(base, DataName)
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { cd =>
-      if (cd.isDirectory) fs.listStatus(cd.getPath).foreach { f =>
-        val rel = s"$DataName/${cd.getPath.getName}/${f.getPath.getName}"
-        if (f.isFile && !referenced.contains(rel)) {
-          require(fs.delete(f.getPath, false), s"vacuum: delete $rel failed")
-          deleted += 1
+      if (cd.isDirectory) {
+        def rel(name: String) = s"$DataName/${cd.getPath.getName}/$name"
+        val entries = fs.listStatus(cd.getPath)
+        val parts = entries.filter(f => f.isFile &&
+          f.getPath.getName.startsWith("part-") &&
+          f.getPath.getName.endsWith(".parquet"))
+        if (!parts.exists(f => referenced.contains(rel(f.getPath.getName)))) {
+          // nothing referenced: the whole commit dir goes — this also
+          // sweeps crashed commits' orphans with their write markers
+          deleted += parts.length
+          require(fs.delete(cd.getPath, true),
+            s"vacuum: delete ${cd.getPath} failed")
+        } else parts.foreach { f =>
+          // partially referenced (a delete rewrote some of its files):
+          // drop only the dead part files and their checksum siblings,
+          // never the live files' write metadata
+          if (!referenced.contains(rel(f.getPath.getName))) {
+            require(fs.delete(f.getPath, false),
+              s"vacuum: delete ${rel(f.getPath.getName)} failed")
+            fs.delete(new Path(cd.getPath, s".${f.getPath.getName}.crc"),
+              false): Unit
+            deleted += 1
+          }
         }
       }
-      // a commit dir emptied wholesale leaves no trace
-      if (fs.listStatus(cd.getPath).isEmpty) fs.delete(cd.getPath, true): Unit
     }
     drop.foreach { v =>
       require(fs.delete(manifestPath(base, v), false),

@@ -191,6 +191,56 @@ class RefSketchSpec extends AnyFunSuite {
     assert(!fa.exists(new Path(a, "_pending_bloom_cr1")))
   }
 
+  test("rebuild clears a crashed previous-generation mutation's tmp commit") {
+    val dir = tmpDir("regen")
+    Decontaminate.writeReferenceSketch(spark, dir,
+      corpus.filter(col("doc_id") <= 3), "text", n = 3, nBuckets = 4)
+    // gen-1 takedown crashed AFTER its name manifest committed but
+    // BEFORE promotion: a poisoned bucket leaf waits in grams.mut_tmp.
+    // Without the rebuild cleanup, gen-2's first mutation would
+    // "recover" it — dead refcounts resurrected into the fresh lake.
+    val f = fs(dir)
+    val tmp = new Path(dir, "grams.mut_tmp")
+    Seq((123456789L, 999L)).toDF("g", "n_docs")
+      .write.parquet(s"$dir/grams.mut_tmp/bucket=0")
+    graft.sinks.Lake.writeNameManifest(f, tmp, Seq("bucket=0"))
+    Decontaminate.writeReferenceSketch(spark, dir, corpus, "text",
+      n = 3, nBuckets = 4) // generation 2
+    val doc8 = Seq((8L, "h i j k")).toDF("doc_id", "text")
+    Decontaminate.appendToReferenceSketch(spark, dir, doc8, "text", "g2a")
+    assert(!f.exists(tmp), "gen-1 debris survived the rebuild")
+    assert(spark.read.parquet(s"$dir/grams")
+      .filter(col("n_docs") === 999L).count() === 0L,
+      "the poisoned leaf was promoted into generation 2")
+    val got = scores(Decontaminate.noveltyScoresAgainstSketch(
+      spark, dir, batch, "doc_id", "text"))
+    val want = scores(Decontaminate.noveltyScores(
+      batch, "doc_id", "text", corpus.unionAll(doc8), "text", n = 3))
+    assert(got === want)
+  }
+
+  test("the _applied_ ledger stays bounded across many ops") {
+    val dir = tmpDir("ledger")
+    Decontaminate.writeReferenceSketch(spark, dir, corpus, "text",
+      n = 3, nBuckets = 4)
+    var last = 0L
+    (0 until 10).foreach { i =>
+      last = Decontaminate.appendToReferenceSketch(spark, dir,
+        Seq((200L + i, s"fresh gram number $i extra pad"))
+          .toDF("doc_id", "text"), "text", s"op$i")
+    }
+    def markers(sub: String) = fs(dir)
+      .listStatus(new Path(dir, sub)).iterator
+      .map(_.getPath.getName).filter(_.startsWith("_applied_")).toSeq
+    assert(markers("grams").size <= 8, s"gram ledger: ${markers("grams")}")
+    assert(markers("_bloom").size <= 8, s"bloom ledger: ${markers("_bloom")}")
+    assert(markers("grams").contains("_applied_op9"))
+    // the newest op keeps exact idempotence through the pruning
+    assert(Decontaminate.appendToReferenceSketch(spark, dir,
+      Seq((209L, "fresh gram number 9 extra pad")).toDF("doc_id", "text"),
+      "text", "op9") === last)
+  }
+
   test("takedown rewrites only the affected buckets") {
     val dir = tmpDir("scoped")
     Decontaminate.writeReferenceSketch(spark, dir, corpus, "text",
