@@ -281,8 +281,20 @@ object Decontaminate {
     * the `_bloom` underscore dir as a read root trips DataSource's "All
     * paths were ignored" WARN ([error]-tagged noise in scored logs), and
     * the dir also carries non-parquet `_applied_*` markers.
+    *
+    * A MISSING bloom dir must fail loudly, never read as empty: it is
+    * the mid-swap crash window (live parked at the backup name), and an
+    * all-zero bloom would silently score every gram as an unverified
+    * MISS — i.e. novel. Readers don't run recovery themselves (a reader
+    * racing the writer's retry on the rename would be worse); the
+    * retried mutation restores the bloom. A dir that EXISTS with zero
+    * part files is a legitimately empty bloom (every gram deleted).
     */
   private def readBloomCounts(spark: SparkSession, dir: String): DataFrame = {
+    val (fs, _) = fsOf(spark, dir)
+    require(fs.exists(new Path(s"$dir/$BloomName")),
+      s"no counting bloom at $dir — a mutation crashed mid-swap; retry " +
+        "the mutation (its recovery pass restores the bloom from backup)")
     val files =
       graft.sinks.Lake.sidecarParquetFiles(spark, s"$dir/$BloomName")
     if (files.isEmpty)
@@ -585,10 +597,14 @@ object Decontaminate {
     */
   private def readPending(spark: SparkSession, pendingDir: String,
       m: SketchMeta): DataFrame = {
+    val (fs, _) = fsOf(spark, pendingDir)
+    require(fs.exists(new Path(pendingDir)),
+      s"takedown state corrupted: parked removed-gram set $pendingDir is " +
+        "missing but the op's bloom decrement has not committed")
     val schema = StructType(gramSchema(m).fields.take(1))
     val files = graft.sinks.Lake.sidecarParquetFiles(spark, pendingDir)
-    if (files.isEmpty)
-      spark.createDataFrame(
+    if (files.isEmpty) // a takedown that removed no gram outright parks
+      spark.createDataFrame( // an empty set — decrement of nothing
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files: _*)
   }

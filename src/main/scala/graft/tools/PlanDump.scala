@@ -57,7 +57,8 @@ object PlanDump {
     "q161_rare_sequences", "q162_ivf_compaction", "q164_ivfpq_lake",
     "q165_temp_shares", "q166_centroid_drift", "q167_dist_drift",
     "q168_quota_select", "q169_span_scrub", "q170_dup_profile",
-    "q171_takedown", "q172_state_append")
+    "q171_takedown", "q172_state_append", "q173_sketch_novelty",
+    "q174_timetravel")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -121,7 +122,26 @@ object PlanDump {
       "keys, and because nearDupState is a pure per-row transform the " +
       "appended lake is row-identical to a full rebuild — the append " +
       "path sits under q69's exact all-pairs oracle. Width-mismatch " +
-      "appends fail fast (NearDupStreamSpec)."))
+      "appends fail fast (NearDupStreamSpec)."),
+    "q173_sketch_novelty" -> ("the snapshot shows the SCORING plan — " +
+      "batch grams exploded once, the counting bloom collapsed to a " +
+      "packed-literal shift/mask prefilter (bloom-MISS grams are " +
+      "definitively novel and never join), and the exact verify as a " +
+      "left-semi join against the bucket-partitioned gram lake; the " +
+      "reference corpus is never scanned. The build/append/takedown " +
+      "plans are bucket-scoped: the merge unions only AFFECTED buckets " +
+      "(partition pruning on the bucket column) and commits rewrite " +
+      "those leaves under the manifest protocol — RefSketchSpec pins " +
+      "the rewrite scope, both crash windows, and the counting bloom's " +
+      "exact shrink on takedown."),
+    "q174_timetravel" -> ("four manifest-driven parquet scans unioned — " +
+      "each Scan's file list is EXPLICIT (handed to the reader from the " +
+      "version manifest; no directory listing, no partition discovery, " +
+      "the metadata cost that dominates object-store reads). The " +
+      "delete's rewrite scope (only files HOLDING deleted ids, located " +
+      "by a column-pruned id + _metadata.file_path scan) is pinned by " +
+      "VersionedLakeSpec; old files surviving on disk is what keeps " +
+      "versions 1-2 readable here."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -241,6 +241,32 @@ class RefSketchSpec extends AnyFunSuite {
       "text", "op9") === last)
   }
 
+  test("a missing bloom (mid-swap crash) fails scoring loudly, and the " +
+      "retried mutation restores it") {
+    val dir = tmpDir("midswap")
+    Decontaminate.writeReferenceSketch(spark, dir, corpus, "text",
+      n = 3, nBuckets = 4)
+    val want = scores(Decontaminate.noveltyScoresAgainstSketch(
+      spark, dir, batch, "doc_id", "text"))
+    // manufacture the swapDirs crash window: live parked at backup
+    val f = fs(dir)
+    assert(f.rename(new Path(dir, "_bloom"), new Path(dir, "_bloom.mut_backup")))
+    // a reader must NOT see an all-zero bloom (that would silently score
+    // every gram as an unverified MISS — novel); it must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.noveltyScoresAgainstSketch(
+        spark, dir, batch, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("crashed mid-swap"))
+    // the writer's next mutation recovers the bloom before acting
+    val doc9 = Seq((9L, "m n o p")).toDF("doc_id", "text")
+    Decontaminate.appendToReferenceSketch(spark, dir, doc9, "text", "rec1")
+    val got = scores(Decontaminate.noveltyScoresAgainstSketch(
+      spark, dir, batch, "doc_id", "text"))
+    assert(got === want, "doc 9 shares no gram with the batch — scores " +
+      "must be exactly the pre-crash ones")
+  }
+
   test("takedown rewrites only the affected buckets") {
     val dir = tmpDir("scoped")
     Decontaminate.writeReferenceSketch(spark, dir, corpus, "text",
