@@ -205,7 +205,9 @@ object Bench {
       ("q172", Set("q172_state_write"), Set("q172_append", "q172_match")),
       ("q173", Set("q173_build"),
         Set("q173_append", "q173_takedown", "q173_score")),
-      ("q174", Set("q174_commits"), Set("q174_reads")))
+      ("q174", Set("q174_commits"), Set("q174_reads")),
+      ("q175", Set("q175_stage"),
+        Set("q175_stream", "q175_replay+delete", "q175_read")))
     val pathMap = pathTimes.toMap
     def sumPaths(labels: Set[String]): Double =
       labels.toSeq.flatMap(pathMap.get).filter(_ >= 0).sum

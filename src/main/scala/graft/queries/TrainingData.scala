@@ -3779,6 +3779,35 @@ object TrainingData {
             VersionedLake.readAsOf(s, vDir, v)
               .select(lit(v).as("version"), col("doc_id"), col("text"))
           }.reduce(_ unionAll _)))
+    } ++ {
+      // q175 (exactly-once stream ingest): fixture = staging the source
+      // files; operator = the drain, replay probe, delete, final read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val streamed = docs.filter(col("doc_id") % 4 =!= 3)
+      val scratch = Tables.freshScratchDir("graft_vstream_b_", d)
+      val lakeDir = s"$scratch/lake"
+      val srcDir = s"$scratch/src"
+      Seq(
+        "q175_stage" -> (() => {
+          streamed.repartition(3).write.mode("overwrite").parquet(srcDir)
+          s.range(1).toDF()
+        }),
+        "q175_stream" -> (() => {
+          val stream = s.readStream.schema(streamed.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          VersionedLake.appendStream(stream, lakeDir, s"$scratch/ckpt")
+          s.range(1).toDF()
+        }),
+        "q175_replay+delete" -> (() => {
+          val n = VersionedLake.currentVersion(s, lakeDir)
+          VersionedLake.commitAppendForBatch(s, lakeDir,
+            streamed.limit(1), batchId = n - 1): Unit
+          VersionedLake.commitDelete(s, lakeDir, "doc_id",
+            docs.filter(col("doc_id") % 10 === 1).select("doc_id")): Unit
+          s.range(1).toDF()
+        }),
+        "q175_read" -> (() => VersionedLake.read(s, lakeDir)))
     }
   }
 
@@ -4870,6 +4899,57 @@ object TrainingData {
        SELECT 4, doc_id, text FROM documents
        WHERE (doc_id % 3 IN (0, 1) AND doc_id % 5 != 0) OR doc_id % 3 = 2"""
 
+  // --- q175: exactly-once streaming ingest into the versioned lake --------------
+  // VersionedLake.appendStream + commitAppendForBatch: each micro-batch
+  // commits as ONE lake version with its batch id carried as a manifest
+  // header — "version committed" and "batch applied" are one rename, so
+  // a replayed batch (the foreachBatch restart semantics) is recognized
+  // and writes NOTHING. The query streams 3 file-triggers into a lake,
+  // force-replays the newest batch (with different content — the replay
+  // must not even look at it), interleaves a maintenance delete, and
+  // emits the final membership plus the protocol audits: version count,
+  // replay no-op, and the append chain's monotonicity (each stream
+  // version a superset of the previous). Batch BOUNDARIES are
+  // nondeterministic (file assignment order), so per-version membership
+  // stays out of the output — the invariants and the final set are what
+  // the protocol guarantees.
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val streamed = docs.filter(col("doc_id") % 4 =!= 3)
+    val scratch = Tables.freshScratchDir("graft_vstream_", d)
+    val lakeDir = s"$scratch/lake"
+    val srcDir = s"$scratch/src"
+    streamed.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = s.readStream.schema(streamed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    VersionedLake.appendStream(stream, lakeDir, s"$scratch/ckpt")
+    val nStream = VersionedLake.currentVersion(s, lakeDir)
+    // replay the newest batch with DIFFERENT content: exactly-once means
+    // the lake does not even look at a replayed batch's rows
+    val replayV = VersionedLake.commitAppendForBatch(s, lakeDir,
+      streamed.limit(1), batchId = nStream - 1)
+    val replayNoop = replayV == nStream &&
+      VersionedLake.currentVersion(s, lakeDir) == nStream
+    val chainMonotone = (2L to nStream).forall { v =>
+      VersionedLake.readAsOf(s, lakeDir, v - 1).select("doc_id")
+        .exceptAll(VersionedLake.readAsOf(s, lakeDir, v).select("doc_id"))
+        .count() == 0L
+    }
+    VersionedLake.commitDelete(s, lakeDir, "doc_id",
+      docs.filter(col("doc_id") % 10 === 1).select("doc_id")): Unit
+    VersionedLake.read(s, lakeDir)
+      .select(col("doc_id"),
+        lit(nStream).as("n_stream_versions"),
+        lit(replayNoop).as("replay_noop"),
+        lit(chainMonotone).as("chain_monotone"))
+  }
+
+  private val q175Sql =
+    """SELECT doc_id, CAST(3 AS BIGINT) AS n_stream_versions,
+       true AS replay_noop, true AS chain_monotone
+       FROM documents WHERE doc_id % 4 != 3 AND doc_id % 10 != 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -4992,7 +5072,8 @@ object TrainingData {
     "q171_takedown"       -> q171 _,
     "q172_state_append"   -> q172 _,
     "q173_sketch_novelty" -> q173 _,
-    "q174_timetravel"     -> q174 _)
+    "q174_timetravel"     -> q174 _,
+    "q175_stream_versioned" -> q175 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -5116,5 +5197,6 @@ object TrainingData {
     "q171_takedown"       -> q171Sql,
     "q172_state_append"   -> q69Sql,
     "q173_sketch_novelty" -> q173Sql,
-    "q174_timetravel"     -> q174Sql)
+    "q174_timetravel"     -> q174Sql,
+    "q175_stream_versioned" -> q175Sql)
 }

@@ -85,7 +85,7 @@ object VersionedLake {
       .flatMap(s => versionOf(s.getPath.getName)).toSeq.sorted
   }
 
-  private def readManifest(fs: FileSystem, base: Path,
+  private def manifestLines(fs: FileSystem, base: Path,
       v: Long): Seq[String] = {
     val p = manifestPath(base, v)
     require(fs.exists(p),
@@ -98,18 +98,32 @@ object VersionedLake {
     text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  private def readManifest(fs: FileSystem, base: Path,
+      v: Long): Seq[String] =
+    manifestLines(fs, base, v).filterNot(_.startsWith("#"))
+
+  /** The streaming-batch provenance of a version, if it has one —
+    * carried as a `#batch=<id>` header INSIDE the manifest so
+    * "version committed" and "batch applied" are one rename.
+    */
+  private[sinks] def batchOf(fs: FileSystem, base: Path,
+      v: Long): Option[Long] =
+    manifestLines(fs, base, v).find(_.startsWith("#batch="))
+      .flatMap(_.stripPrefix("#batch=").toLongOption)
+
   /** Atomic commit: side-name write, then ONE rename. Refuses to replace
     * an existing version — two writers racing the same version number
     * must fail loudly, not fork history.
     */
   private[sinks] def writeManifest(fs: FileSystem, base: Path, v: Long,
-      files: Seq[String]): Unit = {
+      files: Seq[String], header: Option[String] = None): Unit = {
     val dst = manifestPath(base, v)
     require(!fs.exists(dst),
       s"version $v already committed at $base — concurrent writer?")
     val side = new Path(dst.getParent, dst.getName + ".writing")
     val out = fs.create(side, true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((header.toSeq ++ files).mkString("\n") + "\n")
+      .getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(side, dst), s"manifest commit $side -> $dst failed")
   }
@@ -141,6 +155,61 @@ object VersionedLake {
     val prev = if (v == 1) Seq.empty else readManifest(fs, base, v - 1)
     writeManifest(fs, base, v, prev ++ commitFiles(fs, base, v))
     v
+  }
+
+  /** Exactly-once streaming append: commit micro-batch `batchId` as a
+    * new version, carrying the batch id as a `#batch=` header inside
+    * the manifest — so "version committed" and "batch applied" are one
+    * rename, and a REPLAYED batch (foreachBatch re-delivers the last
+    * uncommitted batch after a restart) is recognized and returns the
+    * already-committed version without writing anything. Streaming
+    * delivers batches in order, one at a time, so the newest version's
+    * header is the complete dedup state — no applied-batch ledger to
+    * grow. An OLDER batch id than the newest committed one is a
+    * checkpoint/lake pairing error and fails loudly.
+    */
+  def commitAppendForBatch(spark: SparkSession, dir: String, df: DataFrame,
+      batchId: Long): Long = {
+    val (fs, base) = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir)
+    // newest version CARRYING a batch header — maintenance commits
+    // (deletes, batch appends) interleave without one and must not
+    // blind the replay check
+    val lastStream = versions(spark, dir).reverseIterator
+      .map(v => (v, batchOf(fs, base, v)))
+      .collectFirst { case (v, Some(b)) => (v, b) }
+    lastStream match {
+      case Some((v, b)) if b == batchId => return v // replay — committed
+      case Some((_, b)) => require(b < batchId,
+        s"batch $batchId arrived but batch $b is already committed — " +
+          "this checkpoint does not belong to this lake")
+      case None => ()
+    }
+    val v = cur + 1
+    df.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
+    val prev = if (v == 1) Seq.empty else readManifest(fs, base, v - 1)
+    writeManifest(fs, base, v, prev ++ commitFiles(fs, base, v),
+      header = Some(s"#batch=$batchId"))
+    v
+  }
+
+  /** Drain a stream into the lake, one version per micro-batch, through
+    * [[commitAppendForBatch]]'s exactly-once discipline. Processes all
+    * available input (Trigger.AvailableNow) and returns.
+    */
+  def appendStream(df: DataFrame, dir: String,
+      checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          commitAppendForBatch(
+            batch.sparkSession, dir, batch.toDF(), batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
   }
 
   /** Delete-if-present by id as a new version. Only files that HOLD a

@@ -58,7 +58,7 @@ object PlanDump {
     "q165_temp_shares", "q166_centroid_drift", "q167_dist_drift",
     "q168_quota_select", "q169_span_scrub", "q170_dup_profile",
     "q171_takedown", "q172_state_append", "q173_sketch_novelty",
-    "q174_timetravel")
+    "q174_timetravel", "q175_stream_versioned")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -141,7 +141,17 @@ object PlanDump {
       "delete's rewrite scope (only files HOLDING deleted ids, located " +
       "by a column-pruned id + _metadata.file_path scan) is pinned by " +
       "VersionedLakeSpec; old files surviving on disk is what keeps " +
-      "versions 1-2 readable here."))
+      "versions 1-2 readable here."),
+    "q175_stream_versioned" -> ("the snapshot shows the final " +
+      "manifest-driven read with the audit literals; the load-bearing " +
+      "behavior is the commit protocol inside foreachBatch — one lake " +
+      "version per micro-batch with the batch id as a manifest header, " +
+      "so 'version committed' and 'batch applied' are one rename and a " +
+      "replayed batch writes NOTHING (the replay probe passes different " +
+      "content to prove the lake does not even look at it); the check " +
+      "scans back past headerless maintenance commits. Pinned in " +
+      "VersionedLakeSpec (replay no-op, interleaved delete, foreign-" +
+      "checkpoint loud failure, restart-on-same-checkpoint)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

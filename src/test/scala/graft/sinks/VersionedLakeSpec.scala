@@ -161,6 +161,55 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("EVERY version"))
   }
 
+  test("exactly-once batch commits: replay is a no-op, interleaved " +
+      "maintenance cannot blind the check, older batches fail loudly") {
+    val dir = fresh("vlake_eos_")
+    assert(VersionedLake.commitAppendForBatch(spark, dir, docs(0, 5), 0L) === 1L)
+    assert(VersionedLake.commitAppendForBatch(spark, dir, docs(5, 10), 1L) === 2L)
+    // replay of the last committed batch: recognized, nothing written
+    assert(VersionedLake.commitAppendForBatch(spark, dir, docs(5, 10), 1L) === 2L)
+    assert(VersionedLake.currentVersion(spark, dir) === 2L)
+    // a maintenance delete interleaves WITHOUT a batch header
+    val (v3, _, _) = VersionedLake.commitDelete(spark, dir, "doc_id",
+      Seq(3L).toDF("doc_id"))
+    assert(v3 === 3L)
+    // the replay check scans back PAST the headerless delete commit
+    assert(VersionedLake.commitAppendForBatch(spark, dir, docs(5, 10), 1L) === 2L)
+    assert(VersionedLake.currentVersion(spark, dir) === 3L)
+    // the next real batch commits as v4
+    assert(VersionedLake.commitAppendForBatch(spark, dir, docs(10, 12), 2L) === 4L)
+    assert(idSet(VersionedLake.read(spark, dir)) ===
+      ((0L until 12L).toSet - 3L))
+    // an OLDER batch id = a foreign checkpoint — loud
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.commitAppendForBatch(spark, dir, docs(0, 1), 1L)
+    }
+    assert(ex.getMessage.contains("does not belong"))
+  }
+
+  test("appendStream drains a stream one version per micro-batch, " +
+      "exactly once across a restart") {
+    val dir = fresh("vlake_stream_")
+    val srcDir = fresh("vlake_src_")
+    val ckpt = fresh("vlake_ckpt_")
+    docs(0, 30).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(docs(0, 1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    VersionedLake.appendStream(stream, dir, ckpt)
+    val nv = VersionedLake.currentVersion(spark, dir)
+    assert(nv >= 1L)
+    assert(idSet(VersionedLake.read(spark, dir)) === (0L until 30L).toSet)
+    // restart on the SAME checkpoint: nothing new to process, no new
+    // version, membership unchanged
+    val stream2 = spark.readStream
+      .schema(docs(0, 1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    VersionedLake.appendStream(stream2, dir, ckpt)
+    assert(VersionedLake.currentVersion(spark, dir) === nv)
+    assert(idSet(VersionedLake.read(spark, dir)) === (0L until 30L).toSet)
+  }
+
   test("empty v1 append reads back as a typed empty frame via schemaHint") {
     val dir = fresh("vlake_empty_")
     val schema = StructType(Seq(StructField("doc_id", LongType),
