@@ -35,7 +35,117 @@ object MaintScaleProfile {
     compaction(spark)
     nearDupStream(spark)
     heavyDupGate(spark)
+    refSketch(spark)
+    versionedLake(spark)
     spark.stop()
+  }
+
+  /** Round-14: the persisted reference sketch's claims, measured.
+    *
+    *  1. SCORING against the persisted sketch beats the inline operator
+    *     — the inline [[graft.operators.Decontaminate.noveltyScores]]
+    *     re-scans the reference corpus and rebuilds the bloom on EVERY
+    *     batch; the sketch path loads the counting-bloom sidecar and
+    *     semi-joins the gram lake. At 100 TB a per-crawl-batch corpus
+    *     scan is the difference between feasible and not; the gap is
+    *     already visible at 10⁶ docs. (Zipf caveat: this synthetic
+    *     corpus is gram-unique, so the gram lake is corpus-sized —
+    *     real text repeats grams and shrinks the lake further in the
+    *     sketch's favor.)
+    *  2. An appended/taken-down sketch scores IDENTICALLY to one built
+    *     fresh from the equivalent corpus — the correctness gate on the
+    *     whole incremental protocol, at both scales. (The mutation wall
+    *     at these toy scales is overhead-dominated and NOT the win —
+    *     the win is never paying the corpus scan per batch; rebuild
+    *     walls here bound what a mutation avoids only once the corpus
+    *     dwarfs the gram lake.)
+    */
+  private def refSketch(spark: SparkSession): Unit = {
+    import graft.operators.Decontaminate
+    def text(idc: org.apache.spark.sql.Column) = concat_ws(" ",
+      (0 until 12).map(t =>
+        concat(lit("w"), pmod(hash(idc, lit(t)), lit(1000000)))): _*)
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("doc_id"), text(col("id")).as("text"))
+    val batch = docs(9000000L, 9000200L) // 200 scoring docs, disjoint ids
+    def scores(dir: String): Map[Long, Long] =
+      Decontaminate.noveltyScoresAgainstSketch(
+        spark, dir, batch, "doc_id", "text")
+        .select("doc_id", "n_novel").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- Seq(100000L, 1000000L)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("maint_sketch_").toString
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[refsketch] n=$n%7d  $label%-18s " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
+        r
+      }
+      timed("build")(Decontaminate.writeReferenceSketch(
+        spark, s"$root/a", docs(0, n), "text"))
+      val viaSketch = timed("score_sketch")(scores(s"$root/a"))
+      val viaInline = timed("score_inline")(
+        Decontaminate.noveltyScores(batch, "doc_id", "text",
+            docs(0, n), "text")
+          .select("doc_id", "n_novel").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      println(s"[refsketch] n=$n  sketch==inline scores: " +
+        s"${viaSketch == viaInline}")
+      timed("append_1k")(Decontaminate.appendToReferenceSketch(
+        spark, s"$root/a", docs(n, n + 1000), "text", "ap"))
+      timed("rebuild_n+1k")(Decontaminate.writeReferenceSketch(
+        spark, s"$root/b", docs(0, n + 1000), "text"))
+      println(s"[refsketch] n=$n  append==rebuild scores: " +
+        s"${scores(s"$root/a") == scores(s"$root/b")}")
+      timed("takedown_1k")(Decontaminate.deleteFromReferenceSketch(
+        spark, s"$root/a", docs(n, n + 1000), "text", "td"))
+      timed("fresh_n")(Decontaminate.writeReferenceSketch(
+        spark, s"$root/c", docs(0, n), "text"))
+      println(s"[refsketch] n=$n  takedown==fresh scores: " +
+        s"${scores(s"$root/a") == scores(s"$root/c")}")
+      graft.Tables.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
+  /** Round-14: the versioned lake's delete claim — cost tracks the
+    * files HOLDING deleted ids, not the lake. 16 single-file commits
+    * with disjoint id ranges; a delete hitting one file vs a same-size
+    * delete spread across all 16. nFilesRewritten comes from the
+    * operator's own return; both versions stay readable.
+    */
+  private def versionedLake(spark: SparkSession): Unit = {
+    import graft.sinks.VersionedLake
+    val n = 100000L
+    val files = 16
+    val per = n / files
+    val root = java.nio.file.Files
+      .createTempDirectory("maint_vlake_").toString
+    val dir = s"$root/lake"
+    (0 until files).foreach { k =>
+      VersionedLake.commitAppend(spark, dir,
+        spark.range(k * per, (k + 1) * per)
+          .select(col("id").as("doc_id"),
+            concat(lit("payload "), col("id")).as("text"))
+          .repartition(1)): Unit
+    }
+    def timedDelete(ids: org.apache.spark.sql.DataFrame,
+        label: String): Unit = {
+      val t0 = System.nanoTime()
+      val (_, nf, nr) = VersionedLake.commitDelete(spark, dir, "doc_id", ids)
+      println(f"[vlake] n=$n%7d  $label%-12s files_rewritten=$nf%3d  " +
+        f"rows=$nr%5d  wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    }
+    // 64 ids inside ONE file's range vs 64 ids spread over all 16 files
+    timedDelete(spark.range(64).select(col("id").as("doc_id")), "one_file")
+    timedDelete(spark.range(64).select(
+      ((col("id") % files) * per + 100 + col("id")).as("doc_id")), "spread")
+    val v16 = VersionedLake.readAsOf(spark, dir, files.toLong).count()
+    val cur = VersionedLake.read(spark, dir).count()
+    println(s"[vlake] v$files intact=${v16 == n}  " +
+      s"final=${cur == n - 128}")
+    graft.Tables.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
   /** The round-13 size-gate fix under adversarial load: a corpus where
