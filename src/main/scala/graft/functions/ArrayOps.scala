@@ -761,6 +761,35 @@ object ArrayOps {
       Seq(ArrayType(LongType), ArrayType(LongType)),
       returnNullable = true))
 
+  /** Exact integer dot product between two long vectors — the
+    * quantized-embedding ranking kernel
+    * ([[graft.operators.Retrieval.quantizedDotTopK]]): rank order from
+    * long multiply/add is bit-identical cross-engine, unlike float
+    * cosine whose last-ulp ordering an SQL oracle cannot replay. Same
+    * NULL contract as [[l2sqLongs]]: ragged or null-holding vectors
+    * return NULL and drop out of the ranking rather than silently
+    * scoring a prefix.
+    */
+  def dotLongs(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  def dotL(a: Column, b: Column): Column = CatalystBridge.column(
+    StaticInvoke(
+      ArrayOps.getClass, LongType, "dotLongs",
+      Seq(CatalystBridge.expression(a), CatalystBridge.expression(b)),
+      Seq(ArrayType(LongType), ArrayType(LongType)),
+      returnNullable = true))
+
   /** Primitive-return twin of [[l2sqL]] for validated vectors: the
     * caller must guarantee equal-length, null-free arrays (hoist the
     * check to a once-per-ROW `vecCleanL` column instead of paying a

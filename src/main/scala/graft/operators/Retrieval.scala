@@ -97,4 +97,67 @@ object Retrieval {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.key").as("doc_id"), col("col.ord").as("score_micro"))
   }
+
+  /** Exact vector ranking over 1e6-quantized embeddings: per query, the
+    * top-k corpus ids by integer DOT PRODUCT (long multiply/add — rank
+    * order bit-identical cross-engine, unlike float cosine whose
+    * last-ulp ordering an SQL oracle cannot replay; on unit-norm-ish
+    * embeddings dot order IS cosine order). Same shape as the BM25
+    * tail: queries broadcast, corpus scanned ONCE, per-query bounded
+    * heap — ≤ k pairs per query per mapper reach the shuffle, no
+    * window sort anywhere near the corpus. `queries` is
+    * (queryIdCol, vecCol); self-hits are not excluded (the query IS an
+    * embedding — rank 1 = itself is well-defined and the oracle's
+    * rule). Dot magnitude is bounded by dim·(scale·|x|max)² — dim 64 ×
+    * (1e6)² ≈ 6·10¹³ « 2⁶³ for unit-range embeddings.
+    */
+  def quantizedDotTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, scale: Long = 1000000L): DataFrame = {
+    import graft.functions.ArrayOps
+    import graft.operators.Clustering.quantizeF
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      quantizeF(col(queryVecCol), scale).as("qv"))
+    val c = corpus.select(col(idCol).as("doc_id"),
+      quantizeF(col(vecCol), scale).as("v"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("doc_id"),
+        ArrayOps.dotL(col("qv"), col("v")).as("dot"))
+      .filter(col("dot").isNotNull) // ragged/null vectors drop out
+      .groupBy(col("query_id"))
+      .agg(TopK.topKPairs(col("dot"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("doc_id"), col("col.ord").as("dot"))
+  }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse any number of (query_id, doc_id, rank) rankings as
+    * score = Σ_rankers round(1e9 / (rrfK + rank)) — ONE correctly-
+    * rounded IEEE division + round per (ranker, hit), summed in exact
+    * longs, so the fused order is bit-identical cross-engine (no
+    * float accumulation; rrfK + rank ≤ a few hundred never divides
+    * 2·10⁹ to an exact .5, so round ties cannot arise). A doc missing
+    * from a ranker's top-N simply contributes nothing — RRF's rule.
+    * Plan shape: union of k·|Q|-sized rank lists (tiny), one
+    * (query, doc) sum, one per-query bounded heap. The hybrid
+    * lexical+vector retrieval shape RAG-style pipelines run.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60)
+      : DataFrame = {
+    require(rankings.nonEmpty && k > 0, "rrfFuse needs rankings and k > 0")
+    val uni = rankings.map(_.select(col("query_id"), col("doc_id"),
+      col("rank"))).reduce(_ unionAll _)
+    uni
+      .select(col("query_id"), col("doc_id"),
+        round(lit(1e9) / (lit(rrfK) + col("rank"))).cast("long")
+          .as("contrib_nano"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_nano")).as("rrf_nano"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topKPairs(col("rrf_nano"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("doc_id"), col("col.ord").as("rrf_nano"))
+  }
 }

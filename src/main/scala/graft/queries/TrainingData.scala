@@ -4950,6 +4950,88 @@ object TrainingData {
        true AS replay_noop, true AS chain_monotone
        FROM documents WHERE doc_id % 4 != 3 AND doc_id % 10 != 1"""
 
+  // --- q176: hybrid retrieval — BM25 + vector ranks fused with RRF ---------------
+  // Retrieval.rrfFuse over q121's BM25 ranking and an exact
+  // quantized-dot vector ranking (Reciprocal Rank Fusion, Cormack et
+  // al. 2009) — the lexical+semantic hybrid shape RAG-style retrieval
+  // pipelines run. Both rankers are integer-exact (micro-rounded BM25
+  // contributions, long dot products), and the fused score is a sum of
+  // per-hit round(1e9/(60+rank)) longs — so the ENTIRE composition is
+  // SQL-replayable: the oracle re-runs BM25 (q121's CTEs at depth 20),
+  // the dot ranking, and the fusion arithmetic, and hash-compares every
+  // (query, rank, doc, score) row. A rank slip in either leg, a missing
+  // doc, or a fusion arithmetic drift all fail.
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val lex = graft.operators.Retrieval.bm25TopK(
+      Tables.documents(s, d), "doc_id", "text",
+      queries = Seq(
+        1L -> Seq("hash", "join", "dup"),
+        2L -> Seq("window", "stream", "agg"),
+        3L -> Seq("vector", "scan", "filter", "sort")),
+      k = 20)
+    val vec = graft.operators.Retrieval.quantizedDotTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
+      k = 20)
+    graft.operators.Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+  }
+
+  private val q176Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+       tf AS (SELECT doc_id, dl, term, count(*) AS tf
+              FROM tok GROUP BY 1, 2, 3),
+       q(query_id, term) AS (VALUES
+         (1, 'hash'), (1, 'join'), (1, 'dup'),
+         (2, 'window'), (2, 'stream'), (2, 'agg'),
+         (3, 'vector'), (3, 'scan'), (3, 'filter'), (3, 'sort')),
+       stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM w),
+       dfx AS (SELECT term, count(*) AS df FROM tf
+               WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+       sc AS (SELECT q.query_id, tf.doc_id,
+           CAST(sum(CAST(round(
+             ln(1 + (n - df + 0.5) / (df + 0.5)) *
+             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+             AS BIGINT)) AS BIGINT) AS score_micro
+         FROM tf JOIN q USING (term) JOIN dfx USING (term)
+         CROSS JOIN stats
+         GROUP BY 1, 2),
+       lex AS (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, doc_id) AS rank
+         FROM sc),
+       qv AS (SELECT vec_id AS query_id, list_transform(
+           embedding::DOUBLE[],
+           x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+         FROM embeddings WHERE vec_id IN (1, 2, 3)),
+       cv AS (SELECT vec_id AS doc_id, list_transform(
+           embedding::DOUBLE[],
+           x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       dots AS (SELECT q.query_id, c.doc_id,
+           CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+             i -> q.qv[i] * c.v[i])) AS BIGINT) AS dot
+         FROM qv q CROSS JOIN cv c),
+       vec AS (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY dot DESC, doc_id) AS rank
+         FROM dots),
+       uni AS (SELECT query_id, doc_id, rank FROM lex WHERE rank <= 20
+               UNION ALL
+               SELECT query_id, doc_id, rank FROM vec WHERE rank <= 20),
+       fused AS (SELECT query_id, doc_id,
+           CAST(sum(CAST(round(1e9 / (60 + rank)) AS BIGINT)) AS BIGINT)
+             AS rrf_nano
+         FROM uni GROUP BY 1, 2),
+       fr AS (SELECT query_id, doc_id, rrf_nano,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_nano DESC, doc_id) AS rank
+         FROM fused)
+       SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(rank AS BIGINT) AS rank, doc_id, rrf_nano
+       FROM fr WHERE rank <= 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -5073,7 +5155,8 @@ object TrainingData {
     "q172_state_append"   -> q172 _,
     "q173_sketch_novelty" -> q173 _,
     "q174_timetravel"     -> q174 _,
-    "q175_stream_versioned" -> q175 _)
+    "q175_stream_versioned" -> q175 _,
+    "q176_hybrid_rrf"     -> q176 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -5198,5 +5281,6 @@ object TrainingData {
     "q172_state_append"   -> q69Sql,
     "q173_sketch_novelty" -> q173Sql,
     "q174_timetravel"     -> q174Sql,
-    "q175_stream_versioned" -> q175Sql)
+    "q175_stream_versioned" -> q175Sql,
+    "q176_hybrid_rrf"     -> q176Sql)
 }

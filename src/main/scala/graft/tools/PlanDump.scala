@@ -58,7 +58,7 @@ object PlanDump {
     "q165_temp_shares", "q166_centroid_drift", "q167_dist_drift",
     "q168_quota_select", "q169_span_scrub", "q170_dup_profile",
     "q171_takedown", "q172_state_append", "q173_sketch_novelty",
-    "q174_timetravel", "q175_stream_versioned")
+    "q174_timetravel", "q175_stream_versioned", "q176_hybrid_rrf")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -151,7 +151,15 @@ object PlanDump {
       "content to prove the lake does not even look at it); the check " +
       "scans back past headerless maintenance commits. Pinned in " +
       "VersionedLakeSpec (replay no-op, interleaved delete, foreign-" +
-      "checkpoint loud failure, restart-on-same-checkpoint)."))
+      "checkpoint loud failure, restart-on-same-checkpoint)."),
+    "q176_hybrid_rrf" -> ("hybrid retrieval: both legs are the " +
+      "corpus-scanned-once / queries-broadcast / bounded-heap shape " +
+      "(BM25's pruned postings, the quantized-dot kernel), so the " +
+      "fusion input is k·|Q| rows per ranker — tiny; RRF itself is one " +
+      "(query, doc) sum plus one per-query heap. No window sort " +
+      "anywhere near the corpus; every stage integer-exact, which is " +
+      "what lets the oracle replay BM25, the dot ranking, AND the " +
+      "fusion under one hash."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

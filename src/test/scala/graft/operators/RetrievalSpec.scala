@@ -69,4 +69,43 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a === c)
     assert(a.groupBy(_.getLong(0)).values.forall(_.size <= 2))
   }
+
+  test("quantizedDotTopK: exact integer dot ranking, self at rank 1, " +
+      "ragged vectors drop out") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(0.5f, 0.5f)),
+      (5L, Seq(1.0f))) // ragged — must never rank
+      .toDF("vec_id", "embedding")
+    val out = Retrieval.quantizedDotTopK(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" === 1L), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // dots vs (1e6, 0): id1=1e12, id2=0.9e12, id4=0.5e12, id3=0, id5=null
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1000000000000L),
+      (2L, 2L, 900000000000L),
+      (3L, 4L, 500000000000L)))
+  }
+
+  test("rrfFuse: hand-computed fusion, one-ranker docs count once, " +
+      "tie breaks on doc_id") {
+    import spark.implicits._
+    // ranker A: d20=1, d10=2 ; ranker B: d20=1, d30=2
+    val a = Seq((1L, 20L, 1L), (1L, 10L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    def c(r: Long) = math.round(1e9 / (60 + r))
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // d20 counted once per ranker (2·c(1)); d10 and d30 appear in ONE
+    // ranker each at rank 2 -> EQUAL fused scores -> doc_id tie-break
+    assert(out.toSeq === Seq(
+      (1L, 20L, 2 * c(1)),
+      (2L, 10L, c(2)),
+      (3L, 30L, c(2))))
+  }
 }
