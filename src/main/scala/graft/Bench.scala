@@ -207,7 +207,8 @@ object Bench {
         Set("q173_append", "q173_takedown", "q173_score")),
       ("q174", Set("q174_commits"), Set("q174_reads")),
       ("q175", Set("q175_stage"),
-        Set("q175_stream", "q175_replay+delete", "q175_read")))
+        Set("q175_stream", "q175_replay+delete", "q175_read")),
+      ("q177", Set("q177_fragment"), Set("q177_compact", "q177_read")))
     val pathMap = pathTimes.toMap
     def sumPaths(labels: Set[String]): Double =
       labels.toSeq.flatMap(pathMap.get).filter(_ >= 0).sum

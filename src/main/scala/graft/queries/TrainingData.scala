@@ -3808,6 +3808,28 @@ object TrainingData {
           s.range(1).toDF()
         }),
         "q175_read" -> (() => VersionedLake.read(s, lakeDir)))
+    } ++ {
+      // q177 (versioned-lake compaction): fixture = fragmenting the
+      // lake; operator = the compaction itself + the post read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cDir = Tables.freshScratchDir("graft_vcompact_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q177_fragment" -> (() => {
+          (0 to 2).foreach { m =>
+            VersionedLake.commitAppend(s, cDir,
+              docs.filter(col("doc_id") % 3 === m).repartition(4)): Unit
+          }
+          VersionedLake.commitDelete(s, cDir, "doc_id",
+            docs.filter(col("doc_id") % 7 === 2).select("doc_id")): Unit
+          s.range(1).toDF()
+        }),
+        "q177_compact" -> (() => {
+          VersionedLake.compact(s, cDir, nFiles = 2): Unit
+          s.range(1).toDF()
+        }),
+        "q177_read" -> (() => VersionedLake.read(s, cDir)))
     }
   }
 
@@ -5032,6 +5054,45 @@ object TrainingData {
          CAST(rank AS BIGINT) AS rank, doc_id, rrf_nano
        FROM fr WHERE rank <= 10"""
 
+  // --- q177: versioned-lake compaction ------------------------------------------
+  // VersionedLake.compact: small commits and file-scoped deletes
+  // fragment the file list, and an object-store read pays per file —
+  // compaction re-lays the CURRENT content into few files as a NEW
+  // version (q162's bracketing discipline: the reads around it must be
+  // equal), leaving every prior version readable. The query fragments a
+  // lake (3 multi-file appends + a delete), compacts to 2 files, and
+  // emits the final membership plus the invariants: content equality
+  // across the compaction (both exceptAll directions), file count
+  // reduced to the target, and the pre-compaction version still
+  // readable with its own file list.
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = Tables.freshScratchDir("graft_vcompact_", d).toString + "/lake"
+    (0 to 2).foreach { m =>
+      VersionedLake.commitAppend(s, dir,
+        docs.filter(col("doc_id") % 3 === m).repartition(4)): Unit
+    }
+    VersionedLake.commitDelete(s, dir, "doc_id",
+      docs.filter(col("doc_id") % 7 === 2).select("doc_id")): Unit
+    val pre = VersionedLake.currentVersion(s, dir)
+    val nFilesPre = VersionedLake.filesOf(s, dir, pre).size.toLong
+    val post = VersionedLake.compact(s, dir, nFiles = 2)
+    val before = VersionedLake.readAsOf(s, dir, pre).select("doc_id")
+    val after = VersionedLake.readAsOf(s, dir, post).select("doc_id")
+    val contentDiff = before.exceptAll(after).count() +
+      after.exceptAll(before).count()
+    val nFilesPost = VersionedLake.filesOf(s, dir, post).size.toLong
+    VersionedLake.read(s, dir)
+      .select(col("doc_id"),
+        lit(contentDiff == 0L).as("content_invariant"),
+        lit(nFilesPost == 2L && nFilesPre > nFilesPost).as("files_reduced"))
+  }
+
+  private val q177Sql =
+    """SELECT doc_id, true AS content_invariant, true AS files_reduced
+       FROM documents WHERE doc_id % 7 != 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -5156,7 +5217,8 @@ object TrainingData {
     "q173_sketch_novelty" -> q173 _,
     "q174_timetravel"     -> q174 _,
     "q175_stream_versioned" -> q175 _,
-    "q176_hybrid_rrf"     -> q176 _)
+    "q176_hybrid_rrf"     -> q176 _,
+    "q177_vlake_compact"  -> q177 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -5282,5 +5344,6 @@ object TrainingData {
     "q173_sketch_novelty" -> q173Sql,
     "q174_timetravel"     -> q174Sql,
     "q175_stream_versioned" -> q175Sql,
-    "q176_hybrid_rrf"     -> q176Sql)
+    "q176_hybrid_rrf"     -> q176Sql,
+    "q177_vlake_compact"  -> q177Sql)
 }

@@ -257,21 +257,64 @@ object VersionedLake {
   /** The lake exactly as version `v` committed it — an explicit file
     * list, no directory listing, no partition discovery. A version with
     * an empty manifest reads as an empty frame of `schemaHint` (schema
-    * inference has no file to read).
+    * inference has no file to read). `mergeSchema` unions the file
+    * schemas (columns appended by later commits read as NULL in older
+    * files) at the cost of a footer read per file; off by default —
+    * same-schema commits take the first file's schema for free.
     */
   def readAsOf(spark: SparkSession, dir: String, v: Long,
-      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
-      : DataFrame = {
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val (fs, base) = fsOf(spark, dir)
     val files = readManifest(fs, base, v)
     if (files.nonEmpty)
-      spark.read.parquet(files.map(qualified(fs, base, _)): _*)
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(files.map(qualified(fs, base, _)): _*)
     else schemaHint match {
       case Some(sc) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
       case None => throw new IllegalArgumentException(
         s"version $v of $dir is empty and no schemaHint was given")
     }
+  }
+
+  /** The data files that ARE version `v`, manifest-relative. */
+  def filesOf(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val (fs, base) = fsOf(spark, dir)
+    readManifest(fs, base, v)
+  }
+
+  /** Maintenance rewrite: the CURRENT version's content re-laid-out
+    * into `nFiles` files as a NEW version — small commits and
+    * file-scoped deletes fragment the file list, and an object-store
+    * read pays per file. Content-identical by construction (one read,
+    * one write, a manifest of only the new files); prior versions are
+    * untouched and stay readable — fragmented history is reclaimed by
+    * [[vacuum]] once it ages out, never by the compaction itself.
+    * Returns the new version.
+    */
+  def compact(spark: SparkSession, dir: String, nFiles: Int = 8): Long = {
+    require(nFiles >= 1, s"compact needs nFiles >= 1, got $nFiles")
+    val (fs, base) = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir)
+    require(cur > 0, s"compact on an empty lake at $dir")
+    val v = cur + 1
+    readAsOf(spark, dir, cur).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
+    writeManifest(fs, base, v, commitFiles(fs, base, v))
+    v
+  }
+
+  /** The commit log as a frame: (version, n_files, batch_id) — batch_id
+    * NULL for maintenance commits (deletes, batch appends, compactions).
+    * Driver-built from the manifests (bounded by version count).
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val (fs, base) = fsOf(spark, dir)
+    import spark.implicits._
+    versions(spark, dir).map { v =>
+      (v, readManifest(fs, base, v).size.toLong, batchOf(fs, base, v))
+    }.toDF("version", "n_files", "batch_id")
   }
 
   /** Latest version as a frame. */

@@ -58,7 +58,8 @@ object PlanDump {
     "q165_temp_shares", "q166_centroid_drift", "q167_dist_drift",
     "q168_quota_select", "q169_span_scrub", "q170_dup_profile",
     "q171_takedown", "q172_state_append", "q173_sketch_novelty",
-    "q174_timetravel", "q175_stream_versioned", "q176_hybrid_rrf")
+    "q174_timetravel", "q175_stream_versioned", "q176_hybrid_rrf",
+    "q177_vlake_compact")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -159,7 +160,14 @@ object PlanDump {
       "(query, doc) sum plus one per-query heap. No window sort " +
       "anywhere near the corpus; every stage integer-exact, which is " +
       "what lets the oracle replay BM25, the dot ranking, AND the " +
-      "fusion under one hash."))
+      "fusion under one hash."),
+    "q177_vlake_compact" -> ("the snapshot shows the final " +
+      "manifest-driven read with the invariant literals; the operator " +
+      "is VersionedLake.compact — one read of the current version, one " +
+      "re-laid write, a manifest of ONLY the new files published by one " +
+      "rename. Prior versions keep their own file lists (pinned via " +
+      "filesOf equality in VersionedLakeSpec), so compaction never " +
+      "touches history — fragmented storage ages out through vacuum."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -210,6 +210,51 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(idSet(VersionedLake.read(spark, dir)) === (0L until 30L).toSet)
   }
 
+  test("compact: content-identical new version, prior versions intact, " +
+      "history attributes commits") {
+    val dir = fresh("vlake_cmp_")
+    VersionedLake.commitAppendForBatch(spark, dir,
+      docs(0, 10).repartition(3), 0L): Unit
+    VersionedLake.commitAppendForBatch(spark, dir,
+      docs(10, 20).repartition(3), 1L): Unit
+    VersionedLake.commitDelete(spark, dir, "doc_id",
+      Seq(4L).toDF("doc_id")): Unit
+    val pre = VersionedLake.currentVersion(spark, dir)
+    val preFiles = VersionedLake.filesOf(spark, dir, pre)
+    val v = VersionedLake.compact(spark, dir, nFiles = 1)
+    assert(v === pre + 1)
+    assert(VersionedLake.filesOf(spark, dir, v).size === 1)
+    assert(idSet(VersionedLake.readAsOf(spark, dir, v)) ===
+      idSet(VersionedLake.readAsOf(spark, dir, pre)))
+    // the compacted-away version still reads through ITS OWN files
+    assert(VersionedLake.filesOf(spark, dir, pre) === preFiles)
+    assert(idSet(VersionedLake.readAsOf(spark, dir, 2)) ===
+      (0L until 20L).toSet)
+    // history: stream commits carry their batch, maintenance rows NULL
+    val h = VersionedLake.history(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(h.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(h.map(_._3) === Seq(Some(0L), Some(1L), None, None))
+    assert(h.last._2 === 1L, "compacted version must list 1 file")
+  }
+
+  test("mergeSchema AS-OF read: later-commit columns NULL in older rows") {
+    val dir = fresh("vlake_schema_")
+    VersionedLake.commitAppend(spark, dir, docs(0, 3)): Unit
+    VersionedLake.commitAppend(spark, dir,
+      docs(3, 5).withColumn("lang", lit("en"))): Unit
+    val merged = VersionedLake.read(spark, dir) // first-file schema risk
+    val full = VersionedLake.readAsOf(spark, dir, 2, mergeSchema = true)
+    assert(full.columns.toSet === Set("doc_id", "text", "lang"))
+    assert(full.filter(col("lang").isNull).count() === 3L)
+    assert(full.filter(col("lang") === "en").count() === 2L)
+    // v1 AS-OF keeps its own narrower schema
+    assert(VersionedLake.readAsOf(spark, dir, 1, mergeSchema = true)
+      .columns.toSet === Set("doc_id", "text"))
+    merged.count(): Unit // non-merged read stays usable on the row level
+  }
+
   test("empty v1 append reads back as a typed empty frame via schemaHint") {
     val dir = fresh("vlake_empty_")
     val schema = StructType(Seq(StructField("doc_id", LongType),
