@@ -298,6 +298,7 @@ object VersionedLake {
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
     require(cur > 0, s"compact on an empty lake at $dir")
+    if (readManifest(fs, base, cur).isEmpty) return cur // nothing to lay out
     val v = cur + 1
     readAsOf(spark, dir, cur).repartition(nFiles)
       .write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
