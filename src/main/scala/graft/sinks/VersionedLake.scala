@@ -238,9 +238,16 @@ object VersionedLake {
     if (hits.isEmpty) return (0L, 0L, 0L)
     val nRemoved = hits.map(_.getLong(1)).sum
     val affectedAbs = hits.map(_.getString(0)).toSet
-    // map back to manifest-relative names via qualified equality
-    val affectedRel = files.filter(f => affectedAbs.contains(
-      qualified(fs, base, f)))
+    // map back to manifest-relative names: qualified-URI equality first,
+    // then a scheme-independent suffix match — `_metadata.file_path` and
+    // makeQualified can normalize the same file differently on some
+    // filesystems (authority/port form), and a relative `data/cN/part-*`
+    // suffix identifies a lake file unambiguously either way
+    val relByQualified = files.map(f => qualified(fs, base, f) -> f).toMap
+    val affectedRel = affectedAbs.toSeq.flatMap { abs =>
+      relByQualified.get(abs)
+        .orElse(files.find(f => abs.endsWith("/" + f)))
+    }.distinct.sorted
     require(affectedRel.size == affectedAbs.size,
       s"commitDelete: ${affectedAbs.size} affected file paths but " +
         s"${affectedRel.size} resolved against the v$cur manifest — " +
