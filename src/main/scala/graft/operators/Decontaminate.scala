@@ -446,13 +446,9 @@ object Decontaminate {
     * leaving the live bloom parked at the backup name — restore it
     * before any mutation touches the sketch.
     */
-  private def recoverBloom(fs: FileSystem, dir: String): Unit = {
-    val live = new Path(s"$dir/$BloomName")
-    val backup = new Path(s"$dir/$BloomName.mut_backup")
-    if (!fs.exists(live) && fs.exists(backup))
-      require(fs.rename(backup, live),
-        s"bloom recovery failed: $backup -> $live")
-  }
+  private def recoverBloom(fs: FileSystem, dir: String): Unit =
+    graft.sinks.Lake.recoverSwap(fs, new Path(s"$dir/$BloomName"),
+      new Path(s"$dir/$BloomName.mut_backup"))
 
   /** Rewrite the bloom-count lake by `delta` (pos, dcnt) and swap it in,
     * carrying forward every `_applied_*` marker plus `newMarker` — the

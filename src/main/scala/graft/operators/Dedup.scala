@@ -585,6 +585,12 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     val idc = ids.columns.head
     val dels = ids.select(col(idc).as("corpus_id")).distinct()
+    // a previous takedown killed between swapDirs' two renames parked
+    // the state whole at the backup name — restore before reading
+    graft.sinks.Lake.recoverSwap(
+      new Path(stateDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new Path(stateDir), new Path(stateDir + ".takedown_backup"))
     val state = spark.read.parquet(stateDir)
     // no broadcast hint: a takedown set is usually tiny (AQE will
     // broadcast it), but a court-ordered bulk removal need not be —

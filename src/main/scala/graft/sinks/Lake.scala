@@ -313,6 +313,7 @@ object Lake {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path, new Path(dir + ".compact_backup"))
     val (before, _) = fileStats(spark, dir)
     val slices: Map[String, Int] = partitionBytes(fs, path, partCol)
       .map { case (v, b) =>
@@ -341,13 +342,28 @@ object Lake {
     (before, after)
   }
 
+  /** Recover a [[swapDirs]] that died between its two renames: the
+    * live dir is missing and the original is parked whole at `backup` —
+    * rename it back before any read or mutation proceeds. With live
+    * present, a stale backup is left for swapDirs' own preamble to
+    * clear. Call this at the top of every operation on a swap-protected
+    * directory (the single-writer contract makes it race-free).
+    */
+  private[graft] def recoverSwap(fs: FileSystem, live: Path,
+      backup: Path): Unit =
+    if (!fs.exists(live) && fs.exists(backup))
+      require(fs.rename(backup, live),
+        s"swap recovery failed: $backup -> $live")
+
   /** Rename-only directory swap: live → backup, tmp → live, delete
     * backup. Invariant: a complete copy of the original data survives
     * every single-step failure — the original is never deleted until the
     * replacement is live. On a failed second rename the original is
     * restored from the backup before throwing; if even the restore
     * rename fails, the data still exists intact at `backup` (the error
-    * says so).
+    * says so). A hard crash between the renames parks the original at
+    * `backup`; [[recoverSwap]] is the retry-side preamble that restores
+    * it.
     */
   private[graft] def swapDirs(fs: FileSystem, live: Path, tmp: Path,
       backup: Path): Unit = {

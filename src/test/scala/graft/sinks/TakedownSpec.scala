@@ -180,4 +180,29 @@ class TakedownSpec extends AnyFunSuite {
     assert(Dedup.deleteFromNearDupState(spark, s"$dir/state",
       Seq(2L, 4L).toDF("doc_id")) === 0L)
   }
+
+  test("deleteFromNearDupState recovery: a swap killed between its two " +
+      "renames restores from the backup on retry") {
+    val corpus = (0 until 12).map { i =>
+      (i.toLong, (0 until 12).map(t => s"r${i}_$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("takedown_recover_").toString
+    graft.streaming.NearDupStream.writeCorpusState(
+      corpus, "doc_id", "text", s"$dir/state")
+    val liveRows = spark.read.parquet(s"$dir/state").count()
+    // manufacture the mid-swap crash: live parked at the backup name
+    val p = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p,
+      new org.apache.hadoop.fs.Path(s"$dir/state.takedown_backup")))
+    // the retried takedown recovers, then applies
+    val removed = Dedup.deleteFromNearDupState(spark, s"$dir/state",
+      Seq(3L).toDF("doc_id"))
+    assert(removed === 1L)
+    val back = spark.read.parquet(s"$dir/state")
+    assert(back.count() === liveRows - 1L)
+    assert(back.filter(col("corpus_id") === 3L).count() === 0L)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/state.takedown_backup")))
+  }
 }
