@@ -114,10 +114,17 @@ object EmptyShapes {
     }
   }
 
-  /** The `\{\s*\}` prefilter as a compiled driver-side regex (the
-    * distributed path uses the equivalent `rlike`).
+  /** The empty-object prefilter: an object literal can only appear in
+    * serialized JSON after `:` (member value), `[` (first element), or
+    * `,` (later element) — a root-level bare `{}` document carries no
+    * keys and is irrelevant to the graft — so requiring that prefix
+    * keeps every droppable shape while skipping the bare `{}` that
+    * code-bearing STRING VALUES are full of (`function f() {}`), the
+    * r13-noted false-positive class. Compiled here for the driver-local
+    * path; [[discoverLines]] runs the same pattern as an `rlike`.
     */
-  private val EmptyObjRx = java.util.regex.Pattern.compile("\\{\\s*\\}")
+  private[flatten] val EmptyObjPattern = "[:\\[,]\\s*\\{\\s*\\}"
+  private val EmptyObjRx = java.util.regex.Pattern.compile(EmptyObjPattern)
 
   /** How much raw input the driver-local discovery path will take on;
     * bigger inputs go through the distributed scan.
@@ -206,19 +213,20 @@ object EmptyShapes {
     * only-matching docs are sound because graft() never modifies a key
     * the inferred schema already carries.
     *
-    * Known cost caveat (soundness unaffected): the regex also matches
-    * `{}` inside STRING VALUES, so a code/JSON-bearing text corpus
-    * parses more documents than actually carry droppable keys — the
-    * graft still never touches keys inference kept, it just pays more
-    * parse time at inference. Known-vintage reads skip this pass
-    * entirely via the `_schema.json` sidecar
+    * Residual cost caveat (soundness unaffected): the key-context
+    * prefix can still match inside a STRING VALUE that itself contains
+    * JSON-looking text (`"snippet": "a: {}"`), so a JSON-quoting corpus
+    * parses more documents than carry droppable keys — the graft still
+    * never touches keys inference kept, it just pays parse time at
+    * inference. Known-vintage reads skip this pass entirely via the
+    * `_schema.json` sidecar
     * ([[graft.sources.EsJson.writeSchemaSidecar]]).
     */
   def discoverLines(
       lines: org.apache.spark.sql.Dataset[String]): Option[Raw] = {
     val shapes = lines
       .filter(org.apache.spark.sql.functions.col("value")
-        .rlike("\\{\\s*\\}"))
+        .rlike(EmptyObjPattern))
       .rdd.mapPartitions { it =>
         val mapper = new ObjectMapper()
         var acc: Option[Raw] = None

@@ -57,6 +57,37 @@ class EmptyShapesSpec extends AnyFunSuite {
     assert(schema("emptyArr").dataType === inferred("emptyArr").dataType)
   }
 
+  test("prefilter soundness: every JSON position an empty object can " +
+      "occupy survives the key-context regex") {
+    // an object literal appears only after ':', '[' or ','; the r14
+    // tightened prefilter must keep all three forms (whitespace-mangled
+    // included) while skipping bare '{}' in code-bearing string values
+    val path = jsonl(
+      """{"id":1,"arrFirst":[{}],"spaced" :   { } }""",
+      """{"id":2,"arrLater":[{"e":1},{}],"snippet":"function f() {}"}""")
+    val inferred = spark.read.json(path).schema
+    assert(!inferred.fieldNames.contains("arrFirst"))
+    assert(!inferred.fieldNames.contains("spaced"))
+    val schema = EmptyShapes.augment(spark, inferred, Seq(path),
+      wholeFile = false).asInstanceOf[StructType]
+    assert(schema("arrFirst").dataType ===
+      ArrayType(StructType(Nil), containsNull = true))
+    assert(schema("spaced").dataType === StructType(Nil))
+    val laterEt = schema("arrLater").dataType.asInstanceOf[ArrayType]
+      .elementType
+    assert(laterEt.isInstanceOf[StructType],
+      "comma-borne empty element merges into the kept element struct")
+    // a code-only corpus (bare {} in string values, no real empty
+    // shapes) must graft nothing: same schema INSTANCE back
+    val codePath = jsonl(
+      """{"id":1,"snippet":"function f() {}"}""",
+      """{"id":2,"snippet":"while (true) {}"}""")
+    val codeInferred = spark.read.json(codePath).schema
+    val codeOut = EmptyShapes.augment(spark, codeInferred, Seq(codePath),
+      wholeFile = false)
+    assert(codeOut eq codeInferred)
+  }
+
   test("nothing dropped -> the exact same schema instance (re-read skipped)") {
     val path = jsonl("""{"a":{"x":1},"b":[{"y":2}]}""")
     val inferred = spark.read.json(path).schema
