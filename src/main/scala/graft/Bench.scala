@@ -36,6 +36,10 @@ object Bench {
           n.startsWith("graft_streamprof_") ||
           n.startsWith("graft_neardup_") ||
           n.startsWith("graft_takedown_") ||
+          n.startsWith("graft_refsketch_") ||
+          n.startsWith("graft_vlake_") ||
+          n.startsWith("graft_vstream_") ||
+          n.startsWith("graft_vcompact_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }
