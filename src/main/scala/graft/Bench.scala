@@ -212,7 +212,8 @@ object Bench {
       ("q174", Set("q174_commits"), Set("q174_reads")),
       ("q175", Set("q175_stage"),
         Set("q175_stream", "q175_replay+delete", "q175_read")),
-      ("q177", Set("q177_fragment"), Set("q177_compact", "q177_read")))
+      ("q177", Set("q177_fragment"), Set("q177_compact", "q177_read")),
+      ("q178", Set("q178_commits"), Set("q178_range_read")))
     val pathMap = pathTimes.toMap
     def sumPaths(labels: Set[String]): Double =
       labels.toSeq.flatMap(pathMap.get).filter(_ >= 0).sum

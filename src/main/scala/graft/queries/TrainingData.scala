@@ -3830,6 +3830,27 @@ object TrainingData {
           s.range(1).toDF()
         }),
         "q177_read" -> (() => VersionedLake.read(s, cDir)))
+    } ++ {
+      // q178 (manifest-stats range read): fixture = the quartile commit
+      // history; operator = the pruned range read a user actually runs
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val q = docs.count() / 4
+      val rDir = Tables.freshScratchDir("graft_vrange_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q178_commits" -> (() => {
+          (0 until 4).foreach { m =>
+            VersionedLake.commitAppend(s, rDir,
+              docs.filter(col("doc_id") >= m * q &&
+                col("doc_id") < (m + 1) * q).repartition(2),
+              statsCol = if (m == 0) Some("doc_id") else None): Unit
+          }
+          s.range(1).toDF()
+        }),
+        "q178_range_read" -> (() =>
+          VersionedLake.readAsOfRange(s, rDir,
+            VersionedLake.currentVersion(s, rDir), q, 3 * q - 1)))
     }
   }
 
@@ -5093,6 +5114,44 @@ object TrainingData {
     """SELECT doc_id, true AS content_invariant, true AS files_reduced
        FROM documents WHERE doc_id % 7 != 2"""
 
+  // --- q178: manifest-statistics range read over the versioned lake --------------
+  // VersionedLake.commitAppend(statsCol)/rangeFiles/readAsOfRange: the
+  // Iceberg file-skipping discipline — each commit records per-file
+  // (min, max) of the lake's stats column INSIDE the manifest, so a
+  // range read prunes the file list driver-side with no footer read and
+  // no file open. Four quartile-range commits of 2 files each; the read
+  // covers exactly quartiles 2-3, so precisely 4 of 8 files are
+  // admitted (every file's stats are bounded by its quartile —
+  // deterministic under any within-quartile row split). The oracle
+  // replays the membership AND the admitted/total file counts; an
+  // over-pruned file loses rows, an under-pruned count shifts the
+  // literals, and a stats slip on any commit changes one or the other.
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val q = docs.count() / 4
+    val dir = Tables.freshScratchDir("graft_vrange_", d).toString + "/lake"
+    (0 until 4).foreach { m =>
+      VersionedLake.commitAppend(s, dir,
+        docs.filter(col("doc_id") >= m * q && col("doc_id") < (m + 1) * q)
+          .repartition(2),
+        statsCol = if (m == 0) Some("doc_id") else None): Unit
+    }
+    val v = VersionedLake.currentVersion(s, dir)
+    val (kept, total) = VersionedLake.rangeFiles(s, dir, v, q, 3 * q - 1)
+    VersionedLake.readAsOfRange(s, dir, v, q, 3 * q - 1)
+      .select(col("doc_id"), col("text"),
+        lit(kept.size.toLong).as("n_files_admitted"),
+        lit(total).as("n_files_total"))
+  }
+
+  private val q178Sql =
+    """SELECT d.doc_id, d.text,
+       CAST(4 AS BIGINT) AS n_files_admitted,
+       CAST(8 AS BIGINT) AS n_files_total
+       FROM documents d, (SELECT count(*) // 4 AS q FROM documents) b
+       WHERE d.doc_id >= b.q AND d.doc_id < 3 * b.q"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -5218,7 +5277,8 @@ object TrainingData {
     "q174_timetravel"     -> q174 _,
     "q175_stream_versioned" -> q175 _,
     "q176_hybrid_rrf"     -> q176 _,
-    "q177_vlake_compact"  -> q177 _)
+    "q177_vlake_compact"  -> q177 _,
+    "q178_vlake_stats"    -> q178 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -5345,5 +5405,6 @@ object TrainingData {
     "q174_timetravel"     -> q174Sql,
     "q175_stream_versioned" -> q175Sql,
     "q176_hybrid_rrf"     -> q176Sql,
-    "q177_vlake_compact"  -> q177Sql)
+    "q177_vlake_compact"  -> q177Sql,
+    "q178_vlake_stats"    -> q178Sql)
 }

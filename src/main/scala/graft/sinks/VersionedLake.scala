@@ -98,9 +98,27 @@ object VersionedLake {
     text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  private def readManifest(fs: FileSystem, base: Path,
+  /** File ENTRIES of a manifest — the raw per-file lines, each either a
+    * bare relative path or `path<TAB>min<TAB>max` when the lake carries
+    * column statistics (see [[commitAppend]]'s `statsCol`). Bare-path
+    * manifests from before stats were enabled parse unchanged.
+    */
+  private def fileEntries(fs: FileSystem, base: Path,
       v: Long): Seq[String] =
     manifestLines(fs, base, v).filterNot(_.startsWith("#"))
+
+  private def entryPath(entry: String): String = entry.split('\t')(0)
+
+  private def entryStats(entry: String): Option[(Long, Long)] = {
+    val p = entry.split('\t')
+    if (p.length == 3) for (lo <- p(1).toLongOption; hi <- p(2).toLongOption)
+      yield (lo, hi)
+    else None
+  }
+
+  private def readManifest(fs: FileSystem, base: Path,
+      v: Long): Seq[String] =
+    fileEntries(fs, base, v).map(entryPath)
 
   /** The streaming-batch provenance of a version, if it has one —
     * carried as a `#batch=<id>` header INSIDE the manifest so
@@ -111,21 +129,58 @@ object VersionedLake {
     manifestLines(fs, base, v).find(_.startsWith("#batch="))
       .flatMap(_.stripPrefix("#batch=").toLongOption)
 
+  /** The lake's statistics column, if version `v` carries one —
+    * `#stats=<col>` header, written by the commit that enabled stats
+    * and propagated by every later commit.
+    */
+  def statsColOf(spark: SparkSession, dir: String, v: Long)
+      : Option[String] = {
+    val (fs, base) = fsOf(spark, dir)
+    manifestLines(fs, base, v).find(_.startsWith("#stats="))
+      .map(_.stripPrefix("#stats="))
+  }
+
   /** Atomic commit: side-name write, then ONE rename. Refuses to replace
     * an existing version — two writers racing the same version number
     * must fail loudly, not fork history.
     */
   private[sinks] def writeManifest(fs: FileSystem, base: Path, v: Long,
-      files: Seq[String], header: Option[String] = None): Unit = {
+      files: Seq[String], headers: Seq[String] = Nil): Unit = {
     val dst = manifestPath(base, v)
     require(!fs.exists(dst),
       s"version $v already committed at $base — concurrent writer?")
     val side = new Path(dst.getParent, dst.getName + ".writing")
     val out = fs.create(side, true)
-    try out.write(((header.toSeq ++ files).mkString("\n") + "\n")
+    try out.write(((headers ++ files).mkString("\n") + "\n")
       .getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(side, dst), s"manifest commit $side -> $dst failed")
+  }
+
+  /** Per-file (min, max) of `statsCol` over THIS commit's new files —
+    * one column-pruned read of exactly those files, mapped back to
+    * manifest-relative entries. All-null files record no stats (and are
+    * never pruned). The column must be integer-typed: the stats ride
+    * the manifest as exact longs.
+    */
+  private def statEntries(spark: SparkSession, fs: FileSystem, base: Path,
+      rels: Seq[String], statsCol: String): Seq[String] = {
+    if (rels.isEmpty) return rels
+    val byFile = spark.read.parquet(rels.map(qualified(fs, base, _)): _*)
+      .select(col(statsCol).cast("long").as("__s"),
+        col("_metadata.file_path").as("__f"))
+      .groupBy("__f").agg(min("__s").as("lo"), max("__s").as("hi"))
+      .collect() // bounded: one row per new file of this commit
+      .flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else Some(r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      }.toMap
+    rels.map { rel =>
+      byFile.collectFirst {
+        case (abs, (lo, hi)) if abs.endsWith("/" + rel) ||
+          abs == qualified(fs, base, rel) => s"$rel\t$lo\t$hi"
+      }.getOrElse(rel)
+    }
   }
 
   /** Relative `data/...` paths of the parquet part files under a commit
@@ -147,14 +202,53 @@ object VersionedLake {
     * The data write targets this commit's own `c<v>` dir (mode overwrite:
     * a crashed attempt at the SAME version left orphans there and no
     * manifest — the retry replaces them wholesale).
+    *
+    * `statsCol` (an integer-typed column) enables per-file (min, max)
+    * MANIFEST STATISTICS — the Iceberg file-skipping discipline:
+    * [[readAsOfRange]] prunes the file list driver-side from the
+    * manifest alone, no footer reads, no file opens. Enable it on the
+    * first commit; every later commit (append, stream batch, delete
+    * rewrite, compaction) propagates it automatically via the
+    * `#stats=` header, so callers pass it once. Passing a DIFFERENT
+    * column than the lake already carries fails loudly.
     */
-  def commitAppend(spark: SparkSession, dir: String, df: DataFrame): Long = {
+  def commitAppend(spark: SparkSession, dir: String, df: DataFrame,
+      statsCol: Option[String] = None): Long = {
     val (fs, base) = fsOf(spark, dir)
     val v = currentVersion(spark, dir) + 1
+    val effective = resolveStatsCol(spark, dir, v - 1, statsCol)
     df.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
-    val prev = if (v == 1) Seq.empty else readManifest(fs, base, v - 1)
-    writeManifest(fs, base, v, prev ++ commitFiles(fs, base, v))
+    val prev = if (v == 1) Seq.empty else fileEntries(fs, base, v - 1)
+    val fresh = newEntries(spark, fs, base, v, effective)
+    writeManifest(fs, base, v, prev ++ fresh,
+      headers = effective.map("#stats=" + _).toSeq)
     v
+  }
+
+  /** The stats column a new commit must carry: the lake's existing one,
+    * or the caller's on the enabling commit — never a silent switch.
+    */
+  private def resolveStatsCol(spark: SparkSession, dir: String,
+      prevV: Long, asked: Option[String]): Option[String] = {
+    val carried =
+      if (prevV < 1) None else statsColOf(spark, dir, prevV)
+    (carried, asked) match {
+      case (Some(c), Some(a)) =>
+        require(c == a, s"lake at $dir carries stats on '$c' but the " +
+          s"commit asked for '$a' — a lake has ONE stats column")
+        Some(c)
+      case (Some(c), None) => Some(c)
+      case (None, a) => a
+    }
+  }
+
+  /** This commit's new file entries, with stats when the lake carries
+    * them.
+    */
+  private def newEntries(spark: SparkSession, fs: FileSystem, base: Path,
+      v: Long, statsCol: Option[String]): Seq[String] = {
+    val rels = commitFiles(fs, base, v)
+    statsCol.fold(rels)(statEntries(spark, fs, base, rels, _))
   }
 
   /** Exactly-once streaming append: commit micro-batch `batchId` as a
@@ -186,10 +280,13 @@ object VersionedLake {
       case None => ()
     }
     val v = cur + 1
+    val effective = resolveStatsCol(spark, dir, v - 1, None)
     df.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
-    val prev = if (v == 1) Seq.empty else readManifest(fs, base, v - 1)
-    writeManifest(fs, base, v, prev ++ commitFiles(fs, base, v),
-      header = Some(s"#batch=$batchId"))
+    val prev = if (v == 1) Seq.empty else fileEntries(fs, base, v - 1)
+    writeManifest(fs, base, v,
+      prev ++ newEntries(spark, fs, base, v, effective),
+      headers = s"#batch=$batchId" +:
+        effective.map("#stats=" + _).toSeq)
     v
   }
 
@@ -253,11 +350,19 @@ object VersionedLake {
         s"${affectedRel.size} resolved against the v$cur manifest — " +
         "path qualification mismatch; aborting before any commit")
     val v = cur + 1
+    val effective = resolveStatsCol(spark, dir, cur, None)
     spark.read.parquet(affectedRel.map(qualified(fs, base, _)): _*)
       .join(dels, Seq(idCol), "left_anti")
       .write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
-    val survivors = files.filterNot(affectedRel.toSet)
-    writeManifest(fs, base, v, survivors ++ commitFiles(fs, base, v))
+    // survivor files keep their manifest ENTRIES verbatim (stats
+    // included — their bytes did not change); the rewrite's files get
+    // fresh stats under the lake's carried column
+    val affectedSet = affectedRel.toSet
+    val survivors = fileEntries(fs, base, cur)
+      .filterNot(e => affectedSet.contains(entryPath(e)))
+    writeManifest(fs, base, v,
+      survivors ++ newEntries(spark, fs, base, v, effective),
+      headers = effective.map("#stats=" + _).toSeq)
     (v, affectedRel.size.toLong, nRemoved)
   }
 
@@ -291,6 +396,52 @@ object VersionedLake {
     readManifest(fs, base, v)
   }
 
+  /** Version `v`'s files whose manifest stats ADMIT `[lower, upper]` on
+    * the lake's stats column — the driver-side skip decision, from the
+    * manifest alone: no footer read, no file open. Files without stats
+    * (all-null, or committed before stats were enabled) are never
+    * pruned. Returns (admitted files, total files).
+    */
+  def rangeFiles(spark: SparkSession, dir: String, v: Long,
+      lower: Long, upper: Long): (Seq[String], Long) = {
+    val (fs, base) = fsOf(spark, dir)
+    val entries = fileEntries(fs, base, v)
+    val kept = entries.filter { e =>
+      entryStats(e).forall { case (lo, hi) => hi >= lower && lo <= upper }
+    }.map(entryPath)
+    (kept, entries.size.toLong)
+  }
+
+  /** The rows of version `v` whose stats column lies in
+    * `[lower, upper]` — manifest stats prune the file list FIRST
+    * ([[rangeFiles]]), then the residual predicate runs over only the
+    * admitted files (whose row groups parquet min/max prune further).
+    * Requires the lake to carry a stats column. At 100 TB this is the
+    * difference between opening every file of a version and opening the
+    * few whose range can match.
+    */
+  def readAsOfRange(spark: SparkSession, dir: String, v: Long,
+      lower: Long, upper: Long,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val statsCol = statsColOf(spark, dir, v).getOrElse(throw
+      new IllegalArgumentException(s"version $v of $dir carries no " +
+        "manifest statistics — commitAppend(statsCol=...) enables them"))
+    val (fs, base) = fsOf(spark, dir)
+    val (kept, _) = rangeFiles(spark, dir, v, lower, upper)
+    val frame =
+      if (kept.nonEmpty)
+        spark.read.parquet(kept.map(qualified(fs, base, _)): _*)
+      else schemaHint match {
+        case Some(sc) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        case None => throw new IllegalArgumentException(
+          s"range [$lower,$upper] admits no file of version $v and no " +
+            "schemaHint was given")
+      }
+    frame.filter(col(statsCol).cast("long").between(lower, upper))
+  }
+
   /** Maintenance rewrite: the CURRENT version's content re-laid-out
     * into `nFiles` files as a NEW version — small commits and
     * file-scoped deletes fragment the file list, and an object-store
@@ -307,9 +458,11 @@ object VersionedLake {
     require(cur > 0, s"compact on an empty lake at $dir")
     if (readManifest(fs, base, cur).isEmpty) return cur // nothing to lay out
     val v = cur + 1
+    val effective = resolveStatsCol(spark, dir, cur, None)
     readAsOf(spark, dir, cur).repartition(nFiles)
       .write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
-    writeManifest(fs, base, v, commitFiles(fs, base, v))
+    writeManifest(fs, base, v, newEntries(spark, fs, base, v, effective),
+      headers = effective.map("#stats=" + _).toSeq)
     v
   }
 

@@ -59,7 +59,7 @@ object PlanDump {
     "q168_quota_select", "q169_span_scrub", "q170_dup_profile",
     "q171_takedown", "q172_state_append", "q173_sketch_novelty",
     "q174_timetravel", "q175_stream_versioned", "q176_hybrid_rrf",
-    "q177_vlake_compact")
+    "q177_vlake_compact", "q178_vlake_stats")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -167,7 +167,14 @@ object PlanDump {
       "re-laid write, a manifest of ONLY the new files published by one " +
       "rename. Prior versions keep their own file lists (pinned via " +
       "filesOf equality in VersionedLakeSpec), so compaction never " +
-      "touches history — fragmented storage ages out through vacuum."))
+      "touches history — fragmented storage ages out through vacuum."),
+    "q178_vlake_stats" -> ("the snapshot's Scan reads ONLY the files " +
+      "the manifest statistics admit — the skip decision is driver-side " +
+      "from the manifest alone (no footer read, no file open), then the " +
+      "residual between() runs over the admitted files where parquet " +
+      "row-group min/max prune further. The Iceberg file-skipping " +
+      "discipline; admitted/total counts ride the oracle as literals, " +
+      "so over- OR under-pruning fails the hash."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -255,6 +255,55 @@ class VersionedLakeSpec extends AnyFunSuite {
     merged.count(): Unit // non-merged read stays usable on the row level
   }
 
+  test("manifest stats: file skipping from the manifest alone, " +
+      "propagation through every commit kind, pre-stats files never pruned") {
+    val dir = fresh("vlake_stats_")
+    // commit 1 BEFORE stats: its file must never be pruned
+    VersionedLake.commitAppend(spark, dir, docs(1000, 1005)): Unit
+    // enabling commit + two more contiguous-range commits
+    VersionedLake.commitAppend(spark, dir, docs(0, 10),
+      statsCol = Some("doc_id")): Unit
+    VersionedLake.commitAppend(spark, dir, docs(10, 20)): Unit // propagates
+    assert(VersionedLake.statsColOf(spark, dir, 3L) === Some("doc_id"))
+    // range fully inside commit 3's ids: admit c3's file + the bare
+    // pre-stats file, skip c2's
+    val (kept, total) = VersionedLake.rangeFiles(spark, dir, 3L, 12L, 17L)
+    assert(total === 3L && kept.size === 2)
+    assert(kept.exists(_.contains("/c3/")) && kept.exists(_.contains("/c1/")))
+    assert(idSet(VersionedLake.readAsOfRange(spark, dir, 3L, 12L, 17L)) ===
+      (12L to 17L).toSet)
+    // a delete rewrite refreshes stats for its new file, keeps the rest
+    VersionedLake.commitDelete(spark, dir, "doc_id",
+      Seq(15L).toDF("doc_id")): Unit
+    assert(VersionedLake.statsColOf(spark, dir, 4L) === Some("doc_id"))
+    assert(idSet(VersionedLake.readAsOfRange(spark, dir, 4L, 12L, 17L)) ===
+      ((12L to 17L).toSet - 15L))
+    // compaction re-lays everything into one file with fresh stats
+    val v5 = VersionedLake.compact(spark, dir, nFiles = 1)
+    assert(VersionedLake.statsColOf(spark, dir, v5) === Some("doc_id"))
+    val (kept5, total5) = VersionedLake.rangeFiles(spark, dir, v5, 3L, 4L)
+    assert(total5 === 1L && kept5.size === 1)
+    assert(idSet(VersionedLake.readAsOfRange(spark, dir, v5, 3L, 4L)) ===
+      Set(3L, 4L))
+    // an admitting-nothing range reads as a typed empty frame
+    val schema = docs(0, 1).schema
+    assert(VersionedLake.readAsOfRange(spark, dir, v5, 5000L, 6000L,
+      Some(schema)).count() === 0L)
+    // switching the stats column mid-lake fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.commitAppend(spark, dir, docs(20, 22),
+        statsCol = Some("other"))
+    }
+    assert(ex.getMessage.contains("ONE stats column"))
+    // a stats-free lake refuses the range read
+    val bare = fresh("vlake_nostats_")
+    VersionedLake.commitAppend(spark, bare, docs(0, 5)): Unit
+    val ex2 = intercept[IllegalArgumentException] {
+      VersionedLake.readAsOfRange(spark, bare, 1L, 0L, 10L)
+    }
+    assert(ex2.getMessage.contains("no manifest statistics"))
+  }
+
   test("empty v1 append reads back as a typed empty frame via schemaHint") {
     val dir = fresh("vlake_empty_")
     val schema = StructType(Seq(StructField("doc_id", LongType),
