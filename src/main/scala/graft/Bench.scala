@@ -40,6 +40,11 @@ object Bench {
           n.startsWith("graft_vlake_") ||
           n.startsWith("graft_vstream_") ||
           n.startsWith("graft_vcompact_") ||
+          n.startsWith("graft_vrange_") ||
+          n.startsWith("graft_vupsert_") ||
+          n.startsWith("graft_vchanges_") ||
+          n.startsWith("graft_vcluster_") ||
+          n.startsWith("graft_statesync_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }
@@ -213,7 +218,11 @@ object Bench {
       ("q175", Set("q175_stage"),
         Set("q175_stream", "q175_replay+delete", "q175_read")),
       ("q177", Set("q177_fragment"), Set("q177_compact", "q177_read")),
-      ("q178", Set("q178_commits"), Set("q178_range_read")))
+      ("q178", Set("q178_commits"), Set("q178_range_read")),
+      ("q179", Set("q179_build"), Set("q179_upsert", "q179_read")),
+      ("q180", Set("q180_history"), Set("q180_changes")),
+      ("q181", Set("q181_build"), Set("q181_cluster", "q181_range_read")),
+      ("q182", Set("q182_build"), Set("q182_sync", "q182_match")))
     val pathMap = pathTimes.toMap
     def sumPaths(labels: Set[String]): Double =
       labels.toSeq.flatMap(pathMap.get).filter(_ >= 0).sum

@@ -3851,6 +3851,124 @@ object TrainingData {
         "q178_range_read" -> (() =>
           VersionedLake.readAsOfRange(s, rDir,
             VersionedLake.currentVersion(s, rDir), q, 3 * q - 1)))
+    } ++ {
+      // q179 (versioned-lake upsert): fixture = the quartile lake +
+      // the prior-version audit; operator = the MERGE commit itself
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val q = docs.count() / 4
+      val uDir = Tables.freshScratchDir("graft_vupsert_b_", d)
+        .toString + "/lake"
+      val updates = docs
+        .filter(col("doc_id") >= q && col("doc_id") < 2 * q &&
+          col("doc_id") % 3 === 0)
+        .select(col("doc_id"), concat(lit("UPD:"), col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 4 * q).as("doc_id"), col("text")))
+      Seq(
+        "q179_build" -> (() => {
+          (0 until 4).foreach { m =>
+            VersionedLake.commitAppend(s, uDir,
+              docs.filter(col("doc_id") >= m * q &&
+                col("doc_id") < (m + 1) * q).repartition(2),
+              statsCol = if (m == 0) Some("doc_id") else None): Unit
+          }
+          s.range(1).toDF()
+        }),
+        "q179_upsert" -> (() => {
+          VersionedLake.commitUpsert(s, uDir, "doc_id", updates): Unit
+          s.range(1).toDF()
+        }),
+        "q179_read" -> (() => VersionedLake.read(s, uDir)))
+    } ++ {
+      // q180 (change-data feed): fixture = the 3-commit history;
+      // operator = the two manifest-diff change reads a consumer runs
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cdDir = Tables.freshScratchDir("graft_vchanges_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q180_history" -> (() => {
+          VersionedLake.commitAppend(s, cdDir,
+            docs.filter(col("doc_id") % 2 === 0).repartition(3)): Unit
+          val updates = docs.filter(col("doc_id") % 6 === 0)
+            .select(col("doc_id"),
+              concat(lit("UPD:"), col("text")).as("text"))
+            .unionByName(docs.filter(col("doc_id") % 10 === 1))
+          VersionedLake.commitUpsert(s, cdDir, "doc_id", updates): Unit
+          VersionedLake.commitDelete(s, cdDir, "doc_id",
+            docs.filter(col("doc_id") % 10 === 2).select("doc_id")): Unit
+          s.range(1).toDF()
+        }),
+        "q180_changes" -> (() =>
+          Seq((1L, 2L), (2L, 3L)).map { case (f, t) =>
+            VersionedLake.changesBetween(s, cdDir, f, t, "doc_id")
+              .select(lit(f).as("from_v"), lit(t).as("to_v"),
+                col("change_type"), col("doc_id"), col("text"))
+          }.reduce(_ unionByName _)))
+    } ++ {
+      // q181 (clustered compaction): fixture = the interleaved ingest;
+      // operator = the clustering rewrite + the pruned range read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val clDir = Tables.freshScratchDir("graft_vcluster_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q181_build" -> (() => {
+          (0 until 4).foreach { m =>
+            VersionedLake.commitAppend(s, clDir,
+              docs.filter(col("doc_id") % 4 === m).repartition(2),
+              statsCol = if (m == 0) Some("doc_id") else None): Unit
+          }
+          s.range(1).toDF()
+        }),
+        "q181_cluster" -> (() => {
+          VersionedLake.compact(s, clDir, nFiles = 8,
+            sortCol = Some("doc_id")): Unit
+          s.range(1).toDF()
+        }),
+        "q181_range_read" -> (() =>
+          VersionedLake.readAsOfRange(s, clDir,
+            VersionedLake.currentVersion(s, clDir),
+            n / 4, 3 * (n / 4) - 1)))
+    } ++ {
+      // q182 (change-feed state sync): fixture = lake + state build +
+      // the mutating commits; operator = the feed read + sync + match
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val scratch = Tables.freshScratchDir("graft_statesync_b_", d)
+      val lakeDir = s"$scratch/lake"
+      val stDir = s"$scratch/state"
+      val delta = docs.filter(col("doc_id") % 20 === 0)
+      Seq(
+        "q182_build" -> (() => {
+          VersionedLake.commitAppend(s, lakeDir,
+            docs.filter(col("doc_id") % 20 =!= 0)): Unit
+          graft.streaming.NearDupStream.writeCorpusState(
+            VersionedLake.read(s, lakeDir), "doc_id", "text", stDir)
+          val updates = docs.as("a")
+            .join(docs.as("b"), col("a.doc_id") - 3 === col("b.doc_id"))
+            .filter(col("a.doc_id") % 6 === 3)
+            .select(col("a.doc_id").as("doc_id"), col("b.text").as("text"))
+            .unionByName(docs.filter(col("doc_id") % 10 === 9)
+              .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+          VersionedLake.commitUpsert(s, lakeDir, "doc_id", updates): Unit
+          VersionedLake.commitDelete(s, lakeDir, "doc_id",
+            docs.filter(col("doc_id") % 14 === 7).select("doc_id")): Unit
+          s.range(1).toDF()
+        }),
+        "q182_sync" -> (() => {
+          val feed = VersionedLake.changesBetween(s, lakeDir, 1L,
+            VersionedLake.currentVersion(s, lakeDir), "doc_id")
+          graft.streaming.NearDupStream.applyChangesToCorpusState(
+            feed, "doc_id", "text", stDir): Unit
+          s.range(1).toDF()
+        }),
+        "q182_match" -> (() =>
+          graft.operators.Dedup.nearDupsAgainstState(
+            s.read.parquet(stDir), delta, "doc_id", "text",
+            threshold = 0.5)))
     }
   }
 
@@ -5152,6 +5270,267 @@ object TrainingData {
        FROM documents d, (SELECT count(*) // 4 AS q FROM documents) b
        WHERE d.doc_id >= b.q AND d.doc_id < 3 * b.q"""
 
+  // --- q179: versioned-lake MERGE / upsert ----------------------------------------
+  // VersionedLake.commitUpsert: the Delta MERGE shape (WHEN MATCHED
+  // UPDATE SET * / WHEN NOT MATCHED INSERT *) as ONE commit — matched
+  // ids are found by a column-pruned id + file-path scan, only files
+  // HOLDING a matched id are rewritten (their survivors land with the
+  // updates as the commit's new files), every untouched file carries
+  // into the new manifest by name. The fixture is q178's quartile lake
+  // (8 files, manifest stats on); the updates touch ONLY quartile 2
+  // plus brand-new ids above the lake's range, so the rewrite must be
+  // scoped to at most quartile 2's two files — the `files_scoped` audit
+  // fails if the upsert rewrote the lake. `prior_intact` pins that the
+  // pre-upsert version still reads exactly as committed, and
+  // `n_rows_updated` replays the matched count in SQL.
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val q = docs.count() / 4
+    val dir = Tables.freshScratchDir("graft_vupsert_", d).toString + "/lake"
+    (0 until 4).foreach { m =>
+      VersionedLake.commitAppend(s, dir,
+        docs.filter(col("doc_id") >= m * q && col("doc_id") < (m + 1) * q)
+          .repartition(2),
+        statsCol = if (m == 0) Some("doc_id") else None): Unit
+    }
+    val pre = VersionedLake.currentVersion(s, dir)
+    val updates = docs
+      .filter(col("doc_id") >= q && col("doc_id") < 2 * q &&
+        col("doc_id") % 3 === 0)
+      .select(col("doc_id"), concat(lit("UPD:"), col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 4 * q).as("doc_id"), col("text")))
+    val (v, nRw, nUpd) = VersionedLake.commitUpsert(s, dir, "doc_id", updates)
+    val filesScoped = nRw >= 1L && nRw <= 2L
+    val base = docs.filter(col("doc_id") < 4 * q)
+    val before = VersionedLake.readAsOf(s, dir, pre)
+      .select(col("doc_id"), col("text"))
+    val priorIntact = before.exceptAll(base).count() == 0L &&
+      base.exceptAll(before).count() == 0L
+    VersionedLake.readAsOf(s, dir, v)
+      .select(col("doc_id"), col("text"),
+        lit(nUpd).as("n_rows_updated"),
+        lit(filesScoped).as("files_scoped"),
+        lit(priorIntact).as("prior_intact"))
+  }
+
+  private val q179Sql =
+    """WITH b AS (SELECT count(*) // 4 AS q FROM documents),
+       base AS (SELECT doc_id, text FROM documents, b WHERE doc_id < 4 * b.q),
+       upd AS (SELECT doc_id, 'UPD:' || text AS text FROM documents, b
+               WHERE doc_id >= b.q AND doc_id < 2 * b.q AND doc_id % 3 = 0),
+       ins AS (SELECT doc_id + 4 * b.q AS doc_id, text FROM documents, b
+               WHERE doc_id % 10 = 7),
+       fin AS (SELECT doc_id, text FROM base
+               WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+               UNION ALL SELECT doc_id, text FROM upd
+               UNION ALL SELECT doc_id, text FROM ins)
+       SELECT doc_id, text,
+         (SELECT count(*) FROM upd) AS n_rows_updated,
+         true AS files_scoped, true AS prior_intact
+       FROM fin"""
+
+  // --- q180: versioned-lake change-data feed --------------------------------------
+  // VersionedLake.changesBetween: the Delta CDF shape derived from the
+  // MANIFEST DIFF alone — only files present in exactly one of the two
+  // versions are read, so the cost is the churn between the versions,
+  // never the lake. The fixture commits an append, an upsert (updates
+  // + inserts in one MERGE), and a delete; the query emits the typed
+  // row-level changes across both adjacent pairs: an upsert surfaces
+  // as update_preimage/update_postimage pairs plus plain inserts, a
+  // delete as plain deletes (whose preimage text must be the UPDATED
+  // text for rows the upsert touched — replaying membership at every
+  // version is what makes the oracle catch a feed built from the wrong
+  // side's files). A dropped change, a mistyped change, or a survivor
+  // row leaking into the feed all fail the hash.
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = Tables.freshScratchDir("graft_vchanges_", d).toString + "/lake"
+    VersionedLake.commitAppend(s, dir,
+      docs.filter(col("doc_id") % 2 === 0).repartition(3)): Unit
+    val updates = docs.filter(col("doc_id") % 6 === 0)
+      .select(col("doc_id"), concat(lit("UPD:"), col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 1))
+    VersionedLake.commitUpsert(s, dir, "doc_id", updates): Unit
+    VersionedLake.commitDelete(s, dir, "doc_id",
+      docs.filter(col("doc_id") % 10 === 2).select("doc_id")): Unit
+    Seq((1L, 2L), (2L, 3L)).map { case (f, t) =>
+      VersionedLake.changesBetween(s, dir, f, t, "doc_id")
+        .select(lit(f).as("from_v"), lit(t).as("to_v"),
+          col("change_type"), col("doc_id"), col("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val q180Sql =
+    """WITH m1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       u AS (SELECT doc_id, 'UPD:' || text AS text FROM documents
+             WHERE doc_id % 6 = 0
+             UNION ALL
+             SELECT doc_id, text FROM documents WHERE doc_id % 10 = 1),
+       m2 AS (SELECT doc_id, text FROM m1
+              WHERE doc_id NOT IN (SELECT doc_id FROM u)
+              UNION ALL SELECT doc_id, text FROM u),
+       m3 AS (SELECT doc_id, text FROM m2 WHERE doc_id % 10 != 2),
+       d12 AS (SELECT doc_id, text FROM m1
+               EXCEPT ALL SELECT doc_id, text FROM m2),
+       i12 AS (SELECT doc_id, text FROM m2
+               EXCEPT ALL SELECT doc_id, text FROM m1),
+       b12 AS (SELECT doc_id FROM d12 INTERSECT SELECT doc_id FROM i12),
+       d23 AS (SELECT doc_id, text FROM m2
+               EXCEPT ALL SELECT doc_id, text FROM m3),
+       i23 AS (SELECT doc_id, text FROM m3
+               EXCEPT ALL SELECT doc_id, text FROM m2),
+       b23 AS (SELECT doc_id FROM d23 INTERSECT SELECT doc_id FROM i23)
+       SELECT CAST(1 AS BIGINT) AS from_v, CAST(2 AS BIGINT) AS to_v,
+         CASE WHEN doc_id IN (SELECT doc_id FROM b12)
+              THEN 'update_preimage' ELSE 'delete' END AS change_type,
+         doc_id, text FROM d12
+       UNION ALL
+       SELECT 1, 2,
+         CASE WHEN doc_id IN (SELECT doc_id FROM b12)
+              THEN 'update_postimage' ELSE 'insert' END,
+         doc_id, text FROM i12
+       UNION ALL
+       SELECT 2, 3,
+         CASE WHEN doc_id IN (SELECT doc_id FROM b23)
+              THEN 'update_preimage' ELSE 'delete' END,
+         doc_id, text FROM d23
+       UNION ALL
+       SELECT 2, 3,
+         CASE WHEN doc_id IN (SELECT doc_id FROM b23)
+              THEN 'update_postimage' ELSE 'insert' END,
+         doc_id, text FROM i23"""
+
+  // --- q181: clustered compaction — stats that actually prune ---------------------
+  // VersionedLake.compact(sortCol): manifest statistics are only as
+  // good as the LAYOUT — after interleaved ingest (each commit carrying
+  // ids from the whole domain) every file's (min, max) spans the full
+  // range and a range read admits ALL files, stats or not. Clustered
+  // compaction range-partitions + sorts the current content, so file
+  // stats become near-disjoint and the same read prunes. The fixture
+  // ingests 4 interleaved residue-class commits (8 files, each spanning
+  // the domain — `pre_admits_all` pins that the unclustered lake cannot
+  // prune), clusters, and re-runs the read (`clustering_prunes` pins
+  // strictly fewer admitted files; membership stays exact under the
+  // residual filter regardless of the sampled range boundaries).
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val dir = Tables.freshScratchDir("graft_vcluster_", d).toString + "/lake"
+    (0 until 4).foreach { m =>
+      VersionedLake.commitAppend(s, dir,
+        docs.filter(col("doc_id") % 4 === m).repartition(2),
+        statsCol = if (m == 0) Some("doc_id") else None): Unit
+    }
+    val pre = VersionedLake.currentVersion(s, dir)
+    val lo = n / 4
+    val hi = 3 * (n / 4) - 1
+    val (keptPre, totalPre) = VersionedLake.rangeFiles(s, dir, pre, lo, hi)
+    val post = VersionedLake.compact(s, dir, nFiles = 8,
+      sortCol = Some("doc_id"))
+    val (keptPost, _) = VersionedLake.rangeFiles(s, dir, post, lo, hi)
+    VersionedLake.readAsOfRange(s, dir, post, lo, hi)
+      .select(col("doc_id"), col("text"),
+        lit(keptPre.size.toLong == totalPre && totalPre == 8L)
+          .as("pre_admits_all"),
+        lit(keptPost.size < keptPre.size).as("clustering_prunes"))
+  }
+
+  private val q181Sql =
+    """SELECT d.doc_id, d.text,
+       true AS pre_admits_all, true AS clustering_prunes
+       FROM documents d, (SELECT count(*) AS n FROM documents) b
+       WHERE d.doc_id >= b.n // 4 AND d.doc_id <= 3 * (b.n // 4) - 1"""
+
+  // --- q182: change-feed-driven sync of the near-dup corpus state ----------------
+  // NearDupStream.applyChangesToCorpusState: the derived-state
+  // maintenance loop — the document lake mutates through versioned
+  // commits (a MERGE carrying updates + inserts, then a takedown), the
+  // signature state consumes changesBetween's typed feed (departures
+  // delete by id, arrivals append retrain-free), and a fresh delta is
+  // matched against the synced state. The oracle is the exact all-pairs
+  // Jaccard between the delta and the lake's FINAL membership — a
+  // stale signature surviving an update, a departed doc still matching,
+  // or an arrival the sync missed all change the pair set. Updated
+  // texts are other documents' original texts, so every pair the match
+  // can emit is a pair of original documents — the corpus whose LSH
+  // full recall q25's all-pairs oracle already pins at every scale.
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus0 = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+    val scratch = Tables.freshScratchDir("graft_statesync_", d)
+    val lakeDir = s"$scratch/lake"
+    val stateDir = s"$scratch/state"
+    VersionedLake.commitAppend(s, lakeDir, corpus0): Unit
+    graft.streaming.NearDupStream.writeCorpusState(
+      VersionedLake.read(s, lakeDir), "doc_id", "text", stateDir)
+    // MERGE: %6==3 docs take their (doc_id - 3) neighbor's text;
+    // %10==9 docs re-enter under new ids — all arrival texts are
+    // ORIGINAL texts (see the oracle note above)
+    val updates = docs.as("a")
+      .join(docs.as("b"), col("a.doc_id") - 3 === col("b.doc_id"))
+      .filter(col("a.doc_id") % 6 === 3)
+      .select(col("a.doc_id").as("doc_id"), col("b.text").as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 9)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    VersionedLake.commitUpsert(s, lakeDir, "doc_id", updates): Unit
+    VersionedLake.commitDelete(s, lakeDir, "doc_id",
+      docs.filter(col("doc_id") % 14 === 7).select("doc_id")): Unit
+    val feed = VersionedLake.changesBetween(
+      s, lakeDir, 1L, VersionedLake.currentVersion(s, lakeDir), "doc_id")
+    val (nDep, nArr) = graft.streaming.NearDupStream
+      .applyChangesToCorpusState(feed, "doc_id", "text", stateDir)
+    graft.operators.Dedup.nearDupsAgainstState(
+        s.read.parquet(stateDir), delta, "doc_id", "text", threshold = 0.5)
+      .select(col("corpus_id"), col("delta_id"), col("jaccard"),
+        lit(nDep).as("n_departed"), lit(nArr).as("n_arrived"))
+  }
+
+  private val q182Sql =
+    """WITH m1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 != 0),
+       u AS (SELECT a.doc_id, b.text FROM documents a
+             JOIN documents b ON b.doc_id = a.doc_id - 3
+             WHERE a.doc_id % 6 = 3
+             UNION ALL
+             SELECT doc_id + 100000, text FROM documents
+             WHERE doc_id % 10 = 9),
+       m2 AS (SELECT doc_id, text FROM m1
+              WHERE doc_id NOT IN (SELECT doc_id FROM u)
+              UNION ALL SELECT doc_id, text FROM u),
+       m3 AS (SELECT doc_id, text FROM m2 WHERE doc_id NOT IN
+              (SELECT doc_id FROM documents WHERE doc_id % 14 = 7)),
+       dep AS (SELECT count(DISTINCT doc_id) AS n FROM
+               (SELECT doc_id, text FROM m1
+                EXCEPT ALL SELECT doc_id, text FROM m3)),
+       arr AS (SELECT count(*) AS n FROM
+               (SELECT doc_id, text FROM m3
+                EXCEPT ALL SELECT doc_id, text FROM m1)),
+       shc AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM m3) t
+         WHERE len(w) >= 3),
+       shd AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE doc_id % 20 = 0) t
+         WHERE len(w) >= 3)
+       SELECT corpus_id, delta_id, jaccard,
+         (SELECT n FROM dep) AS n_departed,
+         (SELECT n FROM arr) AS n_arrived
+       FROM (
+         SELECT c.doc_id AS corpus_id, d.doc_id AS delta_id,
+           round(len(list_intersect(c.s, d.s))::DOUBLE /
+             len(list_distinct(list_concat(c.s, d.s))), 6) AS jaccard
+         FROM shc c CROSS JOIN shd d) p
+       WHERE jaccard >= 0.5"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -5278,7 +5657,11 @@ object TrainingData {
     "q175_stream_versioned" -> q175 _,
     "q176_hybrid_rrf"     -> q176 _,
     "q177_vlake_compact"  -> q177 _,
-    "q178_vlake_stats"    -> q178 _)
+    "q178_vlake_stats"    -> q178 _,
+    "q179_vlake_upsert"   -> q179 _,
+    "q180_vlake_changes"  -> q180 _,
+    "q181_vlake_cluster"  -> q181 _,
+    "q182_state_sync"     -> q182 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -5406,5 +5789,9 @@ object TrainingData {
     "q175_stream_versioned" -> q175Sql,
     "q176_hybrid_rrf"     -> q176Sql,
     "q177_vlake_compact"  -> q177Sql,
-    "q178_vlake_stats"    -> q178Sql)
+    "q178_vlake_stats"    -> q178Sql,
+    "q179_vlake_upsert"   -> q179Sql,
+    "q180_vlake_changes"  -> q180Sql,
+    "q181_vlake_cluster"  -> q181Sql,
+    "q182_state_sync"     -> q182Sql)
 }

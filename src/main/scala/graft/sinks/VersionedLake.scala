@@ -366,6 +366,152 @@ object VersionedLake {
     (v, affectedRel.size.toLong, nRemoved)
   }
 
+  /** MERGE / upsert by id as a new version — the Delta `MERGE WHEN
+    * MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *` shape: every
+    * update row whose id exists in the lake REPLACES that row; every
+    * other update row is inserted. One commit, one rename.
+    *
+    * File scoping is the same discipline as [[commitDelete]]: matched
+    * ids are found by a column-pruned id + `_metadata.file_path` scan,
+    * and only files HOLDING a matched id are rewritten — their
+    * survivors and the full updates frame land together as this
+    * commit's new files, every untouched file carries into the new
+    * manifest by name (entry verbatim, stats included). At 100 TB an
+    * upsert therefore costs the churn — the touched files plus the
+    * updates frame — never a lake rewrite, and prior versions stay
+    * readable because old files are never deleted by a commit.
+    *
+    * Contract: the lake is id-keyed (one row per id — the same
+    * contract [[commitDelete]] and the CDC operators assume), and
+    * `updates` must carry each id at most once (enforced loudly:
+    * "last update wins" among duplicates is nondeterministic under
+    * shuffle). `updates` must have exactly the lake's columns (any
+    * order). An all-insert upsert (no matched id) commits like an
+    * append. Returns (version, nFilesRewritten, nRowsUpdated).
+    */
+  def commitUpsert(spark: SparkSession, dir: String, idCol: String,
+      updates: DataFrame): (Long, Long, Long) = {
+    val (fs, base) = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir)
+    require(cur > 0,
+      s"commitUpsert on an empty lake at $dir — the first commit is " +
+        "commitAppend")
+    val lakeCols = readAsOf(spark, dir, cur).columns.toSeq
+    require(updates.columns.toSet == lakeCols.toSet,
+      s"updates columns ${updates.columns.sorted.mkString(",")} != lake " +
+        s"columns ${lakeCols.sorted.mkString(",")}")
+    val upd = updates.select(lakeCols.map(col): _*)
+    // duplicate ids in ONE updates frame have no deterministic winner —
+    // refuse them before anything is written (bounded: limit 1)
+    val dup = upd.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"commitUpsert: updates carry id ${dup.head.get(0)} more than " +
+        "once — a single MERGE source must be id-unique")
+    val files = readManifest(fs, base, cur)
+    val updIds = upd.select(col(idCol)).distinct()
+    // bounded: one row per AFFECTED file (id + metadata column only)
+    val hits =
+      if (files.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else spark.read.parquet(files.map(qualified(fs, base, _)): _*)
+        .select(col(idCol), col("_metadata.file_path").as("__file"))
+        .join(updIds, Seq(idCol))
+        .groupBy("__file").agg(count(lit(1)).as("n"))
+        .collect()
+    val nUpdated = hits.map(_.getLong(1)).sum
+    val affectedAbs = hits.map(_.getString(0)).toSet
+    val relByQualified = files.map(f => qualified(fs, base, f) -> f).toMap
+    val affectedRel = affectedAbs.toSeq.flatMap { abs =>
+      relByQualified.get(abs)
+        .orElse(files.find(f => abs.endsWith("/" + f)))
+    }.distinct.sorted
+    require(affectedRel.size == affectedAbs.size,
+      s"commitUpsert: ${affectedAbs.size} affected file paths but " +
+        s"${affectedRel.size} resolved against the v$cur manifest — " +
+        "path qualification mismatch; aborting before any commit")
+    val v = cur + 1
+    val effective = resolveStatsCol(spark, dir, cur, None)
+    val fresh =
+      if (affectedRel.isEmpty) upd
+      else spark.read.parquet(affectedRel.map(qualified(fs, base, _)): _*)
+        .join(updIds, Seq(idCol), "left_anti")
+        .select(lakeCols.map(col): _*)
+        .unionByName(upd)
+    fresh.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
+    val affectedSet = affectedRel.toSet
+    val survivors = fileEntries(fs, base, cur)
+      .filterNot(e => affectedSet.contains(entryPath(e)))
+    writeManifest(fs, base, v,
+      survivors ++ newEntries(spark, fs, base, v, effective),
+      headers = effective.map("#stats=" + _).toSeq)
+    (v, affectedRel.size.toLong, nUpdated)
+  }
+
+  /** The row-level changes between two committed versions — the Delta
+    * change-data-feed shape, derived from the MANIFEST DIFF alone:
+    * files present only in `vFrom` and files present only in `vTo` are
+    * read, everything both versions share by name is never opened. The
+    * two multiset differences of those file contents ARE the membership
+    * delta (untouched files are byte-identical by the immutability
+    * contract), so at 100 TB the cost is bounded by the CHURN between
+    * the versions, not the lake.
+    *
+    * Returns the lake's columns plus `change_type`:
+    * `insert` / `delete`, and for ids present on BOTH sides (an upsert
+    * replaced the row) `update_preimage` / `update_postimage` — the
+    * id-pairing assumes the lake's one-row-per-id contract, like every
+    * mutation here. Two reads of the same content (e.g. across a
+    * [[compact]], which rewrites every file name) diff to zero changes
+    * but DO read both layouts — compaction is the one commit kind whose
+    * churn is the whole lake. A replaced row whose bytes did not change
+    * cancels out and reports nothing, which is the CDC semantics a
+    * consumer wants (no-op updates are not changes).
+    */
+  def changesBetween(spark: SparkSession, dir: String, vFrom: Long,
+      vTo: Long, idCol: String,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    require(vFrom <= vTo,
+      s"changesBetween: vFrom=$vFrom must not exceed vTo=$vTo")
+    val (fs, base) = fsOf(spark, dir)
+    val from = readManifest(fs, base, vFrom)
+    val to = readManifest(fs, base, vTo)
+    val toSet = to.toSet
+    val fromSet = from.toSet
+    val removed = from.filterNot(toSet.contains)
+    val added = to.filterNot(fromSet.contains)
+    val schema: org.apache.spark.sql.types.StructType =
+      (added ++ removed).headOption match {
+        case Some(rel) =>
+          spark.read.parquet(qualified(fs, base, rel)).schema
+        case None => schemaHint.getOrElse(throw new IllegalArgumentException(
+          s"versions $vFrom and $vTo of $dir share every file (no " +
+            "changes) and no schemaHint was given for the empty result"))
+      }
+    def side(rels: Seq[String]): DataFrame =
+      if (rels.nonEmpty)
+        spark.read.parquet(rels.map(qualified(fs, base, _)): _*)
+          .select(schema.fieldNames.toSeq.map(col): _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val a = side(removed) // rows leaving between vFrom and vTo
+    val b = side(added)   // rows arriving
+    val dels = a.exceptAll(b)
+    val ins = b.exceptAll(a)
+    // ids on both sides = replacements; churn-bounded, AQE sizes the join
+    val both = dels.select(col(idCol)).distinct()
+      .join(ins.select(col(idCol)).distinct(), Seq(idCol), "inner")
+      .withColumn("__upd", lit(true))
+    def tag(df: DataFrame, updType: String, plainType: String): DataFrame =
+      df.join(both, Seq(idCol), "left")
+        .withColumn("change_type",
+          when(col("__upd"), updType).otherwise(plainType))
+        .drop("__upd")
+        .select((schema.fieldNames.toSeq :+ "change_type").map(col): _*)
+    tag(dels, "update_preimage", "delete")
+      .unionByName(tag(ins, "update_postimage", "insert"))
+  }
+
   /** The lake exactly as version `v` committed it — an explicit file
     * list, no directory listing, no partition discovery. A version with
     * an empty manifest reads as an empty frame of `schemaHint` (schema
@@ -449,9 +595,22 @@ object VersionedLake {
     * one write, a manifest of only the new files); prior versions are
     * untouched and stay readable — fragmented history is reclaimed by
     * [[vacuum]] once it ages out, never by the compaction itself.
+    *
+    * `sortCol` additionally CLUSTERS the layout (the OPTIMIZE/CLUSTER
+    * BY half of the Iceberg discipline): rows are range-partitioned on
+    * the column and sorted within each file, so per-file (min, max)
+    * become near-disjoint instead of each file spanning the whole
+    * domain — which is what makes the manifest statistics actually
+    * prune after interleaved ingest (a lake whose every file covers
+    * the full key range admits every file to every range read, stats
+    * or not). Range boundaries come from Spark's distributed sampler —
+    * no global sort, no driver materialization — so admitted-file
+    * counts after clustering are tight but not byte-deterministic; the
+    * invariants (membership identity, admission never worse) are.
     * Returns the new version.
     */
-  def compact(spark: SparkSession, dir: String, nFiles: Int = 8): Long = {
+  def compact(spark: SparkSession, dir: String, nFiles: Int = 8,
+      sortCol: Option[String] = None): Long = {
     require(nFiles >= 1, s"compact needs nFiles >= 1, got $nFiles")
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
@@ -459,8 +618,13 @@ object VersionedLake {
     if (readManifest(fs, base, cur).isEmpty) return cur // nothing to lay out
     val v = cur + 1
     val effective = resolveStatsCol(spark, dir, cur, None)
-    readAsOf(spark, dir, cur).repartition(nFiles)
-      .write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
+    val current = readAsOf(spark, dir, cur)
+    val laid = sortCol match {
+      case Some(c) => current.repartitionByRange(nFiles, col(c))
+        .sortWithinPartitions(col(c))
+      case None => current.repartition(nFiles)
+    }
+    laid.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
     writeManifest(fs, base, v, newEntries(spark, fs, base, v, effective),
       headers = effective.map("#stats=" + _).toSeq)
     v

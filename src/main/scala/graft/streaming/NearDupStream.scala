@@ -77,6 +77,50 @@ object NearDupStream {
       .write.mode("append").parquet(stateDir)
   }
 
+  /** Synchronize a persisted corpus LSH state from a versioned lake's
+    * CHANGE FEED ([[graft.sinks.VersionedLake.changesBetween]]'s typed
+    * rows) — the derived-state maintenance loop a 100 TB deployment
+    * actually runs: the document lake mutates through commits (appends,
+    * MERGEs, takedowns), and instead of rebuilding the signature state
+    * per vintage OR reverse-engineering what changed, the state
+    * consumes the feed: departures (`delete` + `update_preimage`) leave
+    * by id through [[Dedup.deleteFromNearDupState]]'s swap-protected
+    * rewrite, then arrivals (`insert` + `update_postimage`) append
+    * through [[appendToCorpusState]]'s retrain-free discipline. Cost is
+    * the CHURN (the feed is churn-sized by construction), never the
+    * corpus; the result is row-identical to a rebuild over the lake's
+    * new membership because the state is a pure per-row transform.
+    *
+    * Ordering matters and is owned here: departures FIRST, so an
+    * updated document's stale signature can never survive next to its
+    * replacement. Apply each feed span exactly once (the
+    * [[appendToCorpusState]] contract) — a replayed span would
+    * duplicate arrival signatures. Returns (nDeparted, nArrived) in
+    * documents.
+    */
+  def applyChangesToCorpusState(changes: DataFrame, idCol: String,
+      textCol: String, stateDir: String, shingleN: Int = 3,
+      k: Int = 32): (Long, Long) = {
+    val spark = changes.sparkSession
+    // the feed is churn-sized but feeds two actions — evaluate it once
+    val c = changes.persist()
+    try {
+      val departures = c
+        .filter(col("change_type").isin("delete", "update_preimage"))
+        .select(col(idCol))
+      val arrivals = c
+        .filter(col("change_type").isin("insert", "update_postimage"))
+        .select(col(idCol), col(textCol))
+      val departed =
+        Dedup.deleteFromNearDupState(spark, stateDir, departures)
+      val arrived = arrivals.count()
+      if (arrived > 0L)
+        appendToCorpusState(arrivals, idCol, textCol, stateDir,
+          shingleN, k)
+      (departed, arrived)
+    } finally { c.unpersist(blocking = false): Unit }
+  }
+
   /** Drain `deltaStream` (Trigger.AvailableNow) against the state at
     * `stateDir`, writing each micro-batch's near-dup pairs to
     * `outDir/batch_id=<id>/` (idempotent overwrite), and return the

@@ -304,6 +304,162 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("no manifest statistics"))
   }
 
+  test("upsert: matched rows replaced, unmatched inserted, rewrite scoped " +
+      "to the files holding matched ids, prior version intact") {
+    val dir = fresh("vlake_ups_")
+    VersionedLake.commitAppend(spark, dir, docs(0, 10)): Unit
+    VersionedLake.commitAppend(spark, dir, docs(10, 20)): Unit
+    val before = dataFiles(dir)
+    // matched ids live only in commit 1's file; 100/101 are inserts
+    val updates = Seq((2L, "patched 2"), (4L, "patched 4"),
+      (100L, "new 100"), (101L, "new 101")).toDF("doc_id", "text")
+    val (v, nFiles, nUpd) = VersionedLake.commitUpsert(
+      spark, dir, "doc_id", updates)
+    assert(v === 3L && nFiles === 1L && nUpd === 2L)
+    val now = VersionedLake.read(spark, dir)
+    assert(idSet(now) === ((0L until 20L).toSet ++ Set(100L, 101L)))
+    assert(now.filter(col("doc_id") === 2L).collect()(0)
+      .getAs[String]("text") === "patched 2")
+    assert(now.filter(col("doc_id") === 9L).collect()(0)
+      .getAs[String]("text") === "text of doc 9")
+    // commit 2's file was never rewritten; old files survive
+    val after = dataFiles(dir)
+    val c2 = before.keys.filter(_.startsWith("c2/"))
+    assert(c2.nonEmpty && c2.forall(k => after(k) === before(k)),
+      "commit-2 file was rewritten though it holds no matched id")
+    assert(before.keys.forall(after.contains),
+      "old files must SURVIVE an upsert — time travel depends on them")
+    assert(idSet(VersionedLake.readAsOf(spark, dir, 2)) ===
+      (0L until 20L).toSet, "prior version changed by an upsert")
+    assert(VersionedLake.readAsOf(spark, dir, 2)
+      .filter(col("doc_id") === 2L).collect()(0)
+      .getAs[String]("text") === "text of doc 2")
+  }
+
+  test("upsert guards: duplicate update ids, wrong columns, empty lake " +
+      "all fail loudly; all-insert upsert commits like an append; stats " +
+      "propagate") {
+    val dir = fresh("vlake_upsg_")
+    VersionedLake.commitAppend(spark, dir, docs(0, 5),
+      statsCol = Some("doc_id")): Unit
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.commitUpsert(spark, dir, "doc_id",
+        Seq((1L, "a"), (1L, "b")).toDF("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("more than once"))
+    val ex2 = intercept[IllegalArgumentException] {
+      VersionedLake.commitUpsert(spark, dir, "doc_id",
+        Seq((1L, "a")).toDF("doc_id", "body"))
+    }
+    assert(ex2.getMessage.contains("columns"))
+    val ex3 = intercept[IllegalArgumentException] {
+      VersionedLake.commitUpsert(spark, fresh("vlake_upse_"), "doc_id",
+        Seq((1L, "a")).toDF("doc_id", "text"))
+    }
+    assert(ex3.getMessage.contains("empty lake"))
+    // failed attempts committed nothing
+    assert(VersionedLake.currentVersion(spark, dir) === 1L)
+    // pure insert: no file rewritten, and the new file gets stats
+    val (v, nFiles, nUpd) = VersionedLake.commitUpsert(spark, dir,
+      "doc_id", docs(50, 55))
+    assert(v === 2L && nFiles === 0L && nUpd === 0L)
+    assert(idSet(VersionedLake.read(spark, dir)) ===
+      ((0L until 5L) ++ (50L until 55L)).toSet)
+    assert(VersionedLake.statsColOf(spark, dir, v) === Some("doc_id"))
+    val (kept, total) = VersionedLake.rangeFiles(spark, dir, v, 50L, 54L)
+    assert(total === 2L && kept.size === 1,
+      "the insert commit's file must carry prunable stats")
+  }
+
+  test("changesBetween: typed insert/delete/update changes from the " +
+      "manifest diff; compaction and no-op spans diff to zero") {
+    val dir = fresh("vlake_cdf_")
+    VersionedLake.commitAppend(spark, dir, docs(0, 10)): Unit
+    VersionedLake.commitUpsert(spark, dir, "doc_id",
+      Seq((3L, "patched 3"), (50L, "new 50")).toDF("doc_id", "text")): Unit
+    VersionedLake.commitDelete(spark, dir, "doc_id",
+      Seq(4L).toDF("doc_id")): Unit
+    val c12 = VersionedLake.changesBetween(spark, dir, 1, 2, "doc_id")
+      .collect().map(r => (r.getAs[String]("change_type"),
+        r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    assert(c12 === Set(
+      ("update_preimage", 3L, "text of doc 3"),
+      ("update_postimage", 3L, "patched 3"),
+      ("insert", 50L, "new 50")))
+    val c23 = VersionedLake.changesBetween(spark, dir, 2, 3, "doc_id")
+      .collect().map(r => (r.getAs[String]("change_type"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(c23 === Set(("delete", 4L)))
+    // the net feed across the whole span composes both commits
+    val c13 = VersionedLake.changesBetween(spark, dir, 1, 3, "doc_id")
+      .collect().map(r => (r.getAs[String]("change_type"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(c13 === Set(("update_preimage", 3L), ("update_postimage", 3L),
+      ("insert", 50L), ("delete", 4L)))
+    // compaction rewrites every file name but changes no membership
+    val pre = VersionedLake.currentVersion(spark, dir)
+    val post = VersionedLake.compact(spark, dir, nFiles = 1)
+    assert(VersionedLake.changesBetween(spark, dir, pre, post, "doc_id")
+      .count() === 0L)
+    // equal endpoints share every file: empty feed needs the schemaHint
+    val hint = docs(0, 1).schema
+    assert(VersionedLake.changesBetween(spark, dir, post, post, "doc_id",
+      Some(hint)).count() === 0L)
+    intercept[IllegalArgumentException] {
+      VersionedLake.changesBetween(spark, dir, post, post, "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedLake.changesBetween(spark, dir, 3, 1, "doc_id")
+    }
+  }
+
+  test("changesBetween reads only the files the versions do not share") {
+    val dir = fresh("vlake_cdfscope_")
+    VersionedLake.commitAppend(spark, dir, docs(0, 10)): Unit
+    VersionedLake.commitAppend(spark, dir, docs(10, 20)): Unit
+    VersionedLake.commitDelete(spark, dir, "doc_id",
+      Seq(12L).toDF("doc_id")): Unit
+    // corrupt commit 1's file AFTER the fact: a feed over 2->3 must not
+    // even open it (only commit 2's file left, and c3's rewrite arrived)
+    val base = new java.io.File(s"$dir/data/c1")
+    base.listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+      val out = new java.io.FileOutputStream(f)
+      out.write(Array.fill(16)(0x5a.toByte)); out.close()
+    }
+    val c23 = VersionedLake.changesBetween(spark, dir, 2, 3, "doc_id")
+      .collect().map(r => (r.getAs[String]("change_type"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(c23 === Set(("delete", 12L)))
+  }
+
+  test("clustered compaction: interleaved ingest admits every file, " +
+      "the sorted rewrite prunes, content identical") {
+    val dir = fresh("vlake_clus_")
+    // two interleaved commits, each spanning the whole id domain
+    val all = (0L until 100L)
+    VersionedLake.commitAppend(spark, dir,
+      all.filter(_ % 2 == 0).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartition(2), statsCol = Some("doc_id")): Unit
+    VersionedLake.commitAppend(spark, dir,
+      all.filter(_ % 2 == 1).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartition(2)): Unit
+    val pre = VersionedLake.currentVersion(spark, dir)
+    val (keptPre, totalPre) = VersionedLake.rangeFiles(spark, dir, pre,
+      25L, 49L)
+    assert(totalPre === 4L && keptPre.size === 4,
+      "interleaved files all span the range — nothing can prune")
+    val post = VersionedLake.compact(spark, dir, nFiles = 4,
+      sortCol = Some("doc_id"))
+    val (keptPost, totalPost) = VersionedLake.rangeFiles(spark, dir, post,
+      25L, 49L)
+    assert(totalPost >= 2L && keptPost.size < totalPost.toInt,
+      s"clustered stats must prune (kept ${keptPost.size}/$totalPost)")
+    assert(idSet(VersionedLake.readAsOfRange(spark, dir, post, 25L, 49L))
+      === (25L to 49L).toSet)
+    assert(idSet(VersionedLake.readAsOf(spark, dir, post)) ===
+      idSet(VersionedLake.readAsOf(spark, dir, pre)))
+  }
+
   test("empty v1 append reads back as a typed empty frame via schemaHint") {
     val dir = fresh("vlake_empty_")
     val schema = StructType(Seq(StructField("doc_id", LongType),

@@ -104,6 +104,48 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("32-wide"))
   }
 
+  test("applyChangesToCorpusState: the synced state equals a rebuild " +
+      "over the lake's new membership") {
+    import graft.sinks.VersionedLake
+    val (corpus, delta) = fixture()
+    val dir = Files.createTempDirectory("neardup_sync_")
+    val lake = s"$dir/lake"
+    val state = s"$dir/state"
+    VersionedLake.commitAppend(spark, lake, corpus): Unit
+    NearDupStream.writeCorpusState(corpus, "doc_id", "text", state)
+    // MERGE: doc 3 takes doc 0's text (update), 500 arrives (insert);
+    // then docs 5 and 6 are taken down
+    val updates = Seq(
+      (3L, (0 until 12).map(t => s"c0_$t").mkString(" ")),
+      (500L, (0 until 12).map(t => s"x_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    VersionedLake.commitUpsert(spark, lake, "doc_id", updates): Unit
+    VersionedLake.commitDelete(spark, lake, "doc_id",
+      Seq(5L, 6L).toDF("doc_id")): Unit
+    val feed = VersionedLake.changesBetween(spark, lake, 1L, 3L, "doc_id")
+    val (nDep, nArr) = NearDupStream.applyChangesToCorpusState(
+      feed, "doc_id", "text", state)
+    assert(nDep === 3L, "doc 3's preimage + docs 5/6 depart")
+    assert(nArr === 2L, "doc 3's postimage + doc 500 arrive")
+    // synced state == a rebuild over the lake's final membership
+    val synced = spark.read.parquet(state)
+    val rebuilt = Dedup.nearDupState(
+      VersionedLake.read(spark, lake), "doc_id", "text")
+    assert(synced.exceptAll(rebuilt).count() === 0L &&
+      rebuilt.exceptAll(synced).count() === 0L)
+    // and matching equals the one-shot operator over that membership:
+    // delta 1000 must now match corpus 0 AND the updated doc 3, while
+    // departed docs 5/6 must not match anything
+    val viaState = Dedup.nearDupsAgainstState(synced, delta, "doc_id",
+      "text", threshold = 0.3)
+    val oneShot = Dedup.incrementalNearDups(
+      VersionedLake.read(spark, lake), delta, "doc_id", "text",
+      threshold = 0.3)
+    assert(pairs(viaState) === pairs(oneShot))
+    assert(pairs(viaState).exists { case (c, d, _) => c == 3L && d == 1000L })
+    assert(!pairs(viaState).exists { case (c, _, _) => c == 5L || c == 6L })
+  }
+
   test("stale-leaf cleanup resolves through the Hadoop FileSystem (file: URIs)") {
     // URI-addressed state/out/checkpoint — the HDFS/S3 deployment
     // shape. java.nio's Paths.get("file:/...") is a literal relative
