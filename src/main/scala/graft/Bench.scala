@@ -45,6 +45,10 @@ object Bench {
           n.startsWith("graft_vchanges_") ||
           n.startsWith("graft_vcluster_") ||
           n.startsWith("graft_statesync_") ||
+          n.startsWith("graft_vmerge_") ||
+          n.startsWith("graft_ivfsync_") ||
+          n.startsWith("graft_vrestore_") ||
+          n.startsWith("graft_indexlake_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }
@@ -222,7 +226,15 @@ object Bench {
       ("q179", Set("q179_build"), Set("q179_upsert", "q179_read")),
       ("q180", Set("q180_history"), Set("q180_changes")),
       ("q181", Set("q181_build"), Set("q181_cluster", "q181_range_read")),
-      ("q182", Set("q182_build"), Set("q182_sync", "q182_match")))
+      ("q182", Set("q182_build"), Set("q182_sync", "q182_match")),
+      ("q183", Set.empty[String],
+        Set("q183_batches", "q183_replay+read")),
+      ("q184", Set("q184_build", "q184_frozen_twin"),
+        Set("q184_sync", "q184_search")),
+      ("q185", Set("q185_history"),
+        Set("q185_restore+audit", "q185_read")),
+      ("q186", Set("q186_build", "q186_scan_twin"),
+        Set("q186_append+takedown", "q186_search")))
     val pathMap = pathTimes.toMap
     def sumPaths(labels: Set[String]): Double =
       labels.toSeq.flatMap(pathMap.get).filter(_ >= 0).sum

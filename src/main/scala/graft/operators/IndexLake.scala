@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
+
+import graft.functions.Text
+import graft.sinks.VersionedLake
+
+/** A PERSISTED inverted index as a versioned lake — the 100 TB form of
+  * [[Retrieval.bm25TopK]]: the corpus-scan operator re-tokenizes the
+  * whole corpus for every query batch, which at scale is the same
+  * infeasibility the decontamination sketch (q173) exists to remove.
+  * Here the corpus scans ONCE into term-bucketed postings, and every
+  * later query batch reads only the buckets its terms hash to.
+  *
+  * Layout — ONE [[VersionedLake]] whose rows are either
+  * {{{
+  *   postings:  (bucket = hash(term) % nBuckets, term, doc_id, tf, dl)
+  *   doc-length:(bucket = -1,       term = NULL, doc_id, 0,  dl)
+  * }}}
+  * with the lake's manifest statistics on `bucket` (rows are
+  * bucket-clustered at write, so per-file (min, max) admit one or few
+  * buckets) — a query's file pruning is the q178 driver-side skip, no
+  * footer read. The doc-length region (`bucket = -1`) carries exactly
+  * one row per document, so the global (N, avgdl) BM25 scalars are one
+  * column-pruned scan of that region — never of the postings, never of
+  * the corpus.
+  *
+  * Why one lake instead of postings + a stats sidecar: every mutation
+  * is then ONE atomic commit. A vintage append commits its postings
+  * AND its doc-length rows behind a single manifest rename; a takedown
+  * is [[VersionedLake.commitDelete]] on `doc_id`, which removes a
+  * document's postings and its doc-length row together (file-scoped,
+  * prior versions intact). There is no crash window in which the
+  * scoring scalars disagree with the postings — the failure mode a
+  * separate stats file would reintroduce.
+  *
+  * Exactness: tf/dl/df are exact counts, N/avgdl derive from the
+  * doc-length region (a long sum and count — no float accumulation),
+  * and the scoring tail is [[Retrieval.scoreAndRank]] — the SAME
+  * micro-rounded integer arithmetic as the corpus-scan operator, so
+  * index search == corpus scan BIT-exactly through any append/takedown
+  * history (q186 pins it under the driver oracle; the spec pins it
+  * against [[Retrieval.bm25TopK]] directly).
+  *
+  * Contracts: documents are id-keyed and each vintage is applied once
+  * (a re-appended doc would double its postings — same rule as every
+  * incremental state here); single writer, like the lake beneath.
+  */
+object IndexLake {
+
+  private val MetaName = "_index_meta"
+  private val DoclenBucket = -1L
+
+  /** The lake's row schema — also the schemaHint for empty-region
+    * reads.
+    */
+  private val rowSchema = StructType(Seq(
+    StructField("bucket", LongType),
+    StructField("term", StringType),
+    StructField("doc_id", LongType),
+    StructField("tf", LongType),
+    StructField("dl", LongType)))
+
+  private def rows(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      Text.tokens(col(textCol)).as("w"))
+    val postings = base
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(pmod(hash(col("term")), lit(nBuckets)).cast("long")
+          .as("bucket"),
+        col("term"), col("doc_id"), col("tf"), col("dl"))
+    val doclens = base.select(lit(DoclenBucket).as("bucket"),
+      lit(null).cast("string").as("term"), col("doc_id"),
+      lit(0L).as("tf"), size(col("w")).cast("long").as("dl"))
+    // bucket-clustered files: the manifest (min, max) on `bucket` then
+    // admit one/few buckets per file — the q178 skip with no footer read
+    postings.unionByName(doclens)
+      .repartition(nBuckets + 1, col("bucket"))
+  }
+
+  /** Build the index lake from `docs` (the one-time corpus scan).
+    * Returns the committed lake version.
+    */
+  def writeIndexLake(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 32): Long = {
+    require(nBuckets >= 1, s"writeIndexLake needs nBuckets >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the bucket count is the hash contract every append/search must
+    // share — persisted once, outside the data dir (vacuum never
+    // touches it)
+    Seq(nBuckets.toLong).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$MetaName")
+    VersionedLake.commitAppend(spark, dir,
+      rows(docs, idCol, textCol, nBuckets), statsCol = Some("bucket"))
+  }
+
+  private def nBucketsOf(spark: SparkSession, dir: String): Int = {
+    val r = spark.read.parquet(s"$dir/$MetaName").collect()
+    require(r.length == 1, s"$dir/$MetaName must hold exactly one row")
+    r(0).getLong(0).toInt
+  }
+
+  /** Append a vintage: its postings and doc-length rows land as ONE
+    * atomic lake commit. Returns the committed version.
+    */
+  def appendToIndexLake(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Long = {
+    val spark = docs.sparkSession
+    VersionedLake.commitAppend(spark, dir,
+      rows(docs, idCol, textCol, nBucketsOf(spark, dir)))
+  }
+
+  /** Takedown: one [[VersionedLake.commitDelete]] on `doc_id` removes a
+    * document's postings AND its doc-length row behind a single rename
+    * — the scoring scalars can never disagree with the postings.
+    * Returns (version, nFilesRewritten, nRowsRemoved).
+    */
+  def deleteFromIndexLake(spark: SparkSession, dir: String,
+      ids: DataFrame): (Long, Long, Long) =
+    VersionedLake.commitDelete(spark, dir, "doc_id", ids)
+
+  /** BM25 top-k over the persisted index — reads ONLY the doc-length
+    * region plus the buckets the query terms hash to (driver-side
+    * manifest skip per bucket), then runs the exact corpus-scan scoring
+    * tail. Same result contract as [[Retrieval.bm25TopK]]:
+    * (query_id, rank, doc_id, score_micro).
+    */
+  def bm25TopKOverIndex(spark: SparkSession, dir: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && k > 0,
+      "bm25TopKOverIndex needs queries and k > 0")
+    import spark.implicits._
+    val nb = nBucketsOf(spark, dir)
+    val v = VersionedLake.currentVersion(spark, dir)
+    val qdf = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    // the global scalars: one scan of the doc-length region only
+    val doclens = VersionedLake.readAsOfRange(spark, dir, v,
+      DoclenBucket, DoclenBucket, Some(rowSchema))
+      .filter(col("term").isNull)
+    val stats = doclens.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // query-term buckets (bounded by the query term count — driver-side)
+    val terms = queries.flatMap(_._2).distinct
+    val buckets = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nb)).cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    // one pruned read per bucket (manifest skip; residual keeps the
+    // bucket), then the exact term filter within the admitted files
+    val tf = buckets.map { bkt =>
+      VersionedLake.readAsOfRange(spark, dir, v, bkt, bkt,
+        Some(rowSchema))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(VersionedLake.readAsOfRange(spark, dir, v,
+        DoclenBucket, DoclenBucket, Some(rowSchema)).limit(0))
+      .join(broadcast(qdf.select("term").distinct()), "term")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    Retrieval.scoreAndRank(tf, qdf, stats, k, k1, b)
+  }
+}

@@ -72,6 +72,23 @@ object Retrieval {
     // corpus scalars as a 1-row broadcast frame (never collected)
     val stats = base.agg(count(lit(1)).as("n"),
       avg(size(col("w"))).as("avgdl"))
+    scoreAndRank(tf, qdf, stats, k, k1, b)
+  }
+
+  /** The BM25 scoring tail shared by the corpus-scan path above and the
+    * persisted-index path ([[IndexLake.bm25TopKOverIndex]]): from a
+    * pruned (doc_id, dl, term, tf) postings frame (one row per
+    * (doc, term), queried terms only), a (query_id, term) table, and a
+    * 1-row (n, avgdl) stats frame, to the ranked
+    * (query_id, rank, doc_id, score_micro) result. df is counted from
+    * the postings frame itself (one row per containing doc); every
+    * per-term contribution is micro-rounded BEFORE the per-(query, doc)
+    * sum, so the score is an order-independent exact integer — which is
+    * what makes index == corpus-scan equality BIT-exact rather than
+    * approximate.
+    */
+  private[operators] def scoreAndRank(tf: DataFrame, qdf: DataFrame,
+      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     // document frequency of queried terms (tf rows are one per
     // (doc, term), so count(*) = containing docs)
     val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))

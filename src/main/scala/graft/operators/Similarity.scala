@@ -466,6 +466,43 @@ object Similarity {
       lakeDir: String, ids: DataFrame): (Long, Long) =
     graft.sinks.Lake.deleteIds(spark, lakeDir, "cell", "id", ids)
 
+  /** Synchronize an IVF lake from a versioned document lake's CHANGE
+    * FEED ([[graft.sinks.VersionedLake.changesBetween]]'s typed rows) —
+    * the ANN twin of
+    * [[graft.streaming.NearDupStream.applyChangesToCorpusState]]:
+    * departures (`delete` + `update_preimage`) leave through
+    * [[deleteFromIvfLake]]'s cell-scoped rewrite, then arrivals
+    * (`insert` + `update_postimage`) join through [[appendToIvfLake]]'s
+    * retrain-free assignment against the frozen centroids. Cost is the
+    * churn — only cells holding departed ids rewrite, only arrival
+    * vectors are assigned — never the lake, and the synced index
+    * searches exactly like one built over the source lake's new
+    * membership under the same geometry ([[ivfTopKFrozen]] is the
+    * audit twin; q184 pins the multiset equality). Departures-first
+    * ordering means an updated vector's stale copy can never survive
+    * next to its replacement; apply each feed span exactly once (a
+    * replay would duplicate arrival rows). Returns
+    * (nVectorsRemoved, nVectorsArrived).
+    */
+  def applyChangesToIvfLake(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, changes: DataFrame, idCol: String, vecCol: String,
+      dim: Int): (Long, Long) = {
+    val c = changes.persist() // churn-sized; feeds two actions
+    try {
+      val departures = c
+        .filter(col("change_type").isin("delete", "update_preimage"))
+        .select(col(idCol))
+      val arrivals = c
+        .filter(col("change_type").isin("insert", "update_postimage"))
+        .select(col(idCol), col(vecCol))
+      val (_, removed) = deleteFromIvfLake(spark, lakeDir, departures)
+      val arrived = arrivals.count()
+      if (arrived > 0L)
+        appendToIvfLake(arrivals, lakeDir, idCol, vecCol, dim)
+      (removed, arrived)
+    } finally { c.unpersist(blocking = false): Unit }
+  }
+
   /** Cell-scoped file compaction for an IVF lake — the maintenance op
     * that pairs with [[appendToIvfLake]]: each append adds one file per
     * touched cell, so after thousands of daily batches every cell

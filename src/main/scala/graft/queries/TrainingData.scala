@@ -3969,6 +3969,145 @@ object TrainingData {
           graft.operators.Dedup.nearDupsAgainstState(
             s.read.parquet(stDir), delta, "doc_id", "text",
             threshold = 0.5)))
+    } ++ {
+      // q183 (streaming MERGE): fixture = none (the batches ARE the
+      // operator); split anyway: ingest vs the replay probe + read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val mDir = Tables.freshScratchDir("graft_vmerge_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q183_batches" -> (() => {
+          VersionedLake.commitUpsertForBatch(s, mDir, "doc_id",
+            docs.filter(col("doc_id") % 2 === 0), batchId = 0L): Unit
+          val b1 = docs.filter(col("doc_id") % 6 === 0)
+            .select(col("doc_id"),
+              concat(lit("U1:"), col("text")).as("text"))
+            .unionByName(docs.filter(col("doc_id") % 10 === 1))
+          VersionedLake.commitUpsertForBatch(s, mDir, "doc_id", b1,
+            batchId = 1L): Unit
+          VersionedLake.commitDelete(s, mDir, "doc_id",
+            docs.filter(col("doc_id") % 20 === 8).select("doc_id")): Unit
+          VersionedLake.commitUpsertForBatch(s, mDir, "doc_id",
+            docs.filter(col("doc_id") % 10 === 4)
+              .select(col("doc_id"),
+                concat(lit("U2:"), col("text")).as("text")),
+            batchId = 2L): Unit
+          s.range(1).toDF()
+        }),
+        "q183_replay+read" -> (() => {
+          VersionedLake.commitUpsertForBatch(s, mDir, "doc_id",
+            docs.limit(1), batchId = 2L): Unit
+          VersionedLake.read(s, mDir)
+        }))
+    } ++ {
+      // q184 (IVF feed sync): fixture = lake + index build + the
+      // mutating commits; operator = the feed read + sync + search
+      import graft.sinks.VersionedLake
+      val emb2 = Tables.embeddings(s, d)
+      val qs2 = emb2.filter(col("vec_id") < 10)
+      val scratch = Tables.freshScratchDir("graft_ivfsync_b_", d)
+      val lakeDir = s"$scratch/lake"
+      val ivfDir2 = s"$scratch/ivf"
+      Seq(
+        "q184_build" -> (() => {
+          VersionedLake.commitAppend(s, lakeDir,
+            emb2.filter(col("vec_id") % 7 =!= 6)
+              .select(col("vec_id"), col("embedding"))): Unit
+          Similarity.writeIvfLake(VersionedLake.read(s, lakeDir), ivfDir2,
+            "vec_id", "embedding", dim = AnnLake.Dim,
+            nCells = AnnLake.NCells): Unit
+          val updates = emb2.as("a")
+            .join(emb2.as("b"), col("a.vec_id") - 1 === col("b.vec_id"))
+            .filter(col("a.vec_id") % 9 === 5 && col("a.vec_id") % 7 =!= 6)
+            .select(col("a.vec_id").as("vec_id"),
+              col("b.embedding").as("embedding"))
+            .unionByName(emb2.filter(col("vec_id") % 7 === 6)
+              .select(col("vec_id"), col("embedding")))
+          VersionedLake.commitUpsert(s, lakeDir, "vec_id", updates): Unit
+          VersionedLake.commitDelete(s, lakeDir, "vec_id",
+            emb2.filter(col("vec_id") % 11 === 3).select("vec_id")): Unit
+          s.range(1).toDF()
+        }),
+        "q184_sync" -> (() => {
+          val feed = VersionedLake.changesBetween(s, lakeDir, 1L,
+            VersionedLake.currentVersion(s, lakeDir), "vec_id")
+          Similarity.applyChangesToIvfLake(s, ivfDir2, feed, "vec_id",
+            "embedding", dim = AnnLake.Dim): Unit
+          s.range(1).toDF()
+        }),
+        "q184_search" -> (() =>
+          Similarity.ivfTopKOverLake(s, ivfDir2, qs2, "vec_id",
+            "embedding", dim = AnnLake.Dim, k = AnnLake.K,
+            nProbe = AnnLake.NProbe)),
+        "q184_frozen_twin" -> (() =>
+          Similarity.ivfTopKFrozen(VersionedLake.read(s, lakeDir), qs2,
+            "vec_id", "embedding", dim = AnnLake.Dim, k = AnnLake.K,
+            lakeDir = ivfDir2, nProbe = AnnLake.NProbe)))
+    } ++ {
+      // q185 (restore): fixture = the history incl. the bad delete;
+      // operator = the restore (a manifest write — no data touched),
+      // the CDC inverse audit, and the final read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val rsDir = Tables.freshScratchDir("graft_vrestore_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q185_history" -> (() => {
+          VersionedLake.commitAppend(s, rsDir,
+            docs.filter(col("doc_id") % 3 === 0)): Unit
+          VersionedLake.commitAppend(s, rsDir,
+            docs.filter(col("doc_id") % 3 === 1)): Unit
+          VersionedLake.commitDelete(s, rsDir, "doc_id",
+            docs.filter(col("doc_id") % 4 =!= 3).select("doc_id")): Unit
+          s.range(1).toDF()
+        }),
+        "q185_restore+audit" -> (() => {
+          val v = VersionedLake.restore(s, rsDir, 2L)
+          val del23 = VersionedLake
+            .changesBetween(s, rsDir, 2L, 3L, "doc_id")
+            .filter(col("change_type") === "delete")
+            .select(col("doc_id"), col("text"))
+          val ins34 = VersionedLake
+            .changesBetween(s, rsDir, 3L, v, "doc_id")
+            .filter(col("change_type") === "insert")
+            .select(col("doc_id"), col("text"))
+          del23.exceptAll(ins34).unionAll(ins34.exceptAll(del23))
+        }),
+        "q185_read" -> (() => VersionedLake.read(s, rsDir)))
+    } ++ {
+      // q186 (index lake): fixture = the one-time corpus scan into the
+      // postings lake; operator = the incremental mutations + the
+      // bucket-pruned search a query batch actually pays
+      val docs = Tables.documents(s, d)
+      val ixDir = Tables.freshScratchDir("graft_indexlake_b_", d)
+        .toString + "/index"
+      val qset = Seq(
+        1L -> Seq("hash", "join", "dup"),
+        2L -> Seq("window", "stream", "agg"),
+        3L -> Seq("vector", "scan", "filter", "sort"))
+      Seq(
+        "q186_build" -> (() => {
+          graft.operators.IndexLake.writeIndexLake(
+            docs.filter(col("doc_id") % 3 =!= 1), "doc_id", "text",
+            ixDir, nBuckets = 16): Unit
+          s.range(1).toDF()
+        }),
+        "q186_append+takedown" -> (() => {
+          graft.operators.IndexLake.appendToIndexLake(
+            docs.filter(col("doc_id") % 3 === 1), "doc_id", "text",
+            ixDir): Unit
+          graft.operators.IndexLake.deleteFromIndexLake(s, ixDir,
+            docs.filter(col("doc_id") % 5 === 2).select("doc_id")): Unit
+          s.range(1).toDF()
+        }),
+        "q186_search" -> (() =>
+          graft.operators.IndexLake.bm25TopKOverIndex(
+            s, ixDir, qset, k = 10)),
+        "q186_scan_twin" -> (() =>
+          graft.operators.Retrieval.bm25TopK(
+            docs.filter(col("doc_id") % 5 =!= 2), "doc_id", "text",
+            qset, k = 10)))
     }
   }
 
@@ -5531,6 +5670,251 @@ object TrainingData {
          FROM shc c CROSS JOIN shd d) p
        WHERE jaccard >= 0.5"""
 
+  // --- q183: exactly-once streaming MERGE into the versioned lake ----------------
+  // VersionedLake.commitUpsertForBatch: q175's one-version-per-batch
+  // replay discipline applied to MERGE semantics — a CDC ingest commits
+  // each micro-batch's id-keyed updates as ONE upsert version whose
+  // manifest carries the batch id, so "version committed" and "batch
+  // applied" are one rename and a replayed batch writes NOTHING. The
+  // query drives three batches explicitly (batch 0 CREATES the lake —
+  // a CDC ingest starts somewhere), interleaves a headerless
+  // maintenance delete that must not blind the replay check,
+  // force-replays the newest batch with different content, and emits
+  // the final membership — which replays in SQL as the layered CASE of
+  // the three batches minus the delete. A replay that re-applied, a
+  // batch that rewrote the wrong rows, or a delete that leaked into the
+  // merge path all change some row.
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = Tables.freshScratchDir("graft_vmerge_", d).toString + "/lake"
+    VersionedLake.commitUpsertForBatch(s, dir, "doc_id",
+      docs.filter(col("doc_id") % 2 === 0), batchId = 0L): Unit
+    val b1 = docs.filter(col("doc_id") % 6 === 0)
+      .select(col("doc_id"), concat(lit("U1:"), col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 1))
+    VersionedLake.commitUpsertForBatch(s, dir, "doc_id", b1,
+      batchId = 1L): Unit
+    VersionedLake.commitDelete(s, dir, "doc_id",
+      docs.filter(col("doc_id") % 20 === 8).select("doc_id")): Unit
+    val b2 = docs.filter(col("doc_id") % 10 === 4)
+      .select(col("doc_id"), concat(lit("U2:"), col("text")).as("text"))
+    val v2 = VersionedLake.commitUpsertForBatch(s, dir, "doc_id", b2,
+      batchId = 2L)
+    // replay the newest batch with DIFFERENT content: exactly-once means
+    // the lake does not even look at a replayed batch's rows
+    val replayV = VersionedLake.commitUpsertForBatch(s, dir, "doc_id",
+      docs.limit(1), batchId = 2L)
+    val replayNoop = replayV == v2 &&
+      VersionedLake.currentVersion(s, dir) == v2
+    VersionedLake.read(s, dir)
+      .select(col("doc_id"), col("text"),
+        lit(VersionedLake.currentVersion(s, dir)).as("n_versions"),
+        lit(replayNoop).as("replay_noop"))
+  }
+
+  private val q183Sql =
+    """SELECT doc_id,
+       CASE WHEN doc_id % 10 = 4 THEN 'U2:' || text
+            WHEN doc_id % 6 = 0 THEN 'U1:' || text
+            ELSE text END AS text,
+       CAST(4 AS BIGINT) AS n_versions, true AS replay_noop
+       FROM documents
+       WHERE (doc_id % 2 = 0 AND doc_id % 20 != 8) OR doc_id % 10 = 1"""
+
+  // --- q184: IVF lake synced from the change feed ---------------------------------
+  // Similarity.applyChangesToIvfLake: the ANN twin of q182 — the
+  // embedding lake mutates through versioned commits (a MERGE carrying
+  // re-embedded vectors + held-out arrivals, then a takedown), the IVF
+  // index consumes changesBetween's typed feed (departures leave
+  // through the cell-scoped delete, arrivals assign against the frozen
+  // centroids), and the synced index must search EXACTLY like the
+  // frozen twin over the source lake's final membership. Updated
+  // embeddings are other rows' original embeddings, keeping every
+  // vector in-distribution. A stale vector surviving an update, a
+  // departed id still probed, or an arrival the sync missed all break
+  // the multiset equality or surface a deleted id.
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    val scratch = Tables.freshScratchDir("graft_ivfsync_", d)
+    val lakeDir = s"$scratch/lake"
+    val ivfDir = s"$scratch/ivf"
+    val base = emb.filter(col("vec_id") % 7 =!= 6)
+      .select(col("vec_id"), col("embedding"))
+    VersionedLake.commitAppend(s, lakeDir, base): Unit
+    Similarity.writeIvfLake(VersionedLake.read(s, lakeDir), ivfDir,
+      "vec_id", "embedding", dim = AnnLake.Dim,
+      nCells = AnnLake.NCells): Unit
+    // MERGE: %9==5 vectors take their (vec_id - 1) neighbor's embedding
+    // (re-embedding, in-distribution); the held-out %7==6 rows arrive
+    val updates = emb.as("a")
+      .join(emb.as("b"), col("a.vec_id") - 1 === col("b.vec_id"))
+      .filter(col("a.vec_id") % 9 === 5 && col("a.vec_id") % 7 =!= 6)
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.embedding").as("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 7 === 6)
+        .select(col("vec_id"), col("embedding")))
+    VersionedLake.commitUpsert(s, lakeDir, "vec_id", updates): Unit
+    VersionedLake.commitDelete(s, lakeDir, "vec_id",
+      emb.filter(col("vec_id") % 11 === 3).select("vec_id")): Unit
+    val feed = VersionedLake.changesBetween(
+      s, lakeDir, 1L, VersionedLake.currentVersion(s, lakeDir), "vec_id")
+    val (nDep, nArr) = Similarity.applyChangesToIvfLake(
+      s, ivfDir, feed, "vec_id", "embedding", dim = AnnLake.Dim)
+    val finalLake = VersionedLake.read(s, lakeDir)
+    val post = Similarity.ivfTopKOverLake(s, ivfDir, qs, "vec_id",
+      "embedding", dim = AnnLake.Dim, k = AnnLake.K,
+      nProbe = AnnLake.NProbe)
+    val twin = Similarity.ivfTopKFrozen(finalLake, qs, "vec_id",
+      "embedding", dim = AnnLake.Dim, k = AnnLake.K, lakeDir = ivfDir,
+      nProbe = AnnLake.NProbe)
+    val ivfDiff = post.unionAll(twin)
+      .groupBy("q_id", "id", "rank").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    val deletedHits = post.join(
+        emb.filter(col("vec_id") % 11 === 3)
+          .select(col("vec_id").as("id")),
+        Seq("id"), "left_semi")
+      .count()
+    post.agg(
+        count_distinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_results"))
+      .select(col("n_queries"), col("n_results"),
+        lit(nDep).as("n_departed"),
+        lit(nArr).as("n_arrived"),
+        lit(ivfDiff == 0L).as("ivf_equals_twin"),
+        lit(deletedHits == 0L).as("no_deleted_in_results"))
+  }
+
+  private val q184Sql =
+    """WITH m1 AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 7 != 6),
+       u AS (SELECT a.vec_id, b.embedding FROM embeddings a
+             JOIN embeddings b ON b.vec_id = a.vec_id - 1
+             WHERE a.vec_id % 9 = 5 AND a.vec_id % 7 != 6
+             UNION ALL
+             SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 6),
+       m2 AS (SELECT vec_id, embedding FROM m1
+              WHERE vec_id NOT IN (SELECT vec_id FROM u)
+              UNION ALL SELECT vec_id, embedding FROM u),
+       m3 AS (SELECT vec_id, embedding FROM m2 WHERE vec_id % 11 != 3),
+       dep AS (SELECT count(DISTINCT vec_id) AS n FROM
+               (SELECT vec_id, embedding FROM m1
+                EXCEPT ALL SELECT vec_id, embedding FROM m3)),
+       arr AS (SELECT count(*) AS n FROM
+               (SELECT vec_id, embedding FROM m3
+                EXCEPT ALL SELECT vec_id, embedding FROM m1))
+       SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(5 * count(*) AS BIGINT) AS n_results,
+         (SELECT CAST(n AS BIGINT) FROM dep) AS n_departed,
+         (SELECT CAST(n AS BIGINT) FROM arr) AS n_arrived,
+         true AS ivf_equals_twin,
+         true AS no_deleted_in_results
+       FROM embeddings WHERE vec_id < 10"""
+
+  // --- q185: versioned-lake RESTORE (rollback as a new commit) -------------------
+  // VersionedLake.restore: the bad-batch recovery path — a fat-finger
+  // mass delete is rolled back by committing a NEW manifest that lists
+  // exactly the target version's files. No data is read, copied, or
+  // rewritten (the restored files still exist: commits never delete,
+  // only vacuum does), history stays linear and inspectable, and the
+  // restore surfaces to CDC consumers as the exact INVERSE of what it
+  // undoes — `cdc_inverse` pins changesBetween(3,4)'s inserts as the
+  // multiset equal of changesBetween(2,3)'s deletes. The lake then
+  // continues committing normally (v5 appends on top of the restored
+  // state), so the final membership replays as plain SQL.
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = Tables.freshScratchDir("graft_vrestore_", d).toString + "/lake"
+    VersionedLake.commitAppend(s, dir, docs.filter(col("doc_id") % 3 === 0)): Unit
+    VersionedLake.commitAppend(s, dir, docs.filter(col("doc_id") % 3 === 1)): Unit
+    // the bad commit: a mass delete that should never have shipped
+    VersionedLake.commitDelete(s, dir, "doc_id",
+      docs.filter(col("doc_id") % 4 =!= 3).select("doc_id")): Unit
+    val restored = VersionedLake.restore(s, dir, 2L)
+    val del23 = VersionedLake.changesBetween(s, dir, 2L, 3L, "doc_id")
+      .filter(col("change_type") === "delete")
+      .select(col("doc_id"), col("text"))
+    val ins34 = VersionedLake.changesBetween(s, dir, 3L, restored, "doc_id")
+      .filter(col("change_type") === "insert")
+      .select(col("doc_id"), col("text"))
+    val cdcInverse = del23.exceptAll(ins34).count() == 0L &&
+      ins34.exceptAll(del23).count() == 0L
+    VersionedLake.commitAppend(s, dir, docs.filter(col("doc_id") % 3 === 2)): Unit
+    VersionedLake.read(s, dir)
+      .select(col("doc_id"), col("text"),
+        lit(VersionedLake.currentVersion(s, dir)).as("n_versions"),
+        lit(cdcInverse).as("cdc_inverse"))
+  }
+
+  private val q185Sql =
+    """SELECT doc_id, text, CAST(5 AS BIGINT) AS n_versions,
+       true AS cdc_inverse FROM documents"""
+
+  // --- q186: BM25 over the persisted inverted-index lake -------------------------
+  // operators/IndexLake: the 100 TB form of q121 — the corpus scans
+  // ONCE into a term-bucketed postings lake (one VersionedLake whose
+  // rows are postings plus a bucket=-1 doc-length region, manifest
+  // statistics on the bucket column), then every query batch reads
+  // only the buckets its terms hash to (q178's driver-side file skip)
+  // plus the doc-length region for the global (N, avgdl) scalars. A
+  // vintage APPEND commits postings + doc-lengths behind one rename; a
+  // TAKEDOWN is one commitDelete on doc_id removing a document's
+  // postings and its doc-length row together — no crash window where
+  // the scalars disagree with the postings. The oracle replays q121's
+  // full BM25 arithmetic over the FINAL corpus (base + vintage −
+  // takedown): a stale posting, a missed doc-length, a df drift, or a
+  // wrong N/avgdl after the mutations all move some score_micro.
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = Tables.freshScratchDir("graft_indexlake_", d).toString + "/index"
+    graft.operators.IndexLake.writeIndexLake(
+      docs.filter(col("doc_id") % 3 =!= 1), "doc_id", "text", dir,
+      nBuckets = 16): Unit
+    graft.operators.IndexLake.appendToIndexLake(
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", dir): Unit
+    graft.operators.IndexLake.deleteFromIndexLake(
+      s, dir, docs.filter(col("doc_id") % 5 === 2).select("doc_id")): Unit
+    graft.operators.IndexLake.bm25TopKOverIndex(s, dir,
+      queries = Seq(
+        1L -> Seq("hash", "join", "dup"),
+        2L -> Seq("window", "stream", "agg"),
+        3L -> Seq("vector", "scan", "filter", "sort")),
+      k = 10)
+  }
+
+  private val q186Sql =
+    """WITH fin AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 2),
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM fin),
+       tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+       tf AS (SELECT doc_id, dl, term, count(*) AS tf
+              FROM tok GROUP BY 1, 2, 3),
+       q(query_id, term) AS (VALUES
+         (1, 'hash'), (1, 'join'), (1, 'dup'),
+         (2, 'window'), (2, 'stream'), (2, 'agg'),
+         (3, 'vector'), (3, 'scan'), (3, 'filter'), (3, 'sort')),
+       stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM w),
+       dfx AS (SELECT term, count(*) AS df FROM tf
+               WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+       sc AS (SELECT q.query_id, tf.doc_id,
+           CAST(sum(CAST(round(
+             ln(1 + (n - df + 0.5) / (df + 0.5)) *
+             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+             AS BIGINT)) AS BIGINT) AS score_micro
+         FROM tf JOIN q USING (term) JOIN dfx USING (term)
+         CROSS JOIN stats
+         GROUP BY 1, 2),
+       r AS (SELECT query_id, doc_id, score_micro,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, doc_id) AS rank
+         FROM sc)
+       SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(rank AS BIGINT) AS rank, doc_id, score_micro
+       FROM r WHERE rank <= 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -5661,7 +6045,11 @@ object TrainingData {
     "q179_vlake_upsert"   -> q179 _,
     "q180_vlake_changes"  -> q180 _,
     "q181_vlake_cluster"  -> q181 _,
-    "q182_state_sync"     -> q182 _)
+    "q182_state_sync"     -> q182 _,
+    "q183_stream_merge"   -> q183 _,
+    "q184_ivf_sync"       -> q184 _,
+    "q185_vlake_restore"  -> q185 _,
+    "q186_index_lake"     -> q186 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -5793,5 +6181,9 @@ object TrainingData {
     "q179_vlake_upsert"   -> q179Sql,
     "q180_vlake_changes"  -> q180Sql,
     "q181_vlake_cluster"  -> q181Sql,
-    "q182_state_sync"     -> q182Sql)
+    "q182_state_sync"     -> q182Sql,
+    "q183_stream_merge"   -> q183Sql,
+    "q184_ivf_sync"       -> q184Sql,
+    "q185_vlake_restore"  -> q185Sql,
+    "q186_index_lake"     -> q186Sql)
 }

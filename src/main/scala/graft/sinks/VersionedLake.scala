@@ -391,12 +391,28 @@ object VersionedLake {
     */
   def commitUpsert(spark: SparkSession, dir: String, idCol: String,
       updates: DataFrame): (Long, Long, Long) = {
-    val (fs, base) = fsOf(spark, dir)
-    val cur = currentVersion(spark, dir)
-    require(cur > 0,
+    require(currentVersion(spark, dir) > 0,
       s"commitUpsert on an empty lake at $dir — the first commit is " +
         "commitAppend")
-    val lakeCols = readAsOf(spark, dir, cur).columns.toSeq
+    upsertCore(spark, dir, idCol, updates, Nil)
+  }
+
+  /** The MERGE body shared by [[commitUpsert]] and
+    * [[commitUpsertForBatch]] — handles the empty-lake case (version 0
+    * or an empty current manifest) as a pure insert typed by the
+    * updates frame; the public batch API allows it (a CDC ingest's
+    * first batch creates the lake), the interactive one guards it.
+    */
+  private def upsertCore(spark: SparkSession, dir: String, idCol: String,
+      updates: DataFrame, extraHeaders: Seq[String]): (Long, Long, Long) = {
+    val (fs, base) = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir)
+    val files = if (cur == 0) Seq.empty else readManifest(fs, base, cur)
+    // an empty-manifest current version has no schema to align against —
+    // the whole upsert is a pure insert typed by the updates frame
+    val lakeCols =
+      if (files.isEmpty) updates.columns.toSeq
+      else readAsOf(spark, dir, cur).columns.toSeq
     require(updates.columns.toSet == lakeCols.toSet,
       s"updates columns ${updates.columns.sorted.mkString(",")} != lake " +
         s"columns ${lakeCols.sorted.mkString(",")}")
@@ -408,7 +424,6 @@ object VersionedLake {
     require(dup.isEmpty,
       s"commitUpsert: updates carry id ${dup.head.get(0)} more than " +
         "once — a single MERGE source must be id-unique")
-    val files = readManifest(fs, base, cur)
     val updIds = upd.select(col(idCol)).distinct()
     // bounded: one row per AFFECTED file (id + metadata column only)
     val hits =
@@ -439,12 +454,65 @@ object VersionedLake {
         .unionByName(upd)
     fresh.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
     val affectedSet = affectedRel.toSet
-    val survivors = fileEntries(fs, base, cur)
-      .filterNot(e => affectedSet.contains(entryPath(e)))
+    val survivors =
+      if (cur == 0) Seq.empty
+      else fileEntries(fs, base, cur)
+        .filterNot(e => affectedSet.contains(entryPath(e)))
     writeManifest(fs, base, v,
       survivors ++ newEntries(spark, fs, base, v, effective),
-      headers = effective.map("#stats=" + _).toSeq)
+      headers = extraHeaders ++ effective.map("#stats=" + _).toSeq)
     (v, affectedRel.size.toLong, nUpdated)
+  }
+
+  /** Exactly-once streaming MERGE: commit micro-batch `batchId`'s
+    * id-keyed updates as ONE upsert version carrying the batch id as a
+    * manifest header — [[commitAppendForBatch]]'s replay discipline
+    * applied to [[commitUpsert]]'s merge semantics. A replayed batch
+    * (foreachBatch re-delivers the last uncommitted batch after a
+    * restart) is recognized and writes NOTHING, not even reading its
+    * rows; an OLDER batch id is a checkpoint/lake pairing error and
+    * fails loudly; headerless maintenance commits (deletes,
+    * compactions) interleave without blinding the check. The first
+    * batch may CREATE the lake — a CDC ingest starts somewhere.
+    * Returns the committed (or already-committed) version.
+    */
+  def commitUpsertForBatch(spark: SparkSession, dir: String,
+      idCol: String, df: DataFrame, batchId: Long): Long = {
+    val (fs, base) = fsOf(spark, dir)
+    val lastStream = versions(spark, dir).reverseIterator
+      .map(v => (v, batchOf(fs, base, v)))
+      .collectFirst { case (v, Some(b)) => (v, b) }
+    lastStream match {
+      case Some((v, b)) if b == batchId => return v // replay — committed
+      case Some((_, b)) => require(b < batchId,
+        s"batch $batchId arrived but batch $b is already committed — " +
+          "this checkpoint does not belong to this lake")
+      case None => ()
+    }
+    upsertCore(spark, dir, idCol, df, Seq(s"#batch=$batchId"))._1
+  }
+
+  /** Drain a CDC-shaped stream into the lake as one MERGE version per
+    * micro-batch, through [[commitUpsertForBatch]]'s exactly-once
+    * discipline. Each batch must be id-unique (dedupe upstream — e.g.
+    * keep the newest row per key inside foreachBatch); batches apply in
+    * delivery order, so cross-batch last-writer-wins follows from the
+    * stream's own ordering. Processes all available input
+    * (Trigger.AvailableNow) and returns.
+    */
+  def upsertStream(df: DataFrame, dir: String, idCol: String,
+      checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          commitUpsertForBatch(
+            batch.sparkSession, dir, idCol, batch.toDF(), batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
   }
 
   /** The row-level changes between two committed versions — the Delta
@@ -630,6 +698,35 @@ object VersionedLake {
     v
   }
 
+  /** Roll the lake BACK to version `v` as a NEW commit (the Delta
+    * RESTORE shape): the new manifest lists exactly `v`'s file entries
+    * — no data is read, copied, or rewritten, because the restored
+    * files still exist on disk (commits never delete; only [[vacuum]]
+    * does, and it refuses to touch referenced files). History stays
+    * linear and append-only: the bad commits remain inspectable (and
+    * feedable to [[changesBetween]] — a restore surfaces to CDC
+    * consumers as the inverse of what it undoes), and the restore
+    * itself can be restored away. Fails loudly if `v` was vacuumed.
+    * Restoring the current version is refused — an empty commit is not
+    * history. Returns the new version.
+    */
+  def restore(spark: SparkSession, dir: String, v: Long): Long = {
+    val (fs, base) = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir)
+    require(cur > 0, s"restore on an empty lake at $dir")
+    require(v < cur,
+      s"restore target v$v is not BEHIND the current version v$cur")
+    val entries = fileEntries(fs, base, v) // loud if vacuumed
+    // the restored version's stats column (possibly none) becomes the
+    // lake's again — a restore rolls back the WHOLE table state,
+    // including whether statistics were enabled
+    val stats = statsColOf(spark, dir, v)
+    val nv = cur + 1
+    writeManifest(fs, base, nv, entries,
+      headers = stats.map("#stats=" + _).toSeq)
+    nv
+  }
+
   /** The commit log as a frame: (version, n_files, batch_id) — batch_id
     * NULL for maintenance commits (deletes, batch appends, compactions).
     * Driver-built from the manifests (bounded by version count).
@@ -645,6 +742,44 @@ object VersionedLake {
   /** Latest version as a frame. */
   def read(spark: SparkSession, dir: String): DataFrame =
     readAsOf(spark, dir, currentVersion(spark, dir))
+
+  /** (version, commit epoch-millis) ascending — timestamps are the
+    * manifest files' own modification times, so no manifest format
+    * change and lakes committed before this API existed carry them
+    * already. The manifest is created (side-name write + rename) at
+    * publish time, which IS the commit instant; single-writer, so
+    * times are monotone with versions on any store with sane clocks.
+    */
+  def commitTimes(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val (fs, base) = fsOf(spark, dir)
+    versions(spark, dir).map { v =>
+      v -> fs.getFileStatus(manifestPath(base, v)).getModificationTime
+    }
+  }
+
+  /** Timestamp time travel (the Iceberg/Delta entry point): the newest
+    * version committed at or before `tsMillis`. Loud when the
+    * timestamp predates every surviving commit — the caller asked for
+    * state that never existed (or was vacuumed).
+    */
+  def versionAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): Long = {
+    val times = commitTimes(spark, dir)
+    require(times.nonEmpty, s"versionAsOf on an empty lake at $dir")
+    val at = times.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"timestamp $tsMillis predates every commit of $dir (earliest: " +
+        s"v${times.head._1} at ${times.head._2})")
+    at.map(_._1).max
+  }
+
+  /** The lake as of a wall-clock instant — [[versionAsOf]] then
+    * [[readAsOf]].
+    */
+  def readAsOfTimestamp(spark: SparkSession, dir: String, tsMillis: Long,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
+    readAsOf(spark, dir, versionAsOf(spark, dir, tsMillis), schemaHint)
 
   /** Reclaim storage: drop manifests below `keepFrom` and every data
     * file no surviving manifest references (which also sweeps orphans

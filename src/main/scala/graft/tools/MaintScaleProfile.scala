@@ -37,7 +37,67 @@ object MaintScaleProfile {
     heavyDupGate(spark)
     refSketch(spark)
     versionedLake(spark)
+    versionedLakeCdc(spark)
     spark.stop()
+  }
+
+  /** Round-14 continuation: the CDC surface's claims, measured.
+    *
+    *  1. commitUpsert rewrites only the files HOLDING matched ids — 64
+    *     matched ids inside one file's range vs the same 64 spread over
+    *     all 16 files; nFilesRewritten comes from the operator's own
+    *     return (1 vs 16), and the one-file wall must not track the
+    *     lake.
+    *  2. changesBetween's cost tracks the CHURN between the versions,
+    *     not the lake: the feed over the one-file upsert reads one
+    *     removed file + the commit's new files, so its wall at n=10⁶
+    *     must stay close to n=10⁵'s (the touched file grows 10×, the
+    *     lake's other 15 files are never opened).
+    */
+  private def versionedLakeCdc(spark: SparkSession): Unit = {
+    import graft.sinks.VersionedLake
+    for (n <- Seq(100000L, 1000000L)) {
+      val files = 16
+      val per = n / files
+      val root = java.nio.file.Files
+        .createTempDirectory("maint_vcdc_").toString
+      val dir = s"$root/lake"
+      (0 until files).foreach { k =>
+        VersionedLake.commitAppend(spark, dir,
+          spark.range(k * per, (k + 1) * per)
+            .select(col("id").as("doc_id"),
+              concat(lit("payload "), col("id")).as("text"))
+            .repartition(1)): Unit
+      }
+      def upd(ids: org.apache.spark.sql.DataFrame) =
+        ids.select(col("doc_id"),
+          concat(lit("updated "), col("doc_id")).as("text"))
+      def timedUpsert(ids: org.apache.spark.sql.DataFrame,
+          label: String): Long = {
+        val t0 = System.nanoTime()
+        val (v, nf, nr) = VersionedLake.commitUpsert(
+          spark, dir, "doc_id", upd(ids))
+        println(f"[vcdc] n=$n%7d  $label%-12s files_rewritten=$nf%3d  " +
+          f"rows=$nr%5d  wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
+        v
+      }
+      // 64 matched ids inside ONE file's range, then 64 spread (4 per
+      // file; the +id offset keeps them unique and inside each file's
+      // range — NOT `id / files`, which is fp division in Spark SQL and
+      // would make fractional ids that match nothing)
+      val vOne = timedUpsert(
+        spark.range(64).select(col("id").as("doc_id")), "one_file")
+      timedUpsert(spark.range(64).select(
+        ((col("id") % files) * per + 200 + col("id"))
+          .as("doc_id")), "spread"): Unit
+      val t0 = System.nanoTime()
+      val feed = VersionedLake.changesBetween(
+        spark, dir, vOne - 1, vOne, "doc_id").count()
+      println(f"[vcdc] n=$n%7d  feed_one_file rows=$feed%5d  " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%6.1f s " +
+        "(reads 1 removed file + the commit's new files, never the lake)")
+      graft.Tables.deleteRecursively(java.nio.file.Paths.get(root))
+    }
   }
 
   /** Round-14: the persisted reference sketch's claims, measured.

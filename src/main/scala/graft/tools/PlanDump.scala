@@ -59,7 +59,10 @@ object PlanDump {
     "q168_quota_select", "q169_span_scrub", "q170_dup_profile",
     "q171_takedown", "q172_state_append", "q173_sketch_novelty",
     "q174_timetravel", "q175_stream_versioned", "q176_hybrid_rrf",
-    "q177_vlake_compact", "q178_vlake_stats")
+    "q177_vlake_compact", "q178_vlake_stats", "q179_vlake_upsert",
+    "q180_vlake_changes", "q181_vlake_cluster", "q182_state_sync",
+    "q183_stream_merge", "q184_ivf_sync", "q185_vlake_restore",
+    "q186_index_lake")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -174,7 +177,85 @@ object PlanDump {
       "residual between() runs over the admitted files where parquet " +
       "row-group min/max prune further. The Iceberg file-skipping " +
       "discipline; admitted/total counts ride the oracle as literals, " +
-      "so over- OR under-pruning fails the hash."))
+      "so over- OR under-pruning fails the hash."),
+    "q179_vlake_upsert" -> ("the snapshot shows the post-MERGE " +
+      "manifest-driven read with the audit literals; the operator is " +
+      "commitUpsert — matched ids found by a COLUMN-PRUNED id + " +
+      "_metadata.file_path scan, only files HOLDING a matched id " +
+      "rewritten (their survivors + the updates land as the commit's " +
+      "new files), untouched files carried by name with their stats " +
+      "entries verbatim. files_scoped rides the oracle: a MERGE that " +
+      "rewrote the lake fails the hash. Duplicate-id updates are " +
+      "refused before anything is written (VersionedLakeSpec)."),
+    "q180_vlake_changes" -> ("the change feed derives from the " +
+      "MANIFEST DIFF alone: only files present in exactly one of the " +
+      "two versions are scanned (shared files never open — pinned by a " +
+      "corrupted-shared-file spec), the two exceptAll diffs are " +
+      "churn-sized, and update pre/post pairing is one id join over " +
+      "those diffs. Replaying membership at every version is what lets " +
+      "the oracle catch a feed built from the wrong side's files."),
+    "q181_vlake_cluster" -> ("the snapshot's Scan reads the clustered " +
+      "version's admitted files only; the operator is compact(sortCol) " +
+      "— range-partition + sort-within-partitions, so per-file (min, " +
+      "max) become near-disjoint and the SAME range read that admitted " +
+      "all 8 interleaved files prunes. Boundaries come from Spark's " +
+      "distributed range sampler (no global sort, no driver " +
+      "materialization); pre_admits_all/clustering_prunes ride the " +
+      "oracle as literals."),
+    "q182_state_sync" -> ("the match plan is q172's shape against a " +
+      "state synced FROM THE CHANGE FEED: departures (delete + " +
+      "update_preimage) leave via the swap-protected anti-join " +
+      "rewrite, arrivals (insert + update_postimage) append " +
+      "retrain-free, in that order — a stale signature cannot survive " +
+      "next to its replacement. The feed itself is churn-sized " +
+      "(manifest diff), so the sync cost tracks the commits, never the " +
+      "corpus; synced == rebuild is pinned in NearDupStreamSpec and " +
+      "the all-pairs oracle replays the final membership."),
+    "q183_stream_merge" -> ("the snapshot shows the final " +
+      "manifest-driven read; the operator is commitUpsertForBatch — " +
+      "q175's one-version-per-batch replay discipline applied to MERGE " +
+      "semantics (batch id inside the manifest, one rename = version " +
+      "committed AND batch applied), each batch rewriting only the " +
+      "files holding its matched ids. Batch 0 creates the lake; the " +
+      "replay probe passes different content to prove a replayed batch " +
+      "is never even read. upsertStream drains a real CDC stream " +
+      "through the same commit (VersionedLakeSpec pins last-writer-" +
+      "wins across sequential drains and restart idempotence)."),
+    "q184_ivf_sync" -> ("the snapshot shows the audit aggregate; the " +
+      "operator is applyChangesToIvfLake — the ANN twin of q182: " +
+      "departures leave through the cell-scoped delete (only cells " +
+      "holding departed ids rewrite; sidecars and probe geometry " +
+      "untouched), arrivals assign against the FROZEN centroids and " +
+      "append. Synced search == frozen twin over the source lake's " +
+      "final membership rides the oracle as ivf_equals_twin; " +
+      "IvfLakeSpec additionally pins that a re-embedded vector answers " +
+      "probes at its new position."),
+    "q185_vlake_restore" -> ("the snapshot shows the post-restore " +
+      "read; the operator is VersionedLake.restore — a MANIFEST-ONLY " +
+      "commit listing exactly the target version's files (no data " +
+      "read, copied, or rewritten: commits never delete files, only " +
+      "vacuum does, and it keeps referenced ones). History stays " +
+      "linear and the bad commit inspectable; cdc_inverse rides the " +
+      "oracle pinning that the restore surfaces to changesBetween " +
+      "consumers as the exact inverse of the commit it undoes. " +
+      "VersionedLakeSpec pins the no-data-touched property by file " +
+      "mtime, stats-contract rollback, vacuum interaction, and both " +
+      "guards; timestamp time travel (commitTimes/versionAsOf from " +
+      "manifest mtimes — no format change) is spec-pinned alongside."),
+    "q186_index_lake" -> ("the snapshot shows the search plan: the " +
+      "Scans read ONLY the query terms' bucket files plus the " +
+      "doc-length region (both admitted driver-side from the manifest " +
+      "statistics on the bucket column — the q178 skip), then the " +
+      "EXACT corpus-scan scoring tail (shared code: " +
+      "Retrieval.scoreAndRank — micro-rounded integer contributions, " +
+      "bounded-heap top-k, no window sort near the postings). The " +
+      "corpus is never re-tokenized per query batch: postings persist " +
+      "as ONE VersionedLake whose rows are postings + a bucket=-1 " +
+      "doc-length region, so a vintage append and a doc takedown are " +
+      "each ONE atomic commit and N/avgdl can never disagree with the " +
+      "postings. IndexLakeSpec pins bit-exact equality with " +
+      "Retrieval.bm25TopK through build/append/takedown and the " +
+      "bucket-pruning evidence."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -139,6 +139,53 @@ class IvfLakeSpec extends AnyFunSuite {
       s"appended vector not retrieved: ${hit.toSeq}")
   }
 
+  test("change-feed sync: synced lake searches exactly like the frozen " +
+      "twin over the new membership; departures gone, arrivals findable") {
+    import spark.implicits._
+    import graft.sinks.VersionedLake
+    val emb = corpus(96)
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("ivf_sync_spec_").toString
+    val lakeDir = s"$scratch/lake"
+    val ivfDir = s"$scratch/ivf"
+    VersionedLake.commitAppend(spark, lakeDir, base): Unit
+    Similarity.writeIvfLake(base, ivfDir, "vec_id", "embedding", dim,
+      nCells = 8): Unit
+    // MERGE: re-embed vec 1 with vec 2's vector, insert the held-out
+    // %4==0 rows; then take down vecs 5 and 9
+    val v2 = emb.filter(col("vec_id") === 2).collect()(0).getSeq[Float](1)
+    val updates = Seq((1L, v2)).toDF("vec_id", "embedding")
+      .unionByName(emb.filter(col("vec_id") % 4 === 0))
+    VersionedLake.commitUpsert(spark, lakeDir, "vec_id", updates): Unit
+    VersionedLake.commitDelete(spark, lakeDir, "vec_id",
+      Seq(5L, 9L).toDF("vec_id")): Unit
+    val feed = VersionedLake.changesBetween(spark, lakeDir, 1L, 3L, "vec_id")
+    val (nDep, nArr) = Similarity.applyChangesToIvfLake(
+      spark, ivfDir, feed, "vec_id", "embedding", dim)
+    assert(nDep === 3L, "vec 1's preimage + vecs 5/9 depart")
+    assert(nArr === 25L, "vec 1's postimage + 24 held-out arrivals")
+    // membership: every id exactly once, 5/9 gone, %4==0 present
+    val ids = spark.read.parquet(ivfDir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (0L until 96L).filterNot(i => i == 5L || i == 9L))
+    // search == frozen twin over the source lake's final membership
+    val qs = emb.filter(col("vec_id") < 5)
+    val lake = topk(Similarity.ivfTopKOverLake(spark, ivfDir, qs,
+      "vec_id", "embedding", dim, k = 4, nProbe = 4))
+    val mem = topk(Similarity.ivfTopKFrozen(
+      VersionedLake.read(spark, lakeDir), qs, "vec_id", "embedding",
+      dim, k = 4, lakeDir = ivfDir, nProbe = 4))
+    assert(lake === mem)
+    // the re-embedded vec 1 now answers a probe carrying vec 2's vector
+    val probe = Seq((1002L, v2)).toDF("vec_id", "embedding")
+    val hits = Similarity.ivfTopKOverLake(spark, ivfDir, probe,
+      "vec_id", "embedding", dim, k = 2, nProbe = 8).collect()
+      .map(_.getLong(1)).toSet
+    assert(hits === Set(1L, 2L),
+      s"re-embedded vector must tie its source: $hits")
+  }
+
   // --- compaction ---------------------------------------------------------
 
   private def dataFiles(dir: String): Map[Long, Seq[java.io.File]] =

@@ -432,6 +432,67 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(c23 === Set(("delete", 12L)))
   }
 
+  test("streaming MERGE: batch 0 creates the lake, replay is a no-op, " +
+      "interleaved maintenance cannot blind the check, last writer wins") {
+    val dir = fresh("vlake_smerge_")
+    assert(VersionedLake.commitUpsertForBatch(spark, dir, "doc_id",
+      docs(0, 10), 0L) === 1L)
+    // batch 1 updates 2/4 and inserts 50
+    val b1 = Seq((2L, "b1 two"), (4L, "b1 four"), (50L, "b1 fifty"))
+      .toDF("doc_id", "text")
+    assert(VersionedLake.commitUpsertForBatch(spark, dir, "doc_id",
+      b1, 1L) === 2L)
+    // replay batch 1 with garbage: recognized, nothing written
+    assert(VersionedLake.commitUpsertForBatch(spark, dir, "doc_id",
+      Seq((2L, "GARBAGE")).toDF("doc_id", "text"), 1L) === 2L)
+    // headerless maintenance delete interleaves
+    VersionedLake.commitDelete(spark, dir, "doc_id",
+      Seq(3L).toDF("doc_id")): Unit
+    assert(VersionedLake.commitUpsertForBatch(spark, dir, "doc_id",
+      Seq((2L, "GARBAGE")).toDF("doc_id", "text"), 1L) === 2L)
+    // batch 2 re-updates 2: across batches, last writer wins
+    assert(VersionedLake.commitUpsertForBatch(spark, dir, "doc_id",
+      Seq((2L, "b2 two")).toDF("doc_id", "text"), 2L) === 4L)
+    val now = VersionedLake.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now(2L) === "b2 two" && now(4L) === "b1 four" &&
+      now(50L) === "b1 fifty" && !now.contains(3L) &&
+      now(9L) === "text of doc 9")
+    // an OLDER batch id = a foreign checkpoint — loud
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.commitUpsertForBatch(spark, dir, "doc_id",
+        docs(0, 1), 1L)
+    }
+    assert(ex.getMessage.contains("does not belong"))
+  }
+
+  test("upsertStream drains a CDC stream one MERGE version per batch, " +
+      "exactly once across a restart") {
+    val dir = fresh("vlake_ustream_")
+    val srcDir = fresh("vlake_usrc_")
+    val ckpt = fresh("vlake_uckpt_")
+    // sequential drains pin the cross-batch order: base, then updates
+    docs(0, 20).write.mode("overwrite").parquet(srcDir)
+    def drain(): Unit = {
+      val st = spark.readStream.schema(docs(0, 1).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      VersionedLake.upsertStream(st, dir, "doc_id", ckpt)
+    }
+    drain()
+    assert(idSet(VersionedLake.read(spark, dir)) === (0L until 20L).toSet)
+    Seq((5L, "patched"), (90L, "new")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    val now = VersionedLake.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now(5L) === "patched" && now(90L) === "new" &&
+      now.size === 21)
+    // restart on the same checkpoint: nothing new, no new version
+    val v = VersionedLake.currentVersion(spark, dir)
+    drain()
+    assert(VersionedLake.currentVersion(spark, dir) === v)
+  }
+
   test("clustered compaction: interleaved ingest admits every file, " +
       "the sorted rewrite prunes, content identical") {
     val dir = fresh("vlake_clus_")
@@ -458,6 +519,63 @@ class VersionedLakeSpec extends AnyFunSuite {
       === (25L to 49L).toSet)
     assert(idSet(VersionedLake.readAsOf(spark, dir, post)) ===
       idSet(VersionedLake.readAsOf(spark, dir, pre)))
+  }
+
+  test("restore: rollback as a new manifest-only commit, history " +
+      "linear, bad commit inspectable, vacuum keeps restored files") {
+    val dir = fresh("vlake_rst_")
+    VersionedLake.commitAppend(spark, dir, docs(0, 10),
+      statsCol = Some("doc_id")): Unit
+    VersionedLake.commitAppend(spark, dir, docs(10, 20)): Unit
+    VersionedLake.commitDelete(spark, dir, "doc_id",
+      (0L until 15L).toDF("doc_id")): Unit // the fat-finger delete
+    val before = dataFiles(dir)
+    val v = VersionedLake.restore(spark, dir, 2L)
+    assert(v === 4L)
+    // restore touched NO data file (manifest-only commit)
+    val after = dataFiles(dir)
+    assert(after === before, "restore must not write or rewrite data")
+    assert(idSet(VersionedLake.read(spark, dir)) === (0L until 20L).toSet)
+    // history stays linear and the bad commit stays inspectable
+    assert(VersionedLake.versions(spark, dir) === Seq(1L, 2L, 3L, 4L))
+    assert(idSet(VersionedLake.readAsOf(spark, dir, 3)) ===
+      (15L until 20L).toSet)
+    // the restored state carries the restored version's stats contract
+    assert(VersionedLake.statsColOf(spark, dir, v) === Some("doc_id"))
+    // the lake keeps committing on top of the restored state
+    VersionedLake.commitAppend(spark, dir, docs(20, 25)): Unit
+    assert(idSet(VersionedLake.read(spark, dir)) === (0L until 25L).toSet)
+    // vacuum to the restore keeps every file it references
+    VersionedLake.vacuum(spark, dir, keepFrom = 4L): Unit
+    assert(idSet(VersionedLake.readAsOf(spark, dir, 4)) ===
+      (0L until 20L).toSet)
+    // guards: restoring the current version, or a vacuumed one, is loud
+    intercept[IllegalArgumentException] {
+      VersionedLake.restore(spark, dir, VersionedLake.currentVersion(spark, dir))
+    }
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.restore(spark, dir, 1L)
+    }
+    assert(ex.getMessage.contains("no version 1"))
+  }
+
+  test("timestamp time travel: versionAsOf from manifest mtimes") {
+    val dir = fresh("vlake_ts_")
+    VersionedLake.commitAppend(spark, dir, docs(0, 5)): Unit
+    Thread.sleep(15) // distinct manifest mtimes
+    VersionedLake.commitAppend(spark, dir, docs(5, 10)): Unit
+    val times = VersionedLake.commitTimes(spark, dir)
+    assert(times.map(_._1) === Seq(1L, 2L))
+    assert(times(0)._2 < times(1)._2, "commit times must be monotone")
+    assert(VersionedLake.versionAsOf(spark, dir, times(0)._2) === 1L)
+    assert(VersionedLake.versionAsOf(spark, dir, times(1)._2 - 1) === 1L)
+    assert(VersionedLake.versionAsOf(spark, dir, times(1)._2) === 2L)
+    assert(idSet(VersionedLake.readAsOfTimestamp(spark, dir,
+      times(0)._2)) === (0L until 5L).toSet)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.versionAsOf(spark, dir, times(0)._2 - 1)
+    }
+    assert(ex.getMessage.contains("predates"))
   }
 
   test("empty v1 append reads back as a typed empty frame via schemaHint") {
