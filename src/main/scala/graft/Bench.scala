@@ -49,6 +49,7 @@ object Bench {
           n.startsWith("graft_ivfsync_") ||
           n.startsWith("graft_vrestore_") ||
           n.startsWith("graft_indexlake_") ||
+          n.startsWith("graft_hybridstack_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }
@@ -234,7 +235,8 @@ object Bench {
       ("q185", Set("q185_history"),
         Set("q185_restore+audit", "q185_read")),
       ("q186", Set("q186_build", "q186_scan_twin"),
-        Set("q186_append+takedown", "q186_search")))
+        Set("q186_append+takedown", "q186_search")),
+      ("q187", Set("q187_build+takedown"), Set("q187_fuse")))
     val pathMap = pathTimes.toMap
     def sumPaths(labels: Set[String]): Double =
       labels.toSeq.flatMap(pathMap.get).filter(_ >= 0).sum

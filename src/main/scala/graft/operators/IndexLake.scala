@@ -93,6 +93,12 @@ object IndexLake {
     require(nBuckets >= 1, s"writeIndexLake needs nBuckets >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    // building "over" an existing index would stack a second full
+    // posting set as version 2 — every df/tf silently doubled. Extend
+    // with appendToIndexLake; rebuild into a fresh dir.
+    require(VersionedLake.currentVersion(spark, dir) == 0,
+      s"index lake at $dir already exists — appendToIndexLake extends " +
+        "it; a rebuild needs a fresh dir")
     // the bucket count is the hash contract every append/search must
     // share — persisted once, outside the data dir (vacuum never
     // touches it)

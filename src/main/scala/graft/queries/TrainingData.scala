@@ -4108,6 +4108,50 @@ object TrainingData {
           graft.operators.Retrieval.bm25TopK(
             docs.filter(col("doc_id") % 5 =!= 2), "doc_id", "text",
             qset, k = 10)))
+    } ++ {
+      // q187 (hybrid stack): fixture = both persisted stores + their
+      // mutations; operator = the two persisted-leg searches + fusion
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d)
+      val emb3 = Tables.embeddings(s, d)
+      val scratch = Tables.freshScratchDir("graft_hybridstack_b_", d)
+      val ixDir3 = s"$scratch/index"
+      val embDir3 = s"$scratch/emb"
+      val qset3 = Seq(
+        1L -> Seq("hash", "join", "dup"),
+        2L -> Seq("window", "stream", "agg"),
+        3L -> Seq("vector", "scan", "filter", "sort"))
+      Seq(
+        "q187_build+takedown" -> (() => {
+          val erased = docs.filter(col("doc_id") % 5 === 2)
+            .select("doc_id")
+          graft.operators.IndexLake.writeIndexLake(
+            docs.filter(col("doc_id") % 3 =!= 1), "doc_id", "text",
+            ixDir3, nBuckets = 16): Unit
+          graft.operators.IndexLake.appendToIndexLake(
+            docs.filter(col("doc_id") % 3 === 1), "doc_id", "text",
+            ixDir3): Unit
+          graft.operators.IndexLake.deleteFromIndexLake(
+            s, ixDir3, erased): Unit
+          VersionedLake.commitAppend(s, embDir3,
+            emb3.filter(col("vec_id") % 3 =!= 1)
+              .select(col("vec_id"), col("embedding"))): Unit
+          VersionedLake.commitAppend(s, embDir3,
+            emb3.filter(col("vec_id") % 3 === 1)
+              .select(col("vec_id"), col("embedding"))): Unit
+          VersionedLake.commitDelete(s, embDir3, "vec_id",
+            erased.select(col("doc_id").as("vec_id"))): Unit
+          s.range(1).toDF()
+        }),
+        "q187_fuse" -> (() => {
+          val lex = graft.operators.IndexLake.bm25TopKOverIndex(
+            s, ixDir3, qset3, k = 20)
+          val vec = graft.operators.Retrieval.quantizedDotTopK(
+            VersionedLake.read(s, embDir3), "vec_id", "embedding",
+            emb3.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id",
+            "embedding", k = 20)
+          graft.operators.Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+        }))
     }
   }
 
@@ -5915,6 +5959,109 @@ object TrainingData {
          CAST(rank AS BIGINT) AS rank, doc_id, score_micro
        FROM r WHERE rank <= 10"""
 
+  // --- q187: the persisted hybrid retrieval stack under one takedown --------------
+  // q176's RRF fusion re-run with BOTH legs served from persisted,
+  // MUTATED state: the lexical leg from the inverted-index lake (q186's
+  // build + vintage append), the vector leg from an embeddings
+  // versioned lake (same vintage discipline) — and ONE erasure request
+  // (ids %5==2) propagated to BOTH stores before the search, the way a
+  // real removal request must hit every serving index at once. Every
+  // stage stays integer-exact, so the oracle replays BM25 over the
+  // final document membership, the quantized-dot ranking over the final
+  // embedding membership, AND the fusion arithmetic under one hash — a
+  // stale posting OR a surviving deleted vector in either leg moves a
+  // fused rank.
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val scratch = Tables.freshScratchDir("graft_hybridstack_", d)
+    val ixDir = s"$scratch/index"
+    val embDir = s"$scratch/emb"
+    val erased = docs.filter(col("doc_id") % 5 === 2).select("doc_id")
+    graft.operators.IndexLake.writeIndexLake(
+      docs.filter(col("doc_id") % 3 =!= 1), "doc_id", "text", ixDir,
+      nBuckets = 16): Unit
+    graft.operators.IndexLake.appendToIndexLake(
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", ixDir): Unit
+    graft.operators.IndexLake.deleteFromIndexLake(s, ixDir, erased): Unit
+    VersionedLake.commitAppend(s, embDir,
+      emb.filter(col("vec_id") % 3 =!= 1)
+        .select(col("vec_id"), col("embedding"))): Unit
+    VersionedLake.commitAppend(s, embDir,
+      emb.filter(col("vec_id") % 3 === 1)
+        .select(col("vec_id"), col("embedding"))): Unit
+    VersionedLake.commitDelete(s, embDir, "vec_id",
+      erased.select(col("doc_id").as("vec_id"))): Unit
+    val lex = graft.operators.IndexLake.bm25TopKOverIndex(s, ixDir,
+      queries = Seq(
+        1L -> Seq("hash", "join", "dup"),
+        2L -> Seq("window", "stream", "agg"),
+        3L -> Seq("vector", "scan", "filter", "sort")),
+      k = 20)
+    val vec = graft.operators.Retrieval.quantizedDotTopK(
+      VersionedLake.read(s, embDir), "vec_id", "embedding",
+      emb.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
+      k = 20)
+    graft.operators.Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+  }
+
+  private val q187Sql =
+    """WITH fin AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 2),
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM fin),
+       tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+       tf AS (SELECT doc_id, dl, term, count(*) AS tf
+              FROM tok GROUP BY 1, 2, 3),
+       q(query_id, term) AS (VALUES
+         (1, 'hash'), (1, 'join'), (1, 'dup'),
+         (2, 'window'), (2, 'stream'), (2, 'agg'),
+         (3, 'vector'), (3, 'scan'), (3, 'filter'), (3, 'sort')),
+       stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM w),
+       dfx AS (SELECT term, count(*) AS df FROM tf
+               WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+       sc AS (SELECT q.query_id, tf.doc_id,
+           CAST(sum(CAST(round(
+             ln(1 + (n - df + 0.5) / (df + 0.5)) *
+             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+             AS BIGINT)) AS BIGINT) AS score_micro
+         FROM tf JOIN q USING (term) JOIN dfx USING (term)
+         CROSS JOIN stats
+         GROUP BY 1, 2),
+       lex AS (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, doc_id) AS rank
+         FROM sc),
+       qv AS (SELECT vec_id AS query_id, list_transform(
+           embedding::DOUBLE[],
+           x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+         FROM embeddings WHERE vec_id IN (1, 2, 3)),
+       cv AS (SELECT vec_id AS doc_id, list_transform(
+           embedding::DOUBLE[],
+           x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+         FROM embeddings WHERE vec_id % 5 != 2),
+       dots AS (SELECT q.query_id, c.doc_id,
+           CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+             i -> q.qv[i] * c.v[i])) AS BIGINT) AS dot
+         FROM qv q CROSS JOIN cv c),
+       vec AS (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY dot DESC, doc_id) AS rank
+         FROM dots),
+       uni AS (SELECT query_id, doc_id, rank FROM lex WHERE rank <= 20
+               UNION ALL
+               SELECT query_id, doc_id, rank FROM vec WHERE rank <= 20),
+       fused AS (SELECT query_id, doc_id,
+           CAST(sum(CAST(round(1e9 / (60 + rank)) AS BIGINT)) AS BIGINT)
+             AS rrf_nano
+         FROM uni GROUP BY 1, 2),
+       fr AS (SELECT query_id, doc_id, rrf_nano,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_nano DESC, doc_id) AS rank
+         FROM fused)
+       SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(rank AS BIGINT) AS rank, doc_id, rrf_nano
+       FROM fr WHERE rank <= 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -6049,7 +6196,8 @@ object TrainingData {
     "q183_stream_merge"   -> q183 _,
     "q184_ivf_sync"       -> q184 _,
     "q185_vlake_restore"  -> q185 _,
-    "q186_index_lake"     -> q186 _)
+    "q186_index_lake"     -> q186 _,
+    "q187_hybrid_stack"   -> q187 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -6185,5 +6333,6 @@ object TrainingData {
     "q183_stream_merge"   -> q183Sql,
     "q184_ivf_sync"       -> q184Sql,
     "q185_vlake_restore"  -> q185Sql,
-    "q186_index_lake"     -> q186Sql)
+    "q186_index_lake"     -> q186Sql,
+    "q187_hybrid_stack"   -> q187Sql)
 }

@@ -32,13 +32,57 @@ object MaintScaleProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    compaction(spark)
-    nearDupStream(spark)
-    heavyDupGate(spark)
-    refSketch(spark)
-    versionedLake(spark)
-    versionedLakeCdc(spark)
+    // optional arg: run one section only (fast re-measure after a fix)
+    val only = args.headOption
+    def want(s: String) = only.forall(_ == s)
+    if (want("compaction")) compaction(spark)
+    if (want("neardup")) nearDupStream(spark)
+    if (want("heavydup")) heavyDupGate(spark)
+    if (want("refsketch")) refSketch(spark)
+    if (want("vlake")) versionedLake(spark)
+    if (want("vcdc")) versionedLakeCdc(spark)
+    if (want("indexlake")) indexLake(spark)
     spark.stop()
+  }
+
+  /** Round-14 continuation: the inverted-index lake's claim — a query
+    * batch never re-tokenizes the corpus. The corpus-scan operator's
+    * wall tracks corpus size (it tokenizes everything per batch); the
+    * index search reads only the query terms' buckets + the doc-length
+    * region, both via the driver-side manifest skip. Equality of the
+    * two results is asserted in-run (the bit-exactness gate at scale).
+    */
+  private def indexLake(spark: SparkSession): Unit = {
+    import graft.operators.{IndexLake, Retrieval}
+    val qset = Seq(1L -> Seq("w11", "w23"), 2L -> Seq("w5", "w17", "w40"))
+    for (n <- Seq(100000L, 1000000L)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("maint_ixlake_").toString
+      val dir = s"$root/index"
+      // closed 64-word vocabulary, 12 tokens per doc — every query term
+      // has corpus-proportional postings (the worst case for the index)
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(t =>
+          concat(lit("w"), pmod(hash(col("id"), lit(t)), lit(64)))): _*)
+          .as("text"))
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[ixlake] n=$n%7d  $label%-12s " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
+        r
+      }
+      timed("build")(IndexLake.writeIndexLake(
+        docs, "doc_id", "text", dir, nBuckets = 32))
+      val viaIndex = timed("search_index")(
+        IndexLake.bm25TopKOverIndex(spark, dir, qset, k = 10).collect())
+      val viaScan = timed("search_scan")(
+        Retrieval.bm25TopK(docs, "doc_id", "text", qset, k = 10).collect())
+      println(s"[ixlake] n=$n  index==scan: " +
+        s"${viaIndex.map(_.toString).sorted.toSeq ==
+          viaScan.map(_.toString).sorted.toSeq}")
+      graft.Tables.deleteRecursively(java.nio.file.Paths.get(root))
+    }
   }
 
   /** Round-14 continuation: the CDC surface's claims, measured.

@@ -62,7 +62,7 @@ object PlanDump {
     "q177_vlake_compact", "q178_vlake_stats", "q179_vlake_upsert",
     "q180_vlake_changes", "q181_vlake_cluster", "q182_state_sync",
     "q183_stream_merge", "q184_ivf_sync", "q185_vlake_restore",
-    "q186_index_lake")
+    "q186_index_lake", "q187_hybrid_stack")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -255,7 +255,18 @@ object PlanDump {
       "each ONE atomic commit and N/avgdl can never disagree with the " +
       "postings. IndexLakeSpec pins bit-exact equality with " +
       "Retrieval.bm25TopK through build/append/takedown and the " +
-      "bucket-pruning evidence."))
+      "bucket-pruning evidence."),
+    "q187_hybrid_stack" -> ("q176's RRF fusion with BOTH legs served " +
+      "from persisted, MUTATED state: the lexical leg reads only its " +
+      "query terms' buckets of the inverted-index lake (after a " +
+      "vintage append and a takedown), the vector leg scans the " +
+      "embeddings versioned lake's manifest-listed files (after the " +
+      "SAME takedown — one erasure request propagated to both serving " +
+      "stores, the removal-request shape a production stack must " +
+      "honor). Both legs stay integer-exact, so the oracle replays " +
+      "BM25 over the final document membership, the quantized-dot " +
+      "ranking over the final embedding membership, and the fusion " +
+      "arithmetic under one hash."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -92,7 +92,7 @@ class IndexLakeSpec extends AnyFunSuite {
   }
 
   test("guards: bad meta and empty queries are loud; absent terms score " +
-      "nothing") {
+      "nothing; double-build refused") {
     val dir = Files.createTempDirectory("indexlake_g_").toString + "/index"
     IndexLake.writeIndexLake(corpus(0, 10), "doc_id", "text", dir,
       nBuckets = 4): Unit
@@ -102,5 +102,39 @@ class IndexLakeSpec extends AnyFunSuite {
     // a query of only absent terms returns an empty ranking, not a crash
     assert(IndexLake.bm25TopKOverIndex(spark, dir,
       Seq(9L -> Seq("zzz_absent")), 5).count() === 0L)
+    // building over an existing index would silently double every df/tf
+    val ex = intercept[IllegalArgumentException] {
+      IndexLake.writeIndexLake(corpus(0, 10), "doc_id", "text", dir,
+        nBuckets = 4)
+    }
+    assert(ex.getMessage.contains("already exists"))
+  }
+
+  test("the postings lake compacts like any versioned lake: search " +
+      "invariant, bucket clustering restored") {
+    val dir = Files.createTempDirectory("indexlake_c_").toString + "/index"
+    IndexLake.writeIndexLake(corpus(0, 30), "doc_id", "text", dir,
+      nBuckets = 8): Unit
+    // fragment with three vintage appends
+    (0 until 3).foreach { i =>
+      IndexLake.appendToIndexLake(corpus(30 + i * 10, 40 + i * 10),
+        "doc_id", "text", dir): Unit
+    }
+    import graft.sinks.VersionedLake
+    val before = ranked(IndexLake.bm25TopKOverIndex(spark, dir, qset, 5))
+    val pre = VersionedLake.currentVersion(spark, dir)
+    val nFilesPre = VersionedLake.filesOf(spark, dir, pre).size
+    // bucket-clustered compaction re-establishes the file-skip layout
+    VersionedLake.compact(spark, dir, nFiles = 9,
+      sortCol = Some("bucket")): Unit
+    val post = VersionedLake.currentVersion(spark, dir)
+    assert(VersionedLake.filesOf(spark, dir, post).size < nFilesPre)
+    assert(ranked(IndexLake.bm25TopKOverIndex(spark, dir, qset, 5)) ===
+      before, "compaction changed search results")
+    // and the manifest still prunes: one bucket admits a strict subset
+    val b = spark.range(1).select(
+      pmod(hash(lit("hash")), lit(8)).cast("long")).collect()(0).getLong(0)
+    val (kept, total) = VersionedLake.rangeFiles(spark, dir, post, b, b)
+    assert(kept.nonEmpty && kept.size < total.toInt)
   }
 }
