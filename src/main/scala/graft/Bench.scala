@@ -50,6 +50,8 @@ object Bench {
           n.startsWith("graft_vrestore_") ||
           n.startsWith("graft_indexlake_") ||
           n.startsWith("graft_hybridstack_") ||
+          n.startsWith("graft_esvlake_") ||
+          n.startsWith("graft_vttl_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }
@@ -236,7 +238,11 @@ object Bench {
         Set("q185_restore+audit", "q185_read")),
       ("q186", Set("q186_build", "q186_scan_twin"),
         Set("q186_append+takedown", "q186_search")),
-      ("q187", Set("q187_build+takedown"), Set("q187_fuse")))
+      ("q187", Set("q187_build+takedown"), Set("q187_fuse")),
+      ("q188", Set.empty[String],
+        Set("q188_drain", "q188_restart+takedown", "q188_read")),
+      ("q189", Set("q189_build"),
+        Set("q189_range_delete", "q189_read")))
     val pathMap = pathTimes.toMap
     def sumPaths(labels: Set[String]): Double =
       labels.toSeq.flatMap(pathMap.get).filter(_ >= 0).sum

@@ -4152,6 +4152,65 @@ object TrainingData {
             "embedding", k = 20)
           graft.operators.Retrieval.rrfFuse(Seq(lex, vec), k = 10)
         }))
+    } ++ {
+      // q188 (ES stream → versioned lake): fixture = none beyond the
+      // shared page export; operator = the exactly-once drain, the
+      // restart probe + takedown, and the final read
+      import graft.sinks.VersionedLake
+      val scratch = Tables.freshScratchDir("graft_esvlake_b_", d)
+      val lakeDir4 = s"$scratch/lake"
+      val ckpt4 = s"$scratch/ckpt"
+      Seq(
+        "q188_drain" -> (() => {
+          val (dirStr, docSchema) = esPageExport(s, d)
+          val stream = s.readStream.format("es-export")
+            .schema(docSchema).load(dirStr)
+            .filter(col("lang").isin("en", "de") &&
+              col("n_chars") >= 50L)
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars").cast("long").as("n_chars"))
+          VersionedLake.appendStream(stream, lakeDir4, ckpt4)
+          s.range(1).toDF()
+        }),
+        "q188_restart+takedown" -> (() => {
+          val (dirStr, docSchema) = esPageExport(s, d)
+          val stream = s.readStream.format("es-export")
+            .schema(docSchema).load(dirStr)
+            .filter(col("lang").isin("en", "de") &&
+              col("n_chars") >= 50L)
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars").cast("long").as("n_chars"))
+          VersionedLake.appendStream(stream, lakeDir4, ckpt4)
+          VersionedLake.commitDelete(s, lakeDir4, "doc_id",
+            Tables.documents(s, d).filter(col("doc_id") % 9 === 4)
+              .select("doc_id")): Unit
+          s.range(1).toDF()
+        }),
+        "q188_read" -> (() => VersionedLake.read(s, lakeDir4)))
+    } ++ {
+      // q189 (range/TTL delete): fixture = the quartile lake; operator
+      // = the classification + manifest-only drops + boundary rewrite
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val q = docs.count() / 4
+      val tDir = Tables.freshScratchDir("graft_vttl_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q189_build" -> (() => {
+          (0 until 4).foreach { m =>
+            VersionedLake.commitAppend(s, tDir,
+              docs.filter(col("doc_id") >= m * q &&
+                col("doc_id") < (m + 1) * q).repartition(2),
+              statsCol = if (m == 0) Some("doc_id") else None): Unit
+          }
+          s.range(1).toDF()
+        }),
+        "q189_range_delete" -> (() => {
+          VersionedLake.commitDeleteRange(
+            s, tDir, q, 2 * q + q / 2 - 1): Unit
+          s.range(1).toDF()
+        }),
+        "q189_read" -> (() => VersionedLake.read(s, tDir)))
     }
   }
 
@@ -6062,6 +6121,93 @@ object TrainingData {
          CAST(rank AS BIGINT) AS rank, doc_id, rrf_nano
        FROM fr WHERE rank <= 10"""
 
+  // --- q188: ES export stream → versioned lake, end to end ------------------------
+  // The reference's ingestion surface wired into the governed store:
+  // the es-export connector's MICRO_BATCH path (file-index offsets =
+  // the durable search_after cursor, filters pushed into the token
+  // reader) drains through VersionedLake.appendStream's exactly-once
+  // commits — one lake version per page batch — then a restart on the
+  // SAME checkpoint proves the no-op (no new version, membership
+  // unchanged), and a takedown lands on the ingested lake like any
+  // other commit. Membership replays as plain SQL over documents
+  // because the export fixture is the documents table paged; the
+  // pushed filter, a dropped page, a double-committed batch, or a
+  // takedown miss all change rows.
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val (dirStr, docSchema) = esPageExport(s, d)
+    val scratch = Tables.freshScratchDir("graft_esvlake_", d)
+    val lakeDir = s"$scratch/lake"
+    val ckpt = s"$scratch/ckpt"
+    def mkStream() = s.readStream.format("es-export")
+      .schema(docSchema).load(dirStr)
+      .filter(col("lang").isin("en", "de") && col("n_chars") >= 50L)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+    VersionedLake.appendStream(mkStream(), lakeDir, ckpt)
+    val n1 = VersionedLake.currentVersion(s, lakeDir)
+    VersionedLake.appendStream(mkStream(), lakeDir, ckpt) // restart
+    val restartNoop = VersionedLake.currentVersion(s, lakeDir) == n1
+    VersionedLake.commitDelete(s, lakeDir, "doc_id",
+      Tables.documents(s, d).filter(col("doc_id") % 9 === 4)
+        .select("doc_id")): Unit
+    VersionedLake.read(s, lakeDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        lit(restartNoop).as("restart_noop"),
+        lit(n1 >= 1L).as("streamed_versions"))
+  }
+
+  private val q188Sql =
+    """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+       true AS restart_noop, true AS streamed_versions
+       FROM documents
+       WHERE lang IN ('en', 'de') AND n_chars >= 50 AND doc_id % 9 != 4"""
+
+  // --- q189: range / TTL delete with manifest-only whole-file drops ---------------
+  // VersionedLake.commitDeleteRange: the retention sweep (`DELETE
+  // WHERE key BETWEEN ...`) with the Iceberg metadata-delete
+  // optimization — manifest statistics classify every file
+  // driver-side: files FULLY inside the range leave the new manifest
+  // WITHOUT being read or rewritten, only boundary-straddling files
+  // rewrite their survivors, everything else carries by name. The
+  // quartile fixture makes the classification deterministic: the
+  // range covers quartile 2 whole (its 2 files drop manifest-only)
+  // and half of quartile 3 (its 2 files rewrite); quartiles 1/4 carry.
+  // The oracle replays membership, BOTH file counts, and the removed-
+  // row count — an over-eager whole-file drop loses rows, a timid one
+  // shifts the literals.
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val q = docs.count() / 4
+    val dir = Tables.freshScratchDir("graft_vttl_", d).toString + "/lake"
+    (0 until 4).foreach { m =>
+      VersionedLake.commitAppend(s, dir,
+        docs.filter(col("doc_id") >= m * q && col("doc_id") < (m + 1) * q)
+          .repartition(2),
+        statsCol = if (m == 0) Some("doc_id") else None): Unit
+    }
+    val (v, nDropped, nRewritten, nRemoved) =
+      VersionedLake.commitDeleteRange(s, dir, q, 2 * q + q / 2 - 1)
+    VersionedLake.readAsOf(s, dir, v)
+      .select(col("doc_id"), col("text"),
+        lit(nDropped).as("files_dropped"),
+        lit(nRewritten).as("files_rewritten"),
+        lit(nRemoved).as("n_rows_removed"))
+  }
+
+  private val q189Sql =
+    """WITH b AS (SELECT count(*) // 4 AS q FROM documents)
+       SELECT d.doc_id, d.text,
+         CAST(2 AS BIGINT) AS files_dropped,
+         CAST(2 AS BIGINT) AS files_rewritten,
+         (SELECT count(*) FROM documents, b
+          WHERE doc_id >= b.q AND doc_id < 2 * b.q + b.q // 2)
+           AS n_rows_removed
+       FROM documents d, b
+       WHERE d.doc_id < 4 * b.q
+         AND NOT (d.doc_id >= b.q AND d.doc_id < 2 * b.q + b.q // 2)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -6197,7 +6343,9 @@ object TrainingData {
     "q184_ivf_sync"       -> q184 _,
     "q185_vlake_restore"  -> q185 _,
     "q186_index_lake"     -> q186 _,
-    "q187_hybrid_stack"   -> q187 _)
+    "q187_hybrid_stack"   -> q187 _,
+    "q188_es_to_vlake"    -> q188 _,
+    "q189_vlake_ttl"      -> q189 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -6334,5 +6482,7 @@ object TrainingData {
     "q184_ivf_sync"       -> q184Sql,
     "q185_vlake_restore"  -> q185Sql,
     "q186_index_lake"     -> q186Sql,
-    "q187_hybrid_stack"   -> q187Sql)
+    "q187_hybrid_stack"   -> q187Sql,
+    "q188_es_to_vlake"    -> q188Sql,
+    "q189_vlake_ttl"      -> q189Sql)
 }

@@ -159,9 +159,12 @@ object VersionedLake {
 
   /** Per-file (min, max) of `statsCol` over THIS commit's new files —
     * one column-pruned read of exactly those files, mapped back to
-    * manifest-relative entries. All-null files record no stats (and are
-    * never pruned). The column must be integer-typed: the stats ride
-    * the manifest as exact longs.
+    * manifest-relative entries. Files holding ANY null in the stats
+    * column record no stats (and are never pruned): (min, max) says
+    * nothing about null rows, so a whole-file decision made from it —
+    * [[rangeFiles]] skipping, [[commitDeleteRange]]'s manifest-only
+    * drops — would be unsound for them. The column must be
+    * integer-typed: the stats ride the manifest as exact longs.
     */
   private def statEntries(spark: SparkSession, fs: FileSystem, base: Path,
       rels: Seq[String], statsCol: String): Seq[String] = {
@@ -169,10 +172,11 @@ object VersionedLake {
     val byFile = spark.read.parquet(rels.map(qualified(fs, base, _)): _*)
       .select(col(statsCol).cast("long").as("__s"),
         col("_metadata.file_path").as("__f"))
-      .groupBy("__f").agg(min("__s").as("lo"), max("__s").as("hi"))
+      .groupBy("__f").agg(min("__s").as("lo"), max("__s").as("hi"),
+        count(when(col("__s").isNull, lit(1))).as("nulls"))
       .collect() // bounded: one row per new file of this commit
       .flatMap { r =>
-        if (r.isNullAt(1) || r.isNullAt(2)) None
+        if (r.isNullAt(1) || r.isNullAt(2) || r.getLong(3) > 0L) None
         else Some(r.getString(0) -> (r.getLong(1), r.getLong(2)))
       }.toMap
     rels.map { rel =>
@@ -578,6 +582,88 @@ object VersionedLake {
         .select((schema.fieldNames.toSeq :+ "change_type").map(col): _*)
     tag(dels, "update_preimage", "delete")
       .unionByName(tag(ins, "update_postimage", "insert"))
+  }
+
+  /** Range delete on the stats column — the TTL/retention shape
+    * (`DELETE WHERE ts BETWEEN ...`) with the Iceberg metadata-delete
+    * optimization: manifest statistics classify every file
+    * driver-side, files FULLY inside `[lower, upper]` leave the new
+    * manifest WITHOUT being read or rewritten (a whole-partition
+    * retention sweep is a manifest-only commit), only files
+    * STRADDLING a range boundary rewrite (their surviving rows), and
+    * files outside the range carry over by name. At 100 TB this is
+    * the difference between a retention job that rewrites a year of
+    * data and one that drops it by name — the dropped files stay on
+    * disk for time travel, reclaimed by [[vacuum]] like every other
+    * dead file.
+    *
+    * Files WITHOUT stats (null-bearing, all-null, or pre-stats
+    * commits) cannot be classified whole, so they are treated as
+    * straddling and rewritten — never silently kept. NULLs in the
+    * stats column never match a range (SQL semantics) and survive
+    * every range delete.
+    * Requires the lake to carry a stats column. Returns
+    * (version, filesDropped, filesRewritten, rowsRemoved) — dropped
+    * files' row counts come from parquet footers only (no data read);
+    * an empty intersection commits nothing and returns version 0.
+    */
+  def commitDeleteRange(spark: SparkSession, dir: String,
+      lower: Long, upper: Long): (Long, Long, Long, Long) = {
+    require(lower <= upper,
+      s"commitDeleteRange: lower=$lower exceeds upper=$upper")
+    val (fs, base) = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir)
+    require(cur > 0, s"commitDeleteRange on an empty lake at $dir")
+    val statsCol = statsColOf(spark, dir, cur).getOrElse(throw
+      new IllegalArgumentException(s"lake at $dir carries no manifest " +
+        "statistics — commitAppend(statsCol=...) enables them"))
+    val entries = fileEntries(fs, base, cur)
+    if (entries.isEmpty) return (0L, 0L, 0L, 0L)
+    // driver-side classification from the manifest alone
+    val (inside, rest) = entries.partition(e => entryStats(e).exists {
+      case (lo, hi) => lo >= lower && hi <= upper
+    })
+    val (straddling, outside) = rest.partition(e => entryStats(e) match {
+      case Some((lo, hi)) => hi >= lower && lo <= upper
+      case None => true // unclassifiable: rewrite, never silently keep
+    })
+    if (inside.isEmpty && straddling.isEmpty) return (0L, 0L, 0L, 0L)
+    // dropped rows counted from footers only (a count() over parquet
+    // with no filter is metadata-driven — no column data is read)
+    val droppedRows =
+      if (inside.isEmpty) 0L
+      else spark.read
+        .parquet(inside.map(e => qualified(fs, base, entryPath(e))): _*)
+        .count()
+    val v = cur + 1
+    // survivors of the straddlers — COUNTED before anything is
+    // written, so a delete that turns out to match nothing (possible
+    // when only stats-less files were classifiable-as-straddling)
+    // commits nothing instead of a pointless rewrite
+    val srcOpt =
+      if (straddling.isEmpty) None
+      else Some(spark.read.parquet(
+        straddling.map(e => qualified(fs, base, entryPath(e))): _*))
+    // nulls never match a range — they must SURVIVE (a bare !between
+    // would drop them: three-valued logic)
+    val survivorsOpt = srcOpt.map(_.filter(coalesce(
+      !col(statsCol).cast("long").between(lower, upper), lit(true))))
+    val removedFromStraddling = (srcOpt, survivorsOpt) match {
+      case (Some(src), Some(sv)) => src.count() - sv.count()
+      case _ => 0L
+    }
+    if (droppedRows == 0L && removedFromStraddling == 0L)
+      return (0L, 0L, 0L, 0L) // nothing actually matched
+    val rewritten = survivorsOpt match {
+      case Some(sv) =>
+        sv.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
+        newEntries(spark, fs, base, v, Some(statsCol))
+      case None => Seq.empty[String]
+    }
+    writeManifest(fs, base, v, outside ++ rewritten,
+      headers = Seq("#stats=" + statsCol))
+    (v, inside.size.toLong, straddling.size.toLong,
+      droppedRows + removedFromStraddling)
   }
 
   /** The lake exactly as version `v` committed it — an explicit file

@@ -62,7 +62,8 @@ object PlanDump {
     "q177_vlake_compact", "q178_vlake_stats", "q179_vlake_upsert",
     "q180_vlake_changes", "q181_vlake_cluster", "q182_state_sync",
     "q183_stream_merge", "q184_ivf_sync", "q185_vlake_restore",
-    "q186_index_lake", "q187_hybrid_stack")
+    "q186_index_lake", "q187_hybrid_stack", "q188_es_to_vlake",
+    "q189_vlake_ttl")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -266,7 +267,31 @@ object PlanDump {
       "honor). Both legs stay integer-exact, so the oracle replays " +
       "BM25 over the final document membership, the quantized-dot " +
       "ranking over the final embedding membership, and the fusion " +
-      "arithmetic under one hash."))
+      "arithmetic under one hash."),
+    "q188_es_to_vlake" -> ("the snapshot shows the final " +
+      "manifest-driven read; the operator chain is the reference's " +
+      "ingestion surface wired into the governed store — the " +
+      "es-export connector's MICRO_BATCH path (file-index offsets = " +
+      "the durable search_after cursor; the lang/n_chars filters are " +
+      "PUSHED into the token reader, so pruned documents never " +
+      "materialize) draining through appendStream's exactly-once " +
+      "commits, one lake version per batch. The in-query restart on " +
+      "the same checkpoint pins the no-op; the takedown lands on the " +
+      "ingested lake like any other commit."),
+    "q189_vlake_ttl" -> ("the snapshot shows the post-delete " +
+      "manifest-driven read; the operator is commitDeleteRange — the " +
+      "retention sweep with the Iceberg metadata-delete optimization: " +
+      "manifest statistics classify every file DRIVER-SIDE, " +
+      "fully-covered files leave the new manifest without being read " +
+      "or rewritten (their row counts come from footers only), " +
+      "boundary straddlers rewrite their survivors, stats-less files " +
+      "are conservatively rewritten (never silently kept), and null " +
+      "stats values survive every range (three-valued logic handled " +
+      "explicitly). files_dropped/files_rewritten/n_rows_removed ride " +
+      "the oracle — an over-eager whole-file drop loses rows, a timid " +
+      "one shifts the literals. Note statEntries' soundness rule: a " +
+      "file holding ANY null in the stats column records no stats, so " +
+      "whole-file decisions can never delete a null row."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -521,6 +521,51 @@ class VersionedLakeSpec extends AnyFunSuite {
       idSet(VersionedLake.readAsOf(spark, dir, pre)))
   }
 
+  test("range delete: fully-covered files drop manifest-only (never " +
+      "read), straddlers rewrite, nulls survive, accounting exact") {
+    val dir = fresh("vlake_ttl_")
+    // 3 disjoint single-file ranges + one file with a NULL stats row
+    VersionedLake.commitAppend(spark, dir, docs(0, 10),
+      statsCol = Some("doc_id")): Unit
+    VersionedLake.commitAppend(spark, dir, docs(10, 20)): Unit
+    VersionedLake.commitAppend(spark, dir, docs(20, 30)): Unit
+    VersionedLake.commitAppend(spark, dir,
+      Seq[(java.lang.Long, String)]((40L, "t40"), (null, "tnull"))
+        .toDF("doc_id", "text").repartition(1)): Unit
+    val before = dataFiles(dir)
+    // range covers commit 2 whole, straddles commit 3's lower half,
+    // and spans the null-bearing file's non-null value (40)
+    val (v, nDropped, nRewritten, nRemoved) =
+      VersionedLake.commitDeleteRange(spark, dir, 10L, 24L)
+    assert(v === 5L && nDropped === 1L && nRemoved === 15L)
+    // the null-bearing file records no stats -> classified straddling
+    // (rewritten), NOT silently kept and NOT whole-dropped
+    assert(nRewritten === 2L,
+      "commit 3's straddler + the null-bearing file must rewrite")
+    val now = VersionedLake.read(spark, dir)
+    assert(idSet(now.filter(col("doc_id").isNotNull)) ===
+      ((0L until 10L) ++ (25L until 30L)).toSet + 40L)
+    assert(now.filter(col("doc_id").isNull).count() === 1L,
+      "null rows never match a range — they must survive")
+    // the dropped file was never read OR deleted: byte-stable on disk
+    // (time travel), just absent from the new manifest
+    val after = dataFiles(dir)
+    assert(before.keys.forall(k => after(k) === before(k)),
+      "range delete must not touch any existing data file")
+    assert(idSet(VersionedLake.readAsOf(spark, dir, 2)) ===
+      (0L until 20L).toSet, "prior version changed by a range delete")
+    // empty intersection commits nothing
+    assert(VersionedLake.commitDeleteRange(spark, dir, 500L, 600L) ===
+      ((0L, 0L, 0L, 0L)))
+    // a stats-free lake refuses the range delete
+    val bare = fresh("vlake_ttlbare_")
+    VersionedLake.commitAppend(spark, bare, docs(0, 5)): Unit
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.commitDeleteRange(spark, bare, 0L, 10L)
+    }
+    assert(ex.getMessage.contains("no manifest statistics"))
+  }
+
   test("restore: rollback as a new manifest-only commit, history " +
       "linear, bad commit inspectable, vacuum keeps restored files") {
     val dir = fresh("vlake_rst_")
