@@ -566,6 +566,31 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no manifest statistics"))
   }
 
+  test("cluster-then-TTL composition: after sorted compaction a " +
+      "retention range drops whole files manifest-only") {
+    val dir = fresh("vlake_clttl_")
+    // interleaved ingest: every file spans the whole domain, so a TTL
+    // delete would have to rewrite everything
+    val all = (0L until 100L)
+    VersionedLake.commitAppend(spark, dir,
+      all.filter(_ % 2 == 0).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartition(2), statsCol = Some("doc_id")): Unit
+    VersionedLake.commitAppend(spark, dir,
+      all.filter(_ % 2 == 1).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartition(2)): Unit
+    VersionedLake.compact(spark, dir, nFiles = 4,
+      sortCol = Some("doc_id")): Unit
+    // the clustered layout turns the retention sweep metadata-only for
+    // the fully-aged files: [0, 49] must whole-drop at least one file
+    val (_, nDropped, nRewritten, nRemoved) =
+      VersionedLake.commitDeleteRange(spark, dir, 0L, 49L)
+    assert(nRemoved === 50L)
+    assert(nDropped >= 1L,
+      s"clustered files inside [0,49] must drop manifest-only " +
+        s"(dropped=$nDropped rewritten=$nRewritten)")
+    assert(idSet(VersionedLake.read(spark, dir)) === (50L until 100L).toSet)
+  }
+
   test("restore: rollback as a new manifest-only commit, history " +
       "linear, bad commit inspectable, vacuum keeps restored files") {
     val dir = fresh("vlake_rst_")
