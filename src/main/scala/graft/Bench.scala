@@ -52,6 +52,7 @@ object Bench {
           n.startsWith("graft_hybridstack_") ||
           n.startsWith("graft_esvlake_") ||
           n.startsWith("graft_vttl_") ||
+          n.startsWith("graft_cursorsync_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }
@@ -242,7 +243,9 @@ object Bench {
       ("q188", Set.empty[String],
         Set("q188_drain", "q188_restart+takedown", "q188_read")),
       ("q189", Set("q189_build"),
-        Set("q189_range_delete", "q189_read")))
+        Set("q189_range_delete", "q189_read")),
+      ("q190", Set("q190_build"),
+        Set("q190_sync", "q190_match")))
     val pathMap = pathTimes.toMap
     def sumPaths(labels: Set[String]): Double =
       labels.toSeq.flatMap(pathMap.get).filter(_ >= 0).sum

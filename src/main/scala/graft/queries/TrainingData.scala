@@ -4211,6 +4211,45 @@ object TrainingData {
           s.range(1).toDF()
         }),
         "q189_read" -> (() => VersionedLake.read(s, tDir)))
+    } ++ {
+      // q190 (cursor sync): fixture = lake + paired state + mutations;
+      // operator = the atomic sync (incl. the no-op probe) + the match
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val delta = docs.filter(col("doc_id") % 20 === 0)
+      val scratch = Tables.freshScratchDir("graft_cursorsync_b_", d)
+      val lakeDir5 = s"$scratch/lake"
+      val stDir5 = s"$scratch/state"
+      Seq(
+        "q190_build" -> (() => {
+          VersionedLake.commitAppend(s, lakeDir5,
+            docs.filter(col("doc_id") % 20 =!= 0)): Unit
+          graft.streaming.NearDupStream.writeCorpusStateFromLake(
+            s, lakeDir5, stDir5, "doc_id", "text"): Unit
+          val updates = docs.as("a")
+            .join(docs.as("b"), col("a.doc_id") - 3 === col("b.doc_id"))
+            .filter(col("a.doc_id") % 6 === 3)
+            .select(col("a.doc_id").as("doc_id"),
+              col("b.text").as("text"))
+            .unionByName(docs.filter(col("doc_id") % 10 === 9)
+              .select((col("doc_id") + 100000L).as("doc_id"),
+                col("text")))
+          VersionedLake.commitUpsert(s, lakeDir5, "doc_id", updates): Unit
+          VersionedLake.commitDelete(s, lakeDir5, "doc_id",
+            docs.filter(col("doc_id") % 14 === 7).select("doc_id")): Unit
+          s.range(1).toDF()
+        }),
+        "q190_sync" -> (() => {
+          graft.streaming.NearDupStream.syncCorpusStateFromLake(
+            s, lakeDir5, stDir5, "doc_id", "text"): Unit
+          graft.streaming.NearDupStream.syncCorpusStateFromLake(
+            s, lakeDir5, stDir5, "doc_id", "text"): Unit // no-op probe
+          s.range(1).toDF()
+        }),
+        "q190_match" -> (() =>
+          graft.operators.Dedup.nearDupsAgainstState(
+            s.read.parquet(stDir5), delta, "doc_id", "text",
+            threshold = 0.5)))
     }
   }
 
@@ -6208,6 +6247,86 @@ object TrainingData {
        WHERE d.doc_id < 4 * b.q
          AND NOT (d.doc_id >= b.q AND d.doc_id < 2 * b.q + b.q // 2)"""
 
+  // --- q190: cursor-synced near-dup state (exactly-once owned by the op) ----------
+  // NearDupStream.writeCorpusStateFromLake / syncCorpusStateFromLake:
+  // q182's derived-state sync with the exactly-once contract OWNED BY
+  // THE OPERATOR — the state carries a version cursor naming the lake
+  // version it reflects, sync derives exactly the missing span's feed,
+  // and the rewritten state promotes WITH its advanced cursor in one
+  // rename ("state updated" and "span applied" are the same event).
+  // The query syncs, then syncs AGAIN (must be a cursor-only no-op —
+  // a double-apply would duplicate arrival signatures and emit
+  // duplicate pairs, failing the exact all-pairs oracle), then matches
+  // the delta. Same mutations as q182, so a sync that diverged from
+  // the raw apply would also diverge from the oracle.
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+    val scratch = Tables.freshScratchDir("graft_cursorsync_", d)
+    val lakeDir = s"$scratch/lake"
+    val stateDir = s"$scratch/state"
+    VersionedLake.commitAppend(s, lakeDir,
+      docs.filter(col("doc_id") % 20 =!= 0)): Unit
+    graft.streaming.NearDupStream.writeCorpusStateFromLake(
+      s, lakeDir, stateDir, "doc_id", "text"): Unit
+    val updates = docs.as("a")
+      .join(docs.as("b"), col("a.doc_id") - 3 === col("b.doc_id"))
+      .filter(col("a.doc_id") % 6 === 3)
+      .select(col("a.doc_id").as("doc_id"), col("b.text").as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 9)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    VersionedLake.commitUpsert(s, lakeDir, "doc_id", updates): Unit
+    VersionedLake.commitDelete(s, lakeDir, "doc_id",
+      docs.filter(col("doc_id") % 14 === 7).select("doc_id")): Unit
+    val (from1, to1, nChanges) = graft.streaming.NearDupStream
+      .syncCorpusStateFromLake(s, lakeDir, stateDir, "doc_id", "text")
+    // the second sync must be a cursor-only no-op
+    val (from2, to2, n2) = graft.streaming.NearDupStream
+      .syncCorpusStateFromLake(s, lakeDir, stateDir, "doc_id", "text")
+    val noop = from2 == to1 && to2 == to1 && n2 == 0L
+    graft.operators.Dedup.nearDupsAgainstState(
+        s.read.parquet(stateDir), delta, "doc_id", "text", threshold = 0.5)
+      .select(col("corpus_id"), col("delta_id"), col("jaccard"),
+        lit(from1).as("synced_from"), lit(to1).as("synced_to"),
+        lit(nChanges > 0L && noop).as("sync_protocol"))
+  }
+
+  private val q190Sql =
+    """WITH m1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 != 0),
+       u AS (SELECT a.doc_id, b.text FROM documents a
+             JOIN documents b ON b.doc_id = a.doc_id - 3
+             WHERE a.doc_id % 6 = 3
+             UNION ALL
+             SELECT doc_id + 100000, text FROM documents
+             WHERE doc_id % 10 = 9),
+       m2 AS (SELECT doc_id, text FROM m1
+              WHERE doc_id NOT IN (SELECT doc_id FROM u)
+              UNION ALL SELECT doc_id, text FROM u),
+       m3 AS (SELECT doc_id, text FROM m2 WHERE doc_id NOT IN
+              (SELECT doc_id FROM documents WHERE doc_id % 14 = 7)),
+       shc AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM m3) t
+         WHERE len(w) >= 3),
+       shd AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE doc_id % 20 = 0) t
+         WHERE len(w) >= 3)
+       SELECT corpus_id, delta_id, jaccard,
+         CAST(1 AS BIGINT) AS synced_from,
+         CAST(3 AS BIGINT) AS synced_to,
+         true AS sync_protocol
+       FROM (
+         SELECT c.doc_id AS corpus_id, d.doc_id AS delta_id,
+           round(len(list_intersect(c.s, d.s))::DOUBLE /
+             len(list_distinct(list_concat(c.s, d.s))), 6) AS jaccard
+         FROM shc c CROSS JOIN shd d) p
+       WHERE jaccard >= 0.5"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -6345,7 +6464,8 @@ object TrainingData {
     "q186_index_lake"     -> q186 _,
     "q187_hybrid_stack"   -> q187 _,
     "q188_es_to_vlake"    -> q188 _,
-    "q189_vlake_ttl"      -> q189 _)
+    "q189_vlake_ttl"      -> q189 _,
+    "q190_cursor_sync"    -> q190 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -6484,5 +6604,6 @@ object TrainingData {
     "q186_index_lake"     -> q186Sql,
     "q187_hybrid_stack"   -> q187Sql,
     "q188_es_to_vlake"    -> q188Sql,
-    "q189_vlake_ttl"      -> q189Sql)
+    "q189_vlake_ttl"      -> q189Sql,
+    "q190_cursor_sync"    -> q190Sql)
 }

@@ -121,6 +121,119 @@ object NearDupStream {
     } finally { c.unpersist(blocking = false): Unit }
   }
 
+  /** Name of the version-cursor file a lake-paired state carries — a
+    * plain text file INSIDE the state dir (the `_` prefix keeps it out
+    * of Spark's parquet listing), so the atomic dir swap that promotes
+    * a synced state promotes its cursor in the same rename.
+    */
+  private val CursorName = "_synced_version"
+
+  private def readCursor(spark: SparkSession,
+      stateDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir, CursorName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+      s.toLongOption
+    }
+  }
+
+  private def writeCursor(spark: SparkSession, dir: String,
+      v: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, CursorName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Build the corpus LSH state FROM a versioned document lake and pair
+    * them: the state remembers which lake version it reflects (a cursor
+    * file inside the state dir), so [[syncCorpusStateFromLake]] can
+    * apply exactly the missing span — and only once. The lifecycle a
+    * 100 TB deployment runs: build once, then sync after every batch of
+    * lake commits.
+    */
+  def writeCorpusStateFromLake(spark: SparkSession, lakeDir: String,
+      stateDir: String, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32): Long = {
+    val v = graft.sinks.VersionedLake.currentVersion(spark, lakeDir)
+    require(v > 0, s"writeCorpusStateFromLake on an empty lake at $lakeDir")
+    writeCorpusState(graft.sinks.VersionedLake.read(spark, lakeDir),
+      idCol, textCol, stateDir, shingleN, k)
+    writeCursor(spark, stateDir, v)
+    v
+  }
+
+  /** Bring a lake-paired corpus state up to the lake's current version
+    * — [[applyChangesToCorpusState]] with the exactly-once contract
+    * OWNED HERE instead of by the caller: the state's cursor says which
+    * version it reflects, the missing span's change feed is derived and
+    * applied into a SIDE-NAME rewrite (base state minus departures,
+    * plus arrivals' fresh signatures), and the new state is promoted by
+    * the atomic dir swap WITH its advanced cursor inside — "state
+    * updated" and "span applied" are one rename, so a crash anywhere
+    * leaves either the old state+cursor (retry re-derives the same
+    * span) or the new pair (retry is a no-op). Nothing can be applied
+    * twice, and nothing can be skipped.
+    *
+    * Cost honesty: unlike the churn-proportional raw apply, the
+    * promote rewrites the STATE (signatures, ~1-2% of corpus bytes) —
+    * the same cost class as [[graft.operators.Dedup.deleteFromNearDupState]]'s
+    * swap, paid for the atomicity. Callers managing exactly-once
+    * themselves (e.g. one feed span per streaming batch id) can keep
+    * the raw apply. Returns (fromVersion, toVersion, nChangeRows);
+    * a state already at the lake's version returns without reading
+    * anything but the cursor.
+    */
+  def syncCorpusStateFromLake(spark: SparkSession, lakeDir: String,
+      stateDir: String, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32): (Long, Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(stateDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a previous sync killed between the swap's two renames parked the
+    // state at the backup name — restore before reading
+    graft.sinks.Lake.recoverSwap(fs, live,
+      new Path(stateDir + ".sync_backup"))
+    val synced = readCursor(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"state at $stateDir carries " +
+        "no version cursor — build it with writeCorpusStateFromLake"))
+    val cur = graft.sinks.VersionedLake.currentVersion(spark, lakeDir)
+    require(cur >= synced,
+      s"state at $stateDir reflects lake version $synced but $lakeDir " +
+        s"is at $cur — this state does not belong to this lake")
+    if (cur == synced) return (synced, cur, 0L)
+    // schemaHint covers the shares-every-file span (e.g. a RESTORE back
+    // to exactly the synced version) — an empty typed feed, not a throw
+    val hint = scala.util.Try(
+      graft.sinks.VersionedLake.read(spark, lakeDir).schema).toOption
+    val feed = graft.sinks.VersionedLake
+      .changesBetween(spark, lakeDir, synced, cur, idCol, hint).persist()
+    try {
+      val nChanges = feed.count()
+      val departures = feed
+        .filter(col("change_type").isin("delete", "update_preimage"))
+        .select(col(idCol).as("corpus_id")).distinct()
+      val arrivals = feed
+        .filter(col("change_type").isin("insert", "update_postimage"))
+        .select(col(idCol), col(textCol))
+      val tmp = stateDir + ".sync_tmp"
+      spark.read.parquet(stateDir)
+        .join(departures, Seq("corpus_id"), "left_anti")
+        .unionByName(Dedup.nearDupState(arrivals, idCol, textCol,
+          shingleN, k))
+        .write.mode("overwrite").parquet(tmp)
+      writeCursor(spark, tmp, cur) // rides the promote rename
+      graft.sinks.Lake.swapDirs(fs, live, new Path(tmp),
+        new Path(stateDir + ".sync_backup"))
+      (synced, cur, nChanges)
+    } finally { feed.unpersist(blocking = false): Unit }
+  }
+
   /** Drain `deltaStream` (Trigger.AvailableNow) against the state at
     * `stateDir`, writing each micro-batch's near-dup pairs to
     * `outDir/batch_id=<id>/` (idempotent overwrite), and return the

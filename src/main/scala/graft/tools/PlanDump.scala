@@ -63,7 +63,7 @@ object PlanDump {
     "q180_vlake_changes", "q181_vlake_cluster", "q182_state_sync",
     "q183_stream_merge", "q184_ivf_sync", "q185_vlake_restore",
     "q186_index_lake", "q187_hybrid_stack", "q188_es_to_vlake",
-    "q189_vlake_ttl")
+    "q189_vlake_ttl", "q190_cursor_sync")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -291,7 +291,19 @@ object PlanDump {
       "the oracle — an over-eager whole-file drop loses rows, a timid " +
       "one shifts the literals. Note statEntries' soundness rule: a " +
       "file holding ANY null in the stats column records no stats, so " +
-      "whole-file decisions can never delete a null row."))
+      "whole-file decisions can never delete a null row."),
+    "q190_cursor_sync" -> ("q182's derived-state sync with the " +
+      "exactly-once contract OWNED BY THE OPERATOR: the state carries " +
+      "a version cursor naming the lake version it reflects, " +
+      "syncCorpusStateFromLake derives exactly the missing span's " +
+      "change feed and promotes the rewritten state WITH its advanced " +
+      "cursor by ONE atomic dir swap — 'state updated' and 'span " +
+      "applied' are the same rename, so a crash anywhere leaves a " +
+      "retry that either re-derives the same span or no-ops; nothing " +
+      "applies twice, nothing skips. The in-query second sync pins the " +
+      "no-op (a double-apply would duplicate signatures and fail the " +
+      "exact all-pairs oracle); NearDupStreamSpec pins the mid-swap " +
+      "crash recovery, synced==rebuild, and both pairing guards."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

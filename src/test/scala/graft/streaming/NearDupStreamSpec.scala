@@ -146,6 +146,62 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(!pairs(viaState).exists { case (c, _, _) => c == 5L || c == 6L })
   }
 
+  test("cursor sync: exactly-once owned by the operator — state+cursor " +
+      "promote in one rename, retries converge, guards loud") {
+    import graft.sinks.VersionedLake
+    val (corpus, delta) = fixture()
+    val dir = Files.createTempDirectory("neardup_cursor_")
+    val lake = s"$dir/lake"
+    val state = s"$dir/state"
+    VersionedLake.commitAppend(spark, lake, corpus): Unit
+    assert(NearDupStream.writeCorpusStateFromLake(
+      spark, lake, state, "doc_id", "text") === 1L)
+    // a state built by the PLAIN writer has no cursor — loud
+    val bare = s"$dir/bare"
+    NearDupStream.writeCorpusState(corpus, "doc_id", "text", bare)
+    val ex = intercept[IllegalArgumentException] {
+      NearDupStream.syncCorpusStateFromLake(
+        spark, lake, bare, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("no version cursor"))
+    // mutate the lake: update 3 -> doc 0's text, insert 500, delete 5/6
+    VersionedLake.commitUpsert(spark, lake, "doc_id", Seq(
+      (3L, (0 until 12).map(t => s"c0_$t").mkString(" ")),
+      (500L, (0 until 12).map(t => s"x_$t").mkString(" ")))
+      .toDF("doc_id", "text")): Unit
+    VersionedLake.commitDelete(spark, lake, "doc_id",
+      Seq(5L, 6L).toDF("doc_id")): Unit
+    val (f1, t1, n1) = NearDupStream.syncCorpusStateFromLake(
+      spark, lake, state, "doc_id", "text")
+    assert(f1 === 1L && t1 === 3L && n1 > 0L)
+    // retry after success: cursor-only no-op — nothing re-applied
+    assert(NearDupStream.syncCorpusStateFromLake(
+      spark, lake, state, "doc_id", "text") === ((3L, 3L, 0L)))
+    // synced == a rebuild over the lake's final membership
+    val rebuilt = Dedup.nearDupState(
+      VersionedLake.read(spark, lake), "doc_id", "text")
+    val synced = spark.read.parquet(state)
+    assert(synced.exceptAll(rebuilt).count() === 0L &&
+      rebuilt.exceptAll(synced).count() === 0L)
+    // crash between the swap's two renames: state parked at the backup
+    // name; the next sync's recovery preamble restores it, then no-ops
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(state),
+      new org.apache.hadoop.fs.Path(state + ".sync_backup")))
+    assert(NearDupStream.syncCorpusStateFromLake(
+      spark, lake, state, "doc_id", "text") === ((3L, 3L, 0L)))
+    assert(spark.read.parquet(state).count() === rebuilt.count())
+    // a state paired with a DIFFERENT (shorter) lake fails loudly
+    val other = s"$dir/otherlake"
+    VersionedLake.commitAppend(spark, other, corpus.limit(3)): Unit
+    val ex2 = intercept[IllegalArgumentException] {
+      NearDupStream.syncCorpusStateFromLake(
+        spark, other, state, "doc_id", "text")
+    }
+    assert(ex2.getMessage.contains("does not belong"))
+  }
+
   test("stale-leaf cleanup resolves through the Hadoop FileSystem (file: URIs)") {
     // URI-addressed state/out/checkpoint — the HDFS/S3 deployment
     // shape. java.nio's Paths.get("file:/...") is a literal relative
