@@ -53,6 +53,10 @@ object Bench {
           n.startsWith("graft_esvlake_") ||
           n.startsWith("graft_vttl_") ||
           n.startsWith("graft_cursorsync_") ||
+          n.startsWith("graft_vrace_") ||
+          n.startsWith("graft_ixcompact_") ||
+          n.startsWith("graft_vevolve_") ||
+          n.startsWith("graft_vmcol_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }
@@ -245,7 +249,41 @@ object Bench {
       ("q189", Set("q189_build"),
         Set("q189_range_delete", "q189_read")),
       ("q190", Set("q190_build"),
-        Set("q190_sync", "q190_match")))
+        Set("q190_sync", "q190_match")),
+      ("q191", Set("q191_base"), Set("q191_raced_appends")),
+      ("q192", Set("q192_build"),
+        Set("q192_vintages", "q192_compact", "q192_search")),
+      ("q193", Set("q193_build"),
+        Set("q193_merge", "q193_changes+read")),
+      ("q194", Set("q194_build"),
+        Set("q194_range_delete", "q194_read")))
+    // Build/mutate/search/audit attribution one level below the
+    // fixture/operator split, for the heaviest lake composites: their
+    // "operator" bucket by construction blends mutation history into
+    // the search path, so a SEARCH regression could hide behind
+    // fixture noise (r14 verdict item 8). Presentation of the same
+    // per-path timings — no new measurement.
+    val phaseSplit: Seq[(String, Seq[(String, Set[String])])] = Seq(
+      ("q173", Seq(
+        "build" -> Set("q173_build"),
+        "mutate" -> Set("q173_append", "q173_takedown"),
+        "search" -> Set("q173_score"))),
+      ("q183", Seq(
+        "mutate" -> Set("q183_batches", "q183_replay+read"))),
+      ("q184", Seq(
+        "build" -> Set("q184_build"),
+        "mutate" -> Set("q184_sync"),
+        "search" -> Set("q184_search"),
+        "audit" -> Set("q184_frozen_twin"))),
+      ("q186", Seq(
+        "build" -> Set("q186_build"),
+        "mutate" -> Set("q186_append+takedown"),
+        "search" -> Set("q186_search"),
+        "audit" -> Set("q186_scan_twin"))),
+      ("q192", Seq(
+        "build" -> Set("q192_build"),
+        "mutate" -> Set("q192_vintages", "q192_compact"),
+        "search" -> Set("q192_search"))))
     val pathMap = pathTimes.toMap
     def sumPaths(labels: Set[String]): Double =
       labels.toSeq.flatMap(pathMap.get).filter(_ >= 0).sum
@@ -269,6 +307,11 @@ object Bench {
       "\"" + q + "\":{\"fixture\":" + r3d(sumPaths(fix)) +
         ",\"operator\":" + r3d(sumPaths(op)) + "}"
     }.mkString("{", ",", "}")
+    val phaseJson = phaseSplit.map { case (q, phases) =>
+      "\"" + q + "\":" + phases.map { case (p, labels) =>
+        "\"" + p + "\":" + r3d(sumPaths(labels))
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val censusJson = census.mkString("[", ",", "]")
     def flatJson: String =
       s""""flatten_docs":${flat.docs},"flatten_samples":${flat.samples},""" +
@@ -277,7 +320,7 @@ object Bench {
         s""""flatten_docs_per_s_warm":${r3d(flat.warmRateBest)},"flatten_docs_per_s_warm_median":${r3d(flat.warmRateMedian)},""" +
         s""""flatten_sec_schema_reuse":${r3d(flat.reuseSecBest)},"flatten_sec_schema_reuse_median":${r3d(flat.reuseSecMedian)},""" +
         s""""flatten_docs_per_s_schema_reuse":${r3d(flat.reuseRateBest)},"flatten_docs_per_s_schema_reuse_median":${r3d(flat.reuseRateMedian)}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"fixture_split":$splitJson,"census":$censusJson,$flatJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"fixture_split":$splitJson,"phase_split":$phaseJson,"census":$censusJson,$flatJson}""")
     // The driver records the TAIL of stdout, which truncated the verbose
     // line above from the front in r3 (q01-q12 timings lost, parsed:null).
     // Re-emit everything as a COMPACT single line — short query keys
@@ -287,7 +330,7 @@ object Bench {
     val qsShort = runs.map { case (k, v, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3d(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"fixture_split":$splitJson,"census":$censusJson,$flatJson}""")
+    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"fixture_split":$splitJson,"phase_split":$phaseJson,"census":$censusJson,$flatJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -124,6 +124,32 @@ object IndexLake {
       rows(docs, idCol, textCol, nBucketsOf(spark, dir)))
   }
 
+  /** Re-cluster the index lake to few files per bucket — the
+    * maintenance pass that pairs with [[appendToIndexLake]]: every
+    * vintage append adds one file set per bucket, so after many
+    * vintages a one-term query's bucket read opens one file PER
+    * VINTAGE (and per-file open cost dominates an object-store read
+    * long before the bytes do), while hash skew from stopword-heavy
+    * terms leaves some buckets far fatter than others. This is
+    * [[VersionedLake.compact]] with `sortCol = "bucket"` (q181's
+    * clustered-compaction machinery): the current content is
+    * range-partitioned and sorted on the bucket column, so per-file
+    * manifest (min, max) become near-disjoint again and a one-term
+    * query's driver-side skip admits one or two files REGARDLESS of
+    * how many vintages preceded the pass — search results are
+    * bit-identical across it (same rows, new layout; q192 pins the
+    * equality under the driver oracle, IndexLakeSpec pins the
+    * admitted-file bound). Prior versions stay readable; fragmented
+    * history ages out through [[VersionedLake.vacuum]]. `nFiles`
+    * defaults to nBuckets + 1 — about one file per bucket plus the
+    * doc-length region. Returns the new lake version.
+    */
+  def compactIndexLake(spark: SparkSession, dir: String,
+      nFiles: Int = 0): Long = {
+    val n = if (nFiles > 0) nFiles else nBucketsOf(spark, dir) + 1
+    VersionedLake.compact(spark, dir, nFiles = n, sortCol = Some("bucket"))
+  }
+
   /** Takedown: one [[VersionedLake.commitDelete]] on `doc_id` removes a
     * document's postings AND its doc-length row behind a single rename
     * — the scoring scalars can never disagree with the postings.
@@ -149,12 +175,19 @@ object IndexLake {
     val v = VersionedLake.currentVersion(spark, dir)
     val qdf = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
-    // the global scalars: one scan of the doc-length region only
+    // the global scalars: one scan of the doc-length region only.
+    // avgdl divides by count(dl) — NOT count(*) — to match the corpus
+    // scan's avg(size(w)) exactly: a null-text doc carries a NULL dl
+    // (size of a null token array), which avg excludes from the
+    // DENOMINATOR while still counting the doc in N; a count(*) divisor
+    // here would silently shift every score on a corpus with null text
+    // and break the bit-exact index == scan contract (IndexLakeSpec
+    // pins it with a null-text doc).
     val doclens = VersionedLake.readAsOfRange(spark, dir, v,
       DoclenBucket, DoclenBucket, Some(rowSchema))
       .filter(col("term").isNull)
     val stats = doclens.agg(count(lit(1)).as("n"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      (sum(col("dl")).cast("double") / count(col("dl"))).as("avgdl"))
     // query-term buckets (bounded by the query term count — driver-side)
     val terms = queries.flatMap(_._2).distinct
     val buckets = terms.toDF("term")

@@ -214,7 +214,7 @@ object Similarity {
     // for trainability; callers wanting faiss-scale cell counts should
     // train centroids distributed (fixedPointKMeans) and pass nCells
     // explicitly with a matching sampleN.
-    val (cells, centroids) =
+    val (cells, centroids, _) =
       trainCentroids(corpus, idCol, vecCol, dim, nCells, sampleN, iters, seed)
     val probes =
       if (nProbe > 0) nProbe
@@ -241,11 +241,14 @@ object Similarity {
     * copy, so the lake writer's partitioning geometry can never drift
     * from the in-memory path (q137's equals-in-memory contract depends
     * on both computing byte-identical centroids). Returns
-    * (cells, flat row-major centroid matrix).
+    * (cells, flat row-major centroid matrix, the training sample) —
+    * the sample rides along so the lake writers can price the
+    * training-time residual ([[ivfDriftProbe]]'s baseline) without a
+    * second collect.
     */
   private def trainCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, nCells: Int, sampleN: Int,
-      iters: Int, seed: Long): (Int, Array[Float]) = {
+      iters: Int, seed: Long): (Int, Array[Float], Array[Array[Float]]) = {
     val cells =
       if (nCells > 0) nCells
       else math.min(2048L,
@@ -257,7 +260,58 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .orderBy(col("id")).limit(sampN)
       .collect().map(_.getSeq[Float](1).toArray)
-    (cells, trainSphericalKMeans(sample, cells, dim, iters, seed))
+    (cells, trainSphericalKMeans(sample, cells, dim, iters, seed), sample)
+  }
+
+  /** Mean assigned-cell residual of `points` against a flat centroid
+    * matrix: 1 − cos(v, nearest centroid), averaged — the spherical
+    * k-means objective the training minimized, so comparing the SAME
+    * statistic on fresh data against the training-time value is the
+    * drift signal ([[ivfDriftProbe]]). Driver-side over a bounded
+    * sample (the IVF training budget); zero vectors contribute residual
+    * 1 (no direction — maximally unexplained by any centroid).
+    */
+  private[graft] def meanResidual(points: Array[Array[Float]],
+      flat: Array[Float], dim: Int): Double = {
+    require(points.nonEmpty, "meanResidual over an empty sample")
+    val k = flat.length / dim
+    var acc = 0.0
+    points.foreach { p =>
+      var n2 = 0.0
+      var i = 0
+      while (i < dim) { n2 += p(i).toDouble * p(i); i += 1 }
+      val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+      var best = -1.0
+      var c = 0
+      while (c < k) {
+        var dot = 0.0
+        var cn2 = 0.0
+        var j = 0
+        while (j < dim) {
+          val cv = flat(c * dim + j).toDouble
+          dot += p(j) * inv * cv
+          cn2 += cv * cv
+          j += 1
+        }
+        val cos = if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)
+        if (cos > best) best = cos
+        c += 1
+      }
+      acc += 1.0 - math.max(best, 0.0)
+    }
+    acc / points.length
+  }
+
+  /** Persist the `_ivf_stats` sidecar: the training-time mean residual
+    * [[ivfDriftProbe]] compares against, plus the sample size that
+    * priced it.
+    */
+  private def writeIvfStats(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, trainResidual: Double, nSample: Int): Unit = {
+    import spark.implicits._
+    Seq((trainResidual, nSample.toLong))
+      .toDF("train_residual", "n_sample").coalesce(1)
+      .write.mode("overwrite").parquet(lakeDir + "/_ivf_stats")
   }
 
   /** The in-cell scoring tail shared by [[ivfTopK]] and
@@ -307,7 +361,7 @@ object Similarity {
       vecCol: String, dim: Int, nCells: Int = 0, sampleN: Int = 0,
       iters: Int = 10, seed: Long = 42L): Int = {
     val spark = corpus.sparkSession
-    val (cells, centroids) =
+    val (cells, centroids, sample) =
       trainCentroids(corpus, idCol, vecCol, dim, nCells, sampleN, iters, seed)
     val centLit = ArrayOps.packedFloatLit(centroids)
     // ONE shuffle keyed by cell before the partitioned write: without
@@ -329,6 +383,9 @@ object Similarity {
       .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
       .toDF("cell_id", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(lakeDir + "/_ivf_centroids")
+    // the training-time residual baseline the drift probe compares to
+    writeIvfStats(spark, lakeDir, meanResidual(sample, centroids, dim),
+      sample.length)
     cells
   }
 
@@ -503,6 +560,132 @@ object Similarity {
     } finally { c.unpersist(blocking = false): Unit }
   }
 
+  /** Drift measurement for an IVF (or IVF+PQ) lake: the mean
+    * assigned-cell residual of a bounded, deterministic sample of the
+    * CURRENT membership against the frozen centroids, compared to the
+    * training-time residual persisted in the `_ivf_stats` sidecar.
+    * Retrain-free appends ([[appendToIvfLake]]) assign against frozen
+    * geometry forever; when the arrival distribution drifts, vectors
+    * land ever farther from their assigned centroids, recall decays
+    * with no error anywhere — THIS is the measured trigger that says
+    * "recluster now" instead of guessing.
+    *
+    * The sample is hash-spread across the whole lake (TakeOrdered on
+    * hash(id) — covers every vintage, no full sort, deterministic), and
+    * the residual is the same statistic training minimized, so
+    * `current / baseline` is dimension- and corpus-free. Cost: one
+    * column-pruned scan + a sampleN×dim driver collect — the IVF
+    * training budget. Returns (baseline, current, ratio,
+    * drifted = current > baseline × threshold).
+    */
+  def ivfDriftProbe(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, dim: Int, sampleN: Int = 2048,
+      threshold: Double = 1.25): (Double, Double, Double, Boolean) = {
+    require(sampleN > 0 && threshold > 0.0,
+      "ivfDriftProbe needs sampleN > 0 and threshold > 0")
+    val flat = readIvfCentroids(spark, lakeDir, dim)
+    val statsFiles = sidecarFiles(spark, lakeDir + "/_ivf_stats")
+    require(statsFiles.nonEmpty,
+      s"no _ivf_stats sidecar under $lakeDir — lakes written before the " +
+        "drift probe existed carry no baseline; recluster (or rebuild) " +
+        "writes it")
+    val st = spark.read.parquet(statsFiles: _*).collect()
+    require(st.length == 1, s"bad _ivf_stats sidecar under $lakeDir")
+    val baseline = st(0).getDouble(0)
+    // bounded deterministic sample across every vintage: TakeOrdered on
+    // hash(id) is a per-partition heap + driver merge, never a full sort
+    val sample = spark.read.schema(IvfLakeSchema).parquet(lakeDir)
+      .select(col("id"), col("vec"))
+      .orderBy(hash(col("id")), col("id")).limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val current = meanResidual(sample, flat, dim)
+    val ratio = if (baseline > 0.0) current / baseline
+      else if (current > 0.0) Double.PositiveInfinity else 1.0
+    (baseline, current, ratio, current > baseline * threshold)
+  }
+
+  /** Retrain-and-swap for a drifted IVF (or IVF+PQ) lake: retrains
+    * centroids on the CURRENT membership, rewrites the lake
+    * cell-partitioned under the new geometry into a sibling tmp dir —
+    * data, `_ivf_centroids`, a fresh `_ivf_stats` baseline, and the
+    * `_pq_codebooks` sidecar carried verbatim when present (PQ codes
+    * encode raw vectors, by_residual = false, so they stay valid under
+    * ANY cell geometry — only the probe/partition layout retrains) —
+    * then swaps it in whole. Readers before the swap see the old lake,
+    * after it the new one; [[ivfTopKOverLake]] / [[ivfTopKFrozen]] read
+    * centroids from the (now new) sidecar, so the frozen-twin equality
+    * contract (q152/q184) holds across the swap by construction.
+    *
+    * Crash safety (directory-rename protocol, recovered by the NEXT
+    * call — same discipline as [[compactIvfLake]]):
+    *  1. tmp is built completely, then stamped `_SWAP_READY`;
+    *  2. the live lake renames aside (the point of no return);
+    *  3. tmp renames into place;  4. the aside copy is deleted.
+    * Recovery: tmp present while the live lake still exists = a crash
+    * BEFORE the point of no return — the lake is authoritative, the
+    * tmp is discarded (it may predate newer commits). Live lake
+    * missing with a READY tmp = a crash between 2 and 3 — finish the
+    * swap. Returns the new cell count.
+    */
+  def reclusterIvfLake(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, idCol: String, vecCol: String, dim: Int,
+      nCells: Int = 0, sampleN: Int = 0, iters: Int = 10,
+      seed: Long = 42L): Int = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(lakeDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(lakeDir + ".retrain_tmp")
+    val aside = new Path(lakeDir + ".retrain_old")
+    val marker = new Path(tmp, "_SWAP_READY")
+    def finishSwap(): Unit = {
+      require(fs.rename(tmp, live),
+        s"reclusterIvfLake: rename $tmp -> $live failed; the rebuilt " +
+          "lake is intact in the tmp dir — re-run the pass")
+      if (fs.exists(aside)) require(fs.delete(aside, true),
+        s"reclusterIvfLake: could not remove the aside copy $aside")
+    }
+    // recovery of a crashed prior pass
+    if (fs.exists(tmp)) {
+      if (!fs.exists(live) && fs.exists(marker)) finishSwap()
+      else require(fs.delete(tmp, true),
+        s"reclusterIvfLake: could not discard stale tmp $tmp")
+    }
+    if (!fs.exists(live) && fs.exists(aside))
+      // crashed after the aside rename with no usable tmp: the aside
+      // copy IS the lake — put it back
+      require(fs.rename(aside, live),
+        s"reclusterIvfLake: could not restore $aside to $live")
+    require(fs.exists(live), s"no IVF lake at $lakeDir")
+    if (fs.exists(aside)) require(fs.delete(aside, true),
+      s"reclusterIvfLake: could not remove stale aside $aside")
+
+    val lake = spark.read.parquet(lakeDir) // inferred: carries PQ codes
+    val (cells, centroids, sample) = trainCentroids(
+      lake, "id", "vec", dim, nCells, sampleN, iters, seed)
+    val centLit = ArrayOps.packedFloatLit(centroids)
+    lake.drop("cell")
+      .withColumn("cell",
+        graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    import spark.implicits._
+    centroids.grouped(dim).zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString + "/_ivf_centroids")
+    writeIvfStats(spark, tmp.toString,
+      meanResidual(sample, centroids, dim), sample.length)
+    val cb = sidecarFiles(spark, lakeDir + "/_pq_codebooks")
+    if (cb.nonEmpty)
+      spark.read.parquet(cb: _*).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString + "/_pq_codebooks")
+    fs.create(marker, true).close() // tmp complete — swap may begin
+    require(fs.rename(live, aside), // the point of no return
+      s"reclusterIvfLake: rename $live -> $aside failed")
+    finishSwap()
+    cells
+  }
+
   /** Cell-scoped file compaction for an IVF lake — the maintenance op
     * that pairs with [[appendToIvfLake]]: each append adds one file per
     * touched cell, so after thousands of daily batches every cell
@@ -644,7 +827,7 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     require(ksub > 0 && ksub <= 128, s"ksub=$ksub must fit a signed byte")
     val spark = corpus.sparkSession
-    val (cells, centroids) =
+    val (cells, centroids, ivfSample) =
       trainCentroids(corpus, idCol, vecCol, dim, nCells, sampleN, iters, seed)
     val centLit = ArrayOps.packedFloatLit(centroids)
     val subDim = dim / m
@@ -671,6 +854,8 @@ object Similarity {
     Seq((m, ksub, codebooks.toSeq)).toDF("m", "ksub", "codebooks")
       .coalesce(1)
       .write.mode("overwrite").parquet(lakeDir + "/_pq_codebooks")
+    writeIvfStats(spark, lakeDir, meanResidual(ivfSample, centroids, dim),
+      ivfSample.length)
     cells
   }
 
@@ -728,12 +913,18 @@ object Similarity {
     else {
       // bounded collect (≤ |Q|·k·refine longs): the re-rank scan's read
       // set becomes a driver-known constant pushed into parquet pruning
+      // (materialized under a raised in-filter threshold — see
+      // [[withInFilterThreshold]]; the cell half prunes at the
+      // partition level regardless)
       val ids = shortlist.select(col("id")).distinct()
         .collect().map(_.getLong(0)).sorted
-      val pruned = spark.read.schema(IvfPqLakeSchema).parquet(lakeDir)
-        .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*) &&
-          col("id").isin(ids.map(_.asInstanceOf[Any]): _*))
-        .select(col("id"), col("vec"))
+      val pruned = withInFilterThreshold(spark, ids.length) {
+        spark.read.schema(IvfPqLakeSchema).parquet(lakeDir)
+          .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*) &&
+            col("id").isin(ids.map(_.asInstanceOf[Any]): _*))
+          .select(col("id"), col("vec"))
+          .localCheckpoint(true)
+      }
       pqRefine(pruned, queries, idCol, vecCol, shortlist, k)
     }
   }
@@ -933,6 +1124,28 @@ object Similarity {
     heapTopK(scored, k * refine)
   }
 
+  /** Run `body` (which must MATERIALIZE its scan — the conf is read at
+    * execution time, so a lazily returned plan would escape the window)
+    * with `spark.sql.parquet.pushdown.inFilterThreshold` raised past
+    * `nIds`, restoring the session value after. The refine scans push a
+    * shortlist-sized IN-list into parquet row-group pruning; at the
+    * default threshold (10) any shortlist beyond 10 ids silently stops
+    * pushing and the "re-read only the shortlist row groups" promise
+    * quietly becomes a full scan — the operator owns the knob instead
+    * of documenting it.
+    */
+  private def withInFilterThreshold[T](
+      spark: org.apache.spark.sql.SparkSession, nIds: Int)(body: => T): T = {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, math.max(nIds + 1, 10).toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Exact float re-rank of a (q_id, id) shortlist against a vector
     * source. `vecSource` must expose (id, vec).
     */
@@ -966,10 +1179,12 @@ object Similarity {
     * the same data (pinned by spec): the lake changes where bytes
     * come from, never what is computed.
     *
-    * Note: In-filter pushdown to parquet is capped by
-    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10);
-    * raise it past |shortlist| (or rely on the column index alone)
-    * when pruning evidence matters.
+    * In-filter pushdown to parquet is capped by
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10, well
+    * under any real shortlist) — the refine scan therefore runs under
+    * a PER-READ raised threshold ([[withInFilterThreshold]]: set,
+    * materialize, restore), so the pruning holds at any session
+    * config instead of silently degrading to a full second scan.
     */
   def pqTopKOverLake(spark: org.apache.spark.sql.SparkSession,
       lakeDir: String, queries: DataFrame, idCol: String, vecCol: String,
@@ -982,12 +1197,19 @@ object Similarity {
     if (refine == 1) shortlist.select("q_id", "id", "rank")
     else {
       // bounded collect: ≤ |Q|·k·refine ids — this IS the point where
-      // the second scan's read set becomes a driver-known constant
+      // the second scan's read set becomes a driver-known constant.
+      // The scan materializes (localCheckpoint, shortlist-sized) under
+      // a raised in-filter threshold so the IN-list actually reaches
+      // the parquet reader at ANY session config — then the session
+      // conf is restored.
       val ids = shortlist.select(col("id")).distinct()
         .collect().map(_.getLong(0)).sorted
-      val pruned = spark.read.parquet(lakeDir)
-        .filter(col(idCol).isin(ids.map(_.asInstanceOf[Any]): _*))
-        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      val pruned = withInFilterThreshold(spark, ids.length) {
+        spark.read.parquet(lakeDir)
+          .filter(col(idCol).isin(ids.map(_.asInstanceOf[Any]): _*))
+          .select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .localCheckpoint(true)
+      }
       pqRefine(pruned, queries, idCol, vecCol, shortlist, k)
     }
   }

@@ -4250,6 +4250,127 @@ object TrainingData {
           graft.operators.Dedup.nearDupsAgainstState(
             s.read.parquet(stDir5), delta, "doc_id", "text",
             threshold = 0.5)))
+    } ++ {
+      // q191 (optimistic concurrency): fixture = the base commit;
+      // operator = the deterministically-raced pair of appends (the
+      // loser's rebase-retry is the thing being priced)
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val rDir = Tables.freshScratchDir("graft_vrace_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q191_base" -> (() => {
+          VersionedLake.commitAppend(s, rDir,
+            docs.filter(col("doc_id") % 3 === 0)): Unit
+          s.range(1).toDF()
+        }),
+        "q191_raced_appends" -> (() => {
+          var raced = false
+          VersionedLake.commitAppend(s, rDir,
+            docs.filter(col("doc_id") % 3 === 1),
+            beforePublish = () => if (!raced) {
+              raced = true
+              VersionedLake.commitAppend(s, rDir,
+                docs.filter(col("doc_id") % 3 === 2)): Unit
+            }): Unit
+          s.range(1).toDF()
+        }))
+    } ++ {
+      // q192 (index-lake compaction): build = the one-time corpus scan;
+      // vintages = 8 appends + the takedown (the mutation history);
+      // compact = the bucket-clustered rewrite; search = the pruned
+      // read a user pays per query batch
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d)
+      val ixDir = Tables.freshScratchDir("graft_ixcompact_b_", d)
+        .toString + "/index"
+      val qset = Seq(
+        1L -> Seq("hash", "join", "dup"),
+        2L -> Seq("window", "stream", "agg"),
+        3L -> Seq("vector", "scan", "filter", "sort"))
+      Seq(
+        "q192_build" -> (() => {
+          graft.operators.IndexLake.writeIndexLake(
+            docs.filter(col("doc_id") % 9 === 0), "doc_id", "text",
+            ixDir, nBuckets = 16): Unit
+          s.range(1).toDF()
+        }),
+        "q192_vintages" -> (() => {
+          (1 to 8).foreach { m =>
+            graft.operators.IndexLake.appendToIndexLake(
+              docs.filter(col("doc_id") % 9 === m), "doc_id", "text",
+              ixDir): Unit
+          }
+          graft.operators.IndexLake.deleteFromIndexLake(s, ixDir,
+            docs.filter(col("doc_id") % 5 === 2).select("doc_id")): Unit
+          s.range(1).toDF()
+        }),
+        "q192_compact" -> (() => {
+          graft.operators.IndexLake.compactIndexLake(s, ixDir): Unit
+          s.range(1).toDF()
+        }),
+        "q192_search" -> (() =>
+          graft.operators.IndexLake.bm25TopKOverIndex(s, ixDir, qset,
+            k = 10)))
+    } ++ {
+      // q193 (schema evolution on the write path): fixture = the two
+      // vintage appends; operator = the evolved MERGE + the cross-
+      // boundary change feed and evolved read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d)
+      val eDir = Tables.freshScratchDir("graft_vevolve_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q193_build" -> (() => {
+          VersionedLake.commitAppend(s, eDir,
+            docs.filter(col("doc_id") % 3 === 0)
+              .select(col("doc_id"), col("text"))): Unit
+          VersionedLake.commitAppend(s, eDir,
+            docs.filter(col("doc_id") % 3 === 1)
+              .select(col("doc_id"), col("text"), col("lang"))): Unit
+          s.range(1).toDF()
+        }),
+        "q193_merge" -> (() => {
+          val updates = docs.filter(col("doc_id") % 12 === 0)
+            .select(col("doc_id"),
+              concat(lit("UPD:"), col("text")).as("text"), col("lang"))
+            .unionByName(docs.filter(col("doc_id") % 10 === 7)
+              .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+                col("lang")))
+          VersionedLake.commitUpsert(s, eDir, "doc_id", updates): Unit
+          s.range(1).toDF()
+        }),
+        "q193_changes+read" -> (() => {
+          val v = VersionedLake.currentVersion(s, eDir)
+          VersionedLake.changesBetween(s, eDir, 1L, v, "doc_id")
+            .unionByName(VersionedLake.readAsOf(s, eDir, v,
+              mergeSchema = true).withColumn("change_type", lit("now")))
+        }))
+    } ++ {
+      // q194 (multi-column stats): fixture = the quartile x region
+      // build; operator = the second-column range delete + final read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val mDir = Tables.freshScratchDir("graft_vmcol_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q194_build" -> (() => {
+          val q = docs.count() / 4
+          (0 until 4).foreach { m =>
+            VersionedLake.commitAppend(s, mDir,
+              docs.filter(col("doc_id") >= m * q &&
+                col("doc_id") < (m + 1) * q)
+                .withColumn("region", lit((m % 2).toLong))
+                .repartition(2),
+              statsCol = if (m == 0) Some("doc_id,region") else None): Unit
+          }
+          s.range(1).toDF()
+        }),
+        "q194_range_delete" -> (() => {
+          VersionedLake.commitDeleteRange(s, mDir, "region", 1L, 1L): Unit
+          s.range(1).toDF()
+        }),
+        "q194_read" -> (() => VersionedLake.read(s, mDir)))
     }
   }
 
@@ -6327,6 +6448,225 @@ object TrainingData {
          FROM shc c CROSS JOIN shd d) p
        WHERE jaccard >= 0.5"""
 
+  // --- q191: optimistic concurrency — racing appends BOTH land --------------------
+  // VersionedLake.commitAppend's rebase-retry loop: appends commute, so
+  // a writer that loses the publish rename re-reads the now-current
+  // manifest, stacks its (already written, token-dir-unique) file
+  // entries on top, and lands as the next version — the
+  // ingest+compaction-daemon topology with no external coordination.
+  // The race is DETERMINISTIC here: writer B commits inside writer A's
+  // publish window (the beforePublish seam), so A must land as v3 with
+  // v2 = base ∪ B's slice and v3 = everything. A lost append (A's rows
+  // missing), a forked history (version counts off), or a winner's
+  // membership leak all fail the audits or the final hash.
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = Tables.freshScratchDir("graft_vrace_", d).toString + "/lake"
+    VersionedLake.commitAppend(s, dir,
+      docs.filter(col("doc_id") % 3 === 0)): Unit
+    var vB = 0L
+    var raced = false
+    val vA = VersionedLake.commitAppend(s, dir,
+      docs.filter(col("doc_id") % 3 === 1),
+      beforePublish = () => if (!raced) {
+        raced = true
+        vB = VersionedLake.commitAppend(s, dir,
+          docs.filter(col("doc_id") % 3 === 2))
+      })
+    val v2 = VersionedLake.readAsOf(s, dir, 2L).select("doc_id")
+    val winnerMembers = docs.filter(col("doc_id") % 3 =!= 1).select("doc_id")
+    val v2ok = v2.exceptAll(winnerMembers).count() == 0L &&
+      winnerMembers.exceptAll(v2).count() == 0L
+    VersionedLake.read(s, dir)
+      .select(col("doc_id"), col("text"),
+        lit(vB == 2L && vA == 3L).as("both_landed"),
+        lit(v2ok).as("winner_version_exact"),
+        lit(VersionedLake.currentVersion(s, dir) == 3L).as("linear_history"))
+  }
+
+  private val q191Sql =
+    """SELECT doc_id, text, true AS both_landed,
+       true AS winner_version_exact, true AS linear_history
+       FROM documents"""
+
+  // --- q192: index-lake compaction — many vintages back to few files --------------
+  // IndexLake.compactIndexLake (VersionedLake.compact clustered on the
+  // bucket column): every vintage append adds one file set per bucket,
+  // so after 8 vintages a one-term query opens ~9 files; the
+  // bucket-clustered rewrite re-establishes near-disjoint per-file
+  // (min, max) and the SAME query admits <= 2 files — while search
+  // results stay bit-identical (the oracle replays the full BM25
+  // arithmetic over the final corpus, and `search_invariant` pins
+  // equality across the pass; `compaction_prunes` pins the admitted-
+  // file collapse with both counts measured driver-side from the
+  // manifest alone).
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d)
+    val dir = Tables.freshScratchDir("graft_ixcompact_", d).toString +
+      "/index"
+    graft.operators.IndexLake.writeIndexLake(
+      docs.filter(col("doc_id") % 9 === 0), "doc_id", "text", dir,
+      nBuckets = 16): Unit
+    (1 to 8).foreach { m =>
+      graft.operators.IndexLake.appendToIndexLake(
+        docs.filter(col("doc_id") % 9 === m), "doc_id", "text", dir): Unit
+    }
+    graft.operators.IndexLake.deleteFromIndexLake(
+      s, dir, docs.filter(col("doc_id") % 5 === 2).select("doc_id")): Unit
+    val qset = Seq(
+      1L -> Seq("hash", "join", "dup"),
+      2L -> Seq("window", "stream", "agg"),
+      3L -> Seq("vector", "scan", "filter", "sort"))
+    val before = graft.operators.IndexLake
+      .bm25TopKOverIndex(s, dir, qset, k = 10).localCheckpoint(true)
+    val pre = VersionedLake.currentVersion(s, dir)
+    val bkt = s.range(1).select(
+      pmod(hash(lit("hash")), lit(16)).cast("long")).collect()(0).getLong(0)
+    val (keptPre, _) = VersionedLake.rangeFiles(s, dir, pre, bkt, bkt)
+    val post = graft.operators.IndexLake.compactIndexLake(s, dir)
+    val (keptPost, _) = VersionedLake.rangeFiles(s, dir, post, bkt, bkt)
+    val after = graft.operators.IndexLake
+      .bm25TopKOverIndex(s, dir, qset, k = 10)
+    val invariant = before.exceptAll(after).count() == 0L &&
+      after.exceptAll(before).count() == 0L
+    after.select(col("query_id"), col("rank"), col("doc_id"),
+      col("score_micro"),
+      lit(invariant).as("search_invariant"),
+      lit(keptPost.size <= 2 && keptPost.size < keptPre.size)
+        .as("compaction_prunes"))
+  }
+
+  private val q192Sql =
+    """WITH fin AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 2),
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM fin),
+       tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+       tf AS (SELECT doc_id, dl, term, count(*) AS tf
+              FROM tok GROUP BY 1, 2, 3),
+       q(query_id, term) AS (VALUES
+         (1, 'hash'), (1, 'join'), (1, 'dup'),
+         (2, 'window'), (2, 'stream'), (2, 'agg'),
+         (3, 'vector'), (3, 'scan'), (3, 'filter'), (3, 'sort')),
+       stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM w),
+       dfx AS (SELECT term, count(*) AS df FROM tf
+               WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+       sc AS (SELECT q.query_id, tf.doc_id,
+           CAST(sum(CAST(round(
+             ln(1 + (n - df + 0.5) / (df + 0.5)) *
+             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+             AS BIGINT)) AS BIGINT) AS score_micro
+         FROM tf JOIN q USING (term) JOIN dfx USING (term)
+         CROSS JOIN stats
+         GROUP BY 1, 2),
+       r AS (SELECT query_id, doc_id, score_micro,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, doc_id) AS rank
+         FROM sc)
+       SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
+         true AS search_invariant, true AS compaction_prunes
+       FROM r WHERE rank <= 10"""
+
+  // --- q194: schema evolution on the lake WRITE path ------------------------------
+  // commitAppend with a superset schema + commitUpsert carrying the
+  // evolved columns + changesBetween across the boundary: vintage 2
+  // ADDS a `lang` column, vintage 3 is a MERGE in the evolved schema
+  // that touches vintage-1 rows (whose files predate the column) and
+  // inserts fresh ids. Old files read the new column as NULL — in the
+  // AS-OF read (mergeSchema) AND in the change feed's preimages
+  // (`preimage_lang_null` pins the latter). The oracle replays the
+  // layered membership with NULL padding; a type coercion, a dropped
+  // evolved column, or a preimage read through the wrong schema all
+  // move rows.
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d)
+    val dir = Tables.freshScratchDir("graft_vevolve_", d).toString + "/lake"
+    VersionedLake.commitAppend(s, dir,
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))): Unit
+    VersionedLake.commitAppend(s, dir,
+      docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"), col("lang"))): Unit
+    val updates = docs.filter(col("doc_id") % 12 === 0)
+      .select(col("doc_id"), concat(lit("UPD:"), col("text")).as("text"),
+        col("lang"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          col("lang")))
+    val (v3, _, _) = VersionedLake.commitUpsert(s, dir, "doc_id", updates)
+    val feed = VersionedLake.changesBetween(s, dir, 1L, v3, "doc_id")
+    val preimageLangNull = feed
+      .filter(col("change_type") === "update_preimage" &&
+        col("lang").isNotNull)
+      .count() == 0L
+    VersionedLake.readAsOf(s, dir, v3, mergeSchema = true)
+      .select(col("doc_id"), col("text"), col("lang"),
+        lit(preimageLangNull).as("preimage_lang_null"))
+  }
+
+  private val q193Sql =
+    """SELECT doc_id, text, lang, true AS preimage_lang_null FROM (
+         SELECT doc_id, text, NULL AS lang FROM documents
+         WHERE doc_id % 3 = 0 AND doc_id % 12 != 0
+         UNION ALL
+         SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 1
+         UNION ALL
+         SELECT doc_id, 'UPD:' || text AS text, lang FROM documents
+         WHERE doc_id % 12 = 0
+         UNION ALL
+         SELECT doc_id + 100000, text, lang FROM documents
+         WHERE doc_id % 10 = 7)"""
+
+  // --- q195: multi-column manifest statistics --------------------------------------
+  // commitAppend(statsCol = "doc_id,region"): per-file (min, max, null
+  // count) triples for BOTH columns ride every manifest entry, so range
+  // reads and range deletes prune on more than one dimension. The
+  // quartile fixture gives each file a constant region ((doc_id DIV q)
+  // MOD 2), so admission is deterministic: a region read admits exactly
+  // the 4 files of the two matching quartiles (the doc_id axis could
+  // not prune this read at all), and the region-range DELETE drops all
+  // 4 whole — manifest-only, zero rewrites. The oracle replays
+  // membership, both admitted/total counts, and the drop accounting.
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val q = docs.count() / 4
+    val dir = Tables.freshScratchDir("graft_vmcol_", d).toString + "/lake"
+    (0 until 4).foreach { m =>
+      VersionedLake.commitAppend(s, dir,
+        docs.filter(col("doc_id") >= m * q && col("doc_id") < (m + 1) * q)
+          .withColumn("region", lit((m % 2).toLong))
+          .repartition(2),
+        statsCol = if (m == 0) Some("doc_id,region") else None): Unit
+    }
+    val v = VersionedLake.currentVersion(s, dir)
+    val (keptR, totalR) = VersionedLake.rangeFiles(s, dir, v, "region",
+      1L, 1L)
+    val (dv, nDropped, nRewritten, nRemoved) =
+      VersionedLake.commitDeleteRange(s, dir, "region", 1L, 1L)
+    VersionedLake.readAsOf(s, dir, dv)
+      .select(col("doc_id"), col("text"), col("region"),
+        lit(keptR.size.toLong).as("r_files_admitted"),
+        lit(totalR).as("r_files_total"),
+        lit(nDropped).as("files_dropped"),
+        lit(nRewritten).as("files_rewritten"),
+        lit(nRemoved).as("n_rows_removed"))
+  }
+
+  private val q194Sql =
+    """WITH b AS (SELECT count(*) // 4 AS q FROM documents)
+       SELECT d.doc_id, d.text,
+         CAST((d.doc_id // b.q) % 2 AS BIGINT) AS region,
+         CAST(4 AS BIGINT) AS r_files_admitted,
+         CAST(8 AS BIGINT) AS r_files_total,
+         CAST(4 AS BIGINT) AS files_dropped,
+         CAST(0 AS BIGINT) AS files_rewritten,
+         CAST(2 * b.q AS BIGINT) AS n_rows_removed
+       FROM documents d, b
+       WHERE d.doc_id < 4 * b.q AND (d.doc_id // b.q) % 2 = 0"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -6465,7 +6805,11 @@ object TrainingData {
     "q187_hybrid_stack"   -> q187 _,
     "q188_es_to_vlake"    -> q188 _,
     "q189_vlake_ttl"      -> q189 _,
-    "q190_cursor_sync"    -> q190 _)
+    "q190_cursor_sync"    -> q190 _,
+    "q191_concurrent_append" -> q191 _,
+    "q192_index_compact"  -> q192 _,
+    "q193_evolve_write" -> q193 _,
+    "q194_multicol_stats" -> q194 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -6605,5 +6949,9 @@ object TrainingData {
     "q187_hybrid_stack"   -> q187Sql,
     "q188_es_to_vlake"    -> q188Sql,
     "q189_vlake_ttl"      -> q189Sql,
-    "q190_cursor_sync"    -> q190Sql)
+    "q190_cursor_sync"    -> q190Sql,
+    "q191_concurrent_append" -> q191Sql,
+    "q192_index_compact"  -> q192Sql,
+    "q193_evolve_write" -> q193Sql,
+    "q194_multicol_stats" -> q194Sql)
 }

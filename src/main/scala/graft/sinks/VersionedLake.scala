@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   dir/data/c<version>/part-*.parquet   immutable — written by exactly
-  *                                        one commit, NEVER rewritten
+  *   dir/data/c<version>/part-*.parquet   mutation commits' files —
+  *                                        immutable once published,
+  *                                        NEVER rewritten
+  *   dir/data/a<token>/part-*.parquet     append commits' files (one
+  *                                        unique dir per append, so
+  *                                        concurrent appends never share
+  *                                        a data dir) — same immutability
   *   dir/_versions/v<version>.txt         manifest: the relative data-file
   *                                        paths that ARE that version,
   *                                        one per line; the atomic rename
@@ -36,20 +41,71 @@ import org.apache.spark.sql.functions._
   *     at 100k files — driver-trivial. (Iceberg's manifest-of-manifests
   *     tree matters past ~10M files; out of scope here and noted.)
   *
-  * Crash safety: data files land under `data/c<v>` BEFORE `v<v>.txt`
-  * appears, so a crashed commit leaves only orphan files no manifest
-  * references — invisible to every reader, reclaimed by [[vacuum]] or
-  * overwritten by the retry (the retry recomputes the same version
-  * number and rewrites `c<v>` whole). Publishing the manifest is one
-  * rename; [[writeManifest]] refuses to replace an existing version, so
-  * a second writer racing the same version fails loudly instead of
-  * silently forking history — the single-writer-per-lake contract every
-  * mutation protocol in this engine assumes.
+  * Crash safety: data files land under their commit dir BEFORE the
+  * manifest appears, so a crashed commit leaves only orphan files no
+  * manifest references — invisible to every reader, reclaimed by
+  * [[vacuum]] (a crashed MUTATION's retry recomputes the same version
+  * number and rewrites `c<v>` whole; a crashed APPEND's retry is simply
+  * a fresh append under a fresh token dir).
+  *
+  * Writer concurrency — the two-tier contract:
+  *   - APPENDS are optimistic and commute. [[commitAppend]] writes its
+  *     data under a unique token dir, then publishes with a rebase-retry
+  *     loop: when a racing writer lands the version first, the append
+  *     re-reads the now-current manifest, stacks its (already written)
+  *     file entries on top, and retries the publish as the next version.
+  *     Two racing appends therefore BOTH land, as versions n and n+1
+  *     with union membership — the ingest+compaction-daemon topology
+  *     works without external coordination.
+  *   - MUTATIONS (delete, upsert, range delete, compaction, restore,
+  *     streaming batch commits) keep the single-writer rule: their
+  *     read-modify-write is not commutative, so [[writeManifest]]
+  *     refuses to replace an existing version and they fail LOUDLY
+  *     instead of silently forking history. Publishing is one rename;
+  *     the no-overwrite guarantee of the rename is the commit point
+  *     (atomic no-replace rename on HDFS; on stores where rename can
+  *     replace, the exists-probe immediately before narrows the window
+  *     and single-writer mutations close it).
+  *
+  * Manifest headers (lines starting with `#`, self-describing and
+  * backward compatible — old manifests without them parse unchanged):
+  *   - `#ts=<epochMillis>`  commit wall-clock, stamped at publish by
+  *     [[writeManifest]]. [[commitTimes]] PREFERS it over the manifest
+  *     file's mtime, so a lake copied with cp/rsync/object-store
+  *     migration keeps its time-travel answers; mtime is only the
+  *     fallback for manifests from before this header existed.
+  *   - `#batch=<id>`  streaming-batch provenance ([[commitAppendForBatch]]);
+  *     `-1` is an explicit cursor reset stamped by [[restore]].
+  *   - `#stats=<col1>[,<col2>...]`  the lake's statistics column LIST.
+  *   - `#stats_v=2`  stats-entry semantics marker: entries written under
+  *     it carry per-column (min, max, nullCount) triples. Entries are
+  *     also self-describing by field count (see below), so mixed
+  *     manifests — v2 commits carrying over legacy entries — classify
+  *     each entry by its own shape.
+  *
+  * Manifest file entries:
+  *   - `path`                              no statistics
+  *   - `path<TAB>min<TAB>max`              LEGACY single-column stats
+  *     (pre-r15): null count unknown, so range DELETES never drop such a
+  *     file whole (NULL rows must survive a range delete; see
+  *     [[commitDeleteRange]]) — range READS may still prune with them
+  *     (NULL never matches a BETWEEN, so pruning cannot lose rows).
+  *   - `path` + per stats column `<TAB>min<TAB>max<TAB>nulls`  v2: an
+  *     all-null column records `-<TAB>-<TAB>n`. Null counts are what
+  *     make metadata-only range drops sound: a file drops whole ONLY
+  *     when fully inside the range AND provably null-free.
   */
 object VersionedLake {
 
   private val VersionsName = "_versions"
   private val DataName = "data"
+
+  /** Rebase-retry bound for optimistic appends — deep enough that a
+    * burst of racing appenders all land, small enough that a livelock
+    * (e.g. a misconfigured store whose rename never wins) surfaces as
+    * an error instead of an infinite loop.
+    */
+  private val MaxCommitRetries = 20
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -98,10 +154,8 @@ object VersionedLake {
     text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** File ENTRIES of a manifest — the raw per-file lines, each either a
-    * bare relative path or `path<TAB>min<TAB>max` when the lake carries
-    * column statistics (see [[commitAppend]]'s `statsCol`). Bare-path
-    * manifests from before stats were enabled parse unchanged.
+  /** File ENTRIES of a manifest — the raw per-file lines (see the
+    * header scaladoc for the three entry shapes).
     */
   private def fileEntries(fs: FileSystem, base: Path,
       v: Long): Seq[String] =
@@ -109,29 +163,46 @@ object VersionedLake {
 
   private def entryPath(entry: String): String = entry.split('\t')(0)
 
-  private def entryStats(entry: String): Option[(Long, Long)] = {
-    val p = entry.split('\t')
-    if (p.length == 3) for (lo <- p(1).toLongOption; hi <- p(2).toLongOption)
-      yield (lo, hi)
-    else None
-  }
+  /** One column's manifest statistics: (min, max) are None for an
+    * all-null column; nullCount is None for LEGACY entries (unknown —
+    * the conservative reading every whole-file decision must take).
+    */
+  private final case class ColStat(lo: Option[Long], hi: Option[Long],
+      nulls: Option[Long])
 
-  private def readManifest(fs: FileSystem, base: Path,
-      v: Long): Seq[String] =
-    fileEntries(fs, base, v).map(entryPath)
+  /** Per-entry, per-column stats — self-describing by field count:
+    * 3 fields = legacy (path, min, max) for the FIRST stats column;
+    * 1 + 3k fields = v2 triples for k columns. Anything else: no stats.
+    */
+  private def colStat(entry: String, colIdx: Int): Option[ColStat] = {
+    val p = entry.split('\t')
+    if (p.length == 3) {
+      if (colIdx != 0) None
+      else for (lo <- p(1).toLongOption; hi <- p(2).toLongOption)
+        yield ColStat(Some(lo), Some(hi), nulls = None)
+    } else if (p.length >= 4 && (p.length - 1) % 3 == 0 &&
+        colIdx < (p.length - 1) / 3) {
+      val o = 1 + colIdx * 3
+      p(o + 2).toLongOption.map { nn =>
+        ColStat(p(o).toLongOption, p(o + 1).toLongOption, Some(nn))
+      }
+    } else None
+  }
 
   /** The streaming-batch provenance of a version, if it has one —
     * carried as a `#batch=<id>` header INSIDE the manifest so
-    * "version committed" and "batch applied" are one rename.
+    * "version committed" and "batch applied" are one rename. `-1` is
+    * [[restore]]'s explicit cursor reset (no batch applied as of the
+    * restored state).
     */
   private[sinks] def batchOf(fs: FileSystem, base: Path,
       v: Long): Option[Long] =
     manifestLines(fs, base, v).find(_.startsWith("#batch="))
       .flatMap(_.stripPrefix("#batch=").toLongOption)
 
-  /** The lake's statistics column, if version `v` carries one —
-    * `#stats=<col>` header, written by the commit that enabled stats
-    * and propagated by every later commit.
+  /** The lake's statistics column list of version `v` as the raw header
+    * value (comma-joined), if stats are enabled — kept as the single
+    * source the enable-once/never-switch rule compares.
     */
   def statsColOf(spark: SparkSession, dir: String, v: Long)
       : Option[String] = {
@@ -140,109 +211,199 @@ object VersionedLake {
       .map(_.stripPrefix("#stats="))
   }
 
-  /** Atomic commit: side-name write, then ONE rename. Refuses to replace
-    * an existing version — two writers racing the same version number
-    * must fail loudly, not fork history.
+  /** The statistics columns of version `v` as a list. */
+  def statsColsOf(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    statsColOf(spark, dir, v).map(splitCols).getOrElse(Seq.empty)
+
+  private def splitCols(s: String): Seq[String] =
+    s.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def statsHeaders(cols: Seq[String]): Seq[String] =
+    if (cols.isEmpty) Seq.empty
+    else Seq("#stats=" + cols.mkString(","), "#stats_v=2")
+
+  /** The commit timestamp header of version `v`, if stamped. */
+  private def tsOf(fs: FileSystem, base: Path, v: Long): Option[Long] =
+    manifestLines(fs, base, v).find(_.startsWith("#ts="))
+      .flatMap(_.stripPrefix("#ts=").toLongOption)
+
+  /** Atomic commit: side-name write (writer-unique side file — racing
+    * writers must not clobber each other's in-flight bytes), then ONE
+    * rename. Refuses to replace an existing version — the loser of a
+    * race fails here (appends catch it and rebase; mutations surface
+    * it). Stamps the `#ts=` commit-time header.
     */
   private[sinks] def writeManifest(fs: FileSystem, base: Path, v: Long,
       files: Seq[String], headers: Seq[String] = Nil): Unit = {
     val dst = manifestPath(base, v)
     require(!fs.exists(dst),
       s"version $v already committed at $base — concurrent writer?")
-    val side = new Path(dst.getParent, dst.getName + ".writing")
+    val side = new Path(dst.getParent, dst.getName + "." +
+      java.util.UUID.randomUUID().toString.take(8) + ".writing")
+    val hs = s"#ts=${System.currentTimeMillis()}" +: headers
+    val bytes = ((hs ++ files).mkString("\n") + "\n").getBytes("UTF-8")
     val out = fs.create(side, true)
-    try out.write(((headers ++ files).mkString("\n") + "\n")
-      .getBytes("UTF-8"))
+    try out.write(bytes)
     finally out.close()
     require(fs.rename(side, dst), s"manifest commit $side -> $dst failed")
+    // POSIX-rename stores (local FS) can REPLACE an existing
+    // destination, so two publishes racing past the exists-probe can
+    // both "succeed" — read back and require OUR bytes won (the #ts
+    // stamp plus unique append dirs make racing contents always
+    // distinct). The loser gets the same already-committed refusal the
+    // probe gives, so appends rebase and mutations fail loudly; on
+    // atomic no-replace stores (HDFS) the rename itself already
+    // guarantees this.
+    val in = fs.open(dst)
+    val back =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    require(java.util.Arrays.equals(back, bytes),
+      s"version $v already committed at $base — a racing writer won " +
+        "the publish rename")
   }
 
-  /** Per-file (min, max) of `statsCol` over THIS commit's new files —
-    * one column-pruned read of exactly those files, mapped back to
-    * manifest-relative entries. Files holding ANY null in the stats
-    * column record no stats (and are never pruned): (min, max) says
-    * nothing about null rows, so a whole-file decision made from it —
-    * [[rangeFiles]] skipping, [[commitDeleteRange]]'s manifest-only
-    * drops — would be unsound for them. The column must be
+  /** Per-file (min, max, nullCount) of every stats column over THIS
+    * commit's new files — one column-pruned read of exactly those
+    * files, mapped back to manifest-relative v2 entries. Null-bearing
+    * files DO record stats (min/max over the non-null values, plus the
+    * explicit null count that keeps whole-file decisions sound); an
+    * all-null column records `-` for min/max. Columns must be
     * integer-typed: the stats ride the manifest as exact longs.
     */
   private def statEntries(spark: SparkSession, fs: FileSystem, base: Path,
-      rels: Seq[String], statsCol: String): Seq[String] = {
-    if (rels.isEmpty) return rels
-    val byFile = spark.read.parquet(rels.map(qualified(fs, base, _)): _*)
-      .select(col(statsCol).cast("long").as("__s"),
-        col("_metadata.file_path").as("__f"))
-      .groupBy("__f").agg(min("__s").as("lo"), max("__s").as("hi"),
-        count(when(col("__s").isNull, lit(1))).as("nulls"))
+      rels: Seq[String], statsCols: Seq[String]): Seq[String] = {
+    if (rels.isEmpty || statsCols.isEmpty) return rels
+    val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      val l = col(c).cast("long")
+      Seq(min(l).as(s"lo$i"), max(l).as(s"hi$i"),
+        count(when(l.isNull, lit(1))).as(s"nn$i"))
+    }
+    val rows = spark.read.parquet(rels.map(qualified(fs, base, _)): _*)
+      .select(statsCols.map(col) :+
+        col("_metadata.file_path").as("__f"): _*)
+      .groupBy("__f").agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per new file of this commit
-      .flatMap { r =>
-        if (r.isNullAt(1) || r.isNullAt(2) || r.getLong(3) > 0L) None
-        else Some(r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      }.toMap
+    val byFile = rows.map { r =>
+      val triples = statsCols.indices.map { i =>
+        val lo = if (r.isNullAt(1 + i * 3)) "-" else r.getLong(1 + i * 3).toString
+        val hi = if (r.isNullAt(2 + i * 3)) "-" else r.getLong(2 + i * 3).toString
+        s"$lo\t$hi\t${r.getLong(3 + i * 3)}"
+      }.mkString("\t")
+      r.getString(0) -> triples
+    }.toMap
     rels.map { rel =>
       byFile.collectFirst {
-        case (abs, (lo, hi)) if abs.endsWith("/" + rel) ||
-          abs == qualified(fs, base, rel) => s"$rel\t$lo\t$hi"
+        case (abs, t) if abs.endsWith("/" + rel) ||
+          abs == qualified(fs, base, rel) => s"$rel\t$t"
       }.getOrElse(rel)
     }
   }
 
-  /** Relative `data/...` paths of the parquet part files under a commit
-    * dir.
+  /** Relative paths of the parquet part files under `rel` (a commit's
+    * data dir).
     */
-  private def commitFiles(fs: FileSystem, base: Path,
-      v: Long): Seq[String] = {
-    val cd = new Path(base, s"$DataName/c$v")
+  private def partFilesUnder(fs: FileSystem, base: Path,
+      rel: String): Seq[String] = {
+    val cd = new Path(base, rel)
     fs.listStatus(cd).iterator
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$DataName/c$v/${s.getPath.getName}").toSeq.sorted
+      .map(s => s"$rel/${s.getPath.getName}").toSeq.sorted
   }
+
+  private def commitFiles(fs: FileSystem, base: Path,
+      v: Long): Seq[String] =
+    partFilesUnder(fs, base, s"$DataName/c$v")
 
   private def qualified(fs: FileSystem, base: Path, rel: String): String =
     fs.makeQualified(new Path(base, rel)).toString
 
   /** Append `df` as a new version; returns the committed version number.
-    * The data write targets this commit's own `c<v>` dir (mode overwrite:
-    * a crashed attempt at the SAME version left orphans there and no
-    * manifest — the retry replaces them wholesale).
     *
-    * `statsCol` (an integer-typed column) enables per-file (min, max)
-    * MANIFEST STATISTICS — the Iceberg file-skipping discipline:
-    * [[readAsOfRange]] prunes the file list driver-side from the
-    * manifest alone, no footer reads, no file opens. Enable it on the
-    * first commit; every later commit (append, stream batch, delete
-    * rewrite, compaction) propagates it automatically via the
-    * `#stats=` header, so callers pass it once. Passing a DIFFERENT
-    * column than the lake already carries fails loudly.
+    * OPTIMISTIC CONCURRENCY (appends commute): the data lands under a
+    * unique `data/a<token>` dir — never shared with any other writer —
+    * and the publish runs a rebase-retry loop: when a racing commit
+    * lands the probed version first, this append re-reads the
+    * now-current manifest, carries ITS entries, and retries the rename
+    * as the next version. Two interleaved appends both land (versions
+    * n and n+1, union membership); `beforePublish` is the deterministic
+    * seam (invoked once per publish attempt, after this attempt's
+    * entries are final) racing-writer tests and external coordination
+    * hooks use. A crashed append leaves an unreferenced token dir —
+    * invisible to readers, reclaimed by [[vacuum]].
+    *
+    * `statsCol` enables per-file MANIFEST STATISTICS — the Iceberg
+    * file-skipping discipline: [[readAsOfRange]] prunes the file list
+    * driver-side from the manifest alone, no footer reads, no file
+    * opens. The string names ONE OR MORE comma-separated integer-typed
+    * columns (e.g. `"doc_id"` or `"doc_id,event_ts"`); every later
+    * commit propagates the list automatically via the `#stats=` header,
+    * so callers pass it once. Passing a DIFFERENT list than the lake
+    * already carries fails loudly.
     */
   def commitAppend(spark: SparkSession, dir: String, df: DataFrame,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None,
+      beforePublish: () => Unit = () => ()): Long = {
     val (fs, base) = fsOf(spark, dir)
-    val v = currentVersion(spark, dir) + 1
-    val effective = resolveStatsCol(spark, dir, v - 1, statsCol)
-    df.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
-    val prev = if (v == 1) Seq.empty else fileEntries(fs, base, v - 1)
-    val fresh = newEntries(spark, fs, base, v, effective)
-    writeManifest(fs, base, v, prev ++ fresh,
-      headers = effective.map("#stats=" + _).toSeq)
-    v
+    val token = java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    val rel = s"$DataName/a$token"
+    df.write.mode("overwrite").parquet(s"$dir/$rel")
+    val rels = partFilesUnder(fs, base, rel)
+    // stats entries depend only on this append's (immutable) files and
+    // the effective column list — cache per list across rebase retries
+    var statsCache = Map.empty[String, Seq[String]]
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(spark, dir)
+      val v = cur + 1
+      val cols = resolveStatsCols(spark, dir, cur, statsCol)
+      val key = cols.mkString(",")
+      val fresh =
+        if (cols.isEmpty) rels
+        else statsCache.getOrElse(key, {
+          val e = statEntries(spark, fs, base, rels, cols)
+          statsCache += key -> e
+          e
+        })
+      val prev = if (cur == 0) Seq.empty else fileEntries(fs, base, cur)
+      beforePublish()
+      try {
+        writeManifest(fs, base, v, prev ++ fresh,
+          headers = statsHeaders(cols))
+        committed = v
+      } catch {
+        // ONLY the lost-race refusal rebases (the version now exists —
+        // a racing writer landed it); any other failure propagates
+        case e: IllegalArgumentException
+            if fs.exists(manifestPath(base, v)) =>
+          attempt += 1
+          if (attempt > MaxCommitRetries) throw new IllegalStateException(
+            s"commitAppend at $dir lost $MaxCommitRetries straight " +
+              "publish races — livelocked store or a runaway writer", e)
+      }
+    }
+    committed
   }
 
-  /** The stats column a new commit must carry: the lake's existing one,
-    * or the caller's on the enabling commit — never a silent switch.
+  /** The stats columns a new commit must carry: the lake's existing
+    * list, or the caller's on the enabling commit — never a silent
+    * switch.
     */
-  private def resolveStatsCol(spark: SparkSession, dir: String,
-      prevV: Long, asked: Option[String]): Option[String] = {
+  private def resolveStatsCols(spark: SparkSession, dir: String,
+      prevV: Long, asked: Option[String]): Seq[String] = {
     val carried =
       if (prevV < 1) None else statsColOf(spark, dir, prevV)
     (carried, asked) match {
       case (Some(c), Some(a)) =>
-        require(c == a, s"lake at $dir carries stats on '$c' but the " +
-          s"commit asked for '$a' — a lake has ONE stats column")
-        Some(c)
-      case (Some(c), None) => Some(c)
-      case (None, a) => a
+        require(splitCols(c) == splitCols(a),
+          s"lake at $dir carries stats on '$c' but the commit asked " +
+            s"for '$a' — a lake has ONE stats column list")
+        splitCols(c)
+      case (Some(c), None) => splitCols(c)
+      case (None, a) => a.map(splitCols).getOrElse(Seq.empty)
     }
   }
 
@@ -250,10 +411,8 @@ object VersionedLake {
     * them.
     */
   private def newEntries(spark: SparkSession, fs: FileSystem, base: Path,
-      v: Long, statsCol: Option[String]): Seq[String] = {
-    val rels = commitFiles(fs, base, v)
-    statsCol.fold(rels)(statEntries(spark, fs, base, rels, _))
-  }
+      v: Long, statsCols: Seq[String]): Seq[String] =
+    statEntries(spark, fs, base, commitFiles(fs, base, v), statsCols)
 
   /** Exactly-once streaming append: commit micro-batch `batchId` as a
     * new version, carrying the batch id as a `#batch=` header inside
@@ -263,8 +422,12 @@ object VersionedLake {
     * already-committed version without writing anything. Streaming
     * delivers batches in order, one at a time, so the newest version's
     * header is the complete dedup state — no applied-batch ledger to
-    * grow. An OLDER batch id than the newest committed one is a
-    * checkpoint/lake pairing error and fails loudly.
+    * grow ([[restore]] keeps that invariant by stamping the target
+    * version's cursor, so rolled-back batches re-apply on re-delivery).
+    * An OLDER batch id than the newest committed one is a
+    * checkpoint/lake pairing error and fails loudly. Single writer per
+    * lake, like every mutation (the stream's checkpoint already
+    * serializes its own batches).
     */
   def commitAppendForBatch(spark: SparkSession, dir: String, df: DataFrame,
       batchId: Long): Long = {
@@ -284,13 +447,12 @@ object VersionedLake {
       case None => ()
     }
     val v = cur + 1
-    val effective = resolveStatsCol(spark, dir, v - 1, None)
+    val cols = resolveStatsCols(spark, dir, v - 1, None)
     df.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
     val prev = if (v == 1) Seq.empty else fileEntries(fs, base, v - 1)
     writeManifest(fs, base, v,
-      prev ++ newEntries(spark, fs, base, v, effective),
-      headers = s"#batch=$batchId" +:
-        effective.map("#stats=" + _).toSeq)
+      prev ++ newEntries(spark, fs, base, v, cols),
+      headers = s"#batch=$batchId" +: statsHeaders(cols))
     v
   }
 
@@ -326,7 +488,7 @@ object VersionedLake {
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
     require(cur > 0, s"commitDelete on an empty lake at $dir")
-    val files = readManifest(fs, base, cur)
+    val files = fileEntries(fs, base, cur).map(entryPath)
     if (files.isEmpty) return (0L, 0L, 0L)
     val abs = files.map(qualified(fs, base, _))
     val dels = ids.select(col(ids.columns.head).as(idCol)).distinct()
@@ -342,8 +504,8 @@ object VersionedLake {
     // map back to manifest-relative names: qualified-URI equality first,
     // then a scheme-independent suffix match — `_metadata.file_path` and
     // makeQualified can normalize the same file differently on some
-    // filesystems (authority/port form), and a relative `data/cN/part-*`
-    // suffix identifies a lake file unambiguously either way
+    // filesystems (authority/port form), and a relative data-dir suffix
+    // identifies a lake file unambiguously either way
     val relByQualified = files.map(f => qualified(fs, base, f) -> f).toMap
     val affectedRel = affectedAbs.toSeq.flatMap { abs =>
       relByQualified.get(abs)
@@ -354,19 +516,19 @@ object VersionedLake {
         s"${affectedRel.size} resolved against the v$cur manifest — " +
         "path qualification mismatch; aborting before any commit")
     val v = cur + 1
-    val effective = resolveStatsCol(spark, dir, cur, None)
+    val cols = resolveStatsCols(spark, dir, cur, None)
     spark.read.parquet(affectedRel.map(qualified(fs, base, _)): _*)
       .join(dels, Seq(idCol), "left_anti")
       .write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
     // survivor files keep their manifest ENTRIES verbatim (stats
     // included — their bytes did not change); the rewrite's files get
-    // fresh stats under the lake's carried column
+    // fresh stats under the lake's carried columns
     val affectedSet = affectedRel.toSet
     val survivors = fileEntries(fs, base, cur)
       .filterNot(e => affectedSet.contains(entryPath(e)))
     writeManifest(fs, base, v,
-      survivors ++ newEntries(spark, fs, base, v, effective),
-      headers = effective.map("#stats=" + _).toSeq)
+      survivors ++ newEntries(spark, fs, base, v, cols),
+      headers = statsHeaders(cols))
     (v, affectedRel.size.toLong, nRemoved)
   }
 
@@ -389,9 +551,16 @@ object VersionedLake {
     * contract [[commitDelete]] and the CDC operators assume), and
     * `updates` must carry each id at most once (enforced loudly:
     * "last update wins" among duplicates is nondeterministic under
-    * shuffle). `updates` must have exactly the lake's columns (any
-    * order). An all-insert upsert (no matched id) commits like an
-    * append. Returns (version, nFilesRewritten, nRowsUpdated).
+    * shuffle). `updates` must carry EVERY lake column at the lake's
+    * exact type (name-set equality alone would let Spark's union
+    * silently widen long+string→string and write a version whose new
+    * files disagree with the carried files' types — the exact-integer
+    * read contract forbids it), and MAY carry additional new columns:
+    * SCHEMA EVOLUTION — the new columns land on this commit's files,
+    * and untouched old files read them as NULL under
+    * `readAsOf(mergeSchema = true)` / [[changesBetween]]. An all-insert
+    * upsert (no matched id) commits like an append. Returns
+    * (version, nFilesRewritten, nRowsUpdated).
     */
   def commitUpsert(spark: SparkSession, dir: String, idCol: String,
       updates: DataFrame): (Long, Long, Long) = {
@@ -411,16 +580,44 @@ object VersionedLake {
       updates: DataFrame, extraHeaders: Seq[String]): (Long, Long, Long) = {
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
-    val files = if (cur == 0) Seq.empty else readManifest(fs, base, cur)
-    // an empty-manifest current version has no schema to align against —
-    // the whole upsert is a pure insert typed by the updates frame
-    val lakeCols =
-      if (files.isEmpty) updates.columns.toSeq
-      else readAsOf(spark, dir, cur).columns.toSeq
-    require(updates.columns.toSet == lakeCols.toSet,
-      s"updates columns ${updates.columns.sorted.mkString(",")} != lake " +
-        s"columns ${lakeCols.sorted.mkString(",")}")
-    val upd = updates.select(lakeCols.map(col): _*)
+    val files =
+      if (cur == 0) Seq.empty
+      else fileEntries(fs, base, cur).map(entryPath)
+    // the lake's schema is the UNION of its files' schemas (columns a
+    // later commit added read as NULL in older files) — a footer-only
+    // read of the current file list, no data touched. An
+    // empty-manifest current version has no schema to align against:
+    // the whole upsert is a pure insert typed by the updates frame.
+    val lakeSchema: org.apache.spark.sql.types.StructType =
+      if (files.isEmpty) updates.schema
+      else spark.read.option("mergeSchema", "true")
+        .parquet(files.map(qualified(fs, base, _)): _*).schema
+    val lakeCols = lakeSchema.fieldNames.toSeq
+    val missing = lakeCols.filterNot(updates.columns.contains)
+    require(missing.isEmpty,
+      s"updates lack lake column(s) ${missing.mkString(",")} — an upsert " +
+        "must carry every lake column (schema evolution ADDS columns, " +
+        "never drops them)")
+    // structural type equality on every shared column (nullability
+    // aside — parquet round-trips flip containsNull/nullable freely):
+    // unionByName would otherwise silently coerce (long+string→string,
+    // long+double→double) and write a version whose new files carry a
+    // different schema than the carried files — a corrupted lake,
+    // caught loudly here instead
+    lakeSchema.fields.foreach { f =>
+      val u = updates.schema(f.name)
+      require(org.apache.spark.sql.types.DataType.equalsStructurally(
+        u.dataType, f.dataType, ignoreNullability = true),
+        s"updates column '${f.name}' is ${u.dataType.simpleString} but " +
+          s"the lake at $dir carries ${f.dataType.simpleString} — cast " +
+          "explicitly; an implicit union coercion would rewrite the " +
+          "column's type behind every reader's back")
+    }
+    // schema evolution: columns only the updates carry, appended after
+    // the lake's (stable output order); old files read them as NULL
+    val newCols = updates.columns.toSeq.filterNot(lakeCols.contains)
+    val outCols = lakeCols ++ newCols
+    val upd = updates.select(outCols.map(col): _*)
     // duplicate ids in ONE updates frame have no deterministic winner —
     // refuse them before anything is written (bounded: limit 1)
     val dup = upd.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
@@ -449,13 +646,20 @@ object VersionedLake {
         s"${affectedRel.size} resolved against the v$cur manifest — " +
         "path qualification mismatch; aborting before any commit")
     val v = cur + 1
-    val effective = resolveStatsCol(spark, dir, cur, None)
+    val cols = resolveStatsCols(spark, dir, cur, None)
     val fresh =
       if (affectedRel.isEmpty) upd
-      else spark.read.parquet(affectedRel.map(qualified(fs, base, _)): _*)
-        .join(updIds, Seq(idCol), "left_anti")
-        .select(lakeCols.map(col): _*)
-        .unionByName(upd)
+      else {
+        val surv = spark.read.option("mergeSchema", "true")
+          .parquet(affectedRel.map(qualified(fs, base, _)): _*)
+          .join(updIds, Seq(idCol), "left_anti")
+        // an affected OLD file may predate evolution columns — project
+        // them in as typed NULLs so the union stays coercion-free
+        surv.select(outCols.map(c =>
+            if (surv.columns.contains(c)) col(c)
+            else lit(null).cast(updates.schema(c).dataType).as(c)): _*)
+          .unionByName(upd)
+      }
     fresh.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
     val affectedSet = affectedRel.toSet
     val survivors =
@@ -463,8 +667,8 @@ object VersionedLake {
       else fileEntries(fs, base, cur)
         .filterNot(e => affectedSet.contains(entryPath(e)))
     writeManifest(fs, base, v,
-      survivors ++ newEntries(spark, fs, base, v, effective),
-      headers = extraHeaders ++ effective.map("#stats=" + _).toSeq)
+      survivors ++ newEntries(spark, fs, base, v, cols),
+      headers = extraHeaders ++ statsHeaders(cols))
     (v, affectedRel.size.toLong, nUpdated)
   }
 
@@ -476,7 +680,10 @@ object VersionedLake {
     * restart) is recognized and writes NOTHING, not even reading its
     * rows; an OLDER batch id is a checkpoint/lake pairing error and
     * fails loudly; headerless maintenance commits (deletes,
-    * compactions) interleave without blinding the check. The first
+    * compactions) interleave without blinding the check, and a
+    * [[restore]] rewinds the cursor with the state (its `#batch=`
+    * stamp), so a rollback across streaming versions re-applies
+    * re-delivered batches instead of silently dropping them. The first
     * batch may CREATE the lake — a CDC ingest starts somewhere.
     * Returns the committed (or already-committed) version.
     */
@@ -528,7 +735,13 @@ object VersionedLake {
     * contract), so at 100 TB the cost is bounded by the CHURN between
     * the versions, not the lake.
     *
-    * Returns the lake's columns plus `change_type`:
+    * SCHEMA EVOLUTION: the change schema is the UNION of the changed
+    * files' schemas (a footer read bounded by the churn) — a column
+    * added between the versions reads as NULL in the old side's
+    * preimages, exactly how `readAsOf(mergeSchema = true)` reads the
+    * old files themselves.
+    *
+    * Returns the union columns plus `change_type`:
     * `insert` / `delete`, and for ids present on BOTH sides (an upsert
     * replaced the row) `update_preimage` / `update_postimage` — the
     * id-pairing assumes the lake's one-row-per-id contract, like every
@@ -546,25 +759,30 @@ object VersionedLake {
     require(vFrom <= vTo,
       s"changesBetween: vFrom=$vFrom must not exceed vTo=$vTo")
     val (fs, base) = fsOf(spark, dir)
-    val from = readManifest(fs, base, vFrom)
-    val to = readManifest(fs, base, vTo)
+    val from = fileEntries(fs, base, vFrom).map(entryPath)
+    val to = fileEntries(fs, base, vTo).map(entryPath)
     val toSet = to.toSet
     val fromSet = from.toSet
     val removed = from.filterNot(toSet.contains)
     val added = to.filterNot(fromSet.contains)
+    val changed = removed ++ added
     val schema: org.apache.spark.sql.types.StructType =
-      (added ++ removed).headOption match {
-        case Some(rel) =>
-          spark.read.parquet(qualified(fs, base, rel)).schema
-        case None => schemaHint.getOrElse(throw new IllegalArgumentException(
-          s"versions $vFrom and $vTo of $dir share every file (no " +
-            "changes) and no schemaHint was given for the empty result"))
-      }
+      if (changed.nonEmpty)
+        // union schema over the churn only — evolution-added columns
+        // appear; an old-side read projects them as NULL below
+        spark.read.option("mergeSchema", "true")
+          .parquet(changed.map(qualified(fs, base, _)): _*).schema
+      else schemaHint.getOrElse(throw new IllegalArgumentException(
+        s"versions $vFrom and $vTo of $dir share every file (no " +
+          "changes) and no schemaHint was given for the empty result"))
     def side(rels: Seq[String]): DataFrame =
-      if (rels.nonEmpty)
-        spark.read.parquet(rels.map(qualified(fs, base, _)): _*)
-          .select(schema.fieldNames.toSeq.map(col): _*)
-      else spark.createDataFrame(
+      if (rels.nonEmpty) {
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(rels.map(qualified(fs, base, _)): _*)
+        df.select(schema.fields.toSeq.map(f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      } else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val a = side(removed) // rows leaving between vFrom and vTo
     val b = side(added)   // rows arriving
@@ -584,49 +802,77 @@ object VersionedLake {
       .unionByName(tag(ins, "update_postimage", "insert"))
   }
 
-  /** Range delete on the stats column — the TTL/retention shape
-    * (`DELETE WHERE ts BETWEEN ...`) with the Iceberg metadata-delete
-    * optimization: manifest statistics classify every file
-    * driver-side, files FULLY inside `[lower, upper]` leave the new
-    * manifest WITHOUT being read or rewritten (a whole-partition
-    * retention sweep is a manifest-only commit), only files
-    * STRADDLING a range boundary rewrite (their surviving rows), and
-    * files outside the range carry over by name. At 100 TB this is
-    * the difference between a retention job that rewrites a year of
-    * data and one that drops it by name — the dropped files stay on
-    * disk for time travel, reclaimed by [[vacuum]] like every other
-    * dead file.
-    *
-    * Files WITHOUT stats (null-bearing, all-null, or pre-stats
-    * commits) cannot be classified whole, so they are treated as
-    * straddling and rewritten — never silently kept. NULLs in the
-    * stats column never match a range (SQL semantics) and survive
-    * every range delete.
-    * Requires the lake to carry a stats column. Returns
-    * (version, filesDropped, filesRewritten, rowsRemoved) — dropped
-    * files' row counts come from parquet footers only (no data read);
-    * an empty intersection commits nothing and returns version 0.
+  /** Range delete on the FIRST stats column — see the column-named
+    * overload.
     */
   def commitDeleteRange(spark: SparkSession, dir: String,
+      lower: Long, upper: Long): (Long, Long, Long, Long) = {
+    val cur = currentVersion(spark, dir)
+    require(cur > 0, s"commitDeleteRange on an empty lake at $dir")
+    val cols = statsColsOf(spark, dir, cur)
+    require(cols.nonEmpty,
+      s"lake at $dir carries no manifest statistics — " +
+        "commitAppend(statsCol=...) enables them")
+    commitDeleteRange(spark, dir, cols.head, lower, upper)
+  }
+
+  /** Range delete on a named stats column — the TTL/retention shape
+    * (`DELETE WHERE col BETWEEN ...`) with the Iceberg metadata-delete
+    * optimization: manifest statistics classify every file
+    * driver-side, files FULLY inside `[lower, upper]` AND provably
+    * null-free leave the new manifest WITHOUT being read or rewritten
+    * (a whole-partition retention sweep is a manifest-only commit),
+    * only files STRADDLING a range boundary rewrite (their surviving
+    * rows), and files outside the range — including all-null files —
+    * carry over by name. At 100 TB this is the difference between a
+    * retention job that rewrites a year of data and one that drops it
+    * by name — the dropped files stay on disk for time travel,
+    * reclaimed by [[vacuum]] like every other dead file.
+    *
+    * NULLs in the stats column never match a range (SQL semantics) and
+    * survive every range delete — which is exactly why the whole-file
+    * drop demands a RECORDED ZERO null count: v2 entries carry one;
+    * LEGACY entries (pre-null-count manifests) and stats-less files
+    * cannot prove null-freedom, so they classify as straddling and
+    * REWRITE — never a silent whole-file drop, never a silent keep.
+    *
+    * Returns (version, filesDropped, filesRewritten, rowsRemoved) —
+    * dropped files' row counts come from parquet footers only (no data
+    * read); an empty intersection commits nothing and returns
+    * version 0.
+    */
+  def commitDeleteRange(spark: SparkSession, dir: String, colName: String,
       lower: Long, upper: Long): (Long, Long, Long, Long) = {
     require(lower <= upper,
       s"commitDeleteRange: lower=$lower exceeds upper=$upper")
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
     require(cur > 0, s"commitDeleteRange on an empty lake at $dir")
-    val statsCol = statsColOf(spark, dir, cur).getOrElse(throw
-      new IllegalArgumentException(s"lake at $dir carries no manifest " +
-        "statistics — commitAppend(statsCol=...) enables them"))
+    val cols = statsColsOf(spark, dir, cur)
+    val colIdx = cols.indexOf(colName)
+    require(colIdx >= 0,
+      s"lake at $dir carries no manifest statistics on '$colName' " +
+        s"(stats columns: ${if (cols.isEmpty) "none" else cols.mkString(",")})" +
+        " — commitAppend(statsCol=...) enables them")
     val entries = fileEntries(fs, base, cur)
     if (entries.isEmpty) return (0L, 0L, 0L, 0L)
     // driver-side classification from the manifest alone
-    val (inside, rest) = entries.partition(e => entryStats(e).exists {
-      case (lo, hi) => lo >= lower && hi <= upper
-    })
-    val (straddling, outside) = rest.partition(e => entryStats(e) match {
-      case Some((lo, hi)) => hi >= lower && lo <= upper
-      case None => true // unclassifiable: rewrite, never silently keep
-    })
+    sealed trait Cls
+    object Drop extends Cls; object Carry extends Cls
+    object Rewrite extends Cls
+    def classify(e: String): Cls = colStat(e, colIdx) match {
+      case Some(ColStat(Some(lo), Some(hi), nulls)) =>
+        if (hi < lower || lo > upper) Carry // disjoint — nulls don't matter
+        else if (lo >= lower && hi <= upper && nulls.contains(0L)) Drop
+        else Rewrite // straddling, or inside with (possible) null rows
+      case Some(ColStat(None, None, Some(n))) if n > 0 =>
+        Carry // all-null file: no row can match a range
+      case _ => Rewrite // no stats: unclassifiable — never silently keep
+    }
+    val byCls = entries.groupBy(classify)
+    val inside = byCls.getOrElse(Drop, Seq.empty)
+    val straddling = byCls.getOrElse(Rewrite, Seq.empty)
+    val outside = byCls.getOrElse(Carry, Seq.empty)
     if (inside.isEmpty && straddling.isEmpty) return (0L, 0L, 0L, 0L)
     // dropped rows counted from footers only (a count() over parquet
     // with no filter is metadata-driven — no column data is read)
@@ -647,7 +893,7 @@ object VersionedLake {
     // nulls never match a range — they must SURVIVE (a bare !between
     // would drop them: three-valued logic)
     val survivorsOpt = srcOpt.map(_.filter(coalesce(
-      !col(statsCol).cast("long").between(lower, upper), lit(true))))
+      !col(colName).cast("long").between(lower, upper), lit(true))))
     val removedFromStraddling = (srcOpt, survivorsOpt) match {
       case (Some(src), Some(sv)) => src.count() - sv.count()
       case _ => 0L
@@ -657,11 +903,11 @@ object VersionedLake {
     val rewritten = survivorsOpt match {
       case Some(sv) =>
         sv.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
-        newEntries(spark, fs, base, v, Some(statsCol))
+        newEntries(spark, fs, base, v, cols)
       case None => Seq.empty[String]
     }
     writeManifest(fs, base, v, outside ++ rewritten,
-      headers = Seq("#stats=" + statsCol))
+      headers = statsHeaders(cols))
     (v, inside.size.toLong, straddling.size.toLong,
       droppedRows + removedFromStraddling)
   }
@@ -678,7 +924,7 @@ object VersionedLake {
       schemaHint: Option[org.apache.spark.sql.types.StructType] = None,
       mergeSchema: Boolean = false): DataFrame = {
     val (fs, base) = fsOf(spark, dir)
-    val files = readManifest(fs, base, v)
+    val files = fileEntries(fs, base, v).map(entryPath)
     if (files.nonEmpty)
       spark.read.option("mergeSchema", mergeSchema.toString)
         .parquet(files.map(qualified(fs, base, _)): _*)
@@ -693,42 +939,70 @@ object VersionedLake {
   /** The data files that ARE version `v`, manifest-relative. */
   def filesOf(spark: SparkSession, dir: String, v: Long): Seq[String] = {
     val (fs, base) = fsOf(spark, dir)
-    readManifest(fs, base, v)
+    fileEntries(fs, base, v).map(entryPath)
   }
 
-  /** Version `v`'s files whose manifest stats ADMIT `[lower, upper]` on
-    * the lake's stats column — the driver-side skip decision, from the
-    * manifest alone: no footer read, no file open. Files without stats
-    * (all-null, or committed before stats were enabled) are never
-    * pruned. Returns (admitted files, total files).
-    */
+  /** [[rangeFiles]] on the FIRST stats column. */
   def rangeFiles(spark: SparkSession, dir: String, v: Long,
       lower: Long, upper: Long): (Seq[String], Long) = {
+    val cols = statsColsOf(spark, dir, v)
+    rangeFiles(spark, dir, v, cols.headOption.getOrElse(""), lower, upper)
+  }
+
+  /** Version `v`'s files whose manifest stats on `colName` ADMIT
+    * `[lower, upper]` — the driver-side skip decision, from the
+    * manifest alone: no footer read, no file open. Files without stats
+    * on the column are never pruned; all-null files ARE pruned (a NULL
+    * never matches a BETWEEN, so a range read loses nothing). Returns
+    * (admitted files, total files).
+    */
+  def rangeFiles(spark: SparkSession, dir: String, v: Long,
+      colName: String, lower: Long, upper: Long): (Seq[String], Long) = {
     val (fs, base) = fsOf(spark, dir)
+    val colIdx = statsColsOf(spark, dir, v).indexOf(colName)
     val entries = fileEntries(fs, base, v)
     val kept = entries.filter { e =>
-      entryStats(e).forall { case (lo, hi) => hi >= lower && lo <= upper }
+      if (colIdx < 0) true
+      else colStat(e, colIdx) match {
+        case Some(ColStat(Some(lo), Some(hi), _)) =>
+          hi >= lower && lo <= upper
+        case Some(ColStat(None, None, Some(n))) if n > 0 =>
+          false // all-null: no row of it can match the range
+        case _ => true // no stats — never pruned
+      }
     }.map(entryPath)
     (kept, entries.size.toLong)
   }
 
-  /** The rows of version `v` whose stats column lies in
-    * `[lower, upper]` — manifest stats prune the file list FIRST
-    * ([[rangeFiles]]), then the residual predicate runs over only the
-    * admitted files (whose row groups parquet min/max prune further).
-    * Requires the lake to carry a stats column. At 100 TB this is the
-    * difference between opening every file of a version and opening the
-    * few whose range can match.
-    */
+  /** [[readAsOfRange]] on the FIRST stats column. */
   def readAsOfRange(spark: SparkSession, dir: String, v: Long,
       lower: Long, upper: Long,
       schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
-    val statsCol = statsColOf(spark, dir, v).getOrElse(throw
-      new IllegalArgumentException(s"version $v of $dir carries no " +
-        "manifest statistics — commitAppend(statsCol=...) enables them"))
+    val cols = statsColsOf(spark, dir, v)
+    require(cols.nonEmpty,
+      s"version $v of $dir carries no manifest statistics — " +
+        "commitAppend(statsCol=...) enables them")
+    readAsOfRange(spark, dir, v, cols.head, lower, upper, schemaHint)
+  }
+
+  /** The rows of version `v` whose `colName` lies in `[lower, upper]` —
+    * manifest stats prune the file list FIRST ([[rangeFiles]]), then
+    * the residual predicate runs over only the admitted files (whose
+    * row groups parquet min/max prune further). Requires the lake to
+    * carry stats on the column. At 100 TB this is the difference
+    * between opening every file of a version and opening the few whose
+    * range can match.
+    */
+  def readAsOfRange(spark: SparkSession, dir: String, v: Long,
+      colName: String, lower: Long, upper: Long,
+      schemaHint: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    require(statsColsOf(spark, dir, v).contains(colName),
+      s"version $v of $dir carries no manifest statistics on " +
+        s"'$colName' — commitAppend(statsCol=...) enables them")
     val (fs, base) = fsOf(spark, dir)
-    val (kept, _) = rangeFiles(spark, dir, v, lower, upper)
+    val (kept, _) = rangeFiles(spark, dir, v, colName, lower, upper)
     val frame =
       if (kept.nonEmpty)
         spark.read.parquet(kept.map(qualified(fs, base, _)): _*)
@@ -739,7 +1013,7 @@ object VersionedLake {
           s"range [$lower,$upper] admits no file of version $v and no " +
             "schemaHint was given")
       }
-    frame.filter(col(statsCol).cast("long").between(lower, upper))
+    frame.filter(col(colName).cast("long").between(lower, upper))
   }
 
   /** Maintenance rewrite: the CURRENT version's content re-laid-out
@@ -769,9 +1043,9 @@ object VersionedLake {
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
     require(cur > 0, s"compact on an empty lake at $dir")
-    if (readManifest(fs, base, cur).isEmpty) return cur // nothing to lay out
+    if (fileEntries(fs, base, cur).isEmpty) return cur // nothing to lay out
     val v = cur + 1
-    val effective = resolveStatsCol(spark, dir, cur, None)
+    val cols = resolveStatsCols(spark, dir, cur, None)
     val current = readAsOf(spark, dir, cur)
     val laid = sortCol match {
       case Some(c) => current.repartitionByRange(nFiles, col(c))
@@ -779,8 +1053,8 @@ object VersionedLake {
       case None => current.repartition(nFiles)
     }
     laid.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
-    writeManifest(fs, base, v, newEntries(spark, fs, base, v, effective),
-      headers = effective.map("#stats=" + _).toSeq)
+    writeManifest(fs, base, v, newEntries(spark, fs, base, v, cols),
+      headers = statsHeaders(cols))
     v
   }
 
@@ -794,7 +1068,17 @@ object VersionedLake {
     * consumers as the inverse of what it undoes), and the restore
     * itself can be restored away. Fails loudly if `v` was vacuumed.
     * Restoring the current version is refused — an empty commit is not
-    * history. Returns the new version.
+    * history.
+    *
+    * STREAMING CURSOR: when the lake carries any `#batch=` provenance,
+    * the restore stamps the batch cursor AS OF the target version
+    * (the newest batch id at or below `v`, or `-1` when none) — the
+    * exactly-once replay check reads the newest header, so without the
+    * stamp a restore that undoes streaming versions would leave a
+    * STALE cursor and a legitimately re-delivered batch would be
+    * silently skipped, permanently losing its rows. With it, rolled-
+    * back batches re-apply and already-reflected ones still dedupe.
+    * Returns the new version.
     */
   def restore(spark: SparkSession, dir: String, v: Long): Long = {
     val (fs, base) = fsOf(spark, dir)
@@ -803,13 +1087,21 @@ object VersionedLake {
     require(v < cur,
       s"restore target v$v is not BEHIND the current version v$cur")
     val entries = fileEntries(fs, base, v) // loud if vacuumed
-    // the restored version's stats column (possibly none) becomes the
+    // the restored version's stats columns (possibly none) become the
     // lake's again — a restore rolls back the WHOLE table state,
     // including whether statistics were enabled
-    val stats = statsColOf(spark, dir, v)
+    val stats = statsColsOf(spark, dir, v)
+    val all = versions(spark, dir)
+    val batchHeaders =
+      if (all.exists(x => batchOf(fs, base, x).isDefined)) {
+        val cursorAtV = all.filter(_ <= v).reverseIterator
+          .map(x => batchOf(fs, base, x))
+          .collectFirst { case Some(b) => b }
+        Seq(s"#batch=${cursorAtV.getOrElse(-1L)}")
+      } else Seq.empty
     val nv = cur + 1
     writeManifest(fs, base, nv, entries,
-      headers = stats.map("#stats=" + _).toSeq)
+      headers = batchHeaders ++ statsHeaders(stats))
     nv
   }
 
@@ -821,7 +1113,7 @@ object VersionedLake {
     val (fs, base) = fsOf(spark, dir)
     import spark.implicits._
     versions(spark, dir).map { v =>
-      (v, readManifest(fs, base, v).size.toLong, batchOf(fs, base, v))
+      (v, fileEntries(fs, base, v).size.toLong, batchOf(fs, base, v))
     }.toDF("version", "n_files", "batch_id")
   }
 
@@ -829,17 +1121,21 @@ object VersionedLake {
   def read(spark: SparkSession, dir: String): DataFrame =
     readAsOf(spark, dir, currentVersion(spark, dir))
 
-  /** (version, commit epoch-millis) ascending — timestamps are the
-    * manifest files' own modification times, so no manifest format
-    * change and lakes committed before this API existed carry them
-    * already. The manifest is created (side-name write + rename) at
-    * publish time, which IS the commit instant; single-writer, so
-    * times are monotone with versions on any store with sane clocks.
+  /** (version, commit epoch-millis) ascending — from each manifest's
+    * own `#ts=` header (stamped at publish, which IS the commit
+    * instant), falling back to the manifest file's modification time
+    * for manifests from before the header existed. The header is what
+    * makes time travel survive a lake COPY: cp/rsync/object-store
+    * migration refreshes every mtime, but the bytes — and so the
+    * header — travel with the manifest. Single-writer mutations and
+    * rebase-serialized appends keep times monotone with versions on
+    * any store with sane clocks.
     */
   def commitTimes(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
     val (fs, base) = fsOf(spark, dir)
     versions(spark, dir).map { v =>
-      v -> fs.getFileStatus(manifestPath(base, v)).getModificationTime
+      v -> tsOf(fs, base, v).getOrElse(
+        fs.getFileStatus(manifestPath(base, v)).getModificationTime)
     }
   }
 
@@ -872,7 +1168,8 @@ object VersionedLake {
     * of crashed commits). Versions >= `keepFrom` stay readable
     * byte-for-byte; older reads fail loudly at the manifest probe.
     * Returns (manifestsDropped, dataFilesDeleted). Runs under the same
-    * single-writer contract as the commits.
+    * single-writer contract as the mutations (a vacuum racing an
+    * IN-FLIGHT append could sweep its not-yet-referenced token dir).
     */
   def vacuum(spark: SparkSession, dir: String, keepFrom: Long)
       : (Long, Long) = {
@@ -883,7 +1180,7 @@ object VersionedLake {
     require(keep.nonEmpty,
       s"vacuum(keepFrom=$keepFrom) would drop EVERY version of $dir")
     val referenced = keep.iterator
-      .flatMap(v => readManifest(fs, base, v)).toSet
+      .flatMap(v => fileEntries(fs, base, v).map(entryPath)).toSet
     var deleted = 0L
     val dataDir = new Path(base, DataName)
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { cd =>

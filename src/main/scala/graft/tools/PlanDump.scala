@@ -63,7 +63,8 @@ object PlanDump {
     "q180_vlake_changes", "q181_vlake_cluster", "q182_state_sync",
     "q183_stream_merge", "q184_ivf_sync", "q185_vlake_restore",
     "q186_index_lake", "q187_hybrid_stack", "q188_es_to_vlake",
-    "q189_vlake_ttl", "q190_cursor_sync")
+    "q189_vlake_ttl", "q190_cursor_sync", "q191_concurrent_append",
+    "q192_index_compact", "q193_evolve_write", "q194_multicol_stats")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -289,9 +290,12 @@ object PlanDump {
       "stats values survive every range (three-valued logic handled " +
       "explicitly). files_dropped/files_rewritten/n_rows_removed ride " +
       "the oracle — an over-eager whole-file drop loses rows, a timid " +
-      "one shifts the literals. Note statEntries' soundness rule: a " +
-      "file holding ANY null in the stats column records no stats, so " +
-      "whole-file decisions can never delete a null row."),
+      "one shifts the literals. Note statEntries' v2 soundness rule: " +
+      "every entry carries an explicit per-column NULL COUNT, and a " +
+      "whole-file drop requires fully-inside AND provably null-free " +
+      "(nulls = 0); legacy pre-r15 entries (no null count) and " +
+      "stats-less files always rewrite, so no decision can ever " +
+      "delete a null row."),
     "q190_cursor_sync" -> ("q182's derived-state sync with the " +
       "exactly-once contract OWNED BY THE OPERATOR: the state carries " +
       "a version cursor naming the lake version it reflects, " +
@@ -303,7 +307,47 @@ object PlanDump {
       "applies twice, nothing skips. The in-query second sync pins the " +
       "no-op (a double-apply would duplicate signatures and fail the " +
       "exact all-pairs oracle); NearDupStreamSpec pins the mid-swap " +
-      "crash recovery, synced==rebuild, and both pairing guards."))
+      "crash recovery, synced==rebuild, and both pairing guards."),
+    "q191_concurrent_append" -> ("the snapshot is the final membership " +
+      "read; the OPERATOR is commitAppend's optimistic rebase-retry — " +
+      "appends write unique token dirs (never a shared data/c<v>), and " +
+      "a lost publish rename re-reads the now-current manifest, stacks " +
+      "this append's entries on top, and retries as the next version. " +
+      "Both racing appends land (v2 = winner, v3 = loser rebased, " +
+      "union membership — winner_version_exact/both_landed/" +
+      "linear_history ride the oracle). Mutations keep the loud " +
+      "single-writer refusal; writeManifest additionally read-back-" +
+      "verifies its rename so POSIX-rename stores surface a lost race " +
+      "instead of silently forking. VersionedLakeHardeningSpec drives " +
+      "the deterministic seam AND four real racing threads."),
+    "q192_index_compact" -> ("the snapshot is the pruned BM25 search " +
+      "over the compacted index lake — same shape as q186 (query-term " +
+      "buckets + doc-length region only, admitted driver-side from " +
+      "manifest stats). The OPERATOR is compactIndexLake = " +
+      "VersionedLake.compact(sortCol=bucket): after 8 vintage appends " +
+      "a one-term read opens ~9 files; the bucket-clustered rewrite " +
+      "restores near-disjoint per-file (min,max) so the same read " +
+      "admits <= 2 (compaction_prunes, measured pre/post driver-side) " +
+      "while search stays bit-identical (search_invariant + the full " +
+      "BM25 oracle replay). IndexLakeSpec pins the <= 2 bound."),
+    "q193_evolve_write" -> ("schema evolution on the WRITE path: " +
+      "vintage 2's commitAppend carries a superset schema, vintage " +
+      "3's commitUpsert merges in the evolved schema against files " +
+      "that predate the column — survivors of rewritten old files " +
+      "project the new column as typed NULL, untouched old files read " +
+      "it as NULL via mergeSchema, and changesBetween's preimages do " +
+      "the same (preimage_lang_null). Type drift (e.g. doc_id as " +
+      "string) fails loudly before anything is written — unionByName " +
+      "coercion would corrupt the lake's column types behind every " +
+      "reader. VersionedLakeHardeningSpec pins all four behaviors."),
+    "q194_multicol_stats" -> ("multi-column manifest statistics: " +
+      "#stats=doc_id,region with per-column (min,max,nulls) triples " +
+      "per file entry. The region read prunes on the SECOND column " +
+      "(4/8 files admitted — the doc_id axis is useless for it), and " +
+      "commitDeleteRange(region) drops all 4 matching files " +
+      "manifest-only (nulls=0 proven per entry). Both counts + drop " +
+      "accounting ride the oracle; VersionedLakeHardeningSpec pins " +
+      "the per-axis independence and the named-column delete."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -110,31 +110,54 @@ class IndexLakeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("already exists"))
   }
 
-  test("the postings lake compacts like any versioned lake: search " +
-      "invariant, bucket clustering restored") {
+  test("compactIndexLake: after 8 vintage appends a one-term query " +
+      "admits <= 2 files, search bit-identical across the pass") {
     val dir = Files.createTempDirectory("indexlake_c_").toString + "/index"
-    IndexLake.writeIndexLake(corpus(0, 30), "doc_id", "text", dir,
+    IndexLake.writeIndexLake(corpus(0, 20), "doc_id", "text", dir,
       nBuckets = 8): Unit
-    // fragment with three vintage appends
-    (0 until 3).foreach { i =>
-      IndexLake.appendToIndexLake(corpus(30 + i * 10, 40 + i * 10),
+    // fragment with EIGHT vintage appends: each adds a file set per
+    // bucket, so a one-term read now opens one file per vintage
+    (0 until 8).foreach { i =>
+      IndexLake.appendToIndexLake(corpus(20 + i * 10, 30 + i * 10),
         "doc_id", "text", dir): Unit
     }
     import graft.sinks.VersionedLake
     val before = ranked(IndexLake.bm25TopKOverIndex(spark, dir, qset, 5))
     val pre = VersionedLake.currentVersion(spark, dir)
     val nFilesPre = VersionedLake.filesOf(spark, dir, pre).size
+    val b = spark.range(1).select(
+      pmod(hash(lit("hash")), lit(8)).cast("long")).collect()(0).getLong(0)
+    val (keptPre, _) = VersionedLake.rangeFiles(spark, dir, pre, b, b)
+    assert(keptPre.size >= 8,
+      s"8 vintages must fragment the bucket read (admitted ${keptPre.size})")
     // bucket-clustered compaction re-establishes the file-skip layout
-    VersionedLake.compact(spark, dir, nFiles = 9,
-      sortCol = Some("bucket")): Unit
-    val post = VersionedLake.currentVersion(spark, dir)
+    val post = IndexLake.compactIndexLake(spark, dir)
     assert(VersionedLake.filesOf(spark, dir, post).size < nFilesPre)
     assert(ranked(IndexLake.bm25TopKOverIndex(spark, dir, qset, 5)) ===
       before, "compaction changed search results")
-    // and the manifest still prunes: one bucket admits a strict subset
-    val b = spark.range(1).select(
-      pmod(hash(lit("hash")), lit(8)).cast("long")).collect()(0).getLong(0)
+    // the verdict-grade bound: a one-term query admits at most 2 files
+    // after the pass, REGARDLESS of how many vintages preceded it
     val (kept, total) = VersionedLake.rangeFiles(spark, dir, post, b, b)
-    assert(kept.nonEmpty && kept.size < total.toInt)
+    assert(kept.nonEmpty && kept.size <= 2,
+      s"one-term query admits ${kept.size}/$total files post-compaction")
+  }
+
+  test("null-text docs: index == scan stays bit-exact (avgdl divides " +
+      "by the non-null doc count on both paths)") {
+    val dir = Files.createTempDirectory("indexlake_n_").toString + "/index"
+    // two null-text docs: they count into N (one doc-length row each,
+    // dl NULL) but not into avgdl's denominator — the corpus scan's
+    // avg(size(w)) semantics
+    val base = corpus(0, 30).unionByName(
+      Seq[(Long, String)]((100L, null), (101L, null)).toDF("doc_id", "text"))
+    IndexLake.writeIndexLake(base, "doc_id", "text", dir,
+      nBuckets = 8): Unit
+    assert(ranked(IndexLake.bm25TopKOverIndex(spark, dir, qset, 5)) ===
+      ranked(Retrieval.bm25TopK(base, "doc_id", "text", qset, 5)))
+    // the doc-length region still carries one row per doc (N exact)
+    import graft.sinks.VersionedLake
+    val v = VersionedLake.currentVersion(spark, dir)
+    assert(VersionedLake.readAsOfRange(spark, dir, v, -1L, -1L)
+      .count() === base.count())
   }
 }

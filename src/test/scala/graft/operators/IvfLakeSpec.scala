@@ -294,4 +294,113 @@ class IvfLakeSpec extends AnyFunSuite {
     assert(rowsAfter === rowsBefore, "recovery lost or duplicated rows")
     assert(dataFiles(dir).values.forall(_.size == 1))
   }
+
+  // --- drift + recluster ----------------------------------------------------
+
+  /** A SHIFTED distribution: same generator family, orthogonal phase —
+    * vectors the base-trained centroids explain poorly.
+    */
+  private def shifted(lo: Int, hi: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23L)
+    (lo until hi).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(dim)(j =>
+        (math.sin(c * 1.9 + j * 2.3) + rnd.nextGaussian() * 0.15).toFloat)
+        .toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** recall@k of `got` against the brute-force oracle over `corpus`. */
+  private def recallAt(corpus: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame, k: Int,
+      got: org.apache.spark.sql.DataFrame): Double = {
+    val truth = Similarity.bruteForceTopK(corpus, qs, "vec_id",
+      "embedding", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ours = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (truth & ours).size.toDouble / truth.size
+  }
+
+  test("drift probe fires on shifted arrivals; recluster restores the " +
+      "residual, the recall floor, and the frozen-twin equality") {
+    val base = corpus(200)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_drift_").toString + "/lake"
+    Similarity.writeIvfLake(base, dir, "vec_id", "embedding", dim,
+      nCells = 16): Unit
+    // in-distribution: the probe must stay quiet
+    val (b0, c0, r0, d0) = Similarity.ivfDriftProbe(spark, dir, dim)
+    assert(!d0, s"probe fired with no drift (base=$b0 cur=$c0 ratio=$r0)")
+    // a shifted vintage arrives retrain-free
+    val inc = shifted(1000, 1100)
+    Similarity.appendToIvfLake(inc, dir, "vec_id", "embedding", dim)
+    val (_, c1, r1, d1) = Similarity.ivfDriftProbe(spark, dir, dim)
+    assert(d1, s"probe must fire after the shifted vintage " +
+      s"(base=$b0 cur=$c1 ratio=$r1)")
+    val all = base.unionByName(inc)
+    val qs = shifted(1000, 1100).filter(col("vec_id") < 1005)
+    val preRecall = recallAt(all, qs,
+      k = 5, Similarity.ivfTopKOverLake(spark, dir, qs, "vec_id",
+        "embedding", dim, k = 5, nProbe = 4))
+    // retrain-and-swap on the current membership
+    val cells = Similarity.reclusterIvfLake(spark, dir, "vec_id",
+      "embedding", dim, nCells = 16)
+    assert(cells === 16)
+    // the probe is quiet again: the new baseline PRICED the mixture
+    val (_, _, r2, d2) = Similarity.ivfDriftProbe(spark, dir, dim)
+    assert(!d2, s"probe still fires after recluster (ratio=$r2)")
+    // membership identical across the swap
+    assert(spark.read.parquet(dir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      ((0L until 200L) ++ (1000L until 1100L)))
+    // recall restored to the spec floor (and never worse than pre)
+    val postRecall = recallAt(all, qs,
+      k = 5, Similarity.ivfTopKOverLake(spark, dir, qs, "vec_id",
+        "embedding", dim, k = 5, nProbe = 4))
+    assert(postRecall >= 0.9,
+      s"recall floor after recluster: $postRecall (pre was $preRecall)")
+    assert(postRecall >= preRecall - 1e-9,
+      s"recluster degraded recall: $preRecall -> $postRecall")
+    // the q152/q184 contract holds across the swap: lake search equals
+    // the frozen twin reading the NEW sidecar geometry
+    assert(topk(Similarity.ivfTopKOverLake(spark, dir, qs, "vec_id",
+      "embedding", dim, k = 4, nProbe = 4)) ===
+      topk(Similarity.ivfTopKFrozen(all, qs, "vec_id", "embedding",
+        dim, k = 4, lakeDir = dir, nProbe = 4)))
+  }
+
+  test("recluster crash recovery: a stale tmp is discarded while the " +
+      "lake is live; an aside-only state restores; PQ codebooks carry") {
+    import org.apache.hadoop.fs.Path
+    val emb = corpus(160)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_reclus_rec_").toString + "/lake"
+    Similarity.writeIvfPqLake(emb, dir, "vec_id", "embedding", dim,
+      nCells = 8, m = 4, ksub = 8): Unit
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // window 1: a stale tmp (no marker) from a crashed build — the live
+    // lake is authoritative; recluster discards it and proceeds
+    fs.mkdirs(new Path(dir + ".retrain_tmp/garbage"))
+    Similarity.reclusterIvfLake(spark, dir, "vec_id", "embedding", dim,
+      nCells = 8): Unit
+    assert(!fs.exists(new Path(dir + ".retrain_tmp")))
+    assert(!fs.exists(new Path(dir + ".retrain_old")))
+    // PQ codebooks carried verbatim: the composed lake still searches
+    // exactly like its frozen twin under the NEW cell geometry
+    val qs = emb.filter(col("vec_id") < 5)
+    assert(topk(Similarity.ivfPqTopKOverLake(spark, dir, qs, "vec_id",
+      "embedding", dim, k = 4, nProbe = 4, refine = 4)) ===
+      topk(Similarity.ivfPqTopKFrozen(emb, qs, "vec_id", "embedding",
+        dim, k = 4, lakeDir = dir, nProbe = 4, refine = 4)))
+    // window 2: crashed between the two swap renames — lake missing,
+    // aside present, no tmp: the next pass restores the aside copy
+    val rowsBefore = spark.read.parquet(dir).count()
+    require(fs.rename(new Path(dir), new Path(dir + ".retrain_old")))
+    Similarity.reclusterIvfLake(spark, dir, "vec_id", "embedding", dim,
+      nCells = 8): Unit
+    assert(spark.read.parquet(dir).count() === rowsBefore)
+    assert(!fs.exists(new Path(dir + ".retrain_old")))
+  }
 }

@@ -120,18 +120,36 @@ class PqSpec extends AnyFunSuite {
     assert(mins.sliding(2).forall(p =>
       p.head.getLong(2) < p.last.getLong(1))) // hi(i) < lo(i+1)
 
+    // the operator must work at DEFAULT session config (it raises the
+    // parquet in-filter threshold per-read itself) and restore the
+    // session conf afterwards — a leaked threshold would silently
+    // change every later parquet read in the session
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val before = spark.conf.get(key) // the built-in default ("10")
     val lake = Similarity.pqTopKOverLake(spark, dir, qs, "vec_id",
       "embedding", dim = 64, k = 5, m = 16, ksub = 16, refine = 4)
+    val lakeRows = lake.collect() // refine scan ran inside the operator
+    assert(spark.conf.get(key) === before,
+      s"operator leaked $key=${spark.conf.get(key)}")
     val mem = Similarity.pqTopK(emb, qs, "vec_id", "embedding",
       dim = 64, k = 5, m = 16, ksub = 16, refine = 4)
-    assert(lake.collect().map(r => (r.getLong(0), r.getLong(1),
+    assert(lakeRows.map(r => (r.getLong(0), r.getLong(1),
       r.getLong(2))).toSet ===
       mem.collect().map(r => (r.getLong(0), r.getLong(1),
         r.getLong(2))).toSet)
 
-    // the refine re-read carries the shortlist id filter into the scan
-    val plan = lake.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [In(vec_id"), plan.linesIterator
-      .filter(_.contains("PushedFilters")).mkString("\n"))
+    // the refine re-read's shape: a shortlist-sized IN filter reaches
+    // the parquet scan when the threshold covers it (the raise the
+    // operator now performs around its materialization)
+    spark.conf.set(key, "1000")
+    try {
+      val shaped = spark.read.parquet(dir)
+        .filter(col("vec_id").isin((0L until 200L).map(
+          _.asInstanceOf[Any]): _*))
+        .select(col("vec_id"), col("embedding"))
+      val plan = shaped.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(vec_id"), plan.linesIterator
+        .filter(_.contains("PushedFilters")).mkString("\n"))
+    } finally spark.conf.unset(key)
   }
 }

@@ -46,6 +46,18 @@ class VersionedLakeSpec extends AnyFunSuite {
     }.toMap
   }
 
+  /** The data files a version ADDED (manifest diff against its
+    * predecessor), keyed like [[dataFiles]] — appends land under
+    * unique `a<token>` dirs, so "which files are commit N's" is a
+    * manifest question, not a dir-name one.
+    */
+  private def filesAddedBy(dir: String, v: Long): Set[String] = {
+    val prev = if (v <= 1) Set.empty[String]
+      else VersionedLake.filesOf(spark, dir, v - 1).toSet
+    (VersionedLake.filesOf(spark, dir, v).toSet -- prev)
+      .map(_.stripPrefix("data/"))
+  }
+
   test("append/delete/append: every version reads exactly as committed") {
     val dir = fresh("vlake_hist_")
     assert(VersionedLake.commitAppend(spark, dir, docs(0, 20)) === 1L)
@@ -82,10 +94,13 @@ class VersionedLakeSpec extends AnyFunSuite {
       spark, dir, "doc_id", Seq(2L, 4L).toDF("doc_id"))
     assert(v === 3L && nFiles === 1L && nRows === 2L)
     val after = dataFiles(dir)
-    val c2 = before.keys.filter(_.startsWith("c2/"))
+    val c2 = filesAddedBy(dir, 2L)
     assert(c2.nonEmpty && c2.forall(k => after(k) === before(k)),
       "commit-2 file was rewritten though it holds no deleted id")
-    assert(before.keys.filter(_.startsWith("c1/")).forall(after.contains),
+    assert(c2.subsetOf(VersionedLake.filesOf(spark, dir, 3L)
+        .map(_.stripPrefix("data/")).toSet),
+      "the untouched file must carry into the new manifest by name")
+    assert(filesAddedBy(dir, 1L).forall(after.contains),
       "old files must SURVIVE a delete — time travel depends on them")
     assert(idSet(VersionedLake.readAsOf(spark, dir, 2)) ===
       (0L until 20L).toSet, "prior version changed by a delete")
@@ -269,7 +284,11 @@ class VersionedLakeSpec extends AnyFunSuite {
     // pre-stats file, skip c2's
     val (kept, total) = VersionedLake.rangeFiles(spark, dir, 3L, 12L, 17L)
     assert(total === 3L && kept.size === 2)
-    assert(kept.exists(_.contains("/c3/")) && kept.exists(_.contains("/c1/")))
+    val keptSet = kept.map(_.stripPrefix("data/")).toSet
+    assert(filesAddedBy(dir, 3L).subsetOf(keptSet),
+      "commit 3 holds the range — its file must be admitted")
+    assert(filesAddedBy(dir, 1L).subsetOf(keptSet),
+      "the pre-stats file has no stats and must never be pruned")
     assert(idSet(VersionedLake.readAsOfRange(spark, dir, 3L, 12L, 17L)) ===
       (12L to 17L).toSet)
     // a delete rewrite refreshes stats for its new file, keeps the rest
@@ -324,7 +343,7 @@ class VersionedLakeSpec extends AnyFunSuite {
       .getAs[String]("text") === "text of doc 9")
     // commit 2's file was never rewritten; old files survive
     val after = dataFiles(dir)
-    val c2 = before.keys.filter(_.startsWith("c2/"))
+    val c2 = filesAddedBy(dir, 2L)
     assert(c2.nonEmpty && c2.forall(k => after(k) === before(k)),
       "commit-2 file was rewritten though it holds no matched id")
     assert(before.keys.forall(after.contains),
@@ -420,9 +439,9 @@ class VersionedLakeSpec extends AnyFunSuite {
     VersionedLake.commitDelete(spark, dir, "doc_id",
       Seq(12L).toDF("doc_id")): Unit
     // corrupt commit 1's file AFTER the fact: a feed over 2->3 must not
-    // even open it (only commit 2's file left, and c3's rewrite arrived)
-    val base = new java.io.File(s"$dir/data/c1")
-    base.listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+    // even open it (only commit 2's file left, and v3's rewrite arrived)
+    filesAddedBy(dir, 1L).foreach { rel =>
+      val f = new java.io.File(s"$dir/data/$rel")
       val out = new java.io.FileOutputStream(f)
       out.write(Array.fill(16)(0x5a.toByte)); out.close()
     }
@@ -530,21 +549,23 @@ class VersionedLakeSpec extends AnyFunSuite {
     VersionedLake.commitAppend(spark, dir, docs(10, 20)): Unit
     VersionedLake.commitAppend(spark, dir, docs(20, 30)): Unit
     VersionedLake.commitAppend(spark, dir,
-      Seq[(java.lang.Long, String)]((40L, "t40"), (null, "tnull"))
+      Seq[(java.lang.Long, String)]((12L, "t12"), (null, "tnull"))
         .toDF("doc_id", "text").repartition(1)): Unit
     val before = dataFiles(dir)
     // range covers commit 2 whole, straddles commit 3's lower half,
-    // and spans the null-bearing file's non-null value (40)
+    // and fully covers the null-bearing file's non-null value (12)
     val (v, nDropped, nRewritten, nRemoved) =
       VersionedLake.commitDeleteRange(spark, dir, 10L, 24L)
-    assert(v === 5L && nDropped === 1L && nRemoved === 15L)
-    // the null-bearing file records no stats -> classified straddling
-    // (rewritten), NOT silently kept and NOT whole-dropped
+    assert(v === 5L && nDropped === 1L && nRemoved === 16L)
+    // the null-bearing file records (12, 12, nulls=1): fully inside the
+    // range but NOT provably null-free, so it must REWRITE (its null
+    // row survives) — a whole-file drop would delete the null row the
+    // contract protects
     assert(nRewritten === 2L,
       "commit 3's straddler + the null-bearing file must rewrite")
     val now = VersionedLake.read(spark, dir)
     assert(idSet(now.filter(col("doc_id").isNotNull)) ===
-      ((0L until 10L) ++ (25L until 30L)).toSet + 40L)
+      ((0L until 10L) ++ (25L until 30L)).toSet)
     assert(now.filter(col("doc_id").isNull).count() === 1L,
       "null rows never match a range — they must survive")
     // the dropped file was never read OR deleted: byte-stable on disk
