@@ -57,6 +57,7 @@ object Bench {
           n.startsWith("graft_ixcompact_") ||
           n.startsWith("graft_vevolve_") ||
           n.startsWith("graft_vmcol_") ||
+          n.startsWith("graft_vzorder_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }
@@ -256,7 +257,9 @@ object Bench {
       ("q193", Set("q193_build"),
         Set("q193_merge", "q193_changes+read")),
       ("q194", Set("q194_build"),
-        Set("q194_range_delete", "q194_read")))
+        Set("q194_range_delete", "q194_read")),
+      ("q195", Set("q195_build"),
+        Set("q195_zorder", "q195_read2d")))
     // Build/mutate/search/audit attribution one level below the
     // fixture/operator split, for the heaviest lake composites: their
     // "operator" bucket by construction blends mutation history into

@@ -643,6 +643,9 @@ object Similarity {
           "lake is intact in the tmp dir — re-run the pass")
       if (fs.exists(aside)) require(fs.delete(aside, true),
         s"reclusterIvfLake: could not remove the aside copy $aside")
+      // the marker did its job (underscore names are invisible to
+      // parquet reads anyway, but a swapped-in lake should not carry it)
+      fs.delete(new Path(live, "_SWAP_READY"), false): Unit
     }
     // recovery of a crashed prior pass
     if (fs.exists(tmp)) {

@@ -4371,6 +4371,36 @@ object TrainingData {
           s.range(1).toDF()
         }),
         "q194_read" -> (() => VersionedLake.read(s, mDir)))
+    } ++ {
+      // q195 (Z-order compaction): fixture = the interleaved ingest;
+      // operator = the Morton-clustered rewrite + the 2-dim pruned read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          col("n_chars").cast("long").as("n_chars"))
+      val zDir = Tables.freshScratchDir("graft_vzorder_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q195_build" -> (() => {
+          (0 until 4).foreach { m =>
+            VersionedLake.commitAppend(s, zDir,
+              docs.filter(col("doc_id") % 4 === m).repartition(2),
+              statsCol =
+                if (m == 0) Some("doc_id,n_chars") else None): Unit
+          }
+          s.range(1).toDF()
+        }),
+        "q195_zorder" -> (() => {
+          VersionedLake.compactZOrder(s, zDir, "doc_id", "n_chars",
+            nFiles = 8): Unit
+          s.range(1).toDF()
+        }),
+        "q195_read2d" -> (() => {
+          val q = docs.count() / 4
+          VersionedLake.readAsOfRange(s, zDir,
+            VersionedLake.currentVersion(s, zDir), "doc_id", 0L, q - 1,
+            None).filter(col("n_chars").between(0L, 300L))
+        }))
     }
   }
 
@@ -6667,6 +6697,60 @@ object TrainingData {
        FROM documents d, b
        WHERE d.doc_id < 4 * b.q AND (d.doc_id // b.q) % 2 = 0"""
 
+  // --- q195: Z-order clustered compaction on the versioned lake -------------------
+  // VersionedLake.compactZOrder + the multi-column manifest statistics:
+  // a lexicographic clustering (q181) prunes only its leading column —
+  // after interleaved ingest, a lake clustered on the MORTON interleave
+  // of (doc_id, n_chars) gives every file a tight bounding RECTANGLE,
+  // so the q178 driver-side skip prunes range reads on EITHER axis.
+  // `pre_admits_all` pins that the fragmented lake cannot prune either
+  // dimension; `zorder_prunes_x`/`zorder_prunes_y` pin strictly-fewer
+  // admitted files per axis post-compaction (counts measured from the
+  // manifest alone); membership of the 2-dimensional read replays
+  // exactly in SQL regardless of the sampled z-range boundaries.
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long")
+        .as("n_chars"))
+    val n = docs.count()
+    val q = n / 4
+    val dir = Tables.freshScratchDir("graft_vzorder_", d).toString + "/lake"
+    // 4 interleaved residue-class commits: every file spans BOTH the
+    // doc_id domain and the n_chars domain — nothing can prune
+    (0 until 4).foreach { m =>
+      VersionedLake.commitAppend(s, dir,
+        docs.filter(col("doc_id") % 4 === m).repartition(2),
+        statsCol = if (m == 0) Some("doc_id,n_chars") else None): Unit
+    }
+    val pre = VersionedLake.currentVersion(s, dir)
+    val (preX, totalPre) = VersionedLake.rangeFiles(s, dir, pre,
+      "doc_id", 0L, q - 1)
+    val (preY, _) = VersionedLake.rangeFiles(s, dir, pre,
+      "n_chars", 0L, 300L)
+    val post = VersionedLake.compactZOrder(s, dir, "doc_id", "n_chars",
+      nFiles = 8)
+    val (postX, totalPost) = VersionedLake.rangeFiles(s, dir, post,
+      "doc_id", 0L, q - 1)
+    val (postY, _) = VersionedLake.rangeFiles(s, dir, post,
+      "n_chars", 0L, 300L)
+    VersionedLake.readAsOfRange(s, dir, post, "doc_id", 0L, q - 1, None)
+      .filter(col("n_chars").between(0L, 300L))
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        lit(preX.size.toLong == totalPre && preY.size.toLong == totalPre &&
+          totalPre == 8L).as("pre_admits_all"),
+        lit(postX.size < totalPost).as("zorder_prunes_x"),
+        lit(postY.size < totalPost).as("zorder_prunes_y"))
+  }
+
+  private val q195Sql =
+    """WITH b AS (SELECT count(*) // 4 AS q FROM documents)
+       SELECT d.doc_id, d.text, CAST(d.n_chars AS BIGINT) AS n_chars,
+         true AS pre_admits_all, true AS zorder_prunes_x,
+         true AS zorder_prunes_y
+       FROM documents d, b
+       WHERE d.doc_id < b.q AND d.n_chars <= 300"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -6809,7 +6893,8 @@ object TrainingData {
     "q191_concurrent_append" -> q191 _,
     "q192_index_compact"  -> q192 _,
     "q193_evolve_write" -> q193 _,
-    "q194_multicol_stats" -> q194 _)
+    "q194_multicol_stats" -> q194 _,
+    "q195_zorder_lake"    -> q195 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -6953,5 +7038,6 @@ object TrainingData {
     "q191_concurrent_append" -> q191Sql,
     "q192_index_compact"  -> q192Sql,
     "q193_evolve_write" -> q193Sql,
-    "q194_multicol_stats" -> q194Sql)
+    "q194_multicol_stats" -> q194Sql,
+    "q195_zorder_lake"    -> q195Sql)
 }

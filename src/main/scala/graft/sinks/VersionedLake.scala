@@ -403,7 +403,11 @@ object VersionedLake {
             s"for '$a' — a lake has ONE stats column list")
         splitCols(c)
       case (Some(c), None) => splitCols(c)
-      case (None, a) => a.map(splitCols).getOrElse(Seq.empty)
+      case (None, a) =>
+        val cols = a.map(splitCols).getOrElse(Seq.empty)
+        require(cols.distinct == cols,
+          s"statsCol names a column twice: '${a.getOrElse("")}'")
+        cols
     }
   }
 
@@ -1052,6 +1056,75 @@ object VersionedLake {
         .sortWithinPartitions(col(c))
       case None => current.repartition(nFiles)
     }
+    laid.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
+    writeManifest(fs, base, v, newEntries(spark, fs, base, v, cols),
+      headers = statsHeaders(cols))
+    v
+  }
+
+  /** Z-ORDER clustered compaction — the `OPTIMIZE ZORDER BY (x, y)`
+    * half of the Delta/Iceberg discipline, composed with the
+    * multi-column manifest statistics: the current content is
+    * range-partitioned and sorted on the MORTON interleave of the two
+    * columns' bits ([[graft.functions.Morton]], a native codegen'd
+    * expression), so every file covers a tight bounding RECTANGLE in
+    * (x, y) space instead of a stripe — and a lake carrying
+    * `statsCol = "x,y"` then prunes range reads and range deletes on
+    * EITHER axis from the manifest alone. A lexicographic
+    * [[compact]](sortCol) can only ever prune its leading column; at
+    * 100 TB the difference is a second query dimension that skips
+    * files instead of scanning the lake.
+    *
+    * Both dimensions NORMALIZE to the same `bits`-bit space (linear
+    * min-max over the current version) before interleaving — raw
+    * interleaving hands every top z bit to whichever column has the
+    * wider range, and the narrow column then never prunes (the classic
+    * unequal-width Z-order failure: measured on the quartile fixture,
+    * a 13-bit doc_id vs a 10-bit n_chars made the y axis admit
+    * everything at 8 files until normalization landed; Delta's
+    * OPTIMIZE ZORDER normalizes per column for the same reason).
+    * Normalization is order-preserving per dimension, and the z value
+    * is ONLY a layout key — the manifest statistics stay on the raw
+    * columns. NULL in either column sorts into the leading file
+    * (z = -1) and is never dropped. Content-identical by construction;
+    * prior versions untouched; same sampler caveat as [[compact]]
+    * (admission counts tight, not byte-deterministic — the invariants
+    * are). Returns the new version.
+    */
+  def compactZOrder(spark: SparkSession, dir: String, xCol: String,
+      yCol: String, nFiles: Int = 8, bits: Int = 16): Long = {
+    require(nFiles >= 1, s"compactZOrder needs nFiles >= 1, got $nFiles")
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val (fs, base) = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir)
+    require(cur > 0, s"compactZOrder on an empty lake at $dir")
+    if (fileEntries(fs, base, cur).isEmpty) return cur
+    val v = cur + 1
+    val cols = resolveStatsCols(spark, dir, cur, None)
+    val current = readAsOf(spark, dir, cur)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    // per-dimension bounds: one column-pruned agg over the content the
+    // compaction is about to read whole anyway
+    val mm = current.agg(min(x), max(x), min(y), max(y)).collect()(0)
+    require(!mm.isNullAt(0) && !mm.isNullAt(2),
+      s"compactZOrder: '$xCol' or '$yCol' is all-NULL — nothing to " +
+        "interleave; compact(sortCol) the other column instead")
+    val span = (1L << bits) - 1
+    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      if (hi > lo)
+        least(lit(span), greatest(lit(0L),
+          ((c - lit(lo)).cast("double") / lit((hi - lo).toDouble) *
+            span).cast("long")))
+      else lit(0L) // constant dimension: contributes nothing
+    val z = when(x.isNull || y.isNull, lit(-1L))
+      .otherwise(graft.functions.Morton.code(
+        norm(x, mm.getLong(0), mm.getLong(1)),
+        norm(y, mm.getLong(2), mm.getLong(3)), bits))
+    val laid = current.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
     laid.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
     writeManifest(fs, base, v, newEntries(spark, fs, base, v, cols),
       headers = statsHeaders(cols))

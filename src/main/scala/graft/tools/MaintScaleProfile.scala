@@ -42,7 +42,115 @@ object MaintScaleProfile {
     if (want("vlake")) versionedLake(spark)
     if (want("vcdc")) versionedLakeCdc(spark)
     if (want("indexlake")) indexLake(spark)
+    if (want("ixcompact")) indexLakeCompaction(spark)
+    if (want("zorder")) zOrderLake(spark)
     spark.stop()
+  }
+
+  /** Round-15: index-lake compaction's claim — after V vintage appends a
+    * one-term query's bucket read opens ~V file sets, and the
+    * bucket-clustered rewrite collapses it back to one or two files per
+    * bucket with search bit-identical. Measured: admitted-file counts
+    * from the manifest (the driver-side skip — per-file OPEN cost is
+    * what object-store reads pay) and the search wall pre/post, at 10⁵
+    * and 10⁶ docs with 8 vintages each.
+    */
+  private def indexLakeCompaction(spark: SparkSession): Unit = {
+    import graft.operators.IndexLake
+    import graft.sinks.VersionedLake
+    val qset = Seq(1L -> Seq("w11", "w23"), 2L -> Seq("w5", "w17", "w40"))
+    for (n <- Seq(100000L, 1000000L)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("maint_ixcompact_").toString
+      val dir = s"$root/index"
+      def slice(m: Long) = spark.range(n).filter(pmod(col("id"), lit(9L)) === m)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(t =>
+            concat(lit("w"), pmod(hash(col("id"), lit(t)), lit(64)))): _*)
+            .as("text"))
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[ixcompact] n=$n%7d  $label%-14s " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
+        r
+      }
+      timed("build")(IndexLake.writeIndexLake(
+        slice(0), "doc_id", "text", dir, nBuckets = 32))
+      timed("8 vintages")((1L to 8L).foreach(m =>
+        IndexLake.appendToIndexLake(slice(m), "doc_id", "text", dir): Unit))
+      val pre = VersionedLake.currentVersion(spark, dir)
+      val bkt = spark.range(1).select(
+        pmod(hash(lit("w11")), lit(32)).cast("long")).collect()(0).getLong(0)
+      val (keptPre, totalPre) = VersionedLake.rangeFiles(spark, dir, pre,
+        bkt, bkt)
+      val before = timed("search_pre")(
+        IndexLake.bm25TopKOverIndex(spark, dir, qset, k = 10).collect())
+      timed("compact")(IndexLake.compactIndexLake(spark, dir))
+      val post = VersionedLake.currentVersion(spark, dir)
+      val (keptPost, totalPost) = VersionedLake.rangeFiles(spark, dir,
+        post, bkt, bkt)
+      val after = timed("search_post")(
+        IndexLake.bm25TopKOverIndex(spark, dir, qset, k = 10).collect())
+      println(s"[ixcompact] n=$n  one-term admits " +
+        s"${keptPre.size}/$totalPre -> ${keptPost.size}/$totalPost  " +
+        s"search==: ${before.map(_.toString).sorted.toSeq ==
+          after.map(_.toString).sorted.toSeq}")
+      graft.Tables.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
+  /** Round-15: Z-order clustered compaction's claim — after interleaved
+    * ingest NEITHER axis can prune; after the Morton rewrite BOTH do,
+    * and the 2-dim range read's wall drops with the admitted files.
+    * (x = id, y = a decorrelated derived key; probes take the low
+    * quartile of x and the low half of y.)
+    */
+  private def zOrderLake(spark: SparkSession): Unit = {
+    import graft.sinks.VersionedLake
+    for (n <- Seq(100000L, 1000000L)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("maint_zorder_").toString
+      val dir = s"$root/lake"
+      val docs = spark.range(n).select(col("id").as("x"),
+        pmod(col("id") * 2654435761L, lit(n)).as("y"),
+        concat(lit("payload "), col("id")).as("text"))
+      (0 until 4).foreach { m =>
+        VersionedLake.commitAppend(spark, dir,
+          docs.filter(pmod(col("x"), lit(4L)) === m).repartition(4),
+          statsCol = if (m == 0) Some("x,y") else None): Unit
+      }
+      val pre = VersionedLake.currentVersion(spark, dir)
+      def admits(v: Long): (Int, Int, Long) = {
+        val (kx, t) = VersionedLake.rangeFiles(spark, dir, v, "x",
+          0L, n / 4 - 1)
+        val (ky, _) = VersionedLake.rangeFiles(spark, dir, v, "y",
+          0L, n / 2 - 1)
+        (kx.size, ky.size, t)
+      }
+      def timedRead(v: Long, label: String): Long = {
+        val t0 = System.nanoTime()
+        val c = VersionedLake.readAsOfRange(spark, dir, v, "x",
+            0L, n / 4 - 1, None)
+          .filter(col("y") < n / 2).count()
+        println(f"[zorder] n=$n%7d  $label%-10s rows=$c%7d  " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        c
+      }
+      val (preX, preY, totalPre) = admits(pre)
+      val rowsPre = timedRead(pre, "read_pre")
+      val t0 = System.nanoTime()
+      val post = VersionedLake.compactZOrder(spark, dir, "x", "y",
+        nFiles = 16, bits = 21)
+      println(f"[zorder] n=$n%7d  compact        " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      val (postX, postY, totalPost) = admits(post)
+      val rowsPost = timedRead(post, "read_post")
+      println(s"[zorder] n=$n  admits x: $preX/$totalPre -> " +
+        s"$postX/$totalPost  y: $preY/$totalPre -> $postY/$totalPost  " +
+        s"rows==: ${rowsPre == rowsPost}")
+      graft.Tables.deleteRecursively(java.nio.file.Paths.get(root))
+    }
   }
 
   /** Round-14 continuation: the inverted-index lake's claim — a query

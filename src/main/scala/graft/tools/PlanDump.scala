@@ -64,7 +64,8 @@ object PlanDump {
     "q183_stream_merge", "q184_ivf_sync", "q185_vlake_restore",
     "q186_index_lake", "q187_hybrid_stack", "q188_es_to_vlake",
     "q189_vlake_ttl", "q190_cursor_sync", "q191_concurrent_append",
-    "q192_index_compact", "q193_evolve_write", "q194_multicol_stats")
+    "q192_index_compact", "q193_evolve_write", "q194_multicol_stats",
+    "q195_zorder_lake")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -347,7 +348,24 @@ object PlanDump {
       "commitDeleteRange(region) drops all 4 matching files " +
       "manifest-only (nulls=0 proven per entry). Both counts + drop " +
       "accounting ride the oracle; VersionedLakeHardeningSpec pins " +
-      "the per-axis independence and the named-column delete."))
+      "the per-axis independence and the named-column delete."),
+    "q195_zorder_lake" -> ("Z-order clustered compaction composed with " +
+      "the multi-column manifest statistics: compactZOrder re-lays the " +
+      "current content range-partitioned + sorted on the native Morton " +
+      "interleave of (doc_id, n_chars) — every file covers a tight " +
+      "bounding RECTANGLE, so the driver-side manifest skip prunes " +
+      "range reads on EITHER axis (a lexicographic sortCol compaction " +
+      "prunes only its leading column). Both dimensions NORMALIZE to " +
+      "the same bit width before interleaving — raw interleaving hands " +
+      "every top z bit to the wider-ranged column and the narrow one " +
+      "never prunes (the sf0.1 sweep CAUGHT exactly this: 13-bit " +
+      "doc_id vs 10-bit n_chars left zorder_prunes_y false until " +
+      "normalization landed). pre_admits_all pins that the " +
+      "interleaved-ingest lake prunes NEITHER axis; zorder_prunes_x/y " +
+      "pin strictly-fewer admitted files per axis after the pass; the " +
+      "2-dim read's membership replays exactly in SQL regardless of " +
+      "the sampled z-range boundaries; NULL z-column rows sort " +
+      "together and survive."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

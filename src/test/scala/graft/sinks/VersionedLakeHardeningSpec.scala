@@ -203,6 +203,81 @@ class VersionedLakeHardeningSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no manifest statistics on 'nope'"))
   }
 
+  test("Z-order compaction: both axes prune after the pass, membership " +
+      "identical, unequal ranges normalized, nulls survive") {
+    val dir = fresh("vlake_zord_")
+    // (x, y) grid where interleaved commits span BOTH domains: x 0..99,
+    // y = a decorrelated permutation-ish spread (x * 37 mod 100)
+    val rows = (0L until 100L).map(x => (x, (x * 37L) % 100L, s"t$x"))
+    (0 until 4).foreach { m =>
+      VersionedLake.commitAppend(spark, dir,
+        rows.filter(_._1 % 4 == m).toDF("x", "y", "text").repartition(2),
+        statsCol = if (m == 0) Some("x,y") else None): Unit
+    }
+    val pre = VersionedLake.currentVersion(spark, dir)
+    val (preX, totalPre) = VersionedLake.rangeFiles(spark, dir, pre,
+      "x", 0L, 24L)
+    val (preY, _) = VersionedLake.rangeFiles(spark, dir, pre,
+      "y", 0L, 49L)
+    assert(totalPre === 8L && preX.size === 8 && preY.size === 8,
+      "interleaved ingest must admit everything on both axes")
+    val post = VersionedLake.compactZOrder(spark, dir, "x", "y",
+      nFiles = 8, bits = 8)
+    val (postX, totalPost) = VersionedLake.rangeFiles(spark, dir, post,
+      "x", 0L, 24L)
+    val (postY, _) = VersionedLake.rangeFiles(spark, dir, post,
+      "y", 0L, 49L)
+    assert(postX.size < totalPost.toInt,
+      s"x-axis must prune post-zorder (${postX.size}/$totalPost)")
+    assert(postY.size < totalPost.toInt,
+      s"y-axis must prune post-zorder (${postY.size}/$totalPost)")
+    // membership identical across the pass; the 2-dim read is exact
+    assert(idSet(VersionedLake.readAsOf(spark, dir, post)
+      .withColumnRenamed("x", "doc_id")) ===
+      idSet(VersionedLake.readAsOf(spark, dir, pre)
+        .withColumnRenamed("x", "doc_id")))
+    assert(idSet(VersionedLake.readAsOfRange(spark, dir, post, "x",
+      0L, 24L, None).filter(col("y") <= 49L)
+      .withColumnRenamed("x", "doc_id")) ===
+      rows.filter(r => r._1 <= 24L && r._2 <= 49L).map(_._1).toSet)
+    // UNEQUAL ranges: a wide x (0..99k) against a narrow y (0..99) —
+    // raw interleaving would hand every top z bit to x and y would
+    // never prune (the failure the sf0.1 sweep caught); normalization
+    // must make BOTH axes prune
+    val dir2 = fresh("vlake_zwide_")
+    val wide = (0L until 100L).map(i =>
+      (i * 1000L, (i * 37L) % 100L, s"w$i"))
+    (0 until 2).foreach { m =>
+      VersionedLake.commitAppend(spark, dir2,
+        wide.filter(_._1 / 1000L % 2 == m).toDF("x", "y", "text")
+          .repartition(2), statsCol = if (m == 0) Some("x,y") else None)
+        : Unit
+    }
+    val post2 = VersionedLake.compactZOrder(spark, dir2, "x", "y",
+      nFiles = 8, bits = 16)
+    val (wx, wt) = VersionedLake.rangeFiles(spark, dir2, post2, "x",
+      0L, 24000L)
+    val (wy, _) = VersionedLake.rangeFiles(spark, dir2, post2, "y",
+      0L, 49L)
+    assert(wx.size < wt.toInt, s"wide x must prune (${wx.size}/$wt)")
+    assert(wy.size < wt.toInt,
+      s"NARROW y must prune after normalization (${wy.size}/$wt)")
+    // nulls in a z column sort into the leading file and survive
+    val dir3 = fresh("vlake_znull_")
+    VersionedLake.commitAppend(spark, dir3,
+      (Seq[(java.lang.Long, java.lang.Long, String)]((null, 5L, "nx")) ++
+        (0L until 20L).map(i =>
+          (java.lang.Long.valueOf(i), java.lang.Long.valueOf(i), s"n$i")))
+        .toDF("x", "y", "text"),
+      statsCol = Some("x,y")): Unit
+    val post3 = VersionedLake.compactZOrder(spark, dir3, "x", "y",
+      nFiles = 2, bits = 8)
+    val now = VersionedLake.readAsOf(spark, dir3, post3)
+    assert(now.count() === 21L)
+    assert(now.filter(col("x").isNull).count() === 1L,
+      "a null z-column row must survive the rewrite")
+  }
+
   test("schema evolution: appends widen, upserts carry new columns, " +
       "changesBetween reads old preimages as NULL, type drift is loud") {
     val dir = fresh("vlake_evo_")
