@@ -47,7 +47,10 @@ import graft.sinks.VersionedLake
   *
   * Contracts: documents are id-keyed and each vintage is applied once
   * (a re-appended doc would double its postings — same rule as every
-  * incremental state here); single writer, like the lake beneath.
+  * incremental state here). Writer concurrency follows the lake
+  * beneath: vintage APPENDS inherit [[VersionedLake.commitAppend]]'s
+  * optimistic rebase-retry (two racing vintages both land), while
+  * takedowns and compactions keep the loud single-writer rule.
   */
 object IndexLake {
 

@@ -1178,16 +1178,21 @@ object VersionedLake {
     nv
   }
 
-  /** The commit log as a frame: (version, n_files, batch_id) — batch_id
-    * NULL for maintenance commits (deletes, batch appends, compactions).
-    * Driver-built from the manifests (bounded by version count).
+  /** The commit log as a frame:
+    * (version, n_files, batch_id, committed_at) — batch_id NULL for
+    * maintenance commits (deletes, batch appends, compactions);
+    * committed_at epoch-millis from the `#ts=` header (manifest mtime
+    * for pre-header manifests, like [[commitTimes]]). Driver-built
+    * from the manifests (bounded by version count).
     */
   def history(spark: SparkSession, dir: String): DataFrame = {
     val (fs, base) = fsOf(spark, dir)
     import spark.implicits._
     versions(spark, dir).map { v =>
-      (v, fileEntries(fs, base, v).size.toLong, batchOf(fs, base, v))
-    }.toDF("version", "n_files", "batch_id")
+      (v, fileEntries(fs, base, v).size.toLong, batchOf(fs, base, v),
+        tsOf(fs, base, v).getOrElse(
+          fs.getFileStatus(manifestPath(base, v)).getModificationTime))
+    }.toDF("version", "n_files", "batch_id", "committed_at")
   }
 
   /** Latest version as a frame. */
@@ -1235,6 +1240,27 @@ object VersionedLake {
       schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame =
     readAsOf(spark, dir, versionAsOf(spark, dir, tsMillis), schemaHint)
+
+  /** Time-based retention — the `VACUUM ... RETAIN` shape: drop every
+    * version whose commit time ([[commitTimes]], `#ts=`-header-driven
+    * so a copied lake retains correctly) is strictly BEFORE `tsMillis`,
+    * except that the newest version always survives (the lake's
+    * current state is not retention's to take, and [[vacuum]] refuses
+    * to drop everything anyway). Time travel to at-or-after the cutoff
+    * keeps working; older reads fail loudly at the manifest probe.
+    * Returns (manifestsDropped, dataFilesDeleted); a cutoff older than
+    * every commit is a no-op (0, 0).
+    */
+  def vacuumBefore(spark: SparkSession, dir: String,
+      tsMillis: Long): (Long, Long) = {
+    val times = commitTimes(spark, dir)
+    require(times.nonEmpty, s"vacuumBefore on an empty lake at $dir")
+    val keepFrom = times.collectFirst {
+      case (v, t) if t >= tsMillis => v
+    }.getOrElse(times.last._1) // all older: keep only the newest
+    if (keepFrom == times.head._1) (0L, 0L) // nothing below the floor
+    else vacuum(spark, dir, keepFrom)
+  }
 
   /** Reclaim storage: drop manifests below `keepFrom` and every data
     * file no surviving manifest references (which also sweeps orphans

@@ -321,6 +321,37 @@ class VersionedLakeHardeningSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("lack lake column"))
   }
 
+  test("time-based retention: vacuumBefore drops exactly the commits " +
+      "older than the cutoff, keeps the newest regardless, and the " +
+      "history frame carries header-driven commit times") {
+    val dir = fresh("vlake_ret_")
+    VersionedLake.commitAppend(spark, dir, docs(0, 5)): Unit
+    Thread.sleep(15)
+    VersionedLake.commitAppend(spark, dir, docs(5, 10)): Unit
+    Thread.sleep(15)
+    VersionedLake.commitAppend(spark, dir, docs(10, 15)): Unit
+    val times = VersionedLake.commitTimes(spark, dir)
+    // history exposes the same header-driven instants
+    val h = VersionedLake.history(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(times.forall { case (v, t) => h(v) == t })
+    // a cutoff older than everything is a no-op
+    assert(VersionedLake.vacuumBefore(spark, dir, times.head._2) ===
+      ((0L, 0L)))
+    // cutoff at v2's instant: v1 drops, v2/v3 survive and read exactly
+    val (dropped, _) = VersionedLake.vacuumBefore(spark, dir, times(1)._2)
+    assert(dropped === 1L)
+    assert(VersionedLake.versions(spark, dir) === Seq(2L, 3L))
+    assert(idSet(VersionedLake.readAsOf(spark, dir, 2L)) ===
+      (0L until 10L).toSet)
+    // a cutoff NEWER than every commit keeps the newest version anyway
+    val (dropped2, _) = VersionedLake.vacuumBefore(spark, dir,
+      times(2)._2 + 3600000L)
+    assert(dropped2 === 1L, "only v2 drops — the newest always survives")
+    assert(VersionedLake.versions(spark, dir) === Seq(3L))
+    assert(idSet(VersionedLake.read(spark, dir)) === (0L until 15L).toSet)
+  }
+
   test("restore rewinds the streaming batch cursor: rolled-back " +
       "batches re-apply, pre-stream restores reset to -1") {
     val dir = fresh("vlake_cursor_")
