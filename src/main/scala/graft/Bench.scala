@@ -58,6 +58,10 @@ object Bench {
           n.startsWith("graft_vevolve_") ||
           n.startsWith("graft_vmcol_") ||
           n.startsWith("graft_vzorder_") ||
+          n.startsWith("graft_vckpt_") ||
+          n.startsWith("graft_vcmut_") ||
+          n.startsWith("graft_vz3_") ||
+          n.startsWith("graft_vhdr_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }
@@ -108,6 +112,26 @@ object Bench {
     // and shuffle machinery once, so per-query timings measure the queries.
     try SparkEntry.queries("q04_star_join")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // HOST-CONTENTION CALIBRATION (r15 verdict item 7): a fixed-cost,
+    // data-independent CPU probe (sum over a constant range — no I/O,
+    // no shuffle) timed at the start AND end of the sweep. Its wall on
+    // a quiet host is a constant of the machine, so cross-round
+    // comparisons divide the scoreboard by the probe to separate "the
+    // code got slower" from "the host was contended" — the 40%
+    // driver-vs-internal disagreement of r14/r15 becomes measurable.
+    def calibrate(): (Double, Double) = {
+      // one unmeasured run first: the probe prices the HOST, not the
+      // JIT state of its own codegen (the first execution compiles)
+      spark.range(1L << 26).selectExpr("sum(id * 3 % 7) AS s").collect()
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1L << 28)
+          .selectExpr("sum(id * 3 % 7) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (samples.min, median(samples))
+    }
+    val (calStartBest, calStartMed) = calibrate()
     // A failing query must fail the bench LOUDLY: its error goes to stderr,
     // the JSON carries a nonzero "failed" count + per-query error text, and
     // the process exits 1 — a broken query can never hide behind a -1.
@@ -259,7 +283,12 @@ object Bench {
       ("q194", Set("q194_build"),
         Set("q194_range_delete", "q194_read")),
       ("q195", Set("q195_build"),
-        Set("q195_zorder", "q195_read2d")))
+        Set("q195_zorder", "q195_read2d")),
+      ("q196", Set("q196_commits"), Set("q196_meta+travel")),
+      ("q197", Set("q197_base"), Set("q197_raced_mutations")),
+      ("q198", Set("q198_build"),
+        Set("q198_zorder3", "q198_read3d")),
+      ("q199", Set("q199_build"), Set("q199_merge+read")))
     // Build/mutate/search/audit attribution one level below the
     // fixture/operator split, for the heaviest lake composites: their
     // "operator" bucket by construction blends mutation history into
@@ -300,6 +329,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = runs.filter(_._3.isEmpty).map(_._2).sum
     val flat = flattenBench(spark)
+    val (calEndBest, calEndMed) = calibrate()
     takeCensus("end")
     def r3d(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -316,6 +346,9 @@ object Bench {
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val censusJson = census.mkString("[", ",", "]")
+    val calJson = s"""{"start_best":${r3d(calStartBest)},""" +
+      s""""start_median":${r3d(calStartMed)},""" +
+      s""""end_best":${r3d(calEndBest)},"end_median":${r3d(calEndMed)}}"""
     def flatJson: String =
       s""""flatten_docs":${flat.docs},"flatten_samples":${flat.samples},""" +
         s""""flatten_sec":${r3d(flat.coldSecBest)},"flatten_sec_median":${r3d(flat.coldSecMedian)},""" +
@@ -323,7 +356,7 @@ object Bench {
         s""""flatten_docs_per_s_warm":${r3d(flat.warmRateBest)},"flatten_docs_per_s_warm_median":${r3d(flat.warmRateMedian)},""" +
         s""""flatten_sec_schema_reuse":${r3d(flat.reuseSecBest)},"flatten_sec_schema_reuse_median":${r3d(flat.reuseSecMedian)},""" +
         s""""flatten_docs_per_s_schema_reuse":${r3d(flat.reuseRateBest)},"flatten_docs_per_s_schema_reuse_median":${r3d(flat.reuseRateMedian)}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"fixture_split":$splitJson,"phase_split":$phaseJson,"census":$censusJson,$flatJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"errors":$errs,"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"fixture_split":$splitJson,"phase_split":$phaseJson,"census":$censusJson,"calibration":$calJson,$flatJson}""")
     // The driver records the TAIL of stdout, which truncated the verbose
     // line above from the front in r3 (q01-q12 timings lost, parsed:null).
     // Re-emit everything as a COMPACT single line — short query keys
@@ -333,7 +366,7 @@ object Bench {
     val qsShort = runs.map { case (k, v, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3d(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"fixture_split":$splitJson,"phase_split":$phaseJson,"census":$censusJson,$flatJson}""")
+    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qsShort,"failed":${failed.length},"rerun_failed":$rerunFails,"sf":"$sfDir","paths":$pathsJson,"fixture_split":$splitJson,"phase_split":$phaseJson,"census":$censusJson,"calibration":$calJson,$flatJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -418,7 +451,9 @@ object Bench {
       // one big JSONL file + default 128m maxPartitionBytes = 1-2 parse
       // tasks; small splits let every core parse/infer
       spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-      // ALL modes take 3 samples and report BEST + MEDIAN: this host's
+      // ALL modes take 5 samples (r15 verdict item 7: more samples make
+      // the spread statistic robust on this contended host) and report
+      // BEST + MEDIAN: this host's
       // wall-clock swings several-fold under VM contention (BENCH_r01 cold
       // 17.5 s vs BENCH_r02 197 s for identical code; BENCH_r04 warm 24×
       // slower than cold), so a single sample is noise, and best-without-
@@ -426,7 +461,7 @@ object Bench {
       // FRESH directory + file so neither the file cache key nor the
       // inferred-schema cache can serve it.
       var lastDf: org.apache.spark.sql.DataFrame = null
-      val cold = (1 to 3).map { _ =>
+      val cold = (1 to 5).map { _ =>
         val in = tmpDir("flatbench")
         Files.writeString(in.resolve("docs.jsonl"), sb.toString)
         val t0 = System.nanoTime()
@@ -437,7 +472,7 @@ object Bench {
       }
       // warm rate: same parsed df re-flattened (steady-state of a long job)
       val warmIn = tmpDir("flatbenchw")
-      val warm = (1 to 3).map { i =>
+      val warm = (1 to 5).map { i =>
         val t1 = System.nanoTime()
         graft.flatten.Flattener.flattenToTsv(lastDf,
           warmIn.resolve(s"tsv$i").toString)
@@ -447,7 +482,7 @@ object Bench {
       // cached first read cannot serve it) parsed with the known schema —
       // no inference pass, everything else end-to-end
       val schema = lastDf.schema
-      val reuse = (1 to 3).map { _ =>
+      val reuse = (1 to 5).map { _ =>
         val in2 = tmpDir("flatbench2")
         Files.writeString(in2.resolve("docs.jsonl"), sb.toString)
         val t2 = System.nanoTime()
@@ -456,7 +491,7 @@ object Bench {
         graft.flatten.Flattener.flattenToTsv(df2, in2.resolve("tsv").toString)
         (System.nanoTime() - t2) / 1e9
       }
-      FlattenBench(n, 3,
+      FlattenBench(n, 5,
         cold.min, median(cold), warm.min, median(warm),
         reuse.min, median(reuse))
     } catch {

@@ -43,6 +43,105 @@ object Morton {
   def code(x: Column, y: Column, bits: Int = 16): Column =
     CatalystBridge.column(MortonCode(
       CatalystBridge.expression(x), CatalystBridge.expression(y), bits))
+
+  /** K-dimensional interleave kernel (interpreted path / tests): bit i
+    * of input j lands at z bit `i*k + j`. The 2-dim magic-mask kernel
+    * above stays the hot path; this generic form serves 3+ clustering
+    * columns, where `bits*k <= 63` bounds the per-dimension width.
+    */
+  def interleaveN(xs: Array[Long], bits: Int): Long = {
+    val k = xs.length
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      var j = 0
+      while (j < k) {
+        z |= ((xs(j) >>> i) & 1L) << (i * k + j)
+        j += 1
+      }
+      i += 1
+    }
+    z
+  }
+
+  /** `morton_code_n(x1, ..., xk)` as a Column — k >= 2 dimensions. */
+  def codeN(cols: Seq[Column], bits: Int): Column =
+    if (cols.length == 2) code(cols(0), cols(1), bits)
+    else CatalystBridge.column(
+      MortonNCode(cols.map(CatalystBridge.expression), bits))
+}
+
+/** K-dimensional Morton interleave (k >= 3; the 2-dim case stays on
+  * [[MortonCode]]'s magic masks). Codegen unrolls the `bits × k`
+  * shift/mask/or lattice — a layout-only key computed once per row by
+  * a compaction job, so the unrolled form (no loop, no array) keeps it
+  * inside whole-stage codegen like its 2-dim sibling.
+  */
+case class MortonNCode(children: Seq[Expression], bits: Int)
+    extends Expression {
+  require(children.length >= 3,
+    s"morton_code_n needs >= 3 dimensions (use morton_code for 2), " +
+      s"got ${children.length}")
+  require(bits >= 1 && bits * children.length <= 63,
+    s"bits * dims must fit a positive long: bits=$bits, " +
+      s"dims=${children.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires all-BIGINT inputs, got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "morton_code_n"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : Any = {
+    val vals = new Array[Long](children.length)
+    var j = 0
+    val mask = (1L << bits) - 1
+    while (j < children.length) {
+      val v = children(j).eval(input)
+      if (v == null) return null
+      vals(j) = v.asInstanceOf[Long] & mask
+      j += 1
+    }
+    Morton.interleaveN(vals, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val mask = (1L << bits) - 1
+    val k = children.length
+    val z = ctx.freshName("mnz")
+    val vs = children.indices.map(j => ctx.freshName(s"mn$j"))
+    val decls = children.indices.map(j =>
+      s"long ${vs(j)} = ${evals(j).value} & ${mask}L;").mkString("\n")
+    // the bits×k shift/mask/or lattice, fully unrolled — branch-free,
+    // whole-stage-codegen friendly
+    val terms = (0 until bits).flatMap(i => (0 until k).map(j =>
+      s"$z |= ((${vs(j)} >>> $i) & 1L) << ${i * k + j};")).mkString("\n")
+    val anyNull = evals.map(_.isNull.toString).mkString(" || ")
+    val childEval = evals.map(_.code).reduce(_ + _)
+    ev.copy(code = childEval +
+      code"""
+        boolean ${ev.isNull} = $anyNull;
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          $decls
+          long $z = 0L;
+          $terms
+          ${ev.value} = $z;
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MortonNCode =
+    copy(children = newChildren)
 }
 
 case class MortonCode(left: Expression, right: Expression, bits: Int)

@@ -314,6 +314,27 @@ object Similarity {
       .write.mode("overwrite").parquet(lakeDir + "/_ivf_stats")
   }
 
+  /** Compute and persist the drift baseline the SAME way
+    * [[ivfDriftProbe]] measures the current state: mean assigned-cell
+    * residual of a hash-spread TakeOrdered sample over the WRITTEN
+    * lake. An in-sample baseline (the residual of the very sample the
+    * centroids trained on, selected by a different scheme) is biased
+    * LOW, which biases the probe's ratio above 1 with zero drift and
+    * muddies the threshold's meaning — baseline and probe now share
+    * both the population (the lake) and the selection scheme.
+    */
+  private def writeDriftBaseline(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, centroids: Array[Float], dim: Int,
+      sampleN: Int = 2048): Unit = {
+    val held = spark.read.parquet(dataDir)
+      .select(col("id").cast("long").as("id"),
+        col("vec").cast("array<float>").as("vec"))
+      .orderBy(hash(col("id")), col("id")).limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray) // bounded: sampleN×dim
+    writeIvfStats(spark, dataDir,
+      meanResidual(held, centroids, dim), held.length)
+  }
+
   /** The in-cell scoring tail shared by [[ivfTopK]] and
     * [[ivfTopKOverLake]]: broadcast the ×nProbe-fanned query side into
     * each corpus cell, score strictly in-cell, heap the top k. The two
@@ -361,7 +382,7 @@ object Similarity {
       vecCol: String, dim: Int, nCells: Int = 0, sampleN: Int = 0,
       iters: Int = 10, seed: Long = 42L): Int = {
     val spark = corpus.sparkSession
-    val (cells, centroids, sample) =
+    val (cells, centroids, _) =
       trainCentroids(corpus, idCol, vecCol, dim, nCells, sampleN, iters, seed)
     val centLit = ArrayOps.packedFloatLit(centroids)
     // ONE shuffle keyed by cell before the partitioned write: without
@@ -383,9 +404,9 @@ object Similarity {
       .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
       .toDF("cell_id", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(lakeDir + "/_ivf_centroids")
-    // the training-time residual baseline the drift probe compares to
-    writeIvfStats(spark, lakeDir, meanResidual(sample, centroids, dim),
-      sample.length)
+    // the drift baseline, measured the way the probe measures (a
+    // hash-spread sample of the written lake — not the training sample)
+    writeDriftBaseline(spark, lakeDir, centroids, dim)
     cells
   }
 
@@ -396,12 +417,43 @@ object Similarity {
       dir: String): Seq[String] =
     graft.sinks.Lake.sidecarParquetFiles(spark, dir)
 
+  /** The ACTIVE data directory of an IVF (or IVF+PQ) lake. Legacy
+    * lakes ([[writeIvfLake]]'s flat layout) are their own data dir; a
+    * lake that has been RECLUSTERED carries generation subdirs
+    * (`_gen_<token>/`) plus empty POINTER files (`_ptr_<seq>_<token>`)
+    * whose highest sequence names the live generation. Publishing a
+    * new generation is ONE atomic file CREATE (no rename, no replace,
+    * no missing-path window): a reader resolving during a swap gets
+    * the old generation or the new one, never a dangling path — the
+    * reader-outage window of the old directory-rename protocol is
+    * gone. Resolution is idempotent (a generation dir carries no
+    * pointers, so resolving it returns itself). One directory listing
+    * per query — the same cost class as the partition listing the
+    * probe already pays.
+    */
+  def ivfDataDir(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(lakeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return lakeDir
+    val ptrs = fs.listStatus(base).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_ptr_")).toSeq
+    if (ptrs.isEmpty) lakeDir
+    else {
+      // _ptr_<seq>_<token> → split('_') = ("", "ptr", seq, token)
+      val best = ptrs.maxBy(_.split('_')(2).toLong)
+      s"$lakeDir/_gen_${best.split('_')(3)}"
+    }
+  }
+
   /** The `_ivf_centroids` sidecar as the flat cell-major float array
     * every IVF reader/writer indexes by `cell_id * dim`.
     */
   private def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
       lakeDir: String, dim: Int): Array[Float] = {
-    val files = sidecarFiles(spark, lakeDir + "/_ivf_centroids")
+    val files = sidecarFiles(spark,
+      ivfDataDir(spark, lakeDir) + "/_ivf_centroids")
     require(files.nonEmpty, s"no _ivf_centroids sidecar under $lakeDir")
     val cents = spark.read.parquet(files: _*).collect()
     val flat = new Array[Float](cents.length * dim)
@@ -473,10 +525,11 @@ object Similarity {
   def ivfTopKOverLake(spark: org.apache.spark.sql.SparkSession,
       lakeDir: String, queries: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int = 5, nProbe: Int = 0): DataFrame = {
+    val dataDir = ivfDataDir(spark, lakeDir)
     val flat = readIvfCentroids(spark, lakeDir, dim)
     val (q, probed) = ivfProbe(spark, queries, idCol, vecCol, dim,
       nProbe, flat)
-    val c = spark.read.schema(IvfLakeSchema).parquet(lakeDir)
+    val c = spark.read.schema(IvfLakeSchema).parquet(dataDir)
       .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
     ivfScore(c, q, k)
   }
@@ -496,6 +549,7 @@ object Similarity {
     */
   def appendToIvfLake(batch: DataFrame, lakeDir: String, idCol: String,
       vecCol: String, dim: Int): Unit = {
+    val dataDir = ivfDataDir(batch.sparkSession, lakeDir)
     val flat = readIvfCentroids(batch.sparkSession, lakeDir, dim)
     val centLit = ArrayOps.packedFloatLit(flat)
     batch.select(col(idCol).cast("long").as("id"),
@@ -503,7 +557,7 @@ object Similarity {
       .withColumn("cell",
         graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(lakeDir)
+      .write.mode("append").partitionBy("cell").parquet(dataDir)
   }
 
   /** Takedown from an IVF (or IVF+PQ) lake — [[graft.sinks.Lake.deleteIds]]
@@ -521,7 +575,8 @@ object Similarity {
     */
   def deleteFromIvfLake(spark: org.apache.spark.sql.SparkSession,
       lakeDir: String, ids: DataFrame): (Long, Long) =
-    graft.sinks.Lake.deleteIds(spark, lakeDir, "cell", "id", ids)
+    graft.sinks.Lake.deleteIds(spark, ivfDataDir(spark, lakeDir),
+      "cell", "id", ids)
 
   /** Synchronize an IVF lake from a versioned document lake's CHANGE
     * FEED ([[graft.sinks.VersionedLake.changesBetween]]'s typed rows) —
@@ -584,7 +639,8 @@ object Similarity {
     require(sampleN > 0 && threshold > 0.0,
       "ivfDriftProbe needs sampleN > 0 and threshold > 0")
     val flat = readIvfCentroids(spark, lakeDir, dim)
-    val statsFiles = sidecarFiles(spark, lakeDir + "/_ivf_stats")
+    val statsFiles = sidecarFiles(spark,
+      ivfDataDir(spark, lakeDir) + "/_ivf_stats")
     require(statsFiles.nonEmpty,
       s"no _ivf_stats sidecar under $lakeDir — lakes written before the " +
         "drift probe existed carry no baseline; recluster (or rebuild) " +
@@ -594,7 +650,8 @@ object Similarity {
     val baseline = st(0).getDouble(0)
     // bounded deterministic sample across every vintage: TakeOrdered on
     // hash(id) is a per-partition heap + driver merge, never a full sort
-    val sample = spark.read.schema(IvfLakeSchema).parquet(lakeDir)
+    val sample = spark.read.schema(IvfLakeSchema)
+      .parquet(ivfDataDir(spark, lakeDir))
       .select(col("id"), col("vec"))
       .orderBy(hash(col("id")), col("id")).limit(sampleN)
       .collect().map(_.getSeq[Float](1).toArray)
@@ -606,86 +663,109 @@ object Similarity {
 
   /** Retrain-and-swap for a drifted IVF (or IVF+PQ) lake: retrains
     * centroids on the CURRENT membership, rewrites the lake
-    * cell-partitioned under the new geometry into a sibling tmp dir —
-    * data, `_ivf_centroids`, a fresh `_ivf_stats` baseline, and the
-    * `_pq_codebooks` sidecar carried verbatim when present (PQ codes
-    * encode raw vectors, by_residual = false, so they stay valid under
-    * ANY cell geometry — only the probe/partition layout retrains) —
-    * then swaps it in whole. Readers before the swap see the old lake,
-    * after it the new one; [[ivfTopKOverLake]] / [[ivfTopKFrozen]] read
-    * centroids from the (now new) sidecar, so the frozen-twin equality
-    * contract (q152/q184) holds across the swap by construction.
+    * cell-partitioned under the new geometry into a fresh GENERATION
+    * subdir — data, `_ivf_centroids`, a fresh `_ivf_stats` baseline,
+    * and the `_pq_codebooks` sidecar carried verbatim when present
+    * (PQ codes encode raw vectors, by_residual = false, so they stay
+    * valid under ANY cell geometry — only the probe/partition layout
+    * retrains) — then publishes it READER-SAFELY with one atomic
+    * pointer-file create (see [[ivfDataDir]]). The old
+    * directory-rename protocol had a window (between the
+    * rename-aside and the rename-in) where the live path did not
+    * exist and a concurrent query FAILED; the pointer publish has no
+    * such window — a reader resolving during the swap sees the old
+    * generation or the new one, and the PREVIOUS generation is
+    * retained until the NEXT recluster so even a query that resolved
+    * just before the publish finishes its scan against intact files.
     *
-    * Crash safety (directory-rename protocol, recovered by the NEXT
-    * call — same discipline as [[compactIvfLake]]):
-    *  1. tmp is built completely, then stamped `_SWAP_READY`;
-    *  2. the live lake renames aside (the point of no return);
-    *  3. tmp renames into place;  4. the aside copy is deleted.
-    * Recovery: tmp present while the live lake still exists = a crash
-    * BEFORE the point of no return — the lake is authoritative, the
-    * tmp is discarded (it may predate newer commits). Live lake
-    * missing with a READY tmp = a crash between 2 and 3 — finish the
-    * swap. Returns the new cell count.
+    * Crash safety: a crashed build leaves an orphan `_gen_*` dir no
+    * pointer names — invisible to every reader, swept by the next
+    * recluster. The publish is one atomic no-replace create; there is
+    * no multi-step swap to recover. Single MAINTENANCE writer, like
+    * every lake mutation here (concurrent appends during a recluster
+    * would land in the superseded generation).
+    *
+    * MIGRATION: the first recluster of a legacy FLAT lake moves it to
+    * the generational layout and removes the root-level cell dirs
+    * after publishing — a reader mid-scan on the legacy layout at
+    * that instant can fail (one-time caveat); every later swap is
+    * fully reader-safe. Returns the new cell count.
     */
   def reclusterIvfLake(spark: org.apache.spark.sql.SparkSession,
       lakeDir: String, idCol: String, vecCol: String, dim: Int,
       nCells: Int = 0, sampleN: Int = 0, iters: Int = 10,
       seed: Long = 42L): Int = {
     import org.apache.hadoop.fs.Path
-    val live = new Path(lakeDir)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(lakeDir + ".retrain_tmp")
-    val aside = new Path(lakeDir + ".retrain_old")
-    val marker = new Path(tmp, "_SWAP_READY")
-    def finishSwap(): Unit = {
-      require(fs.rename(tmp, live),
-        s"reclusterIvfLake: rename $tmp -> $live failed; the rebuilt " +
-          "lake is intact in the tmp dir — re-run the pass")
-      if (fs.exists(aside)) require(fs.delete(aside, true),
-        s"reclusterIvfLake: could not remove the aside copy $aside")
-      // the marker did its job (underscore names are invisible to
-      // parquet reads anyway, but a swapped-in lake should not carry it)
-      fs.delete(new Path(live, "_SWAP_READY"), false): Unit
+    val base = new Path(lakeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(base), s"no IVF lake at $lakeDir")
+    val ptrs = fs.listStatus(base).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_ptr_")).toSeq.sortBy(_.split('_')(2).toLong)
+    val dataDir = ivfDataDir(spark, lakeDir)
+    // sweep CRASHED builds: generations NO pointer names. Exact-name
+    // match only — a compaction's `_gen_<token>.compact_tmp` sibling
+    // has its own recovery protocol and must never be swept here.
+    // (Retiring superseded-but-pointed generations happens AFTER the
+    // publish below, so the previous generation is always retained for
+    // in-flight readers.)
+    val pointed = ptrs.map(_.split('_')(3)).toSet
+    fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.matches("_gen_[0-9a-f]{12}") &&
+          !pointed.contains(n.stripPrefix("_gen_")))
+        require(fs.delete(st.getPath, true),
+          s"reclusterIvfLake: could not sweep dead generation $n")
     }
-    // recovery of a crashed prior pass
-    if (fs.exists(tmp)) {
-      if (!fs.exists(live) && fs.exists(marker)) finishSwap()
-      else require(fs.delete(tmp, true),
-        s"reclusterIvfLake: could not discard stale tmp $tmp")
-    }
-    if (!fs.exists(live) && fs.exists(aside))
-      // crashed after the aside rename with no usable tmp: the aside
-      // copy IS the lake — put it back
-      require(fs.rename(aside, live),
-        s"reclusterIvfLake: could not restore $aside to $live")
-    require(fs.exists(live), s"no IVF lake at $lakeDir")
-    if (fs.exists(aside)) require(fs.delete(aside, true),
-      s"reclusterIvfLake: could not remove stale aside $aside")
 
-    val lake = spark.read.parquet(lakeDir) // inferred: carries PQ codes
-    val (cells, centroids, sample) = trainCentroids(
+    val lake = spark.read.parquet(dataDir) // inferred: carries PQ codes
+    val (cells, centroids, _) = trainCentroids(
       lake, "id", "vec", dim, nCells, sampleN, iters, seed)
     val centLit = ArrayOps.packedFloatLit(centroids)
+    val token = java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    val newGen = s"$lakeDir/_gen_$token"
     lake.drop("cell")
       .withColumn("cell",
         graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      .write.mode("overwrite").partitionBy("cell").parquet(newGen)
     import spark.implicits._
     centroids.grouped(dim).zipWithIndex
       .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
       .toDF("cell_id", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString + "/_ivf_centroids")
-    writeIvfStats(spark, tmp.toString,
-      meanResidual(sample, centroids, dim), sample.length)
-    val cb = sidecarFiles(spark, lakeDir + "/_pq_codebooks")
+      .write.mode("overwrite").parquet(newGen + "/_ivf_centroids")
+    writeDriftBaseline(spark, newGen, centroids, dim)
+    val cb = sidecarFiles(spark, dataDir + "/_pq_codebooks")
     if (cb.nonEmpty)
       spark.read.parquet(cb: _*).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString + "/_pq_codebooks")
-    fs.create(marker, true).close() // tmp complete — swap may begin
-    require(fs.rename(live, aside), // the point of no return
-      s"reclusterIvfLake: rename $live -> $aside failed")
-    finishSwap()
+        .write.mode("overwrite").parquet(newGen + "/_pq_codebooks")
+    // PUBLISH: one atomic no-replace create of the next pointer — the
+    // generation is complete before it becomes resolvable
+    val seq = ptrs.lastOption.map(_.split('_')(2).toLong + 1).getOrElse(1L)
+    val ptr = new Path(base, f"_ptr_$seq%06d_$token")
+    val out = fs.create(ptr, false) // loud on a racing recluster
+    out.close()
+    // retire: keep the new generation and the PREVIOUS one (in-flight
+    // readers that resolved just before the publish finish their scan
+    // against intact files); everything older goes now
+    val allPtrs = (ptrs :+ ptr.getName).sortBy(_.split('_')(2).toLong)
+    allPtrs.dropRight(2).foreach { n =>
+      val tok = n.split('_')(3)
+      fs.delete(new Path(base, s"_gen_$tok"), true): Unit
+      fs.delete(new Path(base, n), false): Unit
+    }
+    // legacy flat layout superseded: remove the root-level cell dirs
+    // and sidecars (one-time migration; see scaladoc caveat)
+    if (dataDir == lakeDir) {
+      fs.listStatus(base).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && (n.startsWith("cell=") ||
+            n == "_ivf_centroids" || n == "_ivf_stats" ||
+            n == "_pq_codebooks"))
+          require(fs.delete(st.getPath, true),
+            s"reclusterIvfLake: could not remove legacy $n")
+      }
+    }
     cells
   }
 
@@ -731,7 +811,8 @@ object Similarity {
     require(maxFilesPerCell >= 1,
       s"maxFilesPerCell=$maxFilesPerCell must be >= 1")
     import org.apache.hadoop.fs.Path
-    val base = new Path(lakeDir)
+    val dataDir = ivfDataDir(spark, lakeDir)
+    val base = new Path(dataDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def isData(name: String): Boolean =
       !name.startsWith("_") && !name.startsWith(".")
@@ -744,14 +825,14 @@ object Similarity {
               .count(f => f.isFile && isData(f.getPath.getName)).toLong
           }
         }.toMap
-    val tmp = new Path(lakeDir + ".compact_tmp")
+    val tmp = new Path(dataDir + ".compact_tmp")
     val manifest = new Path(tmp, PartialAggs.ManifestName)
     def promote(cells: Seq[Long]): Unit = {
       cells.foreach { c =>
         val src = new Path(tmp, s"cell=$c")
         if (fs.exists(src)) { // already-promoted cells are gone from tmp
-          fs.delete(new Path(s"$lakeDir/cell=$c"), true)
-          require(fs.rename(src, new Path(s"$lakeDir/cell=$c")),
+          fs.delete(new Path(s"$dataDir/cell=$c"), true)
+          require(fs.rename(src, new Path(s"$dataDir/cell=$c")),
             s"compactIvfLake: rename $src failed; the rewritten cell is " +
               "intact in the tmp dir — re-run the pass")
         }
@@ -773,7 +854,7 @@ object Similarity {
     // stored column — an IVF+PQ lake ([[writeIvfPqLake]]) also holds
     // the code column, and a fixed 3-column read would silently drop
     // it from every compacted cell (IvfLakeSpec pins code survival)
-    spark.read.parquet(lakeDir)
+    spark.read.parquet(dataDir)
       .filter(col("cell").isin(fat.map(_.asInstanceOf[Any]): _*))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
@@ -830,7 +911,7 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     require(ksub > 0 && ksub <= 128, s"ksub=$ksub must fit a signed byte")
     val spark = corpus.sparkSession
-    val (cells, centroids, ivfSample) =
+    val (cells, centroids, _) =
       trainCentroids(corpus, idCol, vecCol, dim, nCells, sampleN, iters, seed)
     val centLit = ArrayOps.packedFloatLit(centroids)
     val subDim = dim / m
@@ -857,8 +938,7 @@ object Similarity {
     Seq((m, ksub, codebooks.toSeq)).toDF("m", "ksub", "codebooks")
       .coalesce(1)
       .write.mode("overwrite").parquet(lakeDir + "/_pq_codebooks")
-    writeIvfStats(spark, lakeDir, meanResidual(ivfSample, centroids, dim),
-      ivfSample.length)
+    writeDriftBaseline(spark, lakeDir, centroids, dim)
     cells
   }
 
@@ -868,7 +948,8 @@ object Similarity {
     */
   private def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
       lakeDir: String, dim: Int): (Int, Int, Array[Float]) = {
-    val files = sidecarFiles(spark, lakeDir + "/_pq_codebooks")
+    val files = sidecarFiles(spark,
+      ivfDataDir(spark, lakeDir) + "/_pq_codebooks")
     require(files.nonEmpty, s"no _pq_codebooks sidecar under $lakeDir")
     val rows = spark.read.parquet(files: _*).collect()
     require(rows.length == 1, s"bad _pq_codebooks sidecar under $lakeDir")
@@ -908,7 +989,8 @@ object Similarity {
     val qLut = q.withColumn("lut",
       ArrayOps.pqLutF(col("q_vec"), ArrayOps.packedFloatLit(cb), m, ksub,
         dim / m))
-    val codes = spark.read.schema(IvfPqLakeSchema).parquet(lakeDir)
+    val dataDir = ivfDataDir(spark, lakeDir)
+    val codes = spark.read.schema(IvfPqLakeSchema).parquet(dataDir)
       .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
       .select(col("id"), col("code"), col("cell"))
     val shortlist = ivfPqShortlist(codes, qLut, k, refine, ksub)
@@ -922,13 +1004,14 @@ object Similarity {
       val ids = shortlist.select(col("id")).distinct()
         .collect().map(_.getLong(0)).sorted
       val pruned = withInFilterThreshold(spark, ids.length) {
-        spark.read.schema(IvfPqLakeSchema).parquet(lakeDir)
+        spark.read.schema(IvfPqLakeSchema).parquet(dataDir)
           .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*) &&
             col("id").isin(ids.map(_.asInstanceOf[Any]): _*))
           .select(col("id"), col("vec"))
           .localCheckpoint(true)
       }
-      pqRefine(pruned, queries, idCol, vecCol, shortlist, k)
+      collectAndRelease(spark,
+        pqRefine(pruned, queries, idCol, vecCol, shortlist, k), pruned)
     }
   }
 
@@ -962,8 +1045,9 @@ object Similarity {
       .select(col("id"), col("code"), col("cell"))
     val shortlist = ivfPqShortlist(codes, qLut, k, refine, ksub)
     if (refine == 1) shortlist.select("q_id", "id", "rank")
-    else pqRefine(c.select(col("id"), col("vec")), queries, idCol, vecCol,
-      shortlist, k)
+    else collectAndRelease(spark,
+      pqRefine(c.select(col("id"), col("vec")), queries, idCol, vecCol,
+        shortlist, k), c)
   }
 
   /** The shared ADC stage of the two IVFPQ paths: probed-cell codes
@@ -1127,6 +1211,21 @@ object Similarity {
     heapTopK(scored, k * refine)
   }
 
+  /** Materialize a BOUNDED result frame (top-k per query — ≤ |Q|·k
+    * rows by construction) as a local relation, then release the
+    * persisted/checkpointed `backing` dataset its plan reads from.
+    * Returning the lazy plan instead would pin the checkpointed blocks
+    * in executor storage until session end — repeated pq/ivf topK
+    * calls accumulated exactly that before r16.
+    */
+  private def collectAndRelease(
+      spark: org.apache.spark.sql.SparkSession, result: DataFrame,
+      backing: org.apache.spark.sql.Dataset[_]): DataFrame = {
+    val rows = result.collect() // bounded: ≤ |Q|·k rows
+    backing.unpersist(blocking = false): Unit
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** Run `body` (which must MATERIALIZE its scan — the conf is read at
     * execution time, so a lazily returned plan would escape the window)
     * with `spark.sql.parquet.pushdown.inFilterThreshold` raised past
@@ -1134,8 +1233,14 @@ object Similarity {
     * shortlist-sized IN-list into parquet row-group pruning; at the
     * default threshold (10) any shortlist beyond 10 ids silently stops
     * pushing and the "re-read only the shortlist row groups" promise
-    * quietly becomes a full scan — the operator owns the knob instead
-    * of documenting it.
+    * quietly becomes a full scan — the operator owns the knob.
+    * CONCURRENCY CAVEAT: the threshold is a SESSION conf (Spark
+    * exposes no per-read knob for it), so a concurrent query on the
+    * same SparkSession can observe the raised value for the duration
+    * of this read — harmless for correctness (the threshold only
+    * WIDENS pushdown; results are unchanged either way) but visible;
+    * callers needing strict conf isolation should run refine scans on
+    * their own session.
     */
   private def withInFilterThreshold[T](
       spark: org.apache.spark.sql.SparkSession, nIds: Int)(body: => T): T = {
@@ -1213,7 +1318,8 @@ object Similarity {
           .select(col(idCol).as("id"), col(vecCol).as("vec"))
           .localCheckpoint(true)
       }
-      pqRefine(pruned, queries, idCol, vecCol, shortlist, k)
+      collectAndRelease(spark,
+        pqRefine(pruned, queries, idCol, vecCol, shortlist, k), pruned)
     }
   }
 

@@ -4401,6 +4401,113 @@ object TrainingData {
             VersionedLake.currentVersion(s, zDir), "doc_id", 0L, q - 1,
             None).filter(col("n_chars").between(0L, 300L))
         }))
+    } ++ {
+      // q196 (manifest checkpoint): fixture = the 12-commit history;
+      // operator = the checkpoint-served metadata reads + time travel
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val kDir = Tables.freshScratchDir("graft_vckpt_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q196_commits" -> (() => {
+          (0 until 12).foreach { m =>
+            VersionedLake.commitAppend(s, kDir,
+              docs.filter(col("doc_id") % 12 === m)): Unit
+          }
+          s.range(1).toDF()
+        }),
+        "q196_meta+travel" -> (() => {
+          val times = VersionedLake.commitTimes(s, kDir)
+          VersionedLake.history(s, kDir).count(): Unit
+          VersionedLake.readAsOfTimestamp(s, kDir, times(5)._2)
+        }))
+    } ++ {
+      // q197 (conflict-detected mutations): fixture = the two-file
+      // base; operator = the raced disjoint deletes + conflict round
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cDir = Tables.freshScratchDir("graft_vcmut_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q197_base" -> (() => {
+          VersionedLake.commitAppend(s, cDir,
+            docs.filter(col("doc_id") % 2 === 0).repartition(1)): Unit
+          VersionedLake.commitAppend(s, cDir,
+            docs.filter(col("doc_id") % 2 === 1).repartition(1)): Unit
+          s.range(1).toDF()
+        }),
+        "q197_raced_mutations" -> (() => {
+          def ids(r: Long) =
+            docs.filter(col("doc_id") % 8 === r).select("doc_id")
+          var raced = false
+          VersionedLake.commitDelete(s, cDir, "doc_id", ids(0),
+            beforePublish = () => if (!raced) {
+              raced = true
+              VersionedLake.commitDelete(s, cDir, "doc_id", ids(5)): Unit
+            }): Unit
+          VersionedLake.read(s, cDir)
+        }))
+    } ++ {
+      // q198 (3-dim Z-order): fixture = interleaved ingest; operator =
+      // the MortonN rewrite + the 3-dim pruned read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          col("n_chars").cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+      val z3Dir = Tables.freshScratchDir("graft_vz3_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q198_build" -> (() => {
+          (0 until 4).foreach { m =>
+            VersionedLake.commitAppend(s, z3Dir,
+              docs.filter(col("doc_id") % 4 === m).repartition(2),
+              statsCol = if (m == 0) Some("doc_id,n_chars,n_words")
+                else None): Unit
+          }
+          s.range(1).toDF()
+        }),
+        "q198_zorder3" -> (() => {
+          VersionedLake.compactZOrder(s, z3Dir,
+            Seq("doc_id", "n_chars", "n_words"), nFiles = 8,
+            bits = 0): Unit
+          s.range(1).toDF()
+        }),
+        "q198_read3d" -> (() => {
+          val q = docs.count() / 4
+          VersionedLake.readAsOfRange(s, z3Dir,
+            VersionedLake.currentVersion(s, z3Dir), "doc_id", 0L, q - 1,
+            None).filter(col("n_chars").between(0L, 300L) &&
+              col("n_words").between(0L, 40L))
+        }))
+    } ++ {
+      // q199 (schema header): fixture = the evolved two-vintage base;
+      // operator = the zero-footer-sweep MERGE + evolved read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d)
+      val hDir = Tables.freshScratchDir("graft_vhdr_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q199_build" -> (() => {
+          VersionedLake.commitAppend(s, hDir,
+            docs.filter(col("doc_id") % 4 === 0)
+              .select(col("doc_id"), col("text"))): Unit
+          VersionedLake.commitAppend(s, hDir,
+            docs.filter(col("doc_id") % 4 === 1)
+              .select(col("doc_id"), col("text"), col("source"))): Unit
+          s.range(1).toDF()
+        }),
+        "q199_merge+read" -> (() => {
+          val updates = docs.filter(col("doc_id") % 16 === 0)
+            .select(col("doc_id"),
+              concat(lit("UPD:"), col("text")).as("text"), col("source"))
+            .unionByName(docs.filter(col("doc_id") % 10 === 3)
+              .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+                col("source")))
+          val (v3, _, _) =
+            VersionedLake.commitUpsert(s, hDir, "doc_id", updates)
+          VersionedLake.readAsOf(s, hDir, v3, mergeSchema = true)
+        }))
     }
   }
 
@@ -6751,6 +6858,195 @@ object TrainingData {
        FROM documents d, b
        WHERE d.doc_id < b.q AND d.n_chars <= 300"""
 
+  // --- q196: manifest checkpoint — bounded metadata access + time travel ----------
+  // VersionedLake's `_versions/_checkpoint` (the Delta `_last_checkpoint`
+  // shape): after 12 commits the interval-10 checkpoint exists, and
+  // commitTimes/history/versionAsOf answer from ONE checkpoint read
+  // plus only the manifests younger than it — `opens_bounded` pins the
+  // measured manifest-open count (<= commits-since-checkpoint) from the
+  // same counter the metadata specs use, `history_consistent` pins
+  // checkpoint-served instants == manifest-served instants, and the
+  // membership is a TIMESTAMP time travel to the 6th commit's instant,
+  // resolved through the checkpoint. At 100 TB scale this is what keeps
+  // a 50k-commit lake's time travel from opening 50k manifest files.
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = Tables.freshScratchDir("graft_vckpt_", d).toString + "/lake"
+    (0 until 12).foreach { m =>
+      VersionedLake.commitAppend(s, dir,
+        docs.filter(col("doc_id") % 12 === m)): Unit
+      Thread.sleep(3) // distinct #ts instants: time travel is by-ms
+    }
+    val ckptPresent = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_versions", "_checkpoint"))
+    val o0 = VersionedLake.manifestOpens.get()
+    val times = VersionedLake.commitTimes(s, dir)
+    val opensBounded = VersionedLake.manifestOpens.get() - o0 <= 2L
+    val h = VersionedLake.history(s, dir)
+      .select(col("version"), col("committed_at")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val histConsistent = times.forall { case (v, t) => h(v) == t }
+    VersionedLake.readAsOfTimestamp(s, dir, times(5)._2)
+      .select(col("doc_id"), col("text"),
+        lit(ckptPresent).as("ckpt_present"),
+        lit(opensBounded).as("opens_bounded"),
+        lit(histConsistent).as("history_consistent"))
+  }
+
+  private val q196Sql =
+    """SELECT doc_id, text, true AS ckpt_present, true AS opens_bounded,
+       true AS history_consistent
+       FROM documents WHERE doc_id % 12 < 6"""
+
+  // --- q197: racing DISJOINT mutations both land; overlapping ones abort ----------
+  // VersionedLake.publishMutation's file-level conflict detection: the
+  // lake's two files hold even and odd ids; a delete of ids 8k loses
+  // its publish race to a delete of ids 8k+5 (disjoint FILES: evens vs
+  // odds) and REBASES — both land, linear history. A second round
+  // races two deletes on the SAME file (8k+2 vs 8k+4, both even): the
+  // loser aborts loudly with ConcurrentMutationException and commits
+  // NOTHING, so the final membership is exactly three residue classes
+  // gone — which the oracle replays, making a silently-dropped winner
+  // change, a silently-applied loser, or a forked history all move rows.
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = Tables.freshScratchDir("graft_vcmut_", d).toString + "/lake"
+    VersionedLake.commitAppend(s, dir,
+      docs.filter(col("doc_id") % 2 === 0).repartition(1)): Unit
+    VersionedLake.commitAppend(s, dir,
+      docs.filter(col("doc_id") % 2 === 1).repartition(1)): Unit
+    def ids(r: Long) = docs.filter(col("doc_id") % 8 === r).select("doc_id")
+    var raced = false
+    var vWin = 0L
+    val (vLose, _, _) = VersionedLake.commitDelete(s, dir, "doc_id",
+      ids(0), beforePublish = () => if (!raced) {
+        raced = true
+        vWin = VersionedLake.commitDelete(s, dir, "doc_id", ids(5))._1
+      })
+    var raced2 = false
+    val abortLoud =
+      try {
+        VersionedLake.commitDelete(s, dir, "doc_id", ids(2),
+          beforePublish = () => if (!raced2) {
+            raced2 = true
+            VersionedLake.commitDelete(s, dir, "doc_id", ids(4)): Unit
+          })
+        false
+      } catch {
+        case _: VersionedLake.ConcurrentMutationException => true
+      }
+    VersionedLake.read(s, dir)
+      .select(col("doc_id"), col("text"),
+        lit(vWin == 3L && vLose == 4L).as("disjoint_both_landed"),
+        lit(abortLoud).as("overlap_aborts"),
+        lit(VersionedLake.currentVersion(s, dir) == 5L)
+          .as("linear_history"))
+  }
+
+  private val q197Sql =
+    """SELECT doc_id, text, true AS disjoint_both_landed,
+       true AS overlap_aborts, true AS linear_history
+       FROM documents WHERE doc_id % 8 NOT IN (0, 4, 5)"""
+
+  // --- q198: THREE-dimension Z-order compaction --------------------------------
+  // compactZOrder(Seq(doc_id, n_chars, n_words)) — the N-dim Morton
+  // layout (MortonNCode, bit i of dim j → z bit i*k+j) composed with
+  // three-column manifest statistics: after 4 interleaved residue
+  // commits nothing prunes on any axis; after the 3-dim clustering,
+  // EACH axis admits strictly fewer than all files (counts measured
+  // from the manifest alone), and the 3-dimensional range read's
+  // membership replays exactly in SQL.
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        col("n_chars").cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+    val q = docs.count() / 4
+    val dir = Tables.freshScratchDir("graft_vz3_", d).toString + "/lake"
+    (0 until 4).foreach { m =>
+      VersionedLake.commitAppend(s, dir,
+        docs.filter(col("doc_id") % 4 === m).repartition(2),
+        statsCol = if (m == 0) Some("doc_id,n_chars,n_words") else None
+      ): Unit
+    }
+    val post = VersionedLake.compactZOrder(s, dir,
+      Seq("doc_id", "n_chars", "n_words"), nFiles = 8, bits = 0)
+    val (px, total) = VersionedLake.rangeFiles(s, dir, post,
+      "doc_id", 0L, q - 1)
+    val (py, _) = VersionedLake.rangeFiles(s, dir, post,
+      "n_chars", 0L, 300L)
+    val (pw, _) = VersionedLake.rangeFiles(s, dir, post,
+      "n_words", 0L, 40L)
+    VersionedLake.readAsOfRange(s, dir, post, "doc_id", 0L, q - 1, None)
+      .filter(col("n_chars").between(0L, 300L) &&
+        col("n_words").between(0L, 40L))
+      .select(col("doc_id"), col("text"), col("n_chars"), col("n_words"),
+        lit(px.size < total).as("zorder_prunes_x"),
+        lit(py.size < total).as("zorder_prunes_y"),
+        lit(pw.size < total).as("zorder_prunes_w"))
+  }
+
+  private val q198Sql =
+    """WITH b AS (SELECT count(*) // 4 AS q FROM documents)
+       SELECT d.doc_id, d.text, CAST(d.n_chars AS BIGINT) AS n_chars,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         true AS zorder_prunes_x, true AS zorder_prunes_y,
+         true AS zorder_prunes_w
+       FROM documents d, b
+       WHERE d.doc_id < b.q AND d.n_chars <= 300
+         AND len(string_split(d.text, ' ')) <= 40"""
+
+  // --- q199: lake schema in the manifest — zero-footer-sweep MERGE ----------------
+  // The `#schema=` header (r16): an evolved MERGE against a
+  // header-bearing lake derives the lake schema from ONE manifest line
+  // — `sweep_free` pins the measured parquet-footer-sweep count at
+  // ZERO across the upsert AND the evolved read (the counter the
+  // metadata specs instrument), while the membership replays q193's
+  // evolution semantics on different residue classes: old files
+  // NULL-fill the evolved column, updated rows carry it, survivors of
+  // partially-rewritten files keep theirs. At 100k files this header
+  // is the difference between a MERGE that opens one manifest and one
+  // that opens every live footer.
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d)
+    val dir = Tables.freshScratchDir("graft_vhdr_", d).toString + "/lake"
+    VersionedLake.commitAppend(s, dir,
+      docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))): Unit
+    VersionedLake.commitAppend(s, dir,
+      docs.filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("text"), col("source"))): Unit
+    val updates = docs.filter(col("doc_id") % 16 === 0)
+      .select(col("doc_id"), concat(lit("UPD:"), col("text")).as("text"),
+        col("source"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+          col("source")))
+    val s0 = VersionedLake.footerSchemaSweeps.get()
+    val (v3, _, _) = VersionedLake.commitUpsert(s, dir, "doc_id", updates)
+    val out = VersionedLake.readAsOf(s, dir, v3, mergeSchema = true)
+    val sweepFree = VersionedLake.footerSchemaSweeps.get() == s0
+    out.select(col("doc_id"), col("text"), col("source"),
+      lit(sweepFree).as("sweep_free"))
+  }
+
+  private val q199Sql =
+    """SELECT doc_id, text, source, true AS sweep_free FROM (
+         SELECT doc_id, text, NULL AS source FROM documents
+         WHERE doc_id % 4 = 0 AND doc_id % 16 != 0
+         UNION ALL
+         SELECT doc_id, text, source FROM documents WHERE doc_id % 4 = 1
+         UNION ALL
+         SELECT doc_id, 'UPD:' || text AS text, source FROM documents
+         WHERE doc_id % 16 = 0
+         UNION ALL
+         SELECT doc_id + 200000, text, source FROM documents
+         WHERE doc_id % 10 = 3)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -6894,7 +7190,11 @@ object TrainingData {
     "q192_index_compact"  -> q192 _,
     "q193_evolve_write" -> q193 _,
     "q194_multicol_stats" -> q194 _,
-    "q195_zorder_lake"    -> q195 _)
+    "q195_zorder_lake"    -> q195 _,
+    "q196_lake_checkpoint" -> q196 _,
+    "q197_concurrent_mutations" -> q197 _,
+    "q198_zorder3"        -> q198 _,
+    "q199_schema_header"  -> q199 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -7039,5 +7339,9 @@ object TrainingData {
     "q192_index_compact"  -> q192Sql,
     "q193_evolve_write" -> q193Sql,
     "q194_multicol_stats" -> q194Sql,
-    "q195_zorder_lake"    -> q195Sql)
+    "q195_zorder_lake"    -> q195Sql,
+    "q196_lake_checkpoint" -> q196Sql,
+    "q197_concurrent_mutations" -> q197Sql,
+    "q198_zorder3"        -> q198Sql,
+    "q199_schema_header"  -> q199Sql)
 }

@@ -22,8 +22,21 @@ import org.apache.spark.sql.functions._
   *                                        a data dir) — same immutability
   *   dir/_versions/v<version>.txt         manifest: the relative data-file
   *                                        paths that ARE that version,
-  *                                        one per line; the atomic rename
-  *                                        that publishes it is the commit
+  *                                        one per line; the atomic
+  *                                        publish of it is the commit
+  *                                        (hard link on local FS,
+  *                                        no-replace rename elsewhere)
+  *   dir/_versions/_checkpoint            metadata checkpoint, rewritten
+  *                                        every [[CheckpointInterval]]
+  *                                        commits: (ts, batch, nFiles)
+  *                                        per version, so history /
+  *                                        commitTimes / the streaming
+  *                                        replay cursor open one file
+  *                                        plus only the manifests
+  *                                        younger than it — a pure
+  *                                        access-path cache (corruption
+  *                                        or absence falls back to the
+  *                                        manifests)
   * }}}
   *
   * Why this shape at 100 TB:
@@ -44,28 +57,36 @@ import org.apache.spark.sql.functions._
   * Crash safety: data files land under their commit dir BEFORE the
   * manifest appears, so a crashed commit leaves only orphan files no
   * manifest references — invisible to every reader, reclaimed by
-  * [[vacuum]] (a crashed MUTATION's retry recomputes the same version
-  * number and rewrites `c<v>` whole; a crashed APPEND's retry is simply
-  * a fresh append under a fresh token dir).
+  * [[vacuum]] (every crashed writer's retry is simply a fresh attempt
+  * under a fresh token dir — append `a<token>`, mutation `m<token>`).
   *
-  * Writer concurrency — the two-tier contract:
-  *   - APPENDS are optimistic and commute. [[commitAppend]] writes its
-  *     data under a unique token dir, then publishes with a rebase-retry
-  *     loop: when a racing writer lands the version first, the append
-  *     re-reads the now-current manifest, stacks its (already written)
-  *     file entries on top, and retries the publish as the next version.
-  *     Two racing appends therefore BOTH land, as versions n and n+1
-  *     with union membership — the ingest+compaction-daemon topology
-  *     works without external coordination.
-  *   - MUTATIONS (delete, upsert, range delete, compaction, restore,
-  *     streaming batch commits) keep the single-writer rule: their
-  *     read-modify-write is not commutative, so [[writeManifest]]
-  *     refuses to replace an existing version and they fail LOUDLY
-  *     instead of silently forking history. Publishing is one rename;
-  *     the no-overwrite guarantee of the rename is the commit point
-  *     (atomic no-replace rename on HDFS; on stores where rename can
-  *     replace, the exists-probe immediately before narrows the window
-  *     and single-writer mutations close it).
+  * Writer concurrency — optimistic with file-level conflict detection
+  * (the Delta read/write-set discipline):
+  *   - APPENDS commute. [[commitAppend]] writes its data under a
+  *     unique token dir, then publishes with a rebase-retry loop: when
+  *     a racing writer lands the version first, the append re-reads
+  *     the now-current manifest, stacks its (already written) file
+  *     entries on top, and retries as the next version. Two racing
+  *     appends therefore BOTH land — the ingest+compaction-daemon
+  *     topology works without external coordination.
+  *   - MUTATIONS (delete, upsert, range delete, compaction, streaming
+  *     MERGE batches) publish through [[publishMutation]]: DISJOINT
+  *     racing mutations rebase and both land (two deletes on different
+  *     files; a compaction racing an append; a MERGE racing an
+  *     unrelated delete), while OVERLAPPING ones — a racing commit
+  *     removed a file this mutation also rewrites, a schema change
+  *     under a MERGE, an insert-id collision with a racing append —
+  *     abort loudly with [[ConcurrentMutationException]] and commit
+  *     NOTHING. Rebase semantics are Delta-WriteSerializable: the
+  *     mutation applies to its snapshot, racing arrivals survive it.
+  *   - RESTORE and VACUUM keep the single-writer rule (their plans
+  *     depend on the whole version list, not a file subset).
+  *   - The publish primitive is ATOMIC NO-REPLACE: a hard link on
+  *     local FS (`link(2)` — exactly one racing writer succeeds, the
+  *     rest get EEXIST), the no-replace rename on HDFS, and rename +
+  *     read-back verify on stores whose rename can replace or tear
+  *     (the torn-manifest and reported-failure cases are pinned by
+  *     ObjectStoreContractSpec).
   *
   * Manifest headers (lines starting with `#`, self-describing and
   * backward compatible — old manifests without them parse unchanged):
@@ -76,6 +97,15 @@ import org.apache.spark.sql.functions._
   *     fallback for manifests from before this header existed.
   *   - `#batch=<id>`  streaming-batch provenance ([[commitAppendForBatch]]);
   *     `-1` is an explicit cursor reset stamped by [[restore]].
+  *   - `#schema=<StructType json>`  the LAKE SCHEMA as of this commit —
+  *     what kills the O(files) parquet-footer sweep on the MERGE /
+  *     evolved-read hot paths: one manifest line instead of opening
+  *     every live file's footer per upsert. Appends merge their frame's
+  *     new columns in; upserts stamp the evolved schema; maintenance
+  *     commits carry it forward. Manifests from before the header (or
+  *     after a type-divergent legacy append) simply omit it and every
+  *     consumer falls back to the counted footer sweep
+  *     ([[footerSchemaSweeps]]).
   *   - `#stats=<col1>[,<col2>...]`  the lake's statistics column LIST.
   *   - `#stats_v=2`  stats-entry semantics marker: entries written under
   *     it carry per-column (min, max, nullCount) triples. Entries are
@@ -100,6 +130,35 @@ object VersionedLake {
   private val VersionsName = "_versions"
   private val DataName = "data"
 
+  /** A full metadata checkpoint is rewritten every this-many commits —
+    * the Delta `_last_checkpoint` shape: commit-time / batch-cursor /
+    * file-count lookups for versions at or below the checkpoint read
+    * ONE file instead of opening every manifest, so [[history]],
+    * [[commitTimes]] (and with them time travel + retention) and the
+    * streaming replay probe stay O(commits since checkpoint) on a lake
+    * with tens of thousands of commits.
+    */
+  private val CheckpointInterval = 10L
+  private val CheckpointName = "_checkpoint"
+
+  /** Versions younger than this survive [[vacuum]]/[[vacuumBefore]]
+    * unless the caller passes `force = true` — the Delta retention
+    * floor: a long-running time-travel reader mid-scan on last hour's
+    * version must not have its files swept by a routine retention job.
+    */
+  val DefaultRetentionMillis: Long = 7L * 24 * 3600 * 1000
+
+  /** Diagnostic counters for the metadata-cost specs: how many times a
+    * lake schema had to be derived by a parquet FOOTER SWEEP (the
+    * O(files) fallback the `#schema=` header exists to remove), and how
+    * many manifest files were opened (the O(versions) cost the
+    * checkpoint bounds). Monotone, process-wide, test-only reads.
+    */
+  private[graft] val footerSchemaSweeps =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val manifestOpens =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Rebase-retry bound for optimistic appends — deep enough that a
     * burst of racing appenders all land, small enough that a livelock
     * (e.g. a misconfigured store whose rename never wins) surfaces as
@@ -120,14 +179,17 @@ object VersionedLake {
       name.stripPrefix("v").stripSuffix(".txt").toLongOption
     else None
 
+  private def liveVersions(fs: FileSystem, base: Path): Seq[Long] = {
+    val vd = new Path(base, VersionsName)
+    if (!fs.exists(vd)) Seq.empty
+    else fs.listStatus(vd).iterator
+      .flatMap(s => versionOf(s.getPath.getName)).toSeq.sorted
+  }
+
   /** Highest committed version, 0 if the lake has none yet. */
   def currentVersion(spark: SparkSession, dir: String): Long = {
     val (fs, base) = fsOf(spark, dir)
-    val vd = new Path(base, VersionsName)
-    if (!fs.exists(vd)) 0L
-    else fs.listStatus(vd).iterator
-      .flatMap(s => versionOf(s.getPath.getName))
-      .foldLeft(0L)(math.max)
+    liveVersions(fs, base).lastOption.getOrElse(0L)
   }
 
   /** Every committed version, ascending ([[vacuum]] may have dropped a
@@ -135,10 +197,7 @@ object VersionedLake {
     */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val (fs, base) = fsOf(spark, dir)
-    val vd = new Path(base, VersionsName)
-    if (!fs.exists(vd)) Seq.empty
-    else fs.listStatus(vd).iterator
-      .flatMap(s => versionOf(s.getPath.getName)).toSeq.sorted
+    liveVersions(fs, base)
   }
 
   private def manifestLines(fs: FileSystem, base: Path,
@@ -147,6 +206,7 @@ object VersionedLake {
     require(fs.exists(p),
       s"no version $v at $base (missing ${p.getName} — vacuumed or never " +
         "committed)")
+    manifestOpens.incrementAndGet(): Unit
     val in = fs.open(p)
     val text =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
@@ -189,17 +249,6 @@ object VersionedLake {
     } else None
   }
 
-  /** The streaming-batch provenance of a version, if it has one —
-    * carried as a `#batch=<id>` header INSIDE the manifest so
-    * "version committed" and "batch applied" are one rename. `-1` is
-    * [[restore]]'s explicit cursor reset (no batch applied as of the
-    * restored state).
-    */
-  private[sinks] def batchOf(fs: FileSystem, base: Path,
-      v: Long): Option[Long] =
-    manifestLines(fs, base, v).find(_.startsWith("#batch="))
-      .flatMap(_.stripPrefix("#batch=").toLongOption)
-
   /** The lake's statistics column list of version `v` as the raw header
     * value (comma-joined), if stats are enabled — kept as the single
     * source the enable-once/never-switch rule compares.
@@ -222,16 +271,259 @@ object VersionedLake {
     if (cols.isEmpty) Seq.empty
     else Seq("#stats=" + cols.mkString(","), "#stats_v=2")
 
-  /** The commit timestamp header of version `v`, if stamped. */
-  private def tsOf(fs: FileSystem, base: Path, v: Long): Option[Long] =
-    manifestLines(fs, base, v).find(_.startsWith("#ts="))
-      .flatMap(_.stripPrefix("#ts=").toLongOption)
+  // --- lake schema in the manifest (`#schema=` header) ---------------------
+
+  /** Every field (recursively) nullable — the form the schema header is
+    * stored in: parquet round-trips flip nullable/containsNull freely,
+    * so a header that pinned nullability would spuriously mismatch its
+    * own files.
+    */
+  private def nullableized(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullableized(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(nullableized(a.elementType), containsNull = true)
+      case m: MapType => MapType(nullableized(m.keyType),
+        nullableized(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private def schemaHeader(sc: org.apache.spark.sql.types.StructType)
+      : Seq[String] =
+    Seq("#schema=" + nullableized(sc).json) // StructType.json is one line
+
+  /** The lake schema version `v` COMMITTED, when its manifest carries
+    * the `#schema=` header (every commit since the header existed
+    * stamps it). Readers and mutations prefer this over the O(files)
+    * parquet-footer sweep; manifests from before the header parse as
+    * None and fall back.
+    */
+  def schemaOf(spark: SparkSession, dir: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, base) = fsOf(spark, dir)
+    schemaOf(fs, base, v)
+  }
+
+  private def schemaOf(fs: FileSystem, base: Path, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(fs, base, v).find(_.startsWith("#schema="))
+      .flatMap { h =>
+        try Some(org.apache.spark.sql.types.DataType
+          .fromJson(h.stripPrefix("#schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        catch { case _: Exception => None } // corrupt header: fall back
+      }
+
+  /** Version `v`'s lake schema: the manifest header when present (one
+    * manifest line, zero file opens), else the LEGACY fallback — a
+    * `mergeSchema` union over every live file's parquet footer, counted
+    * by [[footerSchemaSweeps]] (the O(files) metadata cost the header
+    * removes from the MERGE/read hot paths). None for an empty version
+    * with no header.
+    */
+  private def lakeSchemaAt(spark: SparkSession, fs: FileSystem, base: Path,
+      v: Long): Option[org.apache.spark.sql.types.StructType] =
+    schemaOf(fs, base, v).orElse {
+      val files = fileEntries(fs, base, v).map(entryPath)
+      if (files.isEmpty) None
+      else {
+        footerSchemaSweeps.incrementAndGet(): Unit
+        Some(spark.read.option("mergeSchema", "true")
+          .parquet(files.map(qualified(fs, base, _)): _*).schema)
+      }
+    }
+
+  /** The schema an APPEND of `df` commits: the carried lake schema with
+    * df-only columns appended (write-path schema evolution), provided
+    * every shared column is structurally compatible. None when the
+    * previous commit carries no header (legacy lake — appends must not
+    * pay a footer sweep to reconstruct one) or when a shared column's
+    * type diverges (the lake drops to legacy schema mode rather than
+    * stamping a header its files contradict).
+    */
+  private def appendSchema(fs: FileSystem, base: Path, prevV: Long,
+      df: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    if (prevV < 1) return Some(df)
+    schemaOf(fs, base, prevV).flatMap { prev =>
+      val compatible = prev.fields.forall { f =>
+        !df.fieldNames.contains(f.name) ||
+          DataType.equalsStructurally(df(f.name).dataType, f.dataType,
+            ignoreNullability = true)
+      }
+      if (!compatible) None
+      else Some(StructType(prev.fields ++
+        df.fields.filterNot(f => prev.fieldNames.contains(f.name))))
+    }
+  }
+
+  // --- metadata checkpoint (`_versions/_checkpoint`) ------------------------
+
+  private final case class CkptEntry(ts: Long, batch: Option[Long],
+      nFiles: Long)
+
+  private def checkpointPath(base: Path): Path =
+    new Path(base, s"$VersionsName/$CheckpointName")
+
+  /** The newest checkpoint, if one exists and parses:
+    * (checkpointed-at version, per-version metadata). Corruption or
+    * absence reads as None — every consumer falls back to opening
+    * manifests, so the checkpoint is purely an access-path cache.
+    */
+  private def readCheckpoint(fs: FileSystem, base: Path)
+      : Option[(Long, Map[Long, CkptEntry])] =
+    try {
+      val p = checkpointPath(base)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        val lines = text.split("\n").iterator.map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val at = lines.find(_.startsWith("#ckpt_v="))
+          .flatMap(_.stripPrefix("#ckpt_v=").toLongOption)
+        at.map { a =>
+          val m = lines.filterNot(_.startsWith("#")).flatMap { l =>
+            val f = l.split('\t')
+            if (f.length != 4) None
+            else for (v <- f(0).toLongOption; ts <- f(1).toLongOption;
+                n <- f(3).toLongOption)
+              yield v -> CkptEntry(ts,
+                if (f(2) == "-") None else f(2).toLongOption, n)
+          }.toMap
+          (a, m)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Rewrite the checkpoint as of version `upTo`: per surviving
+    * version ≤ upTo, (commit ts, batch cursor, file count) — sourced
+    * from the PRIOR checkpoint where it covers a version and from the
+    * manifest otherwise, so the rewrite itself is O(commits since the
+    * last checkpoint). Atomic side-file + rename replace; best-effort
+    * (a failed checkpoint never fails the commit that triggered it).
+    */
+  private def writeCheckpoint(fs: FileSystem, base: Path,
+      upTo: Long): Unit = {
+    val prior = readCheckpoint(fs, base)
+    def entry(v: Long): CkptEntry =
+      prior.flatMap(_._2.get(v)).getOrElse {
+        val lines = manifestLines(fs, base, v)
+        CkptEntry(
+          lines.find(_.startsWith("#ts=")).flatMap(
+            _.stripPrefix("#ts=").toLongOption).getOrElse(
+            fs.getFileStatus(manifestPath(base, v)).getModificationTime),
+          lines.find(_.startsWith("#batch=")).flatMap(
+            _.stripPrefix("#batch=").toLongOption),
+          lines.count(!_.startsWith("#")).toLong)
+      }
+    val body = liveVersions(fs, base).filter(_ <= upTo).map { v =>
+      val e = entry(v)
+      s"$v\t${e.ts}\t${e.batch.map(_.toString).getOrElse("-")}\t${e.nFiles}"
+    }
+    val dst = checkpointPath(base)
+    val side = new Path(dst.getParent, dst.getName + "." +
+      java.util.UUID.randomUUID().toString.take(8) + ".writing")
+    val bytes = ((s"#ckpt_v=$upTo" +: body).mkString("\n") + "\n")
+      .getBytes("UTF-8")
+    val out = fs.create(side, true)
+    try out.write(bytes)
+    finally out.close()
+    fs.delete(dst, false): Unit // POSIX rename replaces; HDFS needs this
+    require(fs.rename(side, dst), s"checkpoint publish $side -> $dst failed")
+  }
+
+  /** (ts, batch, nFiles) of version `v` — checkpoint-first: one
+    * checkpoint read covers every version at or below it; only younger
+    * manifests are opened.
+    */
+  private def metaOf(fs: FileSystem, base: Path, v: Long,
+      ckpt: Option[(Long, Map[Long, CkptEntry])]): CkptEntry =
+    ckpt.flatMap(_._2.get(v)).getOrElse {
+      val lines = manifestLines(fs, base, v)
+      CkptEntry(
+        lines.find(_.startsWith("#ts=")).flatMap(
+          _.stripPrefix("#ts=").toLongOption).getOrElse(
+          fs.getFileStatus(manifestPath(base, v)).getModificationTime),
+        lines.find(_.startsWith("#batch=")).flatMap(
+          _.stripPrefix("#batch=").toLongOption),
+        lines.count(!_.startsWith("#")).toLong)
+    }
+
+  /** `rels` (files of version `v`) read under version `v`'s LAKE
+    * schema: header-driven when present (zero footer opens; evolution
+    * columns NULL-fill in files that predate them), else a mergeSchema
+    * footer union over exactly `rels` — either way a rewrite sourced
+    * from this read can never drop an evolution-added column, which a
+    * bare first-footer-wins parquet read silently could.
+    */
+  private def readWithLakeSchema(spark: SparkSession, fs: FileSystem,
+      base: Path, v: Long, rels: Seq[String]): DataFrame =
+    schemaOf(fs, base, v) match {
+      case Some(sc) => spark.read
+        .schema(nullableized(sc)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(rels.map(qualified(fs, base, _)): _*)
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(rels.map(qualified(fs, base, _)): _*)
+    }
+
+  /** The newest version CARRYING streaming-batch provenance, with its
+    * batch id — the exactly-once replay cursor. Checkpoint-first: on a
+    * lake whose interleaved maintenance commits carry no `#batch=`
+    * header, the previous newest-first scan opened every manifest;
+    * versions at or below the checkpoint now answer from its one read.
+    */
+  private def newestBatchCursor(fs: FileSystem, base: Path)
+      : Option[(Long, Long)] = {
+    val ckpt = readCheckpoint(fs, base)
+    liveVersions(fs, base).reverseIterator
+      .map(v => (v, metaOf(fs, base, v, ckpt).batch))
+      .collectFirst { case (v, Some(b)) => (v, b) }
+  }
+
+  /** The raw local (java.nio) path of a Hadoop path when `fs` is the
+    * local filesystem — the store where an ATOMIC NO-REPLACE publish
+    * primitive exists (`link(2)` via Files.createLink: fails with
+    * EEXIST, and the destination appears fully formed or not at all).
+    */
+  private def nioLocal(fs: FileSystem, p: Path)
+      : Option[java.nio.file.Path] =
+    if (fs.getScheme == "file")
+      Some(java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath))
+    else None
 
   /** Atomic commit: side-name write (writer-unique side file — racing
     * writers must not clobber each other's in-flight bytes), then ONE
-    * rename. Refuses to replace an existing version — the loser of a
-    * race fails here (appends catch it and rebase; mutations surface
-    * it). Stamps the `#ts=` commit-time header.
+    * atomic publish. Refuses to replace an existing version — the
+    * loser of a race fails here (appends and optimistic mutations
+    * catch it and rebase; the rest surface it). Stamps the `#ts=`
+    * commit-time header and rewrites the metadata checkpoint every
+    * [[CheckpointInterval]] commits.
+    *
+    * Publish primitive, per store:
+    *   - LOCAL FS: hard link (`Files.createLink`) of the side file to
+    *     the final name — atomic no-replace at the syscall level
+    *     (POSIX rename REPLACES, so the previous rename+read-back
+    *     protocol had a window where slow writer B's rename clobbered
+    *     already-acknowledged writer A; link(2) closes it — exactly
+    *     one racing writer's link succeeds, every other gets EEXIST).
+    *   - OTHER STORES (HDFS and rename-capable object connectors):
+    *     exists-probe + rename + READ-BACK VERIFY — on HDFS rename is
+    *     already no-replace; on stores where rename can replace, the
+    *     read-back detects a lost race (racing contents are always
+    *     distinct: the #ts stamp + unique data dirs) and surfaces the
+    *     same already-committed refusal, so the caller's rebase/abort
+    *     logic is store-independent. A non-atomic rename that fails
+    *     MIDWAY leaves a partial destination the read-back rejects
+    *     loudly (see ObjectStoreContractSpec).
     */
   private[sinks] def writeManifest(fs: FileSystem, base: Path, v: Long,
       files: Seq[String], headers: Seq[String] = Nil): Unit = {
@@ -245,22 +537,62 @@ object VersionedLake {
     val out = fs.create(side, true)
     try out.write(bytes)
     finally out.close()
-    require(fs.rename(side, dst), s"manifest commit $side -> $dst failed")
-    // POSIX-rename stores (local FS) can REPLACE an existing
-    // destination, so two publishes racing past the exists-probe can
-    // both "succeed" — read back and require OUR bytes won (the #ts
-    // stamp plus unique append dirs make racing contents always
-    // distinct). The loser gets the same already-committed refusal the
-    // probe gives, so appends rebase and mutations fail loudly; on
-    // atomic no-replace stores (HDFS) the rename itself already
-    // guarantees this.
-    val in = fs.open(dst)
-    val back =
-      try org.apache.commons.io.IOUtils.toByteArray(in)
-      finally in.close()
-    require(java.util.Arrays.equals(back, bytes),
-      s"version $v already committed at $base — a racing writer won " +
-        "the publish rename")
+    nioLocal(fs, dst) match {
+      case Some(nioDst) =>
+        try java.nio.file.Files.createLink(nioDst, nioLocal(fs, side).get)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(side, false): Unit
+            throw new IllegalArgumentException(
+              s"version $v already committed at $base — a racing writer " +
+                "won the publish")
+        }
+        fs.delete(side, false): Unit // linked into place; side done
+      case None =>
+        require(fs.rename(side, dst),
+          s"manifest commit $side -> $dst failed — if the destination " +
+            "exists and holds this commit's bytes, the store copied " +
+            "before the failure and the version IS committed; verify " +
+            "before retrying")
+        val in = fs.open(dst)
+        val back =
+          try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        if (!java.util.Arrays.equals(back, bytes)) {
+          // Two distinct failures land here, told apart by the bytes:
+          //  - a STRICT PREFIX of ours = OUR copy-based rename died
+          //    midway (S3A-style stores emulate rename as
+          //    copy-then-delete) — the destination is OUR garbage, not
+          //    a racer's commit (a racer's manifest carries its own
+          //    #ts stamp and data dirs; it is never a byte-prefix of
+          //    ours). Remove it and fail with a NON-rebase error: a
+          //    rebase would re-publish through the same broken rename.
+          //  - anything else = a racing writer's complete manifest won
+          //    a replace-capable rename — the standard lost-race
+          //    refusal appends and optimistic mutations rebase on.
+          val ourPartial = back.length < bytes.length &&
+            java.util.Arrays.equals(back,
+              java.util.Arrays.copyOf(bytes, back.length))
+          if (ourPartial) {
+            fs.delete(dst, false): Unit
+            throw new IllegalStateException(
+              s"manifest publish of v$v at $base landed PARTIAL bytes — " +
+                "this store's rename is not atomic; the torn manifest " +
+                "was removed and nothing is committed. Commit through a " +
+                "store with atomic rename (HDFS, local FS) or an atomic " +
+                "no-replace create, not through copy-based rename")
+          }
+          throw new IllegalArgumentException(
+            s"version $v already committed at $base — a racing writer " +
+              "won the publish rename")
+        }
+    }
+    if (v % CheckpointInterval == 0L)
+      // best-effort cache rewrite — never fails the commit it trails
+      try writeCheckpoint(fs, base, upTo = v)
+      catch { case e: Exception =>
+        System.err.println(s"checkpoint at v$v of $base skipped: $e")
+      }
   }
 
   /** Per-file (min, max, nullCount) of every stats column over THIS
@@ -316,6 +648,103 @@ object VersionedLake {
       v: Long): Seq[String] =
     partFilesUnder(fs, base, s"$DataName/c$v")
 
+  /** A mutation lost a race it cannot rebase over: a concurrent commit
+    * removed (rewrote or dropped) a file this mutation also classified
+    * for removal, or changed state the mutation's plan depended on.
+    * The mutation committed NOTHING — re-run it against the current
+    * version.
+    */
+  final class ConcurrentMutationException(msg: String)
+      extends RuntimeException(msg)
+
+  /** OPTIMISTIC MUTATION PUBLISH — the file-level read/write-set
+    * conflict detection that lets DISJOINT mutations race (two deletes
+    * touching different files both land; a compaction races an append;
+    * a MERGE races an unrelated delete) while OVERLAPPING ones abort
+    * loudly, the Delta conflict-resolution shape:
+    *
+    *  - the mutation classified files against snapshot version `snapV`
+    *    and publishes (current entries − `removed`) + `freshEntries`;
+    *  - when racing commits landed first, the manifest DIFF snapV →
+    *    current names what they changed: a winner that REMOVED any of
+    *    this mutation's `removed` files rewrote the same data —
+    *    [[ConcurrentMutationException]], nothing committed (data files
+    *    under the mutation's unique token dir become vacuum-reclaimed
+    *    orphans);
+    *  - winners that only ADDED files (appends) or removed DISJOINT
+    *    files rebase cleanly: their surviving entries carry into this
+    *    commit verbatim. `onIntervening` sees the winner-added file
+    *    paths per attempt — the upsert uses it to refuse insert-id
+    *    collisions a racing append would otherwise duplicate.
+    *
+    * Rebase serialization semantics (documented, Delta
+    * WriteSerializable): the mutation applies to its SNAPSHOT — rows a
+    * racing append added are untouched (a range delete racing an
+    * ingest keeps the fresh arrivals, as if the delete ran first).
+    *
+    * Self-win detection mirrors [[commitAppend]]: on stores whose
+    * rename reports failure after a durable copy, the landed manifest
+    * containing every fresh entry (or exactly the expected file set,
+    * for manifest-only mutations) proves this mutation's own publish
+    * committed.
+    */
+  private def publishMutation(spark: SparkSession, fs: FileSystem,
+      base: Path, dir: String, opName: String, snapV: Long,
+      removed: Set[String], freshEntries: Seq[String],
+      mkHeaders: Long => Seq[String],
+      onIntervening: (Long, Seq[String]) => Unit = (_, _) => (),
+      beforePublish: () => Unit = () => ()): Long = {
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val cur = math.max(currentVersion(spark, dir), snapV)
+      if (cur > snapV) {
+        val snapPaths =
+          if (snapV == 0) Set.empty[String]
+          else fileEntries(fs, base, snapV).map(entryPath).toSet
+        val curPaths = fileEntries(fs, base, cur).map(entryPath)
+        val clash = (snapPaths -- curPaths).intersect(removed)
+        if (clash.nonEmpty) throw new ConcurrentMutationException(
+          s"$opName at $dir conflicts with concurrent version(s) " +
+            s"${snapV + 1}..$cur: they removed file(s) this mutation " +
+            s"also rewrites (${clash.toSeq.sorted.take(3).mkString(", ")}" +
+            s"${if (clash.size > 3) ", ..." else ""}) — nothing was " +
+            "committed; re-run against the current version")
+        onIntervening(cur, curPaths.filterNot(snapPaths.contains))
+      }
+      val survivors =
+        if (cur == 0) Seq.empty[String]
+        else fileEntries(fs, base, cur)
+          .filterNot(e => removed.contains(entryPath(e)))
+      val v = cur + 1
+      beforePublish()
+      try {
+        writeManifest(fs, base, v, survivors ++ freshEntries,
+          headers = mkHeaders(cur))
+        committed = v
+      } catch {
+        case e: IllegalArgumentException
+            if fs.exists(manifestPath(base, v)) =>
+          val landed = fileEntries(fs, base, v).map(entryPath)
+          val freshPaths = freshEntries.map(entryPath)
+          val selfWon =
+            if (freshPaths.nonEmpty) freshPaths.forall(landed.toSet)
+            else landed.toSet ==
+              (survivors.map(entryPath) ++ freshPaths).toSet
+          if (selfWon) committed = v
+          else {
+            attempt += 1
+            if (attempt > MaxCommitRetries)
+              throw new IllegalStateException(
+                s"$opName at $dir lost $MaxCommitRetries straight " +
+                  "publish races — livelocked store or a runaway writer",
+                e)
+          }
+      }
+    }
+    committed
+  }
+
   private def qualified(fs: FileSystem, base: Path, rel: String): String =
     fs.makeQualified(new Path(base, rel)).toString
 
@@ -369,20 +798,36 @@ object VersionedLake {
           e
         })
       val prev = if (cur == 0) Seq.empty else fileEntries(fs, base, cur)
+      // schema header: carried schema + df-only columns (recomputed per
+      // rebase attempt — a racing upsert may have evolved the schema)
+      val sh = appendSchema(fs, base, cur, df.schema)
+        .map(schemaHeader).getOrElse(Seq.empty)
       beforePublish()
       try {
         writeManifest(fs, base, v, prev ++ fresh,
-          headers = statsHeaders(cols))
+          headers = sh ++ statsHeaders(cols))
         committed = v
       } catch {
         // ONLY the lost-race refusal rebases (the version now exists —
         // a racing writer landed it); any other failure propagates
         case e: IllegalArgumentException
             if fs.exists(manifestPath(base, v)) =>
-          attempt += 1
-          if (attempt > MaxCommitRetries) throw new IllegalStateException(
-            s"commitAppend at $dir lost $MaxCommitRetries straight " +
-              "publish races — livelocked store or a runaway writer", e)
+          // SELF-WIN check before rebasing: on stores that emulate
+          // rename (copy-then-delete), the copy can be durable while
+          // the rename REPORTS failure — the "winner" is then this very
+          // append, and a rebase would stack our entries a second time.
+          // Our token dir is unique, so our rels appearing in the
+          // landed manifest proves our publish committed.
+          val landed = fileEntries(fs, base, v).map(entryPath).toSet
+          if (rels.forall(landed.contains)) committed = v
+          else {
+            attempt += 1
+            if (attempt > MaxCommitRetries)
+              throw new IllegalStateException(
+                s"commitAppend at $dir lost $MaxCommitRetries straight " +
+                  "publish races — livelocked store or a runaway writer",
+                e)
+          }
       }
     }
     committed
@@ -440,9 +885,7 @@ object VersionedLake {
     // newest version CARRYING a batch header — maintenance commits
     // (deletes, batch appends) interleave without one and must not
     // blind the replay check
-    val lastStream = versions(spark, dir).reverseIterator
-      .map(v => (v, batchOf(fs, base, v)))
-      .collectFirst { case (v, Some(b)) => (v, b) }
+    val lastStream = newestBatchCursor(fs, base)
     lastStream match {
       case Some((v, b)) if b == batchId => return v // replay — committed
       case Some((_, b)) => require(b < batchId,
@@ -454,9 +897,11 @@ object VersionedLake {
     val cols = resolveStatsCols(spark, dir, v - 1, None)
     df.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
     val prev = if (v == 1) Seq.empty else fileEntries(fs, base, v - 1)
+    val sh = appendSchema(fs, base, cur, df.schema)
+      .map(schemaHeader).getOrElse(Seq.empty)
     writeManifest(fs, base, v,
       prev ++ newEntries(spark, fs, base, v, cols),
-      headers = s"#batch=$batchId" +: statsHeaders(cols))
+      headers = s"#batch=$batchId" +: (sh ++ statsHeaders(cols)))
     v
   }
 
@@ -486,9 +931,16 @@ object VersionedLake {
     * (version, nFilesRewritten, nRowsRemoved); an empty intersection
     * commits NOTHING and returns version 0 — deleting what isn't there
     * is not history.
+    *
+    * OPTIMISTIC ([[publishMutation]]): disjoint racing mutations both
+    * land; a racing commit that rewrote one of THIS delete's files
+    * aborts loudly with [[ConcurrentMutationException]]. The delete
+    * applies to its snapshot — ids a racing APPEND adds are not
+    * deleted (delete-before-append serialization).
     */
   def commitDelete(spark: SparkSession, dir: String, idCol: String,
-      ids: DataFrame): (Long, Long, Long) = {
+      ids: DataFrame,
+      beforePublish: () => Unit = () => ()): (Long, Long, Long) = {
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
     require(cur > 0, s"commitDelete on an empty lake at $dir")
@@ -519,20 +971,39 @@ object VersionedLake {
       s"commitDelete: ${affectedAbs.size} affected file paths but " +
         s"${affectedRel.size} resolved against the v$cur manifest — " +
         "path qualification mismatch; aborting before any commit")
-    val v = cur + 1
     val cols = resolveStatsCols(spark, dir, cur, None)
-    spark.read.parquet(affectedRel.map(qualified(fs, base, _)): _*)
-      .join(dels, Seq(idCol), "left_anti")
-      .write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
+    // the rewrite reads its source files under the LAKE schema — a bare
+    // parquet read takes ONE file's footer as the schema, so rewriting
+    // an evolved lake could silently (and nondeterministically) drop
+    // evolution-added columns from the surviving rows. Header-bearing
+    // lakes pay zero footer opens; legacy lakes a churn-bounded
+    // mergeSchema union over the affected files only.
+    val rewriteSrc = schemaOf(fs, base, cur) match {
+      case Some(sc) => spark.read
+        .schema(nullableized(sc)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(affectedRel.map(qualified(fs, base, _)): _*)
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(affectedRel.map(qualified(fs, base, _)): _*)
+    }
+    // unique token dir, like appends: the version number is decided at
+    // PUBLISH (a rebase may shift it), and a crashed/aborted delete
+    // leaves only an unreferenced orphan dir for vacuum
+    val token = java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    val rel = s"$DataName/m$token"
+    rewriteSrc.join(dels, Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/$rel")
     // survivor files keep their manifest ENTRIES verbatim (stats
     // included — their bytes did not change); the rewrite's files get
     // fresh stats under the lake's carried columns
-    val affectedSet = affectedRel.toSet
-    val survivors = fileEntries(fs, base, cur)
-      .filterNot(e => affectedSet.contains(entryPath(e)))
-    writeManifest(fs, base, v,
-      survivors ++ newEntries(spark, fs, base, v, cols),
-      headers = statsHeaders(cols))
+    val freshEntries = statEntries(spark, fs, base,
+      partFilesUnder(fs, base, rel), cols)
+    val v = publishMutation(spark, fs, base, dir, "commitDelete",
+      snapV = cur, removed = affectedRel.toSet, freshEntries,
+      mkHeaders = effCur => schemaOf(fs, base, effCur).map(schemaHeader)
+        .getOrElse(Seq.empty) ++ statsHeaders(cols),
+      beforePublish = beforePublish)
     (v, affectedRel.size.toLong, nRemoved)
   }
 
@@ -567,11 +1038,12 @@ object VersionedLake {
     * (version, nFilesRewritten, nRowsUpdated).
     */
   def commitUpsert(spark: SparkSession, dir: String, idCol: String,
-      updates: DataFrame): (Long, Long, Long) = {
+      updates: DataFrame,
+      beforePublish: () => Unit = () => ()): (Long, Long, Long) = {
     require(currentVersion(spark, dir) > 0,
       s"commitUpsert on an empty lake at $dir — the first commit is " +
         "commitAppend")
-    upsertCore(spark, dir, idCol, updates, Nil)
+    upsertCore(spark, dir, idCol, updates, Nil, beforePublish)
   }
 
   /** The MERGE body shared by [[commitUpsert]] and
@@ -581,21 +1053,24 @@ object VersionedLake {
     * first batch creates the lake), the interactive one guards it.
     */
   private def upsertCore(spark: SparkSession, dir: String, idCol: String,
-      updates: DataFrame, extraHeaders: Seq[String]): (Long, Long, Long) = {
+      updates: DataFrame, extraHeaders: Seq[String],
+      beforePublish: () => Unit = () => ()): (Long, Long, Long) = {
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
     val files =
       if (cur == 0) Seq.empty
       else fileEntries(fs, base, cur).map(entryPath)
-    // the lake's schema is the UNION of its files' schemas (columns a
-    // later commit added read as NULL in older files) — a footer-only
-    // read of the current file list, no data touched. An
-    // empty-manifest current version has no schema to align against:
-    // the whole upsert is a pure insert typed by the updates frame.
+    // the lake's schema: the `#schema=` manifest header when the lake
+    // carries one (one manifest line — the hot-path O(files) footer
+    // sweep this header exists to remove), else the LEGACY fallback —
+    // the UNION of the files' parquet footers (columns a later commit
+    // added read as NULL in older files), counted by
+    // [[footerSchemaSweeps]]. An empty-manifest current version has no
+    // schema to align against: the whole upsert is a pure insert typed
+    // by the updates frame.
     val lakeSchema: org.apache.spark.sql.types.StructType =
-      if (files.isEmpty) updates.schema
-      else spark.read.option("mergeSchema", "true")
-        .parquet(files.map(qualified(fs, base, _)): _*).schema
+      if (cur == 0) updates.schema
+      else lakeSchemaAt(spark, fs, base, cur).getOrElse(updates.schema)
     val lakeCols = lakeSchema.fieldNames.toSeq
     val missing = lakeCols.filterNot(updates.columns.contains)
     require(missing.isEmpty,
@@ -649,30 +1124,69 @@ object VersionedLake {
       s"commitUpsert: ${affectedAbs.size} affected file paths but " +
         s"${affectedRel.size} resolved against the v$cur manifest — " +
         "path qualification mismatch; aborting before any commit")
-    val v = cur + 1
     val cols = resolveStatsCols(spark, dir, cur, None)
     val fresh =
       if (affectedRel.isEmpty) upd
       else {
-        val surv = spark.read.option("mergeSchema", "true")
+        // the affected files read under the LAKE schema (an old file
+        // predating evolution columns fills them as NULL) — with a
+        // header this is zero footer opens; the legacy sweep above
+        // already derived the union either way
+        val surv = spark.read
+          .schema(nullableized(lakeSchema)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
           .parquet(affectedRel.map(qualified(fs, base, _)): _*)
           .join(updIds, Seq(idCol), "left_anti")
-        // an affected OLD file may predate evolution columns — project
-        // them in as typed NULLs so the union stays coercion-free
+        // evolution columns only the updates carry — project them in as
+        // typed NULLs so the union stays coercion-free
         surv.select(outCols.map(c =>
             if (surv.columns.contains(c)) col(c)
             else lit(null).cast(updates.schema(c).dataType).as(c)): _*)
           .unionByName(upd)
       }
-    fresh.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
-    val affectedSet = affectedRel.toSet
-    val survivors =
-      if (cur == 0) Seq.empty
-      else fileEntries(fs, base, cur)
-        .filterNot(e => affectedSet.contains(entryPath(e)))
-    writeManifest(fs, base, v,
-      survivors ++ newEntries(spark, fs, base, v, cols),
-      headers = extraHeaders ++ statsHeaders(cols))
+    // unique token dir: the version number is decided at publish
+    val token = java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    val rel = s"$DataName/m$token"
+    fresh.write.mode("overwrite").parquet(s"$dir/$rel")
+    val freshEntries = statEntries(spark, fs, base,
+      partFilesUnder(fs, base, rel), cols)
+    // this commit's schema: the lake's columns (at the lake's types)
+    // plus the evolution columns — stamped so the NEXT mutation reads
+    // it from one manifest line
+    val committedSchema = org.apache.spark.sql.types.StructType(
+      lakeSchema.fields ++ newCols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          updates.schema(c).dataType, nullable = true)))
+    val snapSchemaHdr =
+      if (cur == 0) None else schemaOf(fs, base, cur)
+    val v = publishMutation(spark, fs, base, dir, "commitUpsert",
+      snapV = cur, removed = affectedRel.toSet, freshEntries,
+      mkHeaders = _ => extraHeaders ++ schemaHeader(committedSchema) ++
+        statsHeaders(cols),
+      onIntervening = (effCur, addedPaths) => {
+        // a racing commit that CHANGED the lake schema invalidates this
+        // upsert's projection/alignment — abort rather than guess
+        if (schemaOf(fs, base, effCur) != snapSchemaHdr)
+          throw new ConcurrentMutationException(
+            s"commitUpsert at $dir: the lake schema changed under this " +
+              "MERGE (a concurrent schema-evolving commit) — nothing " +
+              "was committed; re-run against the current version")
+        // a racing APPEND that added one of this MERGE's insert ids
+        // would leave the id twice after a rebase (the one-row-per-id
+        // contract broken silently) — churn-bounded id-column scan
+        if (addedPaths.nonEmpty) {
+          val clash = spark.read
+            .parquet(addedPaths.map(qualified(fs, base, _)): _*)
+            .select(col(idCol)).join(updIds, Seq(idCol))
+            .limit(1).collect() // bounded: limit 1
+          if (clash.nonEmpty) throw new ConcurrentMutationException(
+            s"commitUpsert at $dir: a concurrent commit added id " +
+              s"${clash.head.get(0)} that this MERGE also carries — a " +
+              "rebase would duplicate the id; nothing was committed")
+        }
+      },
+      beforePublish = beforePublish)
     (v, affectedRel.size.toLong, nUpdated)
   }
 
@@ -694,9 +1208,7 @@ object VersionedLake {
   def commitUpsertForBatch(spark: SparkSession, dir: String,
       idCol: String, df: DataFrame, batchId: Long): Long = {
     val (fs, base) = fsOf(spark, dir)
-    val lastStream = versions(spark, dir).reverseIterator
-      .map(v => (v, batchOf(fs, base, v)))
-      .collectFirst { case (v, Some(b)) => (v, b) }
+    val lastStream = newestBatchCursor(fs, base)
     lastStream match {
       case Some((v, b)) if b == batchId => return v // replay — committed
       case Some((_, b)) => require(b < batchId,
@@ -885,15 +1397,15 @@ object VersionedLake {
       else spark.read
         .parquet(inside.map(e => qualified(fs, base, entryPath(e))): _*)
         .count()
-    val v = cur + 1
     // survivors of the straddlers — COUNTED before anything is
     // written, so a delete that turns out to match nothing (possible
     // when only stats-less files were classifiable-as-straddling)
     // commits nothing instead of a pointless rewrite
     val srcOpt =
       if (straddling.isEmpty) None
-      else Some(spark.read.parquet(
-        straddling.map(e => qualified(fs, base, entryPath(e))): _*))
+      else Some(readWithLakeSchema(spark, fs, base, cur,
+        straddling.map(entryPath))) // never first-footer-wins: an
+        // evolved straddler's rewrite must keep evolution columns
     // nulls never match a range — they must SURVIVE (a bare !between
     // would drop them: three-valued logic)
     val survivorsOpt = srcOpt.map(_.filter(coalesce(
@@ -906,13 +1418,22 @@ object VersionedLake {
       return (0L, 0L, 0L, 0L) // nothing actually matched
     val rewritten = survivorsOpt match {
       case Some(sv) =>
-        sv.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
-        newEntries(spark, fs, base, v, cols)
+        val token = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(12)
+        val rel = s"$DataName/m$token"
+        sv.write.mode("overwrite").parquet(s"$dir/$rel")
+        statEntries(spark, fs, base, partFilesUnder(fs, base, rel), cols)
       case None => Seq.empty[String]
     }
-    writeManifest(fs, base, v, outside ++ rewritten,
-      headers = statsHeaders(cols))
-    (v, inside.size.toLong, straddling.size.toLong,
+    // optimistic publish: removed = dropped + rewritten source files; a
+    // racing append's arrivals survive the rebase untouched (the range
+    // delete applies to its snapshot — delete-before-append order)
+    val removedSet = (inside ++ straddling).map(entryPath).toSet
+    val vPub = publishMutation(spark, fs, base, dir, "commitDeleteRange",
+      snapV = cur, removed = removedSet, rewritten,
+      mkHeaders = effCur => schemaOf(fs, base, effCur).map(schemaHeader)
+        .getOrElse(Seq.empty) ++ statsHeaders(cols))
+    (vPub, inside.size.toLong, straddling.size.toLong,
       droppedRows + removedFromStraddling)
   }
 
@@ -929,10 +1450,22 @@ object VersionedLake {
       mergeSchema: Boolean = false): DataFrame = {
     val (fs, base) = fsOf(spark, dir)
     val files = fileEntries(fs, base, v).map(entryPath)
-    if (files.nonEmpty)
-      spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(files.map(qualified(fs, base, _)): _*)
-    else schemaHint match {
+    if (files.nonEmpty) {
+      // mergeSchema with a `#schema=` header: the union schema comes
+      // from ONE manifest line instead of a footer read per file —
+      // evolution columns still NULL-fill in files that predate them
+      val headerSchema =
+        if (mergeSchema) schemaOf(fs, base, v) else None
+      headerSchema match {
+        case Some(sc) => spark.read
+          .schema(nullableized(sc)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(files.map(qualified(fs, base, _)): _*)
+        case None =>
+          spark.read.option("mergeSchema", mergeSchema.toString)
+            .parquet(files.map(qualified(fs, base, _)): _*)
+      }
+    } else schemaHint match {
       case Some(sc) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
       case None => throw new IllegalArgumentException(
@@ -1042,24 +1575,40 @@ object VersionedLake {
     * Returns the new version.
     */
   def compact(spark: SparkSession, dir: String, nFiles: Int = 8,
-      sortCol: Option[String] = None): Long = {
+      sortCol: Option[String] = None,
+      beforePublish: () => Unit = () => ()): Long = {
     require(nFiles >= 1, s"compact needs nFiles >= 1, got $nFiles")
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
     require(cur > 0, s"compact on an empty lake at $dir")
     if (fileEntries(fs, base, cur).isEmpty) return cur // nothing to lay out
-    val v = cur + 1
     val cols = resolveStatsCols(spark, dir, cur, None)
-    val current = readAsOf(spark, dir, cur)
+    // read under the LAKE schema (never first-footer-wins): compacting
+    // an evolved lake must carry evolution-added columns — a bare read
+    // would pick one arbitrary file's footer and could silently drop
+    // them from the new current version
+    val snapFiles = fileEntries(fs, base, cur).map(entryPath)
+    val current = readWithLakeSchema(spark, fs, base, cur, snapFiles)
     val laid = sortCol match {
       case Some(c) => current.repartitionByRange(nFiles, col(c))
         .sortWithinPartitions(col(c))
       case None => current.repartition(nFiles)
     }
-    laid.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
-    writeManifest(fs, base, v, newEntries(spark, fs, base, v, cols),
-      headers = statsHeaders(cols))
-    v
+    val token = java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    val rel = s"$DataName/m$token"
+    laid.write.mode("overwrite").parquet(s"$dir/$rel")
+    // optimistic: removed = the whole snapshot (a compaction rewrites
+    // everything it read) — racing APPENDS rebase cleanly (their files
+    // carry over the relaid ones), racing mutations that rewrote any
+    // snapshot file abort this compaction loudly (its output would
+    // resurrect their removed rows)
+    publishMutation(spark, fs, base, dir, "compact",
+      snapV = cur, removed = snapFiles.toSet,
+      statEntries(spark, fs, base, partFilesUnder(fs, base, rel), cols),
+      mkHeaders = effCur => schemaOf(fs, base, effCur).map(schemaHeader)
+        .getOrElse(Seq.empty) ++ statsHeaders(cols),
+      beforePublish = beforePublish)
   }
 
   /** Z-ORDER clustered compaction — the `OPTIMIZE ZORDER BY (x, y)`
@@ -1092,43 +1641,73 @@ object VersionedLake {
     * are). Returns the new version.
     */
   def compactZOrder(spark: SparkSession, dir: String, xCol: String,
-      yCol: String, nFiles: Int = 8, bits: Int = 16): Long = {
+      yCol: String, nFiles: Int = 8, bits: Int = 16): Long =
+    compactZOrder(spark, dir, Seq(xCol, yCol), nFiles, bits)
+
+  /** N-DIMENSIONAL Z-order compaction — the same per-dimension
+    * normalization and Morton layout over `zCols.length >= 2`
+    * clustering columns (`OPTIMIZE ZORDER BY (a, b, c)`): each
+    * dimension min-max-normalizes to a common `bits`-bit width, the
+    * interleave hands bit `i` of dimension `j` to z bit `i*k + j`, and
+    * a lake carrying all k columns in its manifest statistics then
+    * prunes range reads and range deletes on ANY axis. `bits * k`
+    * must fit a long (<= 63); the default `bits = 0` picks the widest
+    * uniform width, min(16, 63/k). NULL in any dimension sorts into
+    * the leading file (z = -1) and is never dropped.
+    */
+  def compactZOrder(spark: SparkSession, dir: String,
+      zCols: Seq[String], nFiles: Int, bits: Int): Long = {
     require(nFiles >= 1, s"compactZOrder needs nFiles >= 1, got $nFiles")
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val k = zCols.length
+    require(k >= 2, s"compactZOrder needs >= 2 columns, got $k")
+    val b = if (bits == 0) math.min(16, 63 / k) else bits
+    require(b >= 1 && b * k <= 63,
+      s"bits * dims must fit a positive long: bits=$b, dims=$k")
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
     require(cur > 0, s"compactZOrder on an empty lake at $dir")
     if (fileEntries(fs, base, cur).isEmpty) return cur
-    val v = cur + 1
     val cols = resolveStatsCols(spark, dir, cur, None)
-    val current = readAsOf(spark, dir, cur)
-    val x = col(xCol).cast("long")
-    val y = col(yCol).cast("long")
+    // lake-schema read, same reason as [[compact]]: evolution columns
+    // must survive the rewrite
+    val snapFiles = fileEntries(fs, base, cur).map(entryPath)
+    val current = readWithLakeSchema(spark, fs, base, cur, snapFiles)
+    val dims = zCols.map(c => col(c).cast("long"))
     // per-dimension bounds: one column-pruned agg over the content the
-    // compaction is about to read whole anyway
-    val mm = current.agg(min(x), max(x), min(y), max(y)).collect()(0)
-    require(!mm.isNullAt(0) && !mm.isNullAt(2),
-      s"compactZOrder: '$xCol' or '$yCol' is all-NULL — nothing to " +
-        "interleave; compact(sortCol) the other column instead")
-    val span = (1L << bits) - 1
+    // compaction is about to read whole anyway (bounded collect: 2k
+    // longs)
+    val aggs = dims.flatMap(d => Seq(min(d), max(d)))
+    val bounds = current.agg(aggs.head, aggs.tail: _*).collect()(0)
+    zCols.indices.foreach { j =>
+      require(!bounds.isNullAt(2 * j),
+        s"compactZOrder: '${zCols(j)}' is all-NULL — nothing to " +
+          "interleave on that axis; drop it from zCols")
+    }
+    val span = (1L << b) - 1
     def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
       if (hi > lo)
         least(lit(span), greatest(lit(0L),
           ((c - lit(lo)).cast("double") / lit((hi - lo).toDouble) *
             span).cast("long")))
       else lit(0L) // constant dimension: contributes nothing
-    val z = when(x.isNull || y.isNull, lit(-1L))
-      .otherwise(graft.functions.Morton.code(
-        norm(x, mm.getLong(0), mm.getLong(1)),
-        norm(y, mm.getLong(2), mm.getLong(3)), bits))
+    val normed = dims.zipWithIndex.map { case (d, j) =>
+      norm(d, bounds.getLong(2 * j), bounds.getLong(2 * j + 1))
+    }
+    val z = when(dims.map(_.isNull).reduce(_ || _), lit(-1L))
+      .otherwise(graft.functions.Morton.codeN(normed, b))
     val laid = current.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    laid.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
-    writeManifest(fs, base, v, newEntries(spark, fs, base, v, cols),
-      headers = statsHeaders(cols))
-    v
+    val token = java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    val rel = s"$DataName/m$token"
+    laid.write.mode("overwrite").parquet(s"$dir/$rel")
+    publishMutation(spark, fs, base, dir, "compactZOrder",
+      snapV = cur, removed = snapFiles.toSet,
+      statEntries(spark, fs, base, partFilesUnder(fs, base, rel), cols),
+      mkHeaders = effCur => schemaOf(fs, base, effCur).map(schemaHeader)
+        .getOrElse(Seq.empty) ++ statsHeaders(cols))
   }
 
   /** Roll the lake BACK to version `v` as a NEW commit (the Delta
@@ -1165,16 +1744,20 @@ object VersionedLake {
     // including whether statistics were enabled
     val stats = statsColsOf(spark, dir, v)
     val all = versions(spark, dir)
+    // checkpoint-first batch-cursor scan — one read covers versions at
+    // or below the checkpoint instead of one manifest open each
+    val ckpt = readCheckpoint(fs, base)
     val batchHeaders =
-      if (all.exists(x => batchOf(fs, base, x).isDefined)) {
+      if (all.exists(x => metaOf(fs, base, x, ckpt).batch.isDefined)) {
         val cursorAtV = all.filter(_ <= v).reverseIterator
-          .map(x => batchOf(fs, base, x))
+          .map(x => metaOf(fs, base, x, ckpt).batch)
           .collectFirst { case Some(b) => b }
         Seq(s"#batch=${cursorAtV.getOrElse(-1L)}")
       } else Seq.empty
     val nv = cur + 1
     writeManifest(fs, base, nv, entries,
-      headers = batchHeaders ++ statsHeaders(stats))
+      headers = batchHeaders ++ schemaOf(fs, base, v).map(schemaHeader)
+        .getOrElse(Seq.empty) ++ statsHeaders(stats))
     nv
   }
 
@@ -1188,10 +1771,10 @@ object VersionedLake {
   def history(spark: SparkSession, dir: String): DataFrame = {
     val (fs, base) = fsOf(spark, dir)
     import spark.implicits._
+    val ckpt = readCheckpoint(fs, base) // one read covers v <= ckpt
     versions(spark, dir).map { v =>
-      (v, fileEntries(fs, base, v).size.toLong, batchOf(fs, base, v),
-        tsOf(fs, base, v).getOrElse(
-          fs.getFileStatus(manifestPath(base, v)).getModificationTime))
+      val m = metaOf(fs, base, v, ckpt)
+      (v, m.nFiles, m.batch, m.ts)
     }.toDF("version", "n_files", "batch_id", "committed_at")
   }
 
@@ -1211,10 +1794,8 @@ object VersionedLake {
     */
   def commitTimes(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
     val (fs, base) = fsOf(spark, dir)
-    versions(spark, dir).map { v =>
-      v -> tsOf(fs, base, v).getOrElse(
-        fs.getFileStatus(manifestPath(base, v)).getModificationTime)
-    }
+    val ckpt = readCheckpoint(fs, base) // one read covers v <= ckpt
+    versions(spark, dir).map { v => v -> metaOf(fs, base, v, ckpt).ts }
   }
 
   /** Timestamp time travel (the Iceberg/Delta entry point): the newest
@@ -1252,32 +1833,51 @@ object VersionedLake {
     * every commit is a no-op (0, 0).
     */
   def vacuumBefore(spark: SparkSession, dir: String,
-      tsMillis: Long): (Long, Long) = {
+      tsMillis: Long, force: Boolean = false): (Long, Long) = {
     val times = commitTimes(spark, dir)
     require(times.nonEmpty, s"vacuumBefore on an empty lake at $dir")
     val keepFrom = times.collectFirst {
       case (v, t) if t >= tsMillis => v
     }.getOrElse(times.last._1) // all older: keep only the newest
     if (keepFrom == times.head._1) (0L, 0L) // nothing below the floor
-    else vacuum(spark, dir, keepFrom)
+    else vacuum(spark, dir, keepFrom, force)
   }
 
   /** Reclaim storage: drop manifests below `keepFrom` and every data
     * file no surviving manifest references (which also sweeps orphans
-    * of crashed commits). Versions >= `keepFrom` stay readable
-    * byte-for-byte; older reads fail loudly at the manifest probe.
-    * Returns (manifestsDropped, dataFilesDeleted). Runs under the same
+    * of crashed commits — including stale `.writing` side files of
+    * crashed publishes older than a one-hour grace). Versions >=
+    * `keepFrom` stay readable byte-for-byte; older reads fail loudly
+    * at the manifest probe. Returns
+    * (manifestsDropped, dataFilesDeleted). Runs under the same
     * single-writer contract as the mutations (a vacuum racing an
     * IN-FLIGHT append could sweep its not-yet-referenced token dir).
+    *
+    * RETENTION FLOOR (the Delta `retentionDurationCheck` shape):
+    * without `force`, the vacuum REFUSES to drop any version committed
+    * within [[DefaultRetentionMillis]] — a long-running time-travel
+    * reader mid-scan on a recent version must not have its files swept
+    * by a routine retention job. `force = true` is the explicit,
+    * logged override for tests and operator intervention.
     */
-  def vacuum(spark: SparkSession, dir: String, keepFrom: Long)
-      : (Long, Long) = {
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Long,
+      force: Boolean = false): (Long, Long) = {
     val (fs, base) = fsOf(spark, dir)
     val all = versions(spark, dir)
     require(all.nonEmpty, s"vacuum on an empty lake at $dir")
     val (drop, keep) = all.partition(_ < keepFrom)
     require(keep.nonEmpty,
       s"vacuum(keepFrom=$keepFrom) would drop EVERY version of $dir")
+    if (!force && drop.nonEmpty) {
+      val floor = System.currentTimeMillis() - DefaultRetentionMillis
+      val times = commitTimes(spark, dir).toMap
+      val young = drop.filter(v => times.getOrElse(v, 0L) > floor)
+      require(young.isEmpty,
+        s"vacuum at $dir would drop version(s) ${young.mkString(",")} " +
+          s"committed within the ${DefaultRetentionMillis / 3600000} h " +
+          "retention floor — a concurrent time-travel reader may still " +
+          "be scanning them; pass force = true to override")
+    }
     val referenced = keep.iterator
       .flatMap(v => fileEntries(fs, base, v).map(entryPath)).toSet
     var deleted = 0L
@@ -1312,6 +1912,19 @@ object VersionedLake {
     drop.foreach { v =>
       require(fs.delete(manifestPath(base, v), false),
         s"vacuum: dropping manifest v$v failed")
+    }
+    // stale publish side files: a crashed or lost-race writer leaves
+    // its unique v*.txt.<uuid>.writing in _versions/ — invisible to
+    // every reader (versionOf ignores them) but never reclaimed until
+    // here. A one-hour grace protects an IN-FLIGHT publish's side file.
+    val vd = new Path(base, VersionsName)
+    if (fs.exists(vd)) {
+      val grace = System.currentTimeMillis() - 3600000L
+      fs.listStatus(vd).foreach { s =>
+        if (s.isFile && s.getPath.getName.endsWith(".writing") &&
+            s.getModificationTime < grace)
+          fs.delete(s.getPath, false): Unit
+      }
     }
     (drop.size.toLong, deleted)
   }

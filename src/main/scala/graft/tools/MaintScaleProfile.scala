@@ -44,6 +44,7 @@ object MaintScaleProfile {
     if (want("indexlake")) indexLake(spark)
     if (want("ixcompact")) indexLakeCompaction(spark)
     if (want("zorder")) zOrderLake(spark)
+    if (want("zorder3")) zOrder3Lake(spark)
     spark.stop()
   }
 
@@ -148,6 +149,64 @@ object MaintScaleProfile {
       val rowsPost = timedRead(post, "read_post")
       println(s"[zorder] n=$n  admits x: $preX/$totalPre -> " +
         s"$postX/$totalPost  y: $preY/$totalPre -> $postY/$totalPost  " +
+        s"rows==: ${rowsPre == rowsPost}")
+      graft.Tables.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
+  /** Round-16: THREE-dimension Z-order (`compactZOrder(Seq(x,y,w))`,
+    * MortonNCode) — after the rewrite EVERY axis prunes independently
+    * (x, y AND w admit fewer than all files), the 3-dim range read's
+    * wall drops with the admitted files, and membership is invariant.
+    * The three keys are pairwise-decorrelated multiplicative hashes so
+    * no axis can free-ride on another's clustering.
+    */
+  private def zOrder3Lake(spark: SparkSession): Unit = {
+    import graft.sinks.VersionedLake
+    for (n <- Seq(100000L, 1000000L)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("maint_zorder3_").toString
+      val dir = s"$root/lake"
+      val docs = spark.range(n).select(col("id").as("x"),
+        pmod(col("id") * 2654435761L, lit(n)).as("y"),
+        pmod(col("id") * 1099511627791L, lit(n)).as("w"),
+        concat(lit("payload "), col("id")).as("text"))
+      (0 until 4).foreach { m =>
+        VersionedLake.commitAppend(spark, dir,
+          docs.filter(pmod(col("x"), lit(4L)) === m).repartition(4),
+          statsCol = if (m == 0) Some("x,y,w") else None): Unit
+      }
+      val pre = VersionedLake.currentVersion(spark, dir)
+      def admits(v: Long): (Int, Int, Int, Long) = {
+        val (kx, t) = VersionedLake.rangeFiles(spark, dir, v, "x",
+          0L, n / 4 - 1)
+        val (ky, _) = VersionedLake.rangeFiles(spark, dir, v, "y",
+          0L, n / 2 - 1)
+        val (kw, _) = VersionedLake.rangeFiles(spark, dir, v, "w",
+          0L, n / 2 - 1)
+        (kx.size, ky.size, kw.size, t)
+      }
+      def timedRead(v: Long, label: String): Long = {
+        val t0 = System.nanoTime()
+        val c = VersionedLake.readAsOfRange(spark, dir, v, "x",
+            0L, n / 4 - 1, None)
+          .filter(col("y") < n / 2 && col("w") < n / 2).count()
+        println(f"[zorder3] n=$n%7d  $label%-10s rows=$c%7d  " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        c
+      }
+      val (preX, preY, preW, totalPre) = admits(pre)
+      val rowsPre = timedRead(pre, "read_pre")
+      val t0 = System.nanoTime()
+      val post = VersionedLake.compactZOrder(spark, dir,
+        Seq("x", "y", "w"), nFiles = 16, bits = 0)
+      println(f"[zorder3] n=$n%7d  compact        " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      val (postX, postY, postW, totalPost) = admits(post)
+      val rowsPost = timedRead(post, "read_post")
+      println(s"[zorder3] n=$n  admits x: $preX/$totalPre -> " +
+        s"$postX/$totalPost  y: $preY/$totalPre -> $postY/$totalPost  " +
+        s"w: $preW/$totalPre -> $postW/$totalPost  " +
         s"rows==: ${rowsPre == rowsPost}")
       graft.Tables.deleteRecursively(java.nio.file.Paths.get(root))
     }

@@ -65,7 +65,8 @@ object PlanDump {
     "q186_index_lake", "q187_hybrid_stack", "q188_es_to_vlake",
     "q189_vlake_ttl", "q190_cursor_sync", "q191_concurrent_append",
     "q192_index_compact", "q193_evolve_write", "q194_multicol_stats",
-    "q195_zorder_lake")
+    "q195_zorder_lake", "q196_lake_checkpoint",
+    "q197_concurrent_mutations", "q198_zorder3", "q199_schema_header")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -365,7 +366,54 @@ object PlanDump {
       "pin strictly-fewer admitted files per axis after the pass; the " +
       "2-dim read's membership replays exactly in SQL regardless of " +
       "the sampled z-range boundaries; NULL z-column rows sort " +
-      "together and survive."))
+      "together and survive."),
+    "q196_lake_checkpoint" -> ("manifest metadata checkpoint (the " +
+      "Delta _last_checkpoint shape): every 10th commit rewrites " +
+      "_versions/_checkpoint with (ts, batch, nFiles) per surviving " +
+      "version, so commitTimes/history/versionAsOf and the streaming " +
+      "replay cursor read ONE file plus only the manifests younger " +
+      "than it. opens_bounded pins the measured manifest-open count " +
+      "(<= commits-since-checkpoint, from the same process counter " +
+      "VersionedLakeMetaSpec instruments); history_consistent pins " +
+      "checkpoint-served == manifest-served instants; membership is a " +
+      "timestamp time travel resolved through the checkpoint. The " +
+      "checkpoint is a pure access-path cache: corruption or absence " +
+      "falls back to manifests, and vacuum-dropped versions are " +
+      "filtered by the live listing so they never resurface."),
+    "q197_concurrent_mutations" -> ("file-level conflict detection " +
+      "for racing mutations (publishMutation, the Delta read/write-" +
+      "set discipline): deletes on DISJOINT files race — the loser " +
+      "rebases over the winner's commit and BOTH land (linear " +
+      "history, versions 3 and 4); deletes on the SAME file race — " +
+      "the loser aborts loudly with ConcurrentMutationException and " +
+      "commits NOTHING. Final membership = exactly three residue " +
+      "classes deleted, replayed by the oracle, so a silently-" +
+      "applied loser or a dropped winner change moves rows. " +
+      "ConcurrentMutationSpec pins the full matrix (append rebases, " +
+      "MERGE insert-id collisions, schema-change aborts, compaction " +
+      "races)."),
+    "q198_zorder3" -> ("THREE-dimension Z-order compaction: " +
+      "compactZOrder(Seq(doc_id, n_chars, n_words)) normalizes each " +
+      "dimension to a common bit width (63/k bits for k dims) and " +
+      "lays out on MortonNCode — a native codegen'd k-ary interleave " +
+      "(bit i of dim j -> z bit i*k+j, fully unrolled, whole-stage-" +
+      "codegen friendly). With #stats on all three columns, EACH axis " +
+      "admits strictly fewer than all files after the pass " +
+      "(zorder_prunes_x/y/w, counts from the manifest alone), and the " +
+      "3-dim range read's membership replays exactly in SQL. " +
+      "GraftExtensionsSpec pins codegen == interpreted kernel and the " +
+      "2-dim delegation to the magic-mask MortonCode."),
+    "q199_schema_header" -> ("lake schema in the manifest (#schema= " +
+      "header): an evolved MERGE against a header-bearing lake " +
+      "derives the lake schema from ONE manifest line — sweep_free " +
+      "pins the measured parquet-footer-sweep count at ZERO across " +
+      "the upsert AND the evolved mergeSchema read (the r15 verdict's " +
+      "one anti-pattern-at-scale: upsertCore's O(files) footer sweep " +
+      "per MERGE, now the counted legacy fallback only). Old files " +
+      "NULL-fill the evolved column; survivors of rewritten old " +
+      "files keep theirs; VersionedLakeMetaSpec pins the zero-sweep " +
+      "contract, the legacy fallback, and the self-healing header " +
+      "re-stamp."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -103,4 +103,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(Morton.interleave(3L, 5L, 16) == 39L)
     assert(Morton.interleave(0xFFFFL, 0L, 16) == 0x55555555L)
   }
+
+  test("MortonNCode (k=3): codegen == interpreted kernel, 2-dim codeN " +
+      "delegates to the magic-mask kernel, NULL propagates") {
+    import spark.implicits._
+    val df = spark.range(2000).select(
+      (rand(7) * 2097152).cast("long").as("x"),
+      (rand(11) * 2097152).cast("long").as("y"),
+      (rand(13) * 2097152).cast("long").as("z"))
+    val rows = df.select(col("x"), col("y"), col("z"),
+      Morton.codeN(Seq(col("x"), col("y"), col("z")), 21).as("m"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) === Morton.interleaveN(
+        Array(r.getLong(0), r.getLong(1), r.getLong(2)), 21))
+    }
+    // the 3-dim interleave is order-preserving per axis at fixed others
+    assert(Morton.interleaveN(Array(1L, 0L, 0L), 4) === 1L)
+    assert(Morton.interleaveN(Array(0L, 1L, 0L), 4) === 2L)
+    assert(Morton.interleaveN(Array(0L, 0L, 1L), 4) === 4L)
+    assert(Morton.interleaveN(Array(1L, 1L, 1L), 4) === 7L)
+    // 2-dim codeN routes to the magic-mask MortonCode
+    val two = df.select(
+      Morton.codeN(Seq(col("x"), col("y")), 16).as("a"),
+      Morton.code(col("x"), col("y"), 16).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(two === 0L)
+    // NULL in any dimension → NULL out
+    val n = Seq((Some(1L), Option.empty[Long], Some(2L)))
+      .toDF("x", "y", "z")
+      .select(Morton.codeN(Seq(col("x"), col("y"), col("z")), 8).as("m"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
 }

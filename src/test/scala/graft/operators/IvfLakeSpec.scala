@@ -350,8 +350,10 @@ class IvfLakeSpec extends AnyFunSuite {
     // the probe is quiet again: the new baseline PRICED the mixture
     val (_, _, r2, d2) = Similarity.ivfDriftProbe(spark, dir, dim)
     assert(!d2, s"probe still fires after recluster (ratio=$r2)")
-    // membership identical across the swap
-    assert(spark.read.parquet(dir).select("id")
+    // membership identical across the swap (resolved via the
+    // generation pointer — the lake root now holds _gen_* subdirs)
+    assert(spark.read.parquet(Similarity.ivfDataDir(spark, dir))
+      .select("id")
       .collect().map(_.getLong(0)).sorted.toSeq ===
       ((0L until 200L) ++ (1000L until 1100L)))
     // recall restored to the spec floor (and never worse than pre)
@@ -370,8 +372,10 @@ class IvfLakeSpec extends AnyFunSuite {
         dim, k = 4, lakeDir = dir, nProbe = 4)))
   }
 
-  test("recluster crash recovery: a stale tmp is discarded while the " +
-      "lake is live; an aside-only state restores; PQ codebooks carry") {
+  test("reader-safe recluster publish: crashed builds sweep, the " +
+      "previous generation is retained for in-flight readers, a " +
+      "concurrent reader across the swap never hits a missing path, " +
+      "PQ codebooks carry") {
     import org.apache.hadoop.fs.Path
     val emb = corpus(160)
     val dir = java.nio.file.Files
@@ -380,13 +384,18 @@ class IvfLakeSpec extends AnyFunSuite {
       nCells = 8, m = 4, ksub = 8): Unit
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // window 1: a stale tmp (no marker) from a crashed build — the live
-    // lake is authoritative; recluster discards it and proceeds
-    fs.mkdirs(new Path(dir + ".retrain_tmp/garbage"))
+    // a crashed prior build: an orphan generation no pointer names —
+    // invisible to readers, swept by the next recluster
+    fs.mkdirs(new Path(dir + "/_gen_deadbeef0000/garbage"))
     Similarity.reclusterIvfLake(spark, dir, "vec_id", "embedding", dim,
       nCells = 8): Unit
-    assert(!fs.exists(new Path(dir + ".retrain_tmp")))
-    assert(!fs.exists(new Path(dir + ".retrain_old")))
+    assert(!fs.exists(new Path(dir + "/_gen_deadbeef0000")),
+      "orphan generation swept")
+    // legacy flat layout migrated: root cell dirs gone, pointer present
+    assert(!fs.listStatus(new Path(dir))
+      .exists(_.getPath.getName.startsWith("cell=")))
+    val gen1 = Similarity.ivfDataDir(spark, dir)
+    assert(gen1 != dir, "resolver follows the generation pointer")
     // PQ codebooks carried verbatim: the composed lake still searches
     // exactly like its frozen twin under the NEW cell geometry
     val qs = emb.filter(col("vec_id") < 5)
@@ -394,13 +403,37 @@ class IvfLakeSpec extends AnyFunSuite {
       "embedding", dim, k = 4, nProbe = 4, refine = 4)) ===
       topk(Similarity.ivfPqTopKFrozen(emb, qs, "vec_id", "embedding",
         dim, k = 4, lakeDir = dir, nProbe = 4, refine = 4)))
-    // window 2: crashed between the two swap renames — lake missing,
-    // aside present, no tmp: the next pass restores the aside copy
-    val rowsBefore = spark.read.parquet(dir).count()
-    require(fs.rename(new Path(dir), new Path(dir + ".retrain_old")))
+    // SECOND recluster with a CONCURRENT reader hammering the lake:
+    // the reader must see old-or-new results, never a missing path —
+    // the old directory-rename protocol had exactly that outage window
+    @volatile var readerError: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          val n = spark.read
+            .parquet(Similarity.ivfDataDir(spark, dir)).count()
+          assert(n === 160L, s"reader saw a partial lake: $n rows")
+        }
+      } catch { case t: Throwable => readerError = Some(t) }
+    })
+    reader.start()
+    try {
+      Similarity.reclusterIvfLake(spark, dir, "vec_id", "embedding",
+        dim, nCells = 8): Unit
+    } finally { stop = true; reader.join(30000) }
+    assert(readerError.isEmpty,
+      s"concurrent reader failed across the swap: $readerError")
+    val gen2 = Similarity.ivfDataDir(spark, dir)
+    assert(gen2 != gen1, "the pointer moved to the new generation")
+    assert(fs.exists(new Path(gen1)),
+      "the PREVIOUS generation is retained for in-flight readers")
+    // third recluster retires gen1 (two swaps old)
     Similarity.reclusterIvfLake(spark, dir, "vec_id", "embedding", dim,
       nCells = 8): Unit
-    assert(spark.read.parquet(dir).count() === rowsBefore)
-    assert(!fs.exists(new Path(dir + ".retrain_old")))
+    assert(!fs.exists(new Path(gen1)),
+      "a generation two swaps old is swept")
+    assert(spark.read.parquet(Similarity.ivfDataDir(spark, dir))
+      .count() === 160L)
   }
 }

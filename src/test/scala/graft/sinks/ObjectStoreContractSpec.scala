@@ -1,0 +1,122 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The versioned lake's commit contract under NON-ATOMIC rename — the
+  * object-store question the r15 verdict left open, answered with an
+  * injected filesystem ([[FlakyRenameFs]], scheme `flaky://`) whose
+  * manifest-publish renames are broken the ways real stores break
+  * them. Required semantics per store, now PINNED:
+  *
+  *  - local FS: publish is a HARD LINK — atomic no-replace at the
+  *    syscall; rename semantics are irrelevant (VersionedLakeMetaSpec).
+  *  - stores whose rename is atomic no-replace (HDFS): the rename IS
+  *    the commit; the read-back is a no-op double check.
+  *  - stores that EMULATE rename as copy-then-delete (S3A-style):
+  *    - a rename that COMPLETES commits correctly (`copy` mode);
+  *    - a rename that dies MIDWAY but reports success leaves a torn
+  *      manifest: the read-back verify detects the strict byte-prefix,
+  *      REMOVES the torn file, and fails with a non-rebase error that
+  *      names the store contract — nothing is committed, the lake
+  *      stays readable, and a retry lands the same version (`partial`);
+  *    - a rename that copies fully but REPORTS failure (crash between
+  *      copy and source delete) leaves a complete, durable commit: the
+  *      loud error tells the writer to verify before retrying, and the
+  *      retry path sees the standard already-committed refusal instead
+  *      of forking history (`falseAfterCopy`).
+  */
+class ObjectStoreContractSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    s
+  }
+
+  import spark.implicits._
+
+  private def docs(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"text of doc $i")).toDF("doc_id", "text")
+      .repartition(1)
+
+  private def fresh(tag: String): String =
+    "flaky://" + Files.createTempDirectory(tag).toString + "/lake"
+
+  private def withMode[A](m: String)(body: => A): A = {
+    FlakyRenameFs.mode = m
+    try body finally FlakyRenameFs.mode = "atomic"
+  }
+
+  test("copy-then-delete rename that COMPLETES commits correctly") {
+    val dir = fresh("oscopy_")
+    withMode("copy") {
+      assert(VersionedLake.commitAppend(spark, dir, docs(0, 10)) === 1L)
+      assert(VersionedLake.commitAppend(spark, dir, docs(10, 20)) === 2L)
+    }
+    assert(VersionedLake.read(spark, dir).count() === 20L)
+    assert(VersionedLake.readAsOf(spark, dir, 1L).count() === 10L)
+  }
+
+  test("rename that lands PARTIAL bytes: torn manifest removed, loud " +
+      "non-rebase failure, nothing committed, retry lands cleanly") {
+    val dir = fresh("ospart_")
+    VersionedLake.commitAppend(spark, dir, docs(0, 10)): Unit
+    val ex = intercept[IllegalStateException] {
+      withMode("partial") {
+        VersionedLake.commitAppend(spark, dir, docs(10, 20))
+      }
+    }
+    assert(ex.getMessage.contains("not atomic"))
+    // nothing committed, no torn manifest left behind, lake readable
+    assert(VersionedLake.currentVersion(spark, dir) === 1L)
+    assert(VersionedLake.read(spark, dir).count() === 10L)
+    // the failed append's data files are unreferenced orphans a vacuum
+    // reclaims; a RETRY is a fresh append that lands the same version
+    assert(VersionedLake.commitAppend(spark, dir, docs(10, 20)) === 2L)
+    assert(VersionedLake.read(spark, dir).count() === 20L)
+  }
+
+  test("rename that copies fully but REPORTS failure: the append " +
+      "DETECTS its own durable commit (self-win, via its unique token " +
+      "dir in the landed manifest) and succeeds — no duplicate " +
+      "entries, no forked history") {
+    val dir = fresh("osfalse_")
+    VersionedLake.commitAppend(spark, dir, docs(0, 10)): Unit
+    val v = withMode("falseAfterCopy") {
+      VersionedLake.commitAppend(spark, dir, docs(10, 20))
+    }
+    assert(v === 2L, "the copy WAS durable: the append owns version 2")
+    assert(VersionedLake.read(spark, dir).count() === 20L,
+      "entries appear exactly once — a blind rebase would have " +
+        "stacked the append's own files a second time")
+    assert(VersionedLake.versions(spark, dir) === Seq(1L, 2L))
+    withMode("falseAfterCopy") {
+      assert(VersionedLake.commitAppend(spark, dir, docs(20, 30)) === 3L)
+    }
+    assert(VersionedLake.read(spark, dir).count() === 30L)
+  }
+
+  test("exactly-once batch commit through a falseAfterCopy rename: the " +
+      "REPLAY recognizes the durable commit and writes nothing") {
+    val dir = fresh("osbatch_")
+    VersionedLake.commitAppendForBatch(spark, dir, docs(0, 10), 0L): Unit
+    intercept[IllegalArgumentException] {
+      withMode("falseAfterCopy") {
+        VersionedLake.commitAppendForBatch(spark, dir, docs(10, 20), 1L)
+      }
+    }
+    // foreachBatch re-delivers batch 1 after the "failure": the replay
+    // check reads the durable v2 header and returns it, no double write
+    assert(VersionedLake.commitAppendForBatch(
+      spark, dir, docs(10, 20), 1L) === 2L)
+    assert(VersionedLake.read(spark, dir).count() === 20L)
+  }
+}

@@ -339,14 +339,15 @@ class VersionedLakeHardeningSpec extends AnyFunSuite {
     assert(VersionedLake.vacuumBefore(spark, dir, times.head._2) ===
       ((0L, 0L)))
     // cutoff at v2's instant: v1 drops, v2/v3 survive and read exactly
-    val (dropped, _) = VersionedLake.vacuumBefore(spark, dir, times(1)._2)
+    val (dropped, _) = VersionedLake.vacuumBefore(spark, dir, times(1)._2,
+      force = true)
     assert(dropped === 1L)
     assert(VersionedLake.versions(spark, dir) === Seq(2L, 3L))
     assert(idSet(VersionedLake.readAsOf(spark, dir, 2L)) ===
       (0L until 10L).toSet)
     // a cutoff NEWER than every commit keeps the newest version anyway
     val (dropped2, _) = VersionedLake.vacuumBefore(spark, dir,
-      times(2)._2 + 3600000L)
+      times(2)._2 + 3600000L, force = true)
     assert(dropped2 === 1L, "only v2 drops — the newest always survives")
     assert(VersionedLake.versions(spark, dir) === Seq(3L))
     assert(idSet(VersionedLake.read(spark, dir)) === (0L until 15L).toSet)

@@ -156,7 +156,7 @@ class VersionedLakeSpec extends AnyFunSuite {
     docs(90, 95).write.mode("overwrite").parquet(s"$dir/data/c9")
     val keptBefore = idSet(VersionedLake.readAsOf(spark, dir, 3))
     val filesBefore = dataFiles(dir)
-    val (dropped, deleted) = VersionedLake.vacuum(spark, dir, keepFrom = 3)
+    val (dropped, deleted) = VersionedLake.vacuum(spark, dir, keepFrom = 3, force = true)
     assert(dropped === 2L)
     assert(deleted >= 1L, "the c9 orphan (and v1's dead file) must go")
     assert(VersionedLake.versions(spark, dir) === Seq(3L))
@@ -171,7 +171,7 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no version 1"))
     // refusing to drop everything
     val ex2 = intercept[IllegalArgumentException] {
-      VersionedLake.vacuum(spark, dir, keepFrom = 99)
+      VersionedLake.vacuum(spark, dir, keepFrom = 99, force = true)
     }
     assert(ex2.getMessage.contains("EVERY version"))
   }
@@ -637,7 +637,7 @@ class VersionedLakeSpec extends AnyFunSuite {
     VersionedLake.commitAppend(spark, dir, docs(20, 25)): Unit
     assert(idSet(VersionedLake.read(spark, dir)) === (0L until 25L).toSet)
     // vacuum to the restore keeps every file it references
-    VersionedLake.vacuum(spark, dir, keepFrom = 4L): Unit
+    VersionedLake.vacuum(spark, dir, keepFrom = 4L, force = true): Unit
     assert(idSet(VersionedLake.readAsOf(spark, dir, 4)) ===
       (0L until 20L).toSet)
     // guards: restoring the current version, or a vacuumed one, is loud
