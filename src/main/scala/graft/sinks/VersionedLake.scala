@@ -1397,31 +1397,37 @@ object VersionedLake {
       else spark.read
         .parquet(inside.map(e => qualified(fs, base, entryPath(e))): _*)
         .count()
-    // survivors of the straddlers — COUNTED before anything is
-    // written, so a delete that turns out to match nothing (possible
-    // when only stats-less files were classifiable-as-straddling)
-    // commits nothing instead of a pointless rewrite
+    // survivors of the straddlers — the matched count is taken BEFORE
+    // anything is written (a delete that turns out to match nothing,
+    // possible when only stats-less files were classifiable-as-
+    // straddling, commits nothing instead of a pointless rewrite), and
+    // the straddler source is read from disk ONCE: cached across the
+    // count and the survivor write (straddlers are the range-BOUNDARY
+    // files — bounded churn; the pre-r16 shape paid the scan twice)
     val srcOpt =
       if (straddling.isEmpty) None
       else Some(readWithLakeSchema(spark, fs, base, cur,
-        straddling.map(entryPath))) // never first-footer-wins: an
+        straddling.map(entryPath)) // never first-footer-wins: an
         // evolved straddler's rewrite must keep evolution columns
-    // nulls never match a range — they must SURVIVE (a bare !between
-    // would drop them: three-valued logic)
-    val survivorsOpt = srcOpt.map(_.filter(coalesce(
-      !col(colName).cast("long").between(lower, upper), lit(true))))
-    val removedFromStraddling = (srcOpt, survivorsOpt) match {
-      case (Some(src), Some(sv)) => src.count() - sv.count()
-      case _ => 0L
-    }
-    if (droppedRows == 0L && removedFromStraddling == 0L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val removedFromStraddling = srcOpt.map(
+      _.agg(count(when(col(colName).cast("long").between(lower, upper),
+        lit(1)))).collect()(0).getLong(0)).getOrElse(0L)
+    if (droppedRows == 0L && removedFromStraddling == 0L) {
+      srcOpt.foreach(_.unpersist(blocking = false))
       return (0L, 0L, 0L, 0L) // nothing actually matched
-    val rewritten = survivorsOpt match {
-      case Some(sv) =>
+    }
+    val rewritten = srcOpt match {
+      case Some(src) =>
         val token = java.util.UUID.randomUUID().toString
           .replace("-", "").take(12)
         val rel = s"$DataName/m$token"
-        sv.write.mode("overwrite").parquet(s"$dir/$rel")
+        // nulls never match a range — they must SURVIVE (a bare
+        // !between would drop them: three-valued logic)
+        src.filter(coalesce(
+            !col(colName).cast("long").between(lower, upper), lit(true)))
+          .write.mode("overwrite").parquet(s"$dir/$rel")
+        src.unpersist(blocking = false): Unit
         statEntries(spark, fs, base, partFilesUnder(fs, base, rel), cols)
       case None => Seq.empty[String]
     }

@@ -45,6 +45,7 @@ object MaintScaleProfile {
     if (want("ixcompact")) indexLakeCompaction(spark)
     if (want("zorder")) zOrderLake(spark)
     if (want("zorder3")) zOrder3Lake(spark)
+    if (want("meta")) metaLake(spark)
     spark.stop()
   }
 
@@ -152,6 +153,56 @@ object MaintScaleProfile {
         s"rows==: ${rowsPre == rowsPost}")
       graft.Tables.deleteRecursively(java.nio.file.Paths.get(root))
     }
+  }
+
+  /** Round-16: the metadata-layer scalability claims, measured with
+    * the engine's own counters. (a) CHECKPOINT: `commitTimes` on a
+    * 60-commit lake opens <= commits-since-checkpoint manifest files
+    * instead of all 60 — the access cost that would otherwise grow
+    * with every commit of a long-lived lake. (b) SCHEMA HEADER: an
+    * evolved MERGE against a 180-file lake performs ZERO parquet
+    * footer sweeps (the pre-r16 shape swept every live file's footer
+    * per upsert — O(files) metadata cost on the hottest write path).
+    */
+  private def metaLake(spark: SparkSession): Unit = {
+    import graft.sinks.VersionedLake
+    val root = java.nio.file.Files
+      .createTempDirectory("maint_meta_").toString
+    val dir = s"$root/lake"
+    val n = 120000L
+    val docs = spark.range(n).select(col("id"),
+      concat(lit("payload "), col("id")).as("text"))
+    (0 until 60).foreach { m =>
+      VersionedLake.commitAppend(spark, dir,
+        docs.filter(pmod(col("id"), lit(60L)) === m).repartition(3)): Unit
+    }
+    val nFiles = VersionedLake
+      .filesOf(spark, dir, VersionedLake.currentVersion(spark, dir)).size
+    val o0 = VersionedLake.manifestOpens.get()
+    val t0 = System.nanoTime()
+    VersionedLake.commitTimes(spark, dir): Unit
+    val withCk = VersionedLake.manifestOpens.get() - o0
+    val wCk = (System.nanoTime() - t0) / 1e9
+    val ckpt = new org.apache.hadoop.fs.Path(dir, "_versions/_checkpoint")
+    val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(ckpt, false))
+    val o1 = VersionedLake.manifestOpens.get()
+    val t1 = System.nanoTime()
+    VersionedLake.commitTimes(spark, dir): Unit
+    val noCk = VersionedLake.manifestOpens.get() - o1
+    val wNo = (System.nanoTime() - t1) / 1e9
+    println(f"[meta] commits=60 files=$nFiles  commitTimes opens: " +
+      f"ckpt=$withCk no_ckpt=$noCk  wall: $wCk%5.3f s vs $wNo%5.3f s")
+    // schema header: evolved MERGE with zero footer sweeps
+    val s0 = VersionedLake.footerSchemaSweeps.get()
+    val upd = docs.filter(col("id") < 10)
+      .select(col("id"), concat(lit("UPD:"), col("text")).as("text"),
+        lit("x").as("tag"))
+    VersionedLake.commitUpsert(spark, dir, "id", upd): Unit
+    val sweeps = VersionedLake.footerSchemaSweeps.get() - s0
+    println(s"[meta] evolved MERGE over $nFiles files: " +
+      s"footer_sweeps=$sweeps (pre-r16 shape swept every live footer)")
+    graft.Tables.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
   /** Round-16: THREE-dimension Z-order (`compactZOrder(Seq(x,y,w))`,
