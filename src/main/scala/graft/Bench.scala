@@ -62,6 +62,7 @@ object Bench {
           n.startsWith("graft_vcmut_") ||
           n.startsWith("graft_vz3_") ||
           n.startsWith("graft_vhdr_") ||
+          n.startsWith("graft_vdelta_") ||
           n.startsWith("verify_r")) && !keep.contains(f.getAbsolutePath) &&
           f.lastModified() < cutoff
       }
@@ -288,7 +289,8 @@ object Bench {
       ("q197", Set("q197_base"), Set("q197_raced_mutations")),
       ("q198", Set("q198_build"),
         Set("q198_zorder3", "q198_read3d")),
-      ("q199", Set("q199_build"), Set("q199_merge+read")))
+      ("q199", Set("q199_build"), Set("q199_merge+read")),
+      ("q200", Set("q200_commits"), Set("q200_mutations+read")))
     // Build/mutate/search/audit attribution one level below the
     // fixture/operator split, for the heaviest lake composites: their
     // "operator" bucket by construction blends mutation history into

@@ -4508,6 +4508,30 @@ object TrainingData {
             VersionedLake.commitUpsert(s, hDir, "doc_id", updates)
           VersionedLake.readAsOf(s, hDir, v3, mergeSchema = true)
         }))
+    } ++ {
+      // q200 (delta manifests): fixture = the 16 residue appends;
+      // operator = the delta-published mutations + resolved read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dDir = Tables.freshScratchDir("graft_vdelta_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q200_commits" -> (() => {
+          (0 until 16).foreach { m =>
+            VersionedLake.commitAppend(s, dDir,
+              docs.filter(col("doc_id") % 16 === m).repartition(1)): Unit
+          }
+          s.range(1).toDF()
+        }),
+        "q200_mutations+read" -> (() => {
+          VersionedLake.commitDelete(s, dDir, "doc_id",
+            docs.filter(col("doc_id") % 7 === 3).select("doc_id")): Unit
+          VersionedLake.commitUpsert(s, dDir, "doc_id",
+            docs.filter(col("doc_id") % 32 === 0)
+              .select(col("doc_id"),
+                concat(lit("UPD:"), col("text")).as("text"))): Unit
+          VersionedLake.read(s, dDir)
+        }))
     }
   }
 
@@ -7047,6 +7071,61 @@ object TrainingData {
          SELECT doc_id + 200000, text, source FROM documents
          WHERE doc_id % 10 = 3)"""
 
+  // --- q200: delta manifests — O(churn) commit metadata ----------------------------
+  // VersionedLake's anchor/delta manifest protocol: 16 residue appends
+  // (v1 + v10 anchors list the full lake; v2-9/v11-16 are `#base=` +
+  // adds), a delete (delta with a removal line), and an upsert (delta
+  // with removal + fresh entries). `deltas_used`/`anchor_full`/
+  // `delta_write_small` pin the manifest SHAPES driver-side from the
+  // raw files (a delta's body is its churn; the anchor's is the lake),
+  // and the final membership — three mutation kinds resolved through
+  // delta chains — replays exactly in SQL: a mis-applied removal, a
+  // lost add, or a chain resolved against the wrong base all move rows.
+  // At 100 TB this is the write-amplification half of the manifest
+  // ceiling: an append publishes O(its own files) bytes, not O(lake).
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = Tables.freshScratchDir("graft_vdelta_", d).toString + "/lake"
+    (0 until 16).foreach { m =>
+      VersionedLake.commitAppend(s, dir,
+        docs.filter(col("doc_id") % 16 === m).repartition(1)): Unit
+    }
+    VersionedLake.commitDelete(s, dir, "doc_id",
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id")): Unit
+    val updates = docs.filter(col("doc_id") % 32 === 0)
+      .select(col("doc_id"), concat(lit("UPD:"), col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 9)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+    VersionedLake.commitUpsert(s, dir, "doc_id", updates): Unit
+    def lines(v: Long): Seq[String] = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_versions", f"v$v%06d.txt"))
+      .toArray.toSeq.map(_.toString).filter(_.nonEmpty)
+    def isDelta(v: Long) = lines(v).exists(_.startsWith("#base="))
+    def body(v: Long) = lines(v).count(!_.startsWith("#"))
+    val deltasUsed = (2L to 9L).forall(isDelta) &&
+      (11L to 16L).forall(isDelta) && isDelta(17L) && isDelta(18L)
+    val anchorFull = !isDelta(1L) && !isDelta(10L) && body(10L) == 10
+    val deltaSmall = body(16L) < body(10L)
+    VersionedLake.read(s, dir)
+      .select(col("doc_id"), col("text"),
+        lit(deltasUsed).as("deltas_used"),
+        lit(anchorFull).as("anchor_full"),
+        lit(deltaSmall).as("delta_write_small"))
+  }
+
+  private val q200Sql =
+    """SELECT doc_id, text, true AS deltas_used, true AS anchor_full,
+       true AS delta_write_small FROM (
+         SELECT doc_id, 'UPD:' || text AS text FROM documents
+         WHERE doc_id % 32 = 0
+         UNION ALL
+         SELECT doc_id, text FROM documents
+         WHERE doc_id % 32 != 0 AND doc_id % 7 != 3
+         UNION ALL
+         SELECT doc_id + 300000, text FROM documents
+         WHERE doc_id % 10 = 9)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
     "q21_text_quality"    -> q21 _,
@@ -7194,7 +7273,8 @@ object TrainingData {
     "q196_lake_checkpoint" -> q196 _,
     "q197_concurrent_mutations" -> q197 _,
     "q198_zorder3"        -> q198 _,
-    "q199_schema_header"  -> q199 _)
+    "q199_schema_header"  -> q199 _,
+    "q200_delta_manifests" -> q200 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -7343,5 +7423,6 @@ object TrainingData {
     "q196_lake_checkpoint" -> q196Sql,
     "q197_concurrent_mutations" -> q197Sql,
     "q198_zorder3"        -> q198Sql,
-    "q199_schema_header"  -> q199Sql)
+    "q199_schema_header"  -> q199Sql,
+    "q200_delta_manifests" -> q200Sql)
 }

@@ -20,12 +20,27 @@ import org.apache.spark.sql.functions._
   *                                        unique dir per append, so
   *                                        concurrent appends never share
   *                                        a data dir) — same immutability
-  *   dir/_versions/v<version>.txt         manifest: the relative data-file
-  *                                        paths that ARE that version,
-  *                                        one per line; the atomic
-  *                                        publish of it is the commit
-  *                                        (hard link on local FS,
-  *                                        no-replace rename elsewhere)
+  *   dir/_versions/v<version>.txt         manifest; the atomic publish
+  *                                        of it is the commit (hard
+  *                                        link on local FS, no-replace
+  *                                        rename elsewhere). ANCHOR
+  *                                        versions (v1 and every
+  *                                        [[ManifestAnchorInterval]]-th)
+  *                                        list the FULL resolved file
+  *                                        set, one entry per line; the
+  *                                        versions between are DELTAS:
+  *                                        a `#base=<v>` header, `-path`
+  *                                        removal lines, and this
+  *                                        commit's added entries — so
+  *                                        an append or a file-scoped
+  *                                        mutation publishes O(churn)
+  *                                        bytes, not O(lake), and
+  *                                        resolution walks at most one
+  *                                        interval of small files.
+  *                                        [[vacuum]] materializes the
+  *                                        new oldest survivor so no
+  *                                        surviving delta ever loses
+  *                                        its base.
   *   dir/_versions/_checkpoint            metadata checkpoint, rewritten
   *                                        every [[CheckpointInterval]]
   *                                        commits: (ts, batch, nFiles)
@@ -141,6 +156,18 @@ object VersionedLake {
   private val CheckpointInterval = 10L
   private val CheckpointName = "_checkpoint"
 
+  /** Every this-many versions a commit writes a FULL manifest (an
+    * ANCHOR); the commits between write DELTA manifests — a `#base=`
+    * header plus only this commit's added entries and `-path` removal
+    * lines. A 100k-file lake's append then publishes a few hundred
+    * bytes instead of rewriting a multi-MB file list per commit — the
+    * write-amplification half of the flat-manifest ceiling
+    * (resolution walks at most this many small files; [[vacuum]]
+    * MATERIALIZES the new oldest survivor so every surviving chain
+    * stays resolvable and drop semantics are unchanged).
+    */
+  private val ManifestAnchorInterval = 10L
+
   /** Versions younger than this survive [[vacuum]]/[[vacuumBefore]]
     * unless the caller passes `force = true` — the Delta retention
     * floor: a long-running time-travel reader mid-scan on last hour's
@@ -214,12 +241,44 @@ object VersionedLake {
     text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** File ENTRIES of a manifest — the raw per-file lines (see the
-    * header scaladoc for the three entry shapes).
+  /** The base version a DELTA manifest builds on, None for a FULL
+    * (anchor or legacy) manifest.
+    */
+  private def baseOf(lines: Seq[String]): Option[Long] =
+    lines.find(_.startsWith("#base="))
+      .flatMap(_.stripPrefix("#base=").toLongOption)
+
+  /** File ENTRIES of a manifest, RESOLVED: a full manifest's body is
+    * its entry list; a delta manifest applies its `-path` removals and
+    * appended entries to its base's resolved entries. Chains are at
+    * most [[ManifestAnchorInterval]] deep by construction (every
+    * interval-th version is a full anchor, and v1 is always full).
+    * See the header scaladoc for the three per-file entry shapes.
     */
   private def fileEntries(fs: FileSystem, base: Path,
-      v: Long): Seq[String] =
-    manifestLines(fs, base, v).filterNot(_.startsWith("#"))
+      v: Long): Seq[String] = {
+    val lines = manifestLines(fs, base, v)
+    val body = lines.filterNot(_.startsWith("#"))
+    baseOf(lines) match {
+      case None => body
+      case Some(b) =>
+        val removed = body.iterator.filter(_.startsWith("-"))
+          .map(_.drop(1)).toSet
+        val added = body.filterNot(_.startsWith("-"))
+        fileEntries(fs, base, b)
+          .filterNot(e => removed.contains(entryPath(e))) ++ added
+    }
+  }
+
+  /** True when version `v`'s manifest is self-contained (no `#base=`). */
+  private def isFullManifest(fs: FileSystem, base: Path, v: Long): Boolean =
+    baseOf(manifestLines(fs, base, v)).isEmpty
+
+  /** Whether version `v` must publish a FULL manifest: v1 (nothing to
+    * base on) and every anchor-interval-th version.
+    */
+  private def mustAnchor(v: Long): Boolean =
+    v == 1L || v % ManifestAnchorInterval == 0L
 
   private def entryPath(entry: String): String = entry.split('\t')(0)
 
@@ -413,17 +472,9 @@ object VersionedLake {
   private def writeCheckpoint(fs: FileSystem, base: Path,
       upTo: Long): Unit = {
     val prior = readCheckpoint(fs, base)
-    def entry(v: Long): CkptEntry =
-      prior.flatMap(_._2.get(v)).getOrElse {
-        val lines = manifestLines(fs, base, v)
-        CkptEntry(
-          lines.find(_.startsWith("#ts=")).flatMap(
-            _.stripPrefix("#ts=").toLongOption).getOrElse(
-            fs.getFileStatus(manifestPath(base, v)).getModificationTime),
-          lines.find(_.startsWith("#batch=")).flatMap(
-            _.stripPrefix("#batch=").toLongOption),
-          lines.count(!_.startsWith("#")).toLong)
-      }
+    // metaOf resolves DELTA manifests' file counts through their chain
+    // — the raw body line count of a delta is its churn, not the lake
+    def entry(v: Long): CkptEntry = metaOf(fs, base, v, prior)
     val body = liveVersions(fs, base).filter(_ <= upTo).map { v =>
       val e = entry(v)
       s"$v\t${e.ts}\t${e.batch.map(_.toString).getOrElse("-")}\t${e.nFiles}"
@@ -440,21 +491,41 @@ object VersionedLake {
     require(fs.rename(side, dst), s"checkpoint publish $side -> $dst failed")
   }
 
-  /** (ts, batch, nFiles) of version `v` — checkpoint-first: one
-    * checkpoint read covers every version at or below it; only younger
-    * manifests are opened.
+  /** (ts, batch) of version `v` — checkpoint-first, and ONE manifest
+    * open for versions above the checkpoint (headers live in the
+    * manifest itself; no delta-chain resolution). The cheap form
+    * commitTimes / the replay cursor / restore use.
+    */
+  private def tsBatchOf(fs: FileSystem, base: Path, v: Long,
+      ckpt: Option[(Long, Map[Long, CkptEntry])]): (Long, Option[Long]) =
+    ckpt.flatMap(_._2.get(v)).map(e => (e.ts, e.batch)).getOrElse {
+      val lines = manifestLines(fs, base, v)
+      (lines.find(_.startsWith("#ts=")).flatMap(
+        _.stripPrefix("#ts=").toLongOption).getOrElse(
+        fs.getFileStatus(manifestPath(base, v)).getModificationTime),
+        lines.find(_.startsWith("#batch=")).flatMap(
+          _.stripPrefix("#batch=").toLongOption))
+    }
+
+  /** (ts, batch, nFiles) of version `v` — checkpoint-first; above the
+    * checkpoint the FILE COUNT of a delta manifest resolves its chain
+    * (bounded by the anchor interval), so only [[history]] and the
+    * checkpoint rewrite pay it.
     */
   private def metaOf(fs: FileSystem, base: Path, v: Long,
       ckpt: Option[(Long, Map[Long, CkptEntry])]): CkptEntry =
     ckpt.flatMap(_._2.get(v)).getOrElse {
       val lines = manifestLines(fs, base, v)
+      val nf =
+        if (baseOf(lines).isDefined) fileEntries(fs, base, v).size.toLong
+        else lines.count(!_.startsWith("#")).toLong
       CkptEntry(
         lines.find(_.startsWith("#ts=")).flatMap(
           _.stripPrefix("#ts=").toLongOption).getOrElse(
           fs.getFileStatus(manifestPath(base, v)).getModificationTime),
         lines.find(_.startsWith("#batch=")).flatMap(
           _.stripPrefix("#batch=").toLongOption),
-        lines.count(!_.startsWith("#")).toLong)
+        nf)
     }
 
   /** `rels` (files of version `v`) read under version `v`'s LAKE
@@ -485,7 +556,7 @@ object VersionedLake {
       : Option[(Long, Long)] = {
     val ckpt = readCheckpoint(fs, base)
     liveVersions(fs, base).reverseIterator
-      .map(v => (v, metaOf(fs, base, v, ckpt).batch))
+      .map(v => (v, tsBatchOf(fs, base, v, ckpt)._2))
       .collectFirst { case (v, Some(b)) => (v, b) }
   }
 
@@ -712,15 +783,23 @@ object VersionedLake {
             "committed; re-run against the current version")
         onIntervening(cur, curPaths.filterNot(snapPaths.contains))
       }
-      val survivors =
+      def survivors =
         if (cur == 0) Seq.empty[String]
         else fileEntries(fs, base, cur)
           .filterNot(e => removed.contains(entryPath(e)))
       val v = cur + 1
       beforePublish()
       try {
-        writeManifest(fs, base, v, survivors ++ freshEntries,
-          headers = mkHeaders(cur))
+        // anchors publish the full survivor list; the rest are DELTAS
+        // (#base + removals + fresh) — a file-scoped mutation's
+        // manifest write is O(its churn), not O(the lake)
+        if (mustAnchor(v))
+          writeManifest(fs, base, v, survivors ++ freshEntries,
+            headers = mkHeaders(cur))
+        else
+          writeManifest(fs, base, v,
+            removed.toSeq.sorted.map("-" + _) ++ freshEntries,
+            headers = s"#base=$cur" +: mkHeaders(cur))
         committed = v
       } catch {
         case e: IllegalArgumentException
@@ -797,15 +876,22 @@ object VersionedLake {
           statsCache += key -> e
           e
         })
-      val prev = if (cur == 0) Seq.empty else fileEntries(fs, base, cur)
       // schema header: carried schema + df-only columns (recomputed per
       // rebase attempt — a racing upsert may have evolved the schema)
       val sh = appendSchema(fs, base, cur, df.schema)
         .map(schemaHeader).getOrElse(Seq.empty)
       beforePublish()
       try {
-        writeManifest(fs, base, v, prev ++ fresh,
-          headers = sh ++ statsHeaders(cols))
+        // anchor versions publish the full resolved list; the rest are
+        // DELTAS (#base + this append's entries only) — an append's
+        // manifest write is O(its own files), not O(the lake)
+        if (mustAnchor(v)) {
+          val prev = if (cur == 0) Seq.empty else fileEntries(fs, base, cur)
+          writeManifest(fs, base, v, prev ++ fresh,
+            headers = sh ++ statsHeaders(cols))
+        } else
+          writeManifest(fs, base, v, fresh,
+            headers = s"#base=$cur" +: (sh ++ statsHeaders(cols)))
         committed = v
       } catch {
         // ONLY the lost-race refusal rebases (the version now exists —
@@ -896,12 +982,17 @@ object VersionedLake {
     val v = cur + 1
     val cols = resolveStatsCols(spark, dir, v - 1, None)
     df.write.mode("overwrite").parquet(s"$dir/$DataName/c$v")
-    val prev = if (v == 1) Seq.empty else fileEntries(fs, base, v - 1)
     val sh = appendSchema(fs, base, cur, df.schema)
       .map(schemaHeader).getOrElse(Seq.empty)
-    writeManifest(fs, base, v,
-      prev ++ newEntries(spark, fs, base, v, cols),
-      headers = s"#batch=$batchId" +: (sh ++ statsHeaders(cols)))
+    val fresh = newEntries(spark, fs, base, v, cols)
+    if (mustAnchor(v)) {
+      val prev = if (v == 1) Seq.empty else fileEntries(fs, base, v - 1)
+      writeManifest(fs, base, v, prev ++ fresh,
+        headers = s"#batch=$batchId" +: (sh ++ statsHeaders(cols)))
+    } else
+      writeManifest(fs, base, v, fresh,
+        headers = Seq(s"#batch=$batchId", s"#base=$cur") ++
+          sh ++ statsHeaders(cols))
     v
   }
 
@@ -1754,9 +1845,9 @@ object VersionedLake {
     // or below the checkpoint instead of one manifest open each
     val ckpt = readCheckpoint(fs, base)
     val batchHeaders =
-      if (all.exists(x => metaOf(fs, base, x, ckpt).batch.isDefined)) {
+      if (all.exists(x => tsBatchOf(fs, base, x, ckpt)._2.isDefined)) {
         val cursorAtV = all.filter(_ <= v).reverseIterator
-          .map(x => metaOf(fs, base, x, ckpt).batch)
+          .map(x => tsBatchOf(fs, base, x, ckpt)._2)
           .collectFirst { case Some(b) => b }
         Seq(s"#batch=${cursorAtV.getOrElse(-1L)}")
       } else Seq.empty
@@ -1801,7 +1892,7 @@ object VersionedLake {
   def commitTimes(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
     val (fs, base) = fsOf(spark, dir)
     val ckpt = readCheckpoint(fs, base) // one read covers v <= ckpt
-    versions(spark, dir).map { v => v -> metaOf(fs, base, v, ckpt).ts }
+    versions(spark, dir).map { v => v -> tsBatchOf(fs, base, v, ckpt)._1 }
   }
 
   /** Timestamp time travel (the Iceberg/Delta entry point): the newest
@@ -1883,6 +1974,48 @@ object VersionedLake {
           s"committed within the ${DefaultRetentionMillis / 3600000} h " +
           "retention floor — a concurrent time-travel reader may still " +
           "be scanning them; pass force = true to override")
+    }
+    // DELTA-CHAIN safety: the new oldest survivor may be a delta whose
+    // base is about to drop — MATERIALIZE it as a self-contained full
+    // manifest (same resolved entries, same headers minus #base, same
+    // #ts) BEFORE any drop, with an atomic content replace. Every
+    // later survivor chains through it or through a younger anchor, so
+    // one materialization keeps the whole surviving history resolvable
+    // and vacuum's drop semantics stay exactly version-based.
+    if (drop.nonEmpty && !isFullManifest(fs, base, keep.head)) {
+      val oldest = keep.head
+      val lines = manifestLines(fs, base, oldest)
+      val headers = lines.filter(l => l.startsWith("#") &&
+        !l.startsWith("#base=") && !l.startsWith("#ts="))
+      val ts = lines.find(_.startsWith("#ts=")).toSeq // keep the instant
+      val full = ts ++ headers ++ fileEntries(fs, base, oldest)
+      val dst = manifestPath(base, oldest)
+      val side = new Path(dst.getParent, dst.getName + "." +
+        java.util.UUID.randomUUID().toString.take(8) + ".writing")
+      val bytes = (full.mkString("\n") + "\n").getBytes("UTF-8")
+      val out = fs.create(side, true)
+      try out.write(bytes)
+      finally out.close()
+      (nioLocal(fs, dst), nioLocal(fs, side)) match {
+        case (Some(nd), Some(ns)) =>
+          // atomic replace on local FS; a concurrent reader sees old
+          // or new bytes, both resolving to the same entries while
+          // the base still exists (drops happen strictly after)
+          java.nio.file.Files.move(ns, nd,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+          // the side file moved via nio: sweep its checksum sibling
+          fs.delete(new Path(side.getParent,
+            "." + side.getName + ".crc"), false): Unit
+        case _ =>
+          // non-local stores: delete+rename with a documented window;
+          // vacuum is single-writer and the window touches only the
+          // manifest being materialized
+          fs.delete(dst, false): Unit
+          require(fs.rename(side, dst),
+            s"vacuum: materializing v$oldest failed — its delta chain " +
+              "is still intact; re-run the vacuum")
+      }
     }
     val referenced = keep.iterator
       .flatMap(v => fileEntries(fs, base, v).map(entryPath)).toSet

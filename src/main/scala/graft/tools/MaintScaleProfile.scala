@@ -193,6 +193,13 @@ object MaintScaleProfile {
     val wNo = (System.nanoTime() - t1) / 1e9
     println(f"[meta] commits=60 files=$nFiles  commitTimes opens: " +
       f"ckpt=$withCk no_ckpt=$noCk  wall: $wCk%5.3f s vs $wNo%5.3f s")
+    // delta manifests: per-commit metadata bytes — the anchor pays the
+    // lake, every other commit pays its own churn
+    def mBytes(v: Long): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(dir, f"_versions/v$v%06d.txt")).getLen
+    println(s"[meta] manifest bytes: anchor v60=${mBytes(60)} " +
+      s"delta v59=${mBytes(59)} delta v41=${mBytes(41)} " +
+      s"(anchor lists all $nFiles files; deltas list their 3 adds)")
     // schema header: evolved MERGE with zero footer sweeps
     val s0 = VersionedLake.footerSchemaSweeps.get()
     val upd = docs.filter(col("id") < 10)

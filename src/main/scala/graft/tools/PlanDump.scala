@@ -66,7 +66,8 @@ object PlanDump {
     "q189_vlake_ttl", "q190_cursor_sync", "q191_concurrent_append",
     "q192_index_compact", "q193_evolve_write", "q194_multicol_stats",
     "q195_zorder_lake", "q196_lake_checkpoint",
-    "q197_concurrent_mutations", "q198_zorder3", "q199_schema_header")
+    "q197_concurrent_mutations", "q198_zorder3", "q199_schema_header",
+    "q200_delta_manifests")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -413,7 +414,25 @@ object PlanDump {
       "NULL-fill the evolved column; survivors of rewritten old " +
       "files keep theirs; VersionedLakeMetaSpec pins the zero-sweep " +
       "contract, the legacy fallback, and the self-healing header " +
-      "re-stamp."))
+      "re-stamp."),
+    "q200_delta_manifests" -> ("delta manifests — the write-" +
+      "amplification half of the flat-manifest ceiling: anchor " +
+      "versions (v1, every 10th) publish the full resolved file " +
+      "list; versions between publish #base=<prev> + this commit's " +
+      "added entries + -path removal lines, so an append or a " +
+      "file-scoped mutation writes O(its churn) manifest bytes " +
+      "instead of O(the lake) per commit (at 100k files that is a " +
+      "few hundred bytes vs ~10 MB, every commit). Resolution walks " +
+      "at most one anchor interval of small files; vacuum " +
+      "MATERIALIZES the new oldest survivor (atomic content replace, " +
+      "original #ts preserved) so surviving chains never dangle and " +
+      "drop semantics stay version-exact. deltas_used/anchor_full/" +
+      "delta_write_small pin the manifest shapes from the raw files; " +
+      "membership after append+delete+upsert resolved through delta " +
+      "chains replays exactly in SQL. DeltaManifestSpec pins shapes, " +
+      "mutation deltas, vacuum materialization, and the replay " +
+      "cursor + checkpoint riding delta histories; the [meta] " +
+      "profile measures the per-commit byte collapse."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
