@@ -201,6 +201,16 @@ object VersionedLake {
   private def manifestPath(base: Path, v: Long): Path =
     new Path(base, f"$VersionsName/v$v%06d.txt")
 
+  /** The SHADOW full manifest [[vacuum]] materializes for a delta
+    * version whose base chain it is about to drop. It is written
+    * beside the original (never replacing it — no in-place rewrite of
+    * committed bytes, ever) and takes precedence on read; the original
+    * delta stays for the version LISTING and simply never gets
+    * followed again.
+    */
+  private def fullManifestPath(base: Path, v: Long): Path =
+    new Path(base, f"$VersionsName/v$v%06d.full")
+
   private def versionOf(name: String): Option[Long] =
     if (name.startsWith("v") && name.endsWith(".txt"))
       name.stripPrefix("v").stripSuffix(".txt").toLongOption
@@ -229,7 +239,11 @@ object VersionedLake {
 
   private def manifestLines(fs: FileSystem, base: Path,
       v: Long): Seq[String] = {
-    val p = manifestPath(base, v)
+    // a vacuum-materialized shadow (self-contained full manifest)
+    // takes precedence over the original delta, whose base chain may
+    // have been dropped
+    val pf = fullManifestPath(base, v)
+    val p = if (fs.exists(pf)) pf else manifestPath(base, v)
     require(fs.exists(p),
       s"no version $v at $base (missing ${p.getName} — vacuumed or never " +
         "committed)")
@@ -1977,11 +1991,16 @@ object VersionedLake {
     }
     // DELTA-CHAIN safety: the new oldest survivor may be a delta whose
     // base is about to drop — MATERIALIZE it as a self-contained full
-    // manifest (same resolved entries, same headers minus #base, same
-    // #ts) BEFORE any drop, with an atomic content replace. Every
-    // later survivor chains through it or through a younger anchor, so
-    // one materialization keeps the whole surviving history resolvable
-    // and vacuum's drop semantics stay exactly version-based.
+    // SHADOW manifest (same resolved entries, same headers minus
+    // #base, same #ts — the commit instant is the original's) BEFORE
+    // any drop. The shadow is written BESIDE the original, never
+    // replacing it: committed bytes are never rewritten in place, so
+    // there is NO window in which the oldest survivor is torn or
+    // missing — a failed or torn shadow publish aborts the vacuum
+    // loudly with the entire chain still intact. Every later survivor
+    // chains through this version or a younger anchor, so one shadow
+    // keeps the whole surviving history resolvable and drop semantics
+    // stay exactly version-based.
     if (drop.nonEmpty && !isFullManifest(fs, base, keep.head)) {
       val oldest = keep.head
       val lines = manifestLines(fs, base, oldest)
@@ -1989,32 +2008,35 @@ object VersionedLake {
         !l.startsWith("#base=") && !l.startsWith("#ts="))
       val ts = lines.find(_.startsWith("#ts=")).toSeq // keep the instant
       val full = ts ++ headers ++ fileEntries(fs, base, oldest)
-      val dst = manifestPath(base, oldest)
+      val dst = fullManifestPath(base, oldest)
+      fs.delete(dst, false): Unit // a prior crashed vacuum's leftover
       val side = new Path(dst.getParent, dst.getName + "." +
         java.util.UUID.randomUUID().toString.take(8) + ".writing")
       val bytes = (full.mkString("\n") + "\n").getBytes("UTF-8")
       val out = fs.create(side, true)
       try out.write(bytes)
       finally out.close()
-      (nioLocal(fs, dst), nioLocal(fs, side)) match {
-        case (Some(nd), Some(ns)) =>
-          // atomic replace on local FS; a concurrent reader sees old
-          // or new bytes, both resolving to the same entries while
-          // the base still exists (drops happen strictly after)
-          java.nio.file.Files.move(ns, nd,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-          // the side file moved via nio: sweep its checksum sibling
-          fs.delete(new Path(side.getParent,
-            "." + side.getName + ".crc"), false): Unit
-        case _ =>
-          // non-local stores: delete+rename with a documented window;
-          // vacuum is single-writer and the window touches only the
-          // manifest being materialized
-          fs.delete(dst, false): Unit
+      nioLocal(fs, dst) match {
+        case Some(nd) =>
+          java.nio.file.Files.createLink(nd, nioLocal(fs, side).get): Unit
+          fs.delete(side, false): Unit
+        case None =>
           require(fs.rename(side, dst),
-            s"vacuum: materializing v$oldest failed — its delta chain " +
-              "is still intact; re-run the vacuum")
+            s"vacuum: materializing v$oldest failed — nothing was " +
+              "dropped and its delta chain is intact; re-run the vacuum")
+          // torn-rename guard (copy-based stores): verify before ANY
+          // drop — on mismatch remove the torn shadow and abort with
+          // the original chain untouched
+          val in = fs.open(dst)
+          val back = try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+          if (!java.util.Arrays.equals(back, bytes)) {
+            fs.delete(dst, false): Unit
+            throw new IllegalStateException(
+              s"vacuum: materializing v$oldest landed PARTIAL bytes — " +
+                "this store's rename is not atomic; the torn shadow was " +
+                "removed, nothing was dropped, the delta chain is intact")
+          }
       }
     }
     val referenced = keep.iterator
@@ -2051,6 +2073,8 @@ object VersionedLake {
     drop.foreach { v =>
       require(fs.delete(manifestPath(base, v), false),
         s"vacuum: dropping manifest v$v failed")
+      // an earlier vacuum's shadow for this version goes with it
+      fs.delete(fullManifestPath(base, v), false): Unit
     }
     // stale publish side files: a crashed or lost-race writer leaves
     // its unique v*.txt.<uuid>.writing in _versions/ — invisible to

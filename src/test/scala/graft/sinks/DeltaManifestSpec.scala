@@ -46,7 +46,10 @@ class DeltaManifestSpec extends AnyFunSuite {
     df.select("doc_id").collect().map(_.getLong(0)).toSet
 
   private def manifestLines(dir: String, v: Long): Seq[String] = {
-    val p = java.nio.file.Paths.get(dir, "_versions", f"v$v%06d.txt")
+    // like the engine: a vacuum-materialized .full shadow wins
+    val pf = java.nio.file.Paths.get(dir, "_versions", f"v$v%06d.full")
+    val p = if (Files.exists(pf)) pf
+      else java.nio.file.Paths.get(dir, "_versions", f"v$v%06d.txt")
     Files.readAllLines(p).toArray.toSeq.map(_.toString)
       .filter(_.nonEmpty)
   }

@@ -104,6 +104,34 @@ class ObjectStoreContractSpec extends AnyFunSuite {
     assert(VersionedLake.read(spark, dir).count() === 30L)
   }
 
+  test("vacuum materialization under a PARTIAL rename: loud abort, " +
+      "NOTHING dropped, the delta chain fully intact; the retry " +
+      "completes and drops exactly") {
+    val dir = fresh("osvac_")
+    (0 until 16).foreach { m =>
+      VersionedLake.commitAppend(spark, dir, docs(m * 5L, m * 5L + 5L)): Unit
+    }
+    val ex = intercept[IllegalStateException] {
+      withMode("partial") {
+        VersionedLake.vacuum(spark, dir, keepFrom = 13L, force = true)
+      }
+    }
+    assert(ex.getMessage.contains("nothing was dropped"))
+    assert(VersionedLake.versions(spark, dir) === (1L to 16L),
+      "the aborted vacuum dropped nothing")
+    (1L to 16L).foreach { v =>
+      assert(VersionedLake.readAsOf(spark, dir, v).count() === v * 5L,
+        s"v$v still reads exactly after the aborted vacuum")
+    }
+    // retry on a healthy store: exact version-based drop, the
+    // materialized shadow serves the new oldest survivor
+    val (dropped, _) = VersionedLake.vacuum(spark, dir, keepFrom = 13L,
+      force = true)
+    assert(dropped === 12L)
+    assert(VersionedLake.readAsOf(spark, dir, 13L).count() === 65L)
+    assert(VersionedLake.read(spark, dir).count() === 80L)
+  }
+
   test("exactly-once batch commit through a falseAfterCopy rename: the " +
       "REPLAY recognizes the durable commit and writes nothing") {
     val dir = fresh("osbatch_")
