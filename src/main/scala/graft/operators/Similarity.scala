@@ -755,16 +755,21 @@ object Similarity {
       fs.delete(new Path(base, n), false): Unit
     }
     // legacy flat layout superseded: remove the root-level cell dirs
-    // and sidecars (one-time migration; see scaladoc caveat)
-    if (dataDir == lakeDir) {
-      fs.listStatus(base).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && (n.startsWith("cell=") ||
-            n == "_ivf_centroids" || n == "_ivf_stats" ||
-            n == "_pq_codebooks"))
-          require(fs.delete(st.getPath, true),
-            s"reclusterIvfLake: could not remove legacy $n")
-      }
+    // and sidecars. Runs UNCONDITIONALLY (not only on the pass that
+    // performed the migration): a prior recluster that crashed after
+    // its pointer publish but before this cleanup leaves the stale flat
+    // copy behind — later passes resolve dataDir != lakeDir, and a
+    // dataDir-gated sweep would then skip it forever, leaking storage
+    // and leaving stale rows visible to any direct parquet read of the
+    // root. After the publish above a pointer always exists, so any
+    // root-level cell= dir here is by definition the dead legacy copy.
+    fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && (n.startsWith("cell=") ||
+          n == "_ivf_centroids" || n == "_ivf_stats" ||
+          n == "_pq_codebooks"))
+        require(fs.delete(st.getPath, true),
+          s"reclusterIvfLake: could not remove legacy $n")
     }
     cells
   }

@@ -96,11 +96,16 @@ import org.apache.spark.sql.functions._
   *     mutation applies to its snapshot, racing arrivals survive it.
   *   - RESTORE and VACUUM keep the single-writer rule (their plans
   *     depend on the whole version list, not a file subset).
-  *   - The publish primitive is ATOMIC NO-REPLACE: a hard link on
-  *     local FS (`link(2)` — exactly one racing writer succeeds, the
-  *     rest get EEXIST), the no-replace rename on HDFS, and rename +
-  *     read-back verify on stores whose rename can replace or tear
-  *     (the torn-manifest and reported-failure cases are pinned by
+  *   - The publish primitive is ATOMIC NO-REPLACE, probed per store:
+  *     a hard link on local FS (`link(2)` — exactly one racing writer
+  *     succeeds, the rest get EEXIST); ATOMIC CONDITIONAL CREATE on
+  *     stores advertising [[AtomicCreateStore]] (the S3
+  *     `If-None-Match` PUT shape — same exactly-one-winner guarantee
+  *     at the store primitive); the no-replace rename on HDFS; and
+  *     rename + read-back verify on everything else — which detects
+  *     torn and lost-race publishes but CANNOT serialize two
+  *     simultaneous complete copies (the one remaining window of that
+  *     store class, pinned with its conditional-create close by
   *     ObjectStoreContractSpec).
   *
   * Manifest headers (lines starting with `#`, self-describing and
@@ -140,6 +145,25 @@ import org.apache.spark.sql.functions._
   *     make metadata-only range drops sound: a file drops whole ONLY
   *     when fully inside the range AND provably null-free.
   */
+/** The third manifest-publish primitive, for stores with neither a
+  * local `link(2)` nor an atomic no-replace rename: ATOMIC CONDITIONAL
+  * CREATE — the S3 `If-None-Match: *` PUT shape (public since 2024),
+  * also GCS's `ifGenerationMatch=0` and Azure's `If-None-Match`. A
+  * store connector advertises the capability by mixing this in;
+  * [[VersionedLake.writeManifest]] probes for it before falling back
+  * to rename + read-back verify (which detects torn and lost-race
+  * publishes but cannot make two SIMULTANEOUS complete copies
+  * serialize — the one open window of the rename class, closed here at
+  * the store primitive like `link(2)` closes it locally).
+  */
+trait AtomicCreateStore {
+  /** Create `p` holding exactly `bytes` iff `p` is absent — atomically:
+    * true = this call created it; false = it already existed (a racer
+    * won). Never replaces, never leaves a partial destination.
+    */
+  def createExclusive(p: Path, bytes: Array[Byte]): Boolean
+}
+
 object VersionedLake {
 
   private val VersionsName = "_versions"
@@ -185,6 +209,16 @@ object VersionedLake {
     new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] val manifestOpens =
     new java.util.concurrent.atomic.AtomicLong(0L)
+  /** How many times `_versions/` was LISTED whole — the O(retained
+    * commits) directory cost [[currentVersion]]'s checkpoint forward
+    * probe exists to keep off the per-operation hot path (an
+    * object-store LIST over tens of thousands of commit manifests per
+    * lake op is the metadata bill the probe replaces with one
+    * checkpoint read plus O(commits since checkpoint) existence
+    * checks).
+    */
+  private[graft] val versionListings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Rebase-retry bound for optimistic appends — deep enough that a
     * burst of racing appenders all land, small enough that a livelock
@@ -217,17 +251,41 @@ object VersionedLake {
     else None
 
   private def liveVersions(fs: FileSystem, base: Path): Seq[Long] = {
+    versionListings.incrementAndGet(): Unit
     val vd = new Path(base, VersionsName)
     if (!fs.exists(vd)) Seq.empty
     else fs.listStatus(vd).iterator
       .flatMap(s => versionOf(s.getPath.getName)).toSeq.sorted
   }
 
-  /** Highest committed version, 0 if the lake has none yet. */
+  /** Highest committed version, 0 if the lake has none yet.
+    *
+    * CHECKPOINT FORWARD PROBE — never lists `_versions/` when a
+    * checkpoint exists: committed versions are CONTIGUOUS above the
+    * checkpoint (every commit publishes exactly cur + 1; [[vacuum]]
+    * only ever drops a PREFIX and refreshes the checkpoint before
+    * returning), so the newest version is found by existence-probing
+    * v+1, v+2, ... from the checkpoint's `#ckpt_v=` — one checkpoint
+    * read plus O(commits since checkpoint) stat calls, instead of an
+    * O(retained commits) directory listing per lake operation (the
+    * Delta `_last_checkpoint` probe discipline). A checkpoint whose
+    * own version was vacuumed from under it (a crash between vacuum's
+    * drop and its refresh) fails the anchor-existence check and falls
+    * back to the full listing — the probe is purely an access path.
+    */
   def currentVersion(spark: SparkSession, dir: String): Long = {
     val (fs, base) = fsOf(spark, dir)
-    liveVersions(fs, base).lastOption.getOrElse(0L)
+    currentVersionIn(fs, base)
   }
+
+  private def currentVersionIn(fs: FileSystem, base: Path): Long =
+    readCheckpoint(fs, base) match {
+      case Some((ckptV, _)) if fs.exists(manifestPath(base, ckptV)) =>
+        var v = ckptV
+        while (fs.exists(manifestPath(base, v + 1))) v += 1
+        v
+      case _ => liveVersions(fs, base).lastOption.getOrElse(0L)
+    }
 
   /** Every committed version, ascending ([[vacuum]] may have dropped a
     * prefix).
@@ -600,6 +658,15 @@ object VersionedLake {
     *     protocol had a window where slow writer B's rename clobbered
     *     already-acknowledged writer A; link(2) closes it — exactly
     *     one racing writer's link succeeds, every other gets EEXIST).
+    *   - [[AtomicCreateStore]] connectors: one CONDITIONAL CREATE of
+    *     the final bytes (S3 `If-None-Match: *`, GCS
+    *     `ifGenerationMatch=0`) — the same exactly-one-winner
+    *     guarantee where no rename or link exists, closing the
+    *     simultaneous-complete-copy window the rename fallback below
+    *     cannot (two writers whose exists-probes both ran before
+    *     either landed: with replace-capable rename the later copy
+    *     silently clobbers the earlier ACKNOWLEDGED commit; with
+    *     conditional create the later one is refused and rebases).
     *   - OTHER STORES (HDFS and rename-capable object connectors):
     *     exists-probe + rename + READ-BACK VERIFY — on HDFS rename is
     *     already no-replace; on stores where rename can replace, the
@@ -615,9 +682,19 @@ object VersionedLake {
     val dst = manifestPath(base, v)
     require(!fs.exists(dst),
       s"version $v already committed at $base — concurrent writer?")
+    val writerToken = java.util.UUID.randomUUID().toString
     val side = new Path(dst.getParent, dst.getName + "." +
-      java.util.UUID.randomUUID().toString.take(8) + ".writing")
-    val hs = s"#ts=${System.currentTimeMillis()}" +: headers
+      writerToken.take(8) + ".writing")
+    // `#writer=` is what makes the torn-rename read-back sound: two
+    // racing writers' manifests diverge at this fixed-length token, so
+    // a racer's COMPLETE committed manifest can never be a byte-prefix
+    // of ours (an empty append sharing our #ts millisecond and headers
+    // otherwise could be) — a prefix read-back therefore always means
+    // OUR OWN torn copy, never a committed version, and deleting it is
+    // safe. Parsers ignore unrecognized # headers, so old readers and
+    // old manifests are unaffected.
+    val hs = Seq(s"#ts=${System.currentTimeMillis()}",
+      s"#writer=$writerToken") ++ headers
     val bytes = ((hs ++ files).mkString("\n") + "\n").getBytes("UTF-8")
     val out = fs.create(side, true)
     try out.write(bytes)
@@ -633,6 +710,19 @@ object VersionedLake {
                 "won the publish")
         }
         fs.delete(side, false): Unit // linked into place; side done
+      case None if fs.isInstanceOf[AtomicCreateStore] =>
+        // CONDITIONAL CREATE (S3 If-None-Match shape): the one publish
+        // of the bytes IS the commit — exactly one of any number of
+        // simultaneous complete publishers wins at the store primitive,
+        // the rest get the standard already-committed refusal and
+        // rebase. No read-back needed: the primitive never tears and
+        // never replaces. (The side file above only ensured _versions/
+        // exists and gave crashed publishes a sweepable trace.)
+        fs.delete(side, false): Unit
+        if (!fs.asInstanceOf[AtomicCreateStore].createExclusive(dst, bytes))
+          throw new IllegalArgumentException(
+            s"version $v already committed at $base — a racing writer " +
+              "won the conditional create")
       case None =>
         require(fs.rename(side, dst),
           s"manifest commit $side -> $dst failed — if the destination " +
@@ -648,10 +738,12 @@ object VersionedLake {
           //  - a STRICT PREFIX of ours = OUR copy-based rename died
           //    midway (S3A-style stores emulate rename as
           //    copy-then-delete) — the destination is OUR garbage, not
-          //    a racer's commit (a racer's manifest carries its own
-          //    #ts stamp and data dirs; it is never a byte-prefix of
-          //    ours). Remove it and fail with a NON-rebase error: a
-          //    rebase would re-publish through the same broken rename.
+          //    a racer's commit: every manifest carries a writer-unique
+          //    fixed-length `#writer=` token in its header, so two
+          //    writers' bytes diverge inside the token and no racer's
+          //    COMPLETE manifest is ever a byte-prefix of ours. Remove
+          //    it and fail with a NON-rebase error: a rebase would
+          //    re-publish through the same broken rename.
           //  - anything else = a racing writer's complete manifest won
           //    a replace-capable rename — the standard lost-race
           //    refusal appends and optimistic mutations rebase on.
@@ -917,9 +1009,13 @@ object VersionedLake {
           // the rename REPORTS failure — the "winner" is then this very
           // append, and a rebase would stack our entries a second time.
           // Our token dir is unique, so our rels appearing in the
-          // landed manifest proves our publish committed.
+          // landed manifest proves our publish committed. An EMPTY
+          // append (no part files — an empty frame) has no entry to
+          // prove self-win by, so it never claims one: rebasing is safe
+          // (a duplicate empty delta changes no membership), whereas a
+          // vacuous forall would misreport a lost race as our commit.
           val landed = fileEntries(fs, base, v).map(entryPath).toSet
-          if (rels.forall(landed.contains)) committed = v
+          if (rels.nonEmpty && rels.forall(landed.contains)) committed = v
           else {
             attempt += 1
             if (attempt > MaxCommitRetries)
@@ -1277,18 +1373,46 @@ object VersionedLake {
             s"commitUpsert at $dir: the lake schema changed under this " +
               "MERGE (a concurrent schema-evolving commit) — nothing " +
               "was committed; re-run against the current version")
+        // LEGACY lake (no `#schema=` on the snapshot): the racer stamps
+        // no header either (legacy appends can't derive one without a
+        // footer sweep), so the None == None check above is blind to a
+        // racing SCHEMA-EVOLVING append. This MERGE is about to stamp a
+        // header derived from its snapshot's footer sweep — if a
+        // winner-added file carries a column that header omits, the
+        // stamp would hide the column from every header-driven read and
+        // the next rewrite would drop its data permanently. Inspect the
+        // winners' footers (churn-bounded mergeSchema union) and abort.
+        if (snapSchemaHdr.isEmpty && addedPaths.nonEmpty) {
+          val winnerCols = spark.read.option("mergeSchema", "true")
+            .parquet(addedPaths.map(qualified(fs, base, _)): _*)
+            .schema.fieldNames
+          val hidden = winnerCols.filterNot(committedSchema.fieldNames
+            .contains)
+          if (hidden.nonEmpty) throw new ConcurrentMutationException(
+            s"commitUpsert at $dir: a concurrent append added column(s) " +
+              s"${hidden.mkString(",")} this legacy-lake MERGE's schema " +
+              "header would hide — nothing was committed; re-run " +
+              "against the current version")
+        }
         // a racing APPEND that added one of this MERGE's insert ids
         // would leave the id twice after a rebase (the one-row-per-id
-        // contract broken silently) — churn-bounded id-column scan
+        // contract broken silently) — churn-bounded id-column scan.
+        // mergeSchema: heterogeneous/evolving racing appends are legal,
+        // so some winner files may LACK idCol — those rows read NULL
+        // (never equal to any id, non-colliding by definition); when NO
+        // winner file carries the column there is nothing to probe.
         if (addedPaths.nonEmpty) {
-          val clash = spark.read
+          val winners = spark.read.option("mergeSchema", "true")
             .parquet(addedPaths.map(qualified(fs, base, _)): _*)
-            .select(col(idCol)).join(updIds, Seq(idCol))
-            .limit(1).collect() // bounded: limit 1
-          if (clash.nonEmpty) throw new ConcurrentMutationException(
-            s"commitUpsert at $dir: a concurrent commit added id " +
-              s"${clash.head.get(0)} that this MERGE also carries — a " +
-              "rebase would duplicate the id; nothing was committed")
+          if (winners.columns.contains(idCol)) {
+            val clash = winners
+              .select(col(idCol)).join(updIds, Seq(idCol))
+              .limit(1).collect() // bounded: limit 1
+            if (clash.nonEmpty) throw new ConcurrentMutationException(
+              s"commitUpsert at $dir: a concurrent commit added id " +
+                s"${clash.head.get(0)} that this MERGE also carries — a " +
+                "rebase would duplicate the id; nothing was committed")
+          }
         }
       },
       beforePublish = beforePublish)
@@ -2020,6 +2144,13 @@ object VersionedLake {
         case Some(nd) =>
           java.nio.file.Files.createLink(nd, nioLocal(fs, side).get): Unit
           fs.delete(side, false): Unit
+        case None if fs.isInstanceOf[AtomicCreateStore] =>
+          fs.delete(side, false): Unit
+          require(fs.asInstanceOf[AtomicCreateStore]
+              .createExclusive(dst, bytes),
+            s"vacuum: shadow for v$oldest already exists after the " +
+              "leftover sweep — concurrent vacuum? single-writer rule " +
+              "violated; nothing was dropped")
         case None =>
           require(fs.rename(side, dst),
             s"vacuum: materializing v$oldest failed — nothing was " +
@@ -2089,6 +2220,19 @@ object VersionedLake {
           fs.delete(s.getPath, false): Unit
       }
     }
+    // refresh the checkpoint AFTER the drops: [[currentVersion]]'s
+    // forward probe anchors on `#ckpt_v=`, and a checkpoint still
+    // pointing below the dropped prefix would fail its anchor-existence
+    // check and demote every later call to the full listing. Refreshing
+    // to the newest survivor keeps the probe O(commits since this
+    // vacuum). Best-effort, like the commit-path rewrite — the stale
+    // checkpoint only costs listings, never answers.
+    if (drop.nonEmpty)
+      try writeCheckpoint(fs, base, upTo = keep.last)
+      catch { case e: Exception =>
+        System.err.println(s"checkpoint refresh after vacuum of $base " +
+          s"skipped: $e")
+      }
     (drop.size.toLong, deleted)
   }
 }

@@ -436,4 +436,39 @@ class IvfLakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(Similarity.ivfDataDir(spark, dir))
       .count() === 160L)
   }
+
+  test("legacy flat-layout leftovers of a recluster that CRASHED after " +
+      "its pointer publish are swept by the NEXT recluster, not leaked " +
+      "forever") {
+    import org.apache.hadoop.fs.Path
+    val emb = corpus(80)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_legacy_sweep_").toString + "/lake"
+    Similarity.writeIvfLake(emb, dir, "vec_id", "embedding", dim,
+      nCells = 8): Unit
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // first recluster migrates the flat layout to generation dirs
+    Similarity.reclusterIvfLake(spark, dir, "vec_id", "embedding", dim,
+      nCells = 8): Unit
+    assert(Similarity.ivfDataDir(spark, dir) != dir)
+    // simulate the CRASH WINDOW of that migration: pointer published,
+    // cleanup never ran — stale flat copy back at the root (dead data
+    // a direct parquet read of the root would still see)
+    fs.mkdirs(new Path(dir + "/cell=0"))
+    fs.createNewFile(new Path(dir + "/cell=0/part-dead.parquet")): Unit
+    fs.mkdirs(new Path(dir + "/_ivf_stats"))
+    // a later pass resolves dataDir != lakeDir — the old dataDir-gated
+    // sweep skipped the leftovers forever; the unconditional sweep
+    // reclaims them
+    Similarity.reclusterIvfLake(spark, dir, "vec_id", "embedding", dim,
+      nCells = 8): Unit
+    assert(!fs.listStatus(new Path(dir))
+      .exists(_.getPath.getName.startsWith("cell=")),
+      "stale root-level cell dirs swept")
+    assert(!fs.exists(new Path(dir + "/_ivf_stats")),
+      "stale root-level sidecars swept")
+    assert(spark.read.parquet(Similarity.ivfDataDir(spark, dir))
+      .count() === 80L, "the live generation is untouched")
+  }
 }

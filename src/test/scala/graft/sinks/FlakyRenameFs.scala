@@ -19,6 +19,15 @@ import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
   *                  copy and source delete — the destination is a
   *                  complete, durable commit the writer was never told
   *                  about)
+  *  - `blindProbe`  `exists()` on manifests answers FALSE — the
+  *                  SIMULTANEOUS-complete-copy schedule: a second
+  *                  writer whose existence probe ran before the first
+  *                  writer's copy landed. Its rename then REPLACES the
+  *                  first writer's acknowledged commit (this store's
+  *                  rename is plain POSIX = replace-capable), and its
+  *                  read-back sees its own bytes — the history fork
+  *                  rename-class stores cannot prevent, which
+  *                  [[CondCreateFs]]'s conditional create serializes.
   *
   * Only paths under `_versions/` are affected (data writes and the
   * committer's task-dir renames stay POSIX), so a single mode switch
@@ -30,11 +39,17 @@ class FlakyRenameFs extends RawLocalFileSystem {
   override def getScheme: String = "flaky"
   override def getUri: URI = URI.create("flaky:///")
 
+  override def exists(p: Path): Boolean =
+    if (FlakyRenameFs.mode == "blindProbe" &&
+        p.toString.contains("_versions") && p.getName.endsWith(".txt"))
+      false // the racing writer's probe ran before the winner landed
+    else super.exists(p)
+
   override def rename(src: Path, dst: Path): Boolean = {
     if (!dst.toString.contains("_versions"))
       return super.rename(src, dst)
     FlakyRenameFs.mode match {
-      case "atomic" => super.rename(src, dst)
+      case "atomic" | "blindProbe" => super.rename(src, dst)
       case "copy" =>
         copyBytes(src, dst, all = true)
         delete(src, false)
@@ -63,4 +78,29 @@ class FlakyRenameFs extends RawLocalFileSystem {
 
 object FlakyRenameFs {
   @volatile var mode: String = "atomic"
+}
+
+/** Test store (`condstore://`) advertising the ATOMIC CONDITIONAL
+  * CREATE capability ([[AtomicCreateStore]], the S3 `If-None-Match: *`
+  * PUT shape) on top of [[FlakyRenameFs]]'s broken renames — the store
+  * class where the manifest publish goes through `createExclusive`
+  * instead of rename, so even the `blindProbe` simultaneous-complete-
+  * copy schedule serializes: exactly one writer's create wins, the
+  * rest get the already-committed refusal and rebase.
+  */
+class CondCreateFs extends FlakyRenameFs with graft.sinks.AtomicCreateStore {
+  override def getScheme: String = "condstore"
+  override def getUri: URI = URI.create("condstore:///")
+
+  override def createExclusive(p: Path, bytes: Array[Byte]): Boolean = {
+    val nio = java.nio.file.Paths.get(p.toUri.getPath)
+    java.nio.file.Files.createDirectories(nio.getParent): Unit
+    try {
+      java.nio.file.Files.write(nio, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
 }

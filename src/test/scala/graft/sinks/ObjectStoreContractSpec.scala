@@ -38,6 +38,8 @@ class ObjectStoreContractSpec extends AnyFunSuite {
       .getOrCreate()
     s.sparkContext.hadoopConfiguration
       .set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    s.sparkContext.hadoopConfiguration
+      .set("fs.condstore.impl", classOf[CondCreateFs].getName)
     s
   }
 
@@ -146,5 +148,100 @@ class ObjectStoreContractSpec extends AnyFunSuite {
     assert(VersionedLake.commitAppendForBatch(
       spark, dir, docs(10, 20), 1L) === 2L)
     assert(VersionedLake.read(spark, dir).count() === 20L)
+  }
+
+  private def fsBase(dir: String) = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    (base.getFileSystem(spark.sparkContext.hadoopConfiguration), base)
+  }
+
+  private def manifestBytes(dir: String, v: Long): Array[Byte] =
+    Files.readAllBytes(java.nio.file.Paths.get(
+      new java.net.URI(dir).getPath, "_versions", f"v$v%06d.txt"))
+
+  test("#writer= token: two manifests with identical entries, headers " +
+      "and #ts millisecond are NEVER byte-prefix related — a prefix " +
+      "read-back always means our own torn copy, so deleting it can " +
+      "never destroy a racer's commit") {
+    val dir = fresh("oswriter_")
+    val (fs, base) = fsBase(dir)
+    val entry = "data/ax/part-00000.parquet"
+    VersionedLake.writeManifest(fs, base, 1L, Seq(entry))
+    VersionedLake.writeManifest(fs, base, 2L, Seq(entry))
+    val a = new String(manifestBytes(dir, 1L), "UTF-8")
+    val b = new String(manifestBytes(dir, 2L), "UTF-8")
+    def ts(s: String) = s.linesIterator.find(_.startsWith("#ts=")).get
+    // force the WORST case — identical #ts milliseconds (a tight race)
+    // by rewriting b's stamp to a's: the writer token alone must still
+    // force byte divergence
+    val bSameTs = b.replace(ts(b), ts(a))
+    assert(a != bSameTs, "two publishes must never produce equal bytes")
+    val ab = a.getBytes("UTF-8")
+    val bb = bSameTs.getBytes("UTF-8")
+    def isPrefix(p: Array[Byte], of: Array[Byte]) =
+      p.length <= of.length &&
+        java.util.Arrays.equals(p, java.util.Arrays.copyOf(of, p.length))
+    assert(!isPrefix(ab, bb) && !isPrefix(bb, ab),
+      "writer tokens must force divergence inside the fixed-length " +
+        "header, whatever the ts and entries")
+    // and the tokens are what diverge: same-length uuid lines
+    def wr(s: String) = s.linesIterator.find(_.startsWith("#writer=")).get
+    assert(wr(a).length === wr(b).length)
+    assert(wr(a) !== wr(b))
+  }
+
+  test("SIMULTANEOUS complete publishes: the rename store class forks " +
+      "(replace-capable rename clobbers the acknowledged winner — the " +
+      "documented boundary), the conditional-create store serializes " +
+      "the very same schedule") {
+    // rename class (flaky://): writer A lands and is acknowledged;
+    // writer B's existence probe raced ahead of A's landing
+    // (blindProbe), so B renames OVER A and acknowledges too — fork.
+    val dirR = fresh("osrace_ren_")
+    val (fsR, baseR) = fsBase(dirR)
+    VersionedLake.writeManifest(fsR, baseR, 1L, Seq("data/aA/part-0.parquet"))
+    withMode("blindProbe") {
+      VersionedLake.writeManifest(fsR, baseR, 1L, Seq("data/aB/part-0.parquet"))
+    }
+    val landedR = new String(manifestBytes(dirR, 1L), "UTF-8")
+    assert(landedR.contains("aB") && !landedR.contains("aA"),
+      "replace-capable rename cannot serialize simultaneous complete " +
+        "copies: B silently replaced acknowledged A — the class hole " +
+        "conditional create exists to close")
+    // conditional-create class (condstore://): same schedule, but the
+    // publish primitive is createExclusive — B is REFUSED, A intact
+    val dirC = fresh("osrace_cond_").replace("flaky://", "condstore://")
+    val (fsC, baseC) = fsBase(dirC)
+    VersionedLake.writeManifest(fsC, baseC, 1L, Seq("data/aA/part-0.parquet"))
+    val ex = intercept[IllegalArgumentException] {
+      withMode("blindProbe") {
+        VersionedLake.writeManifest(fsC, baseC, 1L,
+          Seq("data/aB/part-0.parquet"))
+      }
+    }
+    assert(ex.getMessage.contains("conditional create"))
+    val landedC = new String(manifestBytes(dirC, 1L), "UTF-8")
+    assert(landedC.contains("aA") && !landedC.contains("aB"),
+      "the acknowledged winner's bytes survive the racer")
+  }
+
+  test("conditional-create store end-to-end: appends, racing appends " +
+      "(loser rebases through the refusal), delete, time travel") {
+    val dir = "condstore://" +
+      Files.createTempDirectory("oscond_").toString + "/lake"
+    assert(VersionedLake.commitAppend(spark, dir, docs(0, 10)) === 1L)
+    var raced = false
+    var vRival = 0L
+    val vMine = VersionedLake.commitAppend(spark, dir, docs(10, 20),
+      beforePublish = () => if (!raced) {
+        raced = true
+        vRival = VersionedLake.commitAppend(spark, dir, docs(20, 30))
+      })
+    assert(vRival === 2L && vMine === 3L, "both racing appends land")
+    val (v4, _, nDel) = VersionedLake.commitDelete(spark, dir, "doc_id",
+      Seq(5L).toDF("doc_id"))
+    assert(v4 === 4L && nDel === 1L)
+    assert(VersionedLake.read(spark, dir).count() === 29L)
+    assert(VersionedLake.readAsOf(spark, dir, 2L).count() === 20L)
   }
 }

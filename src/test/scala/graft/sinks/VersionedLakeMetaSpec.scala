@@ -271,4 +271,42 @@ class VersionedLakeMetaSpec extends AnyFunSuite {
     assert(Files.readAllBytes(vd.resolve("v000002.txt")) === before,
       "published manifests are never rewritten")
   }
+
+  test("currentVersion probes FORWARD from the checkpoint: zero " +
+      "directory listings on a checkpointed lake, vacuum refreshes the " +
+      "anchor, stale/missing checkpoints fall back to the listing") {
+    val dir = fresh("vmeta_probe_")
+    (0 until 25).foreach { i =>
+      VersionedLake.commitAppend(spark, dir,
+        docs(i * 5L, i * 5L + 5L)): Unit
+    }
+    val ckpt = java.nio.file.Paths.get(dir, "_versions", "_checkpoint")
+    val ckptAtV20 = Files.readAllBytes(ckpt) // ckpt_v=20 snapshot
+    val l0 = VersionedLake.versionListings.get()
+    assert(VersionedLake.currentVersion(spark, dir) === 25L)
+    assert(VersionedLake.versionListings.get() === l0,
+      "a checkpointed lake's currentVersion must never list _versions/ " +
+        "— one checkpoint read + O(commits since checkpoint) probes")
+    // vacuum refreshes the checkpoint to the newest survivor: the probe
+    // stays listing-free even though versions below keepFrom are gone
+    VersionedLake.vacuum(spark, dir, keepFrom = 23L, force = true): Unit
+    val l1 = VersionedLake.versionListings.get()
+    assert(VersionedLake.currentVersion(spark, dir) === 25L)
+    assert(VersionedLake.versionListings.get() === l1,
+      "the post-vacuum checkpoint must keep the probe listing-free")
+    // commits keep working off the probe
+    assert(VersionedLake.commitAppend(spark, dir, docs(200, 205)) === 26L)
+    // STALE checkpoint (crash between vacuum's drop and its refresh):
+    // the anchor manifest v20 is vacuumed — probe falls back to the
+    // full listing, same answer
+    Files.write(ckpt, ckptAtV20): Unit
+    val l2 = VersionedLake.versionListings.get()
+    assert(VersionedLake.currentVersion(spark, dir) === 26L)
+    assert(VersionedLake.versionListings.get() > l2,
+      "a stale checkpoint below the vacuumed prefix must demote to the " +
+        "listing, never answer wrong")
+    // NO checkpoint at all: fallback listing, same answer
+    Files.delete(ckpt)
+    assert(VersionedLake.currentVersion(spark, dir) === 26L)
+  }
 }
