@@ -115,22 +115,35 @@ object Flattener {
       maxDepth: Int = DefaultMaxDepth,
       singleFile: Boolean = false): Seq[String] = {
     val spark = df.sparkSession
+    // unlike [[flatten]]/[[flattenFast]] this call is TERMINAL (the TSV
+    // write is the last job over the input), so a cache this call took
+    // out is RELEASED before returning: a long-running export loop (the
+    // streaming batch path, the bench's repeated samples) would
+    // otherwise accumulate one pinned parsed-input RDD per call —
+    // hundreds of MB each for wide documents — until memory pressure
+    // throttles every later call (measured: 6x spread across 5
+    // same-input samples with 10 pinned RDDs at the end).
+    val weOwn =
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val input =
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      if (weOwn)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    val batch = StatsPass.collect(input)
-    val cand = candidates(input.schema, batch.arrays, maxDepth)
-    val cols = cand.collect {
-      case (name, rawPath, _) if batch.present(rawPath) => name
-    }
-    val header = RenderPass.tsvLine(cols.toArray)
-    val lines0 = RenderPass.renderTsvLines(input, batch.arrays, cols, maxDepth)
-    val lines = if (singleFile) lines0.coalesce(1) else lines0
-    val withHeader = lines.mapPartitions(it => Iterator(header) ++ it)
-    import spark.implicits._
-    spark.createDataset(withHeader).write.mode("overwrite").text(dir)
-    cols
+    try {
+      val batch = StatsPass.collect(input)
+      val cand = candidates(input.schema, batch.arrays, maxDepth)
+      val cols = cand.collect {
+        case (name, rawPath, _) if batch.present(rawPath) => name
+      }
+      val header = RenderPass.tsvLine(cols.toArray)
+      val lines0 =
+        RenderPass.renderTsvLines(input, batch.arrays, cols, maxDepth)
+      val lines = if (singleFile) lines0.coalesce(1) else lines0
+      val withHeader = lines.mapPartitions(it => Iterator(header) ++ it)
+      import spark.implicits._
+      spark.createDataset(withHeader).write.mode("overwrite").text(dir)
+      cols
+    } finally if (weOwn) input.unpersist(blocking = false): Unit
   }
 
   /** The generated select-list: one aliased string Column per flattened

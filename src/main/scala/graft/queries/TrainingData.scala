@@ -4532,6 +4532,76 @@ object TrainingData {
                 concat(lit("UPD:"), col("text")).as("text"))): Unit
           VersionedLake.read(s, dDir)
         }))
+    } ++ {
+      // q201 (version probe): fixture = 26 commits; operator = the
+      // vacuum + listing-free currentVersion probe + time travel
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pDir = Tables.freshScratchDir("graft_vprobe_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q201_commits" -> (() => {
+          (0 until 26).foreach { m =>
+            VersionedLake.commitAppend(s, pDir,
+              docs.filter(col("doc_id") % 26 === m).repartition(1)): Unit
+          }
+          s.range(1).toDF()
+        }),
+        "q201_vacuum+probe+read" -> (() => {
+          VersionedLake.vacuum(s, pDir, keepFrom = 8L, force = true): Unit
+          VersionedLake.currentVersion(s, pDir): Unit
+          VersionedLake.readAsOf(s, pDir, 20L)
+        }))
+    } ++ {
+      // q202 (typed stats): fixture = the per-source commits; operator
+      // = the manifest-pruned string-range read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"),
+          (col("n_chars") * 0.5).as("score"))
+      val tDir = Tables.freshScratchDir("graft_vtyped_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q202_commits" -> (() => {
+          val present = docs.select("source").distinct()
+            .collect().map(_.getString(0)).toSet
+          (0 until 20).map(m => s"src$m").filter(present.contains)
+            .foreach { src =>
+              VersionedLake.commitAppend(s, tDir,
+                docs.filter(col("source") === src).repartition(1),
+                statsCol = Some("source,score")): Unit
+            }
+          s.range(1).toDF()
+        }),
+        "q202_pruned_read" -> (() => {
+          VersionedLake.readAsOfRangeOn(s, tDir,
+            VersionedLake.currentVersion(s, tDir),
+            "source", "src3", "src5")
+        }))
+    } ++ {
+      // q203 (region anchors): fixture = 26 commits (two region-ref
+      // anchors); operator = the delta mutations + region-resolved read
+      import graft.sinks.VersionedLake
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val rDir = Tables.freshScratchDir("graft_vregion_b_", d)
+        .toString + "/lake"
+      Seq(
+        "q203_commits" -> (() => {
+          (0 until 26).foreach { m =>
+            VersionedLake.commitAppend(s, rDir,
+              docs.filter(col("doc_id") % 26 === m).repartition(1)): Unit
+          }
+          s.range(1).toDF()
+        }),
+        "q203_mutations+read" -> (() => {
+          VersionedLake.commitDelete(s, rDir, "doc_id",
+            docs.filter(col("doc_id") % 9 === 4).select("doc_id")): Unit
+          VersionedLake.commitUpsert(s, rDir, "doc_id",
+            docs.filter(col("doc_id") % 30 === 1)
+              .select(col("doc_id"),
+                concat(lit("UPD:"), col("text")).as("text"))): Unit
+          VersionedLake.read(s, rDir)
+        }))
     }
   }
 
@@ -7103,10 +7173,19 @@ object TrainingData {
       .toArray.toSeq.map(_.toString).filter(_.nonEmpty)
     def isDelta(v: Long) = lines(v).exists(_.startsWith("#base="))
     def body(v: Long) = lines(v).count(!_.startsWith("#"))
+    // anchors carry their full entry set as REGION REFS (r17) — the
+    // resolved entry view expands each @ref to its bucket's entries
+    def entries(v: Long): Long = lines(v).filterNot(_.startsWith("#"))
+      .map { l =>
+        if (l.startsWith("@")) java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(dir, l.drop(1).split('\t')(0)))
+          .toArray.toSeq.map(_.toString).count(_.nonEmpty).toLong
+        else 1L
+      }.sum
     val deltasUsed = (2L to 9L).forall(isDelta) &&
       (11L to 16L).forall(isDelta) && isDelta(17L) && isDelta(18L)
-    val anchorFull = !isDelta(1L) && !isDelta(10L) && body(10L) == 10
-    val deltaSmall = body(16L) < body(10L)
+    val anchorFull = !isDelta(1L) && !isDelta(10L) && entries(10L) == 10
+    val deltaSmall = body(16L) < entries(10L)
     VersionedLake.read(s, dir)
       .select(col("doc_id"), col("text"),
         lit(deltasUsed).as("deltas_used"),
@@ -7125,6 +7204,143 @@ object TrainingData {
          UNION ALL
          SELECT doc_id + 300000, text FROM documents
          WHERE doc_id % 10 = 9)"""
+
+  // --- q201: checkpoint forward probe — long-history time travel, zero listings ----
+  // VersionedLake.currentVersion resolves by probing forward from the
+  // checkpoint's `#ckpt_v=` instead of listing `_versions/` — the last
+  // O(retained-commits)-per-operation metadata cost. 26 commits, a
+  // forced retention vacuum dropping the 7 oldest (their files aged
+  // out; the checkpoint refreshes so the probe survives the prefix
+  // drop), then the hot-path call: `probe_listing_free` pins ZERO
+  // directory listings for currentVersion on the vacuumed lake (the
+  // engine's own versionListings counter), and the membership is a
+  // TIME TRAVEL to v20 resolved through the surviving delta chains.
+  // At 100 TB scale this is what keeps a 50k-commit lake's every
+  // operation from paying a 50k-entry LIST per call.
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = Tables.freshScratchDir("graft_vprobe_", d).toString + "/lake"
+    (0 until 26).foreach { m =>
+      VersionedLake.commitAppend(s, dir,
+        docs.filter(col("doc_id") % 26 === m).repartition(1)): Unit
+    }
+    VersionedLake.vacuum(s, dir, keepFrom = 8L, force = true): Unit
+    val l0 = VersionedLake.versionListings.get()
+    val cur = VersionedLake.currentVersion(s, dir)
+    val listingFree = VersionedLake.versionListings.get() == l0
+    VersionedLake.readAsOf(s, dir, 20L)
+      .select(col("doc_id"), col("text"),
+        lit(listingFree).as("probe_listing_free"),
+        lit(cur == 26L).as("cur_resolved"))
+  }
+
+  private val q201Sql =
+    """SELECT doc_id, text, true AS probe_listing_free,
+       true AS cur_resolved
+       FROM documents WHERE doc_id % 26 < 20"""
+
+  // --- q202: typed manifest statistics — string-stats file pruning ---------------
+  // v3 tagged stat encodings: a lake committed one file per `source`
+  // value with `statsCol = "source,score"` (string + double) prunes a
+  // string BETWEEN from the manifest alone — `string_stats_prune` pins
+  // admitted == the sources inside ['src3','src5'] and total == every
+  // non-empty source, counted driver-side with zero file opens
+  // (rangeFilesOn); the membership is the pruned read itself
+  // (readAsOfRangeOn), which must equal the full-scan filter. Real
+  // lakes prune on date strings and source labels constantly — before
+  // v3 encodings only integral columns could skip files.
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"),
+        (col("n_chars") * 0.5).as("score"))
+    val dir = Tables.freshScratchDir("graft_vtyped_", d).toString + "/lake"
+    val present = docs.select("source").distinct()
+      .collect().map(_.getString(0)).toSet // bounded: <= 20 sources
+    (0 until 20).map(m => s"src$m").filter(present.contains)
+      .foreach { src =>
+        VersionedLake.commitAppend(s, dir,
+          docs.filter(col("source") === src).repartition(1),
+          statsCol = Some("source,score")): Unit
+      }
+    val v = VersionedLake.currentVersion(s, dir)
+    val (kept, total) = VersionedLake.rangeFilesOn(s, dir, v,
+      "source", "src3", "src5")
+    val expectKept = present.count(x => x >= "src3" && x <= "src5")
+    val pruned = kept.size == expectKept &&
+      total == present.size.toLong && expectKept < present.size
+    VersionedLake.readAsOfRangeOn(s, dir, v, "source", "src3", "src5")
+      .select(col("doc_id"), col("text"), col("source"),
+        lit(pruned).as("string_stats_prune"))
+  }
+
+  private val q202Sql =
+    """SELECT doc_id, text, source, true AS string_stats_prune
+       FROM documents WHERE source >= 'src3' AND source <= 'src5'"""
+
+  // --- q203: region-partitioned anchors — O(churn) anchor writes ------------------
+  // The manifest-of-manifests layer: anchors publish per-bucket region
+  // refs (`@file\tbucket\thash`), and a later anchor REUSES every
+  // bucket its churn left untouched — `anchors_regioned` pins both
+  // anchors' bodies as refs, `anchor_write_bounded` pins that the set
+  // of buckets whose ref CHANGED between v10 and v20 is exactly inside
+  // the buckets the v10->v20 churn hashed into (the O(churn) write
+  // claim, from the raw files). Membership after a delete + upsert
+  // resolved through the region tree replays exactly in SQL. At 100 TB
+  // this removes the last O(lake) write: a 100k-file lake's every-10th
+  // commit wrote ~10 MB; now it writes a 16-line index + churned
+  // buckets.
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.VersionedLake
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = Tables.freshScratchDir("graft_vregion_", d).toString + "/lake"
+    (0 until 26).foreach { m =>
+      VersionedLake.commitAppend(s, dir,
+        docs.filter(col("doc_id") % 26 === m).repartition(1)): Unit
+    }
+    VersionedLake.commitDelete(s, dir, "doc_id",
+      docs.filter(col("doc_id") % 9 === 4).select("doc_id")): Unit
+    val updates = docs.filter(col("doc_id") % 30 === 1)
+      .select(col("doc_id"), concat(lit("UPD:"), col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
+    VersionedLake.commitUpsert(s, dir, "doc_id", updates): Unit
+    def body(v: Long): Seq[String] = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_versions", f"v$v%06d.txt"))
+      .toArray.toSeq.map(_.toString)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    def refs(v: Long): Map[Int, String] =
+      body(v).filter(_.startsWith("@")).map { l =>
+        val f = l.drop(1).split('\t'); f(1).toInt -> f(0)
+      }.toMap
+    val (r10, r20) = (refs(10L), refs(20L))
+    val regioned = body(10L).nonEmpty &&
+      body(10L).forall(_.startsWith("@")) &&
+      body(20L).forall(_.startsWith("@"))
+    val churn = VersionedLake.filesOf(s, dir, 20L).toSet
+      .diff(VersionedLake.filesOf(s, dir, 10L).toSet)
+      .map(VersionedLake.bucketOf)
+    val changed = r10.keySet.union(r20.keySet)
+      .filter(b => r10.get(b) != r20.get(b))
+    val bounded = changed.subsetOf(churn)
+    VersionedLake.read(s, dir)
+      .select(col("doc_id"), col("text"),
+        lit(regioned).as("anchors_regioned"),
+        lit(bounded).as("anchor_write_bounded"))
+  }
+
+  private val q203Sql =
+    """SELECT doc_id, text, true AS anchors_regioned,
+       true AS anchor_write_bounded FROM (
+         SELECT doc_id, 'UPD:' || text AS text FROM documents
+         WHERE doc_id % 30 = 1
+         UNION ALL
+         SELECT doc_id, text FROM documents
+         WHERE doc_id % 30 != 1 AND doc_id % 9 != 4
+         UNION ALL
+         SELECT doc_id + 400000, text FROM documents
+         WHERE doc_id % 10 = 7)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20 _,
@@ -7274,7 +7490,10 @@ object TrainingData {
     "q197_concurrent_mutations" -> q197 _,
     "q198_zorder3"        -> q198 _,
     "q199_schema_header"  -> q199 _,
-    "q200_delta_manifests" -> q200 _)
+    "q200_delta_manifests" -> q200 _,
+    "q201_version_probe"  -> q201 _,
+    "q202_typed_stats"    -> q202 _,
+    "q203_region_anchors" -> q203 _)
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact"     -> q20Sql,
@@ -7424,5 +7643,8 @@ object TrainingData {
     "q197_concurrent_mutations" -> q197Sql,
     "q198_zorder3"        -> q198Sql,
     "q199_schema_header"  -> q199Sql,
-    "q200_delta_manifests" -> q200Sql)
+    "q200_delta_manifests" -> q200Sql,
+    "q201_version_probe"  -> q201Sql,
+    "q202_typed_stats"    -> q202Sql,
+    "q203_region_anchors" -> q203Sql)
 }

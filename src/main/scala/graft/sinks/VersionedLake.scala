@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *                                        rename elsewhere). ANCHOR
   *                                        versions (v1 and every
   *                                        [[ManifestAnchorInterval]]-th)
-  *                                        list the FULL resolved file
-  *                                        set, one entry per line; the
+  *                                        carry the FULL resolved file
+  *                                        set as REGION REFS
+  *                                        (`@region-file` lines — see
+  *                                        `_versions/regions/`); the
   *                                        versions between are DELTAS:
   *                                        a `#base=<v>` header, `-path`
   *                                        removal lines, and this
@@ -65,9 +67,14 @@ import org.apache.spark.sql.functions._
   *     files stay on disk, which is exactly what keeps prior versions
   *     readable — storage is reclaimed explicitly by [[vacuum]], never
   *     implicitly by a commit.
-  *   - The manifest is a flat name list: ~100 bytes per file, a few MB
-  *     at 100k files — driver-trivial. (Iceberg's manifest-of-manifests
-  *     tree matters past ~10M files; out of scope here and noted.)
+  *   - Manifest METADATA is O(churn) at every commit: deltas carry
+  *     their own adds/removals, and anchors carry region REFS — a
+  *     one-level manifest-of-manifests tree
+  *     (`_versions/regions/g<bucket>-<token>.txt`, immutable,
+  *     content-hashed, shared across anchors) where an anchor rewrites
+  *     only the regions its churn touched. A 100k-file lake's anchor
+  *     writes a 16-line index plus the churned buckets, not a ~10 MB
+  *     full list every 10th commit.
   *
   * Crash safety: data files land under their commit dir BEFORE the
   * manifest appears, so a crashed commit leaves only orphan files no
@@ -143,7 +150,12 @@ import org.apache.spark.sql.functions._
   *   - `path` + per stats column `<TAB>min<TAB>max<TAB>nulls`  v2: an
   *     all-null column records `-<TAB>-<TAB>n`. Null counts are what
   *     make metadata-only range drops sound: a file drops whole ONLY
-  *     when fully inside the range AND provably null-free.
+  *     when fully inside the range AND provably null-free. Min/max
+  *     VALUES are plain longs for integral columns and TAGGED v3
+  *     encodings for string (`s` + percent-encoded UTF-8 bytes,
+  *     truncation-safe), double (`f`), decimal (`c`) and timestamp
+  *     (`t`, micros) columns — see [[statVal]]; readers treat unknown
+  *     tags as no-stats, so pruning stays sound across writer versions.
   */
 /** The third manifest-publish primitive, for stores with neither a
   * local `link(2)` nor an atomic no-replace rename: ATOMIC CONDITIONAL
@@ -191,6 +203,22 @@ object VersionedLake {
     * stays resolvable and drop semantics are unchanged).
     */
   private val ManifestAnchorInterval = 10L
+
+  /** Anchor manifests are REGION-PARTITIONED (the Iceberg
+    * manifest-of-manifests shape, one level deep): an anchor's body is
+    * a list of `@<region-file>\t<bucket>\t<content-hash>` refs, each
+    * region file holding the entries whose paths hash into its bucket.
+    * Region files are immutable and content-addressed by the hash in
+    * the ref, so an anchor commit REUSES every bucket whose content
+    * matches the previous anchor's and writes only the regions its
+    * churn touched — the every-interval-th-commit write cost drops
+    * from O(lake) to O(churn since the previous anchor) + a
+    * [[RegionBuckets]]-line index. Readers expand refs on resolution;
+    * [[vacuum]] sweeps region files no surviving manifest references
+    * (refs are SHARED across anchors, so the sweep is reference-based,
+    * never per-version).
+    */
+  private val RegionBuckets = 16
 
   /** Versions younger than this survive [[vacuum]]/[[vacuumBefore]]
     * unless the caller passes `force = true` — the Delta retention
@@ -332,7 +360,14 @@ object VersionedLake {
     val lines = manifestLines(fs, base, v)
     val body = lines.filterNot(_.startsWith("#"))
     baseOf(lines) match {
-      case None => body
+      case None => body.flatMap { l =>
+        // region-partitioned anchor: expand each @ref to its bucket's
+        // entries (legacy flat anchors, restores and vacuum shadows
+        // carry their entries inline and pass through unchanged)
+        if (l.startsWith("@"))
+          readRegion(fs, base, l.drop(1).split('\t')(0))
+        else Seq(l)
+      }
       case Some(b) =>
         val removed = body.iterator.filter(_.startsWith("-"))
           .map(_.drop(1)).toSet
@@ -346,6 +381,96 @@ object VersionedLake {
   private def isFullManifest(fs: FileSystem, base: Path, v: Long): Boolean =
     baseOf(manifestLines(fs, base, v)).isEmpty
 
+  // --- region-partitioned anchors -------------------------------------------
+
+  private def regionsDirName: String = s"$VersionsName/regions"
+
+  /** Stable bucket of a data-file path (MurmurHash3 with Scala's fixed
+    * default seed — identical across JVMs and versions by contract).
+    */
+  private[graft] def bucketOf(path: String): Int =
+    (scala.util.hashing.MurmurHash3.stringHash(path) & Int.MaxValue) %
+      RegionBuckets
+
+  /** Content hash of one bucket's entry list (order-sensitive — entry
+    * order inside a bucket is deterministic given the commit history).
+    * 128 bits of SHA-256: collisions are out of the failure model.
+    */
+  private def regionHash(entries: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    entries.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+    md.digest().take(16).map(b => f"$b%02x").mkString
+  }
+
+  /** (bucket, regionRel, hash) of every region ref in a manifest. */
+  private def regionRefsOf(lines: Seq[String]): Seq[(Int, String, String)] =
+    lines.filter(_.startsWith("@")).map { l =>
+      val f = l.drop(1).split('\t')
+      (f(1).toInt, f(0), f(2))
+    }
+
+  private def readRegion(fs: FileSystem, base: Path,
+      rel: String): Seq[String] = {
+    manifestOpens.incrementAndGet(): Unit
+    val in = fs.open(new Path(base, rel))
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** The deterministic PREVIOUS anchor position of anchor `v` (anchors
+    * sit at v1 and every interval-th version by [[mustAnchor]]).
+    */
+  private def prevAnchorOf(v: Long): Option[Long] =
+    if (v <= 1) None
+    else {
+      val k = (v - 1) / ManifestAnchorInterval * ManifestAnchorInterval
+      Some(math.max(k, 1L))
+    }
+
+  /** The BODY an anchor publishes for resolved `entries`: region refs.
+    * Buckets whose content hash matches the previous anchor's ref
+    * REUSE its region file without reading it; only churn-touched
+    * buckets write a fresh immutable region file — the anchor's write
+    * cost is O(churn since the previous anchor), not O(lake). A
+    * previous anchor that is flat (a restore), vacuumed, or whose
+    * region file was swept simply contributes no reuse.
+    */
+  private def anchorBody(fs: FileSystem, base: Path, v: Long,
+      entries: Seq[String]): Seq[String] = {
+    val byBucket = entries.groupBy(e => bucketOf(entryPath(e)))
+    val prevRefs: Map[Int, (String, String)] =
+      prevAnchorOf(v)
+        .filter(a => fs.exists(manifestPath(base, a)) ||
+          fs.exists(fullManifestPath(base, a)))
+        .map(a => regionRefsOf(manifestLines(fs, base, a))
+          .map { case (b, rel, h) => b -> (rel, h) }.toMap)
+        .getOrElse(Map.empty)
+    (0 until RegionBuckets).flatMap { b =>
+      byBucket.get(b).map { es =>
+        val h = regionHash(es)
+        prevRefs.get(b) match {
+          case Some((rel, ph)) if ph == h &&
+              fs.exists(new Path(base, rel)) =>
+            s"@$rel\t$b\t$h"
+          case _ =>
+            val token = java.util.UUID.randomUUID().toString
+              .replace("-", "").take(12)
+            val rel = f"$regionsDirName/g$b%02d-$token.txt"
+            // plain create: readers only resolve a region through a
+            // PUBLISHED manifest ref, and refs are written after this
+            // close — a crashed or lost-race writer leaves an orphan
+            // region file vacuum's reference sweep reclaims
+            val out = fs.create(new Path(base, rel), false)
+            try out.write((es.mkString("\n") + "\n").getBytes("UTF-8"))
+            finally out.close()
+            s"@$rel\t$b\t$h"
+        }
+      }
+    }
+  }
+
   /** Whether version `v` must publish a FULL manifest: v1 (nothing to
     * base on) and every anchor-interval-th version.
     */
@@ -354,29 +479,138 @@ object VersionedLake {
 
   private def entryPath(entry: String): String = entry.split('\t')(0)
 
+  // --- typed manifest statistics values (v3 encodings) ----------------------
+  //
+  // Entry VALUES are self-describing by a one-char tag so string,
+  // double, decimal and timestamp columns can prune file reads from
+  // the manifest exactly like integral ones (real lakes prune on date
+  // strings and decimals constantly):
+  //   <digits>        long (integral columns; every pre-v3 manifest)
+  //   t<micros>       timestamp as epoch micros — its OWN kind, so a
+  //                   bare-long bound can never half-match it
+  //   f<repr>         double via Double.toString (round-trips exactly;
+  //                   NaN/Infinity compare the Spark way: NaN largest)
+  //   c<plainString>  decimal via BigDecimal (exact, any precision)
+  //   s<pct-bytes>    string as percent-encoded UTF-8 BYTES, compared
+  //                   unsigned-lexicographic — the SAME order Spark's
+  //                   UTF8String binary comparison used to compute the
+  //                   file's min/max, so driver-side pruning can never
+  //                   mis-order exotic code points the way a UTF-16
+  //                   compareTo would. Mins may be truncated (a byte
+  //                   prefix is a lower bound for free); maxes truncate
+  //                   UP (last non-0xFF byte incremented) or record no
+  //                   bound at all — both only ever ADMIT more.
+  //   -               explicitly all-null
+  // An UNKNOWN tag (a future writer) decodes as "no stats on this
+  // entry" — readers never guess, so pruning stays sound across
+  // versions in both directions.
+
+  private sealed trait SV {
+    /** Same-kind comparison; None for mixed kinds (incomparable — a
+      * consumer must then never prune).
+      */
+    def cmp(o: SV): Option[Int] = (this, o) match {
+      case (LongV(a), LongV(b)) => Some(java.lang.Long.compare(a, b))
+      case (TsV(a), TsV(b)) => Some(java.lang.Long.compare(a, b))
+      case (DblV(a), DblV(b)) => Some(java.lang.Double.compare(a, b))
+      case (BytesV(a), BytesV(b)) => Some(cmpBytes(a, b))
+      case (DecV(a), DecV(b)) => Some(a.compareTo(b))
+      case _ => None
+    }
+  }
+  private final case class LongV(v: Long) extends SV
+  private final case class TsV(micros: Long) extends SV
+  private final case class DblV(v: Double) extends SV
+  private final case class BytesV(v: Array[Byte]) extends SV
+  private final case class DecV(v: java.math.BigDecimal) extends SV
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Printable-ASCII passthrough, %XX for everything else (including
+    * space, tab and '%' — manifest lines are trimmed and tab-split, so
+    * no stat byte may collide with the framing).
+    */
+  private def pctEncode(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length)
+    b.foreach { x =>
+      val c = x & 0xff
+      if (c >= 0x21 && c <= 0x7e && c != '%') sb.append(c.toChar)
+      else sb.append(f"%%$c%02x")
+    }
+    sb.toString
+  }
+
+  private def pctDecode(s: String): Option[Array[Byte]] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        if (i + 2 >= s.length) return None
+        try out += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte
+        catch { case _: NumberFormatException => return None }
+        i += 3
+      } else { out += c.toByte; i += 1 }
+    }
+    Some(out.toArray)
+  }
+
+  /** Decode one stats VALUE. None = unparseable (unknown future tag or
+    * corruption) — the column then has NO usable stats on this entry;
+    * Some(None) = the explicit all-null marker.
+    */
+  private def statVal(s: String): Option[Option[SV]] =
+    if (s == "-") Some(None)
+    else if (s.isEmpty) None
+    else s.charAt(0) match {
+      case c if c.isDigit || (c == '-' && s.length > 1) =>
+        s.toLongOption.map(v => Some(LongV(v)))
+      case 't' => s.drop(1).toLongOption.map(v => Some(TsV(v)))
+      case 'f' =>
+        try Some(Some(DblV(java.lang.Double.parseDouble(s.drop(1)))))
+        catch { case _: NumberFormatException => None }
+      case 'c' =>
+        try Some(Some(DecV(new java.math.BigDecimal(s.drop(1)))))
+        catch { case _: NumberFormatException => None }
+      case 's' => pctDecode(s.drop(1)).map(b => Some(BytesV(b)))
+      case _ => None // unknown tag: a future writer — no stats, no guess
+    }
+
   /** One column's manifest statistics: (min, max) are None for an
     * all-null column; nullCount is None for LEGACY entries (unknown —
     * the conservative reading every whole-file decision must take).
     */
-  private final case class ColStat(lo: Option[Long], hi: Option[Long],
+  private final case class ColStat(lo: Option[SV], hi: Option[SV],
       nulls: Option[Long])
 
   /** Per-entry, per-column stats — self-describing by field count:
     * 3 fields = legacy (path, min, max) for the FIRST stats column;
-    * 1 + 3k fields = v2 triples for k columns. Anything else: no stats.
+    * 1 + 3k fields = v2/v3 triples for k columns. Anything else — or a
+    * value carrying an unknown tag — reads as no stats.
     */
   private def colStat(entry: String, colIdx: Int): Option[ColStat] = {
     val p = entry.split('\t')
     if (p.length == 3) {
       if (colIdx != 0) None
       else for (lo <- p(1).toLongOption; hi <- p(2).toLongOption)
-        yield ColStat(Some(lo), Some(hi), nulls = None)
+        yield ColStat(Some(LongV(lo)), Some(LongV(hi)), nulls = None)
     } else if (p.length >= 4 && (p.length - 1) % 3 == 0 &&
         colIdx < (p.length - 1) / 3) {
       val o = 1 + colIdx * 3
-      p(o + 2).toLongOption.map { nn =>
-        ColStat(p(o).toLongOption, p(o + 1).toLongOption, Some(nn))
-      }
+      for {
+        nn <- p(o + 2).toLongOption
+        lo <- statVal(p(o))
+        hi <- statVal(p(o + 1))
+      } yield ColStat(lo, hi, Some(nn))
     } else None
   }
 
@@ -589,7 +823,11 @@ object VersionedLake {
     ckpt.flatMap(_._2.get(v)).getOrElse {
       val lines = manifestLines(fs, base, v)
       val nf =
-        if (baseOf(lines).isDefined) fileEntries(fs, base, v).size.toLong
+        // deltas resolve their chain; region anchors resolve their
+        // refs (a ref line is a BUCKET, not a file); flat manifests
+        // count their body directly
+        if (baseOf(lines).isDefined || lines.exists(_.startsWith("@")))
+          fileEntries(fs, base, v).size.toLong
         else lines.count(!_.startsWith("#")).toLong
       CkptEntry(
         lines.find(_.startsWith("#ts=")).flatMap(
@@ -772,31 +1010,106 @@ object VersionedLake {
       }
   }
 
+  /** Max bytes a string stat records: mins truncate to a byte PREFIX
+    * (a free lower bound); maxes truncate UP (see [[encodeStat]]). 24
+    * bytes prunes date-strings, URLs-by-prefix and source labels while
+    * keeping a 100k-file manifest's stat weight trivial.
+    */
+  private val StatStrBytes = 24
+
+  /** The agg-side expression a stats column aggregates through — the
+    * typed domain its manifest encoding preserves exactly.
+    */
+  private def statAggExpr(dt: org.apache.spark.sql.types.DataType,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+      case TimestampType => unix_micros(c)
+      case FloatType | DoubleType => c.cast("double")
+      case _: DecimalType => c
+      case StringType => c
+      case other => throw new IllegalArgumentException(
+        s"manifest statistics do not support ${other.simpleString} " +
+          "columns (supported: integral, string, float/double, decimal, " +
+          "timestamp)")
+    }
+  }
+
+  /** One collected min/max value → its manifest encoding (see the tag
+    * table at [[statVal]]). `isMax` drives the string truncation
+    * direction: a truncated MIN is the plain byte prefix (already a
+    * lower bound); a truncated MAX increments its last non-0xFF byte so
+    * it stays an upper bound, or records no bound when the whole prefix
+    * is 0xFF (admitting more is always sound).
+    */
+  private def encodeStat(dt: org.apache.spark.sql.types.DataType, v: Any,
+      isMax: Boolean): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | TimestampType =>
+        val l = v.asInstanceOf[Long]
+        if (dt == TimestampType) s"t$l" else l.toString
+      case FloatType | DoubleType => "f" + v.asInstanceOf[Double].toString
+      case _: DecimalType =>
+        "c" + v.asInstanceOf[java.math.BigDecimal].toPlainString
+      case StringType =>
+        val b = v.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (b.length <= StatStrBytes) "s" + pctEncode(b)
+        else if (!isMax) "s" + pctEncode(java.util.Arrays.copyOf(b,
+          StatStrBytes))
+        else {
+          val p = java.util.Arrays.copyOf(b, StatStrBytes)
+          var i = p.length - 1
+          while (i >= 0 && p(i) == -1) i -= 1 // drop trailing 0xFF
+          if (i < 0) "-" // unboundable above: reads as no upper stat
+          else {
+            val q = java.util.Arrays.copyOf(p, i + 1)
+            q(i) = (q(i) + 1).toByte
+            "s" + pctEncode(q)
+          }
+        }
+      case other => throw new IllegalStateException(
+        s"unreachable: statAggExpr admitted ${other.simpleString}")
+    }
+  }
+
   /** Per-file (min, max, nullCount) of every stats column over THIS
     * commit's new files — one column-pruned read of exactly those
-    * files, mapped back to manifest-relative v2 entries. Null-bearing
+    * files, mapped back to manifest-relative entries. Null-bearing
     * files DO record stats (min/max over the non-null values, plus the
     * explicit null count that keeps whole-file decisions sound); an
-    * all-null column records `-` for min/max. Columns must be
-    * integer-typed: the stats ride the manifest as exact longs.
+    * all-null column records `-` for min/max. Integral columns ride as
+    * exact longs (the v2 shape, byte-identical); string, double,
+    * decimal and timestamp columns ride as TAGGED v3 values
+    * ([[encodeStat]]) so non-integral lakes prune too.
     */
   private def statEntries(spark: SparkSession, fs: FileSystem, base: Path,
       rels: Seq[String], statsCols: Seq[String]): Seq[String] = {
     if (rels.isEmpty || statsCols.isEmpty) return rels
+    val df = spark.read.parquet(rels.map(qualified(fs, base, _)): _*)
+    val types = statsCols.map { c =>
+      require(df.columns.contains(c),
+        s"stats column '$c' is missing from this commit's files")
+      c -> df.schema(c).dataType
+    }.toMap
     val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      val l = col(c).cast("long")
-      Seq(min(l).as(s"lo$i"), max(l).as(s"hi$i"),
-        count(when(l.isNull, lit(1))).as(s"nn$i"))
+      val e = statAggExpr(types(c), col(c))
+      Seq(min(e).as(s"lo$i"), max(e).as(s"hi$i"),
+        count(when(col(c).isNull, lit(1))).as(s"nn$i"))
     }
-    val rows = spark.read.parquet(rels.map(qualified(fs, base, _)): _*)
+    val rows = df
       .select(statsCols.map(col) :+
         col("_metadata.file_path").as("__f"): _*)
       .groupBy("__f").agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per new file of this commit
     val byFile = rows.map { r =>
-      val triples = statsCols.indices.map { i =>
-        val lo = if (r.isNullAt(1 + i * 3)) "-" else r.getLong(1 + i * 3).toString
-        val hi = if (r.isNullAt(2 + i * 3)) "-" else r.getLong(2 + i * 3).toString
+      val triples = statsCols.zipWithIndex.map { case (c, i) =>
+        val lo = if (r.isNullAt(1 + i * 3)) "-"
+          else encodeStat(types(c), r.get(1 + i * 3), isMax = false)
+        val hi = if (r.isNullAt(2 + i * 3)) "-"
+          else encodeStat(types(c), r.get(2 + i * 3), isMax = true)
         s"$lo\t$hi\t${r.getLong(3 + i * 3)}"
       }.mkString("\t")
       r.getString(0) -> triples
@@ -896,11 +1209,14 @@ object VersionedLake {
       val v = cur + 1
       beforePublish()
       try {
-        // anchors publish the full survivor list; the rest are DELTAS
-        // (#base + removals + fresh) — a file-scoped mutation's
-        // manifest write is O(its churn), not O(the lake)
+        // anchors publish the full survivor list as REGION REFS
+        // (unchanged buckets reuse the previous anchor's region files);
+        // the rest are DELTAS (#base + removals + fresh) — a
+        // file-scoped mutation's manifest write is O(its churn), not
+        // O(the lake), at every version including the anchors
         if (mustAnchor(v))
-          writeManifest(fs, base, v, survivors ++ freshEntries,
+          writeManifest(fs, base, v,
+            anchorBody(fs, base, v, survivors ++ freshEntries),
             headers = mkHeaders(cur))
         else
           writeManifest(fs, base, v,
@@ -950,11 +1266,14 @@ object VersionedLake {
     * `statsCol` enables per-file MANIFEST STATISTICS — the Iceberg
     * file-skipping discipline: [[readAsOfRange]] prunes the file list
     * driver-side from the manifest alone, no footer reads, no file
-    * opens. The string names ONE OR MORE comma-separated integer-typed
-    * columns (e.g. `"doc_id"` or `"doc_id,event_ts"`); every later
-    * commit propagates the list automatically via the `#stats=` header,
-    * so callers pass it once. Passing a DIFFERENT list than the lake
-    * already carries fails loudly.
+    * opens. The string names ONE OR MORE comma-separated columns (e.g.
+    * `"doc_id"` or `"source,event_ts"`) of integral, string,
+    * float/double, decimal or timestamp type — non-integral columns
+    * ride as tagged v3 encodings ([[statVal]]) and prune through
+    * [[rangeFilesOn]] / [[readAsOfRangeOn]] / [[commitDeleteRangeOn]];
+    * every later commit propagates the list automatically via the
+    * `#stats=` header, so callers pass it once. Passing a DIFFERENT
+    * list than the lake already carries fails loudly.
     */
   def commitAppend(spark: SparkSession, dir: String, df: DataFrame,
       statsCol: Option[String] = None,
@@ -988,12 +1307,14 @@ object VersionedLake {
         .map(schemaHeader).getOrElse(Seq.empty)
       beforePublish()
       try {
-        // anchor versions publish the full resolved list; the rest are
-        // DELTAS (#base + this append's entries only) — an append's
-        // manifest write is O(its own files), not O(the lake)
+        // anchor versions publish the full resolved list as REGION
+        // REFS (only churn-touched buckets write new region files);
+        // the rest are DELTAS (#base + this append's entries only) —
+        // an append's manifest write is O(its own files) at EVERY
+        // version, anchors included
         if (mustAnchor(v)) {
           val prev = if (cur == 0) Seq.empty else fileEntries(fs, base, cur)
-          writeManifest(fs, base, v, prev ++ fresh,
+          writeManifest(fs, base, v, anchorBody(fs, base, v, prev ++ fresh),
             headers = sh ++ statsHeaders(cols))
         } else
           writeManifest(fs, base, v, fresh,
@@ -1097,7 +1418,7 @@ object VersionedLake {
     val fresh = newEntries(spark, fs, base, v, cols)
     if (mustAnchor(v)) {
       val prev = if (v == 1) Seq.empty else fileEntries(fs, base, v - 1)
-      writeManifest(fs, base, v, prev ++ fresh,
+      writeManifest(fs, base, v, anchorBody(fs, base, v, prev ++ fresh),
         headers = s"#batch=$batchId" +: (sh ++ statsHeaders(cols)))
     } else
       writeManifest(fs, base, v, fresh,
@@ -1587,9 +1908,31 @@ object VersionedLake {
     * version 0.
     */
   def commitDeleteRange(spark: SparkSession, dir: String, colName: String,
-      lower: Long, upper: Long): (Long, Long, Long, Long) = {
-    require(lower <= upper,
-      s"commitDeleteRange: lower=$lower exceeds upper=$upper")
+      lower: Long, upper: Long): (Long, Long, Long, Long) =
+    deleteRangeCore(spark, dir, colName, svOf(lower), svOf(upper),
+      matchPred = c => c.cast("long").between(lower, upper),
+      boundsLabel = s"[$lower,$upper]")
+
+  /** [[commitDeleteRange]] with TYPED bounds — the retention sweep on a
+    * string / double / decimal / timestamp stats column. Same
+    * metadata-delete discipline: files provably inside the range and
+    * null-free drop by name (truncated string bounds are conservative,
+    * so an inexact max can only demote a drop to a rewrite, never the
+    * reverse); straddlers rewrite; everything else carries.
+    */
+  def commitDeleteRangeOn(spark: SparkSession, dir: String,
+      colName: String, lower: Any, upper: Any): (Long, Long, Long, Long) =
+    deleteRangeCore(spark, dir, colName, svOf(lower), svOf(upper),
+      matchPred = c => c >= lit(lower) && c <= lit(upper),
+      boundsLabel = s"[$lower,$upper]")
+
+  private def deleteRangeCore(spark: SparkSession, dir: String,
+      colName: String, loB: SV, hiB: SV,
+      matchPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      boundsLabel: String): (Long, Long, Long, Long) = {
+    require(loB.cmp(hiB).exists(_ <= 0),
+      s"commitDeleteRange: bounds $boundsLabel are reversed or of " +
+        "mismatched types")
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
     require(cur > 0, s"commitDeleteRange on an empty lake at $dir")
@@ -1601,14 +1944,18 @@ object VersionedLake {
         " — commitAppend(statsCol=...) enables them")
     val entries = fileEntries(fs, base, cur)
     if (entries.isEmpty) return (0L, 0L, 0L, 0L)
-    // driver-side classification from the manifest alone
+    // driver-side classification from the manifest alone. Bounds of a
+    // kind the column's stats don't carry compare as None everywhere —
+    // every file then classifies Rewrite (correct, just not pruned).
     sealed trait Cls
     object Drop extends Cls; object Carry extends Cls
     object Rewrite extends Cls
     def classify(e: String): Cls = colStat(e, colIdx) match {
       case Some(ColStat(Some(lo), Some(hi), nulls)) =>
-        if (hi < lower || lo > upper) Carry // disjoint — nulls don't matter
-        else if (lo >= lower && hi <= upper && nulls.contains(0L)) Drop
+        if (hi.cmp(loB).exists(_ < 0) || lo.cmp(hiB).exists(_ > 0))
+          Carry // disjoint — nulls don't matter
+        else if (lo.cmp(loB).exists(_ >= 0) && hi.cmp(hiB).exists(_ <= 0)
+            && nulls.contains(0L)) Drop
         else Rewrite // straddling, or inside with (possible) null rows
       case Some(ColStat(None, None, Some(n))) if n > 0 =>
         Carry // all-null file: no row can match a range
@@ -1640,7 +1987,7 @@ object VersionedLake {
         // evolved straddler's rewrite must keep evolution columns
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val removedFromStraddling = srcOpt.map(
-      _.agg(count(when(col(colName).cast("long").between(lower, upper),
+      _.agg(count(when(matchPred(col(colName)),
         lit(1)))).collect()(0).getLong(0)).getOrElse(0L)
     if (droppedRows == 0L && removedFromStraddling == 0L) {
       srcOpt.foreach(_.unpersist(blocking = false))
@@ -1652,9 +1999,8 @@ object VersionedLake {
           .replace("-", "").take(12)
         val rel = s"$DataName/m$token"
         // nulls never match a range — they must SURVIVE (a bare
-        // !between would drop them: three-valued logic)
-        src.filter(coalesce(
-            !col(colName).cast("long").between(lower, upper), lit(true)))
+        // negated predicate would drop them: three-valued logic)
+        src.filter(coalesce(!matchPred(col(colName)), lit(true)))
           .write.mode("overwrite").parquet(s"$dir/$rel")
         src.unpersist(blocking = false): Unit
         statEntries(spark, fs, base, partFilesUnder(fs, base, rel), cols)
@@ -1721,6 +2067,48 @@ object VersionedLake {
     rangeFiles(spark, dir, v, cols.headOption.getOrElse(""), lower, upper)
   }
 
+  /** A range-API bound → its typed comparison value. The kind must
+    * match what the lake's writer encoded for the column ([[statVal]]'s
+    * tag table) or comparisons come back None and nothing prunes —
+    * mismatched bounds degrade to a full read, never a wrong one.
+    */
+  private def svOf(v: Any): SV = v match {
+    case l: Long => LongV(l)
+    case i: Int => LongV(i.toLong)
+    case s: Short => LongV(s.toLong)
+    case b: Byte => LongV(b.toLong)
+    case d: Double => DblV(d)
+    case f: Float => DblV(f.toDouble)
+    case s: String =>
+      BytesV(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case b: java.math.BigDecimal => DecV(b)
+    case b: BigDecimal => DecV(b.bigDecimal)
+    case t: java.sql.Timestamp =>
+      TsV(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+    case t: java.time.Instant =>
+      TsV(math.multiplyExact(t.getEpochSecond, 1000000L) +
+        t.getNano / 1000L)
+    case other => throw new IllegalArgumentException(
+      s"unsupported range bound ${other.getClass.getName} (supported: " +
+        "integral, String, Double/Float, BigDecimal, Timestamp/Instant)")
+  }
+
+  /** True when the entry's stats on `colIdx` PROVE no row can fall in
+    * `[lo, hi]` — the only case a range read may skip the file.
+    */
+  private def rangeDisjoint(e: String, colIdx: Int, lo: SV,
+      hi: SV): Boolean =
+    if (colIdx < 0) false
+    else colStat(e, colIdx) match {
+      case Some(ColStat(Some(eLo), Some(eHi), _)) =>
+        // disjoint iff file-max < lo or file-min > hi — and only when
+        // the kinds actually compare (mismatched bounds never prune)
+        eHi.cmp(lo).exists(_ < 0) || eLo.cmp(hi).exists(_ > 0)
+      case Some(ColStat(None, None, Some(n))) if n > 0 =>
+        true // all-null: no row of it can match any range
+      case _ => false // no stats (or a foreign tag) — never pruned
+    }
+
   /** Version `v`'s files whose manifest stats on `colName` ADMIT
     * `[lower, upper]` — the driver-side skip decision, from the
     * manifest alone: no footer read, no file open. Files without stats
@@ -1729,20 +2117,22 @@ object VersionedLake {
     * (admitted files, total files).
     */
   def rangeFiles(spark: SparkSession, dir: String, v: Long,
-      colName: String, lower: Long, upper: Long): (Seq[String], Long) = {
+      colName: String, lower: Long, upper: Long): (Seq[String], Long) =
+    rangeFilesOn(spark, dir, v, colName, lower, upper)
+
+  /** [[rangeFiles]] with TYPED bounds — string, double, decimal and
+    * timestamp stats columns prune exactly like integral ones. Pass
+    * bounds in the column's own domain (String for string columns,
+    * java.sql.Timestamp/Instant for timestamp columns, ...).
+    */
+  def rangeFilesOn(spark: SparkSession, dir: String, v: Long,
+      colName: String, lower: Any, upper: Any): (Seq[String], Long) = {
     val (fs, base) = fsOf(spark, dir)
     val colIdx = statsColsOf(spark, dir, v).indexOf(colName)
+    val (lo, hi) = (svOf(lower), svOf(upper))
     val entries = fileEntries(fs, base, v)
-    val kept = entries.filter { e =>
-      if (colIdx < 0) true
-      else colStat(e, colIdx) match {
-        case Some(ColStat(Some(lo), Some(hi), _)) =>
-          hi >= lower && lo <= upper
-        case Some(ColStat(None, None, Some(n))) if n > 0 =>
-          false // all-null: no row of it can match the range
-        case _ => true // no stats — never pruned
-      }
-    }.map(entryPath)
+    val kept = entries.filterNot(rangeDisjoint(_, colIdx, lo, hi))
+      .map(entryPath)
     (kept, entries.size.toLong)
   }
 
@@ -1786,6 +2176,35 @@ object VersionedLake {
             "schemaHint was given")
       }
     frame.filter(col(colName).cast("long").between(lower, upper))
+  }
+
+  /** [[readAsOfRange]] with TYPED bounds over a string / double /
+    * decimal / timestamp stats column: the manifest prunes the file
+    * list first ([[rangeFilesOn]]), the residual BETWEEN runs in the
+    * column's own type over only the admitted files. The manifest-side
+    * byte comparison and Spark's string comparison are both binary
+    * UTF-8 order, so the two stages can never disagree.
+    */
+  def readAsOfRangeOn(spark: SparkSession, dir: String, v: Long,
+      colName: String, lower: Any, upper: Any,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    require(statsColsOf(spark, dir, v).contains(colName),
+      s"version $v of $dir carries no manifest statistics on " +
+        s"'$colName' — commitAppend(statsCol=...) enables them")
+    val (fs, base) = fsOf(spark, dir)
+    val (kept, _) = rangeFilesOn(spark, dir, v, colName, lower, upper)
+    val frame =
+      if (kept.nonEmpty)
+        spark.read.parquet(kept.map(qualified(fs, base, _)): _*)
+      else schemaHint match {
+        case Some(sc) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        case None => throw new IllegalArgumentException(
+          s"range [$lower,$upper] admits no file of version $v and no " +
+            "schemaHint was given")
+      }
+    frame.filter(col(colName) >= lit(lower) && col(colName) <= lit(upper))
   }
 
   /** Maintenance rewrite: the CURRENT version's content re-laid-out
@@ -2206,6 +2625,25 @@ object VersionedLake {
         s"vacuum: dropping manifest v$v failed")
       // an earlier vacuum's shadow for this version goes with it
       fs.delete(fullManifestPath(base, v), false): Unit
+    }
+    // region files are SHARED across anchors (reuse), so they sweep by
+    // REFERENCE, never per-version: any region no surviving manifest's
+    // refs name — dropped anchors' unshared regions, crashed or
+    // lost-race anchor attempts' orphans — goes now. Shadows carry
+    // entries inline and deltas carry churn, so only surviving flat
+    // anchors contribute refs.
+    val rd = new Path(base, regionsDirName)
+    if (fs.exists(rd)) {
+      val refRegions = keep.iterator.flatMap { v =>
+        regionRefsOf(manifestLines(fs, base, v)).map(_._2)
+      }.toSet
+      fs.listStatus(rd).foreach { s =>
+        // metadata, not data: swept silently, outside the returned
+        // dataFilesDeleted count
+        if (s.isFile &&
+            !refRegions.contains(s"$regionsDirName/${s.getPath.getName}"))
+          fs.delete(s.getPath, false): Unit
+      }
     }
     // stale publish side files: a crashed or lost-race writer leaves
     // its unique v*.txt.<uuid>.writing in _versions/ — invisible to

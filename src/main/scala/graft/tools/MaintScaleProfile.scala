@@ -46,7 +46,99 @@ object MaintScaleProfile {
     if (want("zorder")) zOrderLake(spark)
     if (want("zorder3")) zOrder3Lake(spark)
     if (want("meta")) metaLake(spark)
+    if (want("metascale")) metaScale(spark)
     spark.stop()
+  }
+
+  /** Round-17: the metadata asymptotics at the scale the claims speak
+    * to — 10^3 commits / 10^4 files (the r16 evidence topped out at 60
+    * commits / 180 files). Measures, with the engine's own counters:
+    * per-commit manifest bytes (delta vs region-anchor index + fresh
+    * regions), currentVersion's checkpoint forward probe (ZERO
+    * `_versions/` listings, O(commits-since-checkpoint) opens),
+    * commitTimes/history walls and opens, and a MERGE's footer sweeps
+    * (zero) on the 10^4-file lake.
+    */
+  private def metaScale(spark: SparkSession): Unit = {
+    import graft.sinks.VersionedLake
+    val root = java.nio.file.Files
+      .createTempDirectory("maint_metascale_").toString
+    val dir = s"$root/lake"
+    val nCommits = 1000
+    val docs = spark.range(100000L).select(col("id"),
+      concat(lit("payload "), col("id")).as("text"))
+    val tb0 = System.nanoTime()
+    (0 until nCommits).foreach { m =>
+      VersionedLake.commitAppend(spark, dir,
+        docs.filter(pmod(col("id"), lit(1000L)) === m)
+          .repartition(10)): Unit
+      if ((m + 1) % 200 == 0)
+        println(s"[metascale] ${m + 1}/$nCommits commits, " +
+          f"${(System.nanoTime() - tb0) / 1e9}%.0f s")
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = VersionedLake
+      .filesOf(spark, dir, nCommits.toLong).size
+    def mBytes(v: Long): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(dir, f"_versions/v$v%06d.txt")).getLen
+    def refs(v: Long): Set[String] = {
+      val in = fs.open(
+        new org.apache.hadoop.fs.Path(dir, f"_versions/v$v%06d.txt"))
+      val text = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      text.split("\n").iterator.map(_.trim)
+        .filter(_.startsWith("@")).map(_.drop(1).split('\t')(0)).toSet
+    }
+    def regionBytes(rels: Set[String]): Long = rels.toSeq.map(r =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, r)).getLen).sum
+    val (rPrev, rLast) = (refs(990L), refs(1000L))
+    println(s"[metascale] files=$nFiles commits=$nCommits  " +
+      s"delta v999=${mBytes(999)} B  anchor v1000: " +
+      s"index=${mBytes(1000)} B + fresh regions=" +
+      s"${regionBytes(rLast -- rPrev)} B (reused " +
+      s"${(rLast & rPrev).size}/${rLast.size} regions = " +
+      s"${regionBytes(rLast & rPrev)} B not rewritten; full entry " +
+      s"bytes=${regionBytes(rLast)})")
+    // currentVersion: checkpoint forward probe — zero listings
+    val l0 = VersionedLake.versionListings.get()
+    val o0 = VersionedLake.manifestOpens.get()
+    val t0 = System.nanoTime()
+    val cur = VersionedLake.currentVersion(spark, dir)
+    println(f"[metascale] currentVersion=$cur in " +
+      f"${(System.nanoTime() - t0) / 1e6}%.1f ms, listings=" +
+      s"${VersionedLake.versionListings.get() - l0}, opens=" +
+      s"${VersionedLake.manifestOpens.get() - o0}")
+    // commitTimes / history: one listing (the answer is O(n)), opens
+    // bounded by commits since the checkpoint
+    val o1 = VersionedLake.manifestOpens.get()
+    val t1 = System.nanoTime()
+    VersionedLake.commitTimes(spark, dir): Unit
+    println(f"[metascale] commitTimes(1000) in " +
+      f"${(System.nanoTime() - t1) / 1e9}%.2f s, opens=" +
+      s"${VersionedLake.manifestOpens.get() - o1}")
+    val t2 = System.nanoTime()
+    VersionedLake.history(spark, dir).count(): Unit
+    println(f"[metascale] history(1000) in " +
+      f"${(System.nanoTime() - t2) / 1e9}%.2f s")
+    // MERGE on the 10^4-file lake: zero footer sweeps, churn-bounded
+    val s0 = VersionedLake.footerSchemaSweeps.get()
+    val t3 = System.nanoTime()
+    val (_, nf, _) = VersionedLake.commitUpsert(spark, dir, "id",
+      docs.filter(col("id") < 10)
+        .select(col("id"), concat(lit("UPD:"), col("text")).as("text")))
+    println(f"[metascale] MERGE over $nFiles files in " +
+      f"${(System.nanoTime() - t3) / 1e9}%.2f s: filesRewritten=$nf, " +
+      s"footer_sweeps=${VersionedLake.footerSchemaSweeps.get() - s0}")
+    // time travel deep into history: checkpoint + bounded chain
+    val o2 = VersionedLake.manifestOpens.get()
+    val t4 = System.nanoTime()
+    val n500 = VersionedLake.readAsOf(spark, dir, 500L).count()
+    println(f"[metascale] readAsOf(500)=$n500 rows in " +
+      f"${(System.nanoTime() - t4) / 1e9}%.2f s, opens=" +
+      s"${VersionedLake.manifestOpens.get() - o2}")
+    graft.Tables.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
   /** Round-15: index-lake compaction's claim — after V vintage appends a
@@ -193,13 +285,30 @@ object MaintScaleProfile {
     val wNo = (System.nanoTime() - t1) / 1e9
     println(f"[meta] commits=60 files=$nFiles  commitTimes opens: " +
       f"ckpt=$withCk no_ckpt=$noCk  wall: $wCk%5.3f s vs $wNo%5.3f s")
-    // delta manifests: per-commit metadata bytes — the anchor pays the
-    // lake, every other commit pays its own churn
+    // delta manifests + region anchors: per-commit metadata bytes —
+    // deltas pay their churn, and an anchor pays a 16-line ref index
+    // plus only the region files its churn since the previous anchor
+    // touched (reused refs cost zero bytes)
     def mBytes(v: Long): Long = fs.getFileStatus(
       new org.apache.hadoop.fs.Path(dir, f"_versions/v$v%06d.txt")).getLen
-    println(s"[meta] manifest bytes: anchor v60=${mBytes(60)} " +
-      s"delta v59=${mBytes(59)} delta v41=${mBytes(41)} " +
-      s"(anchor lists all $nFiles files; deltas list their 3 adds)")
+    def refs(v: Long): Set[String] = {
+      val in = fs.open(
+        new org.apache.hadoop.fs.Path(dir, f"_versions/v$v%06d.txt"))
+      val text = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      text.split("\n").iterator.map(_.trim)
+        .filter(_.startsWith("@")).map(_.drop(1).split('\t')(0)).toSet
+    }
+    def regionBytes(rels: Set[String]): Long = rels.toSeq.map(r =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, r)).getLen).sum
+    val (r50, r60) = (refs(50), refs(60))
+    println(s"[meta] manifest bytes: anchor v60 index=${mBytes(60)} + " +
+      s"fresh regions=${regionBytes(r60 -- r50)} " +
+      s"(reused regions from v50: ${(r60 & r50).size}/${r60.size}, " +
+      s"${regionBytes(r60 & r50)} B NOT rewritten; full lake entry " +
+      s"bytes=${regionBytes(r60)})  delta v59=${mBytes(59)} " +
+      s"delta v41=${mBytes(41)} (deltas list their 3 adds)")
     // schema header: evolved MERGE with zero footer sweeps
     val s0 = VersionedLake.footerSchemaSweeps.get()
     val upd = docs.filter(col("id") < 10)

@@ -67,7 +67,8 @@ object PlanDump {
     "q192_index_compact", "q193_evolve_write", "q194_multicol_stats",
     "q195_zorder_lake", "q196_lake_checkpoint",
     "q197_concurrent_mutations", "q198_zorder3", "q199_schema_header",
-    "q200_delta_manifests")
+    "q200_delta_manifests", "q201_version_probe", "q202_typed_stats",
+    "q203_region_anchors")
 
   /** Load-bearing plan facts that the formatted snapshot alone does not
     * carry (strategy gates measured at runtime, plans that live inside
@@ -432,7 +433,52 @@ object PlanDump {
       "chains replays exactly in SQL. DeltaManifestSpec pins shapes, " +
       "mutation deltas, vacuum materialization, and the replay " +
       "cursor + checkpoint riding delta histories; the [meta] " +
-      "profile measures the per-commit byte collapse."))
+      "profile measures the per-commit byte collapse."),
+    "q201_version_probe" -> ("checkpoint forward probe: " +
+      "currentVersion anchors on the checkpoint's #ckpt_v and " +
+      "existence-probes v+1, v+2, ... instead of listing _versions/ " +
+      "whole — the last O(retained-commits)-per-operation metadata " +
+      "cost, now one checkpoint read + O(commits since checkpoint) " +
+      "stat calls. Commits are contiguous above the checkpoint " +
+      "(every commit publishes cur+1; vacuum only drops a prefix " +
+      "and REFRESHES the checkpoint before returning); a stale " +
+      "checkpoint below a vacuumed prefix fails its anchor-existence " +
+      "check and demotes to the listing — never a wrong answer. " +
+      "probe_listing_free pins zero listings (versionListings " +
+      "counter) on a 26-commit vacuumed lake; membership is a time " +
+      "travel to v20 through surviving delta chains. " +
+      "VersionedLakeMetaSpec pins the zero-listing probe, the " +
+      "vacuum refresh, and both fallbacks."),
+    "q202_typed_stats" -> ("typed manifest statistics (v3 tagged " +
+      "values): string/double/decimal/timestamp stats columns prune " +
+      "from the manifest alone — string bounds compare as UTF-8 " +
+      "BYTES (the same binary order Spark's UTF8String min/max used, " +
+      "so driver pruning can never mis-order what the executor " +
+      "wrote), truncated mins are byte prefixes (free lower bounds), " +
+      "truncated maxes increment their last non-0xFF byte (upper " +
+      "bounds that only ever ADMIT more), doubles ride " +
+      "Double.toString, decimals BigDecimal plain strings, " +
+      "timestamps epoch micros under their own kind so a bare-long " +
+      "bound can never half-match them. Unknown tags read as " +
+      "no-stats (future writers degrade to full reads, never wrong " +
+      "ones). string_stats_prune pins admitted == the 3 sources " +
+      "inside ['src3','src5'] of 20 files; TypedStatsSpec pins " +
+      "truncation conservatism, kind safety, unknown-tag handling, " +
+      "and the typed metadata-only range delete."),
+    "q203_region_anchors" -> ("region-partitioned anchors (one-level " +
+      "manifest-of-manifests): an anchor's body is per-bucket " +
+      "@region refs with content hashes; a bucket whose hash matches " +
+      "the previous anchor's REUSES its immutable region file " +
+      "without reading it, so the every-10th-commit anchor writes a " +
+      "16-line index + only churn-touched buckets — the last O(lake) " +
+      "write is now O(churn) (at 100k files: a few hundred bytes vs " +
+      "~10 MB). anchor_write_bounded pins changed-refs ⊆ churn-" +
+      "buckets from the raw files; readers expand refs on " +
+      "resolution; vacuum sweeps regions by REFERENCE (refs are " +
+      "shared across anchors). DeltaManifestSpec pins reuse, " +
+      "rewrite-on-churn, reference-based sweep, and exact " +
+      "resolution; the [metascale] profile measures anchor bytes at " +
+      "10^4 files."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

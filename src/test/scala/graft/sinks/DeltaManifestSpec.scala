@@ -57,6 +57,24 @@ class DeltaManifestSpec extends AnyFunSuite {
   private def bodyLines(dir: String, v: Long): Seq[String] =
     manifestLines(dir, v).filterNot(_.startsWith("#"))
 
+  /** Body with region refs EXPANDED — the resolved entry view of a
+    * region-partitioned anchor (deltas/flat manifests pass through).
+    */
+  private def entryLines(dir: String, v: Long): Seq[String] =
+    bodyLines(dir, v).flatMap { l =>
+      if (l.startsWith("@"))
+        Files.readAllLines(java.nio.file.Paths.get(dir,
+          l.drop(1).split('\t')(0))).toArray.toSeq.map(_.toString)
+          .filter(_.nonEmpty)
+      else Seq(l)
+    }
+
+  /** bucket -> region rel of an anchor's refs. */
+  private def refsOf(dir: String, v: Long): Map[Int, String] =
+    bodyLines(dir, v).filter(_.startsWith("@")).map { l =>
+      val f = l.drop(1).split('\t'); f(1).toInt -> f(0)
+    }.toMap
+
   private def isDelta(dir: String, v: Long): Boolean =
     manifestLines(dir, v).exists(_.startsWith("#base="))
 
@@ -74,8 +92,12 @@ class DeltaManifestSpec extends AnyFunSuite {
     // one file per commit: a delta's body is exactly its own add
     assert(bodyLines(dir, 5L).size === 1)
     assert(bodyLines(dir, 16L).size === 1)
-    // the anchor lists the whole 10-file lake
-    assert(bodyLines(dir, 10L).size === 10)
+    // the anchor carries the whole 10-file lake — as region refs whose
+    // expansion is the full entry set
+    assert(bodyLines(dir, 10L).nonEmpty &&
+      bodyLines(dir, 10L).forall(_.startsWith("@")),
+      "anchors are region-partitioned")
+    assert(entryLines(dir, 10L).size === 10)
     // resolution: every version's membership exact
     (1L to 16L).foreach { v =>
       assert(idSet(VersionedLake.readAsOf(spark, dir, v)) ===
@@ -139,6 +161,56 @@ class DeltaManifestSpec extends AnyFunSuite {
       "materialization preserves the original commit instants")
     // time travel against the materialized survivor
     assert(VersionedLake.versionAsOf(spark, dir, tsBefore(14L)) === 14L)
+  }
+
+  test("region-partitioned anchors: a later anchor REUSES every " +
+      "bucket its churn did not touch and rewrites only the rest; " +
+      "vacuum sweeps only unreferenced region files") {
+    val dir = fresh("dmf_region_")
+    (0 until 26).foreach { m =>
+      VersionedLake.commitAppend(spark, dir,
+        docs(m * 5L, m * 5L + 5L)): Unit
+    }
+    val refs10 = refsOf(dir, 10L)
+    val refs20 = refsOf(dir, 20L)
+    // churn between the anchors = the files v11..v20 added
+    val added = VersionedLake.filesOf(spark, dir, 20L).toSet --
+      VersionedLake.filesOf(spark, dir, 10L).toSet
+    assert(added.size === 10)
+    val touched = added.map(VersionedLake.bucketOf)
+    refs10.foreach { case (b, rel) =>
+      if (!touched.contains(b))
+        assert(refs20.get(b).contains(rel),
+          s"bucket $b untouched by the churn must REUSE its region " +
+            s"file verbatim (the O(churn) anchor-write claim)")
+      else
+        assert(!refs20.get(b).contains(rel),
+          s"bucket $b gained files: its region must have been rewritten")
+    }
+    // every ref bucket the churn touched exists in refs20
+    assert(touched.subsetOf(refs20.keySet))
+    // resolution exact through the region tree at both anchors
+    assert(idSet(VersionedLake.readAsOf(spark, dir, 10L)) ===
+      (0L until 50L).toSet)
+    assert(idSet(VersionedLake.readAsOf(spark, dir, 26L)) ===
+      (0L until 130L).toSet)
+    // vacuum below the v20 anchor: v10's unshared regions sweep, v20's
+    // stay — including the ones v20 REUSED from v10 (the sweep is
+    // reference-based, never per-version)
+    val regionsDir = java.nio.file.Paths.get(dir, "_versions", "regions")
+    VersionedLake.vacuum(spark, dir, keepFrom = 20L, force = true): Unit
+    val left = Files.list(regionsDir).toArray
+      .map(p => "_versions/regions/" +
+        p.asInstanceOf[java.nio.file.Path].getFileName).toSet
+    assert(refs20.values.forall(r => left.contains(r)),
+      "every region v20 references survives the sweep")
+    val v10Only = refs10.values.toSet -- refs20.values.toSet
+    assert(v10Only.forall(r => !left.contains(r)),
+      "regions only the dropped v10 referenced are swept")
+    assert(idSet(VersionedLake.readAsOf(spark, dir, 20L)) ===
+      (0L until 100L).toSet, "post-vacuum resolution through v20's tree")
+    assert(idSet(VersionedLake.readAsOf(spark, dir, 26L)) ===
+      (0L until 130L).toSet)
   }
 
   test("streaming replay cursor and checkpoint ride delta manifests") {

@@ -1,0 +1,198 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TYPED manifest statistics (v3 tagged encodings) — string, double,
+  * decimal and timestamp stats columns prune file reads and classify
+  * range deletes from the manifest alone, like integral columns always
+  * did. Pinned:
+  *  - string stats prune reads exactly (per-source files; a BETWEEN on
+  *    the string column admits only the covering files) and the
+  *    admitted rows equal the full-scan filter;
+  *  - TRUNCATED string bounds stay conservative: a 30-byte value's
+  *    24-byte truncated max still admits every range its real value
+  *    could match, and never admits fewer rows than the full scan;
+  *  - double and decimal stats prune; timestamp stats prune under
+  *    java.sql.Timestamp bounds;
+  *  - KIND SAFETY: bare-long bounds against a string or timestamp
+  *    stats column compare as incomparable and prune NOTHING (a
+  *    mismatched caller degrades to a full read, never a wrong one);
+  *  - UNKNOWN tags (a future writer) read as no-stats: the file is
+  *    admitted, never mis-pruned;
+  *  - commitDeleteRangeOn: whole-file metadata drops on a string
+  *    column demand provable containment + null-freedom, straddlers
+  *    rewrite, NULLs survive.
+  */
+class TypedStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def fresh(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/lake"
+
+  /** One commit per source sN (N = 0..5), one file each, stats on the
+    * string column.
+    */
+  private def sourceLake(tag: String): String = {
+    val dir = fresh(tag)
+    (0 until 6).foreach { m =>
+      val rows = (0 until 5).map(i => (m * 10L + i, s"s$m", i * 1.5))
+      VersionedLake.commitAppend(spark, dir,
+        rows.toDF("id", "src", "score").repartition(1),
+        statsCol = Some("src,score")): Unit
+    }
+    dir
+  }
+
+  test("string stats prune reads exactly; admitted rows == full filter") {
+    val dir = sourceLake("tstat_str_")
+    val v = VersionedLake.currentVersion(spark, dir)
+    val (kept, total) = VersionedLake.rangeFilesOn(spark, dir, v,
+      "src", "s2", "s4")
+    assert(total === 6L && kept.size === 3,
+      s"files for s2,s3,s4 admit, the rest prune (got ${kept.size})")
+    val rows = VersionedLake.readAsOfRangeOn(spark, dir, v,
+      "src", "s2", "s4").select("id").collect().map(_.getLong(0)).toSet
+    assert(rows === (20L until 25L).toSet ++ (30L until 35L) ++
+      (40L until 45L))
+    // double stats on the second column prune too
+    val (keptD, _) = VersionedLake.rangeFilesOn(spark, dir, v,
+      "score", 0.0, 6.0)
+    assert(keptD.size === 6, "every file's score range [0,6] overlaps")
+    val (keptD2, _) = VersionedLake.rangeFilesOn(spark, dir, v,
+      "score", 100.5, 200.5)
+    assert(keptD2.isEmpty, "no file reaches score 100.5")
+  }
+
+  test("KIND SAFETY: mismatched bound types never prune (and unknown " +
+      "tags read as no-stats)") {
+    val dir = sourceLake("tstat_kind_")
+    val v = VersionedLake.currentVersion(spark, dir)
+    // long bounds against the STRING stats column: incomparable — all
+    // files admit (degrade to a full read, never a wrong one)
+    val (kept, total) = VersionedLake.rangeFilesOn(spark, dir, v,
+      "src", 0L, 100L)
+    assert(kept.size.toLong === total)
+    // hand-craft an UNKNOWN value tag on the s0 file's entry: still
+    // admitted. v1 is a REGION-PARTITIONED anchor, so its entry lives
+    // in the region file its @ref names — doctor that file (the ref's
+    // content hash is only compared by anchor WRITERS for reuse, never
+    // re-verified on read)
+    val vd = java.nio.file.Paths.get(dir, "_versions")
+    val v1 = java.nio.file.Paths.get(dir, "_versions", "v000001.txt")
+    val regionRel = Files.readAllLines(v1).toArray.toSeq.map(_.toString)
+      .filter(_.startsWith("@")).map(_.drop(1).split('\t')(0)).head
+    val p = java.nio.file.Paths.get(dir, regionRel)
+    val doctored = Files.readAllLines(p).toArray.toSeq.map(_.toString)
+      .filter(_.nonEmpty)
+      .map { l =>
+        val f = l.split('\t')
+        (Seq(f(0), "z9future", "z9future", "0") ++ f.drop(4)).mkString("\t")
+      }
+    Files.writeString(p, doctored.mkString("\n") + "\n")
+    Files.deleteIfExists(p.getParent
+      .resolve("." + p.getFileName + ".crc")): Unit
+    Files.deleteIfExists(vd.resolve("." + v1.getFileName + ".crc")): Unit
+    val (kept2, _) = VersionedLake.rangeFilesOn(spark, dir, v,
+      "src", "zzz", "zzzz") // disjoint from every real source
+    assert(kept2.size === 1,
+      "the unknown-tag file must be ADMITTED (no stats, no guess); " +
+        "every provably-disjoint real file still prunes")
+  }
+
+  test("truncated string bounds stay conservative in both directions") {
+    val dir = fresh("tstat_trunc_")
+    // 30-char values sharing a 24+ byte prefix: min truncates to a
+    // prefix, max truncates UP (last byte incremented)
+    val longA = "a" * 30
+    val longB = ("a" * 26) + "zzzz" // same 24-byte prefix as longA
+    VersionedLake.commitAppend(spark, dir,
+      Seq((1L, longA), (2L, longB)).toDF("id", "s").repartition(1),
+      statsCol = Some("s")): Unit
+    VersionedLake.commitAppend(spark, dir,
+      Seq((3L, "m-middle")).toDF("id", "s").repartition(1)): Unit
+    val v = VersionedLake.currentVersion(spark, dir)
+    // a range the REAL values match must admit the truncated file
+    val r1 = VersionedLake.readAsOfRangeOn(spark, dir, v, "s",
+      "a" * 25, "b").select("id").collect().map(_.getLong(0)).toSet
+    assert(r1 === Set(1L, 2L), "truncation must not lose matching rows")
+    // a range past the truncated-up max prunes the file
+    val (kept, total) = VersionedLake.rangeFilesOn(spark, dir, v, "s",
+      "b", "c")
+    assert(total === 2L && kept.isEmpty,
+      "the truncated-up max 'a..ab' proves file 1 never reaches 'b', " +
+        "and 'm-middle' > 'c' proves file 2 disjoint — both prune")
+  }
+
+  test("decimal and timestamp stats prune; long bounds against a " +
+      "timestamp column do not") {
+    val dir = fresh("tstat_dec_")
+    (0 until 4).foreach { m =>
+      val rows = (0 until 3).map { i =>
+        (m * 10L + i, new java.math.BigDecimal(s"$m$i.25"),
+          java.sql.Timestamp.valueOf(f"2024-0${m + 1}%d-10 00:00:0$i%d"))
+      }
+      VersionedLake.commitAppend(spark, dir,
+        rows.toDF("id", "amt", "ts").repartition(1),
+        statsCol = Some("amt,ts")): Unit
+    }
+    val v = VersionedLake.currentVersion(spark, dir)
+    val (keptDec, totDec) = VersionedLake.rangeFilesOn(spark, dir, v,
+      "amt", new java.math.BigDecimal("10.00"),
+      new java.math.BigDecimal("12.99"))
+    assert(totDec === 4L && keptDec.size === 1, "one decimal decade admits")
+    val rowsDec = VersionedLake.readAsOfRangeOn(spark, dir, v, "amt",
+      new java.math.BigDecimal("10.00"), new java.math.BigDecimal("12.99"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rowsDec === Set(10L, 11L, 12L))
+    val (keptTs, _) = VersionedLake.rangeFilesOn(spark, dir, v, "ts",
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-02-28 00:00:00"))
+    assert(keptTs.size === 1, "one month-file admits")
+    val rowsTs = VersionedLake.readAsOfRangeOn(spark, dir, v, "ts",
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-02-28 00:00:00"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rowsTs === Set(10L, 11L, 12L))
+    // a bare long can never half-match micros-encoded timestamp stats
+    val (keptL, totL) = VersionedLake.rangeFilesOn(spark, dir, v,
+      "ts", 0L, 1L)
+    assert(keptL.size.toLong === totL,
+      "long bounds vs t-tagged stats are incomparable: admit everything")
+  }
+
+  test("commitDeleteRangeOn (string): metadata-only whole-file drop, " +
+      "straddler rewrite, NULLs survive") {
+    val dir = fresh("tstat_del_")
+    // file 1: sources s0/s1 (inside the delete range, null-free)
+    VersionedLake.commitAppend(spark, dir,
+      Seq((1L, "s0"), (2L, "s1")).toDF("id", "src").repartition(1),
+      statsCol = Some("src")): Unit
+    // file 2: straddles the boundary (s1 inside, s5 outside) + a NULL
+    VersionedLake.commitAppend(spark, dir,
+      Seq((3L, "s1"), (4L, "s5"), (5L, null.asInstanceOf[String]))
+        .toDF("id", "src").repartition(1)): Unit
+    // file 3: disjoint (s8)
+    VersionedLake.commitAppend(spark, dir,
+      Seq((6L, "s8")).toDF("id", "src").repartition(1)): Unit
+    val (v, dropped, rewritten, removed) =
+      VersionedLake.commitDeleteRangeOn(spark, dir, "src", "s0", "s2")
+    assert(dropped === 1L, "file 1 drops by name (inside + null-free)")
+    assert(rewritten === 1L, "file 2 rewrites (straddler with a NULL)")
+    assert(removed === 3L)
+    val left = VersionedLake.readAsOf(spark, dir, v)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(left === Set(4L, 5L, 6L),
+      "outside rows, the NULL row and the disjoint file survive")
+  }
+}
