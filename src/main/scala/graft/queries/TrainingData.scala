@@ -7320,7 +7320,7 @@ object TrainingData {
       body(20L).forall(_.startsWith("@"))
     val churn = VersionedLake.filesOf(s, dir, 20L).toSet
       .diff(VersionedLake.filesOf(s, dir, 10L).toSet)
-      .map(VersionedLake.bucketOf)
+      .map(p => VersionedLake.bucketOf(p))
     val changed = r10.keySet.union(r20.keySet)
       .filter(b => r10.get(b) != r20.get(b))
     val bounded = changed.subsetOf(churn)

@@ -212,13 +212,28 @@ object VersionedLake {
     * the ref, so an anchor commit REUSES every bucket whose content
     * matches the previous anchor's and writes only the regions its
     * churn touched — the every-interval-th-commit write cost drops
-    * from O(lake) to O(churn since the previous anchor) + a
-    * [[RegionBuckets]]-line index. Readers expand refs on resolution;
-    * [[vacuum]] sweeps region files no surviving manifest references
-    * (refs are SHARED across anchors, so the sweep is reference-based,
-    * never per-version).
+    * from O(lake) to O(churn since the previous anchor) + the ref
+    * index. The bucket COUNT is adaptive (stamped as a `#regions=`
+    * header; [[regionBucketsFor]]): buckets target
+    * [[RegionTargetEntries]] entries each, so the bytes one churned
+    * file forces to rewrite stay O(1) as the lake grows — a fixed
+    * count would make every bucket O(lake/16) and an anchor's rewrite
+    * O(lake) again the moment churn touches most buckets. Reuse
+    * requires the previous anchor's bucket count to match (a resize —
+    * rare, power-of-two plateaus — rewrites all regions once).
+    * Readers expand refs on resolution; [[vacuum]] sweeps region files
+    * no surviving manifest references (refs are SHARED across anchors,
+    * so the sweep is reference-based, never per-version).
     */
-  private val RegionBuckets = 16
+  private val RegionBuckets = 16 // floor; also pre-header anchors' count
+  private val MaxRegionBuckets = 4096
+  private val RegionTargetEntries = 64
+
+  private def regionBucketsFor(n: Int): Int = {
+    var b = RegionBuckets
+    while (b < MaxRegionBuckets && n / b > RegionTargetEntries) b <<= 1
+    b
+  }
 
   /** Versions younger than this survive [[vacuum]]/[[vacuumBefore]]
     * unless the caller passes `force = true` — the Delta retention
@@ -388,9 +403,10 @@ object VersionedLake {
   /** Stable bucket of a data-file path (MurmurHash3 with Scala's fixed
     * default seed — identical across JVMs and versions by contract).
     */
-  private[graft] def bucketOf(path: String): Int =
+  private[graft] def bucketOf(path: String,
+      buckets: Int = RegionBuckets): Int =
     (scala.util.hashing.MurmurHash3.stringHash(path) & Int.MaxValue) %
-      RegionBuckets
+      buckets
 
   /** Content hash of one bucket's entry list (order-sensitive — entry
     * order inside a bucket is deterministic given the commit history).
@@ -429,25 +445,37 @@ object VersionedLake {
       Some(math.max(k, 1L))
     }
 
-  /** The BODY an anchor publishes for resolved `entries`: region refs.
-    * Buckets whose content hash matches the previous anchor's ref
-    * REUSE its region file without reading it; only churn-touched
-    * buckets write a fresh immutable region file — the anchor's write
-    * cost is O(churn since the previous anchor), not O(lake). A
-    * previous anchor that is flat (a restore), vacuumed, or whose
-    * region file was swept simply contributes no reuse.
+  /** The (headers, body) an anchor publishes for resolved `entries`:
+    * a `#regions=<count>` header plus region refs. Buckets whose
+    * content hash matches the previous anchor's ref REUSE its region
+    * file without reading it; only churn-touched buckets write a fresh
+    * immutable region file — the anchor's write cost is O(churn since
+    * the previous anchor) × O([[RegionTargetEntries]]), not O(lake). A
+    * previous anchor that is flat (a restore), vacuumed, differently
+    * bucketed (a resize plateau crossing), or whose region file was
+    * swept simply contributes no reuse.
     */
   private def anchorBody(fs: FileSystem, base: Path, v: Long,
-      entries: Seq[String]): Seq[String] = {
-    val byBucket = entries.groupBy(e => bucketOf(entryPath(e)))
+      entries: Seq[String]): (Seq[String], Seq[String]) = {
+    val nb = regionBucketsFor(entries.size)
+    val byBucket = entries.groupBy(e => bucketOf(entryPath(e), nb))
     val prevRefs: Map[Int, (String, String)] =
       prevAnchorOf(v)
         .filter(a => fs.exists(manifestPath(base, a)) ||
           fs.exists(fullManifestPath(base, a)))
-        .map(a => regionRefsOf(manifestLines(fs, base, a))
-          .map { case (b, rel, h) => b -> (rel, h) }.toMap)
+        .flatMap { a =>
+          val pl = manifestLines(fs, base, a)
+          val prevNb = pl.find(_.startsWith("#regions="))
+            .flatMap(_.stripPrefix("#regions=").toIntOption)
+            .getOrElse(RegionBuckets)
+          // refs are only reusable under the SAME bucketing
+          if (prevNb == nb)
+            Some(regionRefsOf(pl)
+              .map { case (b, rel, h) => b -> (rel, h) }.toMap)
+          else None
+        }
         .getOrElse(Map.empty)
-    (0 until RegionBuckets).flatMap { b =>
+    val body = (0 until nb).flatMap { b =>
       byBucket.get(b).map { es =>
         val h = regionHash(es)
         prevRefs.get(b) match {
@@ -457,7 +485,7 @@ object VersionedLake {
           case _ =>
             val token = java.util.UUID.randomUUID().toString
               .replace("-", "").take(12)
-            val rel = f"$regionsDirName/g$b%02d-$token.txt"
+            val rel = f"$regionsDirName/g$b%04d-$token.txt"
             // plain create: readers only resolve a region through a
             // PUBLISHED manifest ref, and refs are written after this
             // close — a crashed or lost-race writer leaves an orphan
@@ -469,6 +497,7 @@ object VersionedLake {
         }
       }
     }
+    (Seq(s"#regions=$nb"), body)
   }
 
   /** Whether version `v` must publish a FULL manifest: v1 (nothing to
@@ -1214,10 +1243,10 @@ object VersionedLake {
         // the rest are DELTAS (#base + removals + fresh) — a
         // file-scoped mutation's manifest write is O(its churn), not
         // O(the lake), at every version including the anchors
-        if (mustAnchor(v))
-          writeManifest(fs, base, v,
-            anchorBody(fs, base, v, survivors ++ freshEntries),
-            headers = mkHeaders(cur))
+        if (mustAnchor(v)) {
+          val (rh, ab) = anchorBody(fs, base, v, survivors ++ freshEntries)
+          writeManifest(fs, base, v, ab, headers = rh ++ mkHeaders(cur))
+        }
         else
           writeManifest(fs, base, v,
             removed.toSeq.sorted.map("-" + _) ++ freshEntries,
@@ -1314,8 +1343,9 @@ object VersionedLake {
         // version, anchors included
         if (mustAnchor(v)) {
           val prev = if (cur == 0) Seq.empty else fileEntries(fs, base, cur)
-          writeManifest(fs, base, v, anchorBody(fs, base, v, prev ++ fresh),
-            headers = sh ++ statsHeaders(cols))
+          val (rh, ab) = anchorBody(fs, base, v, prev ++ fresh)
+          writeManifest(fs, base, v, ab,
+            headers = rh ++ sh ++ statsHeaders(cols))
         } else
           writeManifest(fs, base, v, fresh,
             headers = s"#base=$cur" +: (sh ++ statsHeaders(cols)))
@@ -1418,8 +1448,9 @@ object VersionedLake {
     val fresh = newEntries(spark, fs, base, v, cols)
     if (mustAnchor(v)) {
       val prev = if (v == 1) Seq.empty else fileEntries(fs, base, v - 1)
-      writeManifest(fs, base, v, anchorBody(fs, base, v, prev ++ fresh),
-        headers = s"#batch=$batchId" +: (sh ++ statsHeaders(cols)))
+      val (rh, ab) = anchorBody(fs, base, v, prev ++ fresh)
+      writeManifest(fs, base, v, ab,
+        headers = Seq(s"#batch=$batchId") ++ rh ++ sh ++ statsHeaders(cols))
     } else
       writeManifest(fs, base, v, fresh,
         headers = Seq(s"#batch=$batchId", s"#base=$cur") ++
@@ -2547,8 +2578,11 @@ object VersionedLake {
     if (drop.nonEmpty && !isFullManifest(fs, base, keep.head)) {
       val oldest = keep.head
       val lines = manifestLines(fs, base, oldest)
+      // no #base (self-contained), no #ts (re-stamped from the kept
+      // line below), no #regions (the shadow carries entries INLINE)
       val headers = lines.filter(l => l.startsWith("#") &&
-        !l.startsWith("#base=") && !l.startsWith("#ts="))
+        !l.startsWith("#base=") && !l.startsWith("#ts=") &&
+        !l.startsWith("#regions="))
       val ts = lines.find(_.startsWith("#ts=")).toSeq // keep the instant
       val full = ts ++ headers ++ fileEntries(fs, base, oldest)
       val dst = fullManifestPath(base, oldest)

@@ -95,12 +95,26 @@ object MaintScaleProfile {
       fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, r)).getLen).sum
     val (rPrev, rLast) = (refs(990L), refs(1000L))
     println(s"[metascale] files=$nFiles commits=$nCommits  " +
-      s"delta v999=${mBytes(999)} B  anchor v1000: " +
+      s"delta v999=${mBytes(999)} B  anchor v1000 (churn=100 files): " +
       s"index=${mBytes(1000)} B + fresh regions=" +
       s"${regionBytes(rLast -- rPrev)} B (reused " +
       s"${(rLast & rPrev).size}/${rLast.size} regions = " +
       s"${regionBytes(rLast & rPrev)} B not rewritten; full entry " +
       s"bytes=${regionBytes(rLast)})")
+    // the TYPICAL ingest cadence — one file per commit — across the
+    // next anchor interval: v1010's anchor rewrite is bounded by the
+    // 10-file churn, not the 10^4-file lake
+    (0 until 10).foreach { m =>
+      VersionedLake.commitAppend(spark, dir,
+        docs.filter(col("id") === (99000L + m)).repartition(1)): Unit
+    }
+    val (r1000b, r1010) = (refs(1000L), refs(1010L))
+    println(s"[metascale] anchor v1010 (churn=10 single-file appends): " +
+      s"index=${mBytes(1010)} B + fresh regions=" +
+      s"${regionBytes(r1010 -- r1000b)} B (reused " +
+      s"${(r1010 & r1000b).size}/${r1010.size} regions = " +
+      s"${regionBytes(r1010 & r1000b)} B not rewritten; full entry " +
+      s"bytes=${regionBytes(r1010)})")
     // currentVersion: checkpoint forward probe — zero listings
     val l0 = VersionedLake.versionListings.get()
     val o0 = VersionedLake.manifestOpens.get()

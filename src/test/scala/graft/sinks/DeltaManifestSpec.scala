@@ -177,7 +177,7 @@ class DeltaManifestSpec extends AnyFunSuite {
     val added = VersionedLake.filesOf(spark, dir, 20L).toSet --
       VersionedLake.filesOf(spark, dir, 10L).toSet
     assert(added.size === 10)
-    val touched = added.map(VersionedLake.bucketOf)
+    val touched = added.map(p => VersionedLake.bucketOf(p))
     refs10.foreach { case (b, rel) =>
       if (!touched.contains(b))
         assert(refs20.get(b).contains(rel),
