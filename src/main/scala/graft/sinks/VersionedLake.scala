@@ -321,14 +321,22 @@ object VersionedLake {
     currentVersionIn(fs, base)
   }
 
-  private def currentVersionIn(fs: FileSystem, base: Path): Long =
-    readCheckpoint(fs, base) match {
+  /** The newest version by the checkpoint forward probe, when a usable
+    * checkpoint anchors it — None demotes the caller to the listing.
+    */
+  private def probedCurrent(fs: FileSystem, base: Path,
+      ckpt: Option[(Long, Map[Long, CkptEntry])]): Option[Long] =
+    ckpt match {
       case Some((ckptV, _)) if fs.exists(manifestPath(base, ckptV)) =>
         var v = ckptV
         while (fs.exists(manifestPath(base, v + 1))) v += 1
-        v
-      case _ => liveVersions(fs, base).lastOption.getOrElse(0L)
+        Some(v)
+      case _ => None
     }
+
+  private def currentVersionIn(fs: FileSystem, base: Path): Long =
+    probedCurrent(fs, base, readCheckpoint(fs, base))
+      .getOrElse(liveVersions(fs, base).lastOption.getOrElse(0L))
 
   /** Every committed version, ascending ([[vacuum]] may have dropped a
     * prefix).
@@ -375,14 +383,26 @@ object VersionedLake {
     val lines = manifestLines(fs, base, v)
     val body = lines.filterNot(_.startsWith("#"))
     baseOf(lines) match {
-      case None => body.flatMap { l =>
+      case None =>
         // region-partitioned anchor: expand each @ref to its bucket's
         // entries (legacy flat anchors, restores and vacuum shadows
-        // carry their entries inline and pass through unchanged)
-        if (l.startsWith("@"))
-          readRegion(fs, base, l.drop(1).split('\t')(0))
-        else Seq(l)
-      }
+        // carry their entries inline and pass through unchanged). The
+        // region GETs are CONCURRENT — on an object store a full
+        // resolution is otherwise bucket-count sequential round-trips
+        // — and Future.traverse preserves ref order, so the resolved
+        // entry order is identical to a sequential expansion.
+        if (!body.exists(_.startsWith("@"))) body
+        else {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          Await.result(
+            Future.traverse(body) { l =>
+              if (l.startsWith("@"))
+                Future(readRegion(fs, base, l.drop(1).split('\t')(0)))
+              else Future.successful(Seq(l))
+            }, Duration.Inf).flatten
+        }
       case Some(b) =>
         val removed = body.iterator.filter(_.startsWith("-"))
           .map(_.drop(1)).toSet
@@ -894,9 +914,26 @@ object VersionedLake {
   private def newestBatchCursor(fs: FileSystem, base: Path)
       : Option[(Long, Long)] = {
     val ckpt = readCheckpoint(fs, base)
-    liveVersions(fs, base).reverseIterator
-      .map(v => (v, tsBatchOf(fs, base, v, ckpt)._2))
-      .collectFirst { case (v, Some(b)) => (v, b) }
+    probedCurrent(fs, base, ckpt) match {
+      case Some(cur) =>
+        // LISTING-FREE — this runs once per exactly-once micro-batch,
+        // so the O(retained commits) directory LIST the full scan paid
+        // matters at streaming cadence: versions above the checkpoint
+        // answer from their manifest headers (newest first, O(commits
+        // since checkpoint) opens), versions at or below from the
+        // checkpoint's one read (vacuum keeps it to survivors).
+        val ckptV = ckpt.map(_._1).getOrElse(0L)
+        val above = (ckptV + 1 to cur).reverseIterator
+          .map(v => (v, tsBatchOf(fs, base, v, ckpt)._2))
+          .collectFirst { case (v, Some(b)) => (v, b) }
+        above.orElse(ckpt.flatMap(_._2.toSeq.sortBy(-_._1).collectFirst {
+          case (v, e) if e.batch.isDefined => (v, e.batch.get)
+        }))
+      case None =>
+        liveVersions(fs, base).reverseIterator
+          .map(v => (v, tsBatchOf(fs, base, v, ckpt)._2))
+          .collectFirst { case (v, Some(b)) => (v, b) }
+    }
   }
 
   /** The raw local (java.nio) path of a Hadoop path when `fs` is the

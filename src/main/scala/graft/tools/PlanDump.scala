@@ -470,9 +470,11 @@ object PlanDump {
       "@region refs with content hashes; a bucket whose hash matches " +
       "the previous anchor's REUSES its immutable region file " +
       "without reading it, so the every-10th-commit anchor writes a " +
-      "16-line index + only churn-touched buckets — the last O(lake) " +
-      "write is now O(churn) (at 100k files: a few hundred bytes vs " +
-      "~10 MB). anchor_write_bounded pins changed-refs ⊆ churn-" +
+      "ref index + only churn-touched buckets (bucket count ADAPTIVE " +
+      "via #regions=, targeting ~64 entries each, so one churned " +
+      "file's rewrite stays O(1) as the lake grows) — the last " +
+      "O(lake) write is now O(churn): measured 57 KB vs 870 KB at " +
+      "10^4 files. anchor_write_bounded pins changed-refs ⊆ churn-" +
       "buckets from the raw files; readers expand refs on " +
       "resolution; vacuum sweeps regions by REFERENCE (refs are " +
       "shared across anchors). DeltaManifestSpec pins reuse, " +

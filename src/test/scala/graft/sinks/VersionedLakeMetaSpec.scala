@@ -201,9 +201,13 @@ class VersionedLakeMetaSpec extends AnyFunSuite {
     // checkpoint) resolves without opening the 20 checkpointed
     // manifests: a REPLAY of batch 0 is recognized
     val o1 = VersionedLake.manifestOpens.get()
+    val li = VersionedLake.versionListings.get()
     assert(VersionedLake.commitAppendForBatch(
       spark, dir, docs(0, 5), 0L) === 1L)
     assert(VersionedLake.manifestOpens.get() - o1 <= 5L)
+    assert(VersionedLake.versionListings.get() === li,
+      "the exactly-once replay check must never LIST _versions/ on a " +
+        "checkpointed lake — it runs once per micro-batch")
     // vacuum drops a prefix the checkpoint still lists: live listing
     // wins — dropped versions never resurface
     VersionedLake.vacuum(spark, dir, keepFrom = 23L, force = true): Unit
