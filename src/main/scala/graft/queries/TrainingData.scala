@@ -4564,7 +4564,7 @@ object TrainingData {
       Seq(
         "q202_commits" -> (() => {
           val present = docs.select("source").distinct()
-            .collect().map(_.getString(0)).toSet
+            .collect().map(_.getString(0)).toSet // bounded: <= 20 sources
           (0 until 20).map(m => s"src$m").filter(present.contains)
             .foreach { src =>
               VersionedLake.commitAppend(s, tDir,
