@@ -111,10 +111,35 @@ object IndexLake {
       rows(docs, idCol, textCol, nBuckets), statsCol = Some("bucket"))
   }
 
+  // the bucket count is write-once per index dir (writeIndexLake refuses
+  // to re-init an existing lake), so one read per session suffices —
+  // every append/search otherwise pays a 2-job parquet read for a
+  // constant. Bounded: cleared when it could outgrow a long session.
+  private val nBucketsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   private def nBucketsOf(spark: SparkSession, dir: String): Int = {
+    val cached = nBucketsCache.get(dir)
+    if (cached != null) return cached.toInt
     val r = spark.read.parquet(s"$dir/$MetaName").collect()
     require(r.length == 1, s"$dir/$MetaName must hold exactly one row")
-    r(0).getLong(0).toInt
+    val n = r(0).getLong(0).toInt
+    if (nBucketsCache.size > 512) nBucketsCache.clear()
+    nBucketsCache.put(dir, n): Unit
+    n
+  }
+
+  /** `pmod(hash(term), nb)` computed driver-side — the exact Murmur3
+    * (seed 42) Spark's `hash()` evaluates, so the probed-bucket set
+    * needs no Spark job. Pinned against the SQL expression in
+    * IndexLakeSpec.
+    */
+  private[graft] def bucketOfTerm(term: String, nb: Int): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes(), 42)
+    val m = h % nb
+    (if (m < 0) m + nb else m).toLong
   }
 
   /** Append a vintage: its postings and doc-length rows land as ONE
@@ -191,19 +216,31 @@ object IndexLake {
       .filter(col("term").isNull)
     val stats = doclens.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(col("dl"))).as("avgdl"))
-    // query-term buckets (bounded by the query term count — driver-side)
+    // query-term buckets (bounded by the query term count — computed
+    // driver-side with the exact hash Spark's hash() evaluates, so no
+    // Spark job runs before the search itself)
     val terms = queries.flatMap(_._2).distinct
-    val buckets = terms.toDF("term")
-      .select(pmod(hash(col("term")), lit(nb)).cast("long").as("b"))
-      .distinct().collect().map(_.getLong(0)).sorted
-    // one pruned read per bucket (manifest skip; residual keeps the
-    // bucket), then the exact term filter within the admitted files
-    val tf = buckets.map { bkt =>
-      VersionedLake.readAsOfRange(spark, dir, v, bkt, bkt,
-        Some(rowSchema))
-    }.reduceOption(_ unionByName _)
-      .getOrElse(VersionedLake.readAsOfRange(spark, dir, v,
-        DoclenBucket, DoclenBucket, Some(rowSchema)).limit(0))
+    val buckets = terms.map(bucketOfTerm(_, nb)).distinct.sorted
+    // ONE pruned read across every probed bucket: the union of each
+    // bucket's admitted files (deduped — a pre-compaction file can hold
+    // several buckets), exact bucket membership re-filtered. Equivalent
+    // to the previous one-read-per-bucket union: a file holding rows of
+    // probed bucket b is always in b's admitted list (manifest stats
+    // are true min/max), and the isin filter drops any unprobed-bucket
+    // rows a shared file carries — but the scan opens each admitted
+    // file once instead of once per probed bucket it was admitted for.
+    val keptAll = buckets
+      .flatMap(b => VersionedLake.rangeFiles(spark, dir, v, b, b)._1)
+      .distinct
+    val bucketRows =
+      if (keptAll.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
+      else spark.read.schema(rowSchema)
+        .parquet(keptAll.map(r =>
+          new org.apache.hadoop.fs.Path(dir, r).toString): _*)
+        .filter(col("bucket").isin(buckets: _*))
+    val tf = bucketRows
       .join(broadcast(qdf.select("term").distinct()), "term")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
     Retrieval.scoreAndRank(tf, qdf, stats, k, k1, b)

@@ -1954,8 +1954,15 @@ object TrainingData {
     * floor, as one 4-column row. One definition so the three lake
     * audits can never drift.
     */
-  private def annLakeAudit(lake: DataFrame, mem: DataFrame,
-      exact: DataFrame, floor: Double): DataFrame = {
+  private def annLakeAudit(lake0: DataFrame, mem: DataFrame,
+      exact0: DataFrame, floor: Double): DataFrame = {
+    // the audit tree references `lake` three times (stats, the twin
+    // diff, the recall semi-join) and `exact` twice — materialize each
+    // ONCE (≤ |Q|·k rows) so the expensive searches behind them run a
+    // single time instead of re-executing per reference (guide §1.2:
+    // don't recompute what you already have)
+    val lake = lake0.localCheckpoint(true)
+    val exact = exact0.localCheckpoint(true)
     val stats = lake.agg(
       count_distinct(col("q_id")).as("n_queries"),
       count(lit(1)).as("n_results"))
@@ -5145,7 +5152,9 @@ object TrainingData {
     val pre = s.createDataFrame(
       s.sparkContext.parallelize(preRows, 1), search().schema)
     val (filesBefore, filesAfter) = Similarity.compactIvfLake(s, lakeDir)
-    val post = search()
+    // the post-compaction search feeds both the stats aggregate and the
+    // equality diff — one materialized run (≤ |Q|·k rows), not two
+    val post = search().localCheckpoint(true)
     val nCellDirs = Option(new java.io.File(lakeDir).listFiles())
       .getOrElse(Array.empty).count(f =>
         f.isDirectory && f.getName.startsWith("cell="))
@@ -5524,9 +5533,13 @@ object TrainingData {
     val (_, nDocsRemoved) = graft.sinks.Lake.deleteIds(
       s, docDir, "source", "doc_id", delDocs)
     graft.operators.Dedup.deleteFromNearDupState(s, stateDir, delDocs): Unit
-    // audit 1: post-delete lake search == frozen twin over survivors
+    // audit 1: post-delete lake search == frozen twin over survivors.
+    // `post` feeds the twin diff, the deleted-hits probe AND the final
+    // aggregate — materialize the search ONCE (≤ |Q|·k rows) instead of
+    // re-running the lake search per reference (guide §1.2)
     val post = Similarity.ivfTopKOverLake(s, ivfDir, qs, "vec_id",
       "embedding", dim = AnnLake.Dim, k = AnnLake.K, nProbe = AnnLake.NProbe)
+      .localCheckpoint(true)
     val twin = Similarity.ivfTopKFrozen(
       emb.join(delVecs, Seq("vec_id"), "left_anti"), qs, "vec_id",
       "embedding", dim = AnnLake.Dim, k = AnnLake.K, lakeDir = ivfDir,
@@ -5537,17 +5550,22 @@ object TrainingData {
     val deletedHits = post
       .join(delVecs.withColumnRenamed("vec_id", "id"), Seq("id"), "left_semi")
       .count()
-    // audit 2: post-delete doc lake == corpus minus deleted, row-for-row
+    // audit 2: post-delete doc lake == corpus minus deleted, row-for-row.
+    // Both exceptAll directions execute both sides; materialize each
+    // side once so the scans (and the MinHash rebuild below) run a
+    // single time instead of twice
     val survivors = docs.join(delDocs, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(true)
     val lakeBack = s.read.parquet(docDir)
       .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(true)
     val docDiff = lakeBack.exceptAll(survivors).count() +
       survivors.exceptAll(lakeBack).count()
     // audit 3: surviving state == rebuild from the surviving corpus
-    val stateBack = s.read.parquet(stateDir)
+    val stateBack = s.read.parquet(stateDir).localCheckpoint(true)
     val rebuilt = graft.operators.Dedup.nearDupState(
-      survivors, "doc_id", "text")
+      survivors, "doc_id", "text").localCheckpoint(true)
     val stateDiff = stateBack.exceptAll(rebuilt).count() +
       rebuilt.exceptAll(stateBack).count()
     post.agg(
@@ -5850,8 +5868,11 @@ object TrainingData {
     val pre = VersionedLake.currentVersion(s, dir)
     val nFilesPre = VersionedLake.filesOf(s, dir, pre).size.toLong
     val post = VersionedLake.compact(s, dir, nFiles = 2)
+    // both diff directions reference both sides — scan each version once
     val before = VersionedLake.readAsOf(s, dir, pre).select("doc_id")
+      .localCheckpoint(true)
     val after = VersionedLake.readAsOf(s, dir, post).select("doc_id")
+      .localCheckpoint(true)
     val contentDiff = before.exceptAll(after).count() +
       after.exceptAll(before).count()
     val nFilesPost = VersionedLake.filesOf(s, dir, post).size.toLong
@@ -5936,9 +5957,11 @@ object TrainingData {
         .select((col("doc_id") + 4 * q).as("doc_id"), col("text")))
     val (v, nRw, nUpd) = VersionedLake.commitUpsert(s, dir, "doc_id", updates)
     val filesScoped = nRw >= 1L && nRw <= 2L
-    val base = docs.filter(col("doc_id") < 4 * q)
+    // both diff directions reference both sides — materialize each once
+    val base = docs.filter(col("doc_id") < 4 * q).localCheckpoint(true)
     val before = VersionedLake.readAsOf(s, dir, pre)
       .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
     val priorIntact = before.exceptAll(base).count() == 0L &&
       base.exceptAll(before).count() == 0L
     VersionedLake.readAsOf(s, dir, v)
@@ -6258,9 +6281,12 @@ object TrainingData {
     val (nDep, nArr) = Similarity.applyChangesToIvfLake(
       s, ivfDir, feed, "vec_id", "embedding", dim = AnnLake.Dim)
     val finalLake = VersionedLake.read(s, lakeDir)
+    // `post` feeds the twin diff, the deleted-hits probe and the final
+    // aggregate — one materialized search run (≤ |Q|·k rows), not three
     val post = Similarity.ivfTopKOverLake(s, ivfDir, qs, "vec_id",
       "embedding", dim = AnnLake.Dim, k = AnnLake.K,
       nProbe = AnnLake.NProbe)
+      .localCheckpoint(true)
     val twin = Similarity.ivfTopKFrozen(finalLake, qs, "vec_id",
       "embedding", dim = AnnLake.Dim, k = AnnLake.K, lakeDir = ivfDir,
       nProbe = AnnLake.NProbe)
@@ -6329,12 +6355,16 @@ object TrainingData {
     VersionedLake.commitDelete(s, dir, "doc_id",
       docs.filter(col("doc_id") % 4 =!= 3).select("doc_id")): Unit
     val restored = VersionedLake.restore(s, dir, 2L)
+    // each side of the two-direction multiset equality is referenced
+    // twice — materialize the churn-sized change feeds once
     val del23 = VersionedLake.changesBetween(s, dir, 2L, 3L, "doc_id")
       .filter(col("change_type") === "delete")
       .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
     val ins34 = VersionedLake.changesBetween(s, dir, 3L, restored, "doc_id")
       .filter(col("change_type") === "insert")
       .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
     val cdcInverse = del23.exceptAll(ins34).count() == 0L &&
       ins34.exceptAll(del23).count() == 0L
     VersionedLake.commitAppend(s, dir, docs.filter(col("doc_id") % 3 === 2)): Unit
@@ -6705,8 +6735,11 @@ object TrainingData {
         vB = VersionedLake.commitAppend(s, dir,
           docs.filter(col("doc_id") % 3 === 2))
       })
+    // both diff directions reference both sides — materialize each once
     val v2 = VersionedLake.readAsOf(s, dir, 2L).select("doc_id")
+      .localCheckpoint(true)
     val winnerMembers = docs.filter(col("doc_id") % 3 =!= 1).select("doc_id")
+      .localCheckpoint(true)
     val v2ok = v2.exceptAll(winnerMembers).count() == 0L &&
       winnerMembers.exceptAll(v2).count() == 0L
     VersionedLake.read(s, dir)
@@ -6758,8 +6791,10 @@ object TrainingData {
     val (keptPre, _) = VersionedLake.rangeFiles(s, dir, pre, bkt, bkt)
     val post = graft.operators.IndexLake.compactIndexLake(s, dir)
     val (keptPost, _) = VersionedLake.rangeFiles(s, dir, post, bkt, bkt)
+    // `after` feeds both diff directions AND the returned frame — run
+    // the post-compaction search once (≤ 30 rows), like `before` above
     val after = graft.operators.IndexLake
-      .bm25TopKOverIndex(s, dir, qset, k = 10)
+      .bm25TopKOverIndex(s, dir, qset, k = 10).localCheckpoint(true)
     val invariant = before.exceptAll(after).count() == 0L &&
       after.exceptAll(before).count() == 0L
     after.select(col("query_id"), col("rank"), col("doc_id"),

@@ -1154,6 +1154,224 @@ object VersionedLake {
   private def statEntries(spark: SparkSession, fs: FileSystem, base: Path,
       rels: Seq[String], statsCols: Seq[String]): Seq[String] = {
     if (rels.isEmpty || statsCols.isEmpty) return rels
+    footerStatEntries(spark, fs, base, rels, statsCols)
+      .getOrElse(scanStatEntries(spark, fs, base, rels, statsCols))
+  }
+
+  /** [[statEntries]] from the parquet FOOTERS of this commit's files —
+    * metadata-only, no second data pass and no Spark job (at 100 TB the
+    * scan path re-reads every byte a commit just wrote; the footers
+    * already hold exact per-row-group (min, max, nullCount) for every
+    * type the manifest supports). Returns None — and the caller falls
+    * back to the scan job — whenever ANY file/column lacks usable
+    * exact stats, which this writer produces in exactly these cases
+    * (probed empirically against Spark 4.1's bundled parquet):
+    *  - NaN-bearing float/double columns (parquet skips stats),
+    *  - timestamps written as INT96 (no stats; the engine's sessions
+    *    use the default output type),
+    *  - values so large the footer drops the stats (> 4 KB min+max),
+    *  - unknown/mismatched physical-logical combos (incl. a missing
+    *    stats column — the scan path then raises its loud require).
+    * Known benign divergence, documented: a file holding BOTH -0.0 and
+    * 0.0 records the IEEE-ordered extremum (0.0 as max) where Spark's
+    * max() may keep -0.0 — the two compare EQUAL in Spark semantics,
+    * so pruning decisions and query results are unchanged.
+    */
+  private def footerStatEntries(spark: SparkSession, fs: FileSystem,
+      base: Path, rels: Seq[String], statsCols: Seq[String])
+      : Option[Seq[String]] = try {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    // bounded driver-side metadata reads — parallel when a commit wrote
+    // many files (each open reads only the footer bytes)
+    def footerOf(rel: String)
+        : org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(qualified(fs, base, rel)), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter finally r.close()
+    }
+    val footers: Seq[(String,
+        org.apache.parquet.hadoop.metadata.ParquetMetadata)] =
+      if (rels.size <= 2) rels.map(r => r -> footerOf(r))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(rels.size, 8))
+        try {
+          val futs = rels.map(r => r -> pool.submit(
+            new java.util.concurrent.Callable[
+              org.apache.parquet.hadoop.metadata.ParquetMetadata] {
+              def call() = footerOf(r)
+            }))
+          futs.map { case (r, f) => r -> f.get() }
+        } finally pool.shutdown()
+      }
+    val entries = footers.map { case (rel, md) =>
+      val blocks = md.getBlocks
+      val nRows = {
+        var s = 0L
+        blocks.forEach(b => s += b.getRowCount)
+        s
+      }
+      if (nRows == 0L) rel // an empty part file carries no stats triple
+      else {
+        val schema = md.getFileMetaData.getSchema
+        val triples = statsCols.map { c =>
+          if (!schema.containsField(c)) return None
+          val pt = schema.getType(schema.getFieldIndex(c))
+          if (!pt.isPrimitive) return None
+          val prim = pt.asPrimitiveType()
+          // accumulate across row groups in IEEE/byte order (the same
+          // order the footers themselves use)
+          var nn = 0L
+          var loB: Array[Byte] = null; var hiB: Array[Byte] = null
+          var loL = 0L; var hiL = 0L
+          var loD = 0.0; var hiD = 0.0
+          var seen = false
+          val it = blocks.iterator()
+          while (it.hasNext) {
+            val b = it.next()
+            // match the LEAF column by path — field index would slip on
+            // files whose other columns are nested (arrays/structs
+            // expand to several leaf chunks)
+            var cc: org.apache.parquet.hadoop.metadata
+              .ColumnChunkMetaData = null
+            val cit = b.getColumns.iterator()
+            while (cit.hasNext && cc == null) {
+              val cand = cit.next()
+              if (cand.getPath.size == 1 && cand.getPath.toArray()(0) == c)
+                cc = cand
+            }
+            if (cc == null) return None
+            val st = cc.getStatistics
+            if (st == null || st.getNumNulls < 0L) return None
+            nn += st.getNumNulls
+            if (st.hasNonNullValue) {
+              prim.getPrimitiveTypeName match {
+                case INT32 | INT64 =>
+                  val (mn, mx) = prim.getPrimitiveTypeName match {
+                    case INT32 => (st.genericGetMin
+                      .asInstanceOf[Integer].toLong,
+                      st.genericGetMax.asInstanceOf[Integer].toLong)
+                    case _ => (st.genericGetMin.asInstanceOf[java.lang.Long]
+                      .toLong,
+                      st.genericGetMax.asInstanceOf[java.lang.Long].toLong)
+                  }
+                  if (!seen || mn < loL) loL = mn
+                  if (!seen || mx > hiL) hiL = mx
+                case FLOAT =>
+                  val mn = st.genericGetMin.asInstanceOf[java.lang.Float]
+                    .toDouble
+                  val mx = st.genericGetMax.asInstanceOf[java.lang.Float]
+                    .toDouble
+                  if (mn.isNaN || mx.isNaN) return None
+                  if (!seen || java.lang.Double.compare(mn, loD) < 0)
+                    loD = mn
+                  if (!seen || java.lang.Double.compare(mx, hiD) > 0)
+                    hiD = mx
+                case DOUBLE =>
+                  val mn = st.genericGetMin.asInstanceOf[java.lang.Double]
+                    .toDouble
+                  val mx = st.genericGetMax.asInstanceOf[java.lang.Double]
+                    .toDouble
+                  if (mn.isNaN || mx.isNaN) return None
+                  if (!seen || java.lang.Double.compare(mn, loD) < 0)
+                    loD = mn
+                  if (!seen || java.lang.Double.compare(mx, hiD) > 0)
+                    hiD = mx
+                case BINARY | FIXED_LEN_BYTE_ARRAY =>
+                  val mn = st.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .getBytes
+                  val mx = st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .getBytes
+                  prim.getLogicalTypeAnnotation match {
+                    case _: LogicalTypeAnnotation
+                        .StringLogicalTypeAnnotation =>
+                      if (loB == null || cmpBytes(mn, loB) < 0) loB = mn
+                      if (hiB == null || cmpBytes(mx, hiB) > 0) hiB = mx
+                    case dec: LogicalTypeAnnotation
+                        .DecimalLogicalTypeAnnotation =>
+                      // signed big-endian unscaled; compare as decimal
+                      def toDec(b: Array[Byte]) = new java.math.BigDecimal(
+                        new java.math.BigInteger(b), dec.getScale)
+                      if (loB == null ||
+                          toDec(mn).compareTo(toDec(loB)) < 0) loB = mn
+                      if (hiB == null ||
+                          toDec(mx).compareTo(toDec(hiB)) > 0) hiB = mx
+                    case _ => return None
+                  }
+                case _ => return None
+              }
+              seen = true
+            }
+          }
+          if (!seen) {
+            if (nn != nRows) return None // stats dropped, not all-null
+            s"-\t-\t$nn"
+          } else {
+            import org.apache.spark.sql.types._
+            val (dt, loV: Any, hiV: Any) = prim.getPrimitiveTypeName match {
+              case INT32 | INT64 =>
+                prim.getLogicalTypeAnnotation match {
+                  case null => (LongType, loL, hiL)
+                  case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                    (LongType, loL, hiL)
+                  case ts: LogicalTypeAnnotation
+                      .TimestampLogicalTypeAnnotation
+                      if ts.getUnit == LogicalTypeAnnotation.TimeUnit
+                        .MICROS && ts.isAdjustedToUTC =>
+                    // NTZ (unadjusted) falls through to the scan path,
+                    // which raises its loud unsupported-type require
+                    (TimestampType, loL, hiL)
+                  case dec: LogicalTypeAnnotation
+                      .DecimalLogicalTypeAnnotation =>
+                    (DecimalType(dec.getPrecision, dec.getScale),
+                      java.math.BigDecimal.valueOf(loL, dec.getScale),
+                      java.math.BigDecimal.valueOf(hiL, dec.getScale))
+                  case _ => return None
+                }
+              case FLOAT | DOUBLE => (DoubleType, loD, hiD)
+              case BINARY | FIXED_LEN_BYTE_ARRAY =>
+                prim.getLogicalTypeAnnotation match {
+                  case _: LogicalTypeAnnotation
+                      .StringLogicalTypeAnnotation =>
+                    (StringType,
+                      new String(loB,
+                        java.nio.charset.StandardCharsets.UTF_8),
+                      new String(hiB,
+                        java.nio.charset.StandardCharsets.UTF_8))
+                  case dec: LogicalTypeAnnotation
+                      .DecimalLogicalTypeAnnotation =>
+                    (DecimalType(dec.getPrecision, dec.getScale),
+                      new java.math.BigDecimal(
+                        new java.math.BigInteger(loB), dec.getScale),
+                      new java.math.BigDecimal(
+                        new java.math.BigInteger(hiB), dec.getScale))
+                  case _ => return None
+                }
+              case _ => return None
+            }
+            val lo = encodeStat(dt, loV, isMax = false)
+            val hi = encodeStat(dt, hiV, isMax = true)
+            s"$lo\t$hi\t$nn"
+          }
+        }.mkString("\t")
+        s"$rel\t$triples"
+      }
+    }
+    Some(entries)
+  } catch { case _: Exception => None }
+
+  /** The scan-job form of [[statEntries]] — the fallback when footers
+    * lack usable exact stats, and the loud-failure path for a missing
+    * stats column.
+    */
+  private def scanStatEntries(spark: SparkSession, fs: FileSystem,
+      base: Path, rels: Seq[String], statsCols: Seq[String])
+      : Seq[String] = {
     val df = spark.read.parquet(rels.map(qualified(fs, base, _)): _*)
     val types = statsCols.map { c =>
       require(df.columns.contains(c),
@@ -2234,8 +2452,17 @@ object VersionedLake {
     val (fs, base) = fsOf(spark, dir)
     val (kept, _) = rangeFiles(spark, dir, v, colName, lower, upper)
     val frame =
-      if (kept.nonEmpty)
-        spark.read.parquet(kept.map(qualified(fs, base, _)): _*)
+      if (kept.nonEmpty) schemaHint match {
+        // a caller-supplied schema skips the per-call footer schema
+        // read — on a hot search path (one pruned read per probed
+        // bucket) that metadata open per call is the dominant cost
+        case Some(sc) => spark.read
+          .schema(nullableized(sc)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(kept.map(qualified(fs, base, _)): _*)
+        case None =>
+          spark.read.parquet(kept.map(qualified(fs, base, _)): _*)
+      }
       else schemaHint match {
         case Some(sc) => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
@@ -2263,8 +2490,16 @@ object VersionedLake {
     val (fs, base) = fsOf(spark, dir)
     val (kept, _) = rangeFilesOn(spark, dir, v, colName, lower, upper)
     val frame =
-      if (kept.nonEmpty)
-        spark.read.parquet(kept.map(qualified(fs, base, _)): _*)
+      if (kept.nonEmpty) schemaHint match {
+        // caller-supplied schema: no per-call footer schema read (see
+        // readAsOfRange)
+        case Some(sc) => spark.read
+          .schema(nullableized(sc)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(kept.map(qualified(fs, base, _)): _*)
+        case None =>
+          spark.read.parquet(kept.map(qualified(fs, base, _)): _*)
+      }
       else schemaHint match {
         case Some(sc) => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)

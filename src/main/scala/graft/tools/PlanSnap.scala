@@ -1,0 +1,45 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Per-query `explain("formatted")` snapshots for the optimization-round
+  * evidence trail: writes `plans/r17/<query>_<suffix>.txt` for each named
+  * query, under the exact Bench session conf.
+  *
+  * Usage: sbt "runMain graft.tools.PlanSnap before q122_ann_lake q162_..."
+  */
+object PlanSnap {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PlanSnap <suffix> <query...>")
+    val suffix = args(0)
+    val names = args.drop(1).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        1 << 20)
+      .config("spark.sql.codegen.cache.maxEntries", 10000)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val outDir = Paths.get("plans/r17")
+    Files.createDirectories(outDir): Unit
+    for (name <- names) {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(FormattedMode)
+      Files.writeString(outDir.resolve(s"${name}_$suffix.txt"), plan): Unit
+      println(s"[plansnap] wrote ${name}_$suffix.txt")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}

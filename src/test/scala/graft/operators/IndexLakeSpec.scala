@@ -160,4 +160,22 @@ class IndexLakeSpec extends AnyFunSuite {
     assert(VersionedLake.readAsOfRange(spark, dir, v, -1L, -1L)
       .count() === base.count())
   }
+
+  test("driver-side bucketOfTerm == Spark's pmod(hash(term), nb) for " +
+      "every term shape (ASCII, unicode, empty, long)") {
+    import spark.implicits._
+    val terms = Seq("hash", "join", "dup", "window", "stream", "agg",
+      "vector", "scan", "filter", "sort", "", "é中😀", "ÿ" * 100,
+      "a b\tc", "%", "naïve", "Ωmega", "z" * 3000)
+    for (nb <- Seq(1, 7, 16, 32, 1024)) {
+      val sparkSide = terms.toDF("term")
+        .select(col("term"),
+          pmod(hash(col("term")), lit(nb)).cast("long").as("b"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      terms.foreach { t =>
+        assert(IndexLake.bucketOfTerm(t, nb) === sparkSide(t),
+          s"bucket mismatch for term '$t' nb=$nb")
+      }
+    }
+  }
 }

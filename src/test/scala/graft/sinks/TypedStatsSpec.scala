@@ -195,4 +195,71 @@ class TypedStatsSpec extends AnyFunSuite {
     assert(left === Set(4L, 5L, 6L),
       "outside rows, the NULL row and the disjoint file survive")
   }
+
+  /** Raw manifest body lines of a DELTA version (entries inline). */
+  private def manifestBody(dir: String, v: Long): Seq[String] =
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_versions", f"v$v%06d.txt"))
+      .toArray.toSeq.map(_.toString)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("@"))
+
+  test("footer-derived stats match the scan semantics on every edge: " +
+      "NaN fallback, truncated strings, oversized-stat fallback, " +
+      "all-null, negative decimals") {
+    val dir = fresh("tstat_footer_")
+    // v1 anchors (region refs); commit a throwaway v1 so the probed
+    // versions are deltas whose entries sit inline in the manifest body
+    VersionedLake.commitAppend(spark, dir,
+      Seq((0L, "seed", 0.0, BigDecimal("0.0000"))).toDF(
+        "id", "s", "d", "dec")
+        .withColumn("dec", col("dec").cast("decimal(20,4)"))
+        .repartition(1),
+      statsCol = Some("s,d,dec")): Unit
+    // v2: NaN double (parquet drops float stats -> scan fallback must
+    // still stamp Spark's NaN-as-largest max), a 30-byte string (footer
+    // value exact -> engine-side 24-byte truncation applies), and a
+    // negative decimal
+    val s30 = "m" * 30
+    VersionedLake.commitAppend(spark, dir,
+      Seq((1L, s30, Double.NaN, BigDecimal("-0.0001")),
+        (2L, "alpha", 1.5, BigDecimal("12345.6789"))).toDF(
+        "id", "s", "d", "dec")
+        .withColumn("dec", col("dec").cast("decimal(20,4)"))
+        .repartition(1)): Unit
+    val v2 = manifestBody(dir, 2L)
+    assert(v2.size === 1)
+    val f2 = v2.head.split('\t')
+    // fields: path, s-lo, s-hi, s-nn, d-lo, d-hi, d-nn, dec-lo, dec-hi,
+    // dec-nn
+    assert(f2(1) === "salpha", s"string min (got ${f2(1)})")
+    assert(f2(2) === "s" + "m" * 23 + "n",
+      "30-byte max truncates to 24 with the last byte incremented")
+    assert(f2(4) === "f1.5" && f2(5) === "fNaN",
+      s"NaN rides as Spark's largest (got ${f2(4)}, ${f2(5)})")
+    assert(f2(7) === "c-0.0001" && f2(8) === "c12345.6789",
+      s"decimal plain strings (got ${f2(7)}, ${f2(8)})")
+    // v3: >4 KB string (parquet omits the stats entirely -> scan
+    // fallback), an all-null decimal, and a some-null string column
+    val huge = "ÿ" * 3000 // 6 KB UTF-8
+    VersionedLake.commitAppend(spark, dir,
+      Seq((3L, huge, 2.0, Option.empty[java.math.BigDecimal]),
+        (4L, null.asInstanceOf[String], 3.0,
+          Option.empty[java.math.BigDecimal])).toDF(
+        "id", "s", "d", "dec")
+        .withColumn("dec", col("dec").cast("decimal(20,4)"))
+        .repartition(1)): Unit
+    val f3 = manifestBody(dir, 3L).head.split('\t')
+    // scan fallback still truncates the huge min/max to 24 bytes
+    assert(f3(1).startsWith("s%c3%bf") && f3(3) === "1",
+      s"huge-string stats survive via scan fallback (got ${f3(1)})")
+    assert(f3(7) === "-" && f3(8) === "-" && f3(9) === "2",
+      "all-null column records the explicit marker + null count")
+    // and the typed prune still reads exactly across all three commits
+    val v = VersionedLake.currentVersion(spark, dir)
+    val (kept, total) = VersionedLake.rangeFilesOn(spark, dir, v,
+      "s", "alpha", "alpha")
+    assert(total === 3L && kept.size === 1,
+      "seed + huge-string files prune by their string mins; only the " +
+        "alpha-holding file admits")
+  }
 }
