@@ -67,18 +67,75 @@ object IndexLake {
     StructField("tf", LongType),
     StructField("dl", LongType)))
 
+  /** Per-document (term, tf) pairs computed MAP-SIDE in one pass over
+    * the token array — a document's tokens all sit in its own row, so
+    * term frequencies need no shuffle at all. Replaces the previous
+    * explode → groupBy(doc, dl, term) shape, whose aggregation was a
+    * full shuffle of every (doc, term) occurrence (guide §2.4: one of
+    * the build's two exchanges removed outright; the remaining one is
+    * the bucket-clustering repartition the layout genuinely needs).
+    * UTF8Strings are cloned out of the (possibly buffer-reused) input
+    * before they outlive the call.
+    */
+  def termCounts(w: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = w.numElements()
+    val m = new java.util.LinkedHashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    var nullTf = 0L
+    var i = 0
+    while (i < n) {
+      if (w.isNullAt(i)) nullTf += 1
+      else {
+        val t = w.getUTF8String(i)
+        val c = m.get(t)
+        if (c == null) m.put(t.clone(), Array(1L)): Unit
+        else c(0) += 1L
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size + (if (nullTf > 0) 1 else 0))
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey, e.getValue()(0))
+      j += 1
+    }
+    if (nullTf > 0)
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(null, nullTf)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private val termCountType = org.apache.spark.sql.types.ArrayType(
+    StructType(Seq(
+      StructField("term", StringType),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  private def termCountsCol(w: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.CatalystBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        IndexLake.getClass,
+        termCountType,
+        "termCounts",
+        Seq(graft.CatalystBridge.expression(w)),
+        Seq(org.apache.spark.sql.types.ArrayType(StringType)),
+        returnNullable = false))
+
   private def rows(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       Text.tokens(col(textCol)).as("w"))
     val postings = base
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-        explode(col("w")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .select(pmod(hash(col("term")), lit(nBuckets)).cast("long")
+        explode(termCountsCol(col("w"))).as("tc"))
+      .select(pmod(hash(col("tc.term")), lit(nBuckets)).cast("long")
           .as("bucket"),
-        col("term"), col("doc_id"), col("tf"), col("dl"))
+        col("tc.term").as("term"), col("doc_id"),
+        col("tc.tf").as("tf"), col("dl"))
     val doclens = base.select(lit(DoclenBucket).as("bucket"),
       lit(null).cast("string").as("term"), col("doc_id"),
       lit(0L).as("tf"), size(col("w")).cast("long").as("dl"))

@@ -325,10 +325,23 @@ object Similarity {
     */
   private def writeDriftBaseline(spark: org.apache.spark.sql.SparkSession,
       dataDir: String, centroids: Array[Float], dim: Int,
+      sampleN: Int = 2048): Unit =
+    writeDriftBaselineFrom(spark, dataDir,
+      spark.read.parquet(dataDir)
+        .select(col("id").cast("long").as("id"),
+          col("vec").cast("array<float>").as("vec")),
+      centroids, dim, sampleN)
+
+  /** [[writeDriftBaseline]] over a caller-supplied (id, vec) frame —
+    * the write path hands its own source frame here (row-identical to
+    * the lake it just wrote) so the baseline costs one TakeOrdered over
+    * data already flowing, not a full read-back of the fresh lake.
+    */
+  private def writeDriftBaselineFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, data: DataFrame, centroids: Array[Float], dim: Int,
       sampleN: Int = 2048): Unit = {
-    val held = spark.read.parquet(dataDir)
-      .select(col("id").cast("long").as("id"),
-        col("vec").cast("array<float>").as("vec"))
+    val held = data
       .orderBy(hash(col("id")), col("id")).limit(sampleN)
       .collect().map(_.getSeq[Float](1).toArray) // bounded: sampleN×dim
     writeIvfStats(spark, dataDir,
@@ -392,8 +405,9 @@ object Similarity {
     // write small-files failure). Hash-clustering on cell makes each
     // cell's rows land in exactly one task → one file per cell; widen
     // with repartition(N, cell) if single cells outgrow a file.
-    corpus.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("vec"))
+    val data = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    data
       .withColumn("cell",
         graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
       .repartition(col("cell"))
@@ -405,8 +419,13 @@ object Similarity {
       .toDF("cell_id", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(lakeDir + "/_ivf_centroids")
     // the drift baseline, measured the way the probe measures (a
-    // hash-spread sample of the written lake — not the training sample)
-    writeDriftBaseline(spark, lakeDir, centroids, dim)
+    // hash-spread TakeOrdered sample, same population and selection
+    // scheme) — sampled from the SOURCE frame the write just persisted
+    // (identical (id, vec) row set, so the selected sample rows are
+    // identical) instead of re-reading the whole written lake back: at
+    // scale the read-back was a second full pass over everything the
+    // write just produced
+    writeDriftBaselineFrom(spark, lakeDir, data, centroids, dim)
     cells
   }
 
@@ -447,6 +466,15 @@ object Similarity {
     }
   }
 
+  // centroid sidecars keyed by CONTENT identity (concrete part files +
+  // (mtime, length)): a search/append/delete sequence over one lake
+  // re-reads identical frozen centroids several times per operation —
+  // memoize the collect. A rewritten sidecar (fresh lake in a reused
+  // dir, recluster generation swap) changes the key, so staleness is
+  // impossible; bounded.
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+
   /** The `_ivf_centroids` sidecar as the flat cell-major float array
     * every IVF reader/writer indexes by `cell_id * dim`.
     */
@@ -455,6 +483,14 @@ object Similarity {
     val files = sidecarFiles(spark,
       ivfDataDir(spark, lakeDir) + "/_ivf_centroids")
     require(files.nonEmpty, s"no _ivf_centroids sidecar under $lakeDir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = files.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f@${st.getModificationTime}:${st.getLen}"
+    }.mkString("|") + s"#$dim"
+    val hit = centroidCache.get(key)
+    if (hit != null) return hit
     val cents = spark.read.parquet(files: _*).collect()
     val flat = new Array[Float](cents.length * dim)
     cents.foreach { r =>
@@ -469,6 +505,8 @@ object Similarity {
       var i = 0
       while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
     }
+    if (centroidCache.size > 64) centroidCache.clear()
+    centroidCache.put(key, flat): Unit
     flat
   }
 
@@ -734,7 +772,10 @@ object Similarity {
       .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
       .toDF("cell_id", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(newGen + "/_ivf_centroids")
-    writeDriftBaseline(spark, newGen, centroids, dim)
+    // baseline from the membership frame already in hand (row-identical
+    // to the generation just written), not a read-back of it
+    writeDriftBaselineFrom(spark, newGen,
+      lake.select(col("id"), col("vec")), centroids, dim)
     val cb = sidecarFiles(spark, dataDir + "/_pq_codebooks")
     if (cb.nonEmpty)
       spark.read.parquet(cb: _*).coalesce(1)
@@ -943,7 +984,12 @@ object Similarity {
     Seq((m, ksub, codebooks.toSeq)).toDF("m", "ksub", "codebooks")
       .coalesce(1)
       .write.mode("overwrite").parquet(lakeDir + "/_pq_codebooks")
-    writeDriftBaseline(spark, lakeDir, centroids, dim)
+    // baseline from the source frame, not a full read-back (see
+    // writeIvfLake)
+    writeDriftBaselineFrom(spark, lakeDir,
+      corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec")),
+      centroids, dim)
     cells
   }
 

@@ -1755,64 +1755,70 @@ object VersionedLake {
     val files = fileEntries(fs, base, cur).map(entryPath)
     if (files.isEmpty) return (0L, 0L, 0L)
     val abs = files.map(qualified(fs, base, _))
+    // the id set feeds the matched-file scan AND the rewrite anti-join —
+    // persist once (delete-request-sized) instead of re-executing the
+    // caller's plan per consumer
     val dels = ids.select(col(ids.columns.head).as(idCol)).distinct()
-    // bounded: one row per AFFECTED file (id + metadata column only)
-    val hits = spark.read.parquet(abs: _*)
-      .select(col(idCol), col("_metadata.file_path").as("__file"))
-      .join(dels, Seq(idCol))
-      .groupBy("__file").agg(count(lit(1)).as("n"))
-      .collect()
-    if (hits.isEmpty) return (0L, 0L, 0L)
-    val nRemoved = hits.map(_.getLong(1)).sum
-    val affectedAbs = hits.map(_.getString(0)).toSet
-    // map back to manifest-relative names: qualified-URI equality first,
-    // then a scheme-independent suffix match — `_metadata.file_path` and
-    // makeQualified can normalize the same file differently on some
-    // filesystems (authority/port form), and a relative data-dir suffix
-    // identifies a lake file unambiguously either way
-    val relByQualified = files.map(f => qualified(fs, base, f) -> f).toMap
-    val affectedRel = affectedAbs.toSeq.flatMap { abs =>
-      relByQualified.get(abs)
-        .orElse(files.find(f => abs.endsWith("/" + f)))
-    }.distinct.sorted
-    require(affectedRel.size == affectedAbs.size,
-      s"commitDelete: ${affectedAbs.size} affected file paths but " +
-        s"${affectedRel.size} resolved against the v$cur manifest — " +
-        "path qualification mismatch; aborting before any commit")
-    val cols = resolveStatsCols(spark, dir, cur, None)
-    // the rewrite reads its source files under the LAKE schema — a bare
-    // parquet read takes ONE file's footer as the schema, so rewriting
-    // an evolved lake could silently (and nondeterministically) drop
-    // evolution-added columns from the surviving rows. Header-bearing
-    // lakes pay zero footer opens; legacy lakes a churn-bounded
-    // mergeSchema union over the affected files only.
-    val rewriteSrc = schemaOf(fs, base, cur) match {
-      case Some(sc) => spark.read
-        .schema(nullableized(sc)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .parquet(affectedRel.map(qualified(fs, base, _)): _*)
-      case None => spark.read.option("mergeSchema", "true")
-        .parquet(affectedRel.map(qualified(fs, base, _)): _*)
-    }
-    // unique token dir, like appends: the version number is decided at
-    // PUBLISH (a rebase may shift it), and a crashed/aborted delete
-    // leaves only an unreferenced orphan dir for vacuum
-    val token = java.util.UUID.randomUUID().toString
-      .replace("-", "").take(12)
-    val rel = s"$DataName/m$token"
-    rewriteSrc.join(dels, Seq(idCol), "left_anti")
-      .write.mode("overwrite").parquet(s"$dir/$rel")
-    // survivor files keep their manifest ENTRIES verbatim (stats
-    // included — their bytes did not change); the rewrite's files get
-    // fresh stats under the lake's carried columns
-    val freshEntries = statEntries(spark, fs, base,
-      partFilesUnder(fs, base, rel), cols)
-    val v = publishMutation(spark, fs, base, dir, "commitDelete",
-      snapV = cur, removed = affectedRel.toSet, freshEntries,
-      mkHeaders = effCur => schemaOf(fs, base, effCur).map(schemaHeader)
-        .getOrElse(Seq.empty) ++ statsHeaders(cols),
-      beforePublish = beforePublish)
-    (v, affectedRel.size.toLong, nRemoved)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded: one row per AFFECTED file (id + metadata column only)
+      val hits = spark.read.parquet(abs: _*)
+        .select(col(idCol), col("_metadata.file_path").as("__file"))
+        .join(dels, Seq(idCol))
+        .groupBy("__file").agg(count(lit(1)).as("n"))
+        .collect()
+      if (hits.isEmpty) return (0L, 0L, 0L)
+      val nRemoved = hits.map(_.getLong(1)).sum
+      val affectedAbs = hits.map(_.getString(0)).toSet
+      // map back to manifest-relative names: qualified-URI equality first,
+      // then a scheme-independent suffix match — `_metadata.file_path` and
+      // makeQualified can normalize the same file differently on some
+      // filesystems (authority/port form), and a relative data-dir suffix
+      // identifies a lake file unambiguously either way
+      val relByQualified = files.map(f => qualified(fs, base, f) -> f).toMap
+      val affectedRel = affectedAbs.toSeq.flatMap { abs =>
+        relByQualified.get(abs)
+          .orElse(files.find(f => abs.endsWith("/" + f)))
+      }.distinct.sorted
+      require(affectedRel.size == affectedAbs.size,
+        s"commitDelete: ${affectedAbs.size} affected file paths but " +
+          s"${affectedRel.size} resolved against the v$cur manifest — " +
+          "path qualification mismatch; aborting before any commit")
+      val cols = resolveStatsCols(spark, dir, cur, None)
+      // the rewrite reads its source files under the LAKE schema — a bare
+      // parquet read takes ONE file's footer as the schema, so rewriting
+      // an evolved lake could silently (and nondeterministically) drop
+      // evolution-added columns from the surviving rows. Header-bearing
+      // lakes pay zero footer opens; legacy lakes a churn-bounded
+      // mergeSchema union over the affected files only.
+      val rewriteSrc = schemaOf(fs, base, cur) match {
+        case Some(sc) => spark.read
+          .schema(nullableized(sc)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(affectedRel.map(qualified(fs, base, _)): _*)
+        case None => spark.read.option("mergeSchema", "true")
+          .parquet(affectedRel.map(qualified(fs, base, _)): _*)
+      }
+      // unique token dir, like appends: the version number is decided at
+      // PUBLISH (a rebase may shift it), and a crashed/aborted delete
+      // leaves only an unreferenced orphan dir for vacuum
+      val token = java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      val rel = s"$DataName/m$token"
+      rewriteSrc.join(dels, Seq(idCol), "left_anti")
+        .write.mode("overwrite").parquet(s"$dir/$rel")
+      // survivor files keep their manifest ENTRIES verbatim (stats
+      // included — their bytes did not change); the rewrite's files get
+      // fresh stats under the lake's carried columns
+      val freshEntries = statEntries(spark, fs, base,
+        partFilesUnder(fs, base, rel), cols)
+      val v = publishMutation(spark, fs, base, dir, "commitDelete",
+        snapV = cur, removed = affectedRel.toSet, freshEntries,
+        mkHeaders = effCur => schemaOf(fs, base, effCur).map(schemaHeader)
+          .getOrElse(Seq.empty) ++ statsHeaders(cols),
+        beforePublish = beforePublish)
+      (v, affectedRel.size.toLong, nRemoved)
+    } finally dels.unpersist(blocking = false): Unit
   }
 
   /** MERGE / upsert by id as a new version — the Delta `MERGE WHEN
@@ -1904,126 +1910,133 @@ object VersionedLake {
     // the lake's (stable output order); old files read them as NULL
     val newCols = updates.columns.toSeq.filterNot(lakeCols.contains)
     val outCols = lakeCols ++ newCols
+    // the updates frame feeds the dup check, the matched-file scan
+    // (via updIds), the rewrite union AND the rebase probes — persist
+    // it once (churn-sized: the MERGE's own input, spill-safe) instead
+    // of re-executing the caller's plan per consumer
     val upd = updates.select(outCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // duplicate ids in ONE updates frame have no deterministic winner —
-    // refuse them before anything is written (bounded: limit 1)
-    val dup = upd.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"commitUpsert: updates carry id ${dup.head.get(0)} more than " +
-        "once — a single MERGE source must be id-unique")
-    val updIds = upd.select(col(idCol)).distinct()
-    // bounded: one row per AFFECTED file (id + metadata column only)
-    val hits =
-      if (files.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else spark.read.parquet(files.map(qualified(fs, base, _)): _*)
-        .select(col(idCol), col("_metadata.file_path").as("__file"))
-        .join(updIds, Seq(idCol))
-        .groupBy("__file").agg(count(lit(1)).as("n"))
-        .collect()
-    val nUpdated = hits.map(_.getLong(1)).sum
-    val affectedAbs = hits.map(_.getString(0)).toSet
-    val relByQualified = files.map(f => qualified(fs, base, f) -> f).toMap
-    val affectedRel = affectedAbs.toSeq.flatMap { abs =>
-      relByQualified.get(abs)
-        .orElse(files.find(f => abs.endsWith("/" + f)))
-    }.distinct.sorted
-    require(affectedRel.size == affectedAbs.size,
-      s"commitUpsert: ${affectedAbs.size} affected file paths but " +
-        s"${affectedRel.size} resolved against the v$cur manifest — " +
-        "path qualification mismatch; aborting before any commit")
-    val cols = resolveStatsCols(spark, dir, cur, None)
-    val fresh =
-      if (affectedRel.isEmpty) upd
-      else {
-        // the affected files read under the LAKE schema (an old file
-        // predating evolution columns fills them as NULL) — with a
-        // header this is zero footer opens; the legacy sweep above
-        // already derived the union either way
-        val surv = spark.read
-          .schema(nullableized(lakeSchema)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-          .parquet(affectedRel.map(qualified(fs, base, _)): _*)
-          .join(updIds, Seq(idCol), "left_anti")
-        // evolution columns only the updates carry — project them in as
-        // typed NULLs so the union stays coercion-free
-        surv.select(outCols.map(c =>
-            if (surv.columns.contains(c)) col(c)
-            else lit(null).cast(updates.schema(c).dataType).as(c)): _*)
-          .unionByName(upd)
-      }
-    // unique token dir: the version number is decided at publish
-    val token = java.util.UUID.randomUUID().toString
-      .replace("-", "").take(12)
-    val rel = s"$DataName/m$token"
-    fresh.write.mode("overwrite").parquet(s"$dir/$rel")
-    val freshEntries = statEntries(spark, fs, base,
-      partFilesUnder(fs, base, rel), cols)
-    // this commit's schema: the lake's columns (at the lake's types)
-    // plus the evolution columns — stamped so the NEXT mutation reads
-    // it from one manifest line
-    val committedSchema = org.apache.spark.sql.types.StructType(
-      lakeSchema.fields ++ newCols.map(c =>
-        org.apache.spark.sql.types.StructField(c,
-          updates.schema(c).dataType, nullable = true)))
-    val snapSchemaHdr =
-      if (cur == 0) None else schemaOf(fs, base, cur)
-    val v = publishMutation(spark, fs, base, dir, "commitUpsert",
-      snapV = cur, removed = affectedRel.toSet, freshEntries,
-      mkHeaders = _ => extraHeaders ++ schemaHeader(committedSchema) ++
-        statsHeaders(cols),
-      onIntervening = (effCur, addedPaths) => {
-        // a racing commit that CHANGED the lake schema invalidates this
-        // upsert's projection/alignment — abort rather than guess
-        if (schemaOf(fs, base, effCur) != snapSchemaHdr)
-          throw new ConcurrentMutationException(
-            s"commitUpsert at $dir: the lake schema changed under this " +
-              "MERGE (a concurrent schema-evolving commit) — nothing " +
-              "was committed; re-run against the current version")
-        // LEGACY lake (no `#schema=` on the snapshot): the racer stamps
-        // no header either (legacy appends can't derive one without a
-        // footer sweep), so the None == None check above is blind to a
-        // racing SCHEMA-EVOLVING append. This MERGE is about to stamp a
-        // header derived from its snapshot's footer sweep — if a
-        // winner-added file carries a column that header omits, the
-        // stamp would hide the column from every header-driven read and
-        // the next rewrite would drop its data permanently. Inspect the
-        // winners' footers (churn-bounded mergeSchema union) and abort.
-        if (snapSchemaHdr.isEmpty && addedPaths.nonEmpty) {
-          val winnerCols = spark.read.option("mergeSchema", "true")
-            .parquet(addedPaths.map(qualified(fs, base, _)): _*)
-            .schema.fieldNames
-          val hidden = winnerCols.filterNot(committedSchema.fieldNames
-            .contains)
-          if (hidden.nonEmpty) throw new ConcurrentMutationException(
-            s"commitUpsert at $dir: a concurrent append added column(s) " +
-              s"${hidden.mkString(",")} this legacy-lake MERGE's schema " +
-              "header would hide — nothing was committed; re-run " +
-              "against the current version")
+    try {
+      // refuse them before anything is written (bounded: limit 1)
+      val dup = upd.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"commitUpsert: updates carry id ${dup.head.get(0)} more than " +
+          "once — a single MERGE source must be id-unique")
+      val updIds = upd.select(col(idCol)).distinct()
+      // bounded: one row per AFFECTED file (id + metadata column only)
+      val hits =
+        if (files.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else spark.read.parquet(files.map(qualified(fs, base, _)): _*)
+          .select(col(idCol), col("_metadata.file_path").as("__file"))
+          .join(updIds, Seq(idCol))
+          .groupBy("__file").agg(count(lit(1)).as("n"))
+          .collect()
+      val nUpdated = hits.map(_.getLong(1)).sum
+      val affectedAbs = hits.map(_.getString(0)).toSet
+      val relByQualified = files.map(f => qualified(fs, base, f) -> f).toMap
+      val affectedRel = affectedAbs.toSeq.flatMap { abs =>
+        relByQualified.get(abs)
+          .orElse(files.find(f => abs.endsWith("/" + f)))
+      }.distinct.sorted
+      require(affectedRel.size == affectedAbs.size,
+        s"commitUpsert: ${affectedAbs.size} affected file paths but " +
+          s"${affectedRel.size} resolved against the v$cur manifest — " +
+          "path qualification mismatch; aborting before any commit")
+      val cols = resolveStatsCols(spark, dir, cur, None)
+      val fresh =
+        if (affectedRel.isEmpty) upd
+        else {
+          // the affected files read under the LAKE schema (an old file
+          // predating evolution columns fills them as NULL) — with a
+          // header this is zero footer opens; the legacy sweep above
+          // already derived the union either way
+          val surv = spark.read
+            .schema(nullableized(lakeSchema)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .parquet(affectedRel.map(qualified(fs, base, _)): _*)
+            .join(updIds, Seq(idCol), "left_anti")
+          // evolution columns only the updates carry — project them in as
+          // typed NULLs so the union stays coercion-free
+          surv.select(outCols.map(c =>
+              if (surv.columns.contains(c)) col(c)
+              else lit(null).cast(updates.schema(c).dataType).as(c)): _*)
+            .unionByName(upd)
         }
-        // a racing APPEND that added one of this MERGE's insert ids
-        // would leave the id twice after a rebase (the one-row-per-id
-        // contract broken silently) — churn-bounded id-column scan.
-        // mergeSchema: heterogeneous/evolving racing appends are legal,
-        // so some winner files may LACK idCol — those rows read NULL
-        // (never equal to any id, non-colliding by definition); when NO
-        // winner file carries the column there is nothing to probe.
-        if (addedPaths.nonEmpty) {
-          val winners = spark.read.option("mergeSchema", "true")
-            .parquet(addedPaths.map(qualified(fs, base, _)): _*)
-          if (winners.columns.contains(idCol)) {
-            val clash = winners
-              .select(col(idCol)).join(updIds, Seq(idCol))
-              .limit(1).collect() // bounded: limit 1
-            if (clash.nonEmpty) throw new ConcurrentMutationException(
-              s"commitUpsert at $dir: a concurrent commit added id " +
-                s"${clash.head.get(0)} that this MERGE also carries — a " +
-                "rebase would duplicate the id; nothing was committed")
+      // unique token dir: the version number is decided at publish
+      val token = java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      val rel = s"$DataName/m$token"
+      fresh.write.mode("overwrite").parquet(s"$dir/$rel")
+      val freshEntries = statEntries(spark, fs, base,
+        partFilesUnder(fs, base, rel), cols)
+      // this commit's schema: the lake's columns (at the lake's types)
+      // plus the evolution columns — stamped so the NEXT mutation reads
+      // it from one manifest line
+      val committedSchema = org.apache.spark.sql.types.StructType(
+        lakeSchema.fields ++ newCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            updates.schema(c).dataType, nullable = true)))
+      val snapSchemaHdr =
+        if (cur == 0) None else schemaOf(fs, base, cur)
+      val v = publishMutation(spark, fs, base, dir, "commitUpsert",
+        snapV = cur, removed = affectedRel.toSet, freshEntries,
+        mkHeaders = _ => extraHeaders ++ schemaHeader(committedSchema) ++
+          statsHeaders(cols),
+        onIntervening = (effCur, addedPaths) => {
+          // a racing commit that CHANGED the lake schema invalidates this
+          // upsert's projection/alignment — abort rather than guess
+          if (schemaOf(fs, base, effCur) != snapSchemaHdr)
+            throw new ConcurrentMutationException(
+              s"commitUpsert at $dir: the lake schema changed under this " +
+                "MERGE (a concurrent schema-evolving commit) — nothing " +
+                "was committed; re-run against the current version")
+          // LEGACY lake (no `#schema=` on the snapshot): the racer stamps
+          // no header either (legacy appends can't derive one without a
+          // footer sweep), so the None == None check above is blind to a
+          // racing SCHEMA-EVOLVING append. This MERGE is about to stamp a
+          // header derived from its snapshot's footer sweep — if a
+          // winner-added file carries a column that header omits, the
+          // stamp would hide the column from every header-driven read and
+          // the next rewrite would drop its data permanently. Inspect the
+          // winners' footers (churn-bounded mergeSchema union) and abort.
+          if (snapSchemaHdr.isEmpty && addedPaths.nonEmpty) {
+            val winnerCols = spark.read.option("mergeSchema", "true")
+              .parquet(addedPaths.map(qualified(fs, base, _)): _*)
+              .schema.fieldNames
+            val hidden = winnerCols.filterNot(committedSchema.fieldNames
+              .contains)
+            if (hidden.nonEmpty) throw new ConcurrentMutationException(
+              s"commitUpsert at $dir: a concurrent append added column(s) " +
+                s"${hidden.mkString(",")} this legacy-lake MERGE's schema " +
+                "header would hide — nothing was committed; re-run " +
+                "against the current version")
           }
-        }
-      },
-      beforePublish = beforePublish)
-    (v, affectedRel.size.toLong, nUpdated)
+          // a racing APPEND that added one of this MERGE's insert ids
+          // would leave the id twice after a rebase (the one-row-per-id
+          // contract broken silently) — churn-bounded id-column scan.
+          // mergeSchema: heterogeneous/evolving racing appends are legal,
+          // so some winner files may LACK idCol — those rows read NULL
+          // (never equal to any id, non-colliding by definition); when NO
+          // winner file carries the column there is nothing to probe.
+          if (addedPaths.nonEmpty) {
+            val winners = spark.read.option("mergeSchema", "true")
+              .parquet(addedPaths.map(qualified(fs, base, _)): _*)
+            if (winners.columns.contains(idCol)) {
+              val clash = winners
+                .select(col(idCol)).join(updIds, Seq(idCol))
+                .limit(1).collect() // bounded: limit 1
+              if (clash.nonEmpty) throw new ConcurrentMutationException(
+                s"commitUpsert at $dir: a concurrent commit added id " +
+                  s"${clash.head.get(0)} that this MERGE also carries — a " +
+                  "rebase would duplicate the id; nothing was committed")
+            }
+          }
+        },
+        beforePublish = beforePublish)
+      (v, affectedRel.size.toLong, nUpdated)
+    } finally upd.unpersist(blocking = false): Unit
   }
 
   /** Exactly-once streaming MERGE: commit micro-batch `batchId`'s

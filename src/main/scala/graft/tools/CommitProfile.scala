@@ -20,6 +20,8 @@ object CommitProfile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.cache.maxEntries", 10000)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("COMMIT_PROFILE_LIST_THRESHOLD", "32"))
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
@@ -100,6 +102,57 @@ object CommitProfile {
           docs.filter(col("doc_id") % 6 === m)
             .select(col("doc_id"), col("text")),
           statsCol = if (m == 0) Some("doc_id") else None)
+      }
+    }
+    // the q184 IVF-sync sequence, phase by phase
+    if (sys.env.get("COMMIT_PROFILE_IVF").contains("1")) {
+      import graft.sinks.VersionedLake
+      import graft.operators.Similarity
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      emb.count(): Unit
+      val qs = emb.filter(col("vec_id") < 10)
+      val scratch = graft.Tables.freshScratchDir("graft_profivf_", sfDir)
+      val lakeDir = s"$scratch/lake"
+      val ivfDir = s"$scratch/ivf"
+      val base = emb.filter(col("vec_id") % 7 =!= 6)
+        .select(col("vec_id"), col("embedding"))
+      phase("emb commitAppend") {
+        VersionedLake.commitAppend(spark, lakeDir, base)
+      }
+      phase("writeIvfLake") {
+        Similarity.writeIvfLake(VersionedLake.read(spark, lakeDir), ivfDir,
+          "vec_id", "embedding", dim = 64, nCells = 64)
+      }
+      val updates = emb.as("a")
+        .join(emb.as("b"), col("a.vec_id") - 1 === col("b.vec_id"))
+        .filter(col("a.vec_id") % 9 === 5 && col("a.vec_id") % 7 =!= 6)
+        .select(col("a.vec_id").as("vec_id"),
+          col("b.embedding").as("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 7 === 6)
+          .select(col("vec_id"), col("embedding")))
+      phase("commitUpsert") {
+        VersionedLake.commitUpsert(spark, lakeDir, "vec_id", updates)
+      }
+      phase("commitDelete") {
+        VersionedLake.commitDelete(spark, lakeDir, "vec_id",
+          emb.filter(col("vec_id") % 11 === 3).select("vec_id"))
+      }
+      val feed = phase("changesBetween (lazy)") {
+        VersionedLake.changesBetween(spark, lakeDir, 1L,
+          VersionedLake.currentVersion(spark, lakeDir), "vec_id")
+      }
+      phase("applyChangesToIvf") {
+        Similarity.applyChangesToIvfLake(spark, ivfDir, feed,
+          "vec_id", "embedding", dim = 64)
+      }
+      phase("ivf search") {
+        Similarity.ivfTopKOverLake(spark, ivfDir, qs, "vec_id",
+          "embedding", dim = 64, k = 5, nProbe = 28).count()
+      }
+      phase("frozen twin") {
+        Similarity.ivfTopKFrozen(VersionedLake.read(spark, lakeDir), qs,
+          "vec_id", "embedding", dim = 64, k = 5, lakeDir = ivfDir,
+          nProbe = 28).count()
       }
     }
     spark.stop()
