@@ -275,30 +275,38 @@ object Similarity {
       flat: Array[Float], dim: Int): Double = {
     require(points.nonEmpty, "meanResidual over an empty sample")
     val k = flat.length / dim
-    var acc = 0.0
-    points.foreach { p =>
-      var n2 = 0.0
-      var i = 0
-      while (i < dim) { n2 += p(i).toDouble * p(i); i += 1 }
-      val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
-      var best = -1.0
-      var c = 0
-      while (c < k) {
-        var dot = 0.0
-        var cn2 = 0.0
-        var j = 0
-        while (j < dim) {
-          val cv = flat(c * dim + j).toDouble
-          dot += p(j) * inv * cv
-          cn2 += cv * cv
-          j += 1
+    // per-point residuals are independent pure computation — parallel
+    // (each point writes its own slot); the SUM stays sequential in
+    // point order so the persisted baseline keeps its exact bits
+    val res = new Array[Double](points.length)
+    java.util.stream.IntStream.range(0, points.length).parallel()
+      .forEach { pi =>
+        val p = points(pi)
+        var n2 = 0.0
+        var i = 0
+        while (i < dim) { n2 += p(i).toDouble * p(i); i += 1 }
+        val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+        var best = -1.0
+        var c = 0
+        while (c < k) {
+          var dot = 0.0
+          var cn2 = 0.0
+          var j = 0
+          while (j < dim) {
+            val cv = flat(c * dim + j).toDouble
+            dot += p(j) * inv * cv
+            cn2 += cv * cv
+            j += 1
+          }
+          val cos = if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)
+          if (cos > best) best = cos
+          c += 1
         }
-        val cos = if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)
-        if (cos > best) best = cos
-        c += 1
+        res(pi) = 1.0 - math.max(best, 0.0)
       }
-      acc += 1.0 - math.max(best, 0.0)
-    }
+    var acc = 0.0
+    var pi = 0
+    while (pi < points.length) { acc += res(pi); pi += 1 }
     acc / points.length
   }
 
@@ -1166,23 +1174,44 @@ object Similarity {
     var cent = Array.tabulate(k)(i =>
       if (i < init.length) pts(init(i)).clone() else pts(i % pts.length).clone())
     var it = 0
+    val assign = new Array[Int](pts.length)
     while (it < iters) {
+      // PHASE 1 — assignment: the O(pts·k·dim) dot-product scoring is
+      // pure reads against the frozen `cent`, and each point writes only
+      // its own slot, so it parallelizes with BITWISE-IDENTICAL results
+      // under any thread schedule. This was the entire driver-side
+      // training cost (one serial core while local[32] sat idle).
+      val centLocal = cent
+      java.util.stream.IntStream.range(0, pts.length).parallel()
+        .forEach { p =>
+          val pv = pts(p)
+          var best = 0
+          var bestDot = Double.MinValue
+          var c = 0
+          while (c < k) {
+            var dot = 0.0
+            var i = 0
+            while (i < dim) { dot += pv(i).toDouble * centLocal(c)(i); i += 1 }
+            if (dot > bestDot) { bestDot = dot; best = c }
+            c += 1
+          }
+          assign(p) = best
+        }
+      // PHASE 2 — accumulation, SEQUENTIAL in point order: float sums
+      // are order-sensitive, and the centroids feed persisted lake
+      // geometry and oracle-pinned recall floors — the addition order
+      // (and therefore every output bit) must stay exactly what the
+      // sequential loop produced.
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Int](k)
-      pts.foreach { p =>
-        var best = 0
-        var bestDot = Double.MinValue
-        var c = 0
-        while (c < k) {
-          var dot = 0.0
-          var i = 0
-          while (i < dim) { dot += p(i).toDouble * cent(c)(i); i += 1 }
-          if (dot > bestDot) { bestDot = dot; best = c }
-          c += 1
-        }
+      var p = 0
+      while (p < pts.length) {
+        val pv = pts(p)
+        val best = assign(p)
         var i = 0
-        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        while (i < dim) { sums(best)(i) += pv(i); i += 1 }
         counts(best) += 1
+        p += 1
       }
       cent = Array.tabulate(k) { c =>
         if (counts(c) == 0) cent(c)
@@ -1393,8 +1422,10 @@ object Similarity {
       Array.tabulate(dim)(i => (v(i) * inv).toFloat)
     }
     val out = new Array[Float](m * ksub * subDim)
-    var j = 0
-    while (j < m) {
+    // subspaces are fully independent (own seed, own input slice,
+    // disjoint output range) and each stays sequential inside — the
+    // parallel outer loop is bitwise-identical to the serial one
+    java.util.stream.IntStream.range(0, m).parallel().forEach { j =>
       val sub = normed.map(v => java.util.Arrays.copyOfRange(v,
         j * subDim, (j + 1) * subDim))
       val rnd = new scala.util.Random(seed + j)
@@ -1433,7 +1464,6 @@ object Similarity {
         System.arraycopy(cent(c), 0, out, (j * ksub + c) * subDim, subDim)
         c += 1
       }
-      j += 1
     }
     out
   }
