@@ -268,36 +268,38 @@ object IndexLake {
     // here would silently shift every score on a corpus with null text
     // and break the bit-exact index == scan contract (IndexLakeSpec
     // pins it with a null-text doc).
-    val doclens = VersionedLake.readAsOfRange(spark, dir, v,
-      DoclenBucket, DoclenBucket, Some(rowSchema))
-      .filter(col("term").isNull)
-    val stats = doclens.agg(count(lit(1)).as("n"),
-      (sum(col("dl")).cast("double") / count(col("dl"))).as("avgdl"))
     // query-term buckets (bounded by the query term count — computed
     // driver-side with the exact hash Spark's hash() evaluates, so no
     // Spark job runs before the search itself)
     val terms = queries.flatMap(_._2).distinct
     val buckets = terms.map(bucketOfTerm(_, nb)).distinct.sorted
-    // ONE pruned read across every probed bucket: the union of each
-    // bucket's admitted files (deduped — a pre-compaction file can hold
-    // several buckets), exact bucket membership re-filtered. Equivalent
-    // to the previous one-read-per-bucket union: a file holding rows of
-    // probed bucket b is always in b's admitted list (manifest stats
-    // are true min/max), and the isin filter drops any unprobed-bucket
-    // rows a shared file carries — but the scan opens each admitted
-    // file once instead of once per probed bucket it was admitted for.
-    val keptAll = buckets
-      .flatMap(b => VersionedLake.rangeFiles(spark, dir, v, b, b)._1)
-      .distinct
-    val bucketRows =
-      if (keptAll.isEmpty)
+    // ONE manifest resolution admits the doc-length region AND every
+    // probed bucket (rangeFilesMulti), and ONE pruned scan reads the
+    // union of the probed buckets' admitted files (deduped — a
+    // pre-compaction file can hold several buckets), exact bucket
+    // membership re-filtered. Equivalent to the previous
+    // one-read-per-bucket union: a file holding rows of probed bucket b
+    // is always in b's admitted list (manifest stats are true min/max),
+    // and the isin filter drops any unprobed-bucket rows a shared file
+    // carries — but each admitted file opens once, and the manifest
+    // chain resolves once instead of once per probed range.
+    val (adm, _) = VersionedLake.rangeFilesMulti(spark, dir, v,
+      (DoclenBucket, DoclenBucket) +: buckets.map(b => (b, b)))
+    def readFiles(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
       else spark.read.schema(rowSchema)
-        .parquet(keptAll.map(r =>
+        .parquet(files.map(r =>
           new org.apache.hadoop.fs.Path(dir, r).toString): _*)
-        .filter(col("bucket").isin(buckets: _*))
-    val tf = bucketRows
+    val doclens = readFiles(adm.head)
+      .filter(col("bucket") === DoclenBucket)
+      .filter(col("term").isNull)
+    val stats = doclens.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(col("dl"))).as("avgdl"))
+    val keptAll = adm.tail.flatten.distinct
+    val tf = readFiles(keptAll)
+      .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(qdf.select("term").distinct()), "term")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
     Retrieval.scoreAndRank(tf, qdf, stats, k, k1, b)

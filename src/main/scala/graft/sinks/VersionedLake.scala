@@ -2435,6 +2435,29 @@ object VersionedLake {
     (kept, entries.size.toLong)
   }
 
+  /** [[rangeFiles]] for SEVERAL bounds in ONE manifest resolution, on
+    * the FIRST stats column: `result(i)` is the admitted file list of
+    * `bounds(i)`. A multi-term index search probes one bucket range per
+    * term — resolving the version's entry list (manifest + delta chain
+    * + region files) once instead of once per range is the difference
+    * between one and several metadata round-trips per query on an
+    * object store.
+    */
+  def rangeFilesMulti(spark: SparkSession, dir: String, v: Long,
+      bounds: Seq[(Long, Long)]): (Seq[Seq[String]], Long) = {
+    val (fs, base) = fsOf(spark, dir)
+    val colIdx = 0 // the first stats column, like rangeFiles(lower, upper)
+    require(statsColsOf(spark, dir, v).nonEmpty,
+      s"version $v of $dir carries no manifest statistics — " +
+        "commitAppend(statsCol=...) enables them")
+    val entries = fileEntries(fs, base, v)
+    val adm = bounds.map { case (lower, upper) =>
+      val (lo, hi) = (svOf(lower), svOf(upper))
+      entries.filterNot(rangeDisjoint(_, colIdx, lo, hi)).map(entryPath)
+    }
+    (adm, entries.size.toLong)
+  }
+
   /** [[readAsOfRange]] on the FIRST stats column. */
   def readAsOfRange(spark: SparkSession, dir: String, v: Long,
       lower: Long, upper: Long,
