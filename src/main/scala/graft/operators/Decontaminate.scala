@@ -492,10 +492,16 @@ object Decontaminate {
   private def mergedDelta(spark: SparkSession, dir: String, m: SketchMeta,
       docs: DataFrame, textCol: String, sign: Int)
       : (DataFrame, Seq[Int]) = {
+    // materialized ONCE (eager localCheckpoint; bounded by this batch's
+    // distinct gram count — churn-sized): the frame feeds BOTH the
+    // affected-bucket collect and the merge union below, and lazily it
+    // re-ran the full doc-scan + explode + gram aggregation for each
+    // (guide §1.2 — the dominant fixed cost of every sketch mutation)
     val delta = docs
       .select(explode(gramsOf(col(textCol), m)).as("g"))
       .groupBy("g").agg((count(lit(1)) * sign).as("d"))
       .withColumn("bucket", bucketOf(col("g"), m))
+      .localCheckpoint(true)
     val affected = delta.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // bounded by nBuckets
     if (affected.isEmpty) return (null, Nil)
@@ -640,7 +646,11 @@ object Decontaminate {
         // no longer holds them, a crashed run could not recompute which
         // bloom positions still owe a decrement
         removed.write.mode("overwrite").parquet(pending.toString)
-        val nRemoved = readPending(spark, pending.toString, m).count()
+        // count from the persisted merged frame — the same rows the
+        // park just wrote; the previous read-back of the just-written
+        // parquet was a pure extra job (the crash-recovery path below
+        // still reads the park, where it is the only source)
+        val nRemoved = removed.count()
         commitGramBuckets(spark, dir, merged, affected, marker,
           nRemoved.toString)
       } finally { merged.unpersist(); () }

@@ -49,6 +49,16 @@ object Graph {
     * (24 AQE jobs × ~70–90 ms each for 3 rounds at per-round
     * materialization).
     */
+  /** Round-join strategy note (r18, measured and NOT taken): a
+    * size-gated BROADCAST of the O(nodes) rank table looked like guide
+    * §3.1 — but the interleaved A/B (tools/GraphABSweep) measured it
+    * at MORE jobs (20 vs 17) and slower walls in every paired round.
+    * The SHUFFLE_HASH round join needs no rank-side Exchange at all:
+    * the rank table leaves each round's aggregation hash-partitioned
+    * on `node`, and the alias-aware Project keeps that partitioning
+    * through the node→src rename, so the join reuses it; a broadcast
+    * only ADDS a per-round build/collect job on top.
+    */
   def pageRank(edges: DataFrame, iters: Int,
       materializeEvery: Int = 4): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
@@ -98,7 +108,9 @@ object Graph {
       // SHUFFLE_HASH on the rank side: build the hash over O(nodes/P)
       // rank rows per partition and STREAM the (much larger) edge
       // layout — a sort-merge join would re-sort the edge table every
-      // round; the rank side is the one that changes
+      // round; the rank side is the one that changes (and its agg
+      // partitioning carries through the rename — see the strategy
+      // note above: no per-round rank-side Exchange exists to remove)
       val shares = ed
         .join(ranks.hint("SHUFFLE_HASH").withColumnRenamed("node", "src"),
           "src")
@@ -139,9 +151,36 @@ object Graph {
     * `src` (the per-round join key), each round shuffles only the
     * O(nodes) label table, min() is map-side combined. Returns
     * (node, label), persisted.
+    *
+    * ROUND RECURRENCE: the round is computed as
+    * label_i(n) = min(n, min over in-neighbors m of label_{i-1}(m)) —
+    * the node's OWN ID (the static seed), not its current label, joins
+    * the aggregation. Equal to the textbook
+    * min(label_{i-1}(n), min_m label_{i-1}(m)) by path-unrolling: both
+    * sides equal min{ start id of any reverse path of length ≤ i ending
+    * at n } (the own-id row covers length 0; a path of length 1..i
+    * decomposes as last edge m→n plus a ≤ i−1 path to m). The point of
+    * the static-seed form: the LABEL table enters each round's plan
+    * exactly ONCE (the union seed is the separately-persisted node
+    * table), so chaining K rounds lazily grows the plan LINEARLY in K —
+    * the [[pageRank]] property — and intermediate rounds need no
+    * materialization barrier. The previous own-label-union form read
+    * `labels` twice per round (join input AND union seed), doubling the
+    * lineage per lazy round, which forced one persist+count action —
+    * i.e. one full driver-side job barrier — per round; round-17's
+    * driver bench measured 70% of q118's 32-core wall in exactly that
+    * per-round scheduling (8 cores beat 32 by 3.3×).
+    *
+    * `materializeEvery`: rounds between lineage-bounding
+    * materializations, as in [[pageRank]] — the plan stays ≤ K joins
+    * deep and the cached state O(nodes), while K rounds cost ONE
+    * driver-side action instead of K.
     */
-  def minLabelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def minLabelPropagation(edges: DataFrame, rounds: Int,
+      materializeEvery: Int = 4): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    require(materializeEvery >= 1,
+      s"materializeEvery=$materializeEvery must be >= 1")
     // same one-shuffle edge layout as [[pageRank]]: partition by src,
     // dedup in place (hashpartitioning(src) clusters every (src,dst))
     val e = edges.select(col("src").cast("long").as("src"),
@@ -150,34 +189,35 @@ object Graph {
       .persist()
     e.count(): Unit
     // Unlike [[pageRank]], the seed table here must carry EVERY node's
-    // own label (a dst-only node's own id participates in its min), so
-    // the full node set is required — but the src branch dedups
+    // own id (a dst-only node's id participates in its min), so the
+    // full node set is required — but the src branch dedups
     // exchange-free inside the hashpartitioning(src) layout first, so
     // the union-distinct shuffles |V|+|E| rows instead of 2|E|.
     val nodes = e.select(col("src").as("node")).distinct()
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
     var labels = nodes.withColumn("label", col("node"))
+    var lastMat: Option[DataFrame] = None
     for (i <- 1 to rounds) {
-      // one aggregation per round: min over (own label ∪ in-neighbor
-      // labels) ≡ least(own, min(neighbors)) — the own-label row seeds
-      // the group, so no-in-edge nodes need no left-join stage
-      // SHUFFLE_HASH on the label side — same reasoning as the rank
-      // join in [[pageRank]]: hash the O(nodes/P) changing side, never
-      // sort the static edge layout
+      // one aggregation per round: min over (own id ∪ in-neighbor
+      // labels) — the static own-id row seeds every node's group, so
+      // no-in-edge nodes need no left-join stage, and the changing
+      // label table feeds ONLY the join input (see the recurrence note
+      // above). SHUFFLE_HASH on the label side — same reasoning as the
+      // rank join in [[pageRank]], including the measured-and-rejected
+      // broadcast alternative (strategy note there).
       val next = e.join(labels.hint("SHUFFLE_HASH")
           .withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
-        .unionByName(labels)
+        .unionByName(nodes.withColumn("label", col("node")))
         .groupBy("node").agg(min("label").as("label"))
-        .persist()
-      // materialize per round — `labels` appears TWICE in each round's
-      // plan (join input AND union seed), so an unmaterialized lineage
-      // doubles per round (2^rounds subtrees modulo exchange reuse);
-      // persisting keeps every round one join+agg deep, O(nodes) cached
-      next.count(): Unit
-      if (i > 1) labels.unpersist(blocking = false)
-      labels = next
+      if (i % materializeEvery == 0 || i == rounds) {
+        val mat = next.persist()
+        mat.count(): Unit
+        lastMat.foreach(_.unpersist(blocking = false))
+        lastMat = Some(mat)
+        labels = mat
+      } else labels = next
     }
     val out = labels
     e.unpersist(blocking = false)

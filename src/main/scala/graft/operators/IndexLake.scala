@@ -169,20 +169,35 @@ object IndexLake {
   }
 
   // the bucket count is write-once per index dir (writeIndexLake refuses
-  // to re-init an existing lake), so one read per session suffices —
-  // every append/search otherwise pays a 2-job parquet read for a
-  // constant. Bounded: cleared when it could outgrow a long session.
+  // to re-init an existing lake), but a dir REMOVED and rebuilt at the
+  // same path within a session escapes that guard — so the memo is keyed
+  // by the meta file's CONTENT identity (part paths + mtime + length,
+  // the centroidCache pattern), not the dir path alone: a same-path
+  // rebuild with a different nBuckets changes the key and the stale
+  // count can never route a search to the wrong buckets. One driver-side
+  // listStatus per lookup replaces the 2-job Spark parquet read.
+  // Bounded: cleared when it could outgrow a long session.
   private val nBucketsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  private def metaIdentity(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$MetaName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).iterator
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(s => s"${s.getPath}@${s.getModificationTime}:${s.getLen}")
+      .toSeq.sorted.mkString("|")
+  }
+
   private def nBucketsOf(spark: SparkSession, dir: String): Int = {
-    val cached = nBucketsCache.get(dir)
+    val key = metaIdentity(spark, dir)
+    val cached = nBucketsCache.get(key)
     if (cached != null) return cached.toInt
     val r = spark.read.parquet(s"$dir/$MetaName").collect()
     require(r.length == 1, s"$dir/$MetaName must hold exactly one row")
     val n = r(0).getLong(0).toInt
     if (nBucketsCache.size > 512) nBucketsCache.clear()
-    nBucketsCache.put(dir, n): Unit
+    nBucketsCache.put(key, n): Unit
     n
   }
 
@@ -290,18 +305,23 @@ object IndexLake {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
       else spark.read.schema(rowSchema)
-        .parquet(files.map(r =>
-          new org.apache.hadoop.fs.Path(dir, r).toString): _*)
+        .parquet(VersionedLake.qualifiedFiles(spark, dir, files): _*)
     val doclens = readFiles(adm.head)
       .filter(col("bucket") === DoclenBucket)
       .filter(col("term").isNull)
     val stats = doclens.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(col("dl"))).as("avgdl"))
     val keptAll = adm.tail.flatten.distinct
+    // materialized ONCE (eager localCheckpoint; bounded by queried-term
+    // posting volume — the corpus-scan path's exact argument): tf feeds
+    // BOTH the df count and the scoring join inside scoreAndRank, and
+    // lazily each consumer re-opened and re-filtered the admitted
+    // bucket files (two pruned scans per search instead of one)
     val tf = readFiles(keptAll)
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(qdf.select("term").distinct()), "term")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      .localCheckpoint(true)
     Retrieval.scoreAndRank(tf, qdf, stats, k, k1, b)
   }
 }

@@ -93,6 +93,13 @@ object Retrieval {
     // (doc, term), so count(*) = containing docs)
     val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
+    // the (N, avgdl) scalars stay a 1-row crossJoin(broadcast(stats)):
+    // an eager driver-side collect-to-literal was MEASURED this round
+    // (r18) and reverted — it holds the job count at 14 (q121) while
+    // SERIALIZING the stats subtree (for the corpus path, a full
+    // tokenize+agg) that AQE otherwise builds as an ASYNC broadcast
+    // overlapping the scoring stages; paired runs lost ~0.3 s per
+    // search. Guide §2.6: keep independent subtrees overlapped.
     val contrib: Column =
       log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
             (col("df") + lit(0.5))) *

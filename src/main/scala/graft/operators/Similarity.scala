@@ -251,8 +251,20 @@ object Similarity {
       iters: Int, seed: Long): (Int, Array[Float], Array[Array[Float]]) = {
     val cells =
       if (nCells > 0) nCells
-      else math.min(2048L,
-        math.max(16L, 4L * math.sqrt(corpus.count().toDouble).toLong)).toInt
+      else {
+        // the auto cell count clamp(4·√n, 16, 2048) SATURATES at
+        // n = (2048/4)² = 262144, so a bounded limit-probe is provably
+        // equal to the full corpus count: for n ≤ 262144 the probe
+        // returns n exactly; for n > 262144 both clamp to 2048. The
+        // previous corpus.count() was a full pass over every file at
+        // 100 TB for a number whose value stops changing after the
+        // first 262k rows (guide §1.2: don't compute what you throw
+        // away). The probe shuffles at most 262k empty rows.
+        val probed = corpus.select(lit(1).as("one"))
+          .limit(262144).count()
+        math.min(2048L,
+          math.max(16L, 4L * math.sqrt(probed.toDouble).toLong)).toInt
+      }
     val sampN =
       if (sampleN > 0) sampleN
       else math.min(16384, math.max(2048, 8 * cells))
@@ -344,6 +356,17 @@ object Similarity {
     * the write path hands its own source frame here (row-identical to
     * the lake it just wrote) so the baseline costs one TakeOrdered over
     * data already flowing, not a full read-back of the fresh lake.
+    *
+    * CONTRACT: `data` must be a DETERMINISTIC plan (a storage scan or a
+    * pure projection of one — everything the write paths here pass),
+    * because this re-executes the frame rather than reading the written
+    * lake back. A non-deterministic corpus (rand() sampling, an
+    * unstable upstream shuffle with ties) could yield a sample that is
+    * not drawn from the persisted rows; callers with such a frame must
+    * materialize it (localCheckpoint) BEFORE the lake write and pass
+    * the materialized frame to both. The selection itself is
+    * deterministic given the row set — TakeOrdered on (hash(id), id),
+    * a total order on distinct ids.
     */
   private def writeDriftBaselineFrom(
       spark: org.apache.spark.sql.SparkSession,

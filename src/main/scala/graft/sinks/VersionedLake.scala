@@ -1247,6 +1247,13 @@ object VersionedLake {
             val st = cc.getStatistics
             if (st == null || st.getNumNulls < 0L) return None
             nn += st.getNumNulls
+            // a chunk with NO min/max but non-null rows means the writer
+            // DROPPED the stats for this group (NaN-bearing floats,
+            // >4 KB binary) — another group's valid stats would then
+            // yield too-narrow file bounds and rangeDisjoint could
+            // wrongly prune the file; only an all-null group may skip
+            if (!st.hasNonNullValue && st.getNumNulls != b.getRowCount)
+              return None
             if (st.hasNonNullValue) {
               prim.getPrimitiveTypeName match {
                 case INT32 | INT64 =>
@@ -1532,6 +1539,18 @@ object VersionedLake {
 
   private def qualified(fs: FileSystem, base: Path, rel: String): String =
     fs.makeQualified(new Path(base, rel)).toString
+
+  /** Qualify manifest-relative entries against the lake dir exactly the
+    * way every lake read does (fs.makeQualified) — callers that resolve
+    * admitted files themselves (e.g. [[graft.operators.IndexLake]]) must
+    * not hand-build `new Path(dir, rel)` strings, which can resolve
+    * differently on filesystems that normalize scheme/authority.
+    */
+  def qualifiedFiles(spark: SparkSession, dir: String,
+      rels: Seq[String]): Seq[String] = {
+    val (fs, base) = fsOf(spark, dir)
+    rels.map(qualified(fs, base, _))
+  }
 
   /** Append `df` as a new version; returns the committed version number.
     *

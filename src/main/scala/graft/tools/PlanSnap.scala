@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
 
 /** Per-query `explain("formatted")` snapshots for the optimization-round
-  * evidence trail: writes `plans/r17/<query>_<suffix>.txt` for each named
-  * query, under the exact Bench session conf.
+  * evidence trail: writes `plans/r18/<query>_<suffix>.txt` (dir
+  * overridable via $PLAN_SNAP_DIR) for each named query, under the
+  * exact Bench session conf.
   *
   * Usage: sbt "runMain graft.tools.PlanSnap before q122_ann_lake q162_..."
   */
@@ -29,7 +30,8 @@ object PlanSnap {
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val outDir = Paths.get("plans/r17")
+    val outDir = Paths.get(
+      sys.env.getOrElse("PLAN_SNAP_DIR", "plans/r18"))
     Files.createDirectories(outDir): Unit
     for (name <- names) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)

@@ -61,6 +61,28 @@ class GraphSpec extends AnyFunSuite {
       3L -> 3L, 7L -> 3L, 8L -> 3L), s"got $out")
   }
 
+  test("label propagation: identical labels at every materialization " +
+      "cadence (the static-seed recurrence is cadence-independent)") {
+    import spark.implicits._
+    // asymmetric digraph: a 6-chain (labels flow one hop per round, so
+    // 5 rounds do NOT converge it), a cycle, a dst-only sink and a
+    // src-only source — every seed/union edge case at once
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (14L, 15L), (20L, 21L), (21L, 20L), (30L, 31L), (32L, 31L),
+      (40L, 41L)).toDF("src", "dst")
+    def run(every: Int): Map[Long, Long] =
+      Graph.minLabelPropagation(edges, rounds = 5,
+        materializeEvery = every).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lazyAll = run(100) // one action, 5 lazy rounds
+    assert(lazyAll === run(1), "per-round materialization must not " +
+      "change a single label")
+    assert(lazyAll === run(2))
+    assert(lazyAll(15L) === 10L && lazyAll(14L) === 10L &&
+      lazyAll(31L) === 30L && lazyAll(41L) === 40L &&
+      lazyAll(20L) === 20L && lazyAll(21L) === 20L, s"got $lazyAll")
+  }
+
   test("ranks are bit-identical across adversarial partitionings") {
     val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val l = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")

@@ -262,4 +262,56 @@ class TypedStatsSpec extends AnyFunSuite {
       "seed + huge-string files prune by their string mins; only the " +
         "alpha-holding file admits")
   }
+
+  test("multi-row-group file with stats dropped in ONE group (NaN) " +
+      "falls back to the scan — bounds cover every group's rows") {
+    val dir = fresh("tstat_multirg_")
+    // v1 anchors (region refs) — commit a throwaway v1 so the probed
+    // version is a delta whose entry sits inline in the manifest body
+    VersionedLake.commitAppend(spark, dir,
+      Seq((1000L, 1.6)).toDF("id", "d").repartition(1),
+      statsCol = Some("d")): Unit
+    // force several row groups per file: tiny block size, and >100 rows
+    // (parquet-mr only checks the group size every 100 records)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", "1024")
+    try {
+      // group 1 (first ~100 rows): holds a NaN AND the value 100.0 —
+      // parquet drops min/max for the NaN-bearing group but its rows
+      // are NOT all-null; later groups carry valid stats in [1.5, 2.0].
+      // A footer path that skips the statless group would emit
+      // max=2.0 and a [50, 200] range read would silently prune the
+      // file holding 100.0.
+      val rows = (0 until 300).map { i =>
+        val d = if (i == 0) Double.NaN
+                else if (i == 1) 100.0
+                else 1.5 + (i % 2) * 0.5
+        (i.toLong, d)
+      }
+      VersionedLake.commitAppend(spark, dir,
+        rows.toDF("id", "d").repartition(1), statsCol = Some("d")): Unit
+    } finally {
+      if (oldBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", oldBlock)
+    }
+    // the file must have ended up multi-row-group, or this pins nothing
+    val dataFile = manifestBody(dir, 2L).head.split('\t')(0)
+    val p = new org.apache.hadoop.fs.Path(dir, dataFile)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      p, spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val nGroups = try r.getFooter.getBlocks.size finally r.close()
+    assert(nGroups > 1, s"expected a multi-row-group file (got $nGroups)")
+    // manifest bounds must reflect the SCAN fallback (NaN-as-largest
+    // max), covering the statless group's 100.0 row
+    val f2 = manifestBody(dir, 2L).head.split('\t')
+    assert(f2(2) === "fNaN",
+      s"scan-fallback max must be NaN-as-largest (got ${f2(2)}) — a " +
+        "footer max of f2.0 means the statless group was skipped")
+    val got = VersionedLake.readAsOfRangeOn(spark, dir, 2L,
+      "d", 50.0, 200.0).select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L),
+      "the [50,200] range read must admit the file and find 100.0")
+  }
 }
