@@ -584,28 +584,34 @@ object Dedup {
       stateDir: String, ids: DataFrame): Long = {
     import org.apache.hadoop.fs.Path
     val idc = ids.columns.head
+    // the id set feeds the removed-count semi-join AND the rewrite
+    // anti-join — persist once (delete-request-sized) instead of
+    // re-executing the caller's plan per consumer
     val dels = ids.select(col(idc).as("corpus_id")).distinct()
-    // a previous takedown killed between swapDirs' two renames parked
-    // the state whole at the backup name — restore before reading
-    graft.sinks.Lake.recoverSwap(
-      new Path(stateDir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration),
-      new Path(stateDir), new Path(stateDir + ".takedown_backup"))
-    val state = spark.read.parquet(stateDir)
-    // no broadcast hint: a takedown set is usually tiny (AQE will
-    // broadcast it), but a court-ordered bulk removal need not be —
-    // the join must survive either way
-    val removed = state.join(dels, Seq("corpus_id"), "left_semi")
-      .count()
-    if (removed == 0L) return 0L
-    val tmp = stateDir + ".takedown_tmp"
-    state.join(dels, Seq("corpus_id"), "left_anti")
-      .write.mode("overwrite").parquet(tmp)
-    val live = new Path(stateDir)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sinks.Lake.swapDirs(fs, live, new Path(tmp),
-      new Path(stateDir + ".takedown_backup"))
-    removed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a previous takedown killed between swapDirs' two renames parked
+      // the state whole at the backup name — restore before reading
+      graft.sinks.Lake.recoverSwap(
+        new Path(stateDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        new Path(stateDir), new Path(stateDir + ".takedown_backup"))
+      val state = spark.read.parquet(stateDir)
+      // no broadcast hint: a takedown set is usually tiny (AQE will
+      // broadcast it), but a court-ordered bulk removal need not be —
+      // the join must survive either way
+      val removed = state.join(dels, Seq("corpus_id"), "left_semi")
+        .count()
+      if (removed == 0L) return 0L
+      val tmp = stateDir + ".takedown_tmp"
+      state.join(dels, Seq("corpus_id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp)
+      val live = new Path(stateDir)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.sinks.Lake.swapDirs(fs, live, new Path(tmp),
+        new Path(stateDir + ".takedown_backup"))
+      removed
+    } finally dels.unpersist(blocking = false): Unit
   }
 
   /** Near-duplicate pairs between a small delta and an ALREADY-PREPPED

@@ -107,6 +107,13 @@ object Mixing {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("weight_micro",
         round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    // BOUNDED-CARDINALITY window: the frame below `counts` is one row
+    // per DOMAIN (the pre-aggregated mixture groups — tens, not rows),
+    // so the unpartitioned window serializing through one task is a
+    // few-row reduction, not a data-path sort. If domains ever became
+    // high-cardinality, replace with a two-level aggregate (sum to a
+    // scalar, broadcast back) — flagged by the r17 verdict, documented
+    // here because the window is correct ONLY under this invariant.
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,

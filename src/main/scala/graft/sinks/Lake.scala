@@ -169,46 +169,54 @@ object Lake {
     def promote(leafNames: Seq[String]): Unit =
       promoteLeaves(fs, path, tmp, leafNames)
     recoverLeafCommit(fs, path, tmp)
+    // the id set feeds the affected-partition scan AND the rewrite
+    // anti-join — persist once (delete-request-sized) instead of
+    // re-executing the caller's plan per consumer (the
+    // VersionedLake.commitDelete discipline)
     val dels = ids.select(col(ids.columns.head).as(idCol)).distinct()
-    val lake = read(spark, dir)
-    // bounded: one row per AFFECTED partition value (id + partition
-    // column only — the partition value comes from the directory
-    // layout, so no data column beyond the id is ever decoded)
-    val affected = lake.select(col(idCol), col(partCol))
-      .join(dels, Seq(idCol))
-      .groupBy(col(partCol)).agg(count(lit(1)).as("n"))
-      .collect()
-    if (affected.isEmpty) return (0L, 0L)
-    require(affected.forall(!_.isNullAt(0)),
-      s"deleteIds: deleted ids found under a NULL $partCol partition — " +
-        "unsupported layout; re-key the lake before takedown")
-    val removed = affected.map(_.getLong(1)).sum
-    val affectedStr = affected.map(_.get(0).toString).toSet
-    val prefix = partCol + "="
-    val affectedNames = fs.listStatus(path)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .map(_.getPath.getName)
-      .filter(n => affectedStr.contains(unescapePathName(n.drop(prefix.length))))
-      .toSeq.sorted
-    require(affectedNames.size == affectedStr.size,
-      s"deleteIds: ${affectedStr.size} affected partition values but " +
-        s"${affectedNames.size} matching leaf dirs under $dir — partition " +
-        "value encoding mismatch; aborting before any delete")
-    val affectedVals = affected.map(_.get(0)).toSeq
-    lake.filter(col(partCol).isin(affectedVals: _*))
-      .join(dels, Seq(idCol), "left_anti")
-      .repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
-    // fully-deleted partitions produced no tmp leaf: give them an
-    // explicit empty replacement so promote/recovery stay uniform
-    affectedNames.foreach { name =>
-      val leaf = new Path(tmp, name)
-      if (!fs.exists(leaf)) require(fs.mkdirs(leaf),
-        s"deleteIds: could not create empty replacement $leaf")
-    }
-    writeNameManifest(fs, tmp, affectedNames) // the commit point
-    promote(affectedNames)
-    (affectedNames.size.toLong, removed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lake = read(spark, dir)
+      // bounded: one row per AFFECTED partition value (id + partition
+      // column only — the partition value comes from the directory
+      // layout, so no data column beyond the id is ever decoded)
+      val affected = lake.select(col(idCol), col(partCol))
+        .join(dels, Seq(idCol))
+        .groupBy(col(partCol)).agg(count(lit(1)).as("n"))
+        .collect()
+      if (affected.isEmpty) return (0L, 0L)
+      require(affected.forall(!_.isNullAt(0)),
+        s"deleteIds: deleted ids found under a NULL $partCol partition — " +
+          "unsupported layout; re-key the lake before takedown")
+      val removed = affected.map(_.getLong(1)).sum
+      val affectedStr = affected.map(_.get(0).toString).toSet
+      val prefix = partCol + "="
+      val affectedNames = fs.listStatus(path)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .map(_.getPath.getName)
+        .filter(n =>
+          affectedStr.contains(unescapePathName(n.drop(prefix.length))))
+        .toSeq.sorted
+      require(affectedNames.size == affectedStr.size,
+        s"deleteIds: ${affectedStr.size} affected partition values but " +
+          s"${affectedNames.size} matching leaf dirs under $dir — " +
+          "partition value encoding mismatch; aborting before any delete")
+      val affectedVals = affected.map(_.get(0)).toSeq
+      lake.filter(col(partCol).isin(affectedVals: _*))
+        .join(dels, Seq(idCol), "left_anti")
+        .repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+      // fully-deleted partitions produced no tmp leaf: give them an
+      // explicit empty replacement so promote/recovery stay uniform
+      affectedNames.foreach { name =>
+        val leaf = new Path(tmp, name)
+        if (!fs.exists(leaf)) require(fs.mkdirs(leaf),
+          s"deleteIds: could not create empty replacement $leaf")
+      }
+      writeNameManifest(fs, tmp, affectedNames) // the commit point
+      promote(affectedNames)
+      (affectedNames.size.toLong, removed)
+    } finally dels.unpersist(blocking = false): Unit
   }
 
   /** Promote a committed leaf-rewrite: each listed name under `tmp`

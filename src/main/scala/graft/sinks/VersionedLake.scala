@@ -1771,15 +1771,37 @@ object VersionedLake {
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
     require(cur > 0, s"commitDelete on an empty lake at $dir")
-    val files = fileEntries(fs, base, cur).map(entryPath)
+    val entries = fileEntries(fs, base, cur)
+    val files = entries.map(entryPath)
     if (files.isEmpty) return (0L, 0L, 0L)
-    val abs = files.map(qualified(fs, base, _))
     // the id set feeds the matched-file scan AND the rewrite anti-join —
     // persist once (delete-request-sized) instead of re-executing the
     // caller's plan per consumer
     val dels = ids.select(col(ids.columns.head).as(idCol)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // MANIFEST-STATS CANDIDATE SKIP — same discipline as
+      // [[upsertCore]]: with stats on the id column, files provably
+      // disjoint from the delete set's id range never enter the
+      // matched-file scan (the range probe is one tiny aggregation
+      // over the persisted id set, and only runs when the lake
+      // carries id stats at all)
+      val statCols = resolveStatsCols(spark, dir, cur, None)
+      val idStatIdx = statCols.indexOf(idCol)
+      val candidates =
+        if (idStatIdx < 0) files
+        else {
+          val mm = dels.agg(min(col(idCol)).as("lo"),
+            max(col(idCol)).as("hi")).head()
+          if (mm.isNullAt(0)) Seq.empty[String] // no non-NULL delete ids
+          else scala.util.Try {
+            val (lo, hi) = (svOf(mm.get(0)), svOf(mm.get(1)))
+            entries.filterNot(rangeDisjoint(_, idStatIdx, lo, hi))
+              .map(entryPath)
+          }.getOrElse(files) // an un-encodable id type never prunes
+        }
+      if (candidates.isEmpty) return (0L, 0L, 0L)
+      val abs = candidates.map(qualified(fs, base, _))
       // bounded: one row per AFFECTED file (id + metadata column only)
       val hits = spark.read.parquet(abs: _*)
         .select(col(idCol), col("_metadata.file_path").as("__file"))
@@ -1803,7 +1825,7 @@ object VersionedLake {
         s"commitDelete: ${affectedAbs.size} affected file paths but " +
           s"${affectedRel.size} resolved against the v$cur manifest — " +
           "path qualification mismatch; aborting before any commit")
-      val cols = resolveStatsCols(spark, dir, cur, None)
+      val cols = statCols // resolved once above, for the candidate skip
       // the rewrite reads its source files under the LAKE schema — a bare
       // parquet read takes ONE file's footer as the schema, so rewriting
       // an evolved lake could silently (and nondeterministically) drop
@@ -1890,9 +1912,10 @@ object VersionedLake {
       beforePublish: () => Unit = () => ()): (Long, Long, Long) = {
     val (fs, base) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
-    val files =
-      if (cur == 0) Seq.empty
-      else fileEntries(fs, base, cur).map(entryPath)
+    val entries =
+      if (cur == 0) Seq.empty[String]
+      else fileEntries(fs, base, cur)
+    val files = entries.map(entryPath)
     // the lake's schema: the `#schema=` manifest header when the lake
     // carries one (one manifest line — the hot-path O(files) footer
     // sweep this header exists to remove), else the LEGACY fallback —
@@ -1937,17 +1960,48 @@ object VersionedLake {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // duplicate ids in ONE updates frame have no deterministic winner —
     try {
-      // refuse them before anything is written (bounded: limit 1)
-      val dup = upd.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"commitUpsert: updates carry id ${dup.head.get(0)} more than " +
+      // ONE probe aggregation refuses them before anything is written
+      // AND yields the updates' id range for free: max_by(id, n) names
+      // an offending id when one exists (the old limit-1 scan was a
+      // separate action), min/max feed the manifest-stats candidate
+      // skip below. min/max/max_by ignore NULL ids — correct for the
+      // range (a NULL id joins nothing) — while the dup refusal still
+      // fires on a doubled NULL via maxn.
+      val probe = upd.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("maxn"),
+          max_by(col(idCol), col("n")).as("dupid"),
+          min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+        .head()
+      val maxn = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+      require(maxn <= 1L,
+        s"commitUpsert: updates carry id ${probe.get(1)} more than " +
           "once — a single MERGE source must be id-unique")
+      val cols = resolveStatsCols(spark, dir, cur, None)
+      // MANIFEST-STATS CANDIDATE SKIP (the Iceberg MERGE discipline):
+      // when the lake carries stats on the id column, files whose
+      // (min, max) provably cannot hold ANY update id never enter the
+      // matched-file scan — at 100 TB the scan reads the id column of
+      // the candidate files only, not of every file in the version.
+      // Conservative by construction: rangeDisjoint prunes only on a
+      // provable miss (no stats / foreign kind ⇒ candidate), so the
+      // affected set is identical. NULL lo/hi (empty or all-NULL-id
+      // updates) means no id can match anywhere: zero candidates, the
+      // scan is skipped outright.
+      val idStatIdx = cols.indexOf(idCol)
+      val candidates =
+        if (files.isEmpty) files
+        else if (probe.isNullAt(2)) Seq.empty[String]
+        else if (idStatIdx < 0) files
+        else scala.util.Try {
+          val (lo, hi) = (svOf(probe.get(2)), svOf(probe.get(3)))
+          entries.filterNot(rangeDisjoint(_, idStatIdx, lo, hi))
+            .map(entryPath)
+        }.getOrElse(files) // an un-encodable id type never prunes
       val updIds = upd.select(col(idCol)).distinct()
       // bounded: one row per AFFECTED file (id + metadata column only)
       val hits =
-        if (files.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else spark.read.parquet(files.map(qualified(fs, base, _)): _*)
+        if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else spark.read.parquet(candidates.map(qualified(fs, base, _)): _*)
           .select(col(idCol), col("_metadata.file_path").as("__file"))
           .join(updIds, Seq(idCol))
           .groupBy("__file").agg(count(lit(1)).as("n"))
@@ -1963,7 +2017,6 @@ object VersionedLake {
         s"commitUpsert: ${affectedAbs.size} affected file paths but " +
           s"${affectedRel.size} resolved against the v$cur manifest — " +
           "path qualification mismatch; aborting before any commit")
-      val cols = resolveStatsCols(spark, dir, cur, None)
       val fresh =
         if (affectedRel.isEmpty) upd
         else {

@@ -93,13 +93,16 @@ object CommitProfile {
         .count()
     }
     // plain lake appends too (the q191/q196/q200 shape): small frames,
-    // stats on one long column
+    // stats on one long column. COMMIT_PROFILE_PLAIN sets the commit
+    // count (26+ shows the q201-class long-history tail: anchor writes
+    // at v10/v20, checkpoint rewrites trailing them)
+    val nPlain = sys.env.getOrElse("COMMIT_PROFILE_PLAIN", "6").toInt
     val dir2 = graft.Tables.freshScratchDir("graft_profcommit_", sfDir)
       .toString + "/lake"
-    (0 until 6).foreach { m =>
+    (0 until nPlain).foreach { m =>
       phase(s"plain append $m") {
         graft.sinks.VersionedLake.commitAppend(spark, dir2,
-          docs.filter(col("doc_id") % 6 === m)
+          docs.filter(col("doc_id") % nPlain === m)
             .select(col("doc_id"), col("text")),
           statsCol = if (m == 0) Some("doc_id") else None)
       }

@@ -15,6 +15,7 @@ object FooterProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("sweep")) { sweep(spark); return }
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("footerprobe")
     val out = dir.resolve("t").toString
@@ -65,6 +66,84 @@ object FooterProbe {
       min(unix_micros($"ts")), max(unix_micros($"ts")),
       min($"somenull"), max($"somenull"))
     agg.collect().foreach(r => println("scan: " + r))
+    spark.stop()
+  }
+
+  /** Round-18 evidence sweep (the r17 verdict's "prove the fallback at
+    * scale" item, at the largest SF this sandbox carries): commits one
+    * 20k-row multi-file frame per stats-carrying TYPE MIX and counts
+    * the Spark jobs each commit launches. The footer fast path derives
+    * manifest stats driver-side, so a fast-path commit is exactly ONE
+    * job (the write); a scan-fallback commit launches the extra
+    * stats-aggregation job(s). Expected: every clean mix (long, string,
+    * double, float, decimal, UTC-micros timestamp, some-null, all-null)
+    * hits the fast path; NaN-bearing float/double and >4 KB strings
+    * fall back — the cases whose byte equality TypedStatsSpec pins.
+    */
+  private def sweep(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    @volatile var jobs = 0
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobs += 1
+      })
+    val base = java.nio.file.Files
+      .createTempDirectory("footerprobe_sweep_").toString
+    val n = 20000
+    val ids = spark.range(n.toLong)
+    def commitJobs(tag: String, df: DataFrame,
+        statsCol: Option[String]): Int = {
+      Thread.sleep(60)
+      val dir = s"$base/$tag"
+      val j0 = jobs
+      graft.sinks.VersionedLake.commitAppend(spark, dir,
+        df.repartition(4), statsCol = statsCol): Unit
+      Thread.sleep(60)
+      jobs - j0
+    }
+    // the write itself costs a fixed number of jobs (repartition +
+    // write stages) — measure it with NO stats requested, so the
+    // fast-path/fallback call is relative, not a guessed constant
+    val writeOnly = commitJobs("baseline_nostats",
+      ids.select(col("id"), (col("id") * 3).as("v")), None)
+    println(s"[footersweep] write-only baseline: $writeOnly jobs")
+    def commitAndCount(tag: String, df: DataFrame,
+        statsCol: String): Unit = {
+      val used = commitJobs(tag, df, Some(statsCol))
+      val path = if (used <= writeOnly) "FAST (footers)"
+        else s"SCAN fallback (+${used - writeOnly} jobs)"
+      println(f"[footersweep] $tag%-22s jobs=$used%2d  $path")
+    }
+    commitAndCount("long", ids.select(col("id"),
+      (col("id") * 3).as("v")), "v")
+    commitAndCount("string", ids.select(col("id"),
+      concat(lit("s"), col("id")).as("v")), "v")
+    commitAndCount("double", ids.select(col("id"),
+      (col("id") * 1.5).as("v")), "v")
+    commitAndCount("float", ids.select(col("id"),
+      (col("id") * 1.5).cast("float").as("v")), "v")
+    commitAndCount("decimal", ids.select(col("id"),
+      (col("id") * 1.5).cast("decimal(20,4)").as("v")), "v")
+    commitAndCount("timestamp", ids.select(col("id"),
+      timestamp_micros(col("id") * 1000000L).as("v")), "v")
+    commitAndCount("somenull_string", ids.select(col("id"),
+      when(col("id") % 3 === 0, concat(lit("s"), col("id")))
+        .as("v")), "v")
+    commitAndCount("allnull_decimal", ids.select(col("id"),
+      lit(null).cast("decimal(20,4)").as("v")), "v")
+    commitAndCount("multi_col", ids.select(col("id"),
+      concat(lit("s"), col("id")).as("a"), (col("id") * 2).as("b"),
+      (col("id") * 0.5).as("c")), "a,b,c")
+    // the documented fallbacks
+    commitAndCount("nan_double", ids.select(col("id"),
+      when(col("id") === 7, lit(Double.NaN))
+        .otherwise(col("id") * 1.5).as("v")), "v")
+    commitAndCount("huge_string", ids.select(col("id"),
+      when(col("id") === 7, lit("ÿ" * 3000))
+        .otherwise(concat(lit("s"), col("id"))).as("v")), "v")
     spark.stop()
   }
 }

@@ -47,7 +47,99 @@ object MaintScaleProfile {
     if (want("zorder3")) zOrder3Lake(spark)
     if (want("meta")) metaLake(spark)
     if (want("metascale")) metaScale(spark)
+    if (want("upsertskip")) upsertSkip(spark)
     spark.stop()
+  }
+
+  /** Round-18: the manifest-stats MERGE/delete candidate skip at a
+    * scale where it shows (the sf0.1 fixtures' update ids span every
+    * file, so the bench cannot). A 10⁶-row lake lands as 50 id-ranged
+    * commits (each commit owns a disjoint 20k-id slice — the CDC/
+    * time-ordered ingest shape where ids correlate with arrival);
+    * the SAME narrow-churn MERGE and delete then run against (a) a
+    * stats-carrying twin, where the id-range probe admits only the
+    * intersecting files, and (b) a stats-free twin, where discovery
+    * must scan the id column of every file. Same rows, same churn,
+    * same session — the wall/job delta IS the skip.
+    */
+  private def upsertSkip(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.sinks.VersionedLake
+    println("== round-18: MERGE/delete candidate skip (10^6 rows) ==")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_upsertskip_").toString
+    val nCommits = 50
+    val perCommit = 20000
+    def build(dir: String, stats: Boolean): Unit =
+      (0 until nCommits).foreach { k =>
+        val lo = k.toLong * perCommit
+        val rows = spark.range(lo, lo + perCommit)
+          .select(col("id"), concat(lit("payload-"), col("id")).as("text"),
+            (col("id") % 97).as("score"))
+        VersionedLake.commitAppend(spark, dir, rows.repartition(1),
+          statsCol = if (stats && k == 0) Some("id") else None): Unit
+      }
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"  $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+    val warm = s"$base/warmup"
+    // throwaway warmup lake: pays codegen/JVM warmup so neither twin
+    // below carries it (the first measured variant is otherwise ~2x)
+    (0 until 5).foreach { k =>
+      VersionedLake.commitAppend(spark, warm,
+        spark.range(k * 100L, k * 100L + 100)
+          .select(col("id"), concat(lit("w"), col("id")).as("text"),
+            (col("id") % 7).as("score")).repartition(1),
+        statsCol = if (k == 0) Some("id") else None): Unit
+    }
+    VersionedLake.commitUpsert(spark, warm, "id",
+      spark.range(50L, 60L).select(col("id"),
+        lit("u").as("text"), lit(0L).as("score"))): Unit
+    VersionedLake.commitDelete(spark, warm, "id",
+      spark.range(10L, 20L).select(col("id"))): Unit
+    val withStats = s"$base/with_stats"
+    val noStats = s"$base/no_stats"
+    t("build 50-commit lake (stats on id)")(build(withStats, true))
+    t("build 50-commit lake (no stats)")(build(noStats, false))
+    // per-round FRESH narrow churn (disjoint ranges per round, so every
+    // round's update set hits exactly two base commits' id slices and
+    // every delete range is live) — and the variant ORDER alternates so
+    // host drift cancels
+    for (round <- 1 to 4) {
+      println(s"-- round $round --")
+      val uLo = 300000L + round * 40000L
+      val dLo = 800000L + round * 20000L
+      def updates = spark.range(uLo, uLo + 200)
+        .union(spark.range(uLo + 100000L, uLo + 100100L))
+        .union(spark.range(2000000L + round * 1000L,
+          2000000L + round * 1000L + 50)) // pure inserts
+        .select(col("id"), concat(lit("UPDATED-"), col("id")).as("text"),
+          (col("id") % 89).as("score"))
+      def dels = spark.range(dLo, dLo + 300).select(col("id"))
+      val order =
+        if (round % 2 == 1) Seq(withStats -> "WITH id stats",
+          noStats -> "NO stats")
+        else Seq(noStats -> "NO stats", withStats -> "WITH id stats")
+      val up = order.map { case (dir, tag) =>
+        t(s"commitUpsert $tag") {
+          VersionedLake.commitUpsert(spark, dir, "id", updates)
+        }
+      }
+      require(up(0)._2 == up(1)._2 && up(0)._3 == up(1)._3,
+        s"skip changed the outcome: $up")
+      val dl = order.map { case (dir, tag) =>
+        t(s"commitDelete $tag") {
+          VersionedLake.commitDelete(spark, dir, "id", dels)
+        }
+      }
+      require(dl(0)._2 == dl(1)._2 && dl(0)._3 == dl(1)._3,
+        s"skip changed the outcome: $dl")
+      println(s"  outcomes identical: upsert rw=${up(0)._2} " +
+        s"up=${up(0)._3}, delete files=${dl(0)._2} removed=${dl(0)._3}")
+    }
   }
 
   /** Round-17: the metadata asymptotics at the scale the claims speak

@@ -314,4 +314,72 @@ class TypedStatsSpec extends AnyFunSuite {
     assert(got === Set(1L),
       "the [50,200] range read must admit the file and find 100.0")
   }
+
+  test("MERGE/delete candidate skip: id-stats prune the matched-file " +
+      "scan without changing outcomes; provably-disjoint files are " +
+      "never opened") {
+    val dir = fresh("tstat_merge_")
+    // three id-disjoint files with stats on the id column
+    Seq(0L, 100L, 200L).foreach { lo =>
+      val rows = (lo until lo + 10).map(i => (i, s"v$i"))
+      VersionedLake.commitAppend(spark, dir,
+        rows.toDF("id", "payload").repartition(1),
+        statsCol = Some("id")): Unit
+    }
+    // CANARY: physically remove the [0,9] file — its id range is
+    // provably disjoint from every probe below, so no upsert/delete
+    // may ever open it; without the candidate skip the matched-file
+    // scan would read it and fail loudly
+    val v3files = VersionedLake.filesOf(spark, dir, 3L)
+    val low = v3files.find { f =>
+      val p = java.nio.file.Paths.get(dir, f)
+      // identify by content range via the manifest entry instead: the
+      // first commit's file is the only one whose name v1 carries
+      VersionedLake.filesOf(spark, dir, 1L).contains(f)
+    }.get
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, low))
+    // upsert touching only the [100,109] file (+ one insert)
+    val ups = Seq((100L, "UP100"), (105L, "UP105"), (300L, "NEW300"))
+      .toDF("id", "payload")
+    val (v4, nRw, nUp) = VersionedLake.commitUpsert(spark, dir, "id", ups)
+    assert(nRw === 1L && nUp === 2L,
+      s"only the [100,109] file holds matches (got rw=$nRw up=$nUp)")
+    // delete touching only the [200,209] file
+    val (v5, nDrop, nDel) = VersionedLake.commitDelete(spark, dir, "id",
+      Seq(205L, 206L, 999L).toDF("id"))
+    assert(nDrop === 1L && nDel === 2L,
+      s"only the [200,209] file holds matches (got drop=$nDrop del=$nDel)")
+    assert(v4 === 4L && v5 === 5L)
+    // dup refusal still fires from the fused probe — including on a
+    // doubled NULL id
+    val dup = intercept[IllegalArgumentException] {
+      VersionedLake.commitUpsert(spark, dir, "id",
+        Seq((400L, "a"), (400L, "b")).toDF("id", "payload"))
+    }
+    assert(dup.getMessage.contains("more than once"))
+    val nullDup = intercept[IllegalArgumentException] {
+      VersionedLake.commitUpsert(spark, dir, "id",
+        Seq((Option.empty[Long], "a"), (Option.empty[Long], "b"))
+          .toDF("id", "payload"))
+    }
+    assert(nullDup.getMessage.contains("more than once"))
+    // all-NULL-id updates: a pure insert — zero candidates, zero
+    // rewrites, and the rows still land
+    val (v6, nRw2, nUp2) = VersionedLake.commitUpsert(spark, dir, "id",
+      Seq((Option.empty[Long], "null-row")).toDF("id", "payload"))
+    assert(nRw2 === 0L && nUp2 === 0L && v6 === 6L)
+    // survivors + updates + insert all present (read only the files
+    // that still exist: skip the canary-deleted one)
+    val live = VersionedLake.filesOf(spark, dir, v6)
+      .filterNot(_ == low)
+      .map(f => java.nio.file.Paths.get(dir, f).toString)
+    val back = spark.read.parquet(live: _*)
+      .collect().map(r => (r.isNullAt(0), if (r.isNullAt(0)) -1L
+        else r.getLong(0), r.getString(1)))
+    val byId = back.filterNot(_._1).map(t => t._2 -> t._3).toMap
+    assert(byId(100L) === "UP100" && byId(105L) === "UP105" &&
+      byId(300L) === "NEW300" && byId(101L) === "v101")
+    assert(!byId.contains(205L) && !byId.contains(206L))
+    assert(back.count(_._1) === 1, "the NULL-id insert landed")
+  }
 }
