@@ -324,14 +324,36 @@ object Similarity {
 
   /** Persist the `_ivf_stats` sidecar: the training-time mean residual
     * [[ivfDriftProbe]] compares against, plus the sample size that
-    * priced it.
+    * priced it. Written DRIVER-SIDE through parquet-mr (one row, two
+    * primitive columns) — the Spark write path cost ~0.2 s of
+    * plan+job+commit per lake write for a single-row file
+    * (tools/IvfWriteProfile, r18). Field order matches the previous
+    * Spark write (readers fetch by position); `part-*.parquet` naming
+    * keeps [[sidecarFiles]]' listing contract.
     */
   private def writeIvfStats(spark: org.apache.spark.sql.SparkSession,
       lakeDir: String, trainResidual: Double, nSample: Int): Unit = {
-    import spark.implicits._
-    Seq((trainResidual, nSample.toLong))
-      .toDF("train_residual", "n_sample").coalesce(1)
-      .write.mode("overwrite").parquet(lakeDir + "/_ivf_stats")
+    val dirPath = new org.apache.hadoop.fs.Path(lakeDir + "/_ivf_stats")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dirPath.getFileSystem(conf)
+    fs.delete(dirPath, true): Unit // overwrite semantics, like before
+    val schema = org.apache.parquet.schema.MessageTypeParser
+      .parseMessageType("message ivf_stats { " +
+        "required double train_residual; required int64 n_sample; }")
+    org.apache.parquet.hadoop.example.GroupWriteSupport
+      .setSchema(schema, conf)
+    val f = new org.apache.hadoop.fs.Path(dirPath, "part-00000.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(f, conf))
+      .withConf(conf).build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(
+        schema)
+      g.add("train_residual", trainResidual)
+      g.add("n_sample", nSample.toLong)
+      w.write(g)
+    } finally w.close()
   }
 
   /** Compute and persist the drift baseline the SAME way
@@ -371,13 +393,36 @@ object Similarity {
   private def writeDriftBaselineFrom(
       spark: org.apache.spark.sql.SparkSession,
       dataDir: String, data: DataFrame, centroids: Array[Float], dim: Int,
-      sampleN: Int = 2048): Unit = {
-    val held = data
-      .orderBy(hash(col("id")), col("id")).limit(sampleN)
-      .collect().map(_.getSeq[Float](1).toArray) // bounded: sampleN×dim
+      sampleN: Int = 2048): Unit =
+    writeDriftBaselineFromSample(spark, dataDir,
+      collectDriftSampleAsync(data, sampleN).get(), centroids, dim)
+
+  /** Kick off the baseline sample collect on a driver side-thread so it
+    * OVERLAPS the lake write job that follows (guide §2.6 — the sample
+    * reads the same immutable source frame the write reads, so the two
+    * jobs are independent; Spark schedules concurrent driver-thread
+    * actions FIFO and the sample's tasks back-fill the write's tail).
+    * Sequential cost was one full extra pass latency per lake write.
+    */
+  private def collectDriftSampleAsync(data: DataFrame,
+      sampleN: Int = 2048)
+      : java.util.concurrent.Future[Array[Array[Float]]] = {
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try pool.submit(
+      new java.util.concurrent.Callable[Array[Array[Float]]] {
+        def call(): Array[Array[Float]] = data
+          .orderBy(hash(col("id")), col("id")).limit(sampleN)
+          .collect().map(_.getSeq[Float](1).toArray) // sampleN×dim
+      })
+    finally pool.shutdown() // lets the submitted task finish
+  }
+
+  private def writeDriftBaselineFromSample(
+      spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, held: Array[Array[Float]], centroids: Array[Float],
+      dim: Int): Unit =
     writeIvfStats(spark, dataDir,
       meanResidual(held, centroids, dim), held.length)
-  }
 
   /** The in-cell scoring tail shared by [[ivfTopK]] and
     * [[ivfTopKOverLake]]: broadcast the ×nProbe-fanned query side into
@@ -438,6 +483,13 @@ object Similarity {
     // with repartition(N, cell) if single cells outgrow a file.
     val data = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("vec"))
+    // the drift baseline sample (same source frame the write persists —
+    // identical (id, vec) row set, so the selected rows are identical
+    // to a lake read-back; see writeDriftBaselineFrom's determinism
+    // contract) collects CONCURRENTLY with the write below: the two
+    // jobs read the same immutable source, and sequentially the sample
+    // was one full extra pass of latency per lake write
+    val sampleFut = collectDriftSampleAsync(data)
     data
       .withColumn("cell",
         graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
@@ -449,14 +501,8 @@ object Similarity {
       .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
       .toDF("cell_id", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(lakeDir + "/_ivf_centroids")
-    // the drift baseline, measured the way the probe measures (a
-    // hash-spread TakeOrdered sample, same population and selection
-    // scheme) — sampled from the SOURCE frame the write just persisted
-    // (identical (id, vec) row set, so the selected sample rows are
-    // identical) instead of re-reading the whole written lake back: at
-    // scale the read-back was a second full pass over everything the
-    // write just produced
-    writeDriftBaselineFrom(spark, lakeDir, data, centroids, dim)
+    writeDriftBaselineFromSample(spark, lakeDir, sampleFut.get(),
+      centroids, dim)
     cells
   }
 
@@ -793,6 +839,12 @@ object Similarity {
     val token = java.util.UUID.randomUUID().toString
       .replace("-", "").take(12)
     val newGen = s"$lakeDir/_gen_$token"
+    // baseline from the membership frame already in hand (row-identical
+    // to the generation just written), not a read-back of it — sampled
+    // CONCURRENTLY with the generation write (both read the OLD
+    // generation's immutable files; guide §2.6)
+    val sampleFut = collectDriftSampleAsync(
+      lake.select(col("id"), col("vec")))
     lake.drop("cell")
       .withColumn("cell",
         graft.functions.ArrayOps.nearestCentroidF(col("vec"), centLit, dim))
@@ -803,10 +855,8 @@ object Similarity {
       .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
       .toDF("cell_id", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(newGen + "/_ivf_centroids")
-    // baseline from the membership frame already in hand (row-identical
-    // to the generation just written), not a read-back of it
-    writeDriftBaselineFrom(spark, newGen,
-      lake.select(col("id"), col("vec")), centroids, dim)
+    writeDriftBaselineFromSample(spark, newGen, sampleFut.get(),
+      centroids, dim)
     val cb = sidecarFiles(spark, dataDir + "/_pq_codebooks")
     if (cb.nonEmpty)
       spark.read.parquet(cb: _*).coalesce(1)
@@ -999,6 +1049,11 @@ object Similarity {
       .collect().map(_.getSeq[Float](1).toArray)
     val codebooks = trainPqCodebooks(pqSample, m, ksub, subDim, iters, seed)
     val cbLit = ArrayOps.packedFloatLit(codebooks)
+    // baseline from the source frame, not a full read-back (see
+    // writeIvfLake) — collected concurrently with the write below
+    val sampleFut = collectDriftSampleAsync(
+      corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec")))
     corpus.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))
       .withColumn("code",
@@ -1015,11 +1070,7 @@ object Similarity {
     Seq((m, ksub, codebooks.toSeq)).toDF("m", "ksub", "codebooks")
       .coalesce(1)
       .write.mode("overwrite").parquet(lakeDir + "/_pq_codebooks")
-    // baseline from the source frame, not a full read-back (see
-    // writeIvfLake)
-    writeDriftBaselineFrom(spark, lakeDir,
-      corpus.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("vec")),
+    writeDriftBaselineFromSample(spark, lakeDir, sampleFut.get(),
       centroids, dim)
     cells
   }
