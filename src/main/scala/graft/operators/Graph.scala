@@ -80,6 +80,11 @@ object Graph {
     // layout costs ~3.5 s cold — the join shape wins on the
     // driver-visible first run.)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // the eager count is LOAD-BEARING (r18, measured): persisted lazily,
+    // the first action's AQE stages read the layout from SEVERAL
+    // branches concurrently and race the cache fill — JobCount measured
+    // +1–2 jobs and summed job time EXCEEDING wall (overlapping
+    // duplicate computation of the layout) with the count removed
     val ed = e.join(deg.hint("SHUFFLE_HASH"), "src").persist()
     ed.count(): Unit
     // Seeds need only the SOURCE nodes: a dst node has an in-edge by
@@ -187,7 +192,7 @@ object Graph {
       col("dst").cast("long").as("dst"))
       .repartition(col("src")).dropDuplicates("src", "dst")
       .persist()
-    e.count(): Unit
+    e.count(): Unit // eager on purpose — see [[pageRank]]'s layout note
     // Unlike [[pageRank]], the seed table here must carry EVERY node's
     // own id (a dst-only node's id participates in its min), so the
     // full node set is required — but the src branch dedups

@@ -1960,43 +1960,52 @@ object VersionedLake {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // duplicate ids in ONE updates frame have no deterministic winner —
     try {
-      // ONE probe aggregation refuses them before anything is written
-      // AND yields the updates' id range for free: max_by(id, n) names
-      // an offending id when one exists (the old limit-1 scan was a
-      // separate action), min/max feed the manifest-stats candidate
-      // skip below. min/max/max_by ignore NULL ids — correct for the
-      // range (a NULL id joins nothing) — while the dup refusal still
-      // fires on a doubled NULL via maxn.
-      val probe = upd.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-        .agg(max(col("n")).as("maxn"),
-          max_by(col(idCol), col("n")).as("dupid"),
-          min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
-        .head()
-      val maxn = if (probe.isNullAt(0)) 0L else probe.getLong(0)
-      require(maxn <= 1L,
-        s"commitUpsert: updates carry id ${probe.get(1)} more than " +
-          "once — a single MERGE source must be id-unique")
       val cols = resolveStatsCols(spark, dir, cur, None)
-      // MANIFEST-STATS CANDIDATE SKIP (the Iceberg MERGE discipline):
-      // when the lake carries stats on the id column, files whose
-      // (min, max) provably cannot hold ANY update id never enter the
-      // matched-file scan — at 100 TB the scan reads the id column of
-      // the candidate files only, not of every file in the version.
-      // Conservative by construction: rangeDisjoint prunes only on a
-      // provable miss (no stats / foreign kind ⇒ candidate), so the
-      // affected set is identical. NULL lo/hi (empty or all-NULL-id
-      // updates) means no id can match anywhere: zero candidates, the
-      // scan is skipped outright.
       val idStatIdx = cols.indexOf(idCol)
+      // MANIFEST-STATS CANDIDATE SKIP (the Iceberg MERGE discipline):
+      // when the lake carries stats on the id column, ONE probe
+      // aggregation refuses duplicate ids AND yields the updates' id
+      // range: max_by(id, n) names an offending id when one exists,
+      // min/max feed the skip — files whose (min, max) provably cannot
+      // hold ANY update id never enter the matched-file scan, so at
+      // 100 TB discovery reads the id column of the candidate files
+      // only, not of every file in the version. Conservative by
+      // construction: rangeDisjoint prunes only on a provable miss
+      // (no stats / foreign kind ⇒ candidate), so the affected set is
+      // identical; NULL lo/hi (empty or all-NULL-id updates) means no
+      // id can match anywhere — zero candidates, scan skipped outright.
+      // min/max/max_by ignore NULL ids (correct: a NULL id joins
+      // nothing) while the dup refusal still fires on a doubled NULL
+      // via maxn. On a lake WITHOUT id stats the range is useless, so
+      // the probe stays the cheaper plain dup check (no extra global
+      // aggregation stage — the many-commit fixtures are at the
+      // per-commit floor and measured the difference).
       val candidates =
-        if (files.isEmpty) files
-        else if (probe.isNullAt(2)) Seq.empty[String]
-        else if (idStatIdx < 0) files
-        else scala.util.Try {
-          val (lo, hi) = (svOf(probe.get(2)), svOf(probe.get(3)))
-          entries.filterNot(rangeDisjoint(_, idStatIdx, lo, hi))
-            .map(entryPath)
-        }.getOrElse(files) // an un-encodable id type never prunes
+        if (idStatIdx >= 0 && files.nonEmpty) {
+          val probe = upd.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+            .agg(max(col("n")).as("maxn"),
+              max_by(col(idCol), col("n")).as("dupid"),
+              min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+            .head()
+          val maxn = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+          require(maxn <= 1L,
+            s"commitUpsert: updates carry id ${probe.get(1)} more than " +
+              "once — a single MERGE source must be id-unique")
+          if (probe.isNullAt(2)) Seq.empty[String]
+          else scala.util.Try {
+            val (lo, hi) = (svOf(probe.get(2)), svOf(probe.get(3)))
+            entries.filterNot(rangeDisjoint(_, idStatIdx, lo, hi))
+              .map(entryPath)
+          }.getOrElse(files) // an un-encodable id type never prunes
+        } else {
+          val dup = upd.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+            .filter(col("n") > 1).limit(1).collect()
+          require(dup.isEmpty,
+            s"commitUpsert: updates carry id ${dup.headOption.map(_.get(0))
+              .getOrElse("?")} more than once — a single MERGE source " +
+              "must be id-unique")
+          files
+        }
       val updIds = upd.select(col(idCol)).distinct()
       // bounded: one row per AFFECTED file (id + metadata column only)
       val hits =
